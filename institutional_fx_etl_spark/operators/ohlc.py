@@ -1,0 +1,78 @@
+"""Tumbling time-window OHLC aggregation (SURVEY.md §2.5, A1–A4).
+
+The reference resamples ticks to 1-minute candles per 50M-row chunk and
+re-merges chunk-boundary minutes with a second groupby
+(``/root/reference/src/hybrid_merger.py:100-133``). In Spark this whole
+two-level dance is ONE declarative aggregation: a ``groupBy(window(...))``
+compiles to a partial (map-side) + final hash aggregate around a single
+shuffle on the minute key — the hand-rolled chunk merge (and its
+mean-of-means spread bug, trap T5) disappears.
+
+Determinism (trap T4): pandas ``.ohlc()`` takes first/last *by time*;
+Spark's ``first()``/``last()`` aggregates are shuffle-order-
+nondeterministic. We use ``min_by``/``max_by`` with a composite
+``(timestamp, value)`` ordering key so ties on identical timestamps
+break deterministically (the reference itself is nondeterministic there;
+we must be stricter to hash-match any oracle — SURVEY.md §7.4-2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ticks_to_candles(
+    ticks: DataFrame,
+    ts_col: str = "datetime",
+    ask_col: str = "ask",
+    bid_col: str = "bid",
+    window_duration: str = "1 minute",
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """A1–A3 — ticks → OHLC candles on a left-closed, left-labeled
+    tumbling window.
+
+    Per minute bucket: open/close = mid of the earliest/latest tick
+    (deterministic tiebreak on value), high/low = max/min mid,
+    volume = count of ask updates (the reference's "volume
+    reconstruction", README.md:69-73), spread = mean(ask − bid).
+
+    Output: ``partition_cols + [datetime, open, high, low, close,
+    volume, spread]`` where ``datetime`` is the window start (Spark
+    windows are left-closed; ``window.start`` equals pandas' left
+    label).
+    """
+    mid = ((F.col(ask_col) + F.col(bid_col)) / 2).alias("__mid")
+    spread = (F.col(ask_col) - F.col(bid_col)).alias("__spread")
+    enriched = ticks.select(
+        *partition_cols, F.col(ts_col).alias("__ts"), F.col(ask_col).alias("__ask"), mid, spread
+    )
+
+    # pandas resample().ohlc() skips NaN mids (a null-ask/bid tick that
+    # survived the null-safe bad-tick filter, trap T1, contributes volume
+    # but no price). min_by/max_by skip rows whose ordering key is NULL,
+    # so null out the key when mid is null.
+    tiebreak = F.when(
+        F.col("__mid").isNotNull(), F.struct(F.col("__ts"), F.col("__mid"))
+    )
+    agg = enriched.groupBy(
+        *partition_cols, F.window("__ts", window_duration).alias("__w")
+    ).agg(
+        F.min_by("__mid", tiebreak).alias("open"),
+        F.max("__mid").alias("high"),
+        F.min("__mid").alias("low"),
+        F.max_by("__mid", tiebreak).alias("close"),
+        F.count("__ask").alias("__n"),
+        F.avg("__spread").alias("spread"),
+    )
+    return agg.select(
+        *partition_cols,
+        F.col("__w.start").alias(ts_col),
+        "open",
+        "high",
+        "low",
+        "close",
+        F.col("__n").cast("double").alias("volume"),
+        "spread",
+    ).filter(F.col("close").isNotNull())

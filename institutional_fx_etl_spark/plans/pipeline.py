@@ -1,0 +1,177 @@
+"""Pipeline orchestrator — the engine's flagship plan.
+
+Re-expresses ``HybridDataMerger.run()`` (``/root/reference/src/
+hybrid_merger.py:175-251``, ten eager pandas stages) as a small number
+of lazy Spark plans. Stage order is semantics-bearing (SURVEY.md §7.4-6):
+clean runs on the *gappy* merged series — flat candles are never
+spike-checked — and W1's pct_change sees post-F4 surviving rows only.
+
+Per-stage mapping (SURVEY.md §3):
+
+  1-2. sources → :mod:`sources.readers` (S1/S2) or any candle/tick DF
+  2.   tick resample → :func:`operators.ohlc.ticks_to_candles` (A1-A4)
+  4.   consensus → :func:`operators.consensus.consensus_filter` (J1+F7+J2)
+  5.   merge → :func:`functions.merge.combine_first` (J3, cell-level)
+  6.   spread repair → :func:`operators.spread.repair_spread` (A5+P9+W3)
+  7.   validate/clean → :func:`operators.clean.validate_and_clean` (F4-F6)
+  8.   grid densify → :func:`operators.densify.densify_grid` (J4+W2+W4)
+  9.   cast → :func:`cast_final` (P7, trap T9: double → float32/int8 at
+       the sink only)
+  10.  sinks → :mod:`sources.writers` (S3/S4)
+
+The audit log is the union of every stage's tagged anomaly rows —
+the reference's forensic-audit observability model (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from institutional_fx_etl_spark.functions.merge import combine_first
+from institutional_fx_etl_spark.functions.nullsafe import drop_where
+from institutional_fx_etl_spark.functions.timeutils import fx_offsession_mask
+from institutional_fx_etl_spark.operators.clean import validate_and_clean
+from institutional_fx_etl_spark.operators.consensus import consensus_filter
+from institutional_fx_etl_spark.operators.densify import densify_grid
+from institutional_fx_etl_spark.operators.ohlc import ticks_to_candles
+from institutional_fx_etl_spark.operators.spread import repair_spread
+from institutional_fx_etl_spark.sources import readers, schemas, writers
+from institutional_fx_etl_spark.sources.writers import audit_path_for
+
+
+def cast_final(df: DataFrame, partition_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Final Type Casting (hybrid_merger.py:243-246): float32 values,
+    int8 flag — applied only at the sink; all upstream math is double."""
+    return df.select(
+        *partition_cols,
+        "datetime",
+        *[F.col(c).cast("float").alias(c) for c in ["open", "high", "low", "close", "spread", "volume"]],
+        F.col("is_flat").cast("tinyint").alias("is_flat"),
+    )
+
+
+class HybridMergerSpark:
+    """Spark-native HybridDataMerger: fuse a legacy M1 bar history with a
+    raw tick stream into a gapless, validated 1-minute hybrid dataset.
+
+    ``partition_cols`` (e.g. ``('symbol',)``) is the 100 TB design knob
+    the single-symbol reference lacks: every shuffle, window sort, and
+    spine generation keys on it, so a multi-asset dataset runs
+    embarrassingly parallel (SURVEY.md §4.2, §7.4-3).
+    """
+
+    def __init__(
+        self,
+        spike_threshold: float = 0.005,
+        consensus_threshold: float = 0.01,
+        smooth_spread: bool = True,
+        window_duration: str = "1 minute",
+        partition_cols: tuple[str, ...] = (),
+        broadcast_m1: bool = False,
+    ):
+        self.spike_threshold = spike_threshold
+        self.consensus_threshold = consensus_threshold
+        self.smooth_spread = smooth_spread
+        self.window_duration = window_duration
+        self.partition_cols = tuple(partition_cols)
+        self.broadcast_m1 = broadcast_m1
+
+    # -- stage 2 -------------------------------------------------------
+    def filter_ticks(self, ticks: DataFrame) -> DataFrame:
+        """F1 + F2 (hybrid_merger.py:85-93): drop bad-priced ticks
+        (null-safely — a NULL ask/bid survives, trap T1) and
+        off-session (weekend) ticks."""
+        bad = (F.col("ask") < F.lit(1e-4)) | (F.col("bid") < F.lit(1e-4))
+        return drop_where(ticks, bad).filter(
+            ~fx_offsession_mask(F.col("datetime"))
+        )
+
+    def resample_ticks(self, ticks: DataFrame) -> DataFrame:
+        return ticks_to_candles(
+            self.filter_ticks(ticks),
+            window_duration=self.window_duration,
+            partition_cols=self.partition_cols,
+        )
+
+    # -- stages 4-9 ----------------------------------------------------
+    def merge(
+        self, m1: DataFrame, tick_candles: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """Run consensus → merge → spread repair → clean → densify → cast.
+
+        Returns ``(final, audit)``. Both are lazy plans; the caller
+        decides when/where to materialize. Audit ordering note: the
+        union preserves the reference's tag grouping (consensus first,
+        then clean-stage tags, then gap rows).
+        """
+        p = self.partition_cols
+        keys = [*p, "datetime"]
+
+        kept_ticks, audit_consensus = consensus_filter(
+            tick_candles,
+            m1,
+            threshold=self.consensus_threshold,
+            partition_cols=p,
+            broadcast_m1=self.broadcast_m1,
+        )
+
+        merged = combine_first(
+            kept_ticks, m1, on=keys, cols=schemas.CANDLE_COLS
+        )
+
+        repaired = repair_spread(
+            merged,
+            kept_ticks,
+            smooth=self.smooth_spread,
+            partition_cols=p,
+        )
+
+        clean, audit_clean = validate_and_clean(
+            repaired, self.spike_threshold, partition_cols=p
+        )
+
+        dense, audit_gaps = densify_grid(
+            clean, step=self.window_duration, partition_cols=p
+        )
+
+        final = cast_final(dense, p)
+        audit = reduce(
+            DataFrame.unionByName, [audit_consensus, audit_clean, audit_gaps]
+        )
+        return final, audit
+
+    def run(self, m1: DataFrame, ticks: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Full pipeline from raw relations (M1 candles + raw ticks)."""
+        tick_candles = self.resample_ticks(ticks)
+        return self.merge(m1, tick_candles)
+
+    def run_csv(
+        self,
+        spark: SparkSession,
+        m1_path: str,
+        tick_path: str,
+        output_path: str,
+        output_format: str = "csv",
+    ) -> tuple[DataFrame, DataFrame]:
+        """File-to-file parity with the reference CLI (S1→S3/S4),
+        including the empty-tick fatal guard (S5, hybrid_merger.py:180-182
+        — surfaced as an exception, not ``sys.exit``)."""
+        m1 = readers.read_m1_csv(spark, m1_path)
+        ticks = readers.read_tick_csv(spark, tick_path)
+
+        tick_candles = self.resample_ticks(ticks)
+        if tick_candles.isEmpty():
+            raise RuntimeError("FATAL: no valid tick data found")
+
+        final, audit = self.merge(m1, tick_candles)
+        sort_cols = [*self.partition_cols, "datetime"]
+        if output_format == "parquet":
+            writers.write_parquet(final, output_path, list(self.partition_cols) or None)
+            writers.write_parquet(audit, audit_path_for(output_path))
+        else:
+            writers.write_csv(final, output_path, sort_cols)
+            writers.write_csv(audit, audit_path_for(output_path), ["reason", "datetime"])
+        return final, audit

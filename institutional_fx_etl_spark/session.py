@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+One place owns session configuration so every entry point (tests, bench,
+driver contract, CLI) runs with identical semantics:
+
+- UTC session timezone — the reference parses all timestamps with
+  ``utc=True`` (``/root/reference/src/hybrid_merger.py:48,81``), and the
+  DuckDB oracle compares timestamps as UTC-naive.
+- AQE on — runtime coalescing/skew-join replaces the reference's manual
+  chunking (``hybrid_merger.py:66-74``) and empty-guard short-circuits.
+- Shuffle partitions sized to cores, not the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "institutional_fx_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env override) —
+    on a real cluster the caller passes the cluster master / relies on
+    spark-submit and this factory only sets semantics-bearing conf.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

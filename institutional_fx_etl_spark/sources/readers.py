@@ -1,0 +1,69 @@
+"""Sources (SURVEY.md §2.1, S1/S2/S6).
+
+The reference's chunked CSV scan (50M-row chunks + manual gc,
+``/root/reference/src/hybrid_merger.py:66-74,121-122``) disappears
+entirely: Spark's partitioned file scan + spill-aware executors replace
+it with no code. ``usecols`` projection becomes Catalyst column pruning
+(we still ``select`` eagerly so the pruned schema is explicit in the
+plan), and ``on_bad_lines='skip'`` becomes ``mode=DROPMALFORMED``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from institutional_fx_etl_spark.sources import schemas
+
+
+def read_m1_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1 — legacy M1 bar scan (hybrid_merger.py:42-52).
+
+    CSV ``Date,Time,Open,High,Low,Close,TickVol`` (header line present
+    but replaced by the declared names) → canonical candle relation with
+    a parsed UTC ``datetime`` and an all-null ``spread`` column.
+    """
+    raw = (
+        spark.read.schema(schemas.M1_CSV_SCHEMA)
+        .option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    return raw.select(
+        F.to_timestamp(
+            F.concat_ws(" ", F.col("Date"), F.col("Time")), "yyyy.MM.dd HH:mm:ss"
+        ).alias("datetime"),
+        F.col("Open").alias("open"),
+        F.col("High").alias("high"),
+        F.col("Low").alias("low"),
+        F.col("Close").alias("close"),
+        F.col("TickVol").alias("volume"),
+        F.lit(None).cast("double").alias("spread"),
+    )
+
+
+def read_tick_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S2 — raw tick quote scan (hybrid_merger.py:66-74).
+
+    CSV ``datetime,ask,bid,av,bv``; only the first three columns are
+    kept (the select drives Catalyst's column pruning into the reader),
+    malformed lines dropped.
+    """
+    raw = (
+        spark.read.schema(schemas.TICK_CSV_SCHEMA)
+        .option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    return raw.select("datetime", "ask", "bid")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated parquet table from ``sf_dir``."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several test tables at once; defaults to all of them."""
+    names = names or tuple(schemas.TESTDATA_TABLES)
+    return {n: load_table(spark, sf_dir, n) for n in names}
