@@ -1,0 +1,580 @@
+"""Driver-contract queries: one oracle-checked query per operator family
+(SURVEY.md §7.5 maps each key to the §2 inventory).
+
+Every entry is a pair: a Spark callable ``(spark, sf_dir) -> DataFrame``
+built from the engine's operators, and an ANSI-SQL oracle string DuckDB
+runs over the same parquet tables. The driver compares row count, schema
+and an order-insensitive value hash, so each pair:
+
+- aliases every computed column identically on both sides;
+- is **deterministic**: ordered aggregates get explicit total-order
+  tiebreaks (``min_by/max_by`` on composite keys ↔ ``first(... ORDER
+  BY ...)``), top-k queries a total order;
+- controls floating point: money/quantity sums go through the
+  **decimal-sum trick** (cast to DECIMAL, sum exactly, cast back to
+  double — bit-identical in both engines, no summation-order drift);
+  small-group averages and interpolated percentiles are rounded to 6
+  decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from institutional_fx_etl_spark.functions.merge import combine_first
+from institutional_fx_etl_spark.functions.nullsafe import drop_where, is_true
+from institutional_fx_etl_spark.functions.timeutils import fx_offsession_mask, time_spine
+from institutional_fx_etl_spark.functions.windows import (
+    ffill,
+    pct_change,
+    rolling_median_centered,
+)
+from institutional_fx_etl_spark.operators.ohlc import ticks_to_candles
+from institutional_fx_etl_spark.sources.readers import load_table
+
+QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
+
+#: registry: name -> (spark_fn, oracle_sql or None for rows-only checks)
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------
+# S/P family — scans, projections, casts (SURVEY.md §2.1-2.2)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "scan_project",
+    """
+    SELECT o_orderkey AS order_id,
+           o_orderstatus AS status,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           o_totalprice * 1.1 AS total_with_tax
+    FROM orders
+    """,
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P3/P7: projection + rename + computed column + cast on a scan.
+    Catalyst prunes the parquet scan to the four referenced columns."""
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("total_with_tax"),
+    )
+
+
+@register(
+    "filter_nullsafe",
+    """
+    WITH t AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, v FROM t WHERE NOT coalesce(v < 100.0, false)
+    """,
+)
+def q_filter_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/T1: null-safe negated filter — NULL-valued rows must survive,
+    reproducing pandas ``NaN < x == False`` drop semantics."""
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return drop_where(t, F.col("v") < 100.0)
+
+
+@register(
+    "weekday_filter",
+    """
+    SELECT event_id, ts FROM events
+    WHERE NOT (dayofweek(ts) = 6
+               OR (dayofweek(ts) = 5 AND hour(ts) >= 22)
+               OR (dayofweek(ts) = 0 AND hour(ts) < 21))
+    """,
+)
+def q_weekday_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/T2: FX off-session filter — pandas Mon=0 convention translated
+    to Spark's Sun=1 (and DuckDB's Sun=0) dayofweek codes."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(~fx_offsession_mask(F.col("ts"))).select("event_id", "ts")
+
+
+# ---------------------------------------------------------------------
+# A family — aggregations (SURVEY.md §2.5)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "tumbling_ohlc",
+    """
+    WITH t AS (
+      SELECT ts, value + 0.01 AS ask, value - 0.01 AS bid FROM events
+    ),
+    t2 AS (
+      SELECT ts, (ask + bid) / 2 AS mid, ask - bid AS spread, ask FROM t
+    )
+    SELECT date_trunc('hour', ts) AS datetime,
+           first(mid ORDER BY ts, mid) AS open,
+           max(mid) AS high,
+           min(mid) AS low,
+           last(mid ORDER BY ts, mid) AS close,
+           CAST(count(ask) AS DOUBLE) AS volume,
+           round(avg(spread), 6) AS spread
+    FROM t2 GROUP BY 1
+    """,
+)
+def q_tumbling_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A3/T4: tumbling-window OHLC with deterministic
+    min_by/max_by open/close — the engine's load-bearing aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    ticks = events.select(
+        F.col("ts").alias("datetime"),
+        (F.col("value") + 0.01).alias("ask"),
+        (F.col("value") - 0.01).alias("bid"),
+    )
+    return ticks_to_candles(ticks, window_duration="1 hour").withColumn(
+        "spread", F.round("spread", 6)
+    )
+
+
+@register(
+    "global_median",
+    "SELECT median(l_quantity) AS median_qty FROM lineitem",
+)
+def q_global_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: exact global median (the reference's spread-median fill).
+    Scale knob: percentile_approx at 100 TB (SURVEY.md §7.3)."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.median("l_quantity").alias("median_qty")
+    )
+
+
+@register(
+    "groupby_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family breadth (TPC-H Q1 shape): multi-key hash aggregate with
+    exact decimal sums (no fp summation-order drift); one partial+final
+    shuffle, fully whole-stage-codegen'd."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# J family — joins / merges / alignment (SURVEY.md §2.4)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "align_left_join",
+    """
+    SELECT o_orderkey, o_custkey, c_mktsegment
+    FROM orders
+    LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0.0) c
+      ON o_custkey = c_custkey
+    """,
+)
+def q_align_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: left alignment join (missing keys → NULL row), broadcastable
+    dimension side."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0.0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    return orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left"
+    ).select("o_orderkey", "o_custkey", "c_mktsegment")
+
+
+@register(
+    "anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 150000.0)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: anti join — drop keys present in the other relation (the
+    consensus rejection shape); right side pre-filtered so both branches
+    of the anti-join are exercised."""
+    cust = load_table(spark, sf_dir, "customer")
+    big_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.join(big_orders, on="c_custkey", how="left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "combine_first",
+    """
+    WITH p AS (
+      SELECT date_trunc('hour', ts) AS h,
+             max(value) FILTER (event_type = 'click') AS a,
+             max(value) FILTER (event_type = 'view') AS b
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+    ),
+    f AS (
+      SELECT date_trunc('hour', ts) AS h,
+             max(value) FILTER (event_type = 'purchase') AS a,
+             max(value) FILTER (event_type = 'signup') AS b
+      FROM events WHERE event_type IN ('purchase', 'signup') GROUP BY 1
+    )
+    SELECT coalesce(p.h, f.h) AS h,
+           coalesce(p.a, f.a) AS a,
+           coalesce(p.b, f.b) AS b
+    FROM p FULL OUTER JOIN f ON p.h = f.h
+    """,
+)
+def q_combine_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/T8: cell-level coalescing full-outer merge (pandas
+    ``combine_first``) — fills missing *cells* of present rows AND adds
+    missing rows."""
+    events = load_table(spark, sf_dir, "events")
+
+    def slice_agg(t1: str, t2: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type").isin(t1, t2))
+            .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+            .agg(
+                F.max(F.when(F.col("event_type") == t1, F.col("value"))).alias("a"),
+                F.max(F.when(F.col("event_type") == t2, F.col("value"))).alias("b"),
+            )
+        )
+
+    p = slice_agg("click", "view")
+    f = slice_agg("purchase", "signup")
+    return combine_first(p, f, on=["h"])
+
+
+@register(
+    "time_spine",
+    """
+    WITH m AS (SELECT date_trunc('minute', ts) AS datetime FROM events),
+    b AS (SELECT min(datetime) AS t0, max(datetime) AS t1 FROM m),
+    spine AS (
+      SELECT unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS datetime FROM b
+    ),
+    c AS (SELECT datetime, count(*) AS n_events FROM m GROUP BY 1)
+    SELECT spine.datetime AS datetime, coalesce(c.n_events, 0) AS n_events
+    FROM spine LEFT JOIN c ON spine.datetime = c.datetime
+    """,
+)
+def q_time_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: generated gapless minute spine LEFT JOIN observed minutes —
+    the Immutable Time Grid shape; absent minutes get n_events=0."""
+    events = load_table(spark, sf_dir, "events")
+    mins = events.select(F.date_trunc("minute", F.col("ts")).alias("datetime"))
+    spine = time_spine(mins, ts_col="datetime", step="1 minute")
+    counts = mins.groupBy("datetime").agg(F.count(F.lit(1)).alias("n_events"))
+    return spine.join(counts, on="datetime", how="left").select(
+        "datetime", F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events")
+    )
+
+
+@register(
+    "inner_reconcile",
+    """
+    WITH a AS (
+      SELECT date_trunc('hour', ts) AS h, max(value) AS a_close
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    b AS (
+      SELECT date_trunc('hour', ts) AS h, max(value) AS b_close
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    )
+    SELECT a.h AS h, a_close, b_close, abs(a_close - b_close) AS deviation
+    FROM a JOIN b ON a.h = b.h
+    WHERE coalesce(abs(a_close - b_close) > 50.0, false)
+    """,
+)
+def q_inner_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 + P5 + F7 (the validator's reconciliation query): inner-align
+    two series on time, flag deviations above a threshold."""
+    events = load_table(spark, sf_dir, "events")
+
+    def hourly_max(t: str, alias: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == t)
+            .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+            .agg(F.max("value").alias(alias))
+        )
+
+    a = hourly_max("click", "a_close")
+    b = hourly_max("view", "b_close")
+    joined = a.join(b, on="h", how="inner")
+    dev = F.abs(F.col("a_close") - F.col("b_close"))
+    return joined.withColumn("deviation", dev).filter(
+        is_true(F.col("deviation") > 50.0)
+    )
+
+
+# ---------------------------------------------------------------------
+# W family — ordered-row window functions (SURVEY.md §2.6)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "lag_pct_change",
+    """
+    SELECT user_id, event_id,
+           (value - lag(value) OVER w) / lag(value) OVER w AS pct
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_lag_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/T3: lag-based pct_change per user (partitioned scale path);
+    first row of each partition NULL."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "user_id",
+        "event_id",
+        pct_change("value", order_cols=("ts", "event_id"), partition_cols=("user_id",)).alias(
+            "pct"
+        ),
+    )
+
+
+@register(
+    "ffill",
+    """
+    SELECT event_id,
+           last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+             OVER (ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM events
+    """,
+)
+def q_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/T7: forward-fill with leading NULLs preserved."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "click", F.col("value"))
+    return events.select(
+        "event_id",
+        ffill(v, order_cols=("ts", "event_id")).alias("filled"),
+    )
+
+
+@register(
+    "rolling_median_centered",
+    """
+    SELECT event_id,
+           round(quantile_cont(value, 0.5) OVER
+             (ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6)
+             AS med
+    FROM events
+    """,
+)
+def q_rolling_median_centered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: centered 5-row exact rolling median (pandas
+    ``rolling(5, center=True, min_periods=1).median()``), edge-shrinking."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.round(
+            rolling_median_centered("value", order_cols=("ts", "event_id")), 6
+        ).alias("med"),
+    )
+
+
+# ---------------------------------------------------------------------
+# P6/F5 + O family — conditional fix, union, top-k (SURVEY.md §2.2/2.7)
+# ---------------------------------------------------------------------
+
+
+@register(
+    "greatest_least_fix",
+    """
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS h,
+             first(value ORDER BY ts, event_id) AS open,
+             last(value ORDER BY ts, event_id) AS close,
+             max(value) * 0.5 AS high,
+             min(value) * 1.5 AS low
+      FROM events GROUP BY 1
+    )
+    SELECT h, open, close, high, low,
+           greatest(open, close, high) AS fixed_high,
+           least(open, close, low) AS fixed_low,
+           CAST(coalesce(open > high OR open < low OR close > high OR close < low,
+                         false) AS INTEGER) AS was_bad
+    FROM c
+    """,
+)
+def q_greatest_least_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/F5: row-wise greatest/least structural repair of candles whose
+    open/close escaped [low, high] (violations synthesized by scaling)."""
+    events = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    c = events.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.min_by("value", key).alias("open"),
+        F.max_by("value", key).alias("close"),
+        (F.max("value") * 0.5).alias("high"),
+        (F.min("value") * 1.5).alias("low"),
+    )
+    bad = is_true(
+        (F.col("open") > F.col("high"))
+        | (F.col("open") < F.col("low"))
+        | (F.col("close") > F.col("high"))
+        | (F.col("close") < F.col("low"))
+    )
+    return c.select(
+        "h",
+        "open",
+        "close",
+        "high",
+        "low",
+        F.greatest("open", "close", "high").alias("fixed_high"),
+        F.least("open", "close", "low").alias("fixed_low"),
+        bad.cast("int").alias("was_bad"),
+    )
+
+
+@register(
+    "audit_union",
+    """
+    SELECT event_id, ts, value, 'extreme_value' AS reason
+    FROM events WHERE value > 400.0
+    UNION ALL
+    SELECT event_id, ts, value, 'error_event' AS reason
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def q_audit_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/S4: the forensic-audit shape — union of reason-tagged anomaly
+    subsets (a row can appear under several tags, as in the reference)."""
+    events = load_table(spark, sf_dir, "events")
+    extreme = events.filter(F.col("value") > 400.0).select(
+        "event_id", "ts", "value", F.lit("extreme_value").alias("reason")
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", "value", F.lit("error_event").alias("reason")
+    )
+    return extreme.unionByName(errors)
+
+
+@register(
+    "topk",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 5
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: top-k with a deterministic total-order tiebreak (the
+    validator's top-5 offenders report)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .orderBy(
+            F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .limit(5)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------
+# Flagship — the full hybrid-merge pipeline (SURVEY.md §3)
+# ---------------------------------------------------------------------
+
+
+def _pipeline_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Derive the two reference-shaped sources from the events table:
+    a raw tick stream (click/view/purchase events) and a legacy M1
+    candle history (signup/error events resampled, spread nulled)."""
+    events = load_table(spark, sf_dir, "events")
+    ticks = events.filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select(
+        F.col("ts").alias("datetime"),
+        (F.col("value") + 0.01).alias("ask"),
+        (F.col("value") - 0.01).alias("bid"),
+    )
+    m1_src = events.filter(F.col("event_type").isin("signup", "error")).select(
+        F.col("ts").alias("datetime"),
+        (F.col("value") + 0.02).alias("ask"),
+        (F.col("value") - 0.02).alias("bid"),
+    )
+    m1 = ticks_to_candles(m1_src).withColumn("spread", F.lit(None).cast("double"))
+    return m1, ticks
+
+
+@register("hybrid_pipeline", None)
+def q_hybrid_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole engine end-to-end: filter → resample → consensus →
+    combine_first → spread repair → clean → grid densify → cast.
+    Spike threshold is effectively off (events jump wildly by design);
+    the cleaning operators are oracle-checked via the fixture tests and
+    the per-operator queries above."""
+    from institutional_fx_etl_spark.plans.pipeline import HybridMergerSpark
+
+    m1, ticks = _pipeline_inputs(spark, sf_dir)
+    eng = HybridMergerSpark(spike_threshold=1e9, consensus_threshold=50.0)
+    final, _audit = eng.run(m1, ticks)
+    return final
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: sql.strip() for name, (_, sql) in REGISTRY.items() if sql is not None
+    }

@@ -59,8 +59,20 @@ def read_tick_csv(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver-generated parquet table from ``sf_dir``."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load one driver-generated parquet table from ``sf_dir``.
+
+    Parquet TIMESTAMP(NANOS) columns are unsupported by Spark and scan
+    as LongType epoch-nanos (``spark.sql.legacy.parquet.nanosAsLong``,
+    set by :func:`session.get_spark`); convert them back to microsecond
+    timestamps here (floor division — matching DuckDB/Arrow ns→us
+    truncation) so downstream code sees TimestampType.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer `div`, NOT `/`: double division loses precision on
+        # epoch-nanos magnitudes (~1e18 > 2^53)
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -1,0 +1,117 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then
+compares row count, column names/order-insensitive values — flagging
+any mismatch before the real driver does.
+
+Usage: python tools/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from institutional_fx_etl_spark import get_spark  # noqa: E402
+from institutional_fx_etl_spark.sources.schemas import TESTDATA_TABLES  # noqa: E402
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-name-sorted, row-sorted, dtype-normalized frame."""
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("float64") if s.isna().any() else s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+    return df.sort_values(list(df.columns), ignore_index=True, na_position="last")
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        return [
+            f"column mismatch: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
+        ]
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count: spark={len(spark_df)} duck={len(duck_df)}")
+    a, b = canon(spark_df), canon(duck_df)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if np.issubdtype(av.dtype, np.floating):
+                eq = (av == bv) | (np.isnan(av.astype(float)) & np.isnan(bv.astype(float)))
+                if not eq.all():
+                    bad = int((~eq).sum())
+                    diffs = np.abs(av[~eq].astype(float) - bv[~eq].astype(float))
+                    problems.append(
+                        f"col {c}: {bad} value diffs, max abs diff {np.nanmax(diffs):.3e}"
+                    )
+            else:
+                eq = (av == bv) | (pd.isna(a[c]).to_numpy() & pd.isna(b[c]).to_numpy())
+                if not eq.all():
+                    i = int(np.argmax(~eq))
+                    problems.append(
+                        f"col {c}: {int((~eq).sum())} value diffs, first at row {i}: "
+                        f"{av[i]!r} vs {bv[i]!r}"
+                    )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    spark = get_spark(app_name="check_contract")
+    con = duck_connection(sf_dir)
+
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"✗ {name}: SPARK ERROR {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"~ {name}: rows-only ({len(sdf)} rows, no oracle)")
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"✗ {name}: DUCKDB ERROR {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            failures += 1
+            print(f"✗ {name}: " + "; ".join(problems))
+        else:
+            print(f"✓ {name}: {len(sdf)} rows match")
+    print(f"\n{'FAIL' if failures else 'OK'} ({failures} failures)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
