@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall seconds.
+
+Each query executes fully via the ``noop`` sink (forces computation of
+every row, no write-path cost), after a small warmup to amortize JVM/
+codegen startup out of the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from institutional_fx_etl_spark import get_spark
+from institutional_fx_etl_spark.plans import driver_queries
+
+#: queries that dominate the engine's real workload: the full pipeline,
+#: the load-bearing aggregation, the grid join, the window sorts, and
+#: the wide hash aggregate.
+HEADLINE = [
+    "hybrid_pipeline",
+    "tumbling_ohlc",
+    "time_spine",
+    "rolling_median_centered",
+    "lag_pct_change",
+    "groupby_agg",
+    "combine_first",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+
+    registry = driver_queries.REGISTRY
+    names = [n for n in HEADLINE if n in registry]
+
+    # warmup: tiny end-to-end action to JIT the common codepaths
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry[name][0]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
