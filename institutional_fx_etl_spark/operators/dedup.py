@@ -1,0 +1,217 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The 100 TB dedup toolbox for training-data pipelines (BASELINE.json
+north star). Scale design notes per operator:
+
+- **exact**: one hash-groupBy shuffle on the text (or its md5 — shorter
+  shuffle keys); partial aggregation makes the common no-dup case cheap.
+- **MinHash LSH**: per-doc signatures are computed scan-side with array
+  expressions (no UDFs, no shuffle); the only shuffles are the
+  ``(band, signature)`` exploded self-join — whose fan-out is bounded
+  by bucket sizes, not O(n²) — and the candidate-pair verify join.
+- **SimHash**: one 64→32-bit fingerprint per doc scan-side; candidate
+  pairs via equality on high bits or small-block self-join.
+- **n-gram Jaccard**: exact pairwise verify, only ever run on a
+  candidate set (blocked or LSH-bucketed), never the full cross join.
+
+All hashing is md5-derived (see :mod:`operators.text`) so the DuckDB
+oracle reproduces every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from institutional_fx_etl_spark.operators.text import (
+    _token_hash,
+    shingle_hashes_expr,
+    tokens,
+)
+
+#: MinHash permutation family h_i(x) = (a_i·x + b_i) mod p with
+#: p = 2^31 − 1; a_i = 2i+1 (odd), b_i = 7i+3 — fixed literals so any
+#: engine regenerates the same signatures.
+MINHASH_P = 2_147_483_647
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: group identical texts, keep the smallest id as the
+    canonical representative. Output: text_hash, keep_id, n_dups."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    ).select(
+        F.md5(F.col(text_col)).alias("text_hash"), "keep_id", "n_dups"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature (array<bigint> of length
+    ``num_perm``) over hashed word n-gram shingles. Pure scan-side
+    array expressions — embarrassingly parallel."""
+    sig = (
+        f"transform(sequence(0, {num_perm - 1}), i -> "
+        f"array_min(transform(__sh, h -> ((2*i+1)*h + (7*i+3)) % {MINHASH_P})))"
+    )
+    return (
+        df.withColumn("__toks", tokens(text_col))
+        .filter(f"size(__toks) >= {shingle_n}")
+        .withColumn("__sh", F.expr(shingle_hashes_expr("__toks", shingle_n)))
+        .selectExpr(id_col, "__sh AS shingle_hashes", f"{sig} AS signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs with exact-Jaccard verify.
+
+    signatures → split into ``bands`` bands of ``num_perm/bands`` rows →
+    band fingerprint (md5 of the band slice) → self-join on
+    ``(band_idx, band_sig)`` (candidate generation; the ONLY place two
+    documents meet, so cost tracks bucket collisions, not n²) →
+    distinct pairs → exact shingle-set Jaccard filter.
+
+    Output: id_a < id_b, jaccard (rounded to 6dp).
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+
+    banded = sigs.selectExpr(
+        id_col,
+        "shingle_hashes",
+        f"""explode(transform(sequence(0, {bands - 1}), b -> struct(
+              b AS band_idx,
+              md5(array_join(slice(signature, b*{rows_per_band}+1, {rows_per_band}), ',')) AS band_sig
+            ))) AS band""",
+    ).select(id_col, "shingle_hashes", "band.band_idx", "band.band_sig")
+
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shingle_hashes").alias("sh_a"),
+        "band_idx",
+        "band_sig",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shingle_hashes").alias("sh_b"),
+        "band_idx",
+        "band_sig",
+    )
+    candidates = (
+        a.join(b, on=["band_idx", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = (
+        "cast(size(array_intersect(sh_a, sh_b)) as double)"
+        " / size(array_union(sh_a, sh_b))"
+    )
+    return (
+        candidates.selectExpr("id_a", "id_b", f"round({jac}, 6) AS jaccard")
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Per-document SimHash: each token votes ±1 on every bit of its
+    hash; fingerprint bit = sign of the vote sum. Near-dups differ in
+    few bits (small Hamming distance)."""
+    th = _token_hash("t")
+    fp = f"""
+      aggregate(sequence(0, {bits - 1}), 0L, (acc, b) -> acc +
+        CASE WHEN aggregate(transform(__toks, t -> {th}), 0L,
+                   (a2, h) -> a2 + CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) > 0
+             THEN shiftleft(1L, b) ELSE 0L END)
+    """
+    return (
+        df.withColumn("__toks", tokens(text_col))
+        .selectExpr(id_col, f"{fp} AS simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Candidate SimHash pairs with Hamming distance ≤ ``max_hamming``.
+    Pairs are generated within ``block_col`` groups (or a high-bit
+    prefix block when None) — the blocked self-join is the scale lever,
+    never a full cross join."""
+    fps = simhash_fingerprints(df, text_col, id_col)
+    if block_col is not None:
+        fps = fps.join(df.select(id_col, block_col), on=id_col)
+        block = block_col
+    else:
+        fps = fps.withColumn("__block", F.expr("simhash >> 24"))
+        block = "__block"
+    a = fps.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), block
+    )
+    b = fps.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), block
+    )
+    return (
+        a.join(b, on=block)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .selectExpr(
+            "id_a", "id_b", "cast(bit_count(sim_a ^ sim_b) as int) AS hamming"
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for all pairs within a
+    blocking key (e.g. same source/domain) — the verify-quality measure,
+    run on a bounded candidate set."""
+    sh = (
+        df.withColumn("__toks", tokens(text_col))
+        .filter(f"size(__toks) >= {shingle_n}")
+        .selectExpr(
+            id_col, block_col, f"{shingle_hashes_expr('__toks', shingle_n)} AS sh"
+        )
+    )
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), block_col
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), block_col
+    )
+    jac = (
+        "cast(size(array_intersect(sh_a, sh_b)) as double)"
+        " / size(array_union(sh_a, sh_b))"
+    )
+    return (
+        a.join(b, on=block_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .selectExpr(block_col, "id_a", "id_b", f"round({jac}, 6) AS jaccard")
+        .filter(F.col("jaccard") >= threshold)
+    )

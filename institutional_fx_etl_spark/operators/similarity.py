@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths (BASELINE.json north star):
+
+- **brute-force cosine top-k** — the exactness baseline: broadcast the
+  (small) query set against the corpus, compute cosine with built-in
+  array expressions (``zip_with`` + ``aggregate`` — JVM-side, no UDF),
+  rank per query with a window. One shuffle (the per-query window
+  sort); corpus scan is embarrassingly parallel. At 100 TB the corpus
+  side stays partitioned and only k rows per query per partition
+  survive the window (use a partial top-k via ``row_number`` after
+  repartitioning by query).
+- **LSH-bucketed ANN** — the scale path: deterministic random-
+  hyperplane signatures (signs of dot products with md5-derived ±1
+  planes) bucket the corpus; candidates meet only within a bucket, so
+  the join fans out by bucket size, not |corpus|×|queries|.
+
+Determinism: planes derive from md5 (reproducible in the DuckDB
+oracle); ranking ties break on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: deterministic ±1 hyperplane component for (plane j, dimension i):
+#: parity of a md5-derived bit — reproducible in any engine with md5.
+def _plane_sign(j: str, i: str) -> str:
+    return (
+        f"CASE WHEN cast(conv(substr(md5(concat('plane', {j}, '_', {i})),1,8),16,10)"
+        f" as bigint) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+
+
+def _as_double(col: str) -> str:
+    return f"transform({col}, x -> cast(x as double))"
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.selectExpr(
+        "*",
+        f"sqrt(aggregate({_as_double(vec_col)}, 0.0d, (a, x) -> a + x*x)) AS __norm",
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector, the k most
+    similar corpus vectors (cosine desc, id asc tiebreak).
+
+    Output: q_id, vec_id, rank, cosine (rounded 6dp — ranking uses the
+    rounded value so ordering is reproducible across engines)."""
+    c = with_norm(corpus, vec_col).selectExpr(
+        f"{id_col} AS vec_id", f"{_as_double(vec_col)} AS v", "__norm AS nv"
+    )
+    q = with_norm(queries, vec_col).selectExpr(
+        f"{id_col} AS q_id", f"{_as_double(vec_col)} AS qv", "__norm AS nq"
+    )
+    dot = "aggregate(zip_with(v, qv, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .selectExpr("q_id", "vec_id", f"round({dot} / (nv * nq), 6) AS cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "cosine")
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector: bit j = sign of
+    ⟨v, plane_j⟩ with deterministic md5-derived ±1 planes. Cosine-similar
+    vectors collide with probability 1 − θ/π per bit."""
+    proj = (
+        f"aggregate(zip_with(__v, transform(sequence(0, size(__v)-1),"
+        f" i -> {_plane_sign('j', 'i')}), (x, s) -> x*s), 0.0d, (a, x) -> a + x)"
+    )
+    bucket = (
+        f"aggregate(transform(sequence(0, {num_planes - 1}), j -> "
+        f"CASE WHEN {proj} > 0 THEN shiftleft(1L, j) ELSE 0L END),"
+        f" 0L, (a, x) -> a + x)"
+    )
+    return df.selectExpr(
+        id_col, f"{_as_double(vec_col)} AS __v"
+    ).selectExpr(id_col, "__v", f"{bucket} AS bucket")
+
+
+def lsh_ann_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    min_cosine: float = 0.3,
+) -> DataFrame:
+    """Scale-path near-neighbor pairs: candidates meet only inside an
+    LSH bucket (8 planes → 256 buckets), then exact cosine verifies.
+    Output: id_a < id_b, bucket, cosine."""
+    sigs = hyperplane_signatures(df, vec_col, id_col, num_planes)
+    a = sigs.selectExpr(f"{id_col} AS id_a", "__v AS va", "bucket")
+    b = sigs.selectExpr(f"{id_col} AS id_b", "__v AS vb", "bucket")
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
+    na = "sqrt(aggregate(va, 0.0d, (a, x) -> a + x*x))"
+    nb = "sqrt(aggregate(vb, 0.0d, (a, x) -> a + x*x))"
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .selectExpr("bucket", "id_a", "id_b", f"round({dot}/({na}*{nb}), 6) AS cosine")
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    top_n: int = 20,
+    block_size: int = 50,
+) -> DataFrame:
+    """Embedding-cosine near-dup candidates: blocked pairwise cosine
+    (block = id range — cheap demo blocking; LSH above is the real
+    scale path), global top-n most-similar pairs, deterministic order."""
+    v = df.selectExpr(
+        f"{id_col} AS vid",
+        f"{_as_double(vec_col)} AS vv",
+        f"cast({id_col} / {block_size} as int) AS block",
+    )
+    a = v.selectExpr("vid AS id_a", "vv AS va", "block")
+    b = v.selectExpr("vid AS id_b", "vv AS vb", "block")
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
+    na = "sqrt(aggregate(va, 0.0d, (a, x) -> a + x*x))"
+    nb = "sqrt(aggregate(vb, 0.0d, (a, x) -> a + x*x))"
+    pairs = (
+        a.join(b, on="block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .selectExpr("id_a", "id_b", f"round({dot}/({na}*{nb}), 6) AS cosine")
+    )
+    return pairs.orderBy(
+        F.desc("cosine"), F.asc("id_a"), F.asc("id_b")
+    ).limit(top_n)

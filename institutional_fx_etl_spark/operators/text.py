@@ -1,0 +1,122 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language ID,
+quality scoring, token counting, and document fingerprinting over a
+``documents(text)`` relation. Everything is built-in Spark SQL array /
+string expressions — zero Python UDFs, fully whole-stage-codegen'd, so
+the operators scan-parallelize at 100 TB with no serialization wall.
+
+Determinism contract: all hashing is md5-based (``_token_hash``) so an
+external engine (the DuckDB oracle) reproduces values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: deterministic 32-bit token hash: first 8 hex chars of md5 → bigint.
+#: DuckDB twin: CAST(concat('0x', substr(md5(t),1,8)) AS BIGINT)
+def _token_hash(expr: str) -> str:
+    return f"cast(conv(substr(md5({expr}),1,8),16,10) as bigint)"
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.lower(F.col(col)), r"\s+")
+
+
+def shingles_expr(toks: str, n: int = 3) -> str:
+    """SQL expr: word n-gram shingles of a token array column."""
+    parts = ", ".join(f"element_at({toks}, i+{j+1})" for j in range(n))
+    return (
+        f"transform(sequence(0, greatest(size({toks})-{n}, -1)),"
+        f" i -> concat_ws(' ', {parts}))"
+    )
+
+
+def shingle_hashes_expr(toks: str, n: int = 3) -> str:
+    """SQL expr: distinct hashed word n-gram shingles (the set MinHash /
+    Jaccard operate on)."""
+    return f"array_distinct(transform({shingles_expr(toks, n)}, s -> {_token_hash('s')}))"
+
+
+#: per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic (public-knowledge closed-class words).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+    "de": ["der", "die", "und", "das", "ein", "zu"],
+    "zh": ["的", "是", "了", "我", "不"],
+}
+
+
+def _hits(toks: str, words: list[str]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter({toks}, t -> t IN ({quoted})))"
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count + length stats: the cheap per-document features every
+    corpus pipeline computes first."""
+    return df.withColumn("__toks", tokens(text_col)).selectExpr(
+        "*",
+        "size(__toks) AS n_tokens",
+        f"length({text_col}) AS n_chars_computed",
+        "cast(aggregate(__toks, 0L, (a, t) -> a + length(t)) as double)"
+        " / size(__toks) AS avg_token_len",
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: stopword density (fluency proxy),
+    punctuation ratio (boilerplate/noise proxy), length saturation."""
+    stop = _hits("__toks", STOPWORDS["en"])
+    return (
+        df.withColumn("__toks", tokens(text_col))
+        .selectExpr(
+            "*",
+            "size(__toks) AS n_tokens",
+            f"cast(length(regexp_replace({text_col}, '[^.,!?;:]', '')) as double)"
+            f" / length({text_col}) AS punct_ratio",
+            f"cast({stop} as double) / size(__toks) AS stopword_ratio",
+        )
+        .selectExpr(
+            "*",
+            "round(0.4 * stopword_ratio - 0.3 * punct_ratio"
+            " + 0.3 * least(n_tokens, 100) / 100.0, 6) AS quality",
+        )
+        .drop("__toks")
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID with a deterministic priority tiebreak
+    (en > es > fr > de > zh on equal scores)."""
+    hits = {lang: _hits("__toks", ws) for lang, ws in STOPWORDS.items()}
+    predicted = f"""
+      CASE
+        WHEN {hits['zh']} > greatest({hits['en']}, {hits['es']}, {hits['fr']}, {hits['de']}) THEN 'zh'
+        WHEN {hits['de']} > greatest({hits['en']}, {hits['es']}, {hits['fr']}) THEN 'de'
+        WHEN {hits['fr']} > greatest({hits['en']}, {hits['es']}) THEN 'fr'
+        WHEN {hits['es']} > {hits['en']} THEN 'es'
+        ELSE 'en'
+      END
+    """
+    return (
+        df.withColumn("__toks", tokens(text_col))
+        .selectExpr("*", f"{predicted} AS predicted_lang")
+        .drop("__toks")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: an order-insensitive content fingerprint
+    (md5 of the sorted distinct token set — catches shuffled near-dups)
+    and a winnowing-style min-shingle-hash (stable under small edits)."""
+    return df.withColumn("__toks", tokens(text_col)).selectExpr(
+        "*",
+        "md5(array_join(array_sort(array_distinct(__toks)), ' ')) AS set_fingerprint",
+        f"array_min({shingle_hashes_expr('__toks')}) AS min_shingle_hash",
+    ).drop("__toks")

@@ -530,6 +530,432 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Extension operators — dedup / similarity / text / multimodal
+# (BASELINE.json north star; operators/{dedup,similarity,text,multimodal}.py)
+# ---------------------------------------------------------------------
+
+#: DuckDB twin of operators.text._token_hash
+_DUCK_HASH = "CAST(concat('0x', substr(md5({t}),1,8)) AS BIGINT)"
+
+#: DuckDB twin of operators.text.shingle_hashes_expr (3-gram)
+_DUCK_SHINGLES = """
+  list_distinct(list_transform(
+    list_transform(range(1, greatest(len({toks})-1, 1)),
+                   i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2])),
+    s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)))
+""".strip()
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, min-id representative."""
+    from institutional_fx_etl_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+    ),
+    t2 AS (
+      SELECT doc_id, {_DUCK_SHINGLES.format(toks='toks')} AS sh
+      FROM t WHERE len(toks) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id, sh,
+             list_transform(range(0, 16), i -> list_min(
+               list_transform(sh, h -> ((2*i+1)*h + (7*i+3)) % 2147483647))) AS sig
+      FROM t2
+    ),
+    banded AS (
+      SELECT doc_id, b.band_idx,
+             md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], ',')) AS band_sig
+      FROM sigs, (SELECT unnest(range(0, 4)) AS band_idx) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM banded a JOIN banded c USING (band_idx, band_sig)
+      WHERE a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+    FROM cand
+    JOIN t2 sa ON sa.doc_id = cand.id_a
+    JOIN t2 sb ON sb.doc_id = cand.id_b
+    WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.2
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 perms) + banded LSH (4×4) candidate pairs with exact
+    shingle-Jaccard verification."""
+    from institutional_fx_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), jaccard_threshold=0.2
+    )
+
+
+@register(
+    "dedup_simhash",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             list_transform(string_split_regex(lower(text), '\\s+'),
+                            tk -> CAST(concat('0x', substr(md5(tk),1,8)) AS BIGINT)) AS ths
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id, source,
+             CAST(list_sum(list_transform(range(0, 32), b ->
+               CASE WHEN list_sum(list_transform(ths, h ->
+                      CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+      FROM t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + blocked Hamming-distance pairs."""
+    from institutional_fx_etl_spark.operators.dedup import simhash_near_pairs
+
+    pairs = simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=8, block_col="source"
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    t2 AS (
+      SELECT doc_id, source, {_DUCK_SHINGLES.format(toks='toks')} AS sh
+      FROM t WHERE len(toks) >= 3
+    )
+    SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM t2 a JOIN t2 b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.05
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard within a blocking key (source)."""
+    from institutional_fx_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.05
+    )
+
+
+@register(
+    "embedding_near_dup",
+    """
+    WITH v AS (
+      SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS vv,
+             CAST(vec_id // 50 AS INTEGER) AS block
+      FROM embeddings
+    )
+    SELECT a.vid AS id_a, b.vid AS id_b,
+           round(list_dot_product(a.vv, b.vv)
+                 / (sqrt(list_dot_product(a.vv, a.vv))
+                    * sqrt(list_dot_product(b.vv, b.vv))), 6) AS cosine
+    FROM v a JOIN v b ON a.block = b.block AND a.vid < b.vid
+    ORDER BY cosine DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: blocked pairwise cosine, global
+    top-20 most-similar pairs."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ann_topk",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    n AS (SELECT vec_id, vv, sqrt(list_dot_product(vv, vv)) AS nv FROM v),
+    q AS (SELECT vec_id AS q_id, vv AS qv, nv AS nq FROM n WHERE vec_id < 3),
+    s AS (
+      SELECT q_id, n.vec_id,
+             round(list_dot_product(vv, qv) / (nv * nq), 6) AS cosine
+      FROM n CROSS JOIN q
+    ),
+    r AS (
+      SELECT *, CAST(row_number() OVER
+               (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+      FROM s
+    )
+    SELECT q_id, vec_id, rank, cosine FROM r WHERE rank <= 10
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 3 query vectors — the ANN
+    exactness baseline (LSH-bucketed variant: lsh_ann_pairs)."""
+    from institutional_fx_etl_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
+
+
+@register(
+    "lsh_ann_pairs",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    sig AS (
+      SELECT vec_id, vv,
+             CAST(list_sum(list_transform(range(0, 8), j ->
+               CASE WHEN list_sum(list_transform(range(0, len(vv)), i ->
+                      vv[i+1] * (CASE WHEN CAST(concat('0x',
+                          substr(md5(concat('plane', j, '_', i)),1,8)) AS BIGINT)
+                          % 2 = 0 THEN 1.0 ELSE -1.0 END))) > 0
+                    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+      FROM v
+    )
+    SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.vv, b.vv)
+                 / (sqrt(list_dot_product(a.vv, a.vv))
+                    * sqrt(list_dot_product(b.vv, b.vv))), 6) AS cosine
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.vv, b.vv)
+                / (sqrt(list_dot_product(a.vv, a.vv))
+                   * sqrt(list_dot_product(b.vv, b.vv))), 6) >= 0.3
+    """,
+)
+def q_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH buckets (8 planes) +
+    in-bucket exact cosine verify."""
+    from institutional_fx_etl_spark.operators.similarity import lsh_ann_pairs
+
+    return lsh_ann_pairs(load_table(spark, sf_dir, "embeddings"), min_cosine=0.3)
+
+
+@register(
+    "text_token_count",
+    """
+    WITH t AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id, text, lang, source, n_chars,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_computed,
+           CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE)
+             / len(toks) AS avg_token_len
+    FROM t
+    """,
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + length stats (whitespace tokenizer)."""
+    from institutional_fx_etl_spark.operators.text import with_text_stats
+
+    df = with_text_stats(load_table(spark, sf_dir, "documents"))
+    return df.selectExpr(
+        "doc_id", "text", "lang", "source", "n_chars",
+        "cast(n_tokens as int) AS n_tokens",
+        "cast(n_chars_computed as int) AS n_chars_computed",
+        "avg_token_len",
+    )
+
+
+@register(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(list_filter(toks, tk -> tk IN
+               ('the','and','of','to','a','in','is'))) AS DOUBLE) / len(toks)
+               AS stopword_ratio
+      FROM t
+    )
+    SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+           round(0.4 * stopword_ratio - 0.3 * punct_ratio
+                 + 0.3 * least(n_tokens, 100) / 100.0, 6) AS quality
+    FROM s
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (stopword/punctuation/length mix)."""
+    from institutional_fx_etl_spark.operators.text import quality_score
+
+    df = quality_score(load_table(spark, sf_dir, "documents"))
+    return df.selectExpr(
+        "doc_id",
+        "cast(n_tokens as int) AS n_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+    )
+
+
+@register(
+    "text_lang_id",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, tk -> tk IN ('the','and','of','to','a','in','is'))) AS h_en,
+        len(list_filter(toks, tk -> tk IN ('el','la','de','que','y','los'))) AS h_es,
+        len(list_filter(toks, tk -> tk IN ('le','la','et','les','des','un'))) AS h_fr,
+        len(list_filter(toks, tk -> tk IN ('der','die','und','das','ein','zu'))) AS h_de,
+        len(list_filter(toks, tk -> tk IN ('的','是','了','我','不'))) AS h_zh
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN h_zh > greatest(h_en, h_es, h_fr, h_de) THEN 'zh'
+             WHEN h_de > greatest(h_en, h_es, h_fr) THEN 'de'
+             WHEN h_fr > greatest(h_en, h_es) THEN 'fr'
+             WHEN h_es > h_en THEN 'es'
+             ELSE 'en'
+           END AS predicted_lang
+    FROM h
+    """,
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID heuristic vs the table's lang column."""
+    from institutional_fx_etl_spark.operators.text import lang_id
+
+    df = lang_id(load_table(spark, sf_dir, "documents"))
+    return df.select("doc_id", "lang", "predicted_lang")
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS set_fingerprint,
+           list_min({_DUCK_SHINGLES.format(toks='toks')}) AS min_shingle_hash
+    FROM t
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: sorted-token-set md5 + min shingle hash."""
+    from institutional_fx_etl_spark.operators.text import fingerprint
+
+    df = fingerprint(load_table(spark, sf_dir, "documents"))
+    return df.select("doc_id", "set_fingerprint", "min_shingle_hash")
+
+
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id, 'image/fake' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) // 64) % 64 + 1 AS INTEGER) AS height,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the Arrow-batched
+    mapInPandas decode stage (deterministic stub decoder)."""
+    from institutional_fx_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(attach_binary_payload(docs))
+
+
+@register(
+    "multimodal_frames",
+    """
+    -- DuckDB cannot substring a BLOB; the corpus is pure ASCII
+    -- (octet_length(encode(text)) = length(text) for every row), so
+    -- byte slices of the utf-8 payload equal char slices of the text.
+    SELECT doc_id, CAST(b.frame_idx AS INTEGER) AS frame_idx,
+           md5(substring(text,
+                         CAST((b.frame_idx * length(text)) // 4 + 1 AS INTEGER),
+                         CAST(length(text) // 4 AS INTEGER))) AS frame_checksum
+    FROM documents, (SELECT unnest(range(0, 4)) AS frame_idx) b
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stub: per-payload byte-slice checksums (the
+    explode-per-frame shape of a real video frame sampler)."""
+    from institutional_fx_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_binary_payload(docs))
+
+
+@register(
+    "streaming_tumbling_ohlc",
+    """
+    WITH t AS (
+      SELECT ts, value + 0.01 AS ask, value - 0.01 AS bid FROM events
+    ),
+    t2 AS (
+      SELECT ts, (ask + bid) / 2 AS mid, ask - bid AS spread, ask FROM t
+    )
+    SELECT date_trunc('hour', ts) AS datetime,
+           first(mid ORDER BY ts, mid) AS open,
+           max(mid) AS high,
+           min(mid) AS low,
+           last(mid ORDER BY ts, mid) AS close,
+           CAST(count(ask) AS DOUBLE) AS volume,
+           round(avg(spread), 6) AS spread
+    FROM t2 GROUP BY 1
+    """,
+)
+def q_streaming_tumbling_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling OHLC driven to completion over the
+    bounded events source — must equal the batch aggregation exactly
+    (same oracle as tumbling_ohlc)."""
+    from institutional_fx_etl_spark.streaming.candles import run_bounded_stream
+
+    out = run_bounded_stream(
+        spark, f"{sf_dir}/events.parquet", table_name="stream_candles_q"
+    )
+    return out.withColumn("spread", F.round("spread", 6))
+
+
+# ---------------------------------------------------------------------
 # Flagship — the full hybrid-merge pipeline (SURVEY.md §3)
 # ---------------------------------------------------------------------
 

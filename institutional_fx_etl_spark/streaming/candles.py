@@ -1,0 +1,104 @@
+"""Structured Streaming tick→candle aggregation (SURVEY.md §7 optional
+extension: the reference's A1 stage is exactly a tumbling-window
+streaming aggregation).
+
+The batch operator (:func:`operators.ohlc.ticks_to_candles`) and this
+streaming one share semantics: left-closed tumbling windows,
+deterministic min_by/max_by open/close, count-based volume, mean
+spread. With a watermark, late ticks inside the allowed lateness still
+update their minute; beyond it the window closes — the policy the
+batch reference never needed (closed historical data) but a live feed
+does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def streaming_candles(
+    ticks: DataFrame,
+    ts_col: str = "datetime",
+    window_duration: str = "1 minute",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Streaming tumbling OHLC aggregation. ``ticks`` must be a
+    streaming DataFrame with (ts, ask, bid). ``watermark=None`` →
+    complete-mode aggregation (no state eviction — bounded inputs
+    only); with a watermark → append mode with late-data handling."""
+    enriched = ticks.select(
+        F.col(ts_col).alias("__ts"),
+        ((F.col("ask") + F.col("bid")) / 2).alias("__mid"),
+        (F.col("ask") - F.col("bid")).alias("__spread"),
+        F.col("ask").alias("__ask"),
+    )
+    if watermark is not None:
+        enriched = enriched.withWatermark("__ts", watermark)
+    tiebreak = F.when(
+        F.col("__mid").isNotNull(), F.struct(F.col("__ts"), F.col("__mid"))
+    )
+    agg = enriched.groupBy(F.window("__ts", window_duration).alias("__w")).agg(
+        F.min_by("__mid", tiebreak).alias("open"),
+        F.max("__mid").alias("high"),
+        F.min("__mid").alias("low"),
+        F.max_by("__mid", tiebreak).alias("close"),
+        F.count("__ask").alias("__n"),
+        F.avg("__spread").alias("spread"),
+    )
+    return agg.select(
+        F.col("__w.start").alias(ts_col),
+        "open",
+        "high",
+        "low",
+        "close",
+        F.col("__n").cast("double").alias("volume"),
+        "spread",
+    )
+
+
+def run_bounded_stream(
+    spark: SparkSession,
+    parquet_path: str,
+    table_name: str = "stream_candles",
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """Drive the streaming aggregation over a bounded parquet source to
+    completion (memory sink, complete mode) and return the result as a
+    batch DataFrame — the smoke path that lets the DuckDB oracle check
+    streaming semantics against the batch SQL.
+
+    The events table's TIMESTAMP(NANOS) column streams as LongType
+    (nanosAsLong, see readers.load_table) and is converted identically.
+    """
+    import os
+
+    static = spark.read.parquet(parquet_path)
+    # the file stream source requires a directory basePath; point it at
+    # the parent dir with a glob filter for the one table file
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", os.path.basename(parquet_path))
+        .parquet(os.path.dirname(parquet_path))
+    )
+    ticks = stream.select(
+        F.expr("timestamp_micros(ts div 1000)").alias("datetime"),
+        (F.col("value") + 0.01).alias("ask"),
+        (F.col("value") - 0.01).alias("bid"),
+    )
+    candles = streaming_candles(
+        ticks, window_duration=window_duration, watermark=None
+    )
+    q = (
+        candles.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(table_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # materialize: the memory table lives in the session; filter the
+    # same null-close guard the batch operator applies
+    return spark.table(table_name).filter(F.col("close").isNotNull())

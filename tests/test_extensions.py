@@ -1,0 +1,164 @@
+"""Semantic tests for the LLM-data-pipeline extension operators
+(dedup, similarity, text, multimodal) on planted fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from institutional_fx_etl_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from institutional_fx_etl_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_features,
+    frame_sample,
+)
+from institutional_fx_etl_spark.operators.similarity import cosine_topk
+from institutional_fx_etl_spark.operators.text import lang_id, quality_score
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+OTHER = "completely different content about spark query engines and shuffles"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "src1"),
+        (2, BASE, "src1"),       # exact duplicate of 1
+        (3, NEAR, "src1"),       # near duplicate of 1 (one word changed)
+        (4, OTHER, "src1"),
+        (5, "tiny doc", "src2"),  # too short for 3-gram shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup_groups(spark, docs):
+    groups = {r["keep_id"]: r["n_dups"] for r in exact_dedup_groups(docs).collect()}
+    assert groups[1] == 2          # docs 1 and 2 collapse
+    assert groups[3] == 1
+    assert 2 not in groups         # 2 is not a representative
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.2).collect()
+    }
+    assert pairs[(1, 2)] == 1.0    # identical docs: jaccard exactly 1
+    assert (1, 3) in pairs         # near dup caught by LSH banding
+    assert pairs[(1, 3)] > 0.5
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_identical_and_near(spark, docs):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[2]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, max_hamming=32, block_col="source").collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] < pairs.get((1, 4), 33)  # near dup closer than unrelated
+
+
+def test_ngram_jaccard_blocked(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 < pairs[(1, 3)] < 1.0
+    # doc 5 in src2 has no 3-gram shingles → no pairs with it
+    assert not any(5 in p for p in pairs)
+
+
+def test_cosine_topk_self_first(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=4).collect()
+    order = [r["vec_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert order == [0, 1, 2, 3]
+    by_id = {r["vec_id"]: r["cosine"] for r in top}
+    assert by_id[0] == 1.0 and by_id[3] == -1.0 and by_id[2] == 0.0
+
+
+def test_lang_id_and_quality(spark):
+    rows = [
+        (1, "the cat and the dog of the house is here", "en"),
+        (2, "el gato y la casa de los perros que ladran", "es"),
+        (3, "le chat et les chiens des maisons un jour", "fr"),
+        (4, "der hund und die katze das haus zu haben", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pred = {r["doc_id"]: r["predicted_lang"] for r in lang_id(df).collect()}
+    assert pred == {1: "en", 2: "es", 3: "fr", 4: "de"}
+    q = {r["doc_id"]: r["quality"] for r in quality_score(df).collect()}
+    assert all(v is not None for v in q.values())
+
+
+def test_multimodal_decode_and_frames(spark, docs):
+    payloads = attach_binary_payload(docs)
+    feats = {r["doc_id"]: r for r in decode_features(payloads).collect()}
+    assert feats[1]["byte_len"] == len(BASE.encode())
+    assert feats[1]["checksum"] == feats[2]["checksum"]  # same bytes
+    assert feats[1]["checksum"] != feats[4]["checksum"]
+    assert 1 <= feats[1]["width"] <= 64 and 1 <= feats[1]["height"] <= 64
+
+    frames = frame_sample(payloads).collect()
+    assert len(frames) == 5 * 4
+    f1 = sorted(
+        (r["frame_idx"], r["frame_checksum"]) for r in frames if r["doc_id"] == 1
+    )
+    f2 = sorted(
+        (r["frame_idx"], r["frame_checksum"]) for r in frames if r["doc_id"] == 2
+    )
+    assert f1 == f2  # identical payloads → identical frame checksums
+
+
+def test_streaming_candles_match_batch(spark, tmp_path):
+    """Streaming tumbling OHLC over a bounded source equals the batch
+    operator's result (same semantics, two execution models)."""
+    from datetime import datetime
+
+    from institutional_fx_etl_spark.operators.ohlc import ticks_to_candles
+    from institutional_fx_etl_spark.streaming.candles import streaming_candles
+
+    rows = [
+        (datetime.fromisoformat(f"2024-01-01 10:{m:02d}:{s:02d}"), 1.0 + m + s / 100, 1.0 + m)
+        for m in range(3)
+        for s in (5, 20, 40)
+    ]
+    src = str(tmp_path / "ticks")
+    spark.createDataFrame(rows, "datetime timestamp, ask double, bid double").write.parquet(src)
+
+    batch = ticks_to_candles(spark.read.parquet(src)).collect()
+
+    stream_df = spark.readStream.schema(
+        "datetime timestamp, ask double, bid double"
+    ).parquet(src)
+    q = (
+        streaming_candles(stream_df, watermark=None)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_stream_candles")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream = spark.table("t_stream_candles").filter(F.col("close").isNotNull()).collect()
+
+    key = lambda r: r["datetime"]
+    assert sorted((r.asDict() for r in batch), key=key) == sorted(
+        (r.asDict() for r in stream), key=key
+    )
