@@ -981,7 +981,131 @@ def _pipeline_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
     return m1, ticks
 
 
-@register("hybrid_pipeline", None)
+#: Full-pipeline oracle: every stage of HybridMergerSpark.run() as one
+#: DuckDB CTE chain (filter → resample → consensus → combine_first →
+#: spread repair → clean → densify → float32 cast). The final REAL cast
+#: absorbs double-precision drift from interpolated medians, so the
+#: match is exact.
+_HYBRID_PIPELINE_ORACLE = """
+WITH ticks0 AS (
+  SELECT ts AS datetime, value + 0.01 AS ask, value - 0.01 AS bid
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+),
+ticks1 AS (  -- F1 null-safe bad-tick drop + F2 off-session drop
+  SELECT * FROM ticks0
+  WHERE NOT coalesce(ask < 0.0001 OR bid < 0.0001, false)
+    AND NOT (dayofweek(datetime) = 6
+             OR (dayofweek(datetime) = 5 AND hour(datetime) >= 22)
+             OR (dayofweek(datetime) = 0 AND hour(datetime) < 21))
+),
+tick_candles AS (  -- A1-A3 tumbling OHLC
+  SELECT date_trunc('minute', datetime) AS datetime,
+         first(mid ORDER BY datetime, mid) AS open,
+         max(mid) AS high, min(mid) AS low,
+         last(mid ORDER BY datetime, mid) AS close,
+         CAST(count(ask) AS DOUBLE) AS volume,
+         avg(spread) AS spread
+  FROM (SELECT datetime, (ask + bid) / 2 AS mid, ask - bid AS spread, ask
+        FROM ticks1)
+  GROUP BY 1 HAVING last(mid ORDER BY datetime, mid) IS NOT NULL
+),
+m1src AS (
+  SELECT ts AS datetime, value + 0.02 AS ask, value - 0.02 AS bid
+  FROM events WHERE event_type IN ('signup', 'error')
+),
+m1 AS (  -- legacy candles; spread is all-NULL like the reference's M1
+  SELECT date_trunc('minute', datetime) AS datetime,
+         first(mid ORDER BY datetime, mid) AS open,
+         max(mid) AS high, min(mid) AS low,
+         last(mid ORDER BY datetime, mid) AS close,
+         CAST(count(ask) AS DOUBLE) AS volume,
+         CAST(NULL AS DOUBLE) AS spread
+  FROM (SELECT datetime, (ask + bid) / 2 AS mid, ask
+        FROM m1src)
+  GROUP BY 1 HAVING last(mid ORDER BY datetime, mid) IS NOT NULL
+),
+kept AS (  -- consensus: drop tick minutes deviating > 50.0 from M1
+  SELECT t.* FROM tick_candles t LEFT JOIN m1 ON t.datetime = m1.datetime
+  WHERE NOT coalesce(abs(t.close - m1.close) > 50.0, false)
+),
+merged AS (  -- J3 cell-level combine_first
+  SELECT coalesce(k.datetime, m1.datetime) AS datetime,
+         coalesce(k.open, m1.open) AS open,
+         coalesce(k.high, m1.high) AS high,
+         coalesce(k.low, m1.low) AS low,
+         coalesce(k.close, m1.close) AS close,
+         coalesce(k.volume, m1.volume) AS volume,
+         coalesce(k.spread, m1.spread) AS spread
+  FROM kept k FULL OUTER JOIN m1 ON k.datetime = m1.datetime
+),
+spreadfix AS (  -- A5 median fill + W3 centered rolling-median smooth
+  SELECT datetime, open, high, low, close, volume,
+         quantile_cont(coalesce(spread,
+           (SELECT CASE WHEN count(*) = 0 THEN 0.0 ELSE median(spread) END
+            FROM kept)), 0.5)
+           OVER (ORDER BY datetime ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+           AS spread
+  FROM merged
+),
+noninv AS (  -- F4 drop inverted candles (null-safe)
+  SELECT * FROM spreadfix WHERE NOT coalesce(low > high, false)
+),
+fixed AS (  -- F5 structure fix + conditional spread ffill
+  SELECT datetime, open, close, volume,
+         CASE WHEN bad THEN greatest(open, close, high) ELSE high END AS high,
+         CASE WHEN bad THEN least(open, close, low) ELSE low END AS low,
+         CASE WHEN max(CAST(bad AS INT)) OVER () > 0
+              THEN last_value(CASE WHEN bad THEN NULL ELSE spread END IGNORE NULLS)
+                     OVER (ORDER BY datetime ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              ELSE spread END AS spread
+  FROM (SELECT *, coalesce(open > high OR open < low
+                           OR close > high OR close < low, false) AS bad
+        FROM noninv)
+),
+clean AS (  -- F6 volatility-spike drop (θ = 1e9: never fires here)
+  SELECT datetime, open, high, low, close, volume, spread
+  FROM (SELECT *,
+          (high - low) / open AS amp,
+          abs((close - lag(close) OVER (ORDER BY datetime))
+              / lag(close) OVER (ORDER BY datetime)) AS jump
+        FROM fixed)
+  WHERE NOT (coalesce(amp > 1e9, false) OR coalesce(jump > 1e9, false))
+),
+bounds AS (SELECT min(datetime) AS t0, max(datetime) AS t1 FROM clean),
+spine AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS datetime FROM bounds
+),
+grid AS (
+  SELECT spine.datetime AS datetime, c.open, c.high, c.low, c.close,
+         c.volume, c.spread, c.close IS NULL AS gap
+  FROM spine LEFT JOIN clean c ON spine.datetime = c.datetime
+),
+dense AS (  -- J4 + W2/W4 flat-candle bridging
+  SELECT datetime,
+         CASE WHEN gap THEN close_f ELSE open END AS open,
+         CASE WHEN gap THEN close_f ELSE high END AS high,
+         CASE WHEN gap THEN close_f ELSE low END AS low,
+         CASE WHEN gap THEN close_f ELSE close END AS close,
+         CASE WHEN gap THEN spread_f ELSE spread END AS spread,
+         CASE WHEN gap THEN 0.0 ELSE volume END AS volume,
+         CASE WHEN gap THEN 1 ELSE 0 END AS is_flat
+  FROM (SELECT *,
+          last_value(close IGNORE NULLS) OVER
+            (ORDER BY datetime ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_f,
+          last_value(spread IGNORE NULLS) OVER
+            (ORDER BY datetime ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spread_f
+        FROM grid)
+)
+SELECT datetime,
+       CAST(open AS REAL) AS open, CAST(high AS REAL) AS high,
+       CAST(low AS REAL) AS low, CAST(close AS REAL) AS close,
+       CAST(spread AS REAL) AS spread, CAST(volume AS REAL) AS volume,
+       CAST(is_flat AS TINYINT) AS is_flat
+FROM dense WHERE close IS NOT NULL
+"""
+
+
+@register("hybrid_pipeline", _HYBRID_PIPELINE_ORACLE)
 def q_hybrid_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole engine end-to-end: filter → resample → consensus →
     combine_first → spread repair → clean → grid densify → cast.
