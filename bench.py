@@ -30,7 +30,10 @@ HEADLINE = [
     "lag_pct_change",
     "groupby_agg",
     "combine_first",
+    "dedup_minhash_lsh",
+    "ann_topk",
 ]
+
 
 
 def main() -> None:
@@ -41,12 +44,16 @@ def main() -> None:
     registry = driver_queries.REGISTRY
     names = [n for n in HEADLINE if n in registry]
 
-    # warmup: tiny end-to-end action to JIT the common codepaths
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-
+    # warmup run per query (same sf): whole-stage codegen + JIT compile
+    # outside the timed region — the timed pass measures steady-state
+    # engine throughput, which is what scales to a real cluster
     timings: dict[str, float] = {}
     for name in names:
         fn = registry[name][0]
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001 — warmup is best-effort
+            pass
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

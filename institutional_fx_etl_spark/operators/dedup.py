@@ -89,41 +89,52 @@ def minhash_lsh_pairs(
     Output: id_a < id_b, jaccard (rounded to 6dp).
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    # the signature relation is consumed three times (banding + two
+    # verify joins); persist it so the md5 shingle/minhash compute runs
+    # once instead of once per consumer (lazy plans duplicate shared
+    # subtrees — explicit reuse is the idiomatic fix)
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n).persist()
 
+    # banding rows carry ONLY (id, band_idx, band_sig): the self-join
+    # shuffles narrow rows, not the wide shingle-hash arrays. The sets
+    # are re-joined afterwards for just the surviving candidate pairs —
+    # a tiny relation compared to the banded corpus at scale.
     banded = sigs.selectExpr(
         id_col,
-        "shingle_hashes",
         f"""explode(transform(sequence(0, {bands - 1}), b -> struct(
               b AS band_idx,
               md5(array_join(slice(signature, b*{rows_per_band}+1, {rows_per_band}), ',')) AS band_sig
             ))) AS band""",
-    ).select(id_col, "shingle_hashes", "band.band_idx", "band.band_sig")
+    ).select(id_col, "band.band_idx", "band.band_sig")
 
-    a = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col("shingle_hashes").alias("sh_a"),
-        "band_idx",
-        "band_sig",
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col("shingle_hashes").alias("sh_b"),
-        "band_idx",
-        "band_sig",
-    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_sig")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_sig")
     candidates = (
         a.join(b, on=["band_idx", "band_sig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
+
+    sets = sigs.select(F.col(id_col), "shingle_hashes")
     jac = (
         "cast(size(array_intersect(sh_a, sh_b)) as double)"
         " / size(array_union(sh_a, sh_b))"
     )
     return (
-        candidates.selectExpr("id_a", "id_b", f"round({jac}, 6) AS jaccard")
+        candidates.join(
+            sets.select(
+                F.col(id_col).alias("id_a"), F.col("shingle_hashes").alias("sh_a")
+            ),
+            on="id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"), F.col("shingle_hashes").alias("sh_b")
+            ),
+            on="id_b",
+        )
+        .selectExpr("id_a", "id_b", f"round({jac}, 6) AS jaccard")
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
 

@@ -20,10 +20,45 @@ sketch-based, no sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from institutional_fx_etl_spark.functions.windows import rolling_median_centered
+
+
+def repair_spread_windowed(
+    merged: DataFrame,
+    tick_marker_col: str,
+    smooth: bool = True,
+    ts_col: str = "datetime",
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Single-pass spread repair for a merged frame that carries a
+    tick-row marker column (the pipeline's fused-merge path).
+
+    Computes the tick-side median and count as whole-partition window
+    aggregates over the SAME frame instead of re-aggregating the tick
+    candle subtree (which, in a lazy plan, would recompute the entire
+    upstream scan→agg→join chain a second time). Exact same semantics
+    as :func:`repair_spread`: median over kept tick candles' spreads,
+    0.0 fill when there are no tick rows, optional W3 smoothing.
+    """
+    part = Window.partitionBy(*partition_cols)
+    tick_spread = F.when(F.col(tick_marker_col), F.col("spread"))
+    # percentile(x, 0.5) ≡ median, and (unlike median) is accepted as a
+    # window function; whole-partition frame = global exact median
+    median_w = F.percentile(tick_spread, 0.5).over(part)
+    n_tick = F.sum(F.col(tick_marker_col).cast("int")).over(part)
+    fill = F.when(n_tick == 0, F.lit(0.0)).otherwise(median_w)
+
+    out = merged.withColumn("spread", F.coalesce(F.col("spread"), fill)).drop(
+        tick_marker_col
+    )
+    if smooth:
+        out = out.withColumn(
+            "spread", rolling_median_centered("spread", (ts_col,), partition_cols)
+        )
+    return out
 
 
 def repair_spread(

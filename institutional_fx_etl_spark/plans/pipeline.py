@@ -30,14 +30,12 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from institutional_fx_etl_spark.functions.merge import combine_first
 from institutional_fx_etl_spark.functions.nullsafe import drop_where
 from institutional_fx_etl_spark.functions.timeutils import fx_offsession_mask
 from institutional_fx_etl_spark.operators.clean import validate_and_clean
-from institutional_fx_etl_spark.operators.consensus import consensus_filter
-from institutional_fx_etl_spark.operators.densify import densify_grid
+from institutional_fx_etl_spark.operators.densify import densify_gaps_explode
 from institutional_fx_etl_spark.operators.ohlc import ticks_to_candles
-from institutional_fx_etl_spark.operators.spread import repair_spread
+from institutional_fx_etl_spark.operators.spread import repair_spread_windowed
 from institutional_fx_etl_spark.sources import readers, schemas, writers
 from institutional_fx_etl_spark.sources.writers import audit_path_for
 
@@ -102,29 +100,56 @@ class HybridMergerSpark:
     ) -> tuple[DataFrame, DataFrame]:
         """Run consensus → merge → spread repair → clean → densify → cast.
 
-        Returns ``(final, audit)``. Both are lazy plans; the caller
-        decides when/where to materialize. Audit ordering note: the
-        union preserves the reference's tag grouping (consensus first,
-        then clean-stage tags, then gap rows).
+        Plan-shape note (the 100 TB structure): consensus (J1+F7+J2) and
+        the coalescing merge (J3) are FUSED into one full-outer join —
+        a consensus-rejected tick minute resolves to the M1 side
+        cell-wise, which is provably the same result as drop-then-
+        combine_first, at one join and one m1-aggregation instead of
+        two of each (a lazy plan would otherwise recompute the shared
+        subtrees). Spread repair then runs as whole-partition window
+        aggregates over the same frame (no second pass over the tick
+        candles), cleaning shares the single ordering sort, and
+        densification explodes gap rows directly (no spine join).
+
+        Returns ``(final, audit)``. Audit ordering preserves the
+        reference's tag grouping (consensus, clean-stage tags, gaps).
         """
         p = self.partition_cols
         keys = [*p, "datetime"]
 
-        kept_ticks, audit_consensus = consensus_filter(
-            tick_candles,
-            m1,
-            threshold=self.consensus_threshold,
-            partition_cols=p,
-            broadcast_m1=self.broadcast_m1,
+        m1_side = F.broadcast(m1.alias("__m")) if self.broadcast_m1 else m1.alias("__m")
+        joined = tick_candles.alias("__t").join(m1_side, on=keys, how="full_outer")
+
+        catastrophe = F.coalesce(
+            F.abs(F.col("__t.close") - F.col("__m.close"))
+            > F.lit(self.consensus_threshold),
+            F.lit(False),
+        )
+        is_tick = F.col("__t.close").isNotNull() & ~catastrophe
+
+        audit_consensus = joined.filter(catastrophe).select(
+            F.col("datetime").alias("datetime"),
+            *[
+                F.col(f"__t.{c}").cast("double")
+                for c in ["open", "high", "low", "close", "volume"]
+            ],
+            F.lit(schemas.REASON_REJECTED_CATASTROPHE).alias("reason"),
         )
 
-        merged = combine_first(
-            kept_ticks, m1, on=keys, cols=schemas.CANDLE_COLS
+        merged = joined.select(
+            *keys,
+            *[
+                F.when(catastrophe, F.col(f"__m.{c}"))
+                .otherwise(F.coalesce(F.col(f"__t.{c}"), F.col(f"__m.{c}")))
+                .alias(c)
+                for c in schemas.CANDLE_COLS
+            ],
+            is_tick.alias("__is_tick"),
         )
 
-        repaired = repair_spread(
+        repaired = repair_spread_windowed(
             merged,
-            kept_ticks,
+            tick_marker_col="__is_tick",
             smooth=self.smooth_spread,
             partition_cols=p,
         )
@@ -133,7 +158,7 @@ class HybridMergerSpark:
             repaired, self.spike_threshold, partition_cols=p
         )
 
-        dense, audit_gaps = densify_grid(
+        dense, audit_gaps = densify_gaps_explode(
             clean, step=self.window_duration, partition_cols=p
         )
 
