@@ -1120,6 +1120,90 @@ def q_hybrid_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
+#: Audit-log oracle: consensus rejections + gap rows (the spike stage
+#: cannot fire at θ=1e9 and the synthetic candles cannot be inverted /
+#: structurally broken, so those tag sets are provably empty here — the
+#: fixture tests exercise them instead).
+_HYBRID_AUDIT_ORACLE = """
+WITH ticks0 AS (
+  SELECT ts AS datetime, value + 0.01 AS ask, value - 0.01 AS bid
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+),
+ticks1 AS (
+  SELECT * FROM ticks0
+  WHERE NOT coalesce(ask < 0.0001 OR bid < 0.0001, false)
+    AND NOT (dayofweek(datetime) = 6
+             OR (dayofweek(datetime) = 5 AND hour(datetime) >= 22)
+             OR (dayofweek(datetime) = 0 AND hour(datetime) < 21))
+),
+tick_candles AS (
+  SELECT date_trunc('minute', datetime) AS datetime,
+         first(mid ORDER BY datetime, mid) AS open,
+         max(mid) AS high, min(mid) AS low,
+         last(mid ORDER BY datetime, mid) AS close,
+         CAST(count(ask) AS DOUBLE) AS volume,
+         avg(spread) AS spread
+  FROM (SELECT datetime, (ask + bid) / 2 AS mid, ask - bid AS spread, ask
+        FROM ticks1)
+  GROUP BY 1 HAVING last(mid ORDER BY datetime, mid) IS NOT NULL
+),
+m1 AS (
+  SELECT date_trunc('minute', datetime) AS datetime,
+         first(mid ORDER BY datetime, mid) AS open,
+         max(mid) AS high, min(mid) AS low,
+         last(mid ORDER BY datetime, mid) AS close,
+         CAST(count(ask) AS DOUBLE) AS volume
+  FROM (SELECT ts AS datetime, value AS mid, value + 0.02 AS ask
+        FROM events WHERE event_type IN ('signup', 'error'))
+  GROUP BY 1 HAVING last(mid ORDER BY datetime, mid) IS NOT NULL
+),
+consensus_audit AS (
+  SELECT t.datetime, t.open, t.high, t.low, t.close, t.volume,
+         'rejected_tick_catastrophe' AS reason
+  FROM tick_candles t JOIN m1 ON t.datetime = m1.datetime
+  WHERE coalesce(abs(t.close - m1.close) > 50.0, false)
+),
+kept AS (
+  SELECT t.* FROM tick_candles t LEFT JOIN m1 ON t.datetime = m1.datetime
+  WHERE NOT coalesce(abs(t.close - m1.close) > 50.0, false)
+),
+merged AS (
+  SELECT coalesce(k.datetime, m1.datetime) AS datetime,
+         coalesce(k.close, m1.close) AS close
+  FROM kept k FULL OUTER JOIN m1 ON k.datetime = m1.datetime
+),
+gaps AS (
+  SELECT gap_ts AS datetime
+  FROM (SELECT datetime,
+               lead(datetime) OVER (ORDER BY datetime) AS next_ts
+        FROM merged),
+       unnest(generate_series(datetime + INTERVAL 1 MINUTE,
+                              coalesce(next_ts - INTERVAL 1 MINUTE, datetime),
+                              INTERVAL 1 MINUTE)) AS g(gap_ts)
+  WHERE next_ts IS NOT NULL
+)
+SELECT datetime, open, high, low, close, volume, reason FROM consensus_audit
+UNION ALL
+SELECT datetime, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       'gap_bridged_flat' AS reason
+FROM gaps
+"""
+
+
+@register("hybrid_pipeline_audit", _HYBRID_AUDIT_ORACLE)
+def q_hybrid_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forensic audit log of the flagship pipeline run — the
+    reference's observable-correctness channel (SURVEY.md §5.2):
+    reason-tagged anomaly rows from every cleaning stage."""
+    from institutional_fx_etl_spark.plans.pipeline import HybridMergerSpark
+
+    m1, ticks = _pipeline_inputs(spark, sf_dir)
+    eng = HybridMergerSpark(spike_threshold=1e9, consensus_threshold=50.0)
+    _final, audit = eng.run(m1, ticks)
+    return audit
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

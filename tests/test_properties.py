@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis): random tick streams and candle
+series must satisfy the reference semantics on every draw — the
+randomized arm of the §5 test strategy."""
+
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from institutional_fx_etl_spark.operators.clean import validate_and_clean
+from institutional_fx_etl_spark.operators.densify import (
+    densify_gaps_explode,
+    densify_grid,
+)
+from institutional_fx_etl_spark.operators.ohlc import ticks_to_candles
+
+T0 = datetime(2024, 1, 1, 10, 0, 0)
+
+prices = st.one_of(
+    st.none(), st.floats(min_value=0.5, max_value=2.0, allow_nan=False)
+)
+
+tick_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3600),  # seconds offset
+        prices,  # ask
+        prices,  # bid
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(rows=tick_rows)
+@SETTINGS
+def test_ohlc_matches_pandas_on_random_ticks(spark, rows):
+    data = [(T0 + timedelta(seconds=s), a, b) for s, a, b in rows]
+    df = spark.createDataFrame(data, "datetime timestamp, ask double, bid double")
+    got = {r["datetime"]: r.asDict() for r in ticks_to_candles(df).collect()}
+
+    pdf = pd.DataFrame(data, columns=["datetime", "ask", "bid"]).set_index("datetime")
+    pdf = pdf.astype({"ask": "float64", "bid": "float64"})  # all-None → object otherwise
+    pdf.sort_index(inplace=True)
+    pdf["mid"] = (pdf["ask"] + pdf["bid"]) / 2
+    pdf["spread"] = pdf["ask"] - pdf["bid"]
+    rs = pdf.resample("1min", label="left", closed="left")
+    ohlc = rs["mid"].ohlc()
+    exp = pd.DataFrame(
+        {
+            "open": ohlc["open"],
+            "high": ohlc["high"],
+            "low": ohlc["low"],
+            "close": ohlc["close"],
+            "volume": rs["ask"].count(),
+            "spread": rs["spread"].mean(),
+        }
+    ).dropna(subset=["close"])
+
+    assert set(got) == set(exp.index.to_pydatetime())
+    for t, row in exp.iterrows():
+        g = got[t.to_pydatetime()]
+        for c in ["open", "high", "low", "close", "volume", "spread"]:
+            if pd.isna(row[c]):
+                assert g[c] is None, (t, c)
+            else:
+                assert g[c] == pytest.approx(row[c], rel=1e-12), (t, c)
+
+
+candle_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=120),  # minute offset (gaps arise)
+        st.floats(min_value=0.5, max_value=2.0, allow_nan=False),  # open
+        st.floats(min_value=0.5, max_value=2.0, allow_nan=False),  # high
+        st.floats(min_value=0.5, max_value=2.0, allow_nan=False),  # low
+        st.floats(min_value=0.5, max_value=2.0, allow_nan=False),  # close
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=candle_rows)
+@SETTINGS
+def test_clean_output_invariants(spark, rows):
+    data = [
+        (T0 + timedelta(minutes=m), o, h, lo, c, 1.0, 0.001)
+        for m, o, h, lo, c in rows
+    ]
+    df = spark.createDataFrame(
+        data,
+        "datetime timestamp, open double, high double, low double,"
+        " close double, volume double, spread double",
+    )
+    clean, audit = validate_and_clean(df, spike_threshold=1e9)
+    out = clean.collect()
+    for r in out:
+        assert r["low"] <= r["high"] + 1e-12
+        assert r["low"] <= min(r["open"], r["close"]) + 1e-12
+        assert r["high"] >= max(r["open"], r["close"]) - 1e-12
+    # conservation: every input row is either kept or audited as dropped
+    dropped = {
+        r["datetime"]
+        for r in audit.collect()
+        if r["reason"] in ("dropped_inverted", "dropped_volatility_spike")
+    }
+    assert len(out) + len(dropped) == len(data)
+
+
+@given(rows=candle_rows)
+@SETTINGS
+def test_densify_strategies_agree_and_grid_gapless(spark, rows):
+    data = [
+        (T0 + timedelta(minutes=m), o, h, lo, c, 1.0, 0.001)
+        for m, o, h, lo, c in rows
+    ]
+    df = spark.createDataFrame(
+        data,
+        "datetime timestamp, open double, high double, low double,"
+        " close double, volume double, spread double",
+    )
+    a, _ = densify_gaps_explode(df)
+    b, _ = densify_grid(df)
+    ra = sorted((r.asDict() for r in a.collect()), key=lambda r: r["datetime"])
+    rb = sorted((r.asDict() for r in b.collect()), key=lambda r: r["datetime"])
+    assert ra == rb  # the shuffle-free strategy is value-identical
+
+    times = [r["datetime"] for r in ra]
+    assert len(times) == int((times[-1] - times[0]).total_seconds() // 60) + 1
+    for r in ra:
+        if r["is_flat"] == 1:
+            assert r["volume"] == 0.0
+            assert r["open"] == r["high"] == r["low"] == r["close"]
