@@ -1120,6 +1120,84 @@ def q_hybrid_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
+@register(
+    "streaming_gap_bridge",
+    """
+    WITH candles AS (
+      SELECT date_trunc('minute', ts) AS datetime,
+             first(mid ORDER BY ts, mid) AS open,
+             max(mid) AS high, min(mid) AS low,
+             last(mid ORDER BY ts, mid) AS close,
+             CAST(count(ask) AS DOUBLE) AS volume,
+             round(avg(spread), 6) AS spread
+      FROM (SELECT ts, (ask + bid) / 2 AS mid, ask - bid AS spread, ask
+            FROM (SELECT ts, value + 0.01 AS ask, value - 0.01 AS bid
+                  FROM events WHERE event_type = 'click'))
+      GROUP BY 1
+    ),
+    seq AS (
+      SELECT *, lead(datetime) OVER (ORDER BY datetime) AS next_ts,
+             lead(datetime) OVER (ORDER BY datetime) IS NOT NULL AS has_next
+      FROM candles
+    ),
+    gaps AS (
+      SELECT 'X' AS symbol, g.gap_ts AS datetime,
+             close AS open, close AS high, close AS low, close AS close,
+             0.0 AS volume, spread, 1 AS is_flat
+      FROM seq,
+           unnest(generate_series(datetime + INTERVAL 1 MINUTE,
+                                  coalesce(next_ts, datetime) - INTERVAL 1 MINUTE,
+                                  INTERVAL 1 MINUTE)) AS g(gap_ts)
+      WHERE has_next
+    )
+    SELECT 'X' AS symbol, datetime, open, high, low, close, volume, spread,
+           0 AS is_flat
+    FROM candles
+    UNION ALL
+    SELECT * FROM gaps
+    """,
+)
+def q_streaming_gap_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    live flat-candle gap bridging over a bounded candle stream — must
+    equal the batch densification of the same candles."""
+    import tempfile
+
+    from institutional_fx_etl_spark.operators.ohlc import ticks_to_candles
+    from institutional_fx_etl_spark.streaming.stateful import streaming_gap_bridge
+
+    events = load_table(spark, sf_dir, "events")
+    ticks = events.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("datetime"),
+        (F.col("value") + 0.01).alias("ask"),
+        (F.col("value") - 0.01).alias("bid"),
+    )
+    candles = ticks_to_candles(ticks).withColumn(
+        "spread", F.round("spread", 6)
+    ).withColumn("symbol", F.lit("X"))
+
+    src = tempfile.mkdtemp(prefix="stream_candles_")
+    candles.write.mode("overwrite").parquet(src)
+
+    schema = (
+        "datetime timestamp, open double, high double, low double, close double,"
+        " volume double, spread double, symbol string"
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_gap_bridge(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gap_bridge_q")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("gap_bridge_q")
+
+
 #: Audit-log oracle: consensus rejections + gap rows (the spike stage
 #: cannot fire at θ=1e9 and the synthetic candles cannot be inverted /
 #: structurally broken, so those tag sets are provably empty here — the
