@@ -40,11 +40,33 @@ QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #: registry: name -> (spark_fn, oracle_sql or None for rows-only checks)
 REGISTRY: dict[str, QuerySpec] = {}
 
+#: session confs the engine's semantics require (UTC timestamps like
+#: the reference's `utc=True` parsing; NULL-on-div-by-zero like the
+#: DuckDB oracle). get_spark() sets these at build time; when a query
+#: runs under a FOREIGN session (the test driver's), pin them at
+#: runtime — both are runtime-settable SQL confs.
+_REQUIRED_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def _pin_session_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        if str(spark.conf.get(k, None)).lower() != v.lower():
+            spark.conf.set(k, v)
+
 
 def register(name: str, oracle: str | None):
     def deco(fn):
-        REGISTRY[name] = (fn, oracle)
-        return fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _pin_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = (wrapped, oracle)
+        return wrapped
 
     return deco
 

@@ -58,16 +58,35 @@ def read_tick_csv(spark: SparkSession, path: str) -> DataFrame:
     return raw.select("datetime", "ask", "bid")
 
 
+def read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` that tolerates TIMESTAMP(NANOS) columns.
+
+    Spark rejects nanosecond parquet timestamps unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set (then they scan as
+    LongType epoch-nanos). :func:`session.get_spark` sets it up front;
+    when running under a FOREIGN session (e.g. the test driver's), set
+    it at runtime on first failure and retry — the conf is a runtime
+    SQL conf, so this is safe and idempotent.
+    """
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:  # noqa: BLE001 — retry only the known case
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated parquet table from ``sf_dir``.
 
-    Parquet TIMESTAMP(NANOS) columns are unsupported by Spark and scan
-    as LongType epoch-nanos (``spark.sql.legacy.parquet.nanosAsLong``,
-    set by :func:`session.get_spark`); convert them back to microsecond
-    timestamps here (floor division — matching DuckDB/Arrow ns→us
-    truncation) so downstream code sees TimestampType.
+    Nanos timestamp columns scan as LongType (see
+    :func:`read_parquet_nanos_safe`) and are converted back to
+    microsecond timestamps here (integer floor division — matching
+    DuckDB/Arrow ns→us truncation) so downstream code sees
+    TimestampType.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = read_parquet_nanos_safe(spark, f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer `div`, NOT `/`: double division loses precision on
         # epoch-nanos magnitudes (~1e18 > 2^53)

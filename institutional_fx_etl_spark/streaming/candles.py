@@ -73,7 +73,9 @@ def run_bounded_stream(
     """
     import os
 
-    static = spark.read.parquet(parquet_path)
+    from institutional_fx_etl_spark.sources.readers import read_parquet_nanos_safe
+
+    static = read_parquet_nanos_safe(spark, parquet_path)
     # the file stream source requires a directory basePath; point it at
     # the parent dir with a glob filter for the one table file
     stream = (
