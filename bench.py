@@ -31,7 +31,10 @@ HEADLINE = [
     "groupby_agg",
     "combine_first",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_topk",
+    "lsh_ann_pairs",
+    "text_fingerprint",
 ]
 
 

@@ -33,6 +33,23 @@ def _plane_sign(j: str, i: str) -> str:
     )
 
 
+def _plane_matrix_literal(num_planes: int, num_dims: int) -> str:
+    """The same ±1 planes precomputed driver-side (hashlib md5 ==
+    Spark/DuckDB md5) and emitted as a nested array LITERAL — the
+    expression form would re-run ~planes×dims md5 calls per ROW, since
+    the per-row lambda can't know the values are row-independent."""
+    import hashlib
+
+    rows = []
+    for j in range(num_planes):
+        signs = []
+        for i in range(num_dims):
+            h = int(hashlib.md5(f"plane{j}_{i}".encode()).hexdigest()[:8], 16)
+            signs.append("1.0D" if h % 2 == 0 else "-1.0D")
+        rows.append("array(" + ", ".join(signs) + ")")
+    return "array(" + ", ".join(rows) + ")"
+
+
 def _as_double(col: str) -> str:
     return f"transform({col}, x -> cast(x as double))"
 
@@ -82,20 +99,29 @@ def hyperplane_signatures(
     num_planes: int = 8,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector: bit j = sign of
-    ⟨v, plane_j⟩ with deterministic md5-derived ±1 planes. Cosine-similar
-    vectors collide with probability 1 − θ/π per bit."""
+    ⟨v, plane_j⟩ with deterministic md5-derived ±1 planes (precomputed
+    as a literal matrix — see :func:`_plane_matrix_literal`).
+    Cosine-similar vectors collide with probability 1 − θ/π per bit.
+
+    ``num_dims`` must cover the embedding length (defaults to 64, the
+    driver tables' dimension); extra plane components are harmless.
+    """
+    num_dims = 64
+    planes = _plane_matrix_literal(num_planes, num_dims)
     proj = (
-        f"aggregate(zip_with(__v, transform(sequence(0, size(__v)-1),"
-        f" i -> {_plane_sign('j', 'i')}), (x, s) -> x*s), 0.0d, (a, x) -> a + x)"
+        "aggregate(zip_with(__v, element_at(__planes, j+1),"
+        " (x, s) -> x*s), 0.0d, (a, x) -> a + x)"
     )
     bucket = (
         f"aggregate(transform(sequence(0, {num_planes - 1}), j -> "
         f"CASE WHEN {proj} > 0 THEN shiftleft(1L, j) ELSE 0L END),"
         f" 0L, (a, x) -> a + x)"
     )
-    return df.selectExpr(
-        id_col, f"{_as_double(vec_col)} AS __v"
-    ).selectExpr(id_col, "__v", f"{bucket} AS bucket")
+    return (
+        df.selectExpr(id_col, f"{_as_double(vec_col)} AS __v")
+        .selectExpr(id_col, "__v", f"{planes} AS __planes")
+        .selectExpr(id_col, "__v", f"{bucket} AS bucket")
+    )
 
 
 def lsh_ann_pairs(
