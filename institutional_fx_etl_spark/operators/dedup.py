@@ -139,6 +139,67 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every document maps to
+    the minimum id reachable through the similarity graph — the
+    canonical-representative assignment that turns pairwise matches
+    into dedup groups.
+
+    Iterative min-label propagation: each round, every node adopts the
+    smallest label among itself and its neighbors; stop at fixpoint
+    (≤ graph-diameter rounds). Each round is one join + one aggregate —
+    the standard shuffle-bounded CC shape (GraphX-style small-star
+    contraction converges in O(log n) rounds for huge graphs; plain
+    propagation is fine for the short-diameter graphs dedup produces).
+
+    Per-round ``persist`` + count action materializes the frontier —
+    an iterative algorithm cannot be one lazy plan (each round's labels
+    feed the next; leaving them lazy would exponentially re-derive).
+    """
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    ).persist()
+    edges = (
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        .persist()
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                labels.id,
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter("n.comp != o.comp")
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("id").alias(id_col), "comp")
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:

@@ -552,6 +552,106 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# General OLAP breadth — sessionization, pivot, rollup
+# ---------------------------------------------------------------------
+
+
+@register(
+    "sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+    FROM gaps
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap detection + running sum of session
+    starts per user (30-minute inactivity timeout) — the batch twin of
+    streaming ``session_window``."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.sum(is_new).over(cum).cast("bigint").alias("session_id"),
+    )
+
+
+@register(
+    "pivot_agg",
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'view') AS view,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'error') AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns (explicit value
+    list so the schema is static — required for plan stability at
+    scale)."""
+    events = load_table(spark, sf_dir, "events")
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ["click", "view", "purchase", "signup", "error"]
+        ],
+    )
+
+
+@register(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup totals (GROUPING SETS family) with exact
+    decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------
 # Extension operators — dedup / similarity / text / multimodal
 # (BASELINE.json north star; operators/{dedup,similarity,text,multimodal}.py)
 # ---------------------------------------------------------------------
@@ -626,6 +726,65 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), jaccard_threshold=0.2
     )
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+    ),
+    t2 AS (
+      SELECT doc_id, {_DUCK_SHINGLES.format(toks='toks')} AS sh
+      FROM t WHERE len(toks) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id, sh,
+             list_transform(range(0, 16), i -> list_min(
+               list_transform(sh, h -> ((2*i+1)*h + (7*i+3)) % 2147483647))) AS sig
+      FROM t2
+    ),
+    banded AS (
+      SELECT doc_id, b.band_idx,
+             md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], ',')) AS band_sig
+      FROM sigs, (SELECT unnest(range(0, 4)) AS band_idx) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM banded a JOIN banded c USING (band_idx, band_sig)
+      WHERE a.doc_id < c.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN t2 sa ON sa.doc_id = cand.id_a
+      JOIN t2 sb ON sb.doc_id = cand.id_b
+      WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dedup clustering: LSH near-dup pairs →
+    iterative min-label propagation → canonical representative per
+    document (oracle: recursive-CTE transitive closure)."""
+    from institutional_fx_etl_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.2)
+    return dedup_clusters(docs.select("doc_id"), pairs)
 
 
 @register(

@@ -76,6 +76,21 @@ def test_ngram_jaccard_blocked(spark, docs):
     assert not any(5 in p for p in pairs)
 
 
+def test_dedup_clusters_multi_hop(spark):
+    """A chain 1-2, 2-3, 3-4 plus an isolated pair 10-11 and singletons:
+    label propagation must converge across multiple hops."""
+    from institutional_fx_etl_spark.operators.dedup import dedup_clusters
+
+    ids = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["doc_id"]: r["comp"] for r in dedup_clusters(ids, pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
 def test_cosine_topk_self_first(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
