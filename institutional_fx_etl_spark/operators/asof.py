@@ -1,0 +1,80 @@
+"""As-of join — "latest right row at or before each left timestamp".
+
+The canonical financial-data join (quote-at-trade-time, mark-to-market)
+that Spark has no native operator for. The reference gets the effect
+implicitly from its grid ffill (SURVEY.md §2.4); this is the explicit,
+reusable operator.
+
+Implementation: the **union + forward-fill** technique, not a range
+join. Tag both sides, union them, sort once per key-partition by
+(timestamp, side-order), forward-fill the right-side row (as ONE
+struct, so a left row never mixes fields from different right rows),
+keep left rows. Cost: one shuffle + one window sort over |L|+|R| rows —
+no candidate-pair blowup, no per-row scan of the right side, and it
+parallelizes by ``partition_cols`` exactly like every other ordered
+operator here. (A Pandas-UDF ``merge_asof`` per group would be the
+fallback for semantics this can't express, e.g. nearest-in-either-
+direction with tolerance.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "datetime",
+    partition_cols: tuple[str, ...] = (),
+    right_cols: tuple[str, ...] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach the most recent right row whose
+    ``ts_col`` ≤ the left row's ``ts_col`` (per partition key). On
+    equal timestamps the right row sorts FIRST, so an exactly-
+    simultaneous right row IS visible to the left row (DuckDB
+    ``ASOF JOIN ... ON l.ts >= r.ts`` semantics).
+
+    Output: all left columns + ``right_cols`` renamed with ``suffix``
+    (NULL when no right row precedes).
+    """
+    if right_cols is None:
+        right_cols = tuple(
+            c for c in right.columns if c != ts_col and c not in partition_cols
+        )
+
+    r_payload = F.struct(*[F.col(c) for c in right_cols])
+    l_tagged = left.select(
+        *partition_cols,
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left_row"),
+        F.lit(None)
+        .cast(right.select(r_payload.alias("p")).schema["p"].dataType)
+        .alias("__right_row"),
+    )
+    r_tagged = right.select(
+        *partition_cols,
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None)
+        .cast(left.select(F.struct(*left.columns).alias("l")).schema["l"].dataType)
+        .alias("__left_row"),
+        r_payload.alias("__right_row"),
+    )
+
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("__r", F.last("__right_row", ignorenulls=True).over(w))
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        *[F.col(f"__left_row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__r.{c}").alias(c + suffix) for c in right_cols],
+    )

@@ -552,8 +552,65 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
-# General OLAP breadth — sessionization, pivot, rollup
+# General OLAP breadth — as-of join, JSON, sessionization, pivot, rollup
 # ---------------------------------------------------------------------
+
+
+@register(
+    "asof_join",
+    """
+    WITH trades AS (
+      SELECT event_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    quotes AS (
+      SELECT ts, value AS quote, user_id AS quote_user
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT t.event_id, t.ts, t.value, q.quote AS quote_asof,
+           q.quote_user AS quote_user_asof
+    FROM trades t ASOF LEFT JOIN quotes q ON t.ts >= q.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (quote-at-trade-time): latest 'view' quote at or
+    before each 'purchase' — union+ffill technique vs DuckDB's native
+    ASOF JOIN."""
+    from institutional_fx_etl_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    trades = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "value"
+    )
+    quotes = events.filter(F.col("event_type") == "view").select(
+        "ts",
+        F.col("value").alias("quote"),
+        F.col("user_id").alias("quote_user"),
+    )
+    return asof_join(trades, quotes, ts_col="ts")
+
+
+@register(
+    "json_extract",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events GROUP BY 1
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns: JSON path extraction from the events
+    props payload, aggregated — get_json_object stays JVM-side."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.select((k % 10).alias("k_bucket"), k.alias("__k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__k").cast("bigint").alias("sum_k"),
+        )
+    )
 
 
 @register(
