@@ -32,6 +32,25 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed-table sink: pre-shuffles data into
+    ``num_buckets`` hash buckets on ``bucket_cols`` so later joins /
+    aggregations on those keys run WITHOUT a shuffle (co-located
+    scans). The 100 TB pattern for repeatedly-joined fact tables;
+    optional per-bucket sort enables shuffle-AND-sort-free sort-merge
+    joins."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
 def audit_path_for(output_path: str) -> str:
     """Derive the audit sink path the way the reference does
     (hybrid_merger.py:12): ``X.csv`` → ``X_AUDIT.csv``."""
