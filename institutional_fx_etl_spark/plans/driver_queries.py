@@ -1436,6 +1436,49 @@ def q_streaming_gap_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("gap_bridge_q")
 
 
+#: Validator oracle: the reference's entry point 3 run against the
+#: pipeline's own output — reuses the full pipeline CTE and reconciles
+#: it with the m1 source (deviation > threshold, top-5, total order).
+_VALIDATOR_ORACLE = """
+WITH m1src AS (
+  SELECT ts AS datetime, value + 0.02 AS ask, value - 0.02 AS bid
+  FROM events WHERE event_type IN ('signup', 'error')
+),
+m1 AS (
+  SELECT date_trunc('minute', datetime) AS datetime,
+         last(mid ORDER BY datetime, mid) AS close
+  FROM (SELECT datetime, (ask + bid) / 2 AS mid FROM m1src)
+  GROUP BY 1 HAVING last(mid ORDER BY datetime, mid) IS NOT NULL
+),
+hybrid AS (
+%s
+)
+SELECT h.datetime AS datetime,
+       CAST(h.close AS DOUBLE) AS hybrid_close,
+       m1.close AS m1_close,
+       abs(CAST(h.close AS DOUBLE) - m1.close) AS deviation
+FROM hybrid h JOIN m1 ON h.datetime = m1.datetime
+WHERE coalesce(abs(CAST(h.close AS DOUBLE) - m1.close) > 0.05, false)
+ORDER BY deviation DESC, datetime
+LIMIT 5
+""" % "\n".join(
+    f"  {line}" for line in _HYBRID_PIPELINE_ORACLE.strip().splitlines()
+)
+
+
+@register("validator_reconcile", _VALIDATOR_ORACLE)
+def q_validator_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point 3 (validator.py): reconcile the pipeline's own
+    output against the legacy M1 closes — top-5 worst deviations."""
+    from institutional_fx_etl_spark.plans.pipeline import HybridMergerSpark
+    from institutional_fx_etl_spark.plans.validator import reconcile
+
+    m1, ticks = _pipeline_inputs(spark, sf_dir)
+    eng = HybridMergerSpark(spike_threshold=1e9, consensus_threshold=50.0)
+    final, _ = eng.run(m1, ticks)
+    return reconcile(final, m1, threshold=0.05)
+
+
 #: Audit-log oracle: consensus rejections + gap rows (the spike stage
 #: cannot fire at θ=1e9 and the synthetic candles cannot be inverted /
 #: structurally broken, so those tag sets are provably empty here — the
