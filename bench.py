@@ -35,6 +35,7 @@ HEADLINE = [
     "ann_topk",
     "lsh_ann_pairs",
     "text_fingerprint",
+    "corpus_pipeline",
 ]
 
 

@@ -1436,6 +1436,76 @@ def q_streaming_gap_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("gap_bridge_q")
 
 
+@register(
+    "corpus_pipeline",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, text, lang, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    t2 AS (
+      SELECT doc_id, {_DUCK_SHINGLES.format(toks='toks')} AS sh
+      FROM t WHERE len(toks) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id, sh,
+             list_transform(range(0, 16), i -> list_min(
+               list_transform(sh, h -> ((2*i+1)*h + (7*i+3)) % 2147483647))) AS sig
+      FROM t2
+    ),
+    banded AS (
+      SELECT doc_id, b.band_idx,
+             md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], ',')) AS band_sig
+      FROM sigs, (SELECT unnest(range(0, 4)) AS band_idx) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM banded a JOIN banded c USING (band_idx, band_sig)
+      WHERE a.doc_id < c.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN t2 sa ON sa.doc_id = cand.id_a
+      JOIN t2 sb ON sb.doc_id = cand.id_b
+      WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a),
+    canonical AS (SELECT doc_id FROM comp WHERE doc_id = comp),
+    scored AS (
+      SELECT t.doc_id, t.lang, CAST(len(toks) AS INTEGER) AS n_tokens,
+             round(0.4 * (CAST(len(list_filter(toks, tk -> tk IN
+                     ('the','and','of','to','a','in','is'))) AS DOUBLE) / len(toks))
+                   - 0.3 * (CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                            AS DOUBLE) / length(text))
+                   + 0.3 * least(len(toks), 100) / 100.0, 6) AS quality
+      FROM t JOIN canonical USING (doc_id)
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.05)
+    SELECT doc_id, lang, n_tokens, quality,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                / 20000.0) AS INTEGER) AS shard_id
+    FROM kept
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension-side flagship: near-dup clustering → canonical doc →
+    quality gate → per-language token-budget shard packing, end to end."""
+    from institutional_fx_etl_spark.plans.corpus import build_training_corpus
+
+    return build_training_corpus(load_table(spark, sf_dir, "documents"))
+
+
 #: Validator oracle: the reference's entry point 3 run against the
 #: pipeline's own output — reuses the full pipeline CTE and reconciles
 #: it with the m1 source (deviation > threshold, top-5, total order).
