@@ -24,6 +24,7 @@ from institutional_fx_etl_spark.plans import driver_queries
 #: the wide hash aggregate.
 HEADLINE = [
     "hybrid_pipeline",
+    "hybrid_pipeline_multisym",
     "tumbling_ohlc",
     "time_spine",
     "rolling_median_centered",

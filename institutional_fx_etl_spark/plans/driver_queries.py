@@ -1343,6 +1343,161 @@ FROM dense WHERE close IS NOT NULL
 """
 
 
+#: Multi-symbol pipeline oracle: the same stage chain with every
+#: aggregation, join, window and spine keyed by symbol — the oracle-
+#: level proof of the partition_cols scale path (events split into 4
+#: synthetic symbols by user_id).
+_HYBRID_MULTISYM_ORACLE = """
+WITH ticks0 AS (
+  SELECT concat('S', user_id % 4) AS symbol, ts AS datetime,
+         value + 0.01 AS ask, value - 0.01 AS bid
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+),
+ticks1 AS (
+  SELECT * FROM ticks0
+  WHERE NOT coalesce(ask < 0.0001 OR bid < 0.0001, false)
+    AND NOT (dayofweek(datetime) = 6
+             OR (dayofweek(datetime) = 5 AND hour(datetime) >= 22)
+             OR (dayofweek(datetime) = 0 AND hour(datetime) < 21))
+),
+tick_candles AS (
+  SELECT symbol, date_trunc('minute', datetime) AS datetime,
+         first(mid ORDER BY datetime, mid) AS open,
+         max(mid) AS high, min(mid) AS low,
+         last(mid ORDER BY datetime, mid) AS close,
+         CAST(count(ask) AS DOUBLE) AS volume,
+         avg(spread) AS spread
+  FROM (SELECT symbol, datetime, (ask + bid) / 2 AS mid,
+               ask - bid AS spread, ask FROM ticks1)
+  GROUP BY 1, 2 HAVING last(mid ORDER BY datetime, mid) IS NOT NULL
+),
+m1 AS (
+  SELECT symbol, date_trunc('minute', datetime) AS datetime,
+         first(mid ORDER BY datetime, mid) AS open,
+         max(mid) AS high, min(mid) AS low,
+         last(mid ORDER BY datetime, mid) AS close,
+         CAST(count(ask) AS DOUBLE) AS volume,
+         CAST(NULL AS DOUBLE) AS spread
+  FROM (SELECT concat('S', user_id % 4) AS symbol, ts AS datetime,
+               value AS mid, value + 0.02 AS ask
+        FROM events WHERE event_type IN ('signup', 'error'))
+  GROUP BY 1, 2 HAVING last(mid ORDER BY datetime, mid) IS NOT NULL
+),
+kept AS (
+  SELECT t.* FROM tick_candles t
+  LEFT JOIN m1 ON t.symbol = m1.symbol AND t.datetime = m1.datetime
+  WHERE NOT coalesce(abs(t.close - m1.close) > 50.0, false)
+),
+medians AS (
+  SELECT symbol, median(spread) AS med, count(*) AS n FROM kept GROUP BY 1
+),
+merged AS (
+  SELECT coalesce(k.symbol, m1.symbol) AS symbol,
+         coalesce(k.datetime, m1.datetime) AS datetime,
+         coalesce(k.open, m1.open) AS open,
+         coalesce(k.high, m1.high) AS high,
+         coalesce(k.low, m1.low) AS low,
+         coalesce(k.close, m1.close) AS close,
+         coalesce(k.volume, m1.volume) AS volume,
+         coalesce(k.spread, m1.spread) AS spread
+  FROM kept k FULL OUTER JOIN m1
+    ON k.symbol = m1.symbol AND k.datetime = m1.datetime
+),
+spreadfix AS (
+  SELECT m.symbol, datetime, open, high, low, close, volume,
+         quantile_cont(coalesce(m.spread,
+             CASE WHEN coalesce(md.n, 0) = 0 THEN 0.0 ELSE md.med END), 0.5)
+           OVER (PARTITION BY m.symbol ORDER BY datetime
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS spread
+  FROM merged m LEFT JOIN medians md ON m.symbol = md.symbol
+),
+noninv AS (
+  SELECT * FROM spreadfix WHERE NOT coalesce(low > high, false)
+),
+fixed AS (
+  SELECT symbol, datetime, open, close, volume,
+         CASE WHEN bad THEN greatest(open, close, high) ELSE high END AS high,
+         CASE WHEN bad THEN least(open, close, low) ELSE low END AS low,
+         CASE WHEN max(CAST(bad AS INT)) OVER (PARTITION BY symbol) > 0
+              THEN last_value(CASE WHEN bad THEN NULL ELSE spread END IGNORE NULLS)
+                     OVER (PARTITION BY symbol ORDER BY datetime
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              ELSE spread END AS spread
+  FROM (SELECT *, coalesce(open > high OR open < low
+                           OR close > high OR close < low, false) AS bad
+        FROM noninv)
+),
+clean AS (
+  SELECT symbol, datetime, open, high, low, close, volume, spread
+  FROM (SELECT *,
+          (high - low) / open AS amp,
+          abs((close - lag(close) OVER w) / lag(close) OVER w) AS jump
+        FROM fixed WINDOW w AS (PARTITION BY symbol ORDER BY datetime))
+  WHERE NOT (coalesce(amp > 1e9, false) OR coalesce(jump > 1e9, false))
+),
+seq AS (
+  SELECT *, lead(datetime) OVER (PARTITION BY symbol ORDER BY datetime) AS next_ts,
+         last_value(spread IGNORE NULLS) OVER
+           (PARTITION BY symbol ORDER BY datetime
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spread_f
+  FROM clean
+),
+dense AS (
+  SELECT symbol, datetime, open, high, low, close, spread, volume, 0 AS is_flat
+  FROM seq
+  UNION ALL
+  SELECT symbol, g.gap_ts, close, close, close, close, spread_f, 0.0, 1
+  FROM seq,
+       unnest(generate_series(datetime + INTERVAL 1 MINUTE,
+                              coalesce(next_ts, datetime) - INTERVAL 1 MINUTE,
+                              INTERVAL 1 MINUTE)) AS g(gap_ts)
+  WHERE next_ts IS NOT NULL
+)
+SELECT symbol, datetime,
+       CAST(open AS REAL) AS open, CAST(high AS REAL) AS high,
+       CAST(low AS REAL) AS low, CAST(close AS REAL) AS close,
+       CAST(spread AS REAL) AS spread, CAST(volume AS REAL) AS volume,
+       CAST(is_flat AS TINYINT) AS is_flat
+FROM dense WHERE close IS NOT NULL
+"""
+
+
+@register("hybrid_pipeline_multisym", _HYBRID_MULTISYM_ORACLE)
+def q_hybrid_pipeline_multisym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path under oracle check: 4 synthetic symbols, every
+    shuffle/window/spine keyed by ``partition_cols=('symbol',)`` —
+    window sorts run per symbol in parallel (no single-partition
+    exchange; asserted in tests/test_multisymbol.py)."""
+    from institutional_fx_etl_spark.plans.pipeline import HybridMergerSpark
+
+    events = load_table(spark, sf_dir, "events")
+    sym = F.concat(F.lit("S"), (F.col("user_id") % 4).cast("string"))
+    ticks = events.filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select(
+        sym.alias("symbol"),
+        F.col("ts").alias("datetime"),
+        (F.col("value") + 0.01).alias("ask"),
+        (F.col("value") - 0.01).alias("bid"),
+    )
+    m1_src = events.filter(F.col("event_type").isin("signup", "error")).select(
+        sym.alias("symbol"),
+        F.col("ts").alias("datetime"),
+        (F.col("value") + 0.02).alias("ask"),
+        (F.col("value") - 0.02).alias("bid"),
+    )
+    eng = HybridMergerSpark(
+        spike_threshold=1e9,
+        consensus_threshold=50.0,
+        partition_cols=("symbol",),
+    )
+    m1 = ticks_to_candles(m1_src, partition_cols=("symbol",)).withColumn(
+        "spread", F.lit(None).cast("double")
+    )
+    final, _ = eng.run(m1, ticks)
+    return final
+
+
 @register("hybrid_pipeline", _HYBRID_PIPELINE_ORACLE)
 def q_hybrid_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole engine end-to-end: filter → resample → consensus →
