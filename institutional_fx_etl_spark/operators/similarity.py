@@ -148,6 +148,79 @@ def lsh_ann_pairs(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 8,
+    centroid_stride: int | None = None,
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (max cosine, centroid-id tiebreak).
+
+    Centroids are picked deterministically from the corpus itself
+    (every ``stride``-th vector) instead of k-means — the assignment
+    and search machinery is identical, and seeding this way keeps the
+    operator reproducible across engines; swap in `ml.clustering`
+    KMeans centroids for quality at scale (ROADMAP). The centroid set
+    is tiny and broadcast; assignment is one scan-side pass.
+    """
+    v = df.selectExpr(f"{id_col} AS vid", f"{_as_double(vec_col)} AS vv")
+    if centroid_stride is None:
+        # stride chosen so ~num_centroids centroids exist at any corpus
+        # size is the caller's concern; default: ids 0..num_centroids-1
+        centroids = v.filter(F.col("vid") < num_centroids).selectExpr(
+            "vid AS cid", "vv AS cv"
+        )
+    else:
+        centroids = v.filter(
+            (F.col("vid") % centroid_stride == 0)
+        ).selectExpr("vid AS cid", "vv AS cv")
+
+    dot = "aggregate(zip_with(vv, cv, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
+    nv = "sqrt(aggregate(vv, 0.0d, (a, x) -> a + x*x))"
+    nc = "sqrt(aggregate(cv, 0.0d, (a, x) -> a + x*x))"
+    scored = v.crossJoin(F.broadcast(centroids)).selectExpr(
+        "vid", "vv", "cid", f"round({dot}/({nv}*{nc}), 6) AS ccos"
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vid", "vv", "cid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 8,
+) -> DataFrame:
+    """IVF search: probe only the query's own cell (nprobe=1) — each
+    query scans |corpus|/num_centroids candidates instead of the whole
+    corpus. The recall/cost knob at scale is nprobe (probe the n
+    nearest cells); exactness baseline is :func:`cosine_topk`."""
+    assigned = ivf_assign(corpus, vec_col, id_col, num_centroids)
+    q = assigned.filter(F.col("vid").isin(query_ids)).selectExpr(
+        "vid AS q_id", "vv AS qv", "cid"
+    )
+    dot = "aggregate(zip_with(vv, qv, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
+    nv = "sqrt(aggregate(vv, 0.0d, (a, x) -> a + x*x))"
+    nq = "sqrt(aggregate(qv, 0.0d, (a, x) -> a + x*x))"
+    scored = assigned.join(F.broadcast(q), on="cid").selectExpr(
+        "q_id", "vid AS vec_id", f"round({dot}/({nv}*{nq}), 6) AS cosine"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

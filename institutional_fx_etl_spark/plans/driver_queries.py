@@ -961,6 +961,49 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_topk",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    cents AS (SELECT vec_id AS cid, vv AS cv FROM v WHERE vec_id < 8),
+    scored AS (
+      SELECT v.vec_id AS vid, v.vv, c.cid,
+             round(list_dot_product(v.vv, c.cv)
+                   / (sqrt(list_dot_product(v.vv, v.vv))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos
+      FROM v CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vid, vv, cid FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    q AS (SELECT vid AS q_id, vv AS qv, cid FROM assigned WHERE vid IN (0, 1, 2)),
+    s AS (
+      SELECT q.q_id, a.vid AS vec_id,
+             round(list_dot_product(a.vv, q.qv)
+                   / (sqrt(list_dot_product(a.vv, a.vv))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+      FROM assigned a JOIN q ON a.cid = q.cid
+    )
+    SELECT q_id, vec_id,
+           CAST(row_number() OVER
+             (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank,
+           cosine
+    FROM s QUALIFY rank <= 5
+    """,
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse centroids bucket the corpus;
+    each query searches only its own cell (nprobe=1) — |corpus|/cells
+    candidates per query instead of a full scan."""
+    from institutional_fx_etl_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_ids=[0, 1, 2], k=5)
+
+
+@register(
     "lsh_ann_pairs",
     """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
