@@ -116,6 +116,62 @@ def test_clean_output_invariants(spark, rows):
     assert len(out) + len(dropped) == len(data)
 
 
+asof_sides = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=600), min_size=1, max_size=25),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=600),
+            st.floats(min_value=0.0, max_value=10.0, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+)
+
+
+@given(sides=asof_sides)
+@SETTINGS
+def test_asof_join_matches_pandas_merge_asof(spark, sides):
+    import pandas as pd
+
+    from institutional_fx_etl_spark.operators.asof import asof_join
+
+    left_secs, right_rows = sides
+    left = spark.createDataFrame(
+        [(i, T0 + timedelta(seconds=s)) for i, s in enumerate(left_secs)],
+        "lid long, datetime timestamp",
+    )
+    right_rows = list({s: v for s, v in right_rows}.items())  # unique ts
+    if right_rows:
+        right = spark.createDataFrame(
+            [(T0 + timedelta(seconds=s), v) for s, v in right_rows],
+            "datetime timestamp, px double",
+        )
+    else:
+        right = spark.createDataFrame([], "datetime timestamp, px double")
+
+    got = {r["lid"]: r["px_asof"] for r in asof_join(left, right).collect()}
+
+    lp = pd.DataFrame(
+        {"lid": range(len(left_secs)),
+         "datetime": [T0 + timedelta(seconds=s) for s in left_secs]}
+    ).sort_values("datetime", kind="stable")
+    rp = pd.DataFrame(
+        right_rows and
+        {"datetime": [T0 + timedelta(seconds=s) for s, _ in right_rows],
+         "px": [v for _, v in right_rows]}
+        or {"datetime": pd.Series(dtype="datetime64[ns]"),
+            "px": pd.Series(dtype="float64")}
+    ).sort_values("datetime")
+    exp = pd.merge_asof(lp, rp, on="datetime", direction="backward")
+    for _, row in exp.iterrows():
+        g = got[row["lid"]]
+        if pd.isna(row["px"]):
+            assert g is None
+        else:
+            assert g == row["px"]
+
+
 @given(rows=candle_rows)
 @SETTINGS
 def test_densify_strategies_agree_and_grid_gapless(spark, rows):
