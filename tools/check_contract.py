@@ -5,7 +5,11 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 compares row count, column names/order-insensitive values — flagging
 any mismatch before the real driver does.
 
-Usage: python tools/check_contract.py [sf_dir] [query ...]
+Usage: python tools/check_contract.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` runs the Spark side under a bare SparkSession (no UTC /
+ANSI / nanos confs) — simulating the real driver's environment; the
+queries must self-configure.
 """
 
 from __future__ import annotations
@@ -75,13 +79,26 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    spark = get_spark(app_name="check_contract")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_contract_vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="check_contract")
     con = duck_connection(sf_dir)
 
     failures = 0
