@@ -656,6 +656,50 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_agg",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    tagged AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM tagged GROUP BY user_id, sid
+    """,
+)
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (native ``session_window``, 30-minute gap):
+    per-user sessions with start/end/count — the dynamic-window
+    aggregation family the fixed tumbling window can't express.
+    Window end = last event + gap (Spark session_window semantics)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("__w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("__w.start").alias("session_start"),
+            F.col("__w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "pivot_agg",
     """
     SELECT user_id,

@@ -57,6 +57,37 @@ def streaming_candles(
     )
 
 
+def streaming_consensus_candles(
+    tick_stream: DataFrame,
+    m1_static: DataFrame,
+    threshold: float = 0.01,
+    window_duration: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Composed streaming pipeline: watermarked tumbling OHLC (append
+    mode — windows emit once closed) → stream-static LEFT join against
+    the legacy M1 candles → null-safe consensus rejection. The
+    streaming twin of the pipeline's fused merge stage: a live feed
+    whose catastrophic minutes are dropped as they close.
+
+    Stream-static joins after an append-mode aggregation are stateless
+    on the static side — no extra watermark/state cost beyond the
+    aggregation's own.
+    """
+    candles = streaming_candles(
+        tick_stream, window_duration=window_duration, watermark=watermark
+    )
+    m1_close = m1_static.select(
+        F.col("datetime"), F.col("close").alias("__m1_close")
+    )
+    joined = candles.join(m1_close, on="datetime", how="left")
+    catastrophe = F.coalesce(
+        F.abs(F.col("close") - F.col("__m1_close")) > F.lit(threshold),
+        F.lit(False),
+    )
+    return joined.filter(~catastrophe).drop("__m1_close")
+
+
 def run_bounded_stream(
     spark: SparkSession,
     parquet_path: str,
