@@ -656,6 +656,39 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_ops",
+    """
+    SELECT 'click_not_purchase' AS cohort, user_id FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION ALL
+    SELECT 'click_and_signup' AS cohort, user_id FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    )
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (EXCEPT / INTERSECT, distinct semantics): cohort
+    construction over event types."""
+    events = load_table(spark, sf_dir, "events")
+
+    def users(t: str) -> DataFrame:
+        return events.filter(F.col("event_type") == t).select("user_id").distinct()
+
+    except_ = users("click").subtract(users("purchase")).select(
+        F.lit("click_not_purchase").alias("cohort"), "user_id"
+    )
+    intersect_ = users("click").intersect(users("signup")).select(
+        F.lit("click_and_signup").alias("cohort"), "user_id"
+    )
+    return except_.unionByName(intersect_)
+
+
+@register(
     "session_window_agg",
     """
     WITH gaps AS (
