@@ -100,3 +100,72 @@ def streaming_gap_bridge(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_streaming_hybrid(
+    spark,
+    tick_stream: DataFrame,
+    m1_static: DataFrame,
+    workdir: str,
+    consensus_threshold: float = 0.01,
+    window_duration: str = "1 minute",
+    watermark: str = "10 minutes",
+    symbol: str = "X",
+):
+    """The full hybrid pipeline as a LIVE topology: watermarked OHLC →
+    stream-static consensus → stateful gap bridge.
+
+    Spark forbids ``applyInPandasWithState`` directly after a streaming
+    aggregation ("multiple stateful operators" does not cover arbitrary
+    state), so this runs the SUPPORTED two-query topology: stage A
+    sinks closed consensus candles to a durable parquet+checkpoint,
+    stage B streams that sink through the stateful gap bridge. In
+    production both queries run continuously; here they are driven to
+    completion for bounded verification. Returns the bridged table name.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from institutional_fx_etl_spark.streaming.candles import (
+        streaming_consensus_candles,
+    )
+
+    stage_a_path = os.path.join(workdir, "consensus_candles")
+    candles = streaming_consensus_candles(
+        tick_stream,
+        m1_static,
+        threshold=consensus_threshold,
+        window_duration=window_duration,
+        watermark=watermark,
+    ).withColumn("symbol", F.lit(symbol))
+    qa = (
+        candles.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", stage_a_path)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_a"))
+        .start()
+    )
+    try:
+        qa.processAllAvailable()
+    finally:
+        qa.stop()
+
+    schema = (
+        "datetime timestamp, open double, high double, low double, close double,"
+        " volume double, spread double, symbol string"
+    )
+    stage_b_src = spark.readStream.schema(schema).parquet(stage_a_path)
+    qb = (
+        streaming_gap_bridge(stage_b_src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("streaming_hybrid_out")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt_b"))
+        .start()
+    )
+    try:
+        qb.processAllAvailable()
+    finally:
+        qb.stop()
+    return "streaming_hybrid_out"
