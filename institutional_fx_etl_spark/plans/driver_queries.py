@@ -656,6 +656,53 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure,
+           l_extendedprice AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount' AS measure,
+           l_discount AS value FROM lineitem
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): three measure columns to (measure, value)
+    rows via ``stack`` — generated in-place, no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', l_quantity,"
+        " 'extendedprice', l_extendedprice,"
+        " 'discount', l_discount) AS (measure, value)",
+    )
+
+
+@register(
+    "cube_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube: all grouping-set combinations with exact decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@register(
     "set_ops",
     """
     SELECT 'click_not_purchase' AS cohort, user_id FROM (

@@ -23,6 +23,10 @@ prices = st.one_of(
     st.none(), st.floats(min_value=0.5, max_value=2.0, allow_nan=False)
 )
 
+# unique timestamps: for same-timestamp ticks the pandas oracle is
+# order-dependent (the reference's own nondeterminism, trap T5) while
+# the engine tie-breaks deterministically by value — an intentional
+# divergence covered by test_ohlc.py, not a property to enforce here
 tick_rows = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=3600),  # seconds offset
@@ -31,6 +35,7 @@ tick_rows = st.lists(
     ),
     min_size=1,
     max_size=60,
+    unique_by=lambda r: r[0],
 )
 
 SETTINGS = settings(
@@ -87,6 +92,58 @@ candle_rows = st.lists(
     max_size=40,
     unique_by=lambda r: r[0],
 )
+
+
+two_candle_sets = st.tuples(candle_rows, candle_rows)
+
+
+@given(sides=two_candle_sets)
+@SETTINGS
+def test_fused_merge_equals_chain_on_random_candles(spark, sides):
+    """Property form of test_operator_equivalence: the fused
+    consensus+combine_first join must equal the standalone chain for
+    arbitrary overlapping candle sets."""
+    from institutional_fx_etl_spark.functions.merge import combine_first
+    from institutional_fx_etl_spark.operators.consensus import consensus_filter
+    from institutional_fx_etl_spark.plans.pipeline import HybridMergerSpark
+    from institutional_fx_etl_spark.sources.schemas import CANDLE_COLS
+
+    tick_rows_, m1_rows = sides
+    mk = lambda rows: spark.createDataFrame(
+        [
+            (T0 + timedelta(minutes=m), o, h, lo, c, 1.0, 0.001)
+            for m, o, h, lo, c in rows
+        ],
+        "datetime timestamp, open double, high double, low double,"
+        " close double, volume double, spread double",
+    )
+    ticks, m1 = mk(tick_rows_), mk(m1_rows)
+
+    kept, _ = consensus_filter(ticks, m1, threshold=0.3)
+    merged_chain = combine_first(kept, m1, on=["datetime"], cols=CANDLE_COLS)
+
+    eng = HybridMergerSpark(consensus_threshold=0.3)
+    # reach into the fused path: merge() up to the repair stage is not
+    # separable, so compare the final outputs of both routes instead
+    from institutional_fx_etl_spark.operators.spread import repair_spread
+    from institutional_fx_etl_spark.operators.clean import validate_and_clean
+    from institutional_fx_etl_spark.operators.densify import densify_gaps_explode
+    from institutional_fx_etl_spark.plans.pipeline import cast_final
+
+    repaired = repair_spread(merged_chain, kept, smooth=True)
+    clean, _ = validate_and_clean(repaired, spike_threshold=1e9)
+    dense, _ = densify_gaps_explode(clean)
+    legacy = sorted(
+        (r.asDict() for r in cast_final(dense).collect()),
+        key=lambda r: r["datetime"],
+    )
+
+    eng = HybridMergerSpark(spike_threshold=1e9, consensus_threshold=0.3)
+    final, _ = eng.merge(m1, ticks)
+    fused = sorted(
+        (r.asDict() for r in final.collect()), key=lambda r: r["datetime"]
+    )
+    assert fused == legacy
 
 
 @given(rows=candle_rows)
