@@ -656,6 +656,42 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "train_test_split",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(concat('split', doc_id)),1,8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 10 THEN 'test'
+                WHEN lang = 'en' AND bucket < 20 THEN 'validation'
+                ELSE 'train' END AS split
+    FROM h
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based dataset splitting (the reproducible
+    alternative to randomSplit): md5-bucketed 10% test holdout plus a
+    stratified extra validation slice for the majority language —
+    stable across runs, engines and partitionings."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.expr(
+            "cast(conv(substr(md5(concat('split', doc_id)),1,8),16,10) as bigint)"
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < 10, F.lit("test"))
+        .when((F.col("lang") == "en") & (bucket < 20), F.lit("validation"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+@register(
     "unpivot",
     """
     SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
