@@ -1,5 +1,6 @@
 from institutional_fx_etl_spark.functions.merge import combine_first
 from institutional_fx_etl_spark.functions.nullsafe import drop_where, is_true, not_true
+from institutional_fx_etl_spark.functions.skew import salt_join
 from institutional_fx_etl_spark.functions.timeutils import (
     fx_offsession_mask,
     time_spine,
@@ -24,4 +25,5 @@ __all__ = [
     "ordered_window",
     "pct_change",
     "rolling_median_centered",
+    "salt_join",
 ]

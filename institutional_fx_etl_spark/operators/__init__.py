@@ -1,13 +1,65 @@
-from institutional_fx_etl_spark.operators.ohlc import ticks_to_candles
-from institutional_fx_etl_spark.operators.consensus import consensus_filter
+from institutional_fx_etl_spark.operators.asof import asof_join
 from institutional_fx_etl_spark.operators.clean import validate_and_clean
-from institutional_fx_etl_spark.operators.spread import repair_spread
-from institutional_fx_etl_spark.operators.densify import densify_grid
+from institutional_fx_etl_spark.operators.consensus import consensus_filter
+from institutional_fx_etl_spark.operators.dedup import (
+    dedup_clusters,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from institutional_fx_etl_spark.operators.densify import (
+    densify_gaps_explode,
+    densify_grid,
+)
+from institutional_fx_etl_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_features,
+    frame_sample,
+)
+from institutional_fx_etl_spark.operators.ohlc import ticks_to_candles
+from institutional_fx_etl_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_ann_pairs,
+)
+from institutional_fx_etl_spark.operators.spread import (
+    repair_spread,
+    repair_spread_windowed,
+)
+from institutional_fx_etl_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    with_text_stats,
+)
 
 __all__ = [
-    "ticks_to_candles",
-    "consensus_filter",
+    "asof_join",
     "validate_and_clean",
-    "repair_spread",
+    "consensus_filter",
+    "dedup_clusters",
+    "exact_dedup_groups",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+    "densify_gaps_explode",
     "densify_grid",
+    "attach_binary_payload",
+    "decode_features",
+    "frame_sample",
+    "ticks_to_candles",
+    "cosine_topk",
+    "embedding_near_dup_pairs",
+    "ivf_topk",
+    "lsh_ann_pairs",
+    "repair_spread",
+    "repair_spread_windowed",
+    "fingerprint",
+    "lang_id",
+    "quality_score",
+    "with_text_stats",
 ]
