@@ -656,6 +656,70 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (each customer's 3 largest orders): the window
+    row_number pattern — rank computed inside each hash partition, no
+    global sort."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@register(
+    "latest_record_dedup",
+    """
+    SELECT user_id, event_id AS latest_event_id, ts AS latest_ts, value
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_record_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style key dedup: keep each key's most recent record
+    (row_number = 1 by recency) — the upsert-compaction shape used to
+    emulate MERGE INTO without a lakehouse format."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("ts").alias("latest_ts"),
+            "value",
+        )
+    )
+
+
+@register(
     "train_test_split",
     """
     WITH h AS (
