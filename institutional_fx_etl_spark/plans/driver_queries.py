@@ -656,6 +656,32 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_agg",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(stddev_samp(l_discount), 6) AS sd_discount,
+           round(var_samp(l_tax), 6) AS var_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covariance / stddev / variance)
+    per group — both engines use single-pass co-moment updates; rounding
+    absorbs the residual fp drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+        F.round(F.var_samp("l_tax"), 6).alias("var_tax"),
+    )
+
+
+@register(
     "topk_per_group",
     """
     SELECT o_custkey, o_orderkey, o_totalprice,
