@@ -656,6 +656,73 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "datetime_functions",
+    """
+    SELECT event_id,
+           CAST(year(ts) AS INTEGER) AS y,
+           CAST(month(ts) AS INTEGER) AS mo,
+           CAST(dayofmonth(ts) AS INTEGER) AS d,
+           CAST(hour(ts) AS INTEGER) AS h,
+           CAST(minute(ts) AS INTEGER) AS mi,
+           date_trunc('day', ts) AS day_start,
+           date_trunc('hour', ts) AS hour_start,
+           CAST(date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts)
+                AS BIGINT) AS minutes_since_epoch0
+    FROM events
+    """,
+)
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface: extraction, truncation, differences."""
+    events = load_table(spark, sf_dir, "events")
+    epoch0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    return events.select(
+        "event_id",
+        F.year("ts").cast("int").alias("y"),
+        F.month("ts").cast("int").alias("mo"),
+        F.dayofmonth("ts").cast("int").alias("d"),
+        F.hour("ts").cast("int").alias("h"),
+        F.minute("ts").cast("int").alias("mi"),
+        F.date_trunc("day", F.col("ts")).alias("day_start"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        ((F.unix_timestamp("ts") - F.unix_timestamp(epoch0)) / 60)
+        .cast("bigint")
+        .alias("minutes_since_epoch0"),
+    )
+
+
+@register(
+    "string_functions",
+    """
+    SELECT doc_id,
+           upper(substring(text, 1, 10)) AS head_upper,
+           CAST(length(text) AS INTEGER) AS len,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           replace(substring(text, 1, 20), ' ', '_') AS head_snake,
+           CAST(strpos(text, 'data') AS INTEGER) AS data_pos,
+           lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded_id,
+           concat_ws('|', lang, source) AS lang_source
+    FROM documents
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: case, slicing, regex extraction, padding,
+    search, concat."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 10)).alias("head_upper"),
+        F.length("text").cast("int").alias("len"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.replace(
+            F.substring("text", 1, 20), F.lit(" "), F.lit("_")
+        ).alias("head_snake"),
+        F.instr(F.col("text"), "data").cast("int").alias("data_pos"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded_id"),
+        F.concat_ws("|", "lang", "source").alias("lang_source"),
+    )
+
+
+@register(
     "stats_agg",
     """
     SELECT l_returnflag,
