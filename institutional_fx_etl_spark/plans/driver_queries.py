@@ -656,6 +656,44 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "array_agg_functions",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list(event_type)), ',') AS all_types,
+           CAST(len(list_distinct(list(event_type))) AS INTEGER) AS n_distinct_types,
+           array_to_string(list_sort(list_distinct(list(event_type)))[1:2], ',')
+             AS first_two_types,
+           CAST(list_contains(list(event_type), 'error') AS INTEGER) AS had_error
+    FROM events GROUP BY user_id
+    """,
+)
+def q_array_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation surface: collect → sort (collect_list alone is
+    shuffle-order-nondeterministic; sorting restores determinism),
+    distinct, slicing, membership. Arrays serialize to joined strings
+    in the output — array-typed result columns hash unstably across
+    engines."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_list("event_type")), ",").alias(
+            "all_types"
+        ),
+        F.size(F.array_distinct(F.collect_list("event_type")))
+        .cast("int")
+        .alias("n_distinct_types"),
+        F.array_join(
+            F.slice(
+                F.sort_array(F.array_distinct(F.collect_list("event_type"))), 1, 2
+            ),
+            ",",
+        ).alias("first_two_types"),
+        F.array_contains(F.collect_list("event_type"), "error")
+        .cast("int")
+        .alias("had_error"),
+    )
+
+
+@register(
     "datetime_functions",
     """
     SELECT event_id,
