@@ -37,6 +37,9 @@ HEADLINE = [
     "lsh_ann_pairs",
     "text_fingerprint",
     "corpus_pipeline",
+    "asof_join",
+    "sessionize",
+    "stats_agg",
 ]
 
 
