@@ -656,6 +656,29 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_histogram",
+    """
+    WITH b AS (
+      SELECT CAST(floor(value / 50.0) AS INTEGER) AS bucket FROM events
+    )
+    SELECT bucket, bucket * 50.0 AS bucket_low, count(*) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (floor-bucketing — portable alternative to
+    width_bucket): the profiling aggregation every ingest pipeline runs."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 50.0).cast("int")
+    return (
+        events.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bucket", (F.col("bucket") * 50.0).alias("bucket_low"), "n")
+    )
+
+
+@register(
     "array_agg_functions",
     """
     SELECT user_id,
