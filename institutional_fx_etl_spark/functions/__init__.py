@@ -1,3 +1,4 @@
+from institutional_fx_etl_spark.functions.expectations import check_expectations
 from institutional_fx_etl_spark.functions.merge import combine_first
 from institutional_fx_etl_spark.functions.nullsafe import drop_where, is_true, not_true
 from institutional_fx_etl_spark.functions.skew import salt_join
@@ -14,6 +15,7 @@ from institutional_fx_etl_spark.functions.windows import (
 )
 
 __all__ = [
+    "check_expectations",
     "combine_first",
     "drop_where",
     "is_true",

@@ -656,6 +656,37 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_stats",
+    """
+    SELECT event_id,
+           round(avg(value) OVER w, 6) AS ma7,
+           min(value) OVER w AS min7,
+           max(value) OVER w AS max7,
+           CAST(count(*) OVER w AS BIGINT) AS n7
+    FROM events
+    WINDOW w AS (ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    """,
+)
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered rolling aggregates (moving average / extrema / count
+    over a ±3 row frame) — the smoothing family beyond the exact
+    rolling median."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.orderBy("ts", "event_id").rowsBetween(-3, 3)
+    )
+    return events.select(
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("ma7"),
+        F.min("value").over(w).alias("min7"),
+        F.max("value").over(w).alias("max7"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n7"),
+    )
+
+
+@register(
     "value_histogram",
     """
     WITH b AS (

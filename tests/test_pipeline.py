@@ -155,6 +155,32 @@ def test_null_bid_tick_counts_volume_not_price(result):
     assert m["close"] == pytest.approx((1.20066 + 1.20046) / 2, abs=1e-6)
 
 
+def test_output_satisfies_declared_expectations(spark, result):
+    """The A3 output invariants, expressed through the expectations
+    operator — zero violations on the flagship output."""
+    from institutional_fx_etl_spark.functions.expectations import (
+        check_expectations,
+    )
+
+    final, _ = result
+    df = spark.createDataFrame(final)
+    passing, violations = check_expectations(
+        df,
+        {
+            "low_le_high": F.col("low") <= F.col("high"),
+            "containment_low": F.col("low") <= F.least("open", "close"),
+            "containment_high": F.col("high") >= F.greatest("open", "close"),
+            "flat_is_binary": F.col("is_flat").isin(0, 1),
+            "flat_implies_no_volume": (F.col("is_flat") == 0)
+            | (F.col("volume") == 0.0),
+            "spread_present": F.col("spread").isNotNull(),
+            "close_present": F.col("close").isNotNull(),
+        },
+    )
+    assert violations.count() == 0
+    assert passing.count() == len(final)
+
+
 def test_reconcile_validator(spark, fixture_inputs, result):
     m1, _ = fixture_inputs
     final_rows, _ = result
