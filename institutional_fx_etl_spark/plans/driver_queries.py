@@ -2240,6 +2240,221 @@ def q_hybrid_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit
 
 
+@register("hybrid_pipeline_chunked", _HYBRID_PIPELINE_ORACLE)
+def q_hybrid_pipeline_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship under the chunked (range-partitioned) window
+    engine: same stages, same oracle, but NO full-series single-
+    partition sort — every window runs per time chunk with boundary
+    padding and a broadcast ffill carry (functions/chunked.py). This is
+    the single-symbol 100 TB path; must hash-match the vanilla
+    pipeline's oracle bit-for-bit."""
+    from institutional_fx_etl_spark.plans.pipeline import HybridMergerSpark
+    from institutional_fx_etl_spark.plans.pipeline_chunked import merge_chunked
+
+    m1, ticks = _pipeline_inputs(spark, sf_dir)
+    eng = HybridMergerSpark(spike_threshold=1e9, consensus_threshold=50.0)
+    final, _audit = merge_chunked(
+        m1,
+        eng.resample_ticks(ticks),
+        spike_threshold=1e9,
+        consensus_threshold=50.0,
+        chunk_seconds=6 * 3600,
+    )
+    return final
+
+
+def _clean_fixture_frames(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """Deterministic 360-minute candle fixture where every cleaning-stage
+    predicate provably fires (the flagship runs with the spike stage
+    disabled because the synthetic events are volatile by design —
+    this fixture is the exact-oracle proof of the F4/F5/F6 interplay).
+
+    All values are dyadic rationals (multiples of 1/16) so every
+    comparison and greatest/least is bit-exact in both engines. Special
+    rows by modular residue (precedence catastrophe > inverted >
+    structure > spike > normal, mirrored in the oracle's CASE):
+
+    - ``i % 37 == 5`` and both sides present → tick close deviates +30
+      from M1 (> consensus θ=15) → ``rejected_tick_catastrophe``.
+    - ``i % 41 == 7`` → low > high → ``dropped_inverted`` (F4).
+    - ``i % 43 == 11`` → open > high → ``fixed_structure_integrity`` (F5).
+    - ``i % 53 == 17`` → close jumps +10 (~0.1 > spike θ=0.05, < θ_c=15
+      so it SURVIVES consensus) → ``dropped_volatility_spike`` (F6) —
+      and the next surviving row is dropped too by the jump-back, the
+      lag-predicate interplay the fixture exists to pin.
+    - ``i % 29 == 3`` → absent from BOTH sides → ``gap_bridged_flat``.
+    """
+    i = F.col("i")
+    base = F.lit(100.0) + (i % 50).cast("double") * F.lit(0.0625)
+    present_t = ~((i % 29 == 3) | (i % 23 == 4))
+    present_m = ~((i % 29 == 3) | (i % 19 == 2))
+    cat = (
+        F.when((i % 37 == 5) & present_t & present_m, F.lit("c"))
+        .when(i % 41 == 7, F.lit("i"))
+        .when(i % 43 == 11, F.lit("b"))
+        .when(i % 53 == 17, F.lit("s"))
+        .otherwise(F.lit("n"))
+    )
+    rows = (
+        spark.range(360)
+        .select(F.col("id").cast("int").alias("i"))
+        .select(
+            "i",
+            F.expr(
+                "timestamp'2024-01-02 00:00:00' + make_dt_interval(0, 0, i, 0)"
+            ).alias("datetime"),
+            base.alias("b"),
+            cat.alias("c"),
+            present_t.alias("pt"),
+            present_m.alias("pm"),
+        )
+    )
+    b, c = F.col("b"), F.col("c")
+    ticks = rows.filter("pt").select(
+        "datetime",
+        F.when(c == "b", b + 1.0).otherwise(b).alias("open"),
+        F.when(c == "c", b + 30.25)
+        .when(c == "i", b - 1.0)
+        .when(c == "s", b + 10.25)
+        .otherwise(b + 0.25)
+        .alias("high"),
+        F.when(c == "i", b + 1.0).otherwise(b - 0.25).alias("low"),
+        F.when(c == "c", b + 30.0)
+        .when(c == "s", b + 10.0)
+        .otherwise(b + 0.125)
+        .alias("close"),
+        (i % 7 + 1).cast("double").alias("volume"),
+        F.lit(0.03125).alias("spread"),
+    )
+    m1 = rows.filter("pm").select(
+        "datetime",
+        (b + 0.0625).alias("open"),
+        (b + 0.3125).alias("high"),
+        (b - 0.3125).alias("low"),
+        (b + 0.1875).alias("close"),
+        (i % 5 + 1).cast("double").alias("volume"),
+        F.lit(None).cast("double").alias("spread"),
+    )
+    return m1, ticks
+
+
+#: Cleaning-stage audit oracle: the same fixture generated by
+#: generate_series, pushed through the consensus → F4 → F5 → F6 →
+#: densify chain; emits the audit rows. Spread is deliberately absent:
+#: no audit column depends on it (OHLCV only), so the oracle pins the
+#: drop/fix/bridge semantics without re-deriving the smoother.
+_CLEAN_FIXTURE_ORACLE = """
+WITH idx AS (SELECT unnest(generate_series(0, 359)) AS i),
+rows_ AS (
+  SELECT i,
+         TIMESTAMP '2024-01-02 00:00:00' + INTERVAL 1 MINUTE * i AS datetime,
+         100.0 + (i % 50) * 0.0625 AS b,
+         NOT (i % 29 = 3 OR i % 23 = 4) AS pt,
+         NOT (i % 29 = 3 OR i % 19 = 2) AS pm,
+         CASE WHEN i % 37 = 5 AND NOT (i % 29 = 3 OR i % 23 = 4)
+                   AND NOT (i % 29 = 3 OR i % 19 = 2) THEN 'c'
+              WHEN i % 41 = 7 THEN 'i'
+              WHEN i % 43 = 11 THEN 'b'
+              WHEN i % 53 = 17 THEN 's'
+              ELSE 'n' END AS c
+  FROM idx),
+ticks AS (
+  SELECT datetime,
+         CASE WHEN c = 'b' THEN b + 1.0 ELSE b END AS open,
+         CASE WHEN c = 'c' THEN b + 30.25 WHEN c = 'i' THEN b - 1.0
+              WHEN c = 's' THEN b + 10.25 ELSE b + 0.25 END AS high,
+         CASE WHEN c = 'i' THEN b + 1.0 ELSE b - 0.25 END AS low,
+         CASE WHEN c = 'c' THEN b + 30.0 WHEN c = 's' THEN b + 10.0
+              ELSE b + 0.125 END AS close,
+         CAST(i % 7 + 1 AS DOUBLE) AS volume
+  FROM rows_ WHERE pt),
+m1 AS (
+  SELECT datetime, b + 0.0625 AS open, b + 0.3125 AS high,
+         b - 0.3125 AS low, b + 0.1875 AS close,
+         CAST(i % 5 + 1 AS DOUBLE) AS volume
+  FROM rows_ WHERE pm),
+aud_consensus AS (
+  SELECT t.datetime, t.open, t.high, t.low, t.close, t.volume,
+         'rejected_tick_catastrophe' AS reason
+  FROM ticks t JOIN m1 ON t.datetime = m1.datetime
+  WHERE abs(t.close - m1.close) > 15.0),
+kept AS (
+  SELECT t.* FROM ticks t LEFT JOIN m1 ON t.datetime = m1.datetime
+  WHERE NOT coalesce(abs(t.close - m1.close) > 15.0, false)),
+merged AS (
+  SELECT coalesce(k.datetime, m1.datetime) AS datetime,
+         coalesce(k.open, m1.open) AS open,
+         coalesce(k.high, m1.high) AS high,
+         coalesce(k.low, m1.low) AS low,
+         coalesce(k.close, m1.close) AS close,
+         coalesce(k.volume, m1.volume) AS volume
+  FROM kept k FULL OUTER JOIN m1 ON k.datetime = m1.datetime),
+aud_inverted AS (
+  SELECT datetime, open, high, low, close, volume,
+         'dropped_inverted' AS reason
+  FROM merged WHERE coalesce(low > high, false)),
+flagged AS (
+  SELECT *, coalesce(open > high OR open < low
+                     OR close > high OR close < low, false) AS bad
+  FROM merged WHERE NOT coalesce(low > high, false)),
+aud_structure AS (
+  SELECT datetime, open, high, low, close, volume,
+         'fixed_structure_integrity' AS reason
+  FROM flagged WHERE bad),
+fixed AS (
+  SELECT datetime, open,
+         CASE WHEN bad THEN greatest(open, close, high) ELSE high END AS high,
+         CASE WHEN bad THEN least(open, close, low) ELSE low END AS low,
+         close, volume
+  FROM flagged),
+spiked AS (
+  SELECT *,
+         coalesce((high - low) / open > 0.05, false)
+         OR coalesce(abs((close - lag(close) OVER (ORDER BY datetime))
+                         / lag(close) OVER (ORDER BY datetime)) > 0.05,
+                     false) AS spike
+  FROM fixed),
+aud_spike AS (
+  SELECT datetime, open, high, low, close, volume,
+         'dropped_volatility_spike' AS reason
+  FROM spiked WHERE spike),
+clean AS (SELECT * FROM spiked WHERE NOT spike),
+bounds AS (SELECT min(datetime) AS t0, max(datetime) AS t1 FROM clean),
+spine AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS datetime
+  FROM bounds),
+aud_gap AS (
+  SELECT s.datetime, CAST(NULL AS DOUBLE) AS open,
+         CAST(NULL AS DOUBLE) AS high, CAST(NULL AS DOUBLE) AS low,
+         CAST(NULL AS DOUBLE) AS close, CAST(NULL AS DOUBLE) AS volume,
+         'gap_bridged_flat' AS reason
+  FROM spine s LEFT JOIN clean c ON s.datetime = c.datetime
+  WHERE c.close IS NULL)
+SELECT * FROM aud_consensus
+UNION ALL SELECT * FROM aud_inverted
+UNION ALL SELECT * FROM aud_structure
+UNION ALL SELECT * FROM aud_spike
+UNION ALL SELECT * FROM aud_gap
+"""
+
+
+@register("pipeline_clean_fixture", _CLEAN_FIXTURE_ORACLE)
+def q_pipeline_clean_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning stages under an EXACT oracle with every threshold live
+    (consensus θ=15, spike θ=0.05 — reference predicates at
+    hybrid_merger.py:145-173,188-199): all five audit reason tags fire
+    and hash-match, including the F6 lag-predicate interplay (a spike
+    row also knocks out its successor) and F4-before-F5-before-F6
+    ordering. Input tables are unused: the fixture self-generates so the
+    planted anomalies are bit-exact in both engines."""
+    from institutional_fx_etl_spark.plans.pipeline import HybridMergerSpark
+
+    m1, ticks = _clean_fixture_frames(spark)
+    eng = HybridMergerSpark(spike_threshold=0.05, consensus_threshold=15.0)
+    _final, audit = eng.merge(m1, ticks)
+    return audit
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries (CORRECTNESS_r01.json covered registry positions 0-49 exactly,

@@ -51,6 +51,54 @@ def cast_final(df: DataFrame, partition_cols: tuple[str, ...] = ()) -> DataFrame
     )
 
 
+def fused_consensus_merge(
+    m1: DataFrame,
+    tick_candles: DataFrame,
+    consensus_threshold: float,
+    partition_cols: tuple[str, ...] = (),
+    broadcast_m1: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Consensus (J1+F7+J2) fused with the coalescing merge (J3) as ONE
+    full-outer join — a consensus-rejected tick minute resolves to the
+    M1 side cell-wise, provably identical to drop-then-combine_first at
+    one join instead of two (hybrid_merger.py:188-199 two-step).
+
+    Returns ``(merged, audit_consensus)`` where ``merged`` carries the
+    ``__is_tick`` marker column the spread-repair stage keys on.
+    """
+    keys = [*partition_cols, "datetime"]
+    m1_side = F.broadcast(m1.alias("__m")) if broadcast_m1 else m1.alias("__m")
+    joined = tick_candles.alias("__t").join(m1_side, on=keys, how="full_outer")
+
+    catastrophe = F.coalesce(
+        F.abs(F.col("__t.close") - F.col("__m.close"))
+        > F.lit(consensus_threshold),
+        F.lit(False),
+    )
+    is_tick = F.col("__t.close").isNotNull() & ~catastrophe
+
+    audit_consensus = joined.filter(catastrophe).select(
+        F.col("datetime").alias("datetime"),
+        *[
+            F.col(f"__t.{c}").cast("double")
+            for c in ["open", "high", "low", "close", "volume"]
+        ],
+        F.lit(schemas.REASON_REJECTED_CATASTROPHE).alias("reason"),
+    )
+
+    merged = joined.select(
+        *keys,
+        *[
+            F.when(catastrophe, F.col(f"__m.{c}"))
+            .otherwise(F.coalesce(F.col(f"__t.{c}"), F.col(f"__m.{c}")))
+            .alias(c)
+            for c in schemas.CANDLE_COLS
+        ],
+        is_tick.alias("__is_tick"),
+    )
+    return merged, audit_consensus
+
+
 class HybridMergerSpark:
     """Spark-native HybridDataMerger: fuse a legacy M1 bar history with a
     raw tick stream into a gapless, validated 1-minute hybrid dataset.
@@ -115,36 +163,13 @@ class HybridMergerSpark:
         reference's tag grouping (consensus, clean-stage tags, gaps).
         """
         p = self.partition_cols
-        keys = [*p, "datetime"]
 
-        m1_side = F.broadcast(m1.alias("__m")) if self.broadcast_m1 else m1.alias("__m")
-        joined = tick_candles.alias("__t").join(m1_side, on=keys, how="full_outer")
-
-        catastrophe = F.coalesce(
-            F.abs(F.col("__t.close") - F.col("__m.close"))
-            > F.lit(self.consensus_threshold),
-            F.lit(False),
-        )
-        is_tick = F.col("__t.close").isNotNull() & ~catastrophe
-
-        audit_consensus = joined.filter(catastrophe).select(
-            F.col("datetime").alias("datetime"),
-            *[
-                F.col(f"__t.{c}").cast("double")
-                for c in ["open", "high", "low", "close", "volume"]
-            ],
-            F.lit(schemas.REASON_REJECTED_CATASTROPHE).alias("reason"),
-        )
-
-        merged = joined.select(
-            *keys,
-            *[
-                F.when(catastrophe, F.col(f"__m.{c}"))
-                .otherwise(F.coalesce(F.col(f"__t.{c}"), F.col(f"__m.{c}")))
-                .alias(c)
-                for c in schemas.CANDLE_COLS
-            ],
-            is_tick.alias("__is_tick"),
+        merged, audit_consensus = fused_consensus_merge(
+            m1,
+            tick_candles,
+            self.consensus_threshold,
+            partition_cols=p,
+            broadcast_m1=self.broadcast_m1,
         )
 
         repaired = repair_spread_windowed(

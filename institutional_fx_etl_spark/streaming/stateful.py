@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -46,44 +47,63 @@ def _bridge(
     else:
         last_us, last_close, last_spread = None, None, None
 
+    cols = [
+        "symbol", "datetime", "open", "high", "low", "close",
+        "volume", "spread", "is_flat",
+    ]
     for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        # Vectorized bridging (no per-row Python loop): each row looks
+        # at its predecessor (batch shift, state-seeded first row) and
+        # emits its missing minutes via np.repeat gap expansion.
         pdf = pdf.sort_values("datetime")
-        out: list[dict] = []
-        for row in pdf.itertuples(index=False):
-            ts_us = int(row.datetime.value // 1_000)
-            if last_us is not None:
-                gap_us = last_us + _MINUTE_US
-                while gap_us < ts_us:
-                    out.append(
-                        {
-                            "symbol": symbol,
-                            "datetime": pd.Timestamp(gap_us * 1_000),
-                            "open": last_close,
-                            "high": last_close,
-                            "low": last_close,
-                            "close": last_close,
-                            "volume": 0.0,
-                            "spread": last_spread,
-                            "is_flat": 1,
-                        }
-                    )
-                    gap_us += _MINUTE_US
-            out.append(
+        ts_us = pdf["datetime"].astype("int64").to_numpy() // 1_000
+        prev_us = np.roll(ts_us.astype("float64"), 1)
+        prev_close = np.roll(pdf["close"].to_numpy(dtype="float64"), 1)
+        prev_spread = np.roll(pdf["spread"].to_numpy(dtype="float64"), 1)
+        prev_us[0] = np.nan if last_us is None else float(last_us)
+        prev_close[0] = np.nan if last_close is None else last_close
+        prev_spread[0] = np.nan if last_spread is None else last_spread
+
+        n_gap = np.zeros(len(pdf), dtype="int64")
+        have_prev = ~np.isnan(prev_us)
+        n_gap[have_prev] = np.maximum(
+            (ts_us[have_prev] - prev_us[have_prev].astype("int64"))
+            // _MINUTE_US
+            - 1,
+            0,
+        )
+
+        real = pdf.assign(symbol=symbol, is_flat=0)[cols]
+        if n_gap.sum() > 0:
+            idx = np.repeat(np.arange(len(pdf)), n_gap)
+            # 0-based position of each flat minute within its gap run
+            k = np.arange(len(idx)) - np.repeat(np.cumsum(n_gap) - n_gap, n_gap)
+            flat_us = prev_us[idx].astype("int64") + (k + 1) * _MINUTE_US
+            fill = prev_close[idx]
+            flats = pd.DataFrame(
                 {
                     "symbol": symbol,
-                    "datetime": row.datetime,
-                    "open": row.open,
-                    "high": row.high,
-                    "low": row.low,
-                    "close": row.close,
-                    "volume": row.volume,
-                    "spread": row.spread,
-                    "is_flat": 0,
+                    "datetime": pd.to_datetime(flat_us * 1_000),
+                    "open": fill,
+                    "high": fill,
+                    "low": fill,
+                    "close": fill,
+                    "volume": 0.0,
+                    "spread": prev_spread[idx],
+                    "is_flat": 1,
                 }
             )
-            last_us, last_close, last_spread = ts_us, row.close, row.spread
-        if out:
-            yield pd.DataFrame(out)
+            out = pd.concat([real, flats], ignore_index=True).sort_values(
+                "datetime"
+            )
+        else:
+            out = real
+        last_us = int(ts_us[-1])
+        last_close = float(pdf["close"].iloc[-1])
+        last_spread = float(pdf["spread"].iloc[-1])
+        yield out
 
     state.update((last_us, last_close, last_spread))
 

@@ -191,3 +191,23 @@ def test_reconcile_validator(spark, fixture_inputs, result):
     # hybrid → inner join excludes it; catastrophe minute matches M1.
     # So no deviations above threshold remain — the dataset reconciles.
     assert top == []
+
+
+def test_clean_fixture_all_tags_with_exact_counts(spark):
+    """The oracle-checked cleaning fixture (driver query
+    pipeline_clean_fixture) fires every audit tag a known number of
+    times — the F6 jump-back interplay doubles the planted spikes."""
+    from institutional_fx_etl_spark.plans.driver_queries import REGISTRY
+
+    audit = REGISTRY["pipeline_clean_fixture"][0](spark, "unused")
+    counts = {
+        r["reason"]: r["n"]
+        for r in audit.groupBy("reason").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {
+        "rejected_tick_catastrophe": 8,
+        "dropped_inverted": 9,
+        "fixed_structure_integrity": 9,
+        "dropped_volatility_spike": 12,
+        "gap_bridged_flat": 35,
+    }

@@ -85,3 +85,22 @@ def test_pipeline_plan_budget(spark):
     assert plan.count("SortMergeJoin") <= 1
     assert plan.count("Exchange SinglePartition") <= 1
     assert plan.count("Exchange hashpartitioning") <= 5
+
+
+def test_cc_lineage_truncated_by_checkpoint(spark):
+    """A 13-node path graph needs ~12 label-propagation rounds; with
+    localCheckpoint every 3 rounds the returned plan must be flat (a
+    scan of checkpoint blocks), not a 12-round join chain."""
+    from institutional_fx_etl_spark.operators.dedup import dedup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(13)], "doc_id int")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a int, id_b int"
+    )
+    labels = dedup_clusters(ids, pairs, max_iter=30)
+    rows = {r["doc_id"]: r["comp"] for r in labels.collect()}
+    assert set(rows.values()) == {0}, "single component, min-label 0"
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan.splitlines()) <= 5, (
+        f"lineage not truncated:\n{plan}"
+    )
