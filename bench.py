@@ -4,7 +4,10 @@ ONE JSON line with per-query wall seconds.
 
 Each query executes fully via the ``noop`` sink (forces computation of
 every row, no write-path cost), after a small warmup to amortize JVM/
-codegen startup out of the first measurement.
+codegen startup out of the first measurement. Besides wall time, each
+query reports rows, rows/sec and shuffle-write bytes (from the app
+status store) so regressions in *plan shape* — not just wall time —
+are visible round over round (ROADMAP #7).
 """
 
 from __future__ import annotations
@@ -19,11 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from institutional_fx_etl_spark import get_spark
 from institutional_fx_etl_spark.plans import driver_queries
 
-#: queries that dominate the engine's real workload: the full pipeline,
-#: the load-bearing aggregation, the grid join, the window sorts, and
-#: the wide hash aggregate.
+#: queries that dominate the engine's real workload: the full pipeline
+#: (vanilla + chunked scale path), the load-bearing aggregation, the
+#: grid join, the window sorts, and the wide hash aggregate.
 HEADLINE = [
     "hybrid_pipeline",
+    "hybrid_pipeline_chunked",
     "hybrid_pipeline_multisym",
     "tumbling_ohlc",
     "time_spine",
@@ -43,11 +47,28 @@ HEADLINE = [
 ]
 
 
+def _total_shuffle_write_bytes(spark) -> int:
+    """Cumulative shuffle-write bytes across all completed stages via
+    the UI REST API (delta across a query ≈ that query's shuffle;
+    bench enables the UI for exactly this)."""
+    try:
+        import urllib.request
+
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete", timeout=10
+        ) as r:
+            stages = json.load(r)
+        return int(sum(s.get("shuffleWriteBytes", 0) for s in stages))
+    except Exception:  # noqa: BLE001 — observability is best-effort
+        return 0
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark(app_name="bench")
+    spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "true"})
 
     registry = driver_queries.REGISTRY
     names = [n for n in HEADLINE if n in registry]
@@ -57,18 +78,32 @@ def main() -> None:
     # scheduler jitter) — steady-state engine throughput is what scales
     # to a real cluster
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in names:
         fn = registry[name][0]
+        rows = 0
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            rows = fn(spark, sf_dir).count()
         except Exception:  # noqa: BLE001 — warmup is best-effort
             pass
         best = float("inf")
+        shuffle = 0
         for _ in range(2):
+            s0 = _total_shuffle_write_bytes(spark)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if dt < best:
+                best = dt
+                shuffle = _total_shuffle_write_bytes(spark) - s0
         timings[name] = round(best, 3)
+        detail[name] = {
+            "sec": round(best, 3),
+            "rows": rows,
+            "rows_per_sec": round(rows / best) if best > 0 else 0,
+            "shuffle_mb": round(shuffle / 1e6, 2),
+        }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -78,6 +113,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "detail": detail,
                 "sf": sf,
             }
         )

@@ -191,6 +191,37 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Real k-means centroids for IVF (``pyspark.ml.clustering.KMeans``
+    with a fixed seed — the quality upgrade over deterministic
+    stride-seeding; ROADMAP #5 item). Returns ``(cid, cv)`` — tiny,
+    meant to be broadcast into :func:`ivf_topk`'s ``centroids=``.
+
+    The k-rows collect of cluster centers is the one place driver-side
+    data transfer is correct: k vectors, not corpus rows.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.selectExpr(f"{_as_double(vec_col)} AS __v").select(
+        array_to_vector("__v").alias("features")
+    )
+    model = KMeans(k=num_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        centers, "cid int, cv array<double>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     query_ids: list[int],
@@ -198,19 +229,44 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     num_centroids: int = 8,
+    nprobe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF search: probe only the query's own cell (nprobe=1) — each
-    query scans |corpus|/num_centroids candidates instead of the whole
-    corpus. The recall/cost knob at scale is nprobe (probe the n
-    nearest cells); exactness baseline is :func:`cosine_topk`."""
-    assigned = ivf_assign(corpus, vec_col, id_col, num_centroids)
-    q = assigned.filter(F.col("vid").isin(query_ids)).selectExpr(
-        "vid AS q_id", "vv AS qv", "cid"
-    )
-    dot = "aggregate(zip_with(vv, qv, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
+    """IVF search: each query probes its ``nprobe`` nearest cells —
+    ``nprobe/num_centroids`` of the corpus per query instead of a full
+    scan; recall grows with nprobe (exactness baseline is
+    :func:`cosine_topk`, recall asserted in tests/test_extensions.py).
+
+    ``centroids`` (``cid, cv`` — e.g. :func:`kmeans_centroids`)
+    overrides the deterministic first-N seeding; the default stays
+    id-seeded so the operator is bit-reproducible in the SQL oracle.
+    """
+    v = corpus.selectExpr(f"{id_col} AS vid", f"{_as_double(vec_col)} AS vv")
+    if centroids is None:
+        centroids = v.filter(F.col("vid") < num_centroids).selectExpr(
+            "vid AS cid", "vv AS cv"
+        )
+    dotc = "aggregate(zip_with(vv, cv, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
     nv = "sqrt(aggregate(vv, 0.0d, (a, x) -> a + x*x))"
+    nc = "sqrt(aggregate(cv, 0.0d, (a, x) -> a + x*x))"
+    ranked = (
+        v.crossJoin(F.broadcast(centroids))
+        .selectExpr("vid", "vv", "cid", f"round({dotc}/({nv}*{nc}), 6) AS ccos")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cid"))
+            ),
+        )
+    )
+    assigned = ranked.filter(F.col("__rn") == 1).select("vid", "vv", "cid")
+    q_cells = ranked.filter(
+        F.col("vid").isin(query_ids) & (F.col("__rn") <= nprobe)
+    ).selectExpr("vid AS q_id", "vv AS qv", "cid")
+
+    dot = "aggregate(zip_with(vv, qv, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
     nq = "sqrt(aggregate(qv, 0.0d, (a, x) -> a + x*x))"
-    scored = assigned.join(F.broadcast(q), on="cid").selectExpr(
+    scored = assigned.join(F.broadcast(q_cells), on="cid").selectExpr(
         "q_id", "vid AS vec_id", f"round({dot}/({nv}*{nq}), 6) AS cosine"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))

@@ -1387,7 +1387,12 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn
         FROM scored) WHERE rn = 1
     ),
-    q AS (SELECT vid AS q_id, vv AS qv, cid FROM assigned WHERE vid IN (0, 1, 2)),
+    q AS (
+      SELECT vid AS q_id, vv AS qv, cid FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn
+        FROM scored WHERE vid IN (0, 1, 2)) WHERE rn <= 2
+    ),
     s AS (
       SELECT q.q_id, a.vid AS vec_id,
              round(list_dot_product(a.vv, q.qv)
@@ -1404,12 +1409,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: deterministic coarse centroids bucket the corpus;
-    each query searches only its own cell (nprobe=1) — |corpus|/cells
-    candidates per query instead of a full scan."""
+    each query probes its 2 nearest cells (nprobe=2) — 2/8 of the
+    corpus per query instead of a full scan. k-means-centroid variant
+    (`kmeans_centroids`) recall-asserted in tests/test_extensions.py."""
     from institutional_fx_etl_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, query_ids=[0, 1, 2], k=5)
+    return ivf_topk(emb, query_ids=[0, 1, 2], k=5, nprobe=2)
 
 
 @register(

@@ -46,7 +46,7 @@ def cast_final(df: DataFrame, partition_cols: tuple[str, ...] = ()) -> DataFrame
     return df.select(
         *partition_cols,
         "datetime",
-        *[F.col(c).cast("float").alias(c) for c in ["open", "high", "low", "close", "spread", "volume"]],
+        *[F.col(c).cast("float").alias(c) for c in ["open", "high", "low", "close", "volume", "spread"]],
         F.col("is_flat").cast("tinyint").alias("is_flat"),
     )
 

@@ -52,7 +52,9 @@ CANDLE_SCHEMA = T.StructType(
     + [T.StructField(c, T.DoubleType()) for c in CANDLE_COLS]
 )
 
-#: Final sink schema (hybrid_merger.py:243-246): float32 values, int8 flag.
+#: Final sink schema (hybrid_merger.py:243-246): float32 values, int8
+#: flag, volume-before-spread physical order matching the reference's
+#: output file layout (M1 frame order at hybrid_merger.py:51-52).
 FINAL_SCHEMA = T.StructType(
     [
         T.StructField("datetime", T.TimestampType()),
@@ -60,8 +62,8 @@ FINAL_SCHEMA = T.StructType(
         T.StructField("high", T.FloatType()),
         T.StructField("low", T.FloatType()),
         T.StructField("close", T.FloatType()),
-        T.StructField("spread", T.FloatType()),
         T.StructField("volume", T.FloatType()),
+        T.StructField("spread", T.FloatType()),
         T.StructField("is_flat", T.ByteType()),
     ]
 )

@@ -122,6 +122,105 @@ def streaming_gap_bridge(
     )
 
 
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_hybrid_single_topology(
+    spark,
+    tick_stream: DataFrame,
+    m1_static: DataFrame,
+    consensus_threshold: float = 0.01,
+    window_duration: str = "1 minute",
+    watermark: str = "10 minutes",
+    symbol: str = "X",
+) -> DataFrame:
+    """Consensus OHLC → stateful gap bridge as ONE continuous query.
+
+    Spark 4's ``transformWithStateInPandas`` (arbitrary state v2) is
+    allowed *after* a streaming aggregation — the restriction that
+    forces :func:`run_streaming_hybrid`'s two-query composition applies
+    to the v1 ``applyInPandasWithState`` only. The chained logical plan
+    builds and passes analysis on this image, but executing it needs
+    the ``protobuf`` python package in the state-server worker, which
+    is not installed here — hence the import gate; the two-query
+    checkpointed composition (restart-tested in
+    tests/test_streaming_restart.py) is the supported design on this
+    environment.
+    """
+    if not _has_protobuf():
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' python "
+            "package (not on this image); use run_streaming_hybrid()"
+        )
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from institutional_fx_etl_spark.streaming.candles import (
+        streaming_consensus_candles,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("last_us", LongType()),
+            StructField("last_close", DoubleType()),
+            StructField("last_spread", DoubleType()),
+        ]
+    )
+
+    class GapBridge(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("bridge", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            class _Shim:
+                """Adapter: v2 ValueState → the v1 GroupState surface
+                :func:`_bridge` consumes."""
+
+                def __init__(self, vs):
+                    self._vs = vs
+
+                @property
+                def exists(self):
+                    return self._vs.exists()
+
+                @property
+                def get(self):
+                    return tuple(self._vs.get())
+
+                def update(self, value):
+                    self._vs.update(value)
+
+            yield from _bridge(key, iter(rows), _Shim(self._state))
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    candles = streaming_consensus_candles(
+        tick_stream,
+        m1_static,
+        threshold=consensus_threshold,
+        window_duration=window_duration,
+        watermark=watermark,
+    ).withColumn("symbol", F.lit(symbol))
+    return candles.groupBy("symbol").transformWithStateInPandas(
+        GapBridge(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
 def run_streaming_hybrid(
     spark,
     tick_stream: DataFrame,

@@ -177,3 +177,36 @@ def test_streaming_candles_match_batch(spark, tmp_path):
     assert sorted((r.asDict() for r in batch), key=key) == sorted(
         (r.asDict() for r in stream), key=key
     )
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark):
+    """IVF with real k-means centroids (seeded, ml.clustering) probes
+    nprobe cells; recall@5 against the cosine_topk ground truth must be
+    meaningful and monotone in nprobe (ROADMAP #5 upgrade)."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from institutional_fx_etl_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = [0, 1, 2]
+    truth = {
+        (r.q_id, r.vec_id)
+        for r in cosine_topk(
+            emb, emb.filter(emb.vec_id.isin(qids)), k=5
+        ).collect()
+    }
+    cents = kmeans_centroids(emb, num_centroids=8, seed=7)
+    recalls = []
+    for nprobe in (1, 2):
+        got = {
+            (r.q_id, r.vec_id)
+            for r in ivf_topk(
+                emb, qids, k=5, nprobe=nprobe, centroids=cents
+            ).collect()
+        }
+        recalls.append(len(got & truth) / len(truth))
+    assert recalls[1] >= recalls[0], "recall must not shrink with nprobe"
+    assert recalls[1] >= 0.6, f"kmeans-IVF recall@5 too low: {recalls}"

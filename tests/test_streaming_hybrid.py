@@ -57,3 +57,55 @@ def test_streaming_hybrid_matches_batch_on_closed_prefix(spark, tmp_path):
     # the catastrophe minute became a flat candle (its tick was dropped)
     assert got[T0 + timedelta(minutes=1)]["is_flat"] == 1
     assert got[T0 + timedelta(minutes=1)]["volume"] == 0.0
+
+
+def test_single_topology_chained_stateful(spark, tmp_path):
+    """Spark 4's transformWithStateInPandas allows the consensus
+    aggregation → stateful gap bridge as ONE query; its python worker
+    needs protobuf, absent on this image — the builder must then fail
+    loudly (the two-query composition is the supported path here), and
+    with protobuf present the single topology must match the batch
+    prefix like the composed one does."""
+    import pytest
+
+    from institutional_fx_etl_spark.streaming.stateful import (
+        _has_protobuf,
+        streaming_hybrid_single_topology,
+    )
+
+    ticks = [
+        (T0 + timedelta(seconds=s), 1.2 + s / 1e5, 1.2 + s / 1e5 - 2e-4)
+        for s in [10, 70, 200, 320]
+    ] + [(T0 + timedelta(minutes=30), 1.25, 1.2498)]
+    src = str(tmp_path / "ticks")
+    spark.createDataFrame(
+        ticks, "datetime timestamp, ask double, bid double"
+    ).write.parquet(src)
+    m1 = spark.createDataFrame(
+        [(T0 + timedelta(minutes=1), 1.35, 1.36, 1.34, 1.35, 2.0, None)],
+        "datetime timestamp, open double, high double, low double,"
+        " close double, volume double, spread double",
+    )
+    stream = spark.readStream.schema(
+        "datetime timestamp, ask double, bid double"
+    ).parquet(src)
+
+    if not _has_protobuf():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            streaming_hybrid_single_topology(spark, stream, m1)
+        return
+
+    out = streaming_hybrid_single_topology(spark, stream, m1)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("single_topo")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("single_topo").count()
+    assert got > 0
