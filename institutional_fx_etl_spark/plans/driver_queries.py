@@ -2248,18 +2248,21 @@ def q_hybrid_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("hybrid_pipeline_chunked", _HYBRID_PIPELINE_ORACLE)
 def q_hybrid_pipeline_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship under the chunked (range-partitioned) window
-    engine: same stages, same oracle, but NO full-series single-
-    partition sort — every window runs per time chunk with boundary
-    padding and a broadcast ffill carry (functions/chunked.py). This is
-    the single-symbol 100 TB path; must hash-match the vanilla
+    """The flagship under the fused chunked window engine: same stages,
+    same oracle, but NO full-series single-partition sort — the clean
+    stages run as survivor-conditional running windows over ONE chunk
+    sort, densify over a second survivor-only sort, with broadcast
+    cross-chunk carries (plans/pipeline_fused.py). This is the
+    single-symbol 100 TB path (the vanilla path's one-task window
+    buffer dies with GC-overflow at ~56M candles — tools/
+    scale_sanity.py --years=150); must hash-match the vanilla
     pipeline's oracle bit-for-bit."""
     from institutional_fx_etl_spark.plans.pipeline import HybridMergerSpark
-    from institutional_fx_etl_spark.plans.pipeline_chunked import merge_chunked
+    from institutional_fx_etl_spark.plans.pipeline_fused import merge_fused
 
     m1, ticks = _pipeline_inputs(spark, sf_dir)
     eng = HybridMergerSpark(spike_threshold=1e9, consensus_threshold=50.0)
-    final, _audit = merge_chunked(
+    final, _audit = merge_fused(
         m1,
         eng.resample_ticks(ticks),
         spike_threshold=1e9,
@@ -2267,6 +2270,67 @@ def q_hybrid_pipeline_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_seconds=6 * 3600,
     )
     return final
+
+
+#: the full-pipeline oracle restricted to the incremental overwrite
+#: boundary: the first tick-candle day at/after a deterministic cut at
+#: 70% of the raw tick time span (day-truncated). The operator's
+#: update() recomputes exactly the days >= that boundary.
+_INCREMENTAL_ORACLE = (
+    _HYBRID_PIPELINE_ORACLE.rstrip()
+    + """
+  AND datetime >= (
+    SELECT date_trunc('day', min(datetime)) FROM tick_candles
+    WHERE datetime >= (
+      SELECT to_timestamp(CAST(floor((min_e + 0.7 * (max_e - min_e))
+                                     / 86400.0) * 86400 AS BIGINT))
+      FROM (SELECT CAST(epoch(min(datetime)) AS DOUBLE) AS min_e,
+                   CAST(epoch(max(datetime)) AS DOUBLE) AS max_e
+            FROM ticks0)))
+"""
+)
+
+
+@register("incremental_merge", _INCREMENTAL_ORACLE)
+def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental late-data recompute (plans/incremental.py): ticks
+    split at a deterministic day boundary (70% of the time span) feed
+    two successive ``update()`` calls against day-partitioned candle/
+    final/audit state; only affected day partitions are rewritten
+    (dynamic partition overwrite), with full-history scalars (exact
+    median, F8 flag) injected so the bounded recompute fills exactly
+    like a closed-dataset run. Returns the second update's recomputed
+    slice — the oracle is the full from-scratch pipeline restricted to
+    the same boundary, so the hash proves incremental ≡ full."""
+    import shutil
+
+    from institutional_fx_etl_spark.plans.incremental import (
+        IncrementalHybridPipeline,
+        fresh_state_dir,
+    )
+
+    m1, ticks = _pipeline_inputs(spark, sf_dir)
+    lo, hi = ticks.agg(
+        F.min("datetime").cast("double"), F.max("datetime").cast("double")
+    ).first()
+    cut_epoch = int((lo + 0.7 * (hi - lo)) // 86400.0) * 86400
+    cut = F.timestamp_seconds(F.lit(cut_epoch))
+
+    state = fresh_state_dir()
+    try:
+        inc = IncrementalHybridPipeline(
+            spark,
+            state,
+            spike_threshold=1e9,
+            consensus_threshold=50.0,
+            chunk_seconds=6 * 3600,
+        )
+        inc.update(m1, ticks.filter(F.col("datetime") < cut))
+        out = inc.update(m1, ticks.filter(F.col("datetime") >= cut))
+        # the slice is already checkpointed; state files can go
+        return out
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
 
 
 def _clean_fixture_frames(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
@@ -2474,6 +2538,7 @@ _HEAD = [
     "hybrid_pipeline_multisym",
     "hybrid_pipeline_audit",
     "hybrid_pipeline_chunked",
+    "incremental_merge",
     "pipeline_clean_fixture",
     "corpus_pipeline",
     "validator_reconcile",
@@ -2481,6 +2546,10 @@ _HEAD = [
     "streaming_gap_bridge",
 ]
 _TAIL = [
+    # extensions whose operator families are already driver-checked by
+    # in-window cousins (grouping sets / pivot / scalar surface); the
+    # 50-query window prioritizes the flagship + one query per family
+    "topk_per_group",
     "json_extract",
     "string_functions",
     "datetime_functions",

@@ -60,6 +60,13 @@ def merge_chunked(
     """
     p = partition_cols
     ts = "datetime"
+    # eager localCheckpoint, NOT lazy persist: each chunked stage
+    # references its input ~5x (padding branches, carry summaries,
+    # chunk-index map); with a lazy boundary those references multiply
+    # across the three stages and the un-truncated logical plan grows
+    # combinatorially (measured: persist() 357s vs checkpoint 4.5s at
+    # sf0.1 — analysis/codegen, not execution). Checkpointing flattens
+    # each stage to a scan, so plan size stays constant per stage.
     _mat = (lambda df: df.localCheckpoint(eager=True)) if materialize else (lambda df: df)
 
     merged, audit_consensus = fused_consensus_merge(

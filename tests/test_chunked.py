@@ -23,6 +23,9 @@ from institutional_fx_etl_spark.functions.windows import (
 )
 from institutional_fx_etl_spark.plans.pipeline import HybridMergerSpark
 from institutional_fx_etl_spark.plans.pipeline_chunked import merge_chunked
+from institutional_fx_etl_spark.plans.pipeline_fused import merge_fused
+
+ENGINES = [merge_chunked, merge_fused]
 
 T0 = datetime(2024, 1, 1, 0, 0)
 
@@ -144,12 +147,13 @@ def pipeline_io(spark):
     )
 
 
-def test_merge_chunked_equals_vanilla(spark, pipeline_io):
+@pytest.mark.parametrize("engine", ENGINES, ids=["chunked_v1", "fused"])
+def test_merge_chunked_equals_vanilla(spark, pipeline_io, engine):
     m1, ticks = pipeline_io
     kw = dict(spike_threshold=0.05, consensus_threshold=15.0)
     eng = HybridMergerSpark(**kw)
     want_final, want_audit = eng.merge(m1, ticks)
-    got_final, got_audit = merge_chunked(
+    got_final, got_audit = engine(
         m1, ticks, chunk_seconds=CHUNK_SECONDS, **kw
     )
 
@@ -181,11 +185,12 @@ def _single_partition_sort_parents(plan: str) -> list[str]:
     return bad
 
 
-def test_chunked_plan_has_no_single_partition_sort(spark, pipeline_io):
+@pytest.mark.parametrize("engine", ENGINES, ids=["chunked_v1", "fused"])
+def test_chunked_plan_has_no_single_partition_sort(spark, pipeline_io, engine):
     m1, ticks = pipeline_io
     # materialize=False: inspect the WHOLE lazy chain (the stage
     # checkpoints of the executing path would hide earlier stages)
-    final, _ = merge_chunked(
+    final, _ = engine(
         m1, ticks, spike_threshold=0.05, consensus_threshold=15.0,
         chunk_seconds=CHUNK_SECONDS, materialize=False,
     )

@@ -1,0 +1,185 @@
+"""Incremental late-data recompute (plans/incremental.py): a tick batch
+must rewrite ONLY the affected day partitions, and the resulting state
+must equal a from-scratch run of the full pipeline over all ticks —
+including out-of-order batches that merge into existing minutes and
+appends whose flat bridge spans the batch boundary.
+
+All prices/spreads are dyadic rationals (k/16) so partial-aggregate
+merges are bit-exact regardless of summation grouping.
+"""
+
+from datetime import datetime, timedelta
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from institutional_fx_etl_spark.plans.incremental import (
+    IncrementalHybridPipeline,
+    finalize_partials,
+    merge_partials,
+    tick_partials,
+)
+from institutional_fx_etl_spark.plans.pipeline import HybridMergerSpark
+
+T0 = datetime(2024, 1, 1, 0, 0)  # Monday
+
+
+def _ticks(spark, minutes, base=1.0, per_minute=2):
+    """per_minute ticks in each given minute; dyadic prices with a
+    deterministic per-minute drift."""
+    rows = []
+    for m in minutes:
+        for k in range(per_minute):
+            mid = base + (m % 64) / 16 + k / 16
+            rows.append(
+                (T0 + timedelta(minutes=m, seconds=10 * k), mid + 0.125, mid - 0.125)
+            )
+    return spark.createDataFrame(rows, "datetime timestamp, ask double, bid double")
+
+
+def _m1(spark, minutes, base=1.0):
+    rows = [
+        (
+            T0 + timedelta(minutes=m),
+            base + (m % 32) / 16,
+            base + (m % 32) / 16 + 0.25,
+            base + (m % 32) / 16 - 0.25,
+            base + (m % 32) / 16 + 0.125,
+            7.0,
+            None,
+        )
+        for m in minutes
+    ]
+    return spark.createDataFrame(
+        rows,
+        "datetime timestamp, open double, high double, low double,"
+        " close double, volume double, spread double",
+    )
+
+
+def _collect(df):
+    return sorted((r.asDict() for r in df.collect()), key=lambda r: r["datetime"])
+
+
+DAY = 24 * 60
+
+
+def test_partials_roundtrip_equals_single_pass(spark):
+    """finalize(merge(partials(b1) ∪ partials(b2))) ≡ ticks_to_candles
+    over the concatenated stream — including a minute split across
+    batches and a same-timestamp tie."""
+    from institutional_fx_etl_spark.operators.ohlc import ticks_to_candles
+
+    b1 = _ticks(spark, range(0, 40))
+    # batch 2 revisits minutes 20-39 with later ticks + adds 40-59
+    b2 = _ticks(spark, range(20, 60), base=1.5, per_minute=3)
+    merged = finalize_partials(
+        merge_partials(
+            tick_partials(b1).unionByName(tick_partials(b2))
+        )
+    )
+    direct = ticks_to_candles(b1.unionByName(b2))
+    assert _collect(merged) == _collect(direct)
+
+
+@pytest.mark.parametrize("late", [False, True])
+def test_incremental_equals_full_recompute(spark, tmp_path, late):
+    """Append-only and out-of-order updates both converge to the exact
+    full-pipeline state (constant spread keeps the global median
+    batch-stable, so even the day partitions written by update 1 stay
+    bit-identical to the from-scratch run)."""
+    # days 0-2 + gap + day 4; m1 covers some minutes ticks miss
+    b1_minutes = [*range(0, 200), *range(300, DAY * 2 + 300)]
+    b2_minutes = [*range(DAY * 4, DAY * 4 + 400)]
+    if late:
+        # late ticks into existing day-1 minutes (candle rewrite)
+        b2_minutes += [*range(DAY + 50, DAY + 90)]
+    m1_minutes = [*range(100, 400), *range(DAY * 4 + 100, DAY * 4 + 200)]
+
+    m1 = _m1(spark, m1_minutes)
+    b1, b2 = _ticks(spark, b1_minutes), _ticks(spark, b2_minutes)
+
+    inc = IncrementalHybridPipeline(
+        spark,
+        str(tmp_path / "state"),
+        spike_threshold=1e9,
+        consensus_threshold=1e9,
+        chunk_seconds=6 * 3600,
+    )
+    inc.update(m1, b1)
+    slice2 = inc.update(m1, b2)
+
+    eng = HybridMergerSpark(spike_threshold=1e9, consensus_threshold=1e9)
+    full, _ = eng.run(m1, b1.unionByName(b2))
+
+    got, exp = _collect(inc.read_final()), _collect(full)
+    assert len(got) == len(exp)
+    assert got == exp
+
+    # the returned slice covers exactly the overwritten boundary on
+    assert min(r["datetime"] for r in _collect(slice2)) <= exp[-1]["datetime"]
+
+
+def test_untouched_partitions_not_rewritten(spark, tmp_path):
+    """Dynamic partition overwrite: an append batch must leave day-0's
+    final parquet files byte-identical (partition pruning proof)."""
+    m1 = _m1(spark, range(100, 200))
+    b1 = _ticks(spark, range(0, DAY + 100))
+    b2 = _ticks(spark, range(DAY * 3, DAY * 3 + 100))
+
+    inc = IncrementalHybridPipeline(
+        spark, str(tmp_path / "state"), spike_threshold=1e9, consensus_threshold=1e9
+    )
+    inc.update(m1, b1)
+    day0 = sorted(
+        (p.name, p.stat().st_mtime_ns, p.stat().st_size)
+        for p in (tmp_path / "state" / "final" / "d=2024-01-01").glob("*.parquet")
+    )
+    assert day0, "day-0 partition must exist"
+    inc.update(m1, b2)
+    day0_after = sorted(
+        (p.name, p.stat().st_mtime_ns, p.stat().st_size)
+        for p in (tmp_path / "state" / "final" / "d=2024-01-01").glob("*.parquet")
+    )
+    assert day0_after == day0, "append must not rewrite day-0 files"
+    # while the previously-last day gained its trailing flat bridge
+    assert (tmp_path / "state" / "final" / "d=2024-01-04").exists()
+
+
+def test_incremental_cleaning_and_flat_bridge(spark, tmp_path):
+    """Active F4/F5/F6 + a gap spanning the update boundary: crafted M1
+    rows fire inverted/structure fixes, a price jump fires the spike
+    drop, and the cross-batch gap bridges from recovered carry state —
+    all matching the full recompute."""
+    b1 = _ticks(spark, range(0, 300))
+    b2 = _ticks(spark, range(DAY + 200, DAY + 500))
+    # m1-only rows: one inverted (low>high), one structure-bad
+    bad_m1 = spark.createDataFrame(
+        [
+            (T0 + timedelta(minutes=500), 2.0, 1.0, 3.0, 2.0, 5.0, None),  # inverted
+            (T0 + timedelta(minutes=501), 9.0, 4.0, 3.5, 1.0, 5.0, None),  # bad open
+        ],
+        "datetime timestamp, open double, high double, low double,"
+        " close double, volume double, spread double",
+    )
+    m1 = _m1(spark, range(400, 500)).unionByName(bad_m1)
+
+    kw = dict(spike_threshold=0.25, consensus_threshold=1e9)
+    inc = IncrementalHybridPipeline(
+        spark, str(tmp_path / "state"), chunk_seconds=6 * 3600, **kw
+    )
+    inc.update(m1, b1)
+    inc.update(m1, b2)
+
+    eng = HybridMergerSpark(**kw)
+    full, full_audit = eng.run(m1, b1.unionByName(b2))
+    assert _collect(inc.read_final()) == _collect(full)
+
+    got_tags = {
+        (r["reason"], r["datetime"]) for r in inc.read_audit().collect()
+    }
+    exp_tags = {(r["reason"], r["datetime"]) for r in full_audit.collect()}
+    # audit state only covers overwritten partitions per update; every
+    # full-run tag on those days must be present with the same key
+    assert exp_tags == got_tags

@@ -9,7 +9,13 @@ no driver-side data), runs the full hybrid pipeline, and reports row
 counts + wall time. This is the "would it still work at reference
 scale" proof, not a micro-benchmark.
 
-Usage: python tools/scale_sanity.py [n_ticks_millions]
+Also the vanilla-vs-chunked scale proof: ``--engine=chunked`` runs the
+same pipeline through the range-partitioned window engine
+(plans/pipeline_chunked.py) — no single-partition sort — so the two
+walls at ~8M output rows quantify what the chunked path buys on a long
+single-symbol history (the round-1 verdict's scale soft spot).
+
+Usage: python tools/scale_sanity.py [n_ticks_millions] [--engine=vanilla|chunked|both]
 """
 
 from __future__ import annotations
@@ -24,12 +30,22 @@ from pyspark.sql import functions as F
 from institutional_fx_etl_spark import get_spark
 from institutional_fx_etl_spark.plans.pipeline import HybridMergerSpark
 
-YEARS = 15
+YEARS = 15  # --years=N overrides (crossover runs: vanilla's one-task
+# window sort degrades superlinearly with minutes; fused stays parallel)
 MINUTES = YEARS * 365 * 24 * 60  # ~7.88M minute slots
 
 
 def main() -> None:
-    n_ticks = int(float(sys.argv[1]) * 1e6) if len(sys.argv) > 1 else 30_000_000
+    global MINUTES
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_ticks = int(float(positional[0]) * 1e6) if positional else 30_000_000
+    engine = "vanilla"
+    for a in sys.argv[1:]:
+        if a.startswith("--engine="):
+            engine = a.split("=", 1)[1]
+        elif a.startswith("--years="):
+            MINUTES = int(float(a.split("=", 1)[1]) * 365 * 24 * 60)
+    engines = ["vanilla", "chunked", "fused"] if engine == "both" else [engine]
     spark = get_spark(app_name="scale_sanity")
 
     # ticks: pseudo-random minute placement via integer hashing; ~71% of
@@ -80,20 +96,45 @@ def main() -> None:
     )
 
     eng = HybridMergerSpark(spike_threshold=1e9, consensus_threshold=0.01)
-    t0 = time.perf_counter()
-    final, audit = eng.run(m1, ticks)
-    n_rows = final.count()
-    wall = time.perf_counter() - t0
+    # materialize once so both engines start from identical resampled
+    # candles and the scan/agg cost isn't double-counted in the compare
+    tick_candles = eng.resample_ticks(ticks).localCheckpoint(eager=True)
+    m1 = m1.localCheckpoint(eager=True)
 
-    t1 = time.perf_counter()
-    n_flat = final.filter(F.col("is_flat") == 1).count()
-    flat_wall = time.perf_counter() - t1
+    for name in engines:
+        t0 = time.perf_counter()
+        if name in ("chunked", "fused"):
+            from institutional_fx_etl_spark.plans.pipeline_chunked import (
+                merge_chunked,
+            )
+            from institutional_fx_etl_spark.plans.pipeline_fused import merge_fused
 
-    print(
-        f"ticks~{n_ticks/1e6:.0f}M minutes={MINUTES} -> output_rows={n_rows} "
-        f"({n_rows/1e6:.2f}M), flat={n_flat} ({100*n_flat/max(n_rows,1):.1f}%), "
-        f"pipeline_wall={wall:.1f}s (+{flat_wall:.1f}s recount)"
-    )
+            # ~1-week chunks at 15y (~780 chunks x ~10k candle rows);
+            # capped at ~2000 chunks so the O(C^2) carry self-joins
+            # stay trivial on longer synthetic histories
+            chunk_seconds = max(7 * 86400, MINUTES * 60 // 2000)
+            final, audit = (merge_chunked if name == "chunked" else merge_fused)(
+                m1,
+                tick_candles,
+                spike_threshold=1e9,
+                consensus_threshold=0.01,
+                chunk_seconds=chunk_seconds,
+            )
+        else:
+            final, audit = eng.merge(m1, tick_candles)
+        n_rows = final.count()
+        wall = time.perf_counter() - t0
+
+        t1 = time.perf_counter()
+        n_flat = final.filter(F.col("is_flat") == 1).count()
+        flat_wall = time.perf_counter() - t1
+
+        print(
+            f"[{name}] ticks~{n_ticks/1e6:.0f}M minutes={MINUTES} -> "
+            f"output_rows={n_rows} ({n_rows/1e6:.2f}M), flat={n_flat} "
+            f"({100*n_flat/max(n_rows,1):.1f}%), merge_wall={wall:.1f}s "
+            f"(+{flat_wall:.1f}s recount)"
+        )
 
 
 if __name__ == "__main__":
