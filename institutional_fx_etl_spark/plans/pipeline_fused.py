@@ -60,11 +60,14 @@ def _chunk_carries(
     ``specs`` maps an output column name to ``(value, forward)``: the
     carry is the last (``forward=True``) or first non-null ``value`` of
     any earlier (later) chunk, per partition key. One groupBy computes
-    every chunk-edge summary together; each carry is then a self-join
-    over that 1-row-per-chunk table (O(C²) pairs over the summary, like
-    :func:`functions.chunked.ffill_chunked` — trivial up to ~10⁴
-    chunks). Returns ``(partition_cols…, __cidx, <name>…)`` for
-    broadcast back onto the frame.
+    every chunk-edge summary together; ALL carries then resolve through
+    ONE broadcast self-join over that 1-row-per-chunk table (O(C²)
+    pairs over the summary, like :func:`functions.chunked.
+    ffill_chunked` — trivial up to ~10⁴ chunks): mixed directions
+    become conditional ``max_by``/``min_by`` aggregates over the pair
+    table, so the stage count stays constant in the number of specs.
+    Returns ``(partition_cols…, __cidx, <name>…)`` for broadcast back
+    onto the frame.
     """
     part = [*partition_cols, CIDX]
     if PAD in frame.columns:
@@ -76,34 +79,40 @@ def _chunk_carries(
         for name, (value, fwd) in specs.items()
     ]
     sums = frame.groupBy(*part).agg(*aggs)
-    out = sums.select(*part)
+    a = sums.select(*part).alias("__sa")
+    b = sums.select(
+        *[F.col(c).alias(f"__b_{c}") for c in part],
+        *[F.col(f"__e_{n}").alias(f"__b_{n}") for n in specs],
+    )
+    # left join keeps carry-less chunks (their aggregates come out
+    # null, exactly like the per-spec left joins this replaces)
+    cond = reduce(
+        Column.__and__,
+        [
+            F.col(f"__sa.{c}").eqNullSafe(F.col(f"__b_{c}"))
+            for c in partition_cols
+        ],
+        F.col(f"__b_{CIDX}") != F.col(f"__sa.{CIDX}"),
+    )
+    carry_aggs = []
     for name, (_value, fwd) in specs.items():
-        a = sums.select(*part).alias("__sa")
-        b = sums.select(
-            *[F.col(c).alias(f"__b_{c}") for c in part],
-            F.col(f"__e_{name}").alias("__b_edge"),
-        )
-        direction = (
+        ok = F.col(f"__b_{name}").isNotNull() & (
             F.col(f"__b_{CIDX}") < F.col(f"__sa.{CIDX}")
             if fwd
             else F.col(f"__b_{CIDX}") > F.col(f"__sa.{CIDX}")
         )
-        cond = reduce(
-            Column.__and__,
-            [
-                F.col(f"__sa.{c}").eqNullSafe(F.col(f"__b_{c}"))
-                for c in partition_cols
-            ],
-            direction & F.col("__b_edge").isNotNull(),
-        )
         pick = F.max_by if fwd else F.min_by
-        carry = (
-            a.join(F.broadcast(b), cond)
-            .groupBy(*[F.col(f"__sa.{c}").alias(c) for c in part])
-            .agg(pick(F.col("__b_edge"), F.col(f"__b_{CIDX}")).alias(name))
+        carry_aggs.append(
+            pick(
+                F.when(ok, F.col(f"__b_{name}")),
+                F.when(ok, F.col(f"__b_{CIDX}")),
+            ).alias(name)
         )
-        out = out.join(carry, on=part, how="left")
-    return out
+    return (
+        a.join(F.broadcast(b), cond, "left")
+        .groupBy(*[F.col(f"__sa.{c}").alias(c) for c in part])
+        .agg(*carry_aggs)
+    )
 
 
 def _pad_explode(
