@@ -22,16 +22,16 @@ value:
   have seen in the global sort. Padding rows are dropped afterwards.
 - The only **unbounded** state — the forward-fill carry — reduces to a
   1-row-per-chunk summary (last non-null value per chunk), whose
-  cross-chunk prefix is resolved with a broadcast self-join and joined
-  back; full rows never leave their chunk.
+  cross-chunk prefix is an O(C) running window over the summary itself,
+  broadcast-joined back; full rows never leave their chunk.
 
 Physical shape: one hash exchange on ``(partition_cols, chunk)`` per
 window site (consecutive sites on the same frame reuse it), tiny
 broadcast joins for the summaries, and NO full-series sort. The
-chunk-index and carry self-joins are O(C²) pairs over the per-chunk
-summary where C = number of chunks — trivial up to ~10⁴ chunks; for
-more, raise ``chunk_seconds`` (chunks are a coarse unit: 1 chunk ≈
-minutes-per-chunk candle rows) or add a second summary level.
+chunk-index ordinal and the cross-chunk carry prefix both resolve as
+O(C) running windows over the 1-row-per-chunk summary table (C rows —
+its sort is negligible at any realistic chunk count; full rows never
+pass through it).
 """
 
 from __future__ import annotations
@@ -54,6 +54,18 @@ def _same_keys(a: str, b: str, cols: tuple[str, ...]) -> Column:
     return reduce(Column.__and__, exprs, F.lit(True))
 
 
+def epoch_seconds(col: Column | str) -> Column:
+    """Epoch seconds of a timestamp, tolerant of ``TIMESTAMP_NTZ``
+    inputs (parquet written without a zone under a vanilla session):
+    NTZ cannot cast to DOUBLE directly, but NTZ→TIMESTAMP is legal
+    (session-zone interpretation) and a no-op for TZ-aware inputs.
+    Chunk bucketing only needs a monotone fixed-width bucket id, so the
+    zone-dependent offset never changes results — only which boundary
+    a chunk edge lands on."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")
+
+
 def with_chunk_index(
     df: DataFrame,
     ts_col: str = "datetime",
@@ -63,30 +75,27 @@ def with_chunk_index(
     """Add ``__chunk`` (time bucket) and ``__cidx`` (dense ordinal of
     the non-empty chunks, per partition key).
 
-    The dense index is computed WITHOUT a global sort: the distinct
-    chunk list is a map-side-combined aggregate (1 row per chunk), and
-    each chunk's ordinal is the broadcast-joined count of chunks ≤ it.
+    The dense index is computed WITHOUT a full-row sort: the distinct
+    chunk list is a map-side-combined aggregate (1 row per chunk) and
+    the ordinal is a ``row_number`` over that C-row summary — an O(C)
+    window whose sort never sees full rows.
     """
     df = df.withColumn(
         CHUNK,
-        F.floor(F.col(ts_col).cast("double") / F.lit(float(chunk_seconds))).cast(
+        F.floor(epoch_seconds(ts_col) / F.lit(float(chunk_seconds))).cast(
             "long"
         ),
     )
-    chunks = df.select(*partition_cols, CHUNK).distinct()
-    a = chunks.alias("__ca")
-    b = chunks.select(
-        *[F.col(c).alias(f"__b_{c}") for c in [*partition_cols, CHUNK]]
-    ).alias("__cb")
-    cond = reduce(
-        Column.__and__,
-        [F.col(f"__ca.{c}").eqNullSafe(F.col(f"__b_{c}")) for c in partition_cols],
-        F.col(f"__b_{CHUNK}") <= F.col(f"__ca.{CHUNK}"),
+    idx = (
+        df.select(*partition_cols, CHUNK)
+        .distinct()
+        .withColumn(
+            CIDX,
+            F.row_number().over(
+                Window.partitionBy(*partition_cols).orderBy(CHUNK)
+            ),
+        )
     )
-    idx = a.join(F.broadcast(b), cond).groupBy(
-        *[F.col(f"__ca.{c}").alias(c) for c in partition_cols],
-        F.col(f"__ca.{CHUNK}").alias(CHUNK),
-    ).agg(F.count(F.lit(1)).alias(CIDX))
     return df.join(F.broadcast(idx), on=[*partition_cols, CHUNK], how="left")
 
 
@@ -147,9 +156,10 @@ def ffill_chunked(
     ``ffill(x) ≡ coalesce(per-chunk ffill(x), carry)`` where ``carry``
     is the last non-null ``x`` of any EARLIER chunk — a per-chunk 1-row
     summary (``max_by`` on timestamp, null ordering keys skipped) whose
-    running prefix is a broadcast self-join, joined back by chunk.
-    Padding rows (``pad_col``) are excluded from both the local fill
-    and the summaries so replicas can't double-count.
+    running prefix is an O(C) ``last(…, ignorenulls)`` window over the
+    summary itself, joined back by chunk. Padding rows (``pad_col``)
+    are excluded from both the local fill and the summaries so replicas
+    can't double-count.
     """
     part = [*partition_cols, CIDX]
     real = df.filter(~F.col(pad_col)) if pad_col else df
@@ -167,19 +177,16 @@ def ffill_chunked(
             "__last"
         )
     )
-    a = sums.alias("__sa")
-    b = sums.select(
-        *[F.col(c).alias(f"__b_{c}") for c in [*part, "__last"]]
+    carry = sums.select(
+        *part,
+        F.last("__last", ignorenulls=True)
+        .over(
+            Window.partitionBy(*partition_cols)
+            .orderBy(CIDX)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("__carry"),
     )
-    cond = reduce(
-        Column.__and__,
-        [F.col(f"__sa.{c}").eqNullSafe(F.col(f"__b_{c}")) for c in partition_cols],
-        (F.col(f"__b_{CIDX}") < F.col(f"__sa.{CIDX}"))
-        & F.col("__b___last").isNotNull(),
-    )
-    carry = a.join(F.broadcast(b), cond).groupBy(
-        *[F.col(f"__sa.{c}").alias(c) for c in part]
-    ).agg(F.max_by(F.col("__b___last"), F.col(f"__b_{CIDX}")).alias("__carry"))
 
     out = df.join(F.broadcast(carry), on=part, how="left")
     return out.withColumn(out_col, F.coalesce(local, F.col("__carry"))).drop(

@@ -22,15 +22,29 @@ Spark-first design:
 - **Windowed recompute with global carry-ins.** A new batch triggers a
   recompute of days ``>= overwrite_lo`` (earliest affected day, or the
   last existing output day when appending past the end — its trailing
-  flat bridge changes), plus ``context_days`` of earlier candles whose
-  rows absorb the ordered-window boundary (±2 smoother frame, F6 lag,
-  spread ffill carry) and are then discarded. The whole-series scalars
-  the reference computes over the closed dataset — exact median spread
-  (A5), tick count (T6), the F8 any-fixed flag — are recomputed over
-  the FULL candle state (candle-scale, ~3 orders of magnitude smaller
-  than the tick data) and injected via
-  :func:`plans.pipeline_fused.merge_fused`'s ``scalars_override``, so
-  a bounded recompute fills exactly like a full rerun.
+  flat bridge changes; widened to the M1 head on the first update and
+  on M1 backfill, so M1-only history preceding the first tick batch is
+  never dropped), plus ``context_days`` of earlier candles whose rows
+  absorb the ordered-window boundary (±2 smoother frame, F6 lag,
+  spread ffill carry) and are then discarded.
+- **Incremental scalar state.** The whole-series scalars the reference
+  computes over the closed dataset — exact median spread (A5), tick
+  count (T6), the F8 any-fixed flag — fold from maintained state
+  instead of a whole-history consensus join: ``day_scalars/`` holds
+  per-day partials (ntick sum, anyfix max, and the day's tick-spread
+  multiset as a sorted array — the exact median's input at candle
+  grain). Only days whose candles changed are rebuilt — update cost is
+  O(affected + context partitions), not O(history).
+  The result is injected via :func:`plans.pipeline_fused.merge_fused`'s
+  ``scalars_override``, so a bounded recompute fills exactly like a
+  full rerun.
+- **Scalar-drift detection.** Output partitions below the overwrite
+  boundary keep fills computed from the scalars in force when they
+  were written. Each update compares the new effective scalars (P9
+  fill value, F8 flag) against the persisted ``scalars/`` row and, on
+  drift, widens the rewrite to the whole state — still candle-scale
+  (no tick re-read) — so ``read_final()`` always equals a from-scratch
+  run, scalar-shifting batches included.
 
 Exactness: the recomputed slice is bit-identical to a from-scratch run
 of the full pipeline over all ticks, provided the context window
@@ -140,8 +154,11 @@ def finalize_partials(parts: DataFrame, ts_col: str = "datetime") -> DataFrame:
 class IncrementalHybridPipeline:
     """Stateful incremental runner for the single-symbol hybrid
     pipeline. State layout under ``state_dir`` (all parquet,
-    day-partitioned on ``d``): ``candles/`` (tick-minute partials),
-    ``final/`` (float32 output), ``audit/``.
+    day-partitioned on ``d`` unless noted): ``candles/`` (tick-minute
+    partials), ``final/`` (float32 output), ``audit/``,
+    ``day_scalars/`` (per-day scalar partials incl. the tick-spread
+    multiset), ``scalars/`` (unpartitioned 1-row: the effective
+    scalars the last update filled with — the drift check's baseline).
     """
 
     def __init__(
@@ -171,10 +188,15 @@ class IncrementalHybridPipeline:
         return f"{self.state_dir}/{name}"
 
     def _read_state(self, name: str) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.parquet(self._path(name))
-        except Exception:  # noqa: BLE001 — first update: state absent
+        except AnalysisException:  # path-not-found: first update
             return None
+        # any other error (corrupt files, transient IO) propagates —
+        # silently treating it as "first update" would fork state on
+        # top of the unreadable data
 
     @staticmethod
     def _write_partitions(df: DataFrame, path: str) -> None:
@@ -218,17 +240,128 @@ class IncrementalHybridPipeline:
         self._write_partitions(merged_parts.localCheckpoint(eager=True), self._path("candles"))
         candles_state = self.spark.read.parquet(self._path("candles"))
 
-        # 2. overwrite boundary: earliest affected day, or the last
-        # existing output day when appending past the end (its trailing
-        # flat bridge extends)
-        final_state = self._read_state("final")
-        old_max = None
-        if final_state is not None:
-            row = final_state.agg(F.max("d")).first()
-            old_max = row[0] if row else None
-        overwrite_lo = min(new_lo, old_max) if old_max is not None else new_lo
+        # 2. m1 day span (ONE candle-grain distinct — metadata scale).
+        # M1-only history earlier than the first tick day is the
+        # reference's canonical scenario (long M1 history, recent
+        # ticks): a from-scratch run includes those days, so the
+        # overwrite boundary must too.
+        m1_days = sorted(
+            r[0]
+            for r in m1.select(F.to_date("datetime").alias("d"))
+            .distinct()
+            .collect()
+        )
+        m1_min = m1_days[0] if m1_days else None
 
-        # 3. context days absorb ordered-window boundaries, then drop
+        # 3. overwrite boundary: earliest affected day, or the last
+        # existing output day when appending past the end (its trailing
+        # flat bridge extends); widened to the m1 head on the first
+        # update and on m1 backfill (m1 days before the existing output
+        # head)
+        final_state = self._read_state("final")
+        old_max = old_min = None
+        if final_state is not None:
+            row = final_state.agg(F.max("d"), F.min("d")).first()
+            old_max, old_min = (row[0], row[1]) if row else (None, None)
+        if old_max is not None:
+            overwrite_lo = min(new_lo, old_max)
+            if m1_min is not None and old_min is not None and m1_min < old_min:
+                overwrite_lo = min(overwrite_lo, m1_min)
+        else:
+            overwrite_lo = min(d for d in (new_lo, m1_min) if d is not None)
+
+        # 4. merged-consensus scalar state, maintained incrementally:
+        # one day-partitioned table (day_scalars/) of per-day partials —
+        # ntick sum, anyfix max, and the day's tick-spread multiset as
+        # a sorted array (≤1440 doubles — the exact-median's input at
+        # candle grain). Only days whose candles changed — plus m1 days
+        # not yet in state — are rebuilt, so the whole-history consensus
+        # join of earlier rounds is gone: the update never rescans m1
+        # against the full candle state. Every refresh day has ≥1
+        # merged row (candles or m1), so its partition is always
+        # rewritten — a day can never go silently stale under dynamic
+        # partition overwrite.
+        day_state = self._read_state("day_scalars")
+        state_days = (
+            {r[0] for r in day_state.select("d").distinct().collect()}
+            if day_state is not None
+            else set()
+        )
+        refresh = sorted(set(affected) | (set(m1_days) - state_days))
+        if refresh:
+            refresh_strs = [str(d) for d in refresh]
+            m1_r = m1.filter(
+                F.to_date("datetime").isin(refresh_strs)
+            )
+            cand_r = finalize_partials(
+                candles_state.filter(F.col("d").isin(refresh_strs)).select(
+                    *_PARTIAL_COLS
+                )
+            )
+            merged_r, _ = fused_consensus_merge(
+                m1_r, cand_r, self.engine.consensus_threshold, (), False
+            )
+            inverted = F.coalesce(F.col("low") > F.col("high"), F.lit(False))
+            bad_oc = F.coalesce(
+                (F.col("open") > F.col("high"))
+                | (F.col("open") < F.col("low"))
+                | (F.col("close") > F.col("high"))
+                | (F.col("close") < F.col("low")),
+                F.lit(False),
+            )
+            self._write_partitions(
+                merged_r.withColumn("d", F.to_date("datetime"))
+                .groupBy("d")
+                .agg(
+                    F.sum(F.col("__is_tick").cast("int")).alias("ntick"),
+                    F.max(
+                        F.when(~inverted, bad_oc).cast("int")
+                    ).alias("anyfix"),
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("__is_tick"), F.col("spread"))
+                        )
+                    ).alias("sps"),
+                ),
+                self._path("day_scalars"),
+            )
+
+        # 5. whole-history scalars from the maintained state: a pruned
+        # scan of the per-day partials; the exact median runs over the
+        # flattened per-day spread multisets
+        day_all = self.spark.read.parquet(self._path("day_scalars"))
+        agg_row = day_all.agg(F.sum("ntick"), F.max("anyfix")).first()
+        ntick, anyfix = (agg_row[0], agg_row[1]) if agg_row else (None, None)
+        med_row = (
+            day_all.select(F.explode("sps").alias("sp"))
+            .agg(F.percentile("sp", 0.5))
+            .first()
+        )
+        med = med_row[0] if med_row else None
+        scalars = self.spark.range(1).select(
+            F.lit(med).cast("double").alias("__med"),
+            F.lit(ntick).cast("long").alias("__ntick"),
+            F.lit(anyfix).cast("int").alias("__anyfix"),
+        )
+
+        # 6. scalar-drift detection: day partitions below overwrite_lo
+        # keep fills computed from the scalars in force when they were
+        # written. If this batch shifts the EFFECTIVE scalars (the P9
+        # fill value or the F8 any-fix flag), a bounded rewrite would
+        # diverge from a from-scratch run — widen the recompute to the
+        # whole state (still candle-scale: no tick re-read).
+        new_fill = 0.0 if not ntick else med
+        new_eff = (new_fill, anyfix)
+        stored = self._read_state("scalars")
+        if stored is not None and old_max is not None:
+            srow = stored.first()
+            old_fill = 0.0 if not srow["ntick"] else srow["med"]
+            if (old_fill, srow["anyfix"]) != new_eff:
+                all_days = sorted(state_days | set(refresh))
+                if all_days:
+                    overwrite_lo = min(overwrite_lo, all_days[0])
+
+        # 7. context days absorb ordered-window boundaries, then drop
         ctx_rows = (
             candles_state.select("d")
             .filter(F.col("d") < F.lit(overwrite_lo))
@@ -239,30 +372,7 @@ class IncrementalHybridPipeline:
         )
         w_lo = min([r[0] for r in ctx_rows], default=overwrite_lo)
 
-        # 4. full-history scalars (candle-scale scan — the price of the
-        # reference's closed-dataset median/any-fix semantics)
-        all_candles = finalize_partials(candles_state.select(*_PARTIAL_COLS))
-        m1_all = m1
-        merged_all, _ = fused_consensus_merge(
-            m1_all, all_candles, self.engine.consensus_threshold, (), False
-        )
-        inverted = F.coalesce(F.col("low") > F.col("high"), F.lit(False))
-        bad_oc = F.coalesce(
-            (F.col("open") > F.col("high"))
-            | (F.col("open") < F.col("low"))
-            | (F.col("close") > F.col("high"))
-            | (F.col("close") < F.col("low")),
-            F.lit(False),
-        )
-        scalars = merged_all.agg(
-            F.percentile(
-                F.when(F.col("__is_tick"), F.col("spread")), 0.5
-            ).alias("__med"),
-            F.sum(F.col("__is_tick").cast("int")).alias("__ntick"),
-            F.max(F.when(~inverted, bad_oc).cast("int")).alias("__anyfix"),
-        ).localCheckpoint(eager=True)
-
-        # 5. windowed recompute over [w_lo, end) with global carry-ins
+        # 8. windowed recompute over [w_lo, end) with global carry-ins
         cand_w = finalize_partials(
             candles_state.filter(F.col("d") >= F.lit(w_lo)).select(*_PARTIAL_COLS)
         )
@@ -289,6 +399,13 @@ class IncrementalHybridPipeline:
         self._write_partitions(
             audit_out.localCheckpoint(eager=True), self._path("audit")
         )
+        # persist the effective scalars this update filled with — the
+        # next update's drift check compares against them
+        self.spark.range(1).select(
+            F.lit(med).cast("double").alias("med"),
+            F.lit(ntick).cast("long").alias("ntick"),
+            F.lit(anyfix).cast("int").alias("anyfix"),
+        ).write.mode("overwrite").parquet(self._path("scalars"))
         return out.drop("d")
 
     def read_final(self) -> DataFrame:

@@ -24,8 +24,9 @@ frames*:
   adjacency needed, so F4/F6 emptying whole chunks is harmless);
 - every cross-chunk dependency (ffill carries, previous-survivor
   close, next-survivor timestamp) is a 1-row-per-chunk summary whose
-  prefix/suffix resolves via broadcast self-join (the
-  :mod:`functions.chunked` design) — full rows never leave their chunk.
+  prefix/suffix resolves as O(C) running windows over the summary
+  itself (the :mod:`functions.chunked` design) — full rows never leave
+  their chunk.
 
 Physical shape: 2 checkpoints (consensus-merged frame, pass-1 windowed
 frame) and 3 full-row exchanges (consensus join, pass-1 window, pass-2
@@ -42,11 +43,60 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from institutional_fx_etl_spark.functions.chunked import CHUNK, CIDX, PAD
+from institutional_fx_etl_spark.functions.chunked import CHUNK, CIDX, PAD, epoch_seconds
 from institutional_fx_etl_spark.functions.nullsafe import is_true
 from institutional_fx_etl_spark.operators.clean import _audit_select
 from institutional_fx_etl_spark.plans.pipeline import cast_final, fused_consensus_merge
 from institutional_fx_etl_spark.sources import schemas
+
+
+def chunk_of(ts_col: str, chunk_seconds: int) -> Column:
+    """The raw time-chunk id of a timestamp (fixed-width bucket)."""
+    return F.floor(
+        epoch_seconds(ts_col) / F.lit(float(chunk_seconds))
+    ).cast("long")
+
+
+def chunk_bounds(
+    df: DataFrame,
+    ts_col: str,
+    chunk_seconds: int,
+    partition_cols: tuple[str, ...],
+    chunked: bool = False,
+) -> DataFrame:
+    """Per-chunk top-2/bottom-2 boundary timestamps + the dense chunk
+    ordinal, in ONE scan: a per-chunk sorted collect (bounded by chunk
+    row count, which ``chunk_seconds`` controls) and a ``row_number``
+    over the resulting C-row summary. ``F.get`` is 0-based and NULL
+    out-of-range regardless of ANSI mode, so 1-row chunks get NULL
+    ``__hi2``/``__lo2`` (→ coalesce to ``__hi1``/``__lo1``).
+
+    This deliberately takes the PRE-scalar-join frame so its broadcast
+    build is independent of the global-scalar aggregate's — AQE
+    materializes the two concurrently instead of serially.
+    """
+    p = partition_cols
+    if not chunked:
+        df = df.withColumn(CHUNK, chunk_of(ts_col, chunk_seconds))
+    n = F.size("__l")
+    return (
+        df.groupBy(*p, CHUNK)
+        .agg(F.sort_array(F.collect_list(ts_col)).alias("__l"))
+        .select(
+            *p,
+            CHUNK,
+            F.get("__l", n - 1).alias("__hi1"),
+            F.get("__l", n - 2).alias("__hi2"),
+            F.get("__l", F.lit(0)).alias("__lo1"),
+            F.get("__l", F.lit(1)).alias("__lo2"),
+            # dense chunk ordinal from the (tiny) chunk list — adjacency
+            # survives empty chunk ranges (FX weekends); O(C) row_number
+            # over the C-row summary, no full-row sort
+            F.row_number()
+            .over(Window.partitionBy(*p).orderBy(CHUNK))
+            .alias(CIDX),
+        )
+    )
 
 
 def _chunk_carries(
@@ -60,14 +110,12 @@ def _chunk_carries(
     ``specs`` maps an output column name to ``(value, forward)``: the
     carry is the last (``forward=True``) or first non-null ``value`` of
     any earlier (later) chunk, per partition key. One groupBy computes
-    every chunk-edge summary together; ALL carries then resolve through
-    ONE broadcast self-join over that 1-row-per-chunk table (O(C²)
-    pairs over the summary, like :func:`functions.chunked.
-    ffill_chunked` — trivial up to ~10⁴ chunks): mixed directions
-    become conditional ``max_by``/``min_by`` aggregates over the pair
-    table, so the stage count stays constant in the number of specs.
-    Returns ``(partition_cols…, __cidx, <name>…)`` for broadcast back
-    onto the frame.
+    every chunk-edge summary together; ALL carries then resolve as
+    O(C) prefix/suffix running windows over that 1-row-per-chunk
+    summary table — its sort orders C summary rows by ``__cidx`` (full
+    rows never pass through it), so chunk count is unbounded. Returns
+    ``(partition_cols…, __cidx, <name>…)`` for broadcast back onto the
+    frame.
     """
     part = [*partition_cols, CIDX]
     if PAD in frame.columns:
@@ -79,39 +127,19 @@ def _chunk_carries(
         for name, (value, fwd) in specs.items()
     ]
     sums = frame.groupBy(*part).agg(*aggs)
-    a = sums.select(*part).alias("__sa")
-    b = sums.select(
-        *[F.col(c).alias(f"__b_{c}") for c in part],
-        *[F.col(f"__e_{n}").alias(f"__b_{n}") for n in specs],
-    )
-    # left join keeps carry-less chunks (their aggregates come out
-    # null, exactly like the per-spec left joins this replaces)
-    cond = reduce(
-        Column.__and__,
-        [
-            F.col(f"__sa.{c}").eqNullSafe(F.col(f"__b_{c}"))
-            for c in partition_cols
-        ],
-        F.col(f"__b_{CIDX}") != F.col(f"__sa.{CIDX}"),
-    )
-    carry_aggs = []
-    for name, (_value, fwd) in specs.items():
-        ok = F.col(f"__b_{name}").isNotNull() & (
-            F.col(f"__b_{CIDX}") < F.col(f"__sa.{CIDX}")
-            if fwd
-            else F.col(f"__b_{CIDX}") > F.col(f"__sa.{CIDX}")
-        )
-        pick = F.max_by if fwd else F.min_by
-        carry_aggs.append(
-            pick(
-                F.when(ok, F.col(f"__b_{name}")),
-                F.when(ok, F.col(f"__b_{CIDX}")),
+    w = Window.partitionBy(*partition_cols).orderBy(CIDX)
+    prefix = w.rowsBetween(Window.unboundedPreceding, -1)
+    suffix = w.rowsBetween(1, Window.unboundedFollowing)
+    return sums.select(
+        *part,
+        *[
+            (
+                F.last(f"__e_{name}", ignorenulls=True).over(prefix)
+                if fwd
+                else F.first(f"__e_{name}", ignorenulls=True).over(suffix)
             ).alias(name)
-        )
-    return (
-        a.join(F.broadcast(b), cond, "left")
-        .groupBy(*[F.col(f"__sa.{c}").alias(c) for c in part])
-        .agg(*carry_aggs)
+            for name, (_value, fwd) in specs.items()
+        ],
     )
 
 
@@ -120,6 +148,7 @@ def _pad_explode(
     ts_col: str,
     chunk_seconds: int,
     partition_cols: tuple[str, ...],
+    bounds: DataFrame | None = None,
 ) -> DataFrame:
     """Chunk-index + ±2-row boundary padding in ONE scan, no window.
 
@@ -128,49 +157,21 @@ def _pad_explode(
     window pass — and :func:`functions.chunked.with_chunk_index` runs
     its own distinct scan. Candle timestamps are unique, so "first/last
     2 rows of a chunk" is decidable from per-chunk boundary timestamps:
-    two 1-row-per-chunk aggregates (map-side combined) double as the
-    distinct-chunk list for the dense index, everything broadcasts back
-    onto the frame, and each row *emits its own pad copies* through a
-    generated shift array + ``explode``. The pass-1 window exchange is
-    then the only full-row shuffle between the consensus join and
-    densification.
+    ONE 1-row-per-chunk aggregate (top-2/bottom-2 timestamps out of a
+    per-chunk sorted collect — bounded by chunk row count, which
+    ``chunk_seconds`` controls) doubles as the distinct-chunk list for
+    the dense index (``row_number`` over the C-row summary), everything
+    broadcasts back onto the frame, and each row *emits its own pad
+    copies* through a generated shift array + ``explode``. The pass-1
+    window exchange is then the only full-row shuffle between the
+    consensus join and densification — and the frame is scanned once,
+    not twice.
     """
     p = partition_cols
     key = [*p, CHUNK]
-    base = base.withColumn(
-        CHUNK,
-        F.floor(F.col(ts_col).cast("double") / F.lit(float(chunk_seconds))).cast(
-            "long"
-        ),
-    )
-    s1 = base.groupBy(*key).agg(
-        F.max(ts_col).alias("__hi1"), F.min(ts_col).alias("__lo1")
-    )
-    s2 = (
-        base.join(F.broadcast(s1), on=key, how="left")
-        .groupBy(*key)
-        .agg(
-            F.max(F.when(F.col(ts_col) < F.col("__hi1"), F.col(ts_col))).alias("__hi2"),
-            F.min(F.when(F.col(ts_col) > F.col("__lo1"), F.col(ts_col))).alias("__lo2"),
-            F.max("__hi1").alias("__hi1"),
-            F.min("__lo1").alias("__lo1"),
-        )
-    )
-    # dense chunk ordinal from the (tiny) chunk list — adjacency
-    # survives empty chunk ranges (FX weekends)
-    a = s1.select(*key).alias("__ca")
-    b = s1.select(*[F.col(c).alias(f"__b_{c}") for c in key]).alias("__cb")
-    cond = reduce(
-        Column.__and__,
-        [F.col(f"__ca.{c}").eqNullSafe(F.col(f"__b_{c}")) for c in p],
-        F.col(f"__b_{CHUNK}") <= F.col(f"__ca.{CHUNK}"),
-    )
-    idx = (
-        a.join(F.broadcast(b), cond)
-        .groupBy(*[F.col(f"__ca.{c}").alias(c) for c in key])
-        .agg(F.count(F.lit(1)).alias(CIDX))
-    )
-    bounds = s2.join(F.broadcast(idx), on=key)
+    base = base.withColumn(CHUNK, chunk_of(ts_col, chunk_seconds))
+    if bounds is None:
+        bounds = chunk_bounds(base, ts_col, chunk_seconds, p, chunked=True)
 
     tail = f"{ts_col} >= coalesce(__hi2, __hi1)"
     head = f"{ts_col} <= coalesce(__lo2, __lo1)"
@@ -183,10 +184,16 @@ def _pad_explode(
     keep = [c for c in base.columns if c != CHUNK]
     return (
         base.join(F.broadcast(bounds), on=key, how="left")
-        .selectExpr(*keep, CIDX, f"explode({shifts}) AS __sh")
-        .withColumn(CIDX, F.col(CIDX) + F.col("__sh.s"))
-        .withColumn(PAD, F.col("__sh.p"))
-        .drop("__sh")
+        # __lr (the chunk's last REAL timestamp) rides along so the
+        # carry extraction can identify each chunk's last real row
+        # without a second ranking window
+        .selectExpr(*keep, CIDX, "__hi1 AS __lr", f"explode({shifts}) AS __sh")
+        .select(
+            *keep,
+            (F.col(CIDX) + F.col("__sh.s")).alias(CIDX),
+            "__lr",
+            F.col("__sh.p").alias(PAD),
+        )
     )
 
 
@@ -221,18 +228,55 @@ def merge_fused(
     ts = "datetime"
     part = [*p, CIDX]
 
-    # eager localCheckpoint, NOT persist or lazy: each stage is
-    # referenced several times (carry summaries + main path). Fully
-    # lazy re-derives the subtree per reference (measured 36.5s vs
-    # 23.5s at 7.9M rows); forced persist() looked cheaper in isolation
-    # but collapsed end-to-end (26s at sf0.1 vs 3.9s — cache-manager
+    # localCheckpoint, NOT persist or no-op: each stage is referenced
+    # several times (carry summaries + main path). materialize=False
+    # re-derives the subtree per reference (measured 36.5s vs 23.5s at
+    # 7.9M rows); forced persist() looked cheaper in isolation but
+    # collapsed end-to-end (26s at sf0.1 vs 3.9s — cache-manager
     # substitution does not hold up across this plan's reuse pattern).
-    _mat = (lambda df: df.localCheckpoint(eager=True)) if materialize else (lambda df: df)
+    # Checkpoint POLICY is adaptive on the same Catalyst size estimate
+    # as the engine crossover: at SMALL scale, eager=False folds each
+    # checkpoint's materialization into the first consuming job (saves
+    # a scheduling round-trip per checkpoint; the branches share one
+    # JVM RDD, so later references still read cached blocks) at the
+    # default MEMORY_AND_DISK level. At scale — or when the estimate
+    # is unavailable — checkpoints are EAGER and DISK_ONLY: keeping
+    # tens of millions of deserialized rows in block-manager memory
+    # starves the window/aggregate execution pool in the same JVM
+    # (measured UNABLE_TO_ACQUIRE_MEMORY at 56M merged rows / 8g heap
+    # in tools/scale_sanity.py --years=150), while DISK_ONLY blocks
+    # cost sequential local IO and zero heap — on a real cluster this
+    # is the executor-local equivalent of a shuffle-file
+    # materialization.
+    from pyspark.storagelevel import StorageLevel
+
+    from institutional_fx_etl_spark.plans.pipeline import HybridMergerSpark
+
+    sizes = [
+        HybridMergerSpark._plan_size_bytes(df) for df in (m1, tick_candles)
+    ]
+    small = (
+        None not in sizes
+        and sum(sizes) < HybridMergerSpark.FUSED_THRESHOLD_BYTES
+    )
+    if not materialize:
+        _mat = lambda df: df  # noqa: E731 — plan-inspection mode
+    elif small:
+        _mat = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
+    else:
+        _mat = lambda df: df.localCheckpoint(  # noqa: E731
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
 
     merged, audit_consensus = fused_consensus_merge(
         m1, tick_candles, consensus_threshold, p, broadcast_m1
     )
     merged = _mat(merged)
+
+    # pad bounds read only (partition_cols, datetime) of the merged
+    # frame — building them here, independent of the scalar aggregate
+    # below, lets AQE materialize the two broadcasts concurrently
+    pad_bounds = chunk_bounds(merged, ts, chunk_seconds, p)
 
     # -- whole-series scalars as ONE broadcast aggregate (A5/T6/F8) -----
     inverted = is_true(F.col("low") > F.col("high"))
@@ -258,15 +302,26 @@ def merge_fused(
         base = merged.crossJoin(F.broadcast(merged.agg(*aggs)))
 
     # -- P9 median fill (+T6 zero-fill on an empty tick side) -----------
+    # one select, not withColumn+drop: Spark 4 classic analyzes eagerly
+    # per transformation, so every saved transformation is a saved
+    # analysis pass over the whole subtree (construction-time cost)
     fill = F.when(F.coalesce(F.col("__ntick"), F.lit(0)) == 0, F.lit(0.0)).otherwise(
         F.col("__med")
     )
-    base = base.withColumn("spread", F.coalesce(F.col("spread"), fill)).drop(
-        "__is_tick", "__med", "__ntick"
+    base = base.select(
+        *p,
+        ts,
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        F.coalesce(F.col("spread"), fill).alias("spread"),
+        "__anyfix",
     )
 
     # -- pass 1: ONE padded chunk sort for smoother + clean-stage state -
-    pdd = _pad_explode(base, ts, chunk_seconds, p)
+    pdd = _pad_explode(base, ts, chunk_seconds, p, bounds=pad_bounds)
 
     w = Window.partitionBy(*part).orderBy(ts)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -274,100 +329,122 @@ def merge_fused(
     real = ~F.col(PAD)
 
     # W3 smoother: pad rows ARE the neighbour rows a chunk-edge ±2
-    # frame needs; their own (garbage) results are dropped below
-    if smooth_spread:
-        pdd = pdd.withColumn(
-            "spread", F.percentile("spread", 0.5).over(w.rowsBetween(-2, 2))
-        )
-
-    pdd = (
-        pdd.withColumn("__inv", inverted)
-        .withColumn("__bad", bad_oc)
-        # the structure audit logs PRE-fix values (hybrid_merger.py:157),
-        # and the fix applies to post-F4 survivors only — an inverted
-        # row that also trips bad_oc is dropped untouched
-        .withColumn("__fix", ~F.col("__inv") & F.col("__bad"))
-        .withColumn("__hi0", F.when(F.col("__fix"), F.col("high")))
-        .withColumn("__lo0", F.when(F.col("__fix"), F.col("low")))
-        .withColumn(
-            "high",
-            F.when(
-                F.col("__fix"), F.greatest("open", "close", "high")
-            ).otherwise(F.col("high")),
-        )
-        .withColumn(
-            "low",
-            F.when(F.col("__fix"), F.least("open", "close", "low")).otherwise(
-                F.col("low")
-            ),
-        )
-        .withColumn(
-            "spread",
-            F.when(F.col("__fix"), F.lit(None).cast("double")).otherwise(
-                F.col("spread")
-            ),
-        )
-        .drop("__bad")
+    # frame needs; their own (garbage) results are dropped below.
+    # Smoother + F4 flag + F5 structure fix land in ONE select (every
+    # expression reads the INPUT row, so __hi0/__lo0 see pre-fix
+    # values exactly as the per-withColumn chain did): the structure
+    # audit logs PRE-fix values (hybrid_merger.py:157), and the fix
+    # applies to post-F4 survivors only — an inverted row that also
+    # trips bad_oc is dropped untouched.
+    fix_e = ~inverted & bad_oc
+    spread_e = (
+        F.percentile("spread", 0.5).over(w.rowsBetween(-2, 2))
+        if smooth_spread
+        else F.col("spread")
+    )
+    pdd = pdd.select(
+        *p,
+        ts,
+        "open",
+        F.when(fix_e, F.greatest("open", "close", "high"))
+        .otherwise(F.col("high"))
+        .alias("high"),
+        F.when(fix_e, F.least("open", "close", "low"))
+        .otherwise(F.col("low"))
+        .alias("low"),
+        "close",
+        "volume",
+        F.when(fix_e, F.lit(None).cast("double")).otherwise(spread_e).alias("spread"),
+        "__anyfix",
+        CIDX,
+        "__lr",
+        PAD,
+        inverted.alias("__inv"),
+        fix_e.alias("__fix"),
+        F.when(fix_e, F.col("high")).alias("__hi0"),
+        F.when(fix_e, F.col("low")).alias("__lo0"),
     )
 
     # F5 ffill source: last non-null spread among post-F4 rows (spike
     # rows included — the reference ffills before the spike drop).
     # F6 lag: previous post-F4 row, struct-wrapped so its NULL close
     # still counts as "the previous row" (T3) instead of being skipped.
+    # __pc_incl (same running last, current row INCLUDED) exists only
+    # so the chunk's last real row doubles as the chunk's carry summary
+    # below — one more column in the same window pass, no extra scan.
     surv_spread = F.when(real & ~F.col("__inv"), F.col("spread"))
     prev_struct = F.when(real & ~F.col("__inv"), F.struct(F.col("close").alias("c")))
     pdd = (
-        pdd.withColumn("__sf_loc", F.last(surv_spread, ignorenulls=True).over(run))
-        .withColumn(
-            "__pc_loc", F.last(prev_struct, ignorenulls=True).over(run_prev)
+        pdd.select(
+            "*",
+            F.last(surv_spread, ignorenulls=True).over(run).alias("__sf_loc"),
+            F.last(prev_struct, ignorenulls=True).over(run_prev).alias("__pc_loc"),
+            F.last(prev_struct, ignorenulls=True).over(run).alias("__pc_incl"),
         )
         .filter(real)
         .drop(PAD)
     )
     frame = _mat(pdd)
 
-    # -- cross-chunk carries for pass-1 state (one scan, broadcast) -----
-    carries1 = _chunk_carries(
-        frame,
-        {
-            "__sf_carry": (F.when(~F.col("__inv"), F.col("spread")), True),
-            "__pc_carry": (
-                F.when(~F.col("__inv"), F.struct(F.col("close").alias("c"))),
-                True,
-            ),
-        },
-        F.col(ts),
-        p,
+    # -- cross-chunk carries for pass-1 state -----------------------------
+    # Each chunk's LAST real row (ts == __lr, exactly one per chunk)
+    # already holds the chunk-edge summary in its running-window
+    # columns: __sf_loc = last non-null post-F4 spread of the chunk,
+    # __pc_incl = last non-inverted close. The cross-chunk prefix is
+    # then an O(C) running window over that C-row slice — a
+    # filter+project over the materialized frame instead of a second
+    # hash-aggregate shuffle (the prior _chunk_carries groupBy).
+    prefix1 = (
+        Window.partitionBy(*p).orderBy(CIDX)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries1 = (
+        frame.filter(F.col(ts) == F.col("__lr"))
+        .select(*part, "__sf_loc", "__pc_incl")
+        .select(
+            *part,
+            F.last("__sf_loc", ignorenulls=True).over(prefix1).alias("__sf_carry"),
+            F.last("__pc_incl", ignorenulls=True).over(prefix1).alias("__pc_carry"),
+        )
     )
 
+    # F5's conditional ffill write-back (gated by the global F8 flag) +
+    # the F6 volatility-spike flag land in ONE select after the carry
+    # join. The write-back applies to EVERY row like the vanilla path —
+    # for a non-null spread, __sf (last non-null incl. own) IS the
+    # row's own value. The spike flag reads fixed values in post-F4
+    # row order; __prev_close is the carry-coalesced running lag.
+    sf_e = F.coalesce("__sf_loc", "__sf_carry")
+    pc_e = F.coalesce("__pc_loc", "__pc_carry").getField("c")
+    amp = (F.col("high") - F.col("low")) / F.col("open")
+    jump = F.abs((F.col("close") - pc_e) / pc_e)
     frame = (
         frame.join(F.broadcast(carries1), on=part, how="left")
-        .withColumn("__sf", F.coalesce("__sf_loc", "__sf_carry"))
-        .withColumn(
-            "__prev_close", F.coalesce("__pc_loc", "__pc_carry").getField("c")
+        .select(
+            *p,
+            ts,
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            F.when(F.col("__anyfix") == 1, sf_e)
+            .otherwise(F.col("spread"))
+            .alias("spread"),
+            CIDX,
+            "__inv",
+            "__fix",
+            "__hi0",
+            "__lo0",
+            (
+                ~F.col("__inv")
+                & (
+                    is_true(amp > F.lit(spike_threshold))
+                    | is_true(jump > F.lit(spike_threshold))
+                )
+            ).alias("__spike"),
         )
-        .drop("__sf_loc", "__sf_carry", "__pc_loc", "__pc_carry")
     )
-
-    # F5's conditional ffill write-back (gated by the global F8 flag).
-    # Applied to EVERY row like the vanilla path — for a non-null
-    # spread, __sf (last non-null incl. own) IS the row's own value.
-    frame = frame.withColumn(
-        "spread",
-        F.when(F.col("__anyfix") == 1, F.col("__sf")).otherwise(F.col("spread")),
-    ).drop("__sf", "__anyfix")
-
-    # -- F6 volatility-spike flag (fixed values, post-F4 row order) -----
-    amp = (F.col("high") - F.col("low")) / F.col("open")
-    jump = F.abs((F.col("close") - F.col("__prev_close")) / F.col("__prev_close"))
-    frame = frame.withColumn(
-        "__spike",
-        ~F.col("__inv")
-        & (
-            is_true(amp > F.lit(spike_threshold))
-            | is_true(jump > F.lit(spike_threshold))
-        ),
-    ).drop("__prev_close")
 
     audit_inverted = _audit_select(
         frame.filter(F.col("__inv")), ts, schemas.REASON_DROPPED_INVERTED
@@ -387,8 +464,8 @@ def merge_fused(
     # Plain lead/running-ffill per chunk — survivors are adjacent by
     # construction, so no padding is needed and chunks emptied by F4/F6
     # are harmless (the carries skip them).
-    surv = frame.filter(~F.col("__inv") & ~F.col("__spike")).drop(
-        "__inv", "__fix", "__spike", "__hi0", "__lo0"
+    surv = frame.filter(~F.col("__inv") & ~F.col("__spike")).select(
+        *p, ts, "open", "high", "low", "close", "volume", "spread", CIDX
     )
 
     carries2 = _chunk_carries(
@@ -402,18 +479,22 @@ def merge_fused(
     )
 
     w2 = Window.partitionBy(*part).orderBy(ts)
-    seq = (
-        surv.join(F.broadcast(carries2), on=part, how="left")
-        .withColumn("__next_ts", F.coalesce(F.lead(ts).over(w2), "__nt_carry"))
-        .withColumn(
-            "__spread_f",
-            F.coalesce(
-                F.last("spread", ignorenulls=True).over(
-                    w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                ),
-                "__gf_carry",
+    seq = surv.join(F.broadcast(carries2), on=part, how="left").select(
+        *p,
+        ts,
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        "spread",
+        F.coalesce(F.lead(ts).over(w2), "__nt_carry").alias("__next_ts"),
+        F.coalesce(
+            F.last("spread", ignorenulls=True).over(
+                w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
-        )
+            "__gf_carry",
+        ).alias("__spread_f"),
     )
 
     step_expr = f"interval {step}"
@@ -461,8 +542,14 @@ def merge_fused(
     ).filter(F.col("close").isNotNull())
 
     final = cast_final(dense, p)
+    # union the four shallow (post-checkpoint) audit frames first and
+    # the deep consensus subtree LAST: classic Datasets re-analyze the
+    # accumulated left side at every union, so left-folding a deep tree
+    # first re-analyzes it once per union (measured ~0.3 s of pure
+    # driver time). Row set is identical; the audit sink orders by
+    # (reason, datetime) anyway.
     audit = reduce(
         DataFrame.unionByName,
-        [audit_consensus, audit_inverted, audit_structure, audit_spike, audit_gaps],
+        [audit_inverted, audit_structure, audit_spike, audit_gaps, audit_consensus],
     )
     return final, audit

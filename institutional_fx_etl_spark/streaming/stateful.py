@@ -201,11 +201,26 @@ def streaming_hybrid_single_topology(
         def close(self) -> None:
             pass
 
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+    # transformWithStateInPandas requires the RocksDB state-store
+    # provider. The conf is session-global and other streaming queries
+    # on the same session would silently inherit it, so require the
+    # caller to opt in (document + fail fast) instead of mutating
+    # shared session state as a hidden side effect of building one
+    # query's topology.
+    rocks = (
         "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
+        "RocksDBStateStoreProvider"
     )
+    current = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    if rocks not in str(current):
+        raise RuntimeError(
+            "transformWithStateInPandas needs the RocksDB state store; "
+            "set spark.sql.streaming.stateStore.providerClass to "
+            f"{rocks!r} on the session (e.g. via get_spark(extra_conf=…)) "
+            "before building this topology"
+        )
     candles = streaming_consensus_candles(
         tick_stream,
         m1_static,

@@ -210,3 +210,32 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark):
         recalls.append(len(got & truth) / len(truth))
     assert recalls[1] >= recalls[0], "recall must not shrink with nprobe"
     assert recalls[1] >= 0.6, f"kmeans-IVF recall@5 too low: {recalls}"
+
+    # the FROZEN centroid literals of the driver contract query
+    # (driver_queries._IVF_KMEANS_CENTROIDS — precomputed with the same
+    # kmeans_centroids seed on sf0.01, the sf the driver correctness
+    # gate runs at) must clear the same recall gate there, at the
+    # contract query's nprobe=3 — so the oracle-checked path is also
+    # quality-gated
+    from institutional_fx_etl_spark.plans.driver_queries import (
+        _IVF_KMEANS_CENTROIDS,
+    )
+
+    emb01 = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    truth01 = {
+        (r.q_id, r.vec_id)
+        for r in cosine_topk(
+            emb01, emb01.filter(emb01.vec_id.isin(qids)), k=5
+        ).collect()
+    }
+    frozen = spark.createDataFrame(
+        _IVF_KMEANS_CENTROIDS, "cid int, cv array<double>"
+    )
+    got = {
+        (r.q_id, r.vec_id)
+        for r in ivf_topk(
+            emb01, qids, k=5, nprobe=3, centroids=frozen
+        ).collect()
+    }
+    recall_frozen = len(got & truth01) / len(truth01)
+    assert recall_frozen >= 0.6, f"frozen-centroid recall@5: {recall_frozen}"

@@ -147,6 +147,65 @@ def test_untouched_partitions_not_rewritten(spark, tmp_path):
     assert (tmp_path / "state" / "final" / "d=2024-01-04").exists()
 
 
+def test_m1_history_before_first_ticks(spark, tmp_path):
+    """The reference's canonical scenario: a long legacy M1 history
+    preceding the first tick batch's day. Those M1-only days must enter
+    final/ exactly as a from-scratch run would include them (the r2
+    version silently dropped them — the boundary derived from tick
+    days only)."""
+    # m1 covers day 0-1; ticks start on day 2
+    m1 = _m1(spark, range(100, DAY + 400))
+    b1 = _ticks(spark, range(DAY * 2, DAY * 2 + 300))
+    b2 = _ticks(spark, range(DAY * 2 + 300, DAY * 2 + 500))
+
+    inc = IncrementalHybridPipeline(
+        spark, str(tmp_path / "state"), spike_threshold=1e9,
+        consensus_threshold=1e9, chunk_seconds=6 * 3600,
+    )
+    inc.update(m1, b1)
+    inc.update(m1, b2)
+
+    eng = HybridMergerSpark(spike_threshold=1e9, consensus_threshold=1e9)
+    full, _ = eng.run(m1, b1.unionByName(b2))
+    got, exp = _collect(inc.read_final()), _collect(full)
+    assert got[0]["datetime"] == exp[0]["datetime"], "m1 head must be present"
+    assert got == exp
+
+
+def test_scalar_drift_widens_rewrite(spark, tmp_path):
+    """Three sequential updates where the LAST batch shifts the global
+    median spread (A5) — the drift check must widen the rewrite so the
+    whole state still equals a from-scratch run (the r2 version only
+    held under scalar-stable inputs). Includes a mid-history rewrite:
+    batch 3 also revisits day-0 minutes."""
+    def wide_ticks(minutes, width):
+        rows = []
+        for m in minutes:
+            mid = 1.0 + (m % 64) / 16
+            rows.append((T0 + timedelta(minutes=m), mid + width, mid - width))
+        return spark.createDataFrame(
+            rows, "datetime timestamp, ask double, bid double"
+        )
+
+    m1 = _m1(spark, range(0, 200))
+    b1 = wide_ticks(range(0, 400), 0.125)
+    b2 = wide_ticks(range(DAY, DAY + 300), 0.125)
+    # batch 3: fat spreads shift the median AND rewrite day-0 minutes
+    b3 = wide_ticks([*range(DAY * 2, DAY * 2 + 300), *range(50, 90)], 0.5)
+
+    inc = IncrementalHybridPipeline(
+        spark, str(tmp_path / "state"), spike_threshold=1e9,
+        consensus_threshold=1e9, chunk_seconds=6 * 3600,
+    )
+    inc.update(m1, b1)
+    inc.update(m1, b2)
+    inc.update(m1, b3)
+
+    eng = HybridMergerSpark(spike_threshold=1e9, consensus_threshold=1e9)
+    full, _ = eng.run(m1, b1.unionByName(b2).unionByName(b3))
+    assert _collect(inc.read_final()) == _collect(full)
+
+
 def test_incremental_cleaning_and_flat_bridge(spark, tmp_path):
     """Active F4/F5/F6 + a gap spanning the update boundary: crafted M1
     rows fire inverted/structure fixes, a price jump fires the spike

@@ -95,17 +95,34 @@ def test_single_topology_chained_stateful(spark, tmp_path):
             streaming_hybrid_single_topology(spark, stream, m1)
         return
 
-    out = streaming_hybrid_single_topology(spark, stream, m1)
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("single_topo")
-        .option("checkpointLocation", str(tmp_path / "ck"))
-        .start()
+    # the builder no longer mutates session conf — opting in is the
+    # caller's job (and it fails loudly without the RocksDB provider)
+    with pytest.raises(RuntimeError, match="RocksDB"):
+        streaming_hybrid_single_topology(spark, stream, m1)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
     try:
-        q.processAllAvailable()
+        out = streaming_hybrid_single_topology(spark, stream, m1)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("single_topo")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.table("single_topo").count()
+        assert got > 0
     finally:
-        q.stop()
-    got = spark.table("single_topo").count()
-    assert got > 0
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)

@@ -15,7 +15,11 @@ same pipeline through the range-partitioned window engine
 walls at ~8M output rows quantify what the chunked path buys on a long
 single-symbol history (the round-1 verdict's scale soft spot).
 
-Usage: python tools/scale_sanity.py [n_ticks_millions] [--engine=vanilla|chunked|both]
+``--engine=auto`` goes through the DEFAULT ``HybridMergerSpark.merge``
+API and lets the size-based crossover pick (the round-2 verdict's #1
+ask: a 150-year history must survive the default entry point).
+
+Usage: python tools/scale_sanity.py [n_ticks_millions] [--engine=vanilla|chunked|fused|auto|both]
 """
 
 from __future__ import annotations
@@ -63,10 +67,13 @@ def main() -> None:
         )
         .filter((F.abs(F.hash(F.col("m"))) % 100) < 71)  # session gaps
         .select(
-            (
-                F.lit("2010-01-01 00:00:00").cast("timestamp")
-                + (F.col("m") * 60 + F.col("s")).cast("int").cast("string")
-                .cast("interval second")
+            # long arithmetic: minute index × 60 overflows int32 past
+            # ~68 years (wrapped to pre-epoch timestamps and blew up
+            # densify's sequence() at --years=150)
+            F.timestamp_seconds(
+                F.lit(1_262_304_000).cast("long")  # 2010-01-01 UTC
+                + F.col("m").cast("long") * 60
+                + F.col("s")
             ).alias("datetime"),
             (F.col("mid") + 0.0001).alias("ask"),
             (F.col("mid") - 0.0001).alias("bid"),
@@ -78,10 +85,8 @@ def main() -> None:
         spark.range(MINUTES)
         .filter((F.abs(F.hash(F.col("id") + 3)) % 100) < 40)
         .select(
-            (
-                F.lit("2010-01-01 00:00:00").cast("timestamp")
-                + (F.col("id") * 60).cast("int").cast("string")
-                .cast("interval second")
+            F.timestamp_seconds(
+                F.lit(1_262_304_000).cast("long") + F.col("id") * 60
             ).alias("datetime"),
             F.lit(1.30).alias("open"),
             F.lit(1.3005).alias("high"),
@@ -95,11 +100,26 @@ def main() -> None:
         )
     )
 
-    eng = HybridMergerSpark(spike_threshold=1e9, consensus_threshold=0.01)
+    eng = HybridMergerSpark(
+        spike_threshold=1e9, consensus_threshold=0.01, engine="vanilla"
+    )
+    # the default-API engine: auto-crossover decides vanilla vs fused
+    # (checkpointed inputs have no Catalyst size stats, so this also
+    # exercises the count() fallback path)
+    eng_auto = HybridMergerSpark(
+        spike_threshold=1e9, consensus_threshold=0.01, chunk_seconds=7 * 86400
+    )
     # materialize once so both engines start from identical resampled
     # candles and the scan/agg cost isn't double-counted in the compare
-    tick_candles = eng.resample_ticks(ticks).localCheckpoint(eager=True)
-    m1 = m1.localCheckpoint(eager=True)
+    # DISK_ONLY: tens of millions of deserialized rows held in
+    # block-manager memory would starve the pipeline's own execution
+    # pool for the rest of the run (8g driver heap)
+    from pyspark.storagelevel import StorageLevel
+
+    tick_candles = eng.resample_ticks(ticks).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
+    m1 = m1.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
     for name in engines:
         t0 = time.perf_counter()
@@ -109,10 +129,9 @@ def main() -> None:
             )
             from institutional_fx_etl_spark.plans.pipeline_fused import merge_fused
 
-            # ~1-week chunks at 15y (~780 chunks x ~10k candle rows);
-            # capped at ~2000 chunks so the O(C^2) carry self-joins
-            # stay trivial on longer synthetic histories
-            chunk_seconds = max(7 * 86400, MINUTES * 60 // 2000)
+            # ~1-week chunks (~780 at 15y; chunk count is unbounded —
+            # cross-chunk carries are O(C) windows over the summary)
+            chunk_seconds = 7 * 86400
             final, audit = (merge_chunked if name == "chunked" else merge_fused)(
                 m1,
                 tick_candles,
@@ -120,6 +139,8 @@ def main() -> None:
                 consensus_threshold=0.01,
                 chunk_seconds=chunk_seconds,
             )
+        elif name == "auto":
+            final, audit = eng_auto.merge(m1, tick_candles)
         else:
             final, audit = eng.merge(m1, tick_candles)
         n_rows = final.count()
