@@ -643,7 +643,14 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("ts").over(w)
     is_new = F.when(
         prev.isNull()
-        | (F.col("ts").cast("long") - prev.cast("long") > 30 * 60),
+        # NTZ-tolerant epoch diff: the testdata's ts is TIMESTAMP_NTZ,
+        # which cannot cast to numeric directly (cast through TIMESTAMP
+        # is legal and a no-op for tz-aware inputs)
+        | (
+            F.col("ts").cast("timestamp").cast("long")
+            - prev.cast("timestamp").cast("long")
+            > 30 * 60
+        ),
         1,
     ).otherwise(0)
     cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
@@ -1741,16 +1748,16 @@ def _pipeline_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
     candle history (signup/error events resampled, spread nulled)."""
     events = load_table(spark, sf_dir, "events")
     ticks = events.filter(
-        F.col("event_type").isin("click", "view", "purchase")
-    ).select(
-        F.col("ts").alias("datetime"),
-        (F.col("value") + 0.01).alias("ask"),
-        (F.col("value") - 0.01).alias("bid"),
+        "event_type IN ('click', 'view', 'purchase')"
+    ).selectExpr(
+        "ts AS datetime",
+        "value + 0.01 AS ask",
+        "value - 0.01 AS bid",
     )
-    m1_src = events.filter(F.col("event_type").isin("signup", "error")).select(
-        F.col("ts").alias("datetime"),
-        (F.col("value") + 0.02).alias("ask"),
-        (F.col("value") - 0.02).alias("bid"),
+    m1_src = events.filter("event_type IN ('signup', 'error')").selectExpr(
+        "ts AS datetime",
+        "value + 0.02 AS ask",
+        "value - 0.02 AS bid",
     )
     m1 = ticks_to_candles(m1_src).withColumn("spread", F.lit(None).cast("double"))
     return m1, ticks

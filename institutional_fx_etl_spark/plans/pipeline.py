@@ -70,31 +70,31 @@ def fused_consensus_merge(
     m1_side = F.broadcast(m1.alias("__m")) if broadcast_m1 else m1.alias("__m")
     joined = tick_candles.alias("__t").join(m1_side, on=keys, how="full_outer")
 
-    catastrophe = F.coalesce(
-        F.abs(F.col("__t.close") - F.col("__m.close"))
-        > F.lit(consensus_threshold),
-        F.lit(False),
+    # SQL-string expressions (JVM-parsed, one py4j call each) — the
+    # consensus subtree is built by every pipeline-family query, so its
+    # Column-tree construction cost was paid everywhere
+    cat = (
+        "coalesce(abs(__t.close - __m.close) >"
+        f" CAST('{consensus_threshold!r}' AS DOUBLE), false)"
     )
-    is_tick = F.col("__t.close").isNotNull() & ~catastrophe
 
-    audit_consensus = joined.filter(catastrophe).select(
-        F.col("datetime").alias("datetime"),
+    audit_consensus = joined.filter(cat).selectExpr(
+        "datetime",
         *[
-            F.col(f"__t.{c}").cast("double")
+            f"CAST(__t.{c} AS DOUBLE) AS {c}"
             for c in ["open", "high", "low", "close", "volume"]
         ],
-        F.lit(schemas.REASON_REJECTED_CATASTROPHE).alias("reason"),
+        f"'{schemas.REASON_REJECTED_CATASTROPHE}' AS reason",
     )
 
-    merged = joined.select(
+    merged = joined.selectExpr(
         *keys,
         *[
-            F.when(catastrophe, F.col(f"__m.{c}"))
-            .otherwise(F.coalesce(F.col(f"__t.{c}"), F.col(f"__m.{c}")))
-            .alias(c)
+            f"CASE WHEN {cat} THEN __m.{c}"
+            f" ELSE coalesce(__t.{c}, __m.{c}) END AS {c}"
             for c in schemas.CANDLE_COLS
         ],
-        is_tick.alias("__is_tick"),
+        f"(__t.close IS NOT NULL) AND (NOT {cat}) AS __is_tick",
     )
     return merged, audit_consensus
 

@@ -45,7 +45,6 @@ from pyspark.sql import functions as F
 
 from institutional_fx_etl_spark.functions.chunked import CHUNK, CIDX, PAD, epoch_seconds
 from institutional_fx_etl_spark.functions.nullsafe import is_true
-from institutional_fx_etl_spark.operators.clean import _audit_select
 from institutional_fx_etl_spark.plans.pipeline import cast_final, fused_consensus_merge
 from institutional_fx_etl_spark.sources import schemas
 
@@ -188,11 +187,11 @@ def _pad_explode(
         # carry extraction can identify each chunk's last real row
         # without a second ranking window
         .selectExpr(*keep, CIDX, "__hi1 AS __lr", f"explode({shifts}) AS __sh")
-        .select(
+        .selectExpr(
             *keep,
-            (F.col(CIDX) + F.col("__sh.s")).alias(CIDX),
+            f"{CIDX} + __sh.s AS {CIDX}",
             "__lr",
-            F.col("__sh.p").alias(PAD),
+            f"__sh.p AS {PAD}",
         )
     )
 
@@ -302,13 +301,14 @@ def merge_fused(
         base = merged.crossJoin(F.broadcast(merged.agg(*aggs)))
 
     # -- P9 median fill (+T6 zero-fill on an empty tick side) -----------
-    # one select, not withColumn+drop: Spark 4 classic analyzes eagerly
-    # per transformation, so every saved transformation is a saved
-    # analysis pass over the whole subtree (construction-time cost)
-    fill = F.when(F.coalesce(F.col("__ntick"), F.lit(0)) == 0, F.lit(0.0)).otherwise(
-        F.col("__med")
-    )
-    base = base.select(
+    # selectExpr strings, not Column trees, throughout the hot
+    # construction path: classic Datasets analyze eagerly per
+    # transformation AND every Column operation is a py4j round-trip —
+    # a 15-expression select costs ~10× more to BUILD from Columns than
+    # from SQL strings parsed JVM-side in one call (measured 184 ms vs
+    # 19 ms). At 100 TB this is noise; at bench scale it was the fused
+    # engine's dominant cost.
+    base = base.selectExpr(
         *p,
         ts,
         "open",
@@ -316,17 +316,23 @@ def merge_fused(
         "low",
         "close",
         "volume",
-        F.coalesce(F.col("spread"), fill).alias("spread"),
+        "coalesce(spread, CASE WHEN coalesce(__ntick, 0) = 0 THEN 0.0D"
+        " ELSE __med END) AS spread",
         "__anyfix",
     )
 
     # -- pass 1: ONE padded chunk sort for smoother + clean-stage state -
     pdd = _pad_explode(base, ts, chunk_seconds, p, bounds=pad_bounds)
 
-    w = Window.partitionBy(*part).orderBy(ts)
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    run_prev = w.rowsBetween(Window.unboundedPreceding, -1)
-    real = ~F.col(PAD)
+    part_sql = ", ".join(part)
+    run_sql = (
+        f"PARTITION BY {part_sql} ORDER BY {ts}"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    run_prev_sql = (
+        f"PARTITION BY {part_sql} ORDER BY {ts}"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    )
 
     # W3 smoother: pad rows ARE the neighbour rows a chunk-edge ±2
     # frame needs; their own (garbage) results are dropped below.
@@ -336,33 +342,37 @@ def merge_fused(
     # audit logs PRE-fix values (hybrid_merger.py:157), and the fix
     # applies to post-F4 survivors only — an inverted row that also
     # trips bad_oc is dropped untouched.
-    fix_e = ~inverted & bad_oc
-    spread_e = (
-        F.percentile("spread", 0.5).over(w.rowsBetween(-2, 2))
-        if smooth_spread
-        else F.col("spread")
+    inv_sql = "coalesce(low > high, false)"
+    fix_sql = (
+        f"((NOT {inv_sql}) AND coalesce((open > high) OR (open < low)"
+        " OR (close > high) OR (close < low), false))"
     )
-    pdd = pdd.select(
+    spread_sql = (
+        f"percentile(spread, 0.5) OVER (PARTITION BY {part_sql}"
+        f" ORDER BY {ts} ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)"
+        if smooth_spread
+        else "spread"
+    )
+    pdd = pdd.selectExpr(
         *p,
         ts,
         "open",
-        F.when(fix_e, F.greatest("open", "close", "high"))
-        .otherwise(F.col("high"))
-        .alias("high"),
-        F.when(fix_e, F.least("open", "close", "low"))
-        .otherwise(F.col("low"))
-        .alias("low"),
+        f"CASE WHEN {fix_sql} THEN greatest(open, close, high)"
+        " ELSE high END AS high",
+        f"CASE WHEN {fix_sql} THEN least(open, close, low)"
+        " ELSE low END AS low",
         "close",
         "volume",
-        F.when(fix_e, F.lit(None).cast("double")).otherwise(spread_e).alias("spread"),
+        f"CASE WHEN {fix_sql} THEN CAST(NULL AS DOUBLE)"
+        f" ELSE {spread_sql} END AS spread",
         "__anyfix",
         CIDX,
         "__lr",
         PAD,
-        inverted.alias("__inv"),
-        fix_e.alias("__fix"),
-        F.when(fix_e, F.col("high")).alias("__hi0"),
-        F.when(fix_e, F.col("low")).alias("__lo0"),
+        f"{inv_sql} AS __inv",
+        f"{fix_sql} AS __fix",
+        f"CASE WHEN {fix_sql} THEN high END AS __hi0",
+        f"CASE WHEN {fix_sql} THEN low END AS __lo0",
     )
 
     # F5 ffill source: last non-null spread among post-F4 rows (spike
@@ -372,16 +382,19 @@ def merge_fused(
     # __pc_incl (same running last, current row INCLUDED) exists only
     # so the chunk's last real row doubles as the chunk's carry summary
     # below — one more column in the same window pass, no extra scan.
-    surv_spread = F.when(real & ~F.col("__inv"), F.col("spread"))
-    prev_struct = F.when(real & ~F.col("__inv"), F.struct(F.col("close").alias("c")))
+    surv_spread_sql = f"CASE WHEN (NOT {PAD}) AND (NOT __inv) THEN spread END"
+    prev_struct_sql = (
+        f"CASE WHEN (NOT {PAD}) AND (NOT __inv)"
+        " THEN named_struct('c', close) END"
+    )
     pdd = (
-        pdd.select(
+        pdd.selectExpr(
             "*",
-            F.last(surv_spread, ignorenulls=True).over(run).alias("__sf_loc"),
-            F.last(prev_struct, ignorenulls=True).over(run_prev).alias("__pc_loc"),
-            F.last(prev_struct, ignorenulls=True).over(run).alias("__pc_incl"),
+            f"last({surv_spread_sql}, true) OVER ({run_sql}) AS __sf_loc",
+            f"last({prev_struct_sql}, true) OVER ({run_prev_sql}) AS __pc_loc",
+            f"last({prev_struct_sql}, true) OVER ({run_sql}) AS __pc_incl",
         )
-        .filter(real)
+        .filter(f"NOT {PAD}")
         .drop(PAD)
     )
     frame = _mat(pdd)
@@ -394,17 +407,17 @@ def merge_fused(
     # then an O(C) running window over that C-row slice — a
     # filter+project over the materialized frame instead of a second
     # hash-aggregate shuffle (the prior _chunk_carries groupBy).
-    prefix1 = (
-        Window.partitionBy(*p).orderBy(CIDX)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    prefix1_sql = (
+        (f"PARTITION BY {', '.join(p)} " if p else "")
+        + f"ORDER BY {CIDX} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
     )
     carries1 = (
-        frame.filter(F.col(ts) == F.col("__lr"))
-        .select(*part, "__sf_loc", "__pc_incl")
-        .select(
+        frame.filter(f"{ts} = __lr")
+        .selectExpr(*part, "__sf_loc", "__pc_incl")
+        .selectExpr(
             *part,
-            F.last("__sf_loc", ignorenulls=True).over(prefix1).alias("__sf_carry"),
-            F.last("__pc_incl", ignorenulls=True).over(prefix1).alias("__pc_carry"),
+            f"last(__sf_loc, true) OVER ({prefix1_sql}) AS __sf_carry",
+            f"last(__pc_incl, true) OVER ({prefix1_sql}) AS __pc_carry",
         )
     )
 
@@ -414,13 +427,11 @@ def merge_fused(
     # for a non-null spread, __sf (last non-null incl. own) IS the
     # row's own value. The spike flag reads fixed values in post-F4
     # row order; __prev_close is the carry-coalesced running lag.
-    sf_e = F.coalesce("__sf_loc", "__sf_carry")
-    pc_e = F.coalesce("__pc_loc", "__pc_carry").getField("c")
-    amp = (F.col("high") - F.col("low")) / F.col("open")
-    jump = F.abs((F.col("close") - pc_e) / pc_e)
+    pc_sql = "coalesce(__pc_loc, __pc_carry).c"
+    thr = f"CAST('{spike_threshold!r}' AS DOUBLE)"
     frame = (
         frame.join(F.broadcast(carries1), on=part, how="left")
-        .select(
+        .selectExpr(
             *p,
             ts,
             "open",
@@ -428,43 +439,43 @@ def merge_fused(
             "low",
             "close",
             "volume",
-            F.when(F.col("__anyfix") == 1, sf_e)
-            .otherwise(F.col("spread"))
-            .alias("spread"),
+            "CASE WHEN __anyfix = 1 THEN coalesce(__sf_loc, __sf_carry)"
+            " ELSE spread END AS spread",
             CIDX,
             "__inv",
             "__fix",
             "__hi0",
             "__lo0",
-            (
-                ~F.col("__inv")
-                & (
-                    is_true(amp > F.lit(spike_threshold))
-                    | is_true(jump > F.lit(spike_threshold))
-                )
-            ).alias("__spike"),
+            "(NOT __inv) AND ("
+            f"coalesce((high - low) / open > {thr}, false)"
+            f" OR coalesce(abs((close - {pc_sql}) / {pc_sql}) > {thr}, false)"
+            ") AS __spike",
         )
     )
 
-    audit_inverted = _audit_select(
-        frame.filter(F.col("__inv")), ts, schemas.REASON_DROPPED_INVERTED
+    def _audit(filtered: DataFrame, reason: str, hi: str = "high", lo: str = "low") -> DataFrame:
+        return filtered.selectExpr(
+            f"{ts} AS datetime",
+            "CAST(open AS DOUBLE) AS open",
+            f"CAST({hi} AS DOUBLE) AS high",
+            f"CAST({lo} AS DOUBLE) AS low",
+            "CAST(close AS DOUBLE) AS close",
+            "CAST(volume AS DOUBLE) AS volume",
+            f"'{reason}' AS reason",
+        )
+
+    audit_inverted = _audit(frame.filter("__inv"), schemas.REASON_DROPPED_INVERTED)
+    # the structure audit logs PRE-fix high/low (stashed in __hi0/__lo0)
+    audit_structure = _audit(
+        frame.filter("__fix"), schemas.REASON_FIXED_STRUCTURE, "__hi0", "__lo0"
     )
-    audit_structure = _audit_select(
-        frame.filter(F.col("__fix"))
-        .withColumn("high", F.col("__hi0"))
-        .withColumn("low", F.col("__lo0")),
-        ts,
-        schemas.REASON_FIXED_STRUCTURE,
-    )
-    audit_spike = _audit_select(
-        frame.filter(F.col("__spike")), ts, schemas.REASON_DROPPED_SPIKE
-    )
+    audit_spike = _audit(frame.filter("__spike"), schemas.REASON_DROPPED_SPIKE)
 
     # -- pass 2: densify over the survivor rows only (J4+W2+W4) ---------
     # Plain lead/running-ffill per chunk — survivors are adjacent by
     # construction, so no padding is needed and chunks emptied by F4/F6
     # are harmless (the carries skip them).
-    surv = frame.filter(~F.col("__inv") & ~F.col("__spike")).select(
+    surv = frame.filter("(NOT __inv) AND (NOT __spike)").select(
         *p, ts, "open", "high", "low", "close", "volume", "spread", CIDX
     )
 
@@ -478,8 +489,7 @@ def merge_fused(
         p,
     )
 
-    w2 = Window.partitionBy(*part).orderBy(ts)
-    seq = surv.join(F.broadcast(carries2), on=part, how="left").select(
+    seq = surv.join(F.broadcast(carries2), on=part, how="left").selectExpr(
         *p,
         ts,
         "open",
@@ -488,17 +498,14 @@ def merge_fused(
         "close",
         "volume",
         "spread",
-        F.coalesce(F.lead(ts).over(w2), "__nt_carry").alias("__next_ts"),
-        F.coalesce(
-            F.last("spread", ignorenulls=True).over(
-                w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-            "__gf_carry",
-        ).alias("__spread_f"),
+        f"coalesce(lead({ts}) OVER (PARTITION BY {part_sql}"
+        f" ORDER BY {ts}), __nt_carry) AS __next_ts",
+        f"coalesce(last(spread, true) OVER ({run_sql}), __gf_carry)"
+        " AS __spread_f",
     )
 
     step_expr = f"interval {step}"
-    exploded = seq.select(
+    exploded = seq.selectExpr(
         *p,
         "open",
         "high",
@@ -507,39 +514,33 @@ def merge_fused(
         "volume",
         "spread",
         "__spread_f",
-        F.col(ts).alias("__real_ts"),
-        F.explode(
-            F.expr(
-                f"sequence({ts}, coalesce(__next_ts - {step_expr},"
-                f" {ts}), {step_expr})"
-            )
-        ).alias(ts),
+        f"{ts} AS __real_ts",
+        f"explode(sequence({ts}, coalesce(__next_ts - {step_expr},"
+        f" {ts}), {step_expr})) AS {ts}",
     )
-    is_gap = F.col(ts) != F.col("__real_ts")
+    gap_sql = f"({ts} != __real_ts)"
 
-    audit_gaps = exploded.filter(is_gap).select(
-        F.col(ts).alias("datetime"),
+    audit_gaps = exploded.filter(gap_sql).selectExpr(
+        f"{ts} AS datetime",
         *[
-            F.lit(None).cast("double").alias(c)
+            f"CAST(NULL AS DOUBLE) AS {c}"
             for c in ["open", "high", "low", "close", "volume"]
         ],
-        F.lit(schemas.REASON_GAP_BRIDGED).alias("reason"),
+        f"'{schemas.REASON_GAP_BRIDGED}' AS reason",
     )
 
-    dense = exploded.select(
+    dense = exploded.selectExpr(
         *p,
         ts,
         *[
-            F.when(is_gap, F.col("close")).otherwise(F.col(c)).alias(c)
+            f"CASE WHEN {gap_sql} THEN close ELSE {c} END AS {c}"
             for c in ["open", "high", "low"]
         ],
-        F.col("close"),
-        F.when(is_gap, F.lit(0.0)).otherwise(F.col("volume")).alias("volume"),
-        F.when(is_gap, F.col("__spread_f")).otherwise(F.col("spread")).alias(
-            "spread"
-        ),
-        F.when(is_gap, F.lit(1)).otherwise(F.lit(0)).alias("is_flat"),
-    ).filter(F.col("close").isNotNull())
+        "close",
+        f"CASE WHEN {gap_sql} THEN 0.0D ELSE volume END AS volume",
+        f"CASE WHEN {gap_sql} THEN __spread_f ELSE spread END AS spread",
+        f"CASE WHEN {gap_sql} THEN 1 ELSE 0 END AS is_flat",
+    ).filter("close IS NOT NULL")
 
     final = cast_final(dense, p)
     # union the four shallow (post-checkpoint) audit frames first and

@@ -114,8 +114,17 @@ def run_bounded_stream(
         .option("pathGlobFilter", os.path.basename(parquet_path))
         .parquet(os.path.dirname(parquet_path))
     )
+    # same dtype guard as readers.load_table: nanos columns scan as
+    # LongType and need the ns→us integer division; a testdata
+    # generation that writes timestamp[us] directly (current driver)
+    # streams as a timestamp already
+    ts_expr = (
+        F.expr("timestamp_micros(ts div 1000)")
+        if dict(static.dtypes).get("ts") == "bigint"
+        else F.col("ts")
+    )
     ticks = stream.select(
-        F.expr("timestamp_micros(ts div 1000)").alias("datetime"),
+        ts_expr.alias("datetime"),
         (F.col("value") + 0.01).alias("ask"),
         (F.col("value") - 0.01).alias("bid"),
     )
