@@ -188,15 +188,30 @@ def dedup_clusters(
         .persist()
     )
 
+    # near-dup graphs are SPARSE (edges ≪ docs): when Catalyst's
+    # estimate says the edge list broadcasts, hint both per-round joins
+    # onto the broadcast path — the big labels frame then never
+    # shuffles (the per-src aggregate moves only ≤|edges| rows), so a
+    # propagation round costs one scan of labels instead of a full
+    # shuffle of it. Dense edge lists keep the shuffled joins.
+    try:
+        sz = int(
+            edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        bcast_edges = 0 <= sz < (64 << 20)
+    except Exception:  # noqa: BLE001 — estimation is best-effort
+        bcast_edges = False
+    _e = (lambda df: F.broadcast(df)) if bcast_edges else (lambda df: df)
+
     prev_total = None
     for rnd in range(max_iter):
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
+            _e(edges).join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("comp").alias("ncomp"))
         )
         new_labels = labels.join(
-            neighbor_min, labels.id == neighbor_min.src, "left"
+            _e(neighbor_min), labels.id == neighbor_min.src, "left"
         ).select(
             labels.id,
             F.least(
