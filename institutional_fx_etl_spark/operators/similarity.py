@@ -305,3 +305,85 @@ def embedding_near_dup_pairs(
     return pairs.orderBy(
         F.desc("cosine"), F.asc("id_a"), F.asc("id_b")
     ).limit(top_n)
+
+
+#: frozen product-quantization codebook: 4 subspaces × 4 centroids ×
+#: 16 dims (64-dim embeddings), deterministic literals (seeded once,
+#: data-independent) so the DuckDB oracle can mirror the exact
+#: quantizer. Real deployments would k-means-fit per subspace — the
+#: assignment/encode plan shape (the part that must scale) is
+#: identical either way.
+_PQ_CODEBOOK = [
+    [
+        [0.0335, -0.114, -0.054, -0.0664, 0.0568, 0.0424, 0.0941, -0.0991, -0.0187, -0.1128, -0.0675, 0.0013, -0.1136, -0.0723, 0.036, 0.0108],
+        [-0.0671, 0.0214, 0.0743, -0.1184, 0.0734, 0.0476, -0.0383, -0.0827, 0.1097, -0.0392, -0.0977, -0.0968, 0.0834, 0.0249, 0.0737, 0.0551],
+        [0.0087, 0.1135, -0.0292, 0.0125, 0.0791, 0.0284, 0.0868, 0.0186, 0.0491, -0.109, -0.0653, -0.0505, -0.1008, -0.0641, -0.0958, -0.0533],
+        [0.0326, -0.0324, -0.0312, -0.0697, -0.0559, 0.1048, 0.0355, 0.0262, -0.0789, 0.055, -0.0808, -0.0289, 0.1175, 0.0336, 0.0137, 0.0443],
+    ],
+    [
+        [0.0823, 0.0662, -0.065, -0.1123, -0.0443, -0.0557, -0.0694, 0.1063, 0.0903, -0.0445, 0.0373, -0.025, 0.0995, -0.0099, -0.0564, -0.0608],
+        [0.0147, -0.0569, 0.0203, 0.0955, -0.0241, -0.0674, 0.1194, 0.0023, -0.0982, -0.1087, -0.0937, 0.0306, 0.0701, -0.0187, -0.1048, -0.0284],
+        [0.1191, 0.007, 0.1131, 0.0866, -0.1172, 0.053, 0.0436, 0.0089, -0.056, 0.0338, -0.0932, -0.0157, -0.0111, 0.1089, 0.0902, -0.0568],
+        [0.0001, -0.0771, 0.099, 0.0889, -0.0484, 0.0333, 0.0262, -0.0833, 0.063, 0.0095, 0.0669, 0.0073, -0.1199, -0.0422, -0.1153, 0.103],
+    ],
+    [
+        [0.0909, 0.0796, -0.0462, -0.1061, 0.0907, 0.1073, -0.0994, -0.0034, -0.1034, 0.0625, 0.0638, -0.0892, -0.0059, 0.012, -0.0564, 0.0894],
+        [-0.0184, -0.0692, 0.0094, 0.0552, -0.0717, -0.0452, 0.1188, 0.036, -0.0149, 0.0042, -0.091, -0.0661, -0.0389, 0.0212, -0.0648, -0.0671],
+        [-0.103, 0.0315, -0.0651, 0.0973, 0.0863, -0.103, -0.0629, 0.0406, -0.0686, -0.0882, 0.1045, 0.0171, -0.0066, 0.0683, 0.0738, -0.0743],
+        [-0.0967, -0.0165, -0.0183, -0.0079, 0.055, 0.0416, 0.1162, -0.0964, -0.0234, -0.0386, 0.0868, -0.0603, -0.0743, -0.0123, -0.0187, -0.0531],
+    ],
+    [
+        [-0.06, 0.1016, -0.0136, 0.0867, 0.0121, -0.1079, 0.1198, 0.0806, 0.1126, 0.1023, 0.0837, -0.0801, -0.0034, -0.0687, -0.0238, -0.1059],
+        [-0.029, 0.1165, -0.0564, 0.0682, -0.0108, -0.0185, 0.1098, 0.1189, 0.0134, 0.0524, -0.0828, -0.0488, 0.1125, 0.019, 0.0101, 0.0595],
+        [-0.1063, 0.0202, 0.0007, 0.0847, -0.0822, 0.1106, -0.1008, -0.0754, 0.0228, 0.0421, -0.0636, -0.0912, 0.0937, -0.0609, 0.0227, 0.0287],
+        [-0.0194, 0.0201, 0.0055, 0.1043, -0.071, 0.0519, -0.0627, -0.025, 0.0412, -0.048, -0.0441, 0.0604, -0.1026, -0.01, 0.1196, 0.1191],
+    ],
+]
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebook: list | None = None,
+) -> DataFrame:
+    """Product quantization: split each vector into M subvectors, store
+    only the id of each subvector's nearest codebook centroid — the
+    compressed representation behind billion-scale ANN indexes (M
+    bytes per vector instead of 4·dims).
+
+    Scan-only plan: per row, M×K squared-distance expressions over the
+    frozen codebook literal (JVM codegen'd higher-order array
+    functions, no UDF, no shuffle, no join — at 100 TB this is a pure
+    map stage). Output: ``(id, code_0..code_{M-1}, recon_err)`` where
+    ``recon_err`` is the total squared quantization error (rounded to
+    6; ties in the argmin break on the lowest centroid id).
+    """
+    cb = codebook if codebook is not None else _PQ_CODEBOOK
+    m_sub = len(cb)
+    k_cent = len(cb[0])
+    dims = len(cb[0][0])
+
+    def lit(vals: list[float]) -> str:
+        return "array(" + ", ".join(f"{v!r}D" for v in vals) + ")"
+
+    exprs = [f"{id_col} AS id"]
+    err_terms = []
+    for m in range(m_sub):
+        sub = f"transform(slice({vec_col}, {m * dims + 1}, {dims}), x -> cast(x as double))"
+        dists = []
+        for k in range(k_cent):
+            dists.append(
+                f"aggregate(zip_with({sub}, {lit(cb[m][k])},"
+                " (x, y) -> (x-y)*(x-y)), 0.0D, (a, x) -> a + x)"
+            )
+        darr = "array(" + ", ".join(dists) + ")"
+        # argmin with lowest-index tiebreak: array_position finds the
+        # FIRST element equal to the minimum (1-based → 0-based code)
+        exprs.append(
+            f"cast(array_position({darr}, array_min({darr})) - 1 as int)"
+            f" AS code_{m}"
+        )
+        err_terms.append(f"array_min({darr})")
+    exprs.append(f"round({' + '.join(err_terms)}, 6) AS recon_err")
+    return df.selectExpr(*exprs)

@@ -949,6 +949,32 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5(concat('strat', doc_id)),1,8)) AS BIGINT)
+            % 100
+          < CASE WHEN lang = 'en' THEN 35 ELSE 80 END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class deterministic downsampling (training-data rebalancing:
+    keep 35% of the majority language, 80% of the rest) via md5
+    buckets — reproducible across runs, engines and partitionings,
+    unlike rand()-based sampleBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.expr(
+            "cast(conv(substr(md5(concat('strat', doc_id)),1,8),16,10) as bigint)"
+        )
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(35)).otherwise(F.lit(80))
+    return docs.filter(bucket < rate).select("doc_id", "lang")
+
+
+@register(
     "unpivot",
     """
     SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
@@ -1502,6 +1528,51 @@ def q_ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, query_ids=[0, 1, 2], k=5, nprobe=3, centroids=cents)
+
+
+def _pq_oracle() -> str:
+    """DuckDB mirror of operators.similarity.pq_encode over the frozen
+    codebook literals (same per-subspace squared distances, same
+    first-match argmin, same rounding)."""
+    from institutional_fx_etl_spark.operators.similarity import _PQ_CODEBOOK
+
+    m_sub, k_cent = len(_PQ_CODEBOOK), len(_PQ_CODEBOOK[0])
+    dims = len(_PQ_CODEBOOK[0][0])
+    cols, err = [], []
+    for m in range(m_sub):
+        dists = []
+        for k in range(k_cent):
+            cb = "[" + ", ".join(repr(v) for v in _PQ_CODEBOOK[m][k]) + "]"
+            dists.append(
+                f"list_sum(list_transform(range(1, {dims + 1}), i ->"
+                f" (vv[{m * dims} + i] - ({cb})[i])"
+                f" * (vv[{m * dims} + i] - ({cb})[i])))"
+            )
+        darr = "[" + ", ".join(dists) + "]"
+        cols.append(
+            f"CAST(list_position({darr}, list_min({darr})) - 1 AS INTEGER)"
+            f" AS code_{m}"
+        )
+        err.append(f"list_min({darr})")
+    return f"""
+    WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vv
+               FROM embeddings)
+    SELECT id, {", ".join(cols)},
+           round({" + ".join(err)}, 6) AS recon_err
+    FROM v
+    """
+
+
+@register("pq_encode", _pq_oracle())
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization over the embeddings corpus: each 64-dim
+    vector compresses to 4 centroid codes (one per 16-dim subspace,
+    frozen literal codebook) + its reconstruction error — the encode
+    stage of billion-scale PQ/IVF-PQ ANN indexes, as a pure scan-side
+    map (no UDF, no shuffle; see operators/similarity.py::pq_encode)."""
+    from institutional_fx_etl_spark.operators.similarity import pq_encode
+
+    return pq_encode(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(
@@ -2136,6 +2207,65 @@ def q_streaming_gap_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keys on (user_id, event_type) and
+    evicts per-key state once the 10-minute event-time watermark
+    passes — the streaming counterpart of the batch ``dedup_exact``
+    family, with state that does NOT grow with the stream. Over a
+    bounded replay the retained first-seen rows are exactly the
+    distinct key set (the batch DISTINCT oracle)."""
+    from institutional_fx_etl_spark.sources.readers import read_parquet_nanos_safe
+
+    import os
+    import tempfile
+
+    static = read_parquet_nanos_safe(spark, f"{sf_dir}/events.parquet")
+    ts_is_long = dict(static.dtypes).get("ts") == "bigint"
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # watermarks demand TIMESTAMP (with zone) — NTZ parquet columns
+    # cast through (session-zone interpretation, no-op for tz-aware)
+    ts_expr = (
+        F.expr("timestamp_micros(ts div 1000)")
+        if ts_is_long
+        else F.col("ts").cast("timestamp")
+    )
+    deduped = (
+        stream.select(
+            "user_id", "event_type", ts_expr.alias("__event_ts")
+        )
+        .withWatermark("__event_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"dedup_q_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="stream_dedup_ck_")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
     "corpus_pipeline",
     f"""
     WITH RECURSIVE t AS (
@@ -2654,6 +2784,9 @@ _HEAD = [
     # new this round (first driver row)
     "pipeline_clean_fixture_fused",
     "ivf_topk_kmeans",
+    "pq_encode",
+    "stratified_sample",
+    "streaming_dedup",
     # rotated back in (last row: round 1)
     "topk_per_group",
     "json_extract",
@@ -2696,6 +2829,12 @@ _TAIL = [
     "session_window_agg",
     "text_lang_id",
     "multimodal_frames",
+    # (round 3 additions to fit the 3 new in-window queries; cousins:
+    # inner_reconcile→validator_reconcile, greatest_least_fix→
+    # pipeline_clean_fixture, combine_first→hybrid_pipeline's J3)
+    "inner_reconcile",
+    "greatest_least_fix",
+    "combine_first",
 ]
 
 
