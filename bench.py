@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_topk",
     "lsh_ann_pairs",
+    "pq_encode",
     "text_fingerprint",
     "corpus_pipeline",
     "asof_join",

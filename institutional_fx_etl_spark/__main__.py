@@ -4,7 +4,8 @@ from file paths; so does this):
 
     python -m institutional_fx_etl_spark M1.csv TICKS.csv OUT.csv \
         [--spike-threshold 0.005] [--consensus-threshold 0.01] \
-        [--no-smooth-spread] [--format csv|parquet] [--symbol-col symbol]
+        [--no-smooth-spread] [--format csv|parquet] [--symbol-col symbol] \
+        [--engine auto|vanilla|fused]
 
 Writes the hybrid dataset to OUT and the forensic audit log next to it
 (``*_AUDIT``), then prints the reference-style summary counts.
@@ -33,6 +34,13 @@ def main() -> int:
         default=[],
         help="partition column(s) for multi-asset inputs (e.g. symbol)",
     )
+    ap.add_argument(
+        "--engine",
+        choices=["auto", "vanilla", "fused"],
+        default="auto",
+        help="merge engine; 'auto' (default) picks the fused chunked"
+        " path for long single-symbol histories from the size estimate",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="hybrid_merger")
@@ -41,6 +49,7 @@ def main() -> int:
         consensus_threshold=args.consensus_threshold,
         smooth_spread=not args.no_smooth_spread,
         partition_cols=tuple(args.partition_col),
+        engine=args.engine,
     )
     final, audit = eng.run_csv(
         spark, args.m1_path, args.tick_path, args.output_path, args.format

@@ -179,6 +179,31 @@ def test_streaming_candles_match_batch(spark, tmp_path):
     )
 
 
+def test_pq_encode_shape_and_reconstruction(spark):
+    """PQ codes are valid centroid ids, the reconstruction error is
+    non-negative, and re-encoding is deterministic (scan-only plan —
+    also asserted shuffle-free)."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        _PQ_CODEBOOK,
+        pq_encode,
+    )
+    from institutional_fx_etl_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = pq_encode(emb)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    k = len(_PQ_CODEBOOK[0])
+    for r in rows[:50]:
+        for m in range(len(_PQ_CODEBOOK)):
+            assert 0 <= r[f"code_{m}"] < k
+        assert r["recon_err"] >= 0
+    again = {(r["id"], r["code_0"], r["recon_err"]) for r in pq_encode(emb).collect()}
+    assert {(r["id"], r["code_0"], r["recon_err"]) for r in rows} == again
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "PQ encode must be a pure map stage"
+
+
 def test_ivf_kmeans_recall_vs_bruteforce(spark):
     """IVF with real k-means centroids (seeded, ml.clustering) probes
     nprobe cells; recall@5 against the cosine_topk ground truth must be
