@@ -112,8 +112,14 @@ def padded(
     A window over ``(partition_cols, __cidx) ORDER BY ts`` on the
     result sees exactly the rows a global-sort window with a bounded
     row frame ``[-before, +after]`` (or ``lag(≤before)`` /
-    ``lead(≤after)``) would see. Callers compute their window columns,
-    then ``filter(~F.col(PAD))`` and drop the helper columns.
+    ``lead(≤after)``) would see — PROVIDED every non-empty chunk holds
+    at least ``max(before, after)`` rows: replicas only reach the
+    immediately adjacent dense chunk, so a 1-row chunk between two
+    others leaves its neighbors' ±2 frames short. The shipped fused
+    engine's pad (:func:`plans.pipeline_fused._pad_explode`) closes
+    that hole with neighbor-count-aware ±2 shifts (found by the
+    fused≡vanilla hypothesis test); this legacy helper keeps the
+    simpler contract for its dense-series callers.
     """
     part = [*partition_cols, CIDX]
     w = Window.partitionBy(*part)

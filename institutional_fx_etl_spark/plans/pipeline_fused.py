@@ -78,6 +78,7 @@ def chunk_bounds(
     if not chunked:
         df = df.withColumn(CHUNK, chunk_of(ts_col, chunk_seconds))
     n = F.size("__l")
+    w = Window.partitionBy(*p).orderBy(CHUNK)
     return (
         df.groupBy(*p, CHUNK)
         .agg(F.sort_array(F.collect_list(ts_col)).alias("__l"))
@@ -91,9 +92,15 @@ def chunk_bounds(
             # dense chunk ordinal from the (tiny) chunk list — adjacency
             # survives empty chunk ranges (FX weekends); O(C) row_number
             # over the C-row summary, no full-row sort
-            F.row_number()
-            .over(Window.partitionBy(*p).orderBy(CHUNK))
-            .alias(CIDX),
+            F.row_number().over(w).alias(CIDX),
+            # neighbor row counts: a ±2-ROW frame at a chunk edge needs
+            # the 2nd-nearest row from TWO dense-chunks over whenever
+            # the nearest neighbor chunk holds exactly one row — the
+            # pad shift logic consults these (O(C) lag/lead over the
+            # summary; the sub-2-row-chunk hole was caught by the
+            # fused≡vanilla hypothesis property test)
+            F.lag(n).over(w).alias("__n_prev"),
+            F.lead(n).over(w).alias("__n_next"),
         )
     )
 
@@ -174,11 +181,19 @@ def _pad_explode(
 
     tail = f"{ts_col} >= coalesce(__hi2, __hi1)"
     head = f"{ts_col} <= coalesce(__lo2, __lo1)"
+    # a chunk's LAST row is also the 2nd-preceding row of the chunk
+    # TWO dense-steps ahead when the in-between chunk has exactly one
+    # row (symmetrically for the first row) — without these ±2 shifts
+    # the ±2 smoother frame is incomplete around sub-2-row chunks
+    tail2 = f"({ts_col} = __hi1) AND (__n_next = 1)"
+    head2 = f"({ts_col} = __lo1) AND (__n_prev = 1)"
     empty = "cast(array() as array<struct<s: int, p: boolean>>)"
     shifts = (
         "concat(array(struct(0 as s, false as p)), "
         f"if({tail}, array(struct(1 as s, true as p)), {empty}), "
-        f"if({head}, array(struct(-1 as s, true as p)), {empty}))"
+        f"if({head}, array(struct(-1 as s, true as p)), {empty}), "
+        f"if({tail2}, array(struct(2 as s, true as p)), {empty}), "
+        f"if({head2}, array(struct(-2 as s, true as p)), {empty}))"
     )
     keep = [c for c in base.columns if c != CHUNK]
     return (

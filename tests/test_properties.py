@@ -253,3 +253,67 @@ def test_densify_strategies_agree_and_grid_gapless(spark, rows):
         if r["is_flat"] == 1:
             assert r["volume"] == 0.0
             assert r["open"] == r["high"] == r["low"] == r["close"]
+
+
+# candle frames with planted anomalies: occasional inversions
+# (low>high), structure breaks (open/close outside [low,high]), null
+# spreads and price jumps — every clean-stage predicate can fire
+_candle_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=600),  # minute offset
+        st.floats(min_value=0.5, max_value=2.0, allow_nan=False),  # base
+        st.sampled_from(["ok", "ok", "ok", "inverted", "badoc", "jump"]),
+        st.one_of(st.none(), st.floats(min_value=0.001, max_value=0.2)),
+    ),
+    min_size=1,
+    max_size=50,
+    unique_by=lambda r: r[0],
+)
+
+
+def _candles(spark, rows, kind_field=True):
+    data = []
+    for m, base, kind, sp in rows:
+        o, h, l, c = base, base + 0.01, base - 0.01, base + 0.005
+        if kind == "inverted":
+            h, l = l, h  # low > high → F4 drop
+        elif kind == "badoc":
+            o = h + 0.05  # open above high → F5 fix
+        elif kind == "jump":
+            o = h = l = c = base * 3  # price jump → F6 spike candidate
+            h, l = c + 0.01, c - 0.01
+        data.append((T0 + timedelta(minutes=m), o, h, l, c, 5.0, sp))
+    return spark.createDataFrame(
+        data,
+        "datetime timestamp, open double, high double, low double,"
+        " close double, volume double, spread double",
+    )
+
+
+@given(t_rows=_candle_rows, m_rows=_candle_rows)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_fused_engine_equals_vanilla_on_random_series(spark, t_rows, m_rows):
+    """The fused chunked engine must be BIT-IDENTICAL to the vanilla
+    merge on arbitrary candle series with every anomaly class planted —
+    including tiny 2-minute chunks so nearly every row sits on a chunk
+    boundary and every cross-chunk carry path is exercised."""
+    from institutional_fx_etl_spark.plans.pipeline import HybridMergerSpark
+    from institutional_fx_etl_spark.plans.pipeline_fused import merge_fused
+
+    tick_candles = _candles(spark, t_rows)
+    m1 = _candles(spark, m_rows)
+
+    kw = dict(spike_threshold=0.08, consensus_threshold=0.9)
+    eng = HybridMergerSpark(engine="vanilla", **kw)
+    want_f, want_a = eng.merge(m1, tick_candles)
+    got_f, got_a = merge_fused(m1, tick_candles, chunk_seconds=120, **kw)
+
+    def rows(df, keys):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple(str(x) for x in t),
+        )
+
+    assert rows(got_f, "datetime") == rows(want_f, "datetime")
+    assert rows(got_a, "reason") == rows(want_a, "reason")
