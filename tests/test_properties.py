@@ -317,3 +317,68 @@ def test_fused_engine_equals_vanilla_on_random_series(spark, t_rows, m_rows):
 
     assert rows(got_f, "datetime") == rows(want_f, "datetime")
     assert rows(got_a, "reason") == rows(want_a, "reason")
+
+
+_batch = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4 * 24 * 60),  # minute (4 days)
+        st.floats(min_value=0.01, max_value=0.5),  # half-spread width
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(b1=_batch, b2=_batch, b3=_batch)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_incremental_random_batches_equal_full(spark, b1, b2, b3):
+    """Three random tick batches — overlapping minutes, out-of-order
+    days, spread distributions that SHIFT the global median between
+    updates (drift-widening path) — must leave the incremental state
+    exactly equal to a from-scratch run over the union."""
+    import shutil
+
+    from institutional_fx_etl_spark.plans.incremental import (
+        IncrementalHybridPipeline,
+        fresh_state_dir,
+    )
+    from institutional_fx_etl_spark.plans.pipeline import HybridMergerSpark
+
+    def ticks(rows):
+        data = [
+            (T0 + timedelta(minutes=m), 1.0 + (m % 16) / 32 + w, 1.0 + (m % 16) / 32 - w)
+            for m, w in rows
+        ]
+        return spark.createDataFrame(
+            data, "datetime timestamp, ask double, bid double"
+        )
+
+    m1 = spark.createDataFrame(
+        [
+            (T0 + timedelta(minutes=m), 1.2, 1.3, 1.1, 1.25, 3.0, None)
+            for m in range(0, 300, 7)
+        ],
+        "datetime timestamp, open double, high double, low double,"
+        " close double, volume double, spread double",
+    )
+
+    state = fresh_state_dir()
+    try:
+        inc = IncrementalHybridPipeline(
+            spark, state, spike_threshold=1e9, consensus_threshold=1e9,
+            chunk_seconds=6 * 3600,
+        )
+        for b in (b1, b2, b3):
+            inc.update(m1, ticks(b))
+        got = sorted(tuple(r) for r in inc.read_final().collect())
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+    eng = HybridMergerSpark(spike_threshold=1e9, consensus_threshold=1e9)
+    full, _ = eng.run(
+        m1, ticks(b1).unionByName(ticks(b2)).unionByName(ticks(b3))
+    )
+    want = sorted(tuple(r) for r in full.collect())
+    assert got == want
