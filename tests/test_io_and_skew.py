@@ -79,3 +79,33 @@ def test_cli_end_to_end(tmp_path):
     assert "rows_written=5" in proc.stdout  # 09:58..10:02 inclusive
     assert "audit.gap_bridged_flat=2" in proc.stdout  # 09:59 and 10:01
     assert (out / "_SUCCESS").exists()
+
+    # the same run forced through the fused engine must emit identical
+    # counts (the --engine flag is the crossover's manual override)
+    out2 = tmp_path / "out_fused.csv"
+    proc2 = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "institutional_fx_etl_spark",
+            str(m1),
+            str(ticks),
+            str(out2),
+            "--spike-threshold",
+            "10.0",
+            "--engine",
+            "fused",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    assert "rows_written=5" in proc2.stdout
+    assert "audit.gap_bridged_flat=2" in proc2.stdout
+    body = sorted((out / "part-00000-" ).parent.glob("part*.csv"))
+    body2 = sorted((out2 / "part-00000-").parent.glob("part*.csv"))
+    text_a = "".join(p.read_text() for p in body)
+    text_b = "".join(p.read_text() for p in body2)
+    assert text_a == text_b, "fused CLI output differs from vanilla"

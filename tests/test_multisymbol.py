@@ -99,3 +99,38 @@ def test_multisymbol_plan_has_no_single_partition_windows(spark, per_symbol_fram
         "multi-symbol pipeline must partition window sorts by symbol"
     )
     assert "hashpartitioning(symbol" in plan
+
+
+def test_fused_engine_multisymbol_equals_vanilla(spark, per_symbol_frames):
+    """merge_fused with partition_cols must equal the vanilla multisym
+    merge row-for-row — the fused engine's per-symbol chunk windows and
+    carries key on the partition columns (no contract query exercises
+    this path; the crossover routes multisym to vanilla by policy, but
+    the capability is part of merge_fused's API)."""
+    from institutional_fx_etl_spark.plans.pipeline_fused import merge_fused
+
+    all_ticks = None
+    all_m1 = None
+    for sym, (tdf, mdf) in per_symbol_frames.items():
+        t = tdf.withColumn("symbol", F.lit(sym))
+        m = mdf.withColumn("symbol", F.lit(sym))
+        all_ticks = t if all_ticks is None else all_ticks.unionByName(t)
+        all_m1 = m if all_m1 is None else all_m1.unionByName(m)
+
+    kw = dict(spike_threshold=10.0, consensus_threshold=0.01)
+    eng = HybridMergerSpark(
+        engine="vanilla", partition_cols=("symbol",), **kw
+    )
+    tick_candles = eng.resample_ticks(all_ticks)
+    want, _ = eng.merge(all_m1, tick_candles)
+    got, _ = merge_fused(
+        all_m1,
+        tick_candles,
+        partition_cols=("symbol",),
+        chunk_seconds=120,
+        **kw,
+    )
+    key = lambda r: (r["symbol"], r["datetime"])  # noqa: E731
+    assert sorted((r.asDict() for r in got.collect()), key=key) == sorted(
+        (r.asDict() for r in want.collect()), key=key
+    )
