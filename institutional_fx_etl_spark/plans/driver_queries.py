@@ -2266,6 +2266,46 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_topk",
+    """
+    WITH t AS (
+      SELECT string_split_regex(lower(text), '\\s+') AS toks FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM t WHERE len(toks) >= 2
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams — the n-gram frequency profile every
+    training-data audit starts with (boilerplate detection, template
+    contamination). Same whitespace tokenization as the dedup/corpus
+    family; bigram generation is a scan-side array transform + explode,
+    the count is one partial+final hash aggregate, and only the global
+    top-k crosses the final ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.selectExpr(
+        r"split(lower(text), '\\s+') AS toks"
+    ).filter("size(toks) >= 2").selectExpr(
+        "explode(transform(sequence(0, size(toks) - 2),"
+        " i -> concat(element_at(toks, i + 1), ' ',"
+        " element_at(toks, i + 2)))) AS bigram"
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@register(
     "corpus_pipeline",
     f"""
     WITH RECURSIVE t AS (
@@ -2787,6 +2827,7 @@ _HEAD = [
     "pq_encode",
     "stratified_sample",
     "streaming_dedup",
+    "ngram_topk",
     # rotated back in (last row: round 1)
     "topk_per_group",
     "json_extract",
@@ -2835,6 +2876,7 @@ _TAIL = [
     "inner_reconcile",
     "greatest_least_fix",
     "combine_first",
+    "array_agg_functions",
 ]
 
 
