@@ -2528,36 +2528,71 @@ def q_hybrid_pipeline_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
-#: the full-pipeline oracle restricted to the incremental overwrite
-#: boundary: the first tick-candle day at/after a deterministic cut at
-#: 70% of the raw tick time span (day-truncated). The operator's
-#: update() recomputes exactly the days >= that boundary.
-_INCREMENTAL_ORACLE = (
-    _HYBRID_PIPELINE_ORACLE.rstrip()
-    + """
-  AND datetime >= (
-    SELECT date_trunc('day', min(datetime)) FROM tick_candles
-    WHERE datetime >= (
-      SELECT to_timestamp(CAST(floor((min_e + 0.7 * (max_e - min_e))
-                                     / 86400.0) * 86400 AS BIGINT))
-      FROM (SELECT CAST(epoch(min(datetime)) AS DOUBLE) AS min_e,
-                   CAST(epoch(max(datetime)) AS DOUBLE) AS max_e
-            FROM ticks0)))
-"""
+#: Re-delivery oracle: the full-pipeline oracle with (a) M1 confined
+#: to the first 40% of the event span and ticks to the last 40% — the
+#: r3 falsifying-example shape, where the days below the incremental
+#: overwrite boundary hold M1 data but NO candles, so a bounded
+#: recompute must re-anchor the boundary-day flat bridge from M1
+#: context days — and (b) the pre-cut tick slice UNION ALL'd twice:
+#: update 3 re-delivers update 1's batch verbatim, and the module
+#: contract is equivalence to a from-scratch run over the
+#: CONCATENATION of delivered batches (exact-duplicate ticks double
+#: candle volume; OHLC/spread averages are unchanged).
+_INCREMENTAL_ORACLE = _HYBRID_PIPELINE_ORACLE.replace(
+    """WITH ticks0 AS (
+  SELECT ts AS datetime, value + 0.01 AS ask, value - 0.01 AS bid
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+),""",
+    """WITH cuts AS (
+  SELECT to_timestamp(CAST(floor((lo + 0.4 * (hi - lo)) / 86400.0)
+                           * 86400 AS BIGINT)) AS m1_hi,
+         to_timestamp(CAST(floor((lo + 0.6 * (hi - lo)) / 86400.0)
+                           * 86400 AS BIGINT)) AS tick_lo,
+         to_timestamp(CAST(floor((lo + 0.8 * (hi - lo)) / 86400.0)
+                           * 86400 AS BIGINT)) AS mid_cut
+  FROM (SELECT CAST(epoch(min(ts)) AS DOUBLE) AS lo,
+               CAST(epoch(max(ts)) AS DOUBLE) AS hi FROM events)
+),
+ticks_win AS (
+  SELECT ts AS datetime, value + 0.01 AS ask, value - 0.01 AS bid
+  FROM events, cuts
+  WHERE event_type IN ('click', 'view', 'purchase') AND ts >= cuts.tick_lo
+),
+ticks0 AS (
+  SELECT * FROM ticks_win
+  UNION ALL
+  SELECT t.* FROM ticks_win t, cuts WHERE t.datetime < cuts.mid_cut
+),""",
+).replace(
+    """m1src AS (
+  SELECT ts AS datetime, value + 0.02 AS ask, value - 0.02 AS bid
+  FROM events WHERE event_type IN ('signup', 'error')
+),""",
+    """m1src AS (
+  SELECT ts AS datetime, value + 0.02 AS ask, value - 0.02 AS bid
+  FROM events, cuts
+  WHERE event_type IN ('signup', 'error') AND ts < cuts.m1_hi
+),""",
+)
+assert "ticks_win" in _INCREMENTAL_ORACLE and "m1_hi" in _INCREMENTAL_ORACLE, (
+    "oracle CTE substitution drifted from _HYBRID_PIPELINE_ORACLE"
 )
 
 
 @register("incremental_merge", _INCREMENTAL_ORACLE)
 def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental late-data recompute (plans/incremental.py): ticks
-    split at a deterministic day boundary (70% of the time span) feed
-    two successive ``update()`` calls against day-partitioned candle/
-    final/audit state; only affected day partitions are rewritten
-    (dynamic partition overwrite), with full-history scalars (exact
-    median, F8 flag) injected so the bounded recompute fills exactly
-    like a closed-dataset run. Returns the second update's recomputed
-    slice — the oracle is the full from-scratch pipeline restricted to
-    the same boundary, so the hash proves incremental ≡ full."""
+    """Incremental late-data recompute (plans/incremental.py) under
+    BATCH RE-DELIVERY: m1 covers only the early 40% of the event span,
+    ticks only the late 40% (a multi-day m1-only gap below the first
+    tick day — the r3 falsifying-example shape); three ``update()``
+    calls deliver the pre-cut tick slice, the post-cut slice, then the
+    pre-cut slice AGAIN. Returns the ENTIRE resulting state
+    (``read_final()``) — the oracle is the full from-scratch pipeline
+    over the concatenation (re-delivered slice doubled), so the hash
+    proves both the union-semantics contract and that the mid-history
+    re-delivery regrew the boundary day's flat bridge instead of
+    truncating it (the r3 bug the driver's append-only sequence could
+    not see)."""
     import shutil
 
     from institutional_fx_etl_spark.plans.incremental import (
@@ -2565,12 +2600,21 @@ def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         fresh_state_dir,
     )
 
-    m1, ticks = _pipeline_inputs(spark, sf_dir)
-    lo, hi = ticks.agg(
-        F.min(epoch_seconds("datetime")), F.max(epoch_seconds("datetime"))
+    m1_all, ticks_all = _pipeline_inputs(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(
+        F.min(epoch_seconds("ts")), F.max(epoch_seconds("ts"))
     ).first()
-    cut_epoch = int((lo + 0.7 * (hi - lo)) // 86400.0) * 86400
-    cut = F.timestamp_seconds(F.lit(cut_epoch))
+
+    def day_cut(frac: float):
+        return F.timestamp_seconds(
+            F.lit(int((lo + frac * (hi - lo)) // 86400.0) * 86400)
+        )
+
+    m1 = m1_all.filter(F.col("datetime") < day_cut(0.4))
+    ticks = ticks_all.filter(F.col("datetime") >= day_cut(0.6))
+    b1 = ticks.filter(F.col("datetime") < day_cut(0.8))
+    b2 = ticks.filter(F.col("datetime") >= day_cut(0.8))
 
     state = fresh_state_dir()
     try:
@@ -2581,9 +2625,12 @@ def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             consensus_threshold=50.0,
             chunk_seconds=6 * 3600,
         )
-        inc.update(m1, ticks.filter(F.col("datetime") < cut))
-        out = inc.update(m1, ticks.filter(F.col("datetime") >= cut))
-        # the slice is already checkpointed; state files can go
+        inc.update(m1, b1)
+        inc.update(m1, b2)
+        inc.update(m1, b1)  # re-delivery: mid-history, behind old_max
+        out = inc.read_final()
+        # state files go with the scratch dir — materialize first
+        out = out.localCheckpoint(eager=True)
         return out
     finally:
         shutil.rmtree(state, ignore_errors=True)

@@ -22,11 +22,19 @@ Spark-first design:
 - **Windowed recompute with global carry-ins.** A new batch triggers a
   recompute of days ``>= overwrite_lo`` (earliest affected day, or the
   last existing output day when appending past the end — its trailing
-  flat bridge changes; widened to the M1 head on the first update and
-  on M1 backfill, so M1-only history preceding the first tick batch is
-  never dropped), plus ``context_days`` of earlier candles whose rows
-  absorb the ordered-window boundary (±2 smoother frame, F6 lag,
-  spread ffill carry) and are then discarded.
+  flat bridge changes; widened to the earliest new-or-changed M1 day,
+  detected by per-day M1 fingerprints, so M1 backfill and in-span M1
+  edits are never dropped), plus ``context_days`` of earlier *data*
+  days (candles **or** M1 — either can be the nearest real rows below
+  the boundary) whose rows absorb the ordered-window boundary (±2
+  smoother frame, F6 lag, spread ffill carry) **and re-anchor the time
+  grid**: when any data exists below ``overwrite_lo``, a from-scratch
+  run's gapless grid enters the boundary day at 00:00, so the bounded
+  recompute must include earlier rows for the flat bridge to regrow
+  through the day boundary (without them a re-delivered mid-history
+  batch would truncate the boundary day at its first real candle).
+  Context rows are regenerated and then discarded at the
+  ``overwrite_lo`` filter.
 - **Incremental scalar state.** The whole-series scalars the reference
   computes over the closed dataset — exact median spread (A5), tick
   count (T6), the F8 any-fixed flag — fold from maintained state
@@ -46,6 +54,27 @@ Spark-first design:
   (no tick re-read) — so ``read_final()`` always equals a from-scratch
   run, scalar-shifting batches included.
 
+**Update-semantics contract** (the reference is a closed-batch tool —
+``/root/reference/src/hybrid_merger.py:175-251`` has no update notion
+— so this is the repo's own, stated explicitly):
+
+- ``update(m1, new_ticks)`` takes the FULL current M1 history each
+  call plus one tick batch. After any sequence of updates,
+  ``read_final()`` equals a from-scratch
+  :meth:`HybridMergerSpark.run` over the **concatenation of every
+  delivered tick batch** (union semantics). Re-delivering a batch is
+  therefore *not* a tick-level no-op: duplicate ticks double-count
+  into volume/spread-average exactly as they would in the
+  concatenated from-scratch input. Callers wanting exactly-once must
+  dedup upstream (e.g. ``dropDuplicates`` on the tick key) — the
+  engine guarantees equivalence to the union, nothing stronger.
+- M1 rows may be **added** (head backfill or in-span) or **changed**
+  between updates; per-day fingerprints (row count + xxhash64 XOR,
+  kept in ``day_scalars/``) detect both and widen the rewrite to the
+  earliest touched day. **Removing** every M1 row of a
+  previously-seen day is unsupported and raises (a shrunk history
+  cannot be reconciled day-locally).
+
 Exactness: the recomputed slice is bit-identical to a from-scratch run
 of the full pipeline over all ticks, provided the context window
 resolves the ffill carry (it fails only if every candle in
@@ -54,7 +83,9 @@ default; raise ``context_days`` for pathological data). Verified
 against the DuckDB full-pipeline oracle (``incremental_merge``
 contract query) and against :meth:`HybridMergerSpark.merge` in
 ``tests/test_incremental.py``, including out-of-order batches that
-rewrite existing minutes.
+rewrite existing minutes, and in ``tests/test_properties.py`` against
+random 3- and 4-batch sequences with re-delivered and out-of-order
+batches.
 """
 
 from __future__ import annotations
@@ -240,54 +271,78 @@ class IncrementalHybridPipeline:
         self._write_partitions(merged_parts.localCheckpoint(eager=True), self._path("candles"))
         candles_state = self.spark.read.parquet(self._path("candles"))
 
-        # 2. m1 day span (ONE candle-grain distinct — metadata scale).
-        # M1-only history earlier than the first tick day is the
-        # reference's canonical scenario (long M1 history, recent
-        # ticks): a from-scratch run includes those days, so the
-        # overwrite boundary must too.
-        m1_days = sorted(
-            r[0]
-            for r in m1.select(F.to_date("datetime").alias("d"))
-            .distinct()
+        # 2. per-day m1 fingerprints (ONE candle-grain groupBy — the
+        # same full-m1 scan the old distinct-days probe already paid;
+        # collect is day-count-bounded metadata). A day is "changed"
+        # when it is new to state OR its (count, hash-sum) moved —
+        # this covers the reference's canonical long-M1-head scenario
+        # (all m1 days are new on the first update), head backfill,
+        # AND in-span m1 edits, which the old head-only check missed.
+        # (docstring "row count + hash" contract: count + bit_xor.)
+        m1_fp = {
+            r["d"]: (r["m1_cnt"], r["m1_fp"])
+            for r in m1.groupBy(F.to_date("datetime").alias("d"))
+            .agg(
+                F.count(F.lit(1)).alias("m1_cnt"),
+                # bit_xor: order-independent and overflow-free under
+                # ANSI mode (a sum of hashes overflows long); the count
+                # disambiguates the even-multiplicity XOR cancellation
+                F.bit_xor(F.xxhash64(*m1.columns)).alias("m1_fp"),
+            )
             .collect()
+        }
+        m1_days = sorted(m1_fp)
+
+        day_state = self._read_state("day_scalars")
+        state_m1 = (
+            {
+                r["d"]: (r["m1_cnt"], r["m1_fp"])
+                for r in day_state.select("d", "m1_cnt", "m1_fp").collect()
+            }
+            if day_state is not None
+            else {}
         )
-        m1_min = m1_days[0] if m1_days else None
+        state_days = set(state_m1)
+        removed = sorted(
+            d for d, (cnt, _) in state_m1.items() if cnt and d not in m1_fp
+        )
+        if removed:
+            raise ValueError(
+                "m1 history shrank: previously-seen m1 days "
+                f"{removed} are absent from this update's m1 input "
+                "(see module contract — day removal is unsupported)"
+            )
+        changed_m1 = sorted(
+            d for d, fp in m1_fp.items() if state_m1.get(d, (0, None)) != fp
+        )
 
         # 3. overwrite boundary: earliest affected day, or the last
         # existing output day when appending past the end (its trailing
-        # flat bridge extends); widened to the m1 head on the first
-        # update and on m1 backfill (m1 days before the existing output
-        # head)
+        # flat bridge extends); widened to the earliest new-or-changed
+        # m1 day (first update: every m1 day is new, so this reproduces
+        # the old m1-head widening)
         final_state = self._read_state("final")
-        old_max = old_min = None
+        old_max = None
         if final_state is not None:
-            row = final_state.agg(F.max("d"), F.min("d")).first()
-            old_max, old_min = (row[0], row[1]) if row else (None, None)
+            row = final_state.agg(F.max("d")).first()
+            old_max = row[0] if row else None
+        bounds = [new_lo] + changed_m1[:1]
         if old_max is not None:
-            overwrite_lo = min(new_lo, old_max)
-            if m1_min is not None and old_min is not None and m1_min < old_min:
-                overwrite_lo = min(overwrite_lo, m1_min)
-        else:
-            overwrite_lo = min(d for d in (new_lo, m1_min) if d is not None)
+            bounds.append(old_max)
+        overwrite_lo = min(bounds)
 
         # 4. merged-consensus scalar state, maintained incrementally:
         # one day-partitioned table (day_scalars/) of per-day partials —
-        # ntick sum, anyfix max, and the day's tick-spread multiset as
-        # a sorted array (≤1440 doubles — the exact-median's input at
-        # candle grain). Only days whose candles changed — plus m1 days
-        # not yet in state — are rebuilt, so the whole-history consensus
-        # join of earlier rounds is gone: the update never rescans m1
-        # against the full candle state. Every refresh day has ≥1
-        # merged row (candles or m1), so its partition is always
-        # rewritten — a day can never go silently stale under dynamic
-        # partition overwrite.
-        day_state = self._read_state("day_scalars")
-        state_days = (
-            {r[0] for r in day_state.select("d").distinct().collect()}
-            if day_state is not None
-            else set()
-        )
-        refresh = sorted(set(affected) | (set(m1_days) - state_days))
+        # ntick sum, anyfix max, the day's tick-spread multiset as a
+        # sorted array (≤1440 doubles — the exact-median's input at
+        # candle grain), and the day's m1 fingerprint. Only days whose
+        # candles changed — plus new-or-changed m1 days — are rebuilt,
+        # so the whole-history consensus join of earlier rounds is
+        # gone: the update never rescans m1 against the full candle
+        # state. Every refresh day has ≥1 merged row (candles or m1),
+        # so its partition is always rewritten — a day can never go
+        # silently stale under dynamic partition overwrite.
+        refresh = sorted(set(affected) | set(changed_m1))
         if refresh:
             refresh_strs = [str(d) for d in refresh]
             m1_r = m1.filter(
@@ -309,7 +364,7 @@ class IncrementalHybridPipeline:
                 | (F.col("close") < F.col("low")),
                 F.lit(False),
             )
-            self._write_partitions(
+            day_rows = (
                 merged_r.withColumn("d", F.to_date("datetime"))
                 .groupBy("d")
                 .agg(
@@ -322,6 +377,22 @@ class IncrementalHybridPipeline:
                             F.when(F.col("__is_tick"), F.col("spread"))
                         )
                     ).alias("sps"),
+                )
+            )
+            # attach the day's m1 fingerprint (driver-known map, day
+            # count rows → broadcast-joined literal frame)
+            fp_df = spark.createDataFrame(
+                [(d, *m1_fp.get(d, (0, None))) for d in refresh],
+                "d date, m1_cnt long, m1_fp long",
+            )
+            self._write_partitions(
+                day_rows.join(F.broadcast(fp_df), "d", "left").select(
+                    "d",
+                    "ntick",
+                    "anyfix",
+                    "sps",
+                    F.coalesce("m1_cnt", F.lit(0)).alias("m1_cnt"),
+                    "m1_fp",
                 ),
                 self._path("day_scalars"),
             )
@@ -361,16 +432,28 @@ class IncrementalHybridPipeline:
                 if all_days:
                     overwrite_lo = min(overwrite_lo, all_days[0])
 
-        # 7. context days absorb ordered-window boundaries, then drop
+        # 7. context days: the most recent *data* days (candles OR m1)
+        # below the boundary. They (a) absorb ordered-window boundaries
+        # (±2 smoother, F6 lag, ffill carry) and (b) re-anchor the time
+        # grid — with any data below overwrite_lo, a from-scratch grid
+        # enters the boundary day at 00:00 via the flat bridge, so the
+        # recompute must see those earlier rows to regrow it (the
+        # re-delivery falsifying example: a mid-history batch whose day
+        # held the only candles, with m1 two days earlier — candle-only
+        # context found nothing and the regenerated partition started
+        # mid-day, truncating 574 bridge rows). Regenerated context
+        # rows are discarded at the overwrite_lo filter below.
         ctx_rows = (
             candles_state.select("d")
             .filter(F.col("d") < F.lit(overwrite_lo))
             .distinct()
-            .orderBy(F.col("d").desc())
-            .limit(self.context_days)
             .collect()
         )
-        w_lo = min([r[0] for r in ctx_rows], default=overwrite_lo)
+        data_below = {r[0] for r in ctx_rows} | {
+            d for d in m1_days if d < overwrite_lo
+        }
+        ctx = sorted(data_below, reverse=True)[: self.context_days]
+        w_lo = min(ctx, default=overwrite_lo)
 
         # 8. windowed recompute over [w_lo, end) with global carry-ins
         cand_w = finalize_partials(

@@ -242,3 +242,76 @@ def test_incremental_cleaning_and_flat_bridge(spark, tmp_path):
     # audit state only covers overwritten partitions per update; every
     # full-run tag on those days must be present with the same key
     assert exp_tags == got_tags
+
+
+def test_redelivered_batch_keeps_bridge(spark, tmp_path):
+    """Deterministic form of the r3 falsifying example: batch 3
+    re-delivers batch 1's single mid-history tick, whose day holds the
+    state's ONLY candles while m1 ends two days earlier. The recompute
+    boundary day must keep its 00:00-onward flat bridge (the broken
+    version regenerated the partition from the first candle's minute,
+    truncating the pre-candle bridge rows)."""
+    m1 = _m1(spark, range(0, 300))  # day 0 only
+    lone = _ticks(spark, [DAY * 2 + 574])  # day 2, 09:34
+    later = _ticks(spark, [DAY * 4 + 100])  # day 4
+
+    inc = IncrementalHybridPipeline(
+        spark, str(tmp_path / "state"), spike_threshold=1e9,
+        consensus_threshold=1e9, chunk_seconds=6 * 3600,
+    )
+    inc.update(m1, lone)
+    inc.update(m1, later)
+    inc.update(m1, lone)  # re-delivery: union semantics, double-counts
+
+    eng = HybridMergerSpark(spike_threshold=1e9, consensus_threshold=1e9)
+    full, _ = eng.run(
+        m1, lone.unionByName(later).unionByName(lone)
+    )
+    got, exp = _collect(inc.read_final()), _collect(full)
+    assert got == exp
+    # the boundary day enters at midnight via the flat bridge
+    day2 = [r for r in got if r["datetime"].date() == (T0 + timedelta(days=2)).date()]
+    assert day2[0]["datetime"] == T0 + timedelta(days=2)
+
+
+def test_m1_inspan_edit_widens_rewrite(spark, tmp_path):
+    """An m1 row CHANGED on a day inside the existing span (no new tick
+    on that day) must be detected by the per-day fingerprint and
+    recomputed into final/ — the head-only backfill check missed it."""
+    m1_v1 = _m1(spark, range(0, 300))
+    b1 = _ticks(spark, range(0, 200))
+    b2 = _ticks(spark, range(DAY * 2, DAY * 2 + 100))
+
+    inc = IncrementalHybridPipeline(
+        spark, str(tmp_path / "state"), spike_threshold=1e9,
+        consensus_threshold=1e9, chunk_seconds=6 * 3600,
+    )
+    inc.update(m1_v1, b1)
+    inc.update(m1_v1, b2)
+
+    # edit day-0 m1 values (same minutes, shifted base) + backfill new
+    # in-span m1 minutes on day 1 — neither day gets new ticks
+    m1_v2 = _m1(spark, range(0, 300), base=2.0).unionByName(
+        _m1(spark, range(DAY + 10, DAY + 50))
+    )
+    b3 = _ticks(spark, range(DAY * 2 + 100, DAY * 2 + 150))
+    inc.update(m1_v2, b3)
+
+    eng = HybridMergerSpark(spike_threshold=1e9, consensus_threshold=1e9)
+    full, _ = eng.run(m1_v2, b1.unionByName(b2).unionByName(b3))
+    assert _collect(inc.read_final()) == _collect(full)
+
+
+def test_m1_day_removal_raises(spark, tmp_path):
+    """Removing every m1 row of a previously-seen day is outside the
+    documented contract and must raise, not silently diverge."""
+    inc = IncrementalHybridPipeline(
+        spark, str(tmp_path / "state"), spike_threshold=1e9,
+        consensus_threshold=1e9,
+    )
+    inc.update(_m1(spark, range(0, 300)), _ticks(spark, range(0, 100)))
+    with pytest.raises(ValueError, match="m1 history shrank"):
+        inc.update(
+            _m1(spark, range(DAY, DAY + 100)),  # day 0 gone
+            _ticks(spark, range(100, 200)),
+        )

@@ -6,7 +6,7 @@ from datetime import datetime, timedelta, timezone
 
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -331,6 +331,13 @@ _batch = st.lists(
 
 
 @given(b1=_batch, b2=_batch, b3=_batch)
+# r3's falsifying example, pinned: batch 3 re-delivers batch 1's tick
+# (minute 2854 = Jan-3 09:34, the day's ONLY candle; m1 ends Jan-1).
+# The bounded recompute used candle-only context days, found no data
+# below the boundary, and regenerated the Jan-3 partition from 09:34 —
+# truncating the 574 flat-bridge rows (00:00-09:33) a from-scratch
+# grid carries through midnight.
+@example(b1=[(2854, 0.01)], b2=[(5343, 0.333)], b3=[(2854, 0.01)])
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 def test_incremental_random_batches_equal_full(spark, b1, b2, b3):
@@ -380,5 +387,79 @@ def test_incremental_random_batches_equal_full(spark, b1, b2, b3):
     full, _ = eng.run(
         m1, ticks(b1).unionByName(ticks(b2)).unionByName(ticks(b3))
     )
+    want = sorted(tuple(r) for r in full.collect())
+    assert got == want
+
+
+# each tick carries a batch assignment 0-3: exactly-once delivery (no
+# tick appears in two batches) with arbitrary day order across batches
+_assigned_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4 * 24 * 60),  # minute (4 days)
+        st.floats(min_value=0.01, max_value=0.5),  # half-spread width
+        st.integers(min_value=0, max_value=3),  # batch assignment
+    ),
+    min_size=4,
+    max_size=40,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=_assigned_rows)
+# pinned: four single-tick batches delivered newest-day-first, so every
+# later update's new_lo falls behind old_max (the re-delivery-shaped
+# boundary path) without any duplicate ticks
+@example(rows=[(5000, 0.1, 0), (100, 0.1, 1), (3000, 0.1, 2), (1500, 0.1, 3)])
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_incremental_exactly_once_out_of_order_batches(spark, rows):
+    """Exactly-once delivery (each tick in exactly ONE of 4 batches),
+    days arbitrarily out of order across batches: incremental state
+    must equal a from-scratch run over the concatenation — the
+    module-contract guarantee for the no-duplicates delivery regime."""
+    import shutil
+
+    from institutional_fx_etl_spark.plans.incremental import (
+        IncrementalHybridPipeline,
+        fresh_state_dir,
+    )
+    from institutional_fx_etl_spark.plans.pipeline import HybridMergerSpark
+
+    def ticks(batch):
+        data = [
+            (T0 + timedelta(minutes=m), 1.0 + (m % 16) / 32 + w, 1.0 + (m % 16) / 32 - w)
+            for m, w in batch
+        ]
+        return spark.createDataFrame(
+            data, "datetime timestamp, ask double, bid double"
+        )
+
+    batches = [[(m, w) for m, w, i in rows if i == b] for b in range(4)]
+    batches = [b for b in batches if b]  # S5 aborts on empty batches
+
+    m1 = spark.createDataFrame(
+        [
+            (T0 + timedelta(minutes=m), 1.2, 1.3, 1.1, 1.25, 3.0, None)
+            for m in range(0, 300, 7)
+        ],
+        "datetime timestamp, open double, high double, low double,"
+        " close double, volume double, spread double",
+    )
+
+    state = fresh_state_dir()
+    try:
+        inc = IncrementalHybridPipeline(
+            spark, state, spike_threshold=1e9, consensus_threshold=1e9,
+            chunk_seconds=6 * 3600,
+        )
+        for b in batches:
+            inc.update(m1, ticks(b))
+        got = sorted(tuple(r) for r in inc.read_final().collect())
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+    all_ticks = ticks([(m, w) for m, w, _ in rows])
+    eng = HybridMergerSpark(spike_threshold=1e9, consensus_threshold=1e9)
+    full, _ = eng.run(m1, all_ticks)
     want = sorted(tuple(r) for r in full.collect())
     assert got == want
