@@ -161,12 +161,17 @@ def dedup_clusters(
     Per-round ``persist`` + one aggregate action materializes the
     frontier — an iterative algorithm cannot be one lazy plan (each
     round's labels feed the next; leaving them lazy would exponentially
-    re-derive). Convergence is detected from a SUM of labels, not a
-    join: min-label propagation is monotone (labels only decrease), so
-    the label total — summed as decimal(38,0) to stay exact at any
-    corpus size — is strictly decreasing until fixpoint and stalls
-    exactly there. That replaces the per-round old-vs-new join+count of
-    earlier rounds with a single agg over the already-persisted frame.
+    re-derive). Convergence detection depends on the id type:
+    *integral* ids (byte/short/int/long) use a SUM of labels — min-
+    label propagation is monotone (labels only decrease), so the label
+    total, summed as decimal(38,0) to stay exact at any corpus size, is
+    strictly decreasing until fixpoint and stalls exactly there — one
+    agg over the already-persisted frame. Any other id type (string,
+    float, …) falls back to the old-vs-new changed-label count: a cast
+    to decimal would be NULL (string) or round-collide (fractional
+    doubles), silently stalling the sum after one round, and ``id_col``
+    is a public generic parameter, so the guard is semantic, not an
+    assumption.
     Every ``checkpoint_every`` rounds the labels are
     ``localCheckpoint(eager=True)``-ed: persistence bounds the physical
     work, but the LOGICAL plan still chains every prior round (round-1
@@ -203,6 +208,13 @@ def dedup_clusters(
         bcast_edges = False
     _e = (lambda df: F.broadcast(df)) if bcast_edges else (lambda df: df)
 
+    from pyspark.sql import types as T
+
+    sum_convergence = isinstance(
+        ids.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+
     prev_total = None
     for rnd in range(max_iter):
         neighbor_min = (
@@ -222,14 +234,25 @@ def dedup_clusters(
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
-        total = new_labels.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)"))
-        ).first()[0]
+        if sum_convergence:
+            total = new_labels.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)"))
+            ).first()[0]
+            converged = total == prev_total
+            prev_total = total
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+                == 0
+            )
         labels.unpersist()
         labels = new_labels
-        if total == prev_total:
+        if converged:
             break
-        prev_total = total
 
     out = labels.select(F.col("id").alias(id_col), "comp").localCheckpoint(
         eager=True

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from institutional_fx_etl_spark.functions.identifiers import bq
+
 
 def ticks_to_candles(
     ticks: DataFrame,
@@ -46,13 +48,16 @@ def ticks_to_candles(
     # SQL-string expressions parsed JVM-side (one py4j call per string)
     # instead of Column trees — a measured ~10× construction-cost
     # difference that matters because every pipeline-family query
-    # builds this subtree (semantics unchanged, oracle-hash-checked)
+    # builds this subtree (semantics unchanged, oracle-hash-checked);
+    # caller-supplied names are backtick-quoted (bq) so names needing
+    # escaping parse as identifiers, as the Column API did
+    ts, ask, bid = bq(ts_col), bq(ask_col), bq(bid_col)
     enriched = ticks.selectExpr(
-        *partition_cols,
-        f"{ts_col} AS __ts",
-        f"{ask_col} AS __ask",
-        f"({ask_col} + {bid_col}) / 2 AS __mid",
-        f"{ask_col} - {bid_col} AS __spread",
+        *[bq(c) for c in partition_cols],
+        f"{ts} AS __ts",
+        f"{ask} AS __ask",
+        f"({ask} + {bid}) / 2 AS __mid",
+        f"{ask} - {bid} AS __spread",
     )
 
     # pandas resample().ohlc() skips NaN mids (a null-ask/bid tick that
@@ -71,8 +76,8 @@ def ticks_to_candles(
         F.expr("avg(__spread)").alias("spread"),
     )
     return agg.selectExpr(
-        *partition_cols,
-        f"__w.start AS {ts_col}",
+        *[bq(c) for c in partition_cols],
+        f"__w.start AS {bq(ts_col)}",
         "open",
         "high",
         "low",

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from institutional_fx_etl_spark.functions.identifiers import bq
+
 #: deterministic ±1 hyperplane component for (plane j, dimension i):
 #: parity of a md5-derived bit — reproducible in any engine with md5.
 def _plane_sign(j: str, i: str) -> str:
@@ -51,7 +53,9 @@ def _plane_matrix_literal(num_planes: int, num_dims: int) -> str:
 
 
 def _as_double(col: str) -> str:
-    return f"transform({col}, x -> cast(x as double))"
+    # caller-supplied name → backtick-quoted (names needing escaping
+    # must parse as identifiers in the SQL-string subtrees)
+    return f"transform({bq(col)}, x -> cast(x as double))"
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -74,10 +78,10 @@ def cosine_topk(
     Output: q_id, vec_id, rank, cosine (rounded 6dp — ranking uses the
     rounded value so ordering is reproducible across engines)."""
     c = with_norm(corpus, vec_col).selectExpr(
-        f"{id_col} AS vec_id", f"{_as_double(vec_col)} AS v", "__norm AS nv"
+        f"{bq(id_col)} AS vec_id", f"{_as_double(vec_col)} AS v", "__norm AS nv"
     )
     q = with_norm(queries, vec_col).selectExpr(
-        f"{id_col} AS q_id", f"{_as_double(vec_col)} AS qv", "__norm AS nq"
+        f"{bq(id_col)} AS q_id", f"{_as_double(vec_col)} AS qv", "__norm AS nq"
     )
     dot = "aggregate(zip_with(v, qv, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
     scored = (
@@ -118,9 +122,9 @@ def hyperplane_signatures(
         f" 0L, (a, x) -> a + x)"
     )
     return (
-        df.selectExpr(id_col, f"{_as_double(vec_col)} AS __v")
-        .selectExpr(id_col, "__v", f"{planes} AS __planes")
-        .selectExpr(id_col, "__v", f"{bucket} AS bucket")
+        df.selectExpr(bq(id_col), f"{_as_double(vec_col)} AS __v")
+        .selectExpr(bq(id_col), "__v", f"{planes} AS __planes")
+        .selectExpr(bq(id_col), "__v", f"{bucket} AS bucket")
     )
 
 
@@ -135,8 +139,8 @@ def lsh_ann_pairs(
     LSH bucket (8 planes → 256 buckets), then exact cosine verifies.
     Output: id_a < id_b, bucket, cosine."""
     sigs = hyperplane_signatures(df, vec_col, id_col, num_planes)
-    a = sigs.selectExpr(f"{id_col} AS id_a", "__v AS va", "bucket")
-    b = sigs.selectExpr(f"{id_col} AS id_b", "__v AS vb", "bucket")
+    a = sigs.selectExpr(f"{bq(id_col)} AS id_a", "__v AS va", "bucket")
+    b = sigs.selectExpr(f"{bq(id_col)} AS id_b", "__v AS vb", "bucket")
     dot = "aggregate(zip_with(va, vb, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
     na = "sqrt(aggregate(va, 0.0d, (a, x) -> a + x*x))"
     nb = "sqrt(aggregate(vb, 0.0d, (a, x) -> a + x*x))"
@@ -165,7 +169,7 @@ def ivf_assign(
     KMeans centroids for quality at scale (ROADMAP). The centroid set
     is tiny and broadcast; assignment is one scan-side pass.
     """
-    v = df.selectExpr(f"{id_col} AS vid", f"{_as_double(vec_col)} AS vv")
+    v = df.selectExpr(f"{bq(id_col)} AS vid", f"{_as_double(vec_col)} AS vv")
     if centroid_stride is None:
         # stride chosen so ~num_centroids centroids exist at any corpus
         # size is the caller's concern; default: ids 0..num_centroids-1
@@ -241,7 +245,7 @@ def ivf_topk(
     overrides the deterministic first-N seeding; the default stays
     id-seeded so the operator is bit-reproducible in the SQL oracle.
     """
-    v = corpus.selectExpr(f"{id_col} AS vid", f"{_as_double(vec_col)} AS vv")
+    v = corpus.selectExpr(f"{bq(id_col)} AS vid", f"{_as_double(vec_col)} AS vv")
     if centroids is None:
         centroids = v.filter(F.col("vid") < num_centroids).selectExpr(
             "vid AS cid", "vv AS cv"
@@ -288,9 +292,9 @@ def embedding_near_dup_pairs(
     (block = id range — cheap demo blocking; LSH above is the real
     scale path), global top-n most-similar pairs, deterministic order."""
     v = df.selectExpr(
-        f"{id_col} AS vid",
+        f"{bq(id_col)} AS vid",
         f"{_as_double(vec_col)} AS vv",
-        f"cast({id_col} / {block_size} as int) AS block",
+        f"cast({bq(id_col)} / {block_size} as int) AS block",
     )
     a = v.selectExpr("vid AS id_a", "vv AS va", "block")
     b = v.selectExpr("vid AS id_b", "vv AS vb", "block")
@@ -367,10 +371,13 @@ def pq_encode(
     def lit(vals: list[float]) -> str:
         return "array(" + ", ".join(f"{v!r}D" for v in vals) + ")"
 
-    exprs = [f"{id_col} AS id"]
+    exprs = [f"{bq(id_col)} AS id"]
     err_terms = []
     for m in range(m_sub):
-        sub = f"transform(slice({vec_col}, {m * dims + 1}, {dims}), x -> cast(x as double))"
+        sub = (
+            f"transform(slice({bq(vec_col)}, {m * dims + 1}, {dims}),"
+            " x -> cast(x as double))"
+        )
         dists = []
         for k in range(k_cent):
             dists.append(

@@ -30,6 +30,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from institutional_fx_etl_spark.functions.identifiers import bq
 from institutional_fx_etl_spark.functions.nullsafe import drop_where
 from institutional_fx_etl_spark.functions.timeutils import fx_offsession_mask
 from institutional_fx_etl_spark.operators.clean import validate_and_clean
@@ -87,8 +88,10 @@ def fused_consensus_merge(
         f"'{schemas.REASON_REJECTED_CATASTROPHE}' AS reason",
     )
 
+    # keys include caller-supplied partition_cols → backtick-quoted so
+    # names needing escaping parse as identifiers
     merged = joined.selectExpr(
-        *keys,
+        *[bq(k) for k in keys],
         *[
             f"CASE WHEN {cat} THEN __m.{c}"
             f" ELSE coalesce(__t.{c}, __m.{c}) END AS {c}"
@@ -185,12 +188,34 @@ class HybridMergerSpark:
         if None not in sizes:
             total = sum(sizes)
             return "fused" if total >= self.FUSED_THRESHOLD_BYTES else "vanilla"
-        # unknown estimate (checkpointed/RDD-backed inputs): one cheap
-        # count over the candle-grain relations decides — candle counts
-        # are ~3 orders below tick counts, so this is the judge-suggested
-        # "cheap count() on the resampled frame", not a data pass twice
-        rows = m1.count() + tick_candles.count()
-        return "fused" if rows >= self.FUSED_THRESHOLD_ROWS else "vanilla"
+        # unknown estimate: count() only when both inputs are already
+        # materialized (checkpointed LogicalRDD / cached InMemoryRelation
+        # leaves — a count is then a cached-block scan, not a job that
+        # executes the full upstream subtree before the real run). For
+        # un-materialized stat-less plans, default to FUSED and document
+        # the asymmetry: at small scale fused costs ≤~1.15× vanilla (a
+        # bounded constant), while vanilla's single-partition window
+        # sort DIES past ~56M candles — the wrong small-scale pick loses
+        # milliseconds, the wrong large-scale pick loses the job. Pass
+        # engine='vanilla' explicitly to override.
+        if all(self._is_materialized(df) for df in (m1, tick_candles)):
+            rows = m1.count() + tick_candles.count()
+            return "fused" if rows >= self.FUSED_THRESHOLD_ROWS else "vanilla"
+        return "fused"
+
+    @staticmethod
+    def _is_materialized(df: DataFrame) -> bool:
+        """True when every leaf of the analyzed plan is an
+        already-computed relation (checkpoint RDD or cache)."""
+        try:
+            leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+            return all(
+                leaves.apply(i).getClass().getSimpleName()
+                in ("LogicalRDD", "InMemoryRelation")
+                for i in range(leaves.size())
+            )
+        except Exception:  # noqa: BLE001 — introspection is best-effort
+            return False
 
     # -- stages 4-9 ----------------------------------------------------
     def merge(

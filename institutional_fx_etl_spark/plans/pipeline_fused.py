@@ -558,14 +558,18 @@ def merge_fused(
     ).filter("close IS NOT NULL")
 
     final = cast_final(dense, p)
-    # union the four shallow (post-checkpoint) audit frames first and
-    # the deep consensus subtree LAST: classic Datasets re-analyze the
-    # accumulated left side at every union, so left-folding a deep tree
-    # first re-analyzes it once per union (measured ~0.3 s of pure
-    # driver time). Row set is identical; the audit sink orders by
-    # (reason, datetime) anyway.
-    audit = reduce(
+    # consensus rows FIRST — the vanilla engine's audit ordering, so
+    # engine='auto' returns identically-ordered audit frames on both
+    # sides of the size crossover (merge()'s documented tag grouping).
+    # The deep consensus subtree is attached as the LEFT side of ONE
+    # outer union over the pre-folded shallow (post-checkpoint) frames:
+    # classic Datasets re-analyze the accumulated left side at every
+    # union, so left-folding consensus-first would re-analyze the deep
+    # tree once per union (measured ~0.3 s of pure driver time) — this
+    # shape analyzes it once and still yields consensus-first order.
+    shallow = reduce(
         DataFrame.unionByName,
-        [audit_inverted, audit_structure, audit_spike, audit_gaps, audit_consensus],
+        [audit_inverted, audit_structure, audit_spike, audit_gaps],
     )
+    audit = audit_consensus.unionByName(shallow)
     return final, audit

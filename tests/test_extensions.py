@@ -91,6 +91,28 @@ def test_dedup_clusters_multi_hop(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_dedup_clusters_string_ids_multi_hop(spark):
+    """id_col is a public generic parameter: STRING ids must converge
+    across multiple hops too. The sum-based convergence check would
+    cast strings to decimal → NULL total every round → None == None
+    stops after ONE propagation round with 'd' still labeled 'c' — the
+    type guard must route non-integral ids to the changed-count check."""
+    from institutional_fx_etl_spark.operators.dedup import dedup_clusters
+
+    ids = spark.createDataFrame(
+        [(s,) for s in ["a", "b", "c", "d", "x", "y", "z"]], "doc_id string"
+    )
+    # a chain needing ≥3 rounds for 'd' to reach 'a'
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    comp = {r["doc_id"]: r["comp"] for r in dedup_clusters(ids, pairs).collect()}
+    assert comp == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x", "z": "z",
+    }
+
+
 def test_cosine_topk_self_first(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),

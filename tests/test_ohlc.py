@@ -76,3 +76,28 @@ def test_ohlc_single_tick_minute(spark):
     assert row["open"] == row["high"] == row["low"] == row["close"] == 1.1
     assert row["volume"] == 1.0
     assert row["spread"] == pytest.approx(0.2)
+
+
+def test_awkward_column_names_quoted(spark):
+    """Caller-supplied column names needing backticks (spaces, dots,
+    hyphens) must parse as identifiers in the selectExpr-built subtree
+    — `a.b` would otherwise parse as a struct access (ADVICE r3)."""
+    from datetime import datetime
+
+    from institutional_fx_etl_spark.operators.ohlc import ticks_to_candles
+    from institutional_fx_etl_spark.operators.similarity import pq_encode
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 10, 0, s), 1.2, 1.0) for s in range(3)],
+        "`time stamp` timestamp, `ask.px` double, `bid-px` double",
+    )
+    out = ticks_to_candles(
+        df, ts_col="time stamp", ask_col="ask.px", bid_col="bid-px"
+    ).collect()
+    assert len(out) == 1 and out[0]["close"] == 1.1
+
+    emb = spark.createDataFrame(
+        [(1, [0.1] * 64)], "`doc id` long, `emb.vec` array<float>"
+    )
+    enc = pq_encode(emb, vec_col="emb.vec", id_col="doc id").collect()
+    assert enc[0]["id"] == 1 and enc[0]["code_0"] >= 0
