@@ -43,3 +43,52 @@ def salt_join(
     return salted_large.join(
         replicated_small, on=[*on, "__salt"], how=how
     ).drop("__salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    factor: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation for hot GROUP BY keys: phase 1
+    aggregates on ``(key, salt)`` — a hot key's rows combine inside
+    ``factor`` parallel reducers — phase 2 re-combines the ``factor``
+    partials per key. Result is identical to a direct groupBy for any
+    commutative-associative aggregate.
+
+    ``aggs`` maps output column name → ``(agg, input_col)`` with agg in
+    {sum, count, min, max}; count re-combines with a SUM of partial
+    counts. Salt is deterministic (whole-row hash mod factor), so
+    recomputed tasks produce identical partials.
+
+    Spark's hash aggregate already does map-side partial combine, which
+    handles most key skew on its own; explicit salting is for the
+    reduce-side long tail (a single key whose *combined* partials still
+    dwarf one reducer, e.g. 10^9 rows of one symbol under a
+    non-combinable agg chain) and for making the two-phase shape
+    explicit where a plan must never hinge on AQE being enabled.
+    """
+    recombine = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    for name, (agg, _col) in aggs.items():
+        if agg not in recombine:
+            raise ValueError(f"unsupported salted aggregate: {agg} ({name})")
+    salt = (F.abs(F.hash(*[F.col(c) for c in df.columns])) % factor).alias(
+        "__salt"
+    )
+    partial = (
+        df.select("*", salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(
+            *[
+                getattr(F, agg)(col).alias(f"__p_{name}")
+                for name, (agg, col) in aggs.items()
+            ]
+        )
+    )
+    return partial.groupBy(*key_cols).agg(
+        *[
+            getattr(F, recombine[agg])(f"__p_{name}").alias(name)
+            for name, (agg, _col) in aggs.items()
+        ]
+    )

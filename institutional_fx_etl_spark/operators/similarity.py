@@ -35,18 +35,23 @@ def _plane_sign(j: str, i: str) -> str:
     )
 
 
-def _plane_matrix_literal(num_planes: int, num_dims: int) -> str:
+def _plane_matrix_literal(num_planes: int, num_dims: int, table: int = 0) -> str:
     """The same ±1 planes precomputed driver-side (hashlib md5 ==
     Spark/DuckDB md5) and emitted as a nested array LITERAL — the
     expression form would re-run ~planes×dims md5 calls per ROW, since
-    the per-row lambda can't know the values are row-independent."""
+    the per-row lambda can't know the values are row-independent.
+    ``table`` > 0 prefixes the seed for an independent plane set
+    (table 0 keeps the original seed string)."""
     import hashlib
 
+    pre = "" if table == 0 else f"t{table}"
     rows = []
     for j in range(num_planes):
         signs = []
         for i in range(num_dims):
-            h = int(hashlib.md5(f"plane{j}_{i}".encode()).hexdigest()[:8], 16)
+            h = int(
+                hashlib.md5(f"{pre}plane{j}_{i}".encode()).hexdigest()[:8], 16
+            )
             signs.append("1.0D" if h % 2 == 0 else "-1.0D")
         rows.append("array(" + ", ".join(signs) + ")")
     return "array(" + ", ".join(rows) + ")"
@@ -101,17 +106,22 @@ def hyperplane_signatures(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     num_planes: int = 8,
+    table: int = 0,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector: bit j = sign of
     ⟨v, plane_j⟩ with deterministic md5-derived ±1 planes (precomputed
     as a literal matrix — see :func:`_plane_matrix_literal`).
     Cosine-similar vectors collide with probability 1 − θ/π per bit.
 
+    ``table`` selects an independent plane set (seed-prefixed md5;
+    table 0 keeps the original seeding so existing oracles are
+    unchanged) — the L in standard (b, L) multi-table LSH.
+
     ``num_dims`` must cover the embedding length (defaults to 64, the
     driver tables' dimension); extra plane components are harmless.
     """
     num_dims = 64
-    planes = _plane_matrix_literal(num_planes, num_dims)
+    planes = _plane_matrix_literal(num_planes, num_dims, table=table)
     proj = (
         "aggregate(zip_with(__v, element_at(__planes, j+1),"
         " (x, s) -> x*s), 0.0d, (a, x) -> a + x)"
@@ -134,20 +144,62 @@ def lsh_ann_pairs(
     id_col: str = "vec_id",
     num_planes: int = 8,
     min_cosine: float = 0.3,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Scale-path near-neighbor pairs: candidates meet only inside an
     LSH bucket (8 planes → 256 buckets), then exact cosine verifies.
-    Output: id_a < id_b, bucket, cosine."""
+    Output: id_a < id_b, bucket, cosine.
+
+    ``num_tables`` > 1 enables standard (b, L) multi-table LSH: a pair
+    is a candidate if it collides in ANY of the L independent plane
+    sets, lifting recall from p^b to 1 − (1 − p^b)^L (recall-gated in
+    tests/test_extensions.py). Candidate pairs are deduped NARROW
+    (ids only — vectors never cross the distinct), then the vectors
+    join back for the single exact-cosine verify; ``bucket`` reports
+    the smallest (table ≪ planes | bucket) collision key for
+    determinism. The default L=1 keeps the original single-join plan
+    (and the SQL oracle) byte-identical."""
     sigs = hyperplane_signatures(df, vec_col, id_col, num_planes)
-    a = sigs.selectExpr(f"{bq(id_col)} AS id_a", "__v AS va", "bucket")
-    b = sigs.selectExpr(f"{bq(id_col)} AS id_b", "__v AS vb", "bucket")
     dot = "aggregate(zip_with(va, vb, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
     na = "sqrt(aggregate(va, 0.0d, (a, x) -> a + x*x))"
     nb = "sqrt(aggregate(vb, 0.0d, (a, x) -> a + x*x))"
-    return (
-        a.join(b, on="bucket")
+    if num_tables == 1:
+        a = sigs.selectExpr(f"{bq(id_col)} AS id_a", "__v AS va", "bucket")
+        b = sigs.selectExpr(f"{bq(id_col)} AS id_b", "__v AS vb", "bucket")
+        return (
+            a.join(b, on="bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .selectExpr(
+                "bucket", "id_a", "id_b", f"round({dot}/({na}*{nb}), 6) AS cosine"
+            )
+            .filter(F.col("cosine") >= min_cosine)
+        )
+
+    all_sigs = None
+    for t in range(num_tables):
+        s = hyperplane_signatures(
+            df, vec_col, id_col, num_planes, table=t
+        ).selectExpr(
+            bq(id_col),
+            f"bucket + {t}L * shiftleft(1L, {num_planes}) AS tbucket",
+        )
+        all_sigs = s if all_sigs is None else all_sigs.unionByName(s)
+    a = all_sigs.selectExpr(f"{bq(id_col)} AS id_a", "tbucket")
+    b = all_sigs.selectExpr(f"{bq(id_col)} AS id_b", "tbucket")
+    cands = (
+        a.join(b, on="tbucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .selectExpr("bucket", "id_a", "id_b", f"round({dot}/({na}*{nb}), 6) AS cosine")
+        .groupBy("id_a", "id_b")
+        .agg(F.min("tbucket").alias("bucket"))
+    )
+    va = df.selectExpr(f"{bq(id_col)} AS id_a", f"{_as_double(vec_col)} AS va")
+    vb = df.selectExpr(f"{bq(id_col)} AS id_b", f"{_as_double(vec_col)} AS vb")
+    return (
+        cands.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .selectExpr(
+            "bucket", "id_a", "id_b", f"round({dot}/({na}*{nb}), 6) AS cosine"
+        )
         .filter(F.col("cosine") >= min_cosine)
     )
 
@@ -343,6 +395,49 @@ _PQ_CODEBOOK = [
         [-0.0194, 0.0201, 0.0055, 0.1043, -0.071, 0.0519, -0.0627, -0.025, 0.0412, -0.048, -0.0441, 0.0604, -0.1026, -0.01, 0.1196, 0.1191],
     ],
 ]
+
+
+def kmeans_pq_codebook(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    num_subspaces: int = 4,
+    num_centroids: int = 4,
+    dims: int = 64,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> list:
+    """Fit a product-quantization codebook on real data: one fixed-seed
+    ``pyspark.ml.clustering.KMeans`` per subspace over that subspace's
+    vector slices (the standard PQ training recipe — subspaces are
+    quantized independently). Returns the nested
+    ``[subspace][centroid][dim]`` list :func:`pq_encode` takes as
+    ``codebook=``, so the encode plan is unchanged: the fitted centers
+    are frozen into scan-side literals exactly like ``_PQ_CODEBOOK``.
+
+    Scale notes: each fit aggregates sub-vectors of ``dims /
+    num_subspaces`` floats — Lloyd iterations are map-side partial sums
+    per centroid, and only ``num_centroids`` centers ever reach the
+    driver (the same k-row transfer :func:`kmeans_centroids` makes).
+    Fit on a sample at 100 TB; codebook quality saturates long before
+    corpus size does.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub_d = dims // num_subspaces
+    v = corpus.selectExpr(f"{_as_double(vec_col)} AS __v")
+    codebook = []
+    for m in range(num_subspaces):
+        feats = v.selectExpr(
+            f"slice(__v, {m * sub_d + 1}, {sub_d}) AS __s"
+        ).select(array_to_vector("__s").alias("features"))
+        model = KMeans(
+            k=num_centroids, seed=seed + m, maxIter=max_iter
+        ).fit(feats)
+        codebook.append(
+            [[float(x) for x in c] for c in model.clusterCenters()]
+        )
+    return codebook
 
 
 def pq_encode(

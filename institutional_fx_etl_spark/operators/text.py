@@ -120,3 +120,94 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "md5(array_join(array_sort(array_distinct(__toks)), ' ')) AS set_fingerprint",
         f"array_min({shingle_hashes_expr('__toks')}) AS min_shingle_hash",
     ).drop("__toks")
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the boilerplate/spam detector
+    used by large-corpus filters — e.g. Gopher/MassiveText-style
+    repetition rules): per document, the word-bigram multiset size, its
+    distinct count, the duplicate-bigram fraction, and the frequency
+    share of the single most common token. Scan-side array expressions
+    only — no shuffle, no UDF.
+
+    ``rep_ratio`` = 1 − distinct/total bigrams (0 for docs shorter
+    than 2 tokens); ``top_token_share`` = max token frequency / token
+    count. Both rounded to 6dp for cross-engine hashing."""
+    toks = "__toks"
+    # guard: shingles_expr's sequence(0, size-2) runs DESCENDING for a
+    # 1-token doc (Spark sequence(0,-1) = [0,-1] → element_at(,0)
+    # error); the lazy CASE skips it entirely
+    bi = (
+        f"CASE WHEN size({toks}) >= 2 THEN {shingles_expr(toks, 2)}"
+        " ELSE array() END"
+    )
+    top_cnt = (
+        f"array_max(transform(array_distinct({toks}),"
+        f" t -> size(filter({toks}, x -> x = t))))"
+    )
+    return (
+        df.withColumn(toks, tokens(text_col))
+        .selectExpr(
+            "*",
+            f"size({bi}) AS n_bigrams",
+            f"size(array_distinct({bi})) AS n_distinct_bigrams",
+        )
+        .selectExpr(
+            "*",
+            "CASE WHEN n_bigrams <= 0 THEN cast(0.0 as double) ELSE"
+            " round(1.0 - cast(n_distinct_bigrams as double) / n_bigrams, 6)"
+            " END AS rep_ratio",
+            f"round(cast({top_cnt} as double) / size({toks}), 6)"
+            " AS top_token_share",
+        )
+        .drop(toks)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-document top-k characteristic terms by smoothed TF-IDF
+    (``tf · ln((N+1)/(df+1))``, ties → lexicographic term order). The
+    classic two-aggregate shape: explode tokens → per-(doc, term)
+    counts → per-term document frequency — both hash aggregates with
+    map-side partial combine — then a scalar-broadcast N and a per-doc
+    window top-k. At 100 TB the explode fans out scan-side (no
+    pre-shuffle), df is a term-keyed aggregate (bounded by vocabulary,
+    not corpus size), and only k rows per document survive the rank."""
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(F.col(id_col), F.explode("__t").alias("term"))
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("__n") + 1) / (F.col("df") + 1)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("df").cast("int").alias("df"),
+            "tfidf",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

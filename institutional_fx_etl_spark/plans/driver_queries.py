@@ -2852,6 +2852,193 @@ def q_pipeline_clean_fixture_fused(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------
+# Round-4 additions: non-equi range join, skew-salted aggregation,
+# exact quantiles, repetition quality signals, TF-IDF key terms
+# ---------------------------------------------------------------------
+
+
+@register(
+    "range_join_banded",
+    """
+    SELECT e1.user_id AS key, e1.event_id AS id_a, e2.event_id AS id_b,
+           round(epoch(e2.ts) - epoch(e1.ts), 6) AS dt_sec
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
+     AND abs(epoch(e2.ts) - epoch(e1.ts)) <= 3600
+    """,
+)
+def q_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join (same-user event pairs within one hour)
+    WITHOUT the cartesian plan a naive BETWEEN join gets: timestamps
+    quantize into ε-wide bands, candidates equi-join on (user, band)
+    and (user, band+1), the exact |Δt| ≤ ε predicate verifies — the
+    banded range-join pattern (operators/rangejoin.py). The oracle IS
+    the naive quadratic join, proving band+verify loses no pairs."""
+    from institutional_fx_etl_spark.operators.rangejoin import banded_self_pairs
+
+    events = load_table(spark, sf_dir, "events")
+    return banded_self_pairs(
+        events,
+        ts_col="ts",
+        key_col="user_id",
+        id_col="event_id",
+        band_seconds=3600,
+    )
+
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n_items,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (functions/skew.py::salted_agg):
+    per-key partials on (key, salt) recombine per key — a hot key's
+    rows reduce in 16 parallel partitions instead of one. The oracle is
+    the DIRECT group-by, proving the salting is value-transparent; the
+    decimal-sum trick keeps the re-associated sum bit-exact."""
+    from institutional_fx_etl_spark.functions.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__qty_dec", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    out = salted_agg(
+        li,
+        ["l_suppkey"],
+        {
+            "sum_qty": ("sum", "__qty_dec"),
+            "n_items": ("count", "*"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        factor=16,
+    )
+    return out.select(
+        "l_suppkey",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "n_items",
+        "min_price",
+        "max_price",
+    )
+
+
+@register(
+    "exact_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS q25,
+           round(quantile_cont(value, 0.50), 6) AS q50,
+           round(quantile_cont(value, 0.75), 6) AS q75,
+           round(quantile_cont(value, 0.99), 6) AS q99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT interpolated quantiles (Spark ``percentile`` ↔
+    DuckDB ``quantile_cont`` — same linear interpolation). Exactness
+    costs a per-group sort of the values; at 100 TB swap in
+    ``percentile_approx`` (t-digest sketch, mergeable map-side) when
+    the use case tolerates bounded error — same plan shape, no sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {p})"), 6).alias(name)
+            for name, p in [
+                ("q25", 0.25),
+                ("q50", 0.50),
+                ("q75", 0.75),
+                ("q99", 0.99),
+            ]
+        ]
+    )
+
+
+@register(
+    "text_repetition",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)),
+                              i -> concat_ws(' ', toks[i], toks[i+1]))
+             ELSE [] END AS bi
+      FROM t
+    )
+    SELECT doc_id,
+           len(bi) AS n_bigrams,
+           len(list_distinct(bi)) AS n_distinct_bigrams,
+           CASE WHEN len(bi) <= 0 THEN 0.0 ELSE
+             round(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi), 6)
+           END AS rep_ratio,
+           round(CAST(list_max(list_transform(list_distinct(toks),
+                   tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE)
+                 / len(toks), 6) AS top_token_share
+    FROM b
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (duplicate-bigram fraction + top-token
+    share — the Gopher-style boilerplate/spam heuristics) per document,
+    as pure scan-side array expressions (operators/text.py::
+    repetition_stats)."""
+    from institutional_fx_etl_spark.operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        "rep_ratio",
+        "top_token_share",
+    )
+
+
+@register(
+    "tfidf_topterms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             round(tf.tf * ln((n.n_docs + 1.0) / (dfq.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(tf AS INTEGER) AS tf,
+           CAST(df AS INTEGER) AS df, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS INTEGER) AS rk
+    FROM scored QUALIFY rk <= 3
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by smoothed TF-IDF —
+    two hash aggregates (doc-term counts, then vocabulary-bounded
+    document frequency), a broadcast scalar N, and a per-doc window
+    top-k (operators/text.py::tfidf_top_terms)."""
+    from institutional_fx_etl_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+# ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
 # window is recomposed every round so that
@@ -2869,23 +3056,29 @@ def q_pipeline_clean_fixture_fused(spark: SparkSession, sf_dir: str) -> DataFram
 
 _HEAD = [
     # new this round (first driver row)
-    "pipeline_clean_fixture_fused",
-    "ivf_topk_kmeans",
-    "pq_encode",
-    "stratified_sample",
-    "streaming_dedup",
-    "ngram_topk",
-    # rotated back in (last row: round 1)
-    "topk_per_group",
-    "json_extract",
-    "string_functions",
-    "datetime_functions",
-    "unpivot",
-    "cube_agg",
-    "rollup_agg",
-    "pivot_agg",
-    "set_ops",
-    "value_histogram",
+    "range_join_banded",
+    "skew_salted_agg",
+    "exact_quantiles",
+    "text_repetition",
+    "tfidf_topterms",
+    # rotated back in (last row: round 2 — the 16 the r3 verdict asked
+    # to refresh, ask #5)
+    "topk",
+    "anti_join",
+    "audit_union",
+    "ffill",
+    "lag_pct_change",
+    "rolling_stats",
+    "stats_agg",
+    "latest_record_dedup",
+    "train_test_split",
+    "session_window_agg",
+    "text_lang_id",
+    "multimodal_frames",
+    "inner_reconcile",
+    "greatest_least_fix",
+    "combine_first",
+    "array_agg_functions",
     # flagship family (every round)
     "hybrid_pipeline",
     "hybrid_pipeline_multisym",
@@ -2899,31 +3092,38 @@ _HEAD = [
     "streaming_gap_bridge",
 ]
 _TAIL = [
-    # all GREEN in CORRECTNESS_r02.json; each family keeps an in-window
-    # cousin (topk→topk_per_group, anti_join→align_left_join,
-    # audit_union→hybrid_pipeline_audit, ffill/lag/rolling→pipeline
-    # window stages + rolling_median_centered, stats_agg→global_median,
-    # latest_record_dedup→dedup_exact, session_window_agg→sessionize,
-    # text_lang_id→text_quality, multimodal_frames→multimodal_decode)
-    "topk",
-    "anti_join",
-    "audit_union",
-    "ffill",
-    "lag_pct_change",
-    "rolling_stats",
-    "stats_agg",
-    "latest_record_dedup",
-    "train_test_split",
-    "session_window_agg",
-    "text_lang_id",
-    "multimodal_frames",
-    # (round 3 additions to fit the 3 new in-window queries; cousins:
-    # inner_reconcile→validator_reconcile, greatest_least_fix→
-    # pipeline_clean_fixture, combine_first→hybrid_pipeline's J3)
-    "inner_reconcile",
-    "greatest_least_fix",
-    "combine_first",
-    "array_agg_functions",
+    # all GREEN in CORRECTNESS_r03.json; each family keeps an in-window
+    # cousin (topk_per_group→topk, json/string/datetime/array scalar
+    # surface→array_agg_functions, unpivot/cube/rollup/pivot/set_ops/
+    # value_histogram→stats_agg + groupby_agg, clean-fixture fused→
+    # pipeline_clean_fixture, ivf_topk_kmeans+ivf_topk→ann_topk +
+    # lsh_ann_pairs, pq_encode→ann_topk, stratified_sample→
+    # train_test_split, streaming_dedup→streaming_tumbling_ohlc,
+    # ngram_topk→tfidf_topterms, dedup_exact→dedup_minhash_lsh,
+    # text_token_count/text_quality→text_repetition + text_lang_id,
+    # multimodal_decode→multimodal_frames)
+    "topk_per_group",
+    "json_extract",
+    "string_functions",
+    "datetime_functions",
+    "unpivot",
+    "cube_agg",
+    "rollup_agg",
+    "pivot_agg",
+    "set_ops",
+    "value_histogram",
+    "pipeline_clean_fixture_fused",
+    "ivf_topk_kmeans",
+    "pq_encode",
+    "stratified_sample",
+    "streaming_dedup",
+    "ngram_topk",
+    # demoted r3-green middles (make room for the 5 new entries)
+    "dedup_exact",
+    "text_token_count",
+    "text_quality",
+    "multimodal_decode",
+    "ivf_topk",
 ]
 
 

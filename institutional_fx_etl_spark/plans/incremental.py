@@ -24,9 +24,14 @@ Spark-first design:
   last existing output day when appending past the end — its trailing
   flat bridge changes; widened to the earliest new-or-changed M1 day,
   detected by per-day M1 fingerprints, so M1 backfill and in-span M1
-  edits are never dropped), plus ``context_days`` of earlier *data*
-  days (candles **or** M1 — either can be the nearest real rows below
-  the boundary) whose rows absorb the ordered-window boundary (±2
+  edits are never dropped; widened further by the **smoother
+  backreach** — the W3 spread smoother's CENTERED ±2-row window means
+  new rows change the smoothed spread of up to 2 merged rows *before*
+  them, and the flat bridge ffills from those values, so the 2 most
+  recent data days below the boundary and every bridge day in between
+  are rewritten too), plus ``context_days`` of earlier *data* days
+  (candles **or** M1 — either can be the nearest real rows below the
+  boundary) whose rows absorb the ordered-window boundary (±2
   smoother frame, F6 lag, spread ffill carry) **and re-anchor the time
   grid**: when any data exists below ``overwrite_lo``, a from-scratch
   run's gapless grid enters the boundary day at 00:00, so the bounded
@@ -201,7 +206,7 @@ class IncrementalHybridPipeline:
         smooth_spread: bool = True,
         window_duration: str = "1 minute",
         chunk_seconds: int = 21600,
-        context_days: int = 2,
+        context_days: int = 3,
     ):
         self.spark = spark
         self.state_dir = state_dir.rstrip("/")
@@ -432,30 +437,78 @@ class IncrementalHybridPipeline:
                 if all_days:
                     overwrite_lo = min(overwrite_lo, all_days[0])
 
-        # 7. context days: the most recent *data* days (candles OR m1)
-        # below the boundary. They (a) absorb ordered-window boundaries
-        # (±2 smoother, F6 lag, ffill carry) and (b) re-anchor the time
-        # grid — with any data below overwrite_lo, a from-scratch grid
-        # enters the boundary day at 00:00 via the flat bridge, so the
-        # recompute must see those earlier rows to regrow it (the
-        # re-delivery falsifying example: a mid-history batch whose day
-        # held the only candles, with m1 two days earlier — candle-only
-        # context found nothing and the regenerated partition started
-        # mid-day, truncating 574 bridge rows). Regenerated context
-        # rows are discarded at the overwrite_lo filter below.
-        ctx_rows = (
-            candles_state.select("d")
-            .filter(F.col("d") < F.lit(overwrite_lo))
-            .distinct()
-            .collect()
-        )
-        data_below = {r[0] for r in ctx_rows} | {
-            d for d in m1_days if d < overwrite_lo
+        # 7. smoother backreach: the W3 spread smoother is a CENTERED
+        # ±2-row window, so a new/changed row changes the smoothed
+        # spread of up to 2 merged rows BEFORE it — and the flat
+        # bridge between those rows and the next real row ffills from
+        # the changed smoothed value (r4 falsifying example: a batch
+        # appending on Jan-4 moved Jan-3's candle ±2 windows, so the
+        # whole Jan-3 bridge had to refill — days the boundary left
+        # stale). Rows already inside the rewrite that PRECEDE the
+        # first change absorb the backreach; only when fewer than 2
+        # such rows exist does the boundary widen to the most recent
+        # data day(s) below — so a plain append onto a populated day
+        # still leaves earlier partitions untouched (pruning test).
+        all_candle_days = {
+            r[0] for r in candles_state.select("d").distinct().collect()
         }
-        ctx = sorted(data_below, reverse=True)[: self.context_days]
+
+        def _data_below(bound):
+            return {d for d in all_candle_days if d < bound} | {
+                d for d in m1_days if d < bound
+            }
+
+        if self.engine.smooth_spread:
+            first_changed = parts_new.agg(F.min("datetime")).first()[0]
+            if changed_m1:
+                import datetime as _dt
+
+                first_changed = min(
+                    first_changed,
+                    _dt.datetime.combine(changed_m1[0], _dt.time.min),
+                )
+            pre_rows = candles_state.filter(
+                (F.col("d") >= F.lit(overwrite_lo))
+                & (F.col("datetime") < F.lit(first_changed))
+            ).count()
+            if pre_rows < 2:
+                # full m1-only days inside [overwrite_lo, changed day)
+                # also count (day-granular — partial-day m1 rows on the
+                # change day are conservatively ignored, which can only
+                # widen more than strictly needed)
+                pre_rows += sum(
+                    cnt
+                    for d, (cnt, _) in m1_fp.items()
+                    if overwrite_lo <= d < first_changed.date()
+                )
+            if pre_rows < 2:
+                back = sorted(_data_below(overwrite_lo), reverse=True)[
+                    : 2 - pre_rows
+                ]
+                if back:
+                    overwrite_lo = min(overwrite_lo, back[-1])
+
+        # 8. context days: the most recent *data* days (candles OR m1)
+        # below the (widened) boundary. They (a) absorb ordered-window
+        # boundaries (±2 smoother, F6 lag, ffill carry) and (b)
+        # re-anchor the time grid — with any data below overwrite_lo,
+        # a from-scratch grid enters the boundary day at 00:00 via the
+        # flat bridge, so the recompute must see those earlier rows to
+        # regrow it (the r3 falsifying example: a mid-history batch
+        # whose day held the only candles, with m1 two days earlier —
+        # candle-only context found nothing and the regenerated
+        # partition started mid-day, truncating 574 bridge rows).
+        # Regenerated context rows are discarded at the overwrite_lo
+        # filter below. context_days=3 closes the raw-window chain:
+        # kept rows read ≤2 raw rows below the boundary (ctx days 1-2)
+        # plus the bridge-fill source row's own ±2 smoother window
+        # (≤2 rows below IT — ctx days 2-3).
+        ctx = sorted(_data_below(overwrite_lo), reverse=True)[
+            : self.context_days
+        ]
         w_lo = min(ctx, default=overwrite_lo)
 
-        # 8. windowed recompute over [w_lo, end) with global carry-ins
+        # 9. windowed recompute over [w_lo, end) with global carry-ins
         cand_w = finalize_partials(
             candles_state.filter(F.col("d") >= F.lit(w_lo)).select(*_PARTIAL_COLS)
         )

@@ -286,3 +286,80 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark):
     }
     recall_frozen = len(got & truth01) / len(truth01)
     assert recall_frozen >= 0.6, f"frozen-centroid recall@5: {recall_frozen}"
+
+
+def _clustered_vectors(spark, n=240, k=6, dim=64, noise=0.02, seed=11):
+    """Synthetic clustered corpus: k well-separated centers + small
+    gaussian noise — every vector is cosine-~0.99 to its cluster-mates
+    and near-orthogonal to the rest (the shape LSH/PQ are built for)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(n):
+        v = centers[i % k] + rng.normal(scale=noise, size=dim)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_lsh_ann_pairs_recall_vs_bruteforce(spark):
+    """Recall gate for the hyperplane-LSH scale path (round-3 verdict
+    ask #7): multi-table LSH must recover most truly-similar pairs and
+    recall must be monotone in the table count L (1 − (1 − p^b)^L)."""
+    from institutional_fx_etl_spark.operators.similarity import lsh_ann_pairs
+
+    vecs = _clustered_vectors(spark)
+    # ground truth: every pair with cosine ≥ 0.9 (exact quadratic —
+    # test-scale only)
+    a = vecs.selectExpr("vec_id AS id_a", "embedding AS va")
+    b = vecs.selectExpr("vec_id AS id_b", "embedding AS vb")
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
+    na = "sqrt(aggregate(va, 0.0d, (a, x) -> a + x*x))"
+    nb = "sqrt(aggregate(vb, 0.0d, (a, x) -> a + x*x))"
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .selectExpr("id_a", "id_b", f"round({dot}/({na}*{nb}), 6) AS cosine")
+        .filter(F.col("cosine") >= 0.9)
+        .collect()
+    }
+    assert len(truth) > 100, "fixture must contain many similar pairs"
+    recalls = []
+    for tables in (1, 4):
+        got = {
+            (r.id_a, r.id_b)
+            for r in lsh_ann_pairs(
+                vecs, num_planes=8, min_cosine=0.9, num_tables=tables
+            ).collect()
+        }
+        assert got <= truth, "verify stage must drop sub-threshold pairs"
+        recalls.append(len(got & truth) / len(truth))
+    assert recalls[1] >= recalls[0], f"recall must grow with L: {recalls}"
+    assert recalls[1] >= 0.8, f"multi-table LSH recall too low: {recalls}"
+
+
+def test_kmeans_pq_codebook_beats_frozen(spark):
+    """A codebook fitted on the data (per-subspace seeded k-means) must
+    reconstruct clustered vectors far better than the frozen
+    data-independent literals (round-3 verdict ask #8)."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        kmeans_pq_codebook,
+        pq_encode,
+    )
+
+    vecs = _clustered_vectors(spark, n=200, k=4)
+    frozen_err = (
+        pq_encode(vecs).agg(F.avg("recon_err")).first()[0]
+    )
+    cb = kmeans_pq_codebook(vecs, num_centroids=4)
+    assert len(cb) == 4 and len(cb[0]) == 4 and len(cb[0][0]) == 16
+    fitted_err = (
+        pq_encode(vecs, codebook=cb).agg(F.avg("recon_err")).first()[0]
+    )
+    assert fitted_err < 0.5 * frozen_err, (
+        f"fitted codebook should cut reconstruction error: "
+        f"fitted={fitted_err} frozen={frozen_err}"
+    )

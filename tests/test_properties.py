@@ -338,6 +338,24 @@ _batch = st.lists(
 # truncating the 574 flat-bridge rows (00:00-09:33) a from-scratch
 # grid carries through midnight.
 @example(b1=[(2854, 0.01)], b2=[(5343, 0.333)], b3=[(2854, 0.01)])
+# r4's falsifying example, pinned: batch 3 appends only Jan-4 rows, so
+# the boundary stops at Jan-4 — but the W3 smoother's CENTERED ±2-row
+# window means the new Jan-4 candle changes Jan-3's smoothed spreads,
+# and the Jan-3 flat bridge ffills from them (smoother backreach: the
+# 2 most recent data days below the boundary must be rewritten too).
+@example(
+    b1=[(5671, 0.49999999999999994), (5486, 0.01), (1147, 0.5),
+        (1076, 0.49999999999999994), (4660, 0.010000000000000002),
+        (3925, 0.3100360658994796), (4757, 0.49999999999999994),
+        (128, 0.01), (3136, 0.5), (5637, 0.5),
+        (4915, 0.010000000000000002)],
+    b2=[(5530, 0.49999999999999994), (42, 0.01),
+        (2731, 0.3333333333333333), (4739, 0.3333333333333333),
+        (1636, 0.29558448897033546), (796, 0.010000000000000002)],
+    b3=[(5759, 0.5), (5566, 0.5), (4368, 0.3333333333333333),
+        (5747, 0.49999999999999994), (5616, 0.010000000000000002),
+        (4551, 0.16239951281336343)],
+)
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 def test_incremental_random_batches_equal_full(spark, b1, b2, b3):
