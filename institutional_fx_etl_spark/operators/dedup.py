@@ -145,6 +145,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     max_iter: int = 25,
     checkpoint_every: int = 4,
+    driver_max_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs: every document maps to
     the minimum id reachable through the similarity graph — the
@@ -157,6 +158,10 @@ def dedup_clusters(
     the standard shuffle-bounded CC shape (GraphX-style small-star
     contraction converges in O(log n) rounds for huge graphs; plain
     propagation is fine for the short-diameter graphs dedup produces).
+    The iteration runs over the ACTIVE SUBGRAPH only — edge-incident
+    nodes, O(|edges|) rows; isolated nodes keep their identity label
+    and join back lazily at the end, so per-round work scales with the
+    dup set, not the corpus.
 
     Per-round ``persist`` + one aggregate action materializes the
     frontier — an iterative algorithm cannot be one lazy plan (each
@@ -184,12 +189,88 @@ def dedup_clusters(
     either way. Edges and intermediate labels are unpersisted on exit;
     the returned frame reads from its own checkpoint blocks.
     """
-    labels = ids.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
-    ).persist()
+    # TWO-REGIME execution. Up to ``driver_max_edges`` the edge list is
+    # metadata, not data — a bounded driver transfer like the k-means
+    # k-row collect — and a union-find resolves components in
+    # microseconds, replacing per-round Spark jobs whose fixed
+    # scheduling/broadcast-barrier cost (~1 s/round regardless of row
+    # count) dwarfs the work. Above it, the distributed min-label loop
+    # below runs. 100k edges ≈ a few MB on the driver; the threshold
+    # is a parameter. Results are identical: union-by-min keeps the
+    # smaller root on every merge, so each root is the component
+    # minimum — exactly the propagation fixpoint. The regime probe IS
+    # the transfer (limit N+1, one action — no separate count job);
+    # endpoints outside ``ids`` are semi-filtered out so they cannot
+    # bridge components (contract parity with the loop, which never
+    # labels them).
+    eligible = (
+        pairs.select("id_a", "id_b")
+        .join(ids.select(F.col(id_col).alias("id_a")), "id_a", "semi")
+        .join(ids.select(F.col(id_col).alias("id_b")), "id_b", "semi")
+    )
+    probe = eligible.limit(driver_max_edges + 1).collect()
+    if len(probe) <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes = set()
+        for r in probe:
+            a, b = r["id_a"], r["id_b"]
+            nodes.add(a)
+            nodes.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        id_type = ids.schema[id_col].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        mapping = ids.sparkSession.createDataFrame(
+            [(n, find(n)) for n in sorted(nodes)],
+            StructType(
+                [
+                    StructField("__aid", id_type),
+                    StructField("__acomp", id_type),
+                ]
+            ),
+        )
+        return (
+            ids.select(F.col(id_col))
+            .join(
+                F.broadcast(mapping), F.col(id_col) == F.col("__aid"), "left"
+            )
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("__acomp"), F.col(id_col)).alias("comp"),
+            )
+        )
+
     edges = (
         pairs.selectExpr("id_a AS src", "id_b AS dst")
         .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        .persist()
+    )
+
+    # ACTIVE SUBGRAPH: only edge-incident nodes can ever leave their
+    # identity label, so the iteration runs over O(|edges|) rows — not
+    # |V|. Near-dup graphs are sparse (a 100 TB corpus has billions of
+    # docs but only the dup fraction carries edges), so this is the
+    # difference between per-round actions on the whole corpus and on
+    # the dup set; isolated nodes join back lazily at the end. The
+    # semi-join keeps the original contract: edge endpoints outside
+    # ``ids`` don't acquire labels. (edges is symmetric — src covers
+    # both endpoints.)
+    labels = (
+        ids.select(F.col(id_col).alias("id"))
+        .join(edges.select("src").distinct(), F.col("id") == F.col("src"), "semi")
+        .select("id", F.col("id").alias("comp"))
         .persist()
     )
 
@@ -254,12 +335,30 @@ def dedup_clusters(
         if converged:
             break
 
-    out = labels.select(F.col("id").alias(id_col), "comp").localCheckpoint(
-        eager=True
-    )
+    # checkpoint the tiny active-label set eagerly (flat lineage, safe
+    # to unpersist the loop frames), then attach identity labels for
+    # the isolated nodes LAZILY — the |V|-sized frame is never
+    # materialized here; it computes inline with whatever the caller
+    # does next
+    final_active = labels.select(
+        F.col("id").alias("__aid"), F.col("comp").alias("__acomp")
+    ).localCheckpoint(eager=True)
     labels.unpersist()
     edges.unpersist()
-    return out
+    return (
+        ids.select(F.col(id_col))
+        .join(
+            F.broadcast(final_active)
+            if bcast_edges
+            else final_active,
+            F.col(id_col) == F.col("__aid"),
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__acomp"), F.col(id_col)).alias("comp"),
+        )
+    )
 
 
 def simhash_fingerprints(
