@@ -45,6 +45,9 @@ HEADLINE = [
     "asof_join",
     "sessionize",
     "stats_agg",
+    "range_join_banded",
+    "skew_salted_agg",
+    "tfidf_topterms",
 ]
 
 
