@@ -3038,6 +3038,27 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=3)
 
 
+@register("sketch_stats", None)
+def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch aggregates — the bounded-memory path for the
+    stats the exact queries compute with sorts: HyperLogLog++ distinct
+    users and t-digest quantiles per event type. Both sketches combine
+    map-side (one hash aggregate, partial states merge associatively),
+    so at 100 TB they cost one scan + a vocabulary-bounded shuffle
+    where ``exact_quantiles``' per-group sort and a COUNT(DISTINCT)
+    expansion would not. No SQL oracle: sketch estimates are
+    engine-specific by construction (rows-only driver check); the
+    accuracy bound vs the exact answers is pytest-gated
+    (tests/test_round4_ops.py::test_sketch_accuracy_vs_exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("approx_p50"),
+        F.expr("percentile_approx(value, 0.99, 10000)").alias("approx_p99"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -3061,6 +3082,7 @@ _HEAD = [
     "exact_quantiles",
     "text_repetition",
     "tfidf_topterms",
+    "sketch_stats",
     # rotated back in (last row: round 2 — the 16 the r3 verdict asked
     # to refresh, ask #5)
     "topk",
@@ -3118,12 +3140,13 @@ _TAIL = [
     "stratified_sample",
     "streaming_dedup",
     "ngram_topk",
-    # demoted r3-green middles (make room for the 5 new entries)
+    # demoted r3-green middles (make room for the 6 new entries)
     "dedup_exact",
     "text_token_count",
     "text_quality",
     "multimodal_decode",
     "ivf_topk",
+    "embedding_near_dup",
 ]
 
 

@@ -237,9 +237,13 @@ class IncrementalHybridPipeline:
     @staticmethod
     def _write_partitions(df: DataFrame, path: str) -> None:
         """Dynamic partition overwrite: only the day partitions present
-        in ``df`` are replaced; everything else is untouched."""
+        in ``df`` are replaced; everything else is untouched. The
+        pre-write repartition clusters each day into one task, so a
+        partition is one parquet file instead of one per (task, day) —
+        at a 15-year first build that is 5,475 files, not ~175k."""
         (
-            df.write.mode("overwrite")
+            df.repartition("d")
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("d")
             .parquet(path)

@@ -135,3 +135,41 @@ def test_tfidf_top_terms_ranks_distinctive_words(spark):
     # doc 1's top terms are its unique words, lexicographic on the tie
     d1 = sorted(per_doc[1])
     assert [t for _, t, _ in d1] == ["mat", "on"]
+
+
+def test_sketch_accuracy_vs_exact(spark):
+    """HLL++ distinct counts and t-digest quantiles (the mergeable
+    bounded-memory path) must land within tight bounds of the exact
+    answers on the driver testdata."""
+    from institutional_fx_etl_spark.plans.driver_queries import REGISTRY
+    from institutional_fx_etl_spark.sources.readers import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r.event_type: r
+        for r in REGISTRY["sketch_stats"][0](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    # rank-error gate, not value-error: the t-digest returns an ACTUAL
+    # data value whose rank is within the sketch's rank tolerance —
+    # in a sparse tail the value gap between adjacent ranks can be
+    # large even when the rank error is tiny, so the right bound is
+    # "lands between nearby exact quantiles"
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("nd"),
+            F.expr("percentile(value, 0.45)").alias("p45"),
+            F.expr("percentile(value, 0.55)").alias("p55"),
+            F.expr("percentile(value, 0.97)").alias("p97"),
+            F.max("value").alias("pmax"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact) and got
+    for et, e in exact.items():
+        g = got[et]
+        assert abs(g.approx_users - e.nd) <= max(2, 0.05 * e.nd), (et, g, e)
+        assert e.p45 <= g.approx_p50 <= e.p55, (et, g, e)
+        assert e.p97 <= g.approx_p99 <= e.pmax, (et, g, e)
