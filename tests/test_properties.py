@@ -481,3 +481,49 @@ def test_incremental_exactly_once_out_of_order_batches(spark, rows):
     full, _ = eng.run(m1, all_ticks)
     want = sorted(tuple(r) for r in full.collect())
     assert got == want
+
+
+_rj_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),        # key
+        st.integers(min_value=0, max_value=30_000),   # offset seconds
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=_rj_rows, band=st.sampled_from([60, 300, 3600]))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_banded_range_join_equals_naive_property(spark, rows, band):
+    """Random event sets: the banded (key, b)∪(key, b+1) candidate
+    plan must produce EXACTLY the naive quadratic BETWEEN join's pairs
+    for every band width — pairs straddling band edges, duplicate
+    timestamps, dense and sparse keys alike."""
+    from institutional_fx_etl_spark.operators.rangejoin import banded_self_pairs
+
+    data = [
+        (i, k, T0 + timedelta(seconds=s)) for i, (k, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp"
+    )
+    got = sorted(
+        (r.key, r.id_a, r.id_b, r.dt_sec)
+        for r in banded_self_pairs(df, band_seconds=band).collect()
+    )
+    a = df.selectExpr(
+        "user_id AS key", "event_id AS id_a", "cast(ts as double) AS ta"
+    )
+    b = df.selectExpr(
+        "user_id AS bkey", "event_id AS id_b", "cast(ts as double) AS tb"
+    )
+    want = sorted(
+        (r.key, r.id_a, r.id_b, r.dt_sec)
+        for r in a.join(b, (a.key == b.bkey) & (a.id_a < b.id_b))
+        .filter(F.abs(F.col("tb") - F.col("ta")) <= band)
+        .selectExpr("key", "id_a", "id_b", "round(tb - ta, 6) AS dt_sec")
+        .collect()
+    )
+    assert got == want
