@@ -78,9 +78,10 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry]
 
     # warmup run per query (same sf): whole-stage codegen + JIT compile
-    # outside the timed region; then best-of-2 timed passes (min damps
-    # scheduler jitter) — steady-state engine throughput is what scales
-    # to a real cluster
+    # outside the timed region; then best-of-3 timed passes (min damps
+    # scheduler jitter — round-3 showed single-pass pairs flagging ±20%
+    # box noise as regressions) — steady-state engine throughput is
+    # what scales to a real cluster
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     for name in names:
@@ -93,7 +94,7 @@ def main() -> None:
             pass
         best = float("inf")
         shuffle = 0
-        for _ in range(2):
+        for _ in range(3):
             s0 = _total_shuffle_write_bytes(spark)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

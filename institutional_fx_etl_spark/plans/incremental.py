@@ -210,6 +210,16 @@ class IncrementalHybridPipeline:
     ):
         self.spark = spark
         self.state_dir = state_dir.rstrip("/")
+        # a multi-year state has thousands of day partitions; above 32
+        # paths Spark launches a DISTRIBUTED listing job — one task per
+        # directory, ~5,475 tasks per state read at 15 years, pure
+        # scheduling overhead on a local/HDFS-fast filesystem. Raise
+        # the threshold so listing stays driver-side; on an object
+        # store with slow LIST calls, lower it back via session conf.
+        spark.conf.set(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            "100000",
+        )
         self.engine = HybridMergerSpark(
             spike_threshold=spike_threshold,
             consensus_threshold=consensus_threshold,
@@ -303,14 +313,19 @@ class IncrementalHybridPipeline:
         m1_days = sorted(m1_fp)
 
         day_state = self._read_state("day_scalars")
-        state_m1 = (
-            {
-                r["d"]: (r["m1_cnt"], r["m1_fp"])
-                for r in day_state.select("d", "m1_cnt", "m1_fp").collect()
-            }
+        state_rows = (
+            day_state.select("d", "m1_cnt", "m1_fp", "ntick").collect()
             if day_state is not None
-            else {}
+            else []
         )
+        state_m1 = {r["d"]: (r["m1_cnt"], r["m1_fp"]) for r in state_rows}
+        # candle-day set, free from the same collect: every candle day
+        # has a day_scalars row (refresh covers `affected` each update)
+        # and candle days are exactly the rows with tick content — no
+        # 5,475-task distinct scan over candles/ at a 15-year state
+        state_candle_days = {
+            r["d"] for r in state_rows if (r["ntick"] or 0) > 0
+        }
         state_days = set(state_m1)
         removed = sorted(
             d for d, (cnt, _) in state_m1.items() if cnt and d not in m1_fp
@@ -453,9 +468,7 @@ class IncrementalHybridPipeline:
         # such rows exist does the boundary widen to the most recent
         # data day(s) below — so a plain append onto a populated day
         # still leaves earlier partitions untouched (pruning test).
-        all_candle_days = {
-            r[0] for r in candles_state.select("d").distinct().collect()
-        }
+        all_candle_days = state_candle_days | set(affected)
 
         def _data_below(bound):
             return {d for d in all_candle_days if d < bound} | {

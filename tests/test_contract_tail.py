@@ -2,10 +2,11 @@
 
 The driver's correctness gate checks only the FIRST 50 registry
 entries; the rotation policy (plans/driver_queries.py `_HEAD`/`_TAIL`)
-demotes 12 queries with fresh green rows past the window each round.
+demotes queries with fresh green rows past the window each round.
 This test keeps an automated oracle check on the demoted set anyway —
 a regression in a tail query fails CI instead of shipping unnoticed
-until its next rotation.
+until its next rotation. (The tail size floats with the registry:
+len(REGISTRY) − 50 entries, all green in the previous round's window.)
 
 Runs at sf0.001 (the smallest driver-generated testdata) through the
 same Spark-vs-DuckDB compare the local contract mirror uses.
