@@ -3038,6 +3038,119 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=3)
 
 
+@register(
+    "dedup_stats",
+    f"""
+    WITH sizes AS (
+      SELECT comp, count(*) AS sz
+      FROM ({REGISTRY["dedup_clusters"][1]})
+      GROUP BY comp
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           count(*) AS n_clusters
+    FROM sizes GROUP BY sz
+    """,
+)
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield reporting: the cluster-size histogram of the
+    near-dup graph (how much of the corpus is singleton vs grouped —
+    the number a dedup run is judged by). One extra pair of hash
+    aggregates over the CC labels; the oracle wraps the dedup_clusters
+    recursive-CTE oracle."""
+    from institutional_fx_etl_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.2)
+    clusters = dedup_clusters(docs.select("doc_id"), pairs)
+    return (
+        clusters.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+@register(
+    "corpus_filter_report",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             len(toks) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(list_filter(toks, tk -> tk IN
+               ('the','and','of','to','a','in','is'))) AS DOUBLE) / len(toks)
+               AS stopword_ratio,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)),
+                              i -> concat_ws(' ', toks[i], toks[i+1]))
+             ELSE [] END AS bi
+      FROM t
+    ),
+    s2 AS (
+      SELECT *,
+             CASE WHEN len(bi) <= 0 THEN 0.0 ELSE
+               round(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi), 6)
+             END AS rep_ratio
+      FROM s
+    ),
+    agg AS (
+      SELECT count(*) AS n_docs,
+             SUM(CASE WHEN n_tokens < 50 THEN 1 ELSE 0 END) AS f_short,
+             SUM(CASE WHEN stopword_ratio < 0.05 THEN 1 ELSE 0 END) AS f_stop,
+             SUM(CASE WHEN punct_ratio > 0.05 THEN 1 ELSE 0 END) AS f_punct,
+             SUM(CASE WHEN rep_ratio > 0.3 THEN 1 ELSE 0 END) AS f_rep
+      FROM s2
+    )
+    SELECT rule, n_failed, CAST(n_docs AS BIGINT) AS n_docs
+    FROM (
+      SELECT 'too_short' AS rule, f_short AS n_failed, n_docs FROM agg
+      UNION ALL
+      SELECT 'low_stopword', f_stop, n_docs FROM agg
+      UNION ALL
+      SELECT 'high_punct', f_punct, n_docs FROM agg
+      UNION ALL
+      SELECT 'high_repetition', f_rep, n_docs FROM agg
+    )
+    """,
+)
+def q_corpus_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule rejection counts for a Gopher-style corpus filter
+    (length / stopword fluency / punctuation noise / bigram
+    repetition) — the acceptance report a training-data pipeline
+    publishes before committing a filter config. One scan, conditional
+    partial sums, a 4-row unpivot; all ratios derive from integer
+    counts, so the threshold comparisons are bit-identical across
+    engines."""
+    from institutional_fx_etl_spark.operators.text import (
+        quality_score,
+        repetition_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = repetition_stats(quality_score(docs))
+    agg = sig.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_tokens") < 50).cast("long")).alias("f_short"),
+        F.sum((F.col("stopword_ratio") < 0.05).cast("long")).alias("f_stop"),
+        F.sum((F.col("punct_ratio") > 0.05).cast("long")).alias("f_punct"),
+        F.sum((F.col("rep_ratio") > 0.3).cast("long")).alias("f_rep"),
+    )
+    return agg.selectExpr(
+        "stack(4, 'too_short', f_short, 'low_stopword', f_stop,"
+        " 'high_punct', f_punct, 'high_repetition', f_rep)"
+        " AS (rule, n_failed)",
+        "n_docs",
+    )
+
+
 @register("sketch_stats", None)
 def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch aggregates — the bounded-memory path for the
@@ -3083,6 +3196,8 @@ _HEAD = [
     "text_repetition",
     "tfidf_topterms",
     "sketch_stats",
+    "dedup_stats",
+    "corpus_filter_report",
     # rotated back in (last row: round 2 — the 16 the r3 verdict asked
     # to refresh, ask #5)
     "topk",
@@ -3140,13 +3255,15 @@ _TAIL = [
     "stratified_sample",
     "streaming_dedup",
     "ngram_topk",
-    # demoted r3-green middles (make room for the 6 new entries)
+    # demoted r3-green middles (make room for the 8 new entries)
     "dedup_exact",
     "text_token_count",
     "text_quality",
     "multimodal_decode",
     "ivf_topk",
     "embedding_near_dup",
+    "align_left_join",
+    "time_spine",
 ]
 
 
