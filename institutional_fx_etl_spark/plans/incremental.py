@@ -122,7 +122,10 @@ _PARTIAL_COLS = [
 
 
 def tick_partials(
-    ticks: DataFrame, ts_col: str = "datetime", window_duration: str = "1 minute"
+    ticks: DataFrame,
+    ts_col: str = "datetime",
+    window_duration: str = "1 minute",
+    partition_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Ticks → per-minute mergeable partials (A1-A3 partial states).
 
@@ -137,6 +140,7 @@ def tick_partials(
     mid = (F.col("ask") + F.col("bid")) / 2
     spread = F.col("ask") - F.col("bid")
     enriched = ticks.select(
+        *partition_cols,
         F.col(ts_col).alias("__ts"),
         F.col("ask").alias("__ask"),
         mid.alias("__mid"),
@@ -146,7 +150,9 @@ def tick_partials(
         F.col("__mid").isNotNull(), F.struct(F.col("__ts"), F.col("__mid"))
     )
     return (
-        enriched.groupBy(F.window("__ts", window_duration).alias("__w"))
+        enriched.groupBy(
+            *partition_cols, F.window("__ts", window_duration).alias("__w")
+        )
         .agg(
             F.min(tiebreak).alias("okey"),
             F.max(tiebreak).alias("ckey"),
@@ -156,14 +162,22 @@ def tick_partials(
             F.sum("__spread").alias("s_sum"),
             F.count("__spread").alias("s_cnt"),
         )
-        .select(F.col("__w.start").alias(ts_col), *_PARTIAL_COLS[1:])
+        .select(
+            *partition_cols,
+            F.col("__w.start").alias(ts_col),
+            *_PARTIAL_COLS[1:],
+        )
     )
 
 
-def merge_partials(parts: DataFrame, ts_col: str = "datetime") -> DataFrame:
+def merge_partials(
+    parts: DataFrame,
+    ts_col: str = "datetime",
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Associative merge of partials for the same minute (A4 done
     right: a single groupBy, not the reference's sort-luck regroup)."""
-    return parts.groupBy(ts_col).agg(
+    return parts.groupBy(*partition_cols, ts_col).agg(
         F.min("okey").alias("okey"),
         F.max("ckey").alias("ckey"),
         F.max("high").alias("high"),
@@ -174,9 +188,14 @@ def merge_partials(parts: DataFrame, ts_col: str = "datetime") -> DataFrame:
     )
 
 
-def finalize_partials(parts: DataFrame, ts_col: str = "datetime") -> DataFrame:
+def finalize_partials(
+    parts: DataFrame,
+    ts_col: str = "datetime",
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Partials → the ticks_to_candles output schema."""
     return parts.select(
+        *partition_cols,
         ts_col,
         F.col("okey.__mid").alias("open"),
         "high",
@@ -188,13 +207,21 @@ def finalize_partials(parts: DataFrame, ts_col: str = "datetime") -> DataFrame:
 
 
 class IncrementalHybridPipeline:
-    """Stateful incremental runner for the single-symbol hybrid
-    pipeline. State layout under ``state_dir`` (all parquet,
-    day-partitioned on ``d`` unless noted): ``candles/`` (tick-minute
-    partials), ``final/`` (float32 output), ``audit/``,
-    ``day_scalars/`` (per-day scalar partials incl. the tick-spread
-    multiset), ``scalars/`` (unpartitioned 1-row: the effective
-    scalars the last update filled with — the drift check's baseline).
+    """Stateful incremental runner for the hybrid pipeline —
+    single-symbol by default, multi-asset with ``partition_cols``
+    (e.g. ``('symbol',)``): every input/output carries the key
+    columns, scalar state and boundary math run per key, and the
+    day-level overwrite boundary is the min across keys (conservative
+    for unevenly-updating keys, exact either way). State layout under
+    ``state_dir`` (all parquet, day-partitioned on ``d`` unless
+    noted — each written day carries every key's rows, so dynamic
+    overwrite stays complete; at very high key cardinality add the
+    key to ``partitionBy`` in ``_write_partitions``): ``candles/``
+    (tick-minute partials), ``final/`` (float32 output), ``audit/``,
+    ``day_scalars/`` (per-(key, day) scalar partials incl. the
+    tick-spread multiset), ``scalars/`` (unpartitioned, one row per
+    key: the effective scalars the last update filled with — the
+    drift check's baseline).
     """
 
     def __init__(
@@ -207,6 +234,7 @@ class IncrementalHybridPipeline:
         window_duration: str = "1 minute",
         chunk_seconds: int = 21600,
         context_days: int = 3,
+        partition_cols: tuple[str, ...] = (),
     ):
         self.spark = spark
         self.state_dir = state_dir.rstrip("/")
@@ -228,6 +256,7 @@ class IncrementalHybridPipeline:
         )
         self.chunk_seconds = chunk_seconds
         self.context_days = context_days
+        self.partition_cols = tuple(partition_cols)
 
     # -- state helpers --------------------------------------------------
     def _path(self, name: str) -> str:
@@ -263,44 +292,69 @@ class IncrementalHybridPipeline:
     def update(self, m1: DataFrame, new_ticks: DataFrame) -> DataFrame:
         """Ingest one tick batch; recompute + rewrite only the affected
         day partitions. Returns the recomputed ``final`` slice (rows
-        with ``datetime`` on days >= the overwrite boundary)."""
+        with ``datetime`` on days >= the overwrite boundary).
+
+        With ``partition_cols`` every boundary quantity (earliest
+        affected day, changed-m1 widening, trailing-bridge rule,
+        scalar drift, smoother backreach, context days) is computed
+        PER KEY and the day-level overwrite boundary is the minimum
+        across keys — conservative (a hot symbol's rewrite also
+        rewrites quiet symbols' rows on those days, byte-identically)
+        but day-partition-exact, since state stays partitioned by
+        ``d`` alone and each written day carries every key's rows."""
         spark = self.spark
+        p = self.partition_cols
+
+        def sk(row):
+            return tuple(row[c] for c in p)
 
         parts_new = tick_partials(
             self.engine.filter_ticks(new_ticks),
             window_duration=self.engine.window_duration,
+            partition_cols=p,
         ).withColumn("d", F.to_date("datetime"))
         parts_new = parts_new.localCheckpoint(eager=True)
-        affected = [r[0] for r in parts_new.select("d").distinct().collect()]
+        affected: dict[tuple, set] = {}
+        for r in parts_new.select(*p, "d").distinct().collect():
+            affected.setdefault(sk(r), set()).add(r["d"])
         if not affected:
             raise RuntimeError("empty tick batch after F1/F2 filters (S5 abort)")
-        new_lo = min(affected)
+        days_affected = sorted({d for ds in affected.values() for d in ds})
+        new_lo = {s: min(ds) for s, ds in affected.items()}
 
-        # 1. merge into candle state (only affected partitions move)
+        part_cols = [*p, *_PARTIAL_COLS]
+
+        # 1. merge into candle state (only affected DAY partitions
+        # move; prior rows of every key on those days ride along so
+        # the rewritten day partition stays complete)
         existing = self._read_state("candles")
         if existing is not None:
-            prior = existing.filter(F.col("d").isin([str(x) for x in affected]))
+            prior = existing.filter(
+                F.col("d").isin([str(x) for x in days_affected])
+            )
             merged_parts = merge_partials(
-                prior.select(*_PARTIAL_COLS).unionByName(
-                    parts_new.select(*_PARTIAL_COLS)
-                )
+                prior.select(*part_cols).unionByName(
+                    parts_new.select(*part_cols)
+                ),
+                partition_cols=p,
             ).withColumn("d", F.to_date("datetime"))
         else:
             merged_parts = parts_new
         self._write_partitions(merged_parts.localCheckpoint(eager=True), self._path("candles"))
         candles_state = self.spark.read.parquet(self._path("candles"))
 
-        # 2. per-day m1 fingerprints (ONE candle-grain groupBy — the
-        # same full-m1 scan the old distinct-days probe already paid;
-        # collect is day-count-bounded metadata). A day is "changed"
-        # when it is new to state OR its (count, hash-sum) moved —
-        # this covers the reference's canonical long-M1-head scenario
-        # (all m1 days are new on the first update), head backfill,
-        # AND in-span m1 edits, which the old head-only check missed.
-        # (docstring "row count + hash" contract: count + bit_xor.)
+        # 2. per-(key, day) m1 fingerprints (ONE candle-grain groupBy —
+        # the same full-m1 scan the old distinct-days probe already
+        # paid; collect is day-count-bounded metadata). A day is
+        # "changed" when it is new to state OR its (count, hash-sum)
+        # moved — this covers the reference's canonical long-M1-head
+        # scenario (all m1 days are new on the first update), head
+        # backfill, AND in-span m1 edits, which the old head-only
+        # check missed. (docstring "row count + hash" contract:
+        # count + bit_xor.)
         m1_fp = {
-            r["d"]: (r["m1_cnt"], r["m1_fp"])
-            for r in m1.groupBy(F.to_date("datetime").alias("d"))
+            (sk(r), r["d"]): (r["m1_cnt"], r["m1_fp"])
+            for r in m1.groupBy(*p, F.to_date("datetime").alias("d"))
             .agg(
                 F.count(F.lit(1)).alias("m1_cnt"),
                 # bit_xor: order-independent and overflow-free under
@@ -310,25 +364,32 @@ class IncrementalHybridPipeline:
             )
             .collect()
         }
-        m1_days = sorted(m1_fp)
+        m1_days: dict[tuple, list] = {}
+        for (s, d) in sorted(m1_fp):
+            m1_days.setdefault(s, []).append(d)
 
         day_state = self._read_state("day_scalars")
         state_rows = (
-            day_state.select("d", "m1_cnt", "m1_fp", "ntick").collect()
+            day_state.select(*p, "d", "m1_cnt", "m1_fp", "ntick").collect()
             if day_state is not None
             else []
         )
-        state_m1 = {r["d"]: (r["m1_cnt"], r["m1_fp"]) for r in state_rows}
-        # candle-day set, free from the same collect: every candle day
-        # has a day_scalars row (refresh covers `affected` each update)
-        # and candle days are exactly the rows with tick content — no
-        # 5,475-task distinct scan over candles/ at a 15-year state
-        state_candle_days = {
-            r["d"] for r in state_rows if (r["ntick"] or 0) > 0
+        state_m1 = {
+            (sk(r), r["d"]): (r["m1_cnt"], r["m1_fp"]) for r in state_rows
         }
-        state_days = set(state_m1)
+        # candle-day sets per key, free from the same collect: every
+        # candle day has a day_scalars row (refresh covers `affected`
+        # each update) and candle days are exactly the rows with tick
+        # content — no 5,475-task distinct scan over candles/ at a
+        # 15-year state
+        state_candle_days: dict[tuple, set] = {}
+        for r in state_rows:
+            if (r["ntick"] or 0) > 0:
+                state_candle_days.setdefault(sk(r), set()).add(r["d"])
         removed = sorted(
-            d for d, (cnt, _) in state_m1.items() if cnt and d not in m1_fp
+            (s, d)
+            for (s, d), (cnt, _) in state_m1.items()
+            if cnt and (s, d) not in m1_fp
         )
         if removed:
             raise ValueError(
@@ -336,24 +397,34 @@ class IncrementalHybridPipeline:
                 f"{removed} are absent from this update's m1 input "
                 "(see module contract — day removal is unsupported)"
             )
-        changed_m1 = sorted(
-            d for d, fp in m1_fp.items() if state_m1.get(d, (0, None)) != fp
-        )
+        changed_m1: dict[tuple, list] = {}
+        for (s, d) in sorted(m1_fp):
+            if state_m1.get((s, d), (0, None)) != m1_fp[(s, d)]:
+                changed_m1.setdefault(s, []).append(d)
 
-        # 3. overwrite boundary: earliest affected day, or the last
-        # existing output day when appending past the end (its trailing
-        # flat bridge extends); widened to the earliest new-or-changed
-        # m1 day (first update: every m1 day is new, so this reproduces
-        # the old m1-head widening)
+        # 3. overwrite boundary PER KEY: earliest affected day, or the
+        # key's last existing output day when appending past its end
+        # (the trailing flat bridge extends); widened to the key's
+        # earliest new-or-changed m1 day (first update: every m1 day
+        # is new, so this reproduces the old m1-head widening). The
+        # day-level boundary is the minimum across keys.
         final_state = self._read_state("final")
-        old_max = None
+        old_max: dict[tuple, object] = {}
         if final_state is not None:
-            row = final_state.agg(F.max("d")).first()
-            old_max = row[0] if row else None
-        bounds = [new_lo] + changed_m1[:1]
-        if old_max is not None:
-            bounds.append(old_max)
-        overwrite_lo = min(bounds)
+            for r in final_state.groupBy(*p).agg(F.max("d").alias("mx")).collect():
+                old_max[sk(r)] = r["mx"]
+        changed_keys = sorted(set(affected) | set(changed_m1))
+        lo_by_key: dict[tuple, object] = {}
+        for s in changed_keys:
+            bounds = []
+            if s in new_lo:
+                bounds.append(new_lo[s])
+            if changed_m1.get(s):
+                bounds.append(changed_m1[s][0])
+            if old_max.get(s) is not None:
+                bounds.append(old_max[s])
+            lo_by_key[s] = min(bounds)
+        overwrite_lo = min(lo_by_key.values())
 
         # 4. merged-consensus scalar state, maintained incrementally:
         # one day-partitioned table (day_scalars/) of per-day partials —
@@ -366,7 +437,11 @@ class IncrementalHybridPipeline:
         # state. Every refresh day has ≥1 merged row (candles or m1),
         # so its partition is always rewritten — a day can never go
         # silently stale under dynamic partition overwrite.
-        refresh = sorted(set(affected) | set(changed_m1))
+        refresh = sorted(
+            {d for ds in affected.values() for d in ds}
+            | {d for ds in changed_m1.values() for d in ds}
+        )
+        key_schema = list(parts_new.select(*p).schema) if p else []
         if refresh:
             refresh_strs = [str(d) for d in refresh]
             m1_r = m1.filter(
@@ -374,11 +449,12 @@ class IncrementalHybridPipeline:
             )
             cand_r = finalize_partials(
                 candles_state.filter(F.col("d").isin(refresh_strs)).select(
-                    *_PARTIAL_COLS
-                )
+                    *part_cols
+                ),
+                partition_cols=p,
             )
             merged_r, _ = fused_consensus_merge(
-                m1_r, cand_r, self.engine.consensus_threshold, (), False
+                m1_r, cand_r, self.engine.consensus_threshold, p, False
             )
             inverted = F.coalesce(F.col("low") > F.col("high"), F.lit(False))
             bad_oc = F.coalesce(
@@ -390,7 +466,7 @@ class IncrementalHybridPipeline:
             )
             day_rows = (
                 merged_r.withColumn("d", F.to_date("datetime"))
-                .groupBy("d")
+                .groupBy(*p, "d")
                 .agg(
                     F.sum(F.col("__is_tick").cast("int")).alias("ntick"),
                     F.max(
@@ -403,14 +479,38 @@ class IncrementalHybridPipeline:
                     ).alias("sps"),
                 )
             )
-            # attach the day's m1 fingerprint (driver-known map, day
-            # count rows → broadcast-joined literal frame)
+            # attach the (key, day) m1 fingerprint (driver-known map,
+            # key×day rows → broadcast-joined literal frame)
+            from pyspark.sql.types import (
+                DateType,
+                LongType,
+                StructField,
+                StructType,
+            )
+
+            fp_schema = StructType(
+                [
+                    *key_schema,
+                    StructField("d", DateType()),
+                    StructField("m1_cnt", LongType()),
+                    StructField("m1_fp", LongType()),
+                ]
+            )
+            fp_pairs = sorted(
+                {(s, d) for (s, d) in m1_fp if d in set(refresh)}
+                | {(s, d) for s, ds in affected.items() for d in ds}
+                | {(s, d) for s, ds in changed_m1.items() for d in ds}
+            )
             fp_df = spark.createDataFrame(
-                [(d, *m1_fp.get(d, (0, None))) for d in refresh],
-                "d date, m1_cnt long, m1_fp long",
+                [
+                    (*s, d, *m1_fp.get((s, d), (0, None)))
+                    for (s, d) in fp_pairs
+                ],
+                fp_schema,
             )
             self._write_partitions(
-                day_rows.join(F.broadcast(fp_df), "d", "left").select(
+                day_rows.join(F.broadcast(fp_df), [*p, "d"], "left").select(
+                    *p,
                     "d",
                     "ntick",
                     "anyfix",
@@ -421,40 +521,86 @@ class IncrementalHybridPipeline:
                 self._path("day_scalars"),
             )
 
-        # 5. whole-history scalars from the maintained state: a pruned
-        # scan of the per-day partials; the exact median runs over the
-        # flattened per-day spread multisets
+        # 5. whole-history scalars from the maintained state, PER KEY:
+        # a pruned scan of the per-day partials; the exact median runs
+        # over the flattened per-day spread multisets
         day_all = self.spark.read.parquet(self._path("day_scalars"))
-        agg_row = day_all.agg(F.sum("ntick"), F.max("anyfix")).first()
-        ntick, anyfix = (agg_row[0], agg_row[1]) if agg_row else (None, None)
-        med_row = (
-            day_all.select(F.explode("sps").alias("sp"))
-            .agg(F.percentile("sp", 0.5))
-            .first()
-        )
-        med = med_row[0] if med_row else None
-        scalars = self.spark.range(1).select(
-            F.lit(med).cast("double").alias("__med"),
-            F.lit(ntick).cast("long").alias("__ntick"),
-            F.lit(anyfix).cast("int").alias("__anyfix"),
-        )
+        sums = {
+            sk(r): (r["nt"], r["af"])
+            for r in day_all.groupBy(*p)
+            .agg(F.sum("ntick").alias("nt"), F.max("anyfix").alias("af"))
+            .collect()
+        }
+        meds = {
+            sk(r): r["md"]
+            for r in day_all.select(*p, F.explode("sps").alias("sp"))
+            .groupBy(*p)
+            .agg(F.percentile("sp", 0.5).alias("md"))
+            .collect()
+        }
+        sc = {
+            s: (meds.get(s), nt, af) for s, (nt, af) in sums.items()
+        }
+        if p:
+            from pyspark.sql.types import (
+                DoubleType,
+                IntegerType,
+                LongType,
+                StructField,
+                StructType,
+            )
 
-        # 6. scalar-drift detection: day partitions below overwrite_lo
-        # keep fills computed from the scalars in force when they were
-        # written. If this batch shifts the EFFECTIVE scalars (the P9
-        # fill value or the F8 any-fix flag), a bounded rewrite would
-        # diverge from a from-scratch run — widen the recompute to the
-        # whole state (still candle-scale: no tick re-read).
-        new_fill = 0.0 if not ntick else med
-        new_eff = (new_fill, anyfix)
+            sc_schema = StructType(
+                [
+                    *key_schema,
+                    StructField("__med", DoubleType()),
+                    StructField("__ntick", LongType()),
+                    StructField("__anyfix", IntegerType()),
+                ]
+            )
+            scalars = spark.createDataFrame(
+                [(*s, md, nt, af) for s, (md, nt, af) in sorted(sc.items())],
+                sc_schema,
+            )
+        else:
+            med, ntick, anyfix = sc.get((), (None, None, None))
+            scalars = self.spark.range(1).select(
+                F.lit(med).cast("double").alias("__med"),
+                F.lit(ntick).cast("long").alias("__ntick"),
+                F.lit(anyfix).cast("int").alias("__anyfix"),
+            )
+
+        # 6. scalar-drift detection PER KEY: day partitions below
+        # overwrite_lo keep fills computed from the scalars in force
+        # when they were written. If this batch shifts a key's
+        # EFFECTIVE scalars (the P9 fill value or the F8 any-fix
+        # flag), a bounded rewrite would diverge from a from-scratch
+        # run — widen the recompute to that key's whole span (still
+        # candle-scale: no tick re-read).
         stored = self._read_state("scalars")
-        if stored is not None and old_max is not None:
-            srow = stored.first()
-            old_fill = 0.0 if not srow["ntick"] else srow["med"]
-            if (old_fill, srow["anyfix"]) != new_eff:
-                all_days = sorted(state_days | set(refresh))
-                if all_days:
-                    overwrite_lo = min(overwrite_lo, all_days[0])
+        stored_sc = (
+            {
+                sk(r): (r["med"], r["ntick"], r["anyfix"])
+                for r in stored.collect()
+            }
+            if stored is not None
+            else {}
+        )
+        for s, (md, nt, af) in sc.items():
+            if s not in stored_sc or old_max.get(s) is None:
+                continue
+            omed, ont, oaf = stored_sc[s]
+            old_eff = (0.0 if not ont else omed, oaf)
+            new_eff = (0.0 if not nt else md, af)
+            if old_eff != new_eff:
+                s_days = sorted(
+                    {d for (s2, d) in state_m1 if s2 == s}
+                    | state_candle_days.get(s, set())
+                    | affected.get(s, set())
+                    | set(changed_m1.get(s, []))
+                )
+                if s_days:
+                    overwrite_lo = min(overwrite_lo, s_days[0])
 
         # 7. smoother backreach: the W3 spread smoother is a CENTERED
         # ±2-row window, so a new/changed row changes the smoothed
@@ -468,39 +614,87 @@ class IncrementalHybridPipeline:
         # such rows exist does the boundary widen to the most recent
         # data day(s) below — so a plain append onto a populated day
         # still leaves earlier partitions untouched (pruning test).
-        all_candle_days = state_candle_days | set(affected)
-
-        def _data_below(bound):
-            return {d for d in all_candle_days if d < bound} | {
-                d for d in m1_days if d < bound
-            }
+        def _data_below(s, bound):
+            return {
+                d
+                for d in state_candle_days.get(s, set())
+                | affected.get(s, set())
+                if d < bound
+            } | {d for d in m1_days.get(s, []) if d < bound}
 
         if self.engine.smooth_spread:
-            first_changed = parts_new.agg(F.min("datetime")).first()[0]
-            if changed_m1:
-                import datetime as _dt
+            import datetime as _dt
 
-                first_changed = min(
-                    first_changed,
-                    _dt.datetime.combine(changed_m1[0], _dt.time.min),
+            first_changed = {
+                sk(r): r["fc"]
+                for r in parts_new.groupBy(*p)
+                .agg(F.min("datetime").alias("fc"))
+                .collect()
+            }
+            for s, ds in changed_m1.items():
+                fc_m1 = _dt.datetime.combine(ds[0], _dt.time.min)
+                first_changed[s] = min(
+                    first_changed.get(s, fc_m1), fc_m1
                 )
-            pre_rows = candles_state.filter(
-                (F.col("d") >= F.lit(overwrite_lo))
-                & (F.col("datetime") < F.lit(first_changed))
-            ).count()
-            if pre_rows < 2:
-                # full m1-only days inside [overwrite_lo, changed day)
-                # also count (day-granular — partial-day m1 rows on the
-                # change day are conservatively ignored, which can only
-                # widen more than strictly needed)
-                pre_rows += sum(
+            # existing rows in [lo_s, first_changed_s) per key — one
+            # key-grouped count (broadcast bounds frame when keyed)
+            if p:
+                from pyspark.sql.types import (
+                    DateType,
+                    StructField,
+                    StructType,
+                    TimestampType,
+                )
+
+                b_schema = StructType(
+                    [
+                        *key_schema,
+                        StructField("__lo", DateType()),
+                        StructField("__fc", TimestampType()),
+                    ]
+                )
+                bdf = spark.createDataFrame(
+                    [
+                        (*s, lo_by_key[s], first_changed[s])
+                        for s in changed_keys
+                    ],
+                    b_schema,
+                )
+                pre_rows = {
+                    sk(r): r["n"]
+                    for r in candles_state.join(F.broadcast(bdf), list(p))
+                    .filter(
+                        (F.col("d") >= F.col("__lo"))
+                        & (F.col("datetime") < F.col("__fc"))
+                    )
+                    .groupBy(*p)
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+            else:
+                n = candles_state.filter(
+                    (F.col("d") >= F.lit(overwrite_lo))
+                    & (F.col("datetime") < F.lit(first_changed[()]))
+                ).count()
+                pre_rows = {(): n}
+            for s in changed_keys:
+                need = 2 - pre_rows.get(s, 0)
+                if need <= 0:
+                    continue
+                # full m1-only days inside [lo_s, changed day) also
+                # count (day-granular — partial-day m1 rows on the
+                # change day are conservatively ignored, which can
+                # only widen more than strictly needed)
+                need -= sum(
                     cnt
-                    for d, (cnt, _) in m1_fp.items()
-                    if overwrite_lo <= d < first_changed.date()
+                    for (s2, d), (cnt, _) in m1_fp.items()
+                    if s2 == s
+                    and lo_by_key[s] <= d < first_changed[s].date()
                 )
-            if pre_rows < 2:
-                back = sorted(_data_below(overwrite_lo), reverse=True)[
-                    : 2 - pre_rows
+                if need <= 0:
+                    continue
+                back = sorted(_data_below(s, lo_by_key[s]), reverse=True)[
+                    :need
                 ]
                 if back:
                     overwrite_lo = min(overwrite_lo, back[-1])
@@ -520,14 +714,25 @@ class IncrementalHybridPipeline:
         # kept rows read ≤2 raw rows below the boundary (ctx days 1-2)
         # plus the bridge-fill source row's own ±2 smoother window
         # (≤2 rows below IT — ctx days 2-3).
-        ctx = sorted(_data_below(overwrite_lo), reverse=True)[
-            : self.context_days
-        ]
-        w_lo = min(ctx, default=overwrite_lo)
+        # context runs per key against the GLOBAL boundary: every key's
+        # rows >= overwrite_lo get rewritten (day-level overwrite), so
+        # every key needs its own absorbing rows below it
+        all_keys = sorted(
+            set(state_candle_days) | set(affected) | set(m1_days)
+        )
+        ctx_min = None
+        for s in all_keys:
+            ctx = sorted(_data_below(s, overwrite_lo), reverse=True)[
+                : self.context_days
+            ]
+            lo_s = min(ctx, default=overwrite_lo)
+            ctx_min = lo_s if ctx_min is None else min(ctx_min, lo_s)
+        w_lo = ctx_min if ctx_min is not None else overwrite_lo
 
         # 9. windowed recompute over [w_lo, end) with global carry-ins
         cand_w = finalize_partials(
-            candles_state.filter(F.col("d") >= F.lit(w_lo)).select(*_PARTIAL_COLS)
+            candles_state.filter(F.col("d") >= F.lit(w_lo)).select(*part_cols),
+            partition_cols=p,
         )
         m1_w = m1.filter(F.to_date("datetime") >= F.lit(w_lo))
         final_w, audit_w = merge_fused(
@@ -538,6 +743,7 @@ class IncrementalHybridPipeline:
             smooth_spread=self.engine.smooth_spread,
             step=self.engine.window_duration,
             chunk_seconds=self.chunk_seconds,
+            partition_cols=p,
             scalars_override=scalars,
         )
 
@@ -554,11 +760,19 @@ class IncrementalHybridPipeline:
         )
         # persist the effective scalars this update filled with — the
         # next update's drift check compares against them
-        self.spark.range(1).select(
-            F.lit(med).cast("double").alias("med"),
-            F.lit(ntick).cast("long").alias("ntick"),
-            F.lit(anyfix).cast("int").alias("anyfix"),
-        ).write.mode("overwrite").parquet(self._path("scalars"))
+        if p:
+            scalars.selectExpr(
+                *[f"`{c}`" for c in p],
+                "__med AS med",
+                "__ntick AS ntick",
+                "__anyfix AS anyfix",
+            ).write.mode("overwrite").parquet(self._path("scalars"))
+        else:
+            self.spark.range(1).select(
+                F.lit(med).cast("double").alias("med"),
+                F.lit(ntick).cast("long").alias("ntick"),
+                F.lit(anyfix).cast("int").alias("anyfix"),
+            ).write.mode("overwrite").parquet(self._path("scalars"))
         return out.drop("d")
 
     def read_final(self) -> DataFrame:

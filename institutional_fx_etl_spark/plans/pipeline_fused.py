@@ -231,12 +231,14 @@ def merge_fused(
     executing it re-derives shared subtrees once per reference — see
     the measured blowup note in :mod:`plans.pipeline_chunked`.
 
-    ``scalars_override``: a 1-row DataFrame ``(__med, __ntick,
-    __anyfix)`` replacing the whole-series aggregate — the incremental
-    pipeline passes FULL-HISTORY scalars here so a window-bounded
-    recompute fills with the same global median the closed-dataset run
-    would (plans/incremental.py). Only supported without
-    ``partition_cols``.
+    ``scalars_override``: a DataFrame replacing the whole-series
+    aggregate — the incremental pipeline passes FULL-HISTORY scalars
+    here so a window-bounded recompute fills with the same global
+    median the closed-dataset run would (plans/incremental.py).
+    Without ``partition_cols``: one row ``(__med, __ntick, __anyfix)``.
+    With ``partition_cols``: one row PER partition key,
+    ``(*partition_cols, __med, __ntick, __anyfix)``, broadcast-joined
+    exactly like the per-key aggregate it replaces.
     """
     p = partition_cols
     ts = "datetime"
@@ -307,8 +309,11 @@ def merge_fused(
     ]
     if scalars_override is not None:
         if p:
-            raise ValueError("scalars_override requires partition_cols=()")
-        base = merged.crossJoin(F.broadcast(scalars_override))
+            base = merged.join(
+                F.broadcast(scalars_override), on=list(p), how="left"
+            )
+        else:
+            base = merged.crossJoin(F.broadcast(scalars_override))
     elif p:
         gl = merged.groupBy(*p).agg(*aggs)
         base = merged.join(F.broadcast(gl), on=list(p), how="left")
