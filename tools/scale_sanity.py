@@ -27,6 +27,8 @@ the number the incremental engine exists for.
 
 Usage: python tools/scale_sanity.py [n_ticks_millions]
        [--engine=vanilla|chunked|fused|auto|both|incremental]
+       [--multisym]   (incremental mode: split the stream into 4
+                       symbols — the multi-asset late-data proof)
 """
 
 from __future__ import annotations
@@ -138,6 +140,19 @@ def main() -> None:
                 fresh_state_dir,
             )
 
+            # --multisym: same stream split into 4 symbols — the
+            # multi-asset late-data proof (per-key boundaries/scalars)
+            multisym = any(a == "--multisym" for a in sys.argv[1:])
+            pcols = ("symbol",) if multisym else ()
+            if multisym:
+                sym = (F.abs(F.hash(F.col("datetime"))) % 4).cast("string")
+                ticks = ticks.select(
+                    F.concat(F.lit("S"), sym).alias("symbol"), "*"
+                )
+                m1 = m1.select(
+                    F.concat(F.lit("S"), sym).alias("symbol"), "*"
+                )
+
             state = fresh_state_dir("/tmp/fx_inc_scale")
             inc = IncrementalHybridPipeline(
                 spark,
@@ -145,6 +160,7 @@ def main() -> None:
                 spike_threshold=1e9,
                 consensus_threshold=0.01,
                 chunk_seconds=7 * 86400,
+                partition_cols=pcols,
             )
             try:
                 t0 = time.perf_counter()
@@ -163,8 +179,9 @@ def main() -> None:
                 inc.update(m1, late)
                 upd_wall = time.perf_counter() - t0
                 n_rows = inc.read_final().count()
+                tag = "incremental+multisym" if multisym else "incremental"
                 print(
-                    f"[incremental] ticks~{n_ticks/1e6:.0f}M "
+                    f"[{tag}] ticks~{n_ticks/1e6:.0f}M "
                     f"minutes={MINUTES} -> state_rows={n_rows} "
                     f"({n_rows/1e6:.2f}M), first_update={build_wall:.1f}s, "
                     f"late_batch_update={upd_wall:.1f}s"
