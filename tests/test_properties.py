@@ -527,3 +527,76 @@ def test_banded_range_join_equals_naive_property(spark, rows, band):
         .collect()
     )
     assert got == want
+
+
+_ms_batch = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),        # symbol index
+        st.integers(min_value=0, max_value=4 * 24 * 60),  # minute
+        st.floats(min_value=0.01, max_value=0.5),     # half-spread
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@given(b1=_ms_batch, b2=_ms_batch, b3=_ms_batch)
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_multisym_incremental_random_batches_equal_full(spark, b1, b2, b3):
+    """Random per-symbol tick batches — uneven key activity, re-
+    delivered minutes, per-key median shifts — must leave the
+    partition_cols incremental state exactly equal to a from-scratch
+    multisym run over the union."""
+    import shutil
+
+    from institutional_fx_etl_spark.plans.incremental import (
+        IncrementalHybridPipeline,
+        fresh_state_dir,
+    )
+    from institutional_fx_etl_spark.plans.pipeline import HybridMergerSpark
+
+    def ticks(rows):
+        data = [
+            (
+                f"S{s}",
+                T0 + timedelta(minutes=m),
+                1.0 + (m % 16) / 32 + s / 8 + w,
+                1.0 + (m % 16) / 32 + s / 8 - w,
+            )
+            for s, m, w in rows
+        ]
+        return spark.createDataFrame(
+            data, "symbol string, datetime timestamp, ask double, bid double"
+        )
+
+    m1 = spark.createDataFrame(
+        [
+            (f"S{s}", T0 + timedelta(minutes=m), 1.2, 1.3, 1.1, 1.25, 3.0, None)
+            for s in (0, 1)
+            for m in range(0, 200, 13)
+        ],
+        "symbol string, datetime timestamp, open double, high double,"
+        " low double, close double, volume double, spread double",
+    )
+
+    kw = dict(spike_threshold=1e9, consensus_threshold=1e9)
+    state = fresh_state_dir()
+    try:
+        inc = IncrementalHybridPipeline(
+            spark, state, chunk_seconds=6 * 3600,
+            partition_cols=("symbol",), **kw,
+        )
+        for b in (b1, b2, b3):
+            inc.update(m1, ticks(b))
+        eng = HybridMergerSpark(partition_cols=("symbol",), **kw)
+        union = ticks(b1).unionByName(ticks(b2)).unionByName(ticks(b3))
+        want, _ = eng.run(m1, union)
+        got = inc.read_final().select(*want.columns)
+        key = lambda t: (t[0], str(t[1]))
+        assert sorted((tuple(r) for r in got.collect()), key=key) == sorted(
+            (tuple(r) for r in want.collect()), key=key
+        )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
