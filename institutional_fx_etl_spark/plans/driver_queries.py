@@ -3254,6 +3254,132 @@ def q_incremental_merge_multisym(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(state, ignore_errors=True)
 
 
+@register(
+    "range_frame_window",
+    """
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h,
+           max(value) OVER w AS max_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame windows (trailing 1-hour per-user aggregates) — the
+    time-interval frame family ROWS frames can't express: the frame is
+    bounded by the ORDER value, so equal-timestamp peers are all in
+    frame and gaps shrink it. Spark side orders by epoch MICROseconds
+    as long (exact in double below 2^53) with the equivalent numeric
+    range; the decimal-sum trick keeps the sliding sum bit-identical."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e_us = (epoch_seconds("ts") * 1_000_000).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("__e"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return (
+        ev.withColumn("__e", e_us)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_1h"),
+            F.max("value").over(w).alias("max_1h"),
+        )
+    )
+
+
+@register(
+    "asof_join_tolerance",
+    """
+    WITH trades AS (
+      SELECT event_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    quotes AS (
+      SELECT ts, value AS quote FROM events WHERE event_type = 'view'
+    )
+    SELECT t.event_id, t.ts, t.value,
+           CASE WHEN q.ts IS NOT NULL
+                 AND epoch(t.ts) - epoch(q.ts) <= 1800
+                THEN q.quote END AS quote_tol,
+           CASE WHEN q.ts IS NOT NULL
+                 AND epoch(t.ts) - epoch(q.ts) <= 1800
+                THEN round(epoch(t.ts) - epoch(q.ts), 6) END AS gap_sec
+    FROM trades t ASOF LEFT JOIN quotes q ON t.ts >= q.ts
+    """,
+)
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness tolerance (pandas
+    ``merge_asof(tolerance=...)`` semantics): the nearest preceding
+    quote matches only within 30 minutes, else the columns stay NULL —
+    the staleness guard every production as-of pipeline needs. Built
+    as the plain as-of join plus a conditional null-out; the matched
+    right timestamp rides along as an ordinary right column."""
+    from institutional_fx_etl_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "value"
+    )
+    quotes = ev.filter(F.col("event_type") == "view").select(
+        "ts", F.col("value").alias("quote"), F.col("ts").alias("qts")
+    )
+    joined = asof_join(
+        trades, quotes, ts_col="ts", right_cols=("quote", "qts")
+    )
+    gap = epoch_seconds("ts") - epoch_seconds("qts_asof")
+    ok = F.col("qts_asof").isNotNull() & (gap <= 1800)
+    return joined.select(
+        "event_id",
+        "ts",
+        "value",
+        F.when(ok, F.col("quote_asof")).alias("quote_tol"),
+        F.when(ok, F.round(gap, 6)).alias("gap_sec"),
+    )
+
+
+@register(
+    "rank_distributions",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+    """,
+)
+def q_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family (percent_rank / cume_dist /
+    ntile) per group — the normalized-rank surface the top-k queries
+    don't cover. Total-order tiebreak keeps every rank value
+    engine-identical."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
 @register("sketch_stats", None)
 def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch aggregates — the bounded-memory path for the
@@ -3302,6 +3428,9 @@ _HEAD = [
     "dedup_stats",
     "corpus_filter_report",
     "incremental_merge_multisym",
+    "range_frame_window",
+    "asof_join_tolerance",
+    "rank_distributions",
     # rotated back in (last row: round 2 — the 16 the r3 verdict asked
     # to refresh, ask #5)
     "topk",
@@ -3369,6 +3498,9 @@ _TAIL = [
     "align_left_join",
     "time_spine",
     "rolling_median_centered",
+    "scan_project",
+    "filter_nullsafe",
+    "weekday_filter",
 ]
 
 
