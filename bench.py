@@ -48,6 +48,7 @@ HEADLINE = [
     "range_join_banded",
     "skew_salted_agg",
     "tfidf_topterms",
+    "range_frame_window",
 ]
 
 
