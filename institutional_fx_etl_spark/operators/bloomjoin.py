@@ -1,0 +1,87 @@
+"""Broadcast-bitmap join pruning — a hand-rolled runtime filter.
+
+The reference engine joins its legacy/tick frames whole
+(``/root/reference/src/hybrid_merger.py:175-251`` — both sides are
+in-memory pandas frames, so there is nothing to prune). On a cluster
+the dominant join cost is the SHUFFLE of the big fact side, and most
+of those rows may never match a selective dimension. Spark's own
+runtime bloom filter (``spark.sql.optimizer.runtime.bloomFilter.*``)
+injects exactly this reduction, but only when its heuristics fire and
+its ``bloom_filter_agg`` expression is not exposed to SQL/DataFrame
+users. This operator is the same idea as an explicit, deterministic
+plan step:
+
+1. Scan the (small) build side once and collect the DISTINCT buckets
+   of ``xxhash64(key) mod m`` — at most ``m`` integers (default 8192),
+   driver-bounded METADATA, independent of build-side row count.
+2. Encode them as an ``m``-character '0'/'1' literal string — a tiny
+   broadcast constant baked into the plan.
+3. Filter the probe side with a constant-time ``substring(bits,
+   bucket+1, 1) = '1'`` — pure JVM whole-stage-codegen, evaluated in
+   the probe side's SCAN stage, so non-matching rows never reach the
+   exchange.
+4. Run the exact join; bitmap false positives (hash-bucket
+   collisions) are eliminated here, so the result is bit-identical to
+   the unpruned join.
+
+At 100 TB: shuffled probe bytes drop to ~(selectivity +
+false-positive-rate) of the input; the false-positive rate is the
+bitmap occupancy (distinct build keys / m), so size ``m`` ≥ ~10× the
+expected distinct build-key count. The one ``collect()`` is bounded by
+``m`` ints — not a data-size collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bitmap_filter(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str | Column,
+    build_key: str | Column,
+    m: int = 8192,
+) -> DataFrame:
+    """Return ``probe`` minus rows whose key bucket has no build-side
+    occupant. Superset of the joinable rows (false positives possible,
+    false negatives impossible) — always follow with the exact join.
+    """
+    buckets = {
+        r["b"]
+        for r in build.select(
+            F.pmod(F.xxhash64(build_key), F.lit(m)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    bits = "".join("1" if i in buckets else "0" for i in range(m))
+    pos = (F.pmod(F.xxhash64(probe_key), F.lit(m)).cast("int") + F.lit(1))
+    return probe.filter(
+        F.substring(F.lit(bits), pos, F.lit(1)) == F.lit("1")
+    )
+
+
+def bitmap_prune_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    how: str = "inner",
+    m: int = 8192,
+) -> DataFrame:
+    """Exact join with scan-side bitmap pre-pruning of the probe side.
+
+    Only join types whose result cannot contain unmatched probe rows
+    are legal (pruning would otherwise delete rows the join must
+    keep): ``inner`` and ``left_semi``.
+    """
+    if how not in ("inner", "left_semi", "leftsemi", "semi"):
+        raise ValueError(
+            f"bitmap pruning is only sound for inner/left_semi joins, got {how!r}"
+        )
+    pruned = bitmap_filter(probe, build, probe_key, build_key, m=m)
+    return pruned.join(
+        build, on=F.col(probe_key) == F.col(build_key), how=how
+    )

@@ -3401,6 +3401,339 @@ def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "grouping_sets_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicator columns — the
+    general multi-granularity form cube/rollup are shorthands for
+    (heterogeneous report levels in ONE scan + one partial/final hash
+    aggregate instead of a UNION of per-level scans). The decimal-sum
+    trick keeps sum_qty bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        )
+    )
+
+
+@register(
+    "bitmap_prune_join",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_nationkey = 3
+    """,
+)
+def q_bitmap_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side runtime-filter join: a broadcast bitmap of the
+    selective dimension's key buckets prunes the orders scan BEFORE
+    the shuffle/join (``operators/bloomjoin.py`` — the explicit form
+    of Spark's runtime bloom filter), then the exact join removes the
+    hash-collision false positives, so the result equals the plain
+    inner join the oracle runs."""
+    from institutional_fx_etl_spark.operators.bloomjoin import bitmap_prune_join
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 3)
+        .select("c_custkey", "c_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return bitmap_prune_join(
+        orders, F.broadcast(cust), "o_custkey", "c_custkey"
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "c_name")
+
+
+@register(
+    "funnel_analysis",
+    """
+    WITH w1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ),
+    w2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM w1
+    ),
+    w3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM w2
+    )
+    SELECT user_id, max(t1) AS view_ts, max(t2) AS click_ts,
+           max(t3) AS purchase_ts,
+           CAST(CASE WHEN max(t3) IS NOT NULL THEN 3
+                     WHEN max(t2) IS NOT NULL THEN 2
+                     WHEN max(t1) IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage
+    FROM w3 GROUP BY user_id
+    """,
+)
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user (first view → first click at
+    or after it → first purchase at or after that): the sequential-
+    dependency analysis a flat conditional aggregation can't express.
+    Three stacked per-user analytic mins — ONE exchange + one sort
+    (the window stages share the partitioning, and the final groupBy
+    reuses it), no self-joins."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    g = ev.select("user_id", "ts", "event_type").withColumn("t1", t1)
+    g = g.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    g = g.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    return g.groupBy("user_id").agg(
+        F.max("t1").alias("view_ts"),
+        F.max("t2").alias("click_ts"),
+        F.max("t3").alias("purchase_ts"),
+        F.when(F.max("t3").isNotNull(), 3)
+        .when(F.max("t2").isNotNull(), 2)
+        .when(F.max("t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("stage"),
+    )
+
+
+@register(
+    "consecutive_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    g AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, min(d) AS streak_start, count(*) AS len
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(max(len) AS INT) AS best_len,
+           CAST(count(*) AS INT) AS n_runs,
+           CAST(sum(len) AS INT) AS active_days
+    FROM runs GROUP BY user_id
+    """,
+)
+def q_consecutive_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-active-day streak per
+    user via the date-minus-row_number island key — the canonical
+    sessionization-on-a-calendar pattern. One exchange: the window,
+    both groupBys and the island key all share the user partitioning
+    (the island groupBy adds only a local hash, no reshuffle of the
+    sorted runs)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = days.withColumn("grp", F.date_sub("d", F.row_number().over(w)))
+    runs = g.groupBy("user_id", "grp").agg(
+        F.min("d").alias("streak_start"), F.count(F.lit(1)).alias("len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("int").alias("best_len"),
+        F.count(F.lit(1)).cast("int").alias("n_runs"),
+        F.sum("len").cast("int").alias("active_days"),
+    )
+
+
+@register(
+    "streaming_sliding_window",
+    """
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS b, event_type
+      FROM events
+    ),
+    w AS (
+      SELECT make_timestamp((b - k * 900) * 1000000) AS win_start, event_type
+      FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
+    )
+    SELECT win_start, event_type, count(*) AS n
+    FROM w GROUP BY win_start, event_type
+    """,
+)
+def q_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming SLIDING-window counts (1-hour windows
+    every 15 minutes — each event lands in exactly 4 overlapping
+    windows) driven to completion over the bounded events source in
+    complete mode; must equal the batch slide-expansion the oracle
+    computes. The tumbling entry can't express overlap — this is the
+    trailing-rate/moving-volume family."""
+    import tempfile
+
+    from institutional_fx_etl_spark.sources.readers import read_parquet_nanos_safe
+
+    static = read_parquet_nanos_safe(spark, f"{sf_dir}/events.parquet")
+    ts_is_long = dict(static.dtypes).get("ts") == "bigint"
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_expr = (
+        F.expr("timestamp_micros(ts div 1000)")
+        if ts_is_long
+        else F.col("ts").cast("timestamp")
+    )
+    agg = (
+        stream.select(ts_expr.alias("__ts"), "event_type")
+        .groupBy(
+            F.window("__ts", "1 hour", "15 minutes").alias("__w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("__w.start").alias("win_start"), "event_type", "n")
+    )
+    name = f"sliding_q_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="stream_slide_ck_")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
+    "streaming_stream_join",
+    """
+    WITH v AS (
+      SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id AS p_user, ts AS purchase_ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, v.view_ts, p.purchase_ts
+    FROM v JOIN p ON v.user_id = p.p_user
+     AND p.purchase_ts >= v.view_ts
+     AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: purchases matched to
+    every view by the same user in the preceding 30 minutes. Both
+    sides carry event-time watermarks and the join predicate bounds
+    their skew, so Spark can size and EVICT the join state — the
+    attribution-join shape that runs forever on unbounded streams.
+    Over the bounded replay it must equal the batch interval join."""
+    import tempfile
+
+    from institutional_fx_etl_spark.sources.readers import read_parquet_nanos_safe
+
+    static = read_parquet_nanos_safe(spark, f"{sf_dir}/events.parquet")
+    ts_is_long = dict(static.dtypes).get("ts") == "bigint"
+
+    def src():
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        ts_expr = (
+            F.expr("timestamp_micros(ts div 1000)")
+            if ts_is_long
+            else F.col("ts").cast("timestamp")
+        )
+        return stream.select("user_id", "event_type", ts_expr.alias("__ts"))
+
+    views = (
+        src()
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("__ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("__ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user
+            AND purchase_ts >= view_ts
+            AND purchase_ts <= view_ts + INTERVAL 30 MINUTES
+            """
+        ),
+    ).select("user_id", "view_ts", "purchase_ts")
+    name = f"ssj_q_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="stream_ssj_ck_")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -3419,6 +3752,12 @@ def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HEAD = [
     # new this round (first driver row)
+    "grouping_sets_agg",
+    "bitmap_prune_join",
+    "funnel_analysis",
+    "consecutive_streaks",
+    "streaming_sliding_window",
+    "streaming_stream_join",
     "range_join_banded",
     "skew_salted_agg",
     "exact_quantiles",
