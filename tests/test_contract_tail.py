@@ -36,7 +36,12 @@ def duck():
     con.close()
 
 
-@pytest.mark.parametrize("name", driver_queries._TAIL)
+#: everything past the driver's 50-entry window — the declared _TAIL
+#: plus any middle entries the head growth pushed out this round
+_OUT_OF_WINDOW = list(driver_queries.REGISTRY)[50:]
+
+
+@pytest.mark.parametrize("name", _OUT_OF_WINDOW)
 def test_tail_query_matches_oracle(spark, duck, name):
     fn, oracle = driver_queries.REGISTRY[name]
     sdf = fn(spark, SF_DIR).toPandas()
