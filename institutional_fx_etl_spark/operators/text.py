@@ -211,3 +211,123 @@ def tfidf_top_terms(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window_w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every word ``shingle_n``-gram, then keep the MIN
+    hash of each sliding window of ``window_w`` consecutive shingles.
+    The selected set is position-robust — a local edit perturbs only
+    the windows it overlaps, so two documents sharing a long span
+    share most of its fingerprints, which makes the (id, fp) relation
+    directly joinable for plagiarism/overlap detection.
+
+    All scan-side array expressions (no shuffle, no UDF) — the only
+    fan-out is the final explode, bounded by tokens-per-doc. Guards:
+    docs shorter than ``shingle_n`` tokens emit nothing; docs with
+    fewer than ``window_w`` shingles emit their single global min.
+    Hashes are md5-based (``_token_hash``) so an external engine
+    reproduces them exactly."""
+    toks = "__toks"
+    hs = (
+        f"transform({shingles_expr(toks, shingle_n)},"
+        f" s -> {_token_hash('s')})"
+    )
+    fps = f"""
+      CASE
+        WHEN size({toks}) < {shingle_n} THEN array()
+        WHEN size({toks}) - {shingle_n} + 1 < {window_w}
+          THEN array(array_min({hs}))
+        ELSE array_distinct(transform(
+               sequence(0, size({toks}) - {shingle_n} + 1 - {window_w}),
+               j -> array_min(slice({hs}, j + 1, {window_w}))))
+      END
+    """
+    return (
+        df.withColumn(toks, tokens(text_col))
+        .selectExpr(f"`{id_col}`", f"explode({fps}) AS fp")
+    )
+
+
+def decontaminate_against(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word ``n``-gram with a benchmark/eval set (the overlap rule used
+    to scrub eval contamination from pretraining corpora — e.g. the
+    GPT-3/PaLM 8-to-13-gram checks). Returns one row per corpus doc:
+    ``n_matched`` distinct shared n-grams and a ``contaminated`` flag.
+
+    Plan shape at 100 TB: the benchmark's distinct n-gram set is
+    eval-suite-sized (small) — broadcast it; the corpus side explodes
+    scan-side and the match count is one partial/final hash aggregate,
+    so the corpus is read exactly once with no corpus-sized shuffle.
+    N-grams join as STRINGS (no hash) — zero false positives."""
+    grams = (
+        f"array_distinct(CASE WHEN size(__toks) >= {n}"
+        f" THEN {shingles_expr('__toks', n)} ELSE array() END)"
+    )
+    c = (
+        corpus.withColumn("__toks", tokens(text_col))
+        .selectExpr(f"`{id_col}`", f"explode_outer({grams}) AS g")
+    )
+    b = (
+        benchmark.withColumn("__toks", tokens(text_col))
+        .selectExpr(f"explode({grams}) AS g")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        c.join(F.broadcast(b), "g", "left")
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("int").alias("n_matched"))
+        .select(
+            id_col,
+            "n_matched",
+            (F.col("n_matched") > 0).alias("contaminated"),
+        )
+    )
+
+
+#: public-pattern PII regexes (kept intentionally simple and
+#: RE2/Java-compatible so an external engine applies them identically)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d -]{7,}\d",
+}
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing: replace email addresses and phone-number-shaped
+    digit runs with ``[EMAIL]`` / ``[PHONE]`` placeholders and count
+    the matches per document (the redaction audit). Pure
+    ``regexp_replace``/``regexp_extract_all`` string expressions —
+    scan-side, codegen'd, order-preserving (email first so phone
+    digits inside a local-part are not double-counted)."""
+    email, phone = PII_PATTERNS["email"], PII_PATTERNS["phone"]
+    # Column-based regex args (NOT F.expr): SQL string literals eat
+    # backslashes, the Python API passes the pattern through verbatim
+    no_email = F.regexp_replace(F.col(text_col), email, "[EMAIL]")
+    return (
+        df.withColumn(
+            "n_emails",
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(email), F.lit(0))
+            ),
+        )
+        .withColumn(
+            "n_phones",
+            F.size(F.regexp_extract_all(no_email, F.lit(phone), F.lit(0))),
+        )
+        .withColumn(text_col, F.regexp_replace(no_email, phone, "[PHONE]"))
+    )

@@ -3734,6 +3734,146 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "winnow_fingerprint",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(0, len(toks) - 3 + 1),
+               i -> CAST(concat('0x', substr(md5(toks[i+1] || ' ' ||
+                    toks[i+2] || ' ' || toks[i+3]), 1, 8)) AS BIGINT)) AS hs
+      FROM f
+    ),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4
+                  THEN list_distinct(list_transform(range(0, len(hs) - 4 + 1),
+                         j -> list_min(list_slice(hs, j + 1, j + 4))))
+                  ELSE [list_min(hs)] END AS fps
+      FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM w
+    """,
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (SIGMOD'03) over the documents corpus:
+    min-hash of every 4-shingle window — the position-robust overlap
+    fingerprint the single min-shingle in ``text_fingerprint`` is a
+    degenerate case of. Scan-side array exprs + one explode; md5-based
+    hashes reproduce exactly in the oracle."""
+    from institutional_fx_etl_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs)
+
+
+@register(
+    "decontaminate_ngram",
+    """
+    WITH corpus AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents WHERE doc_id >= 25
+    ),
+    bench AS (
+      SELECT string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents WHERE doc_id < 25
+    ),
+    bgrams AS (
+      SELECT DISTINCT unnest(list_transform(
+               range(0, greatest(len(toks) - 5 + 1, 0)),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                    || ' ' || toks[i+4] || ' ' || toks[i+5])) AS g
+      FROM bench
+    ),
+    cgrams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(0, greatest(len(toks) - 5 + 1, 0)),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                    || ' ' || toks[i+4] || ' ' || toks[i+5]))) AS g
+      FROM corpus
+    ),
+    m AS (
+      SELECT doc_id, count(*) AS nm FROM cgrams JOIN bgrams USING (g)
+      GROUP BY doc_id
+    )
+    SELECT c.doc_id, CAST(coalesce(m.nm, 0) AS INT) AS n_matched,
+           coalesce(m.nm, 0) > 0 AS contaminated
+    FROM (SELECT DISTINCT doc_id FROM corpus) c LEFT JOIN m USING (doc_id)
+    """,
+)
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id >= 25) flagged
+    when they share any word 5-gram with the benchmark slice
+    (doc_id < 25) — the eval-overlap scrub every pretraining corpus
+    needs. The benchmark gram set broadcasts; the corpus explodes
+    scan-side into one hash aggregate (no corpus-sized shuffle)."""
+    from institutional_fx_etl_spark.operators.text import decontaminate_against
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_against(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+    )
+
+
+@register(
+    "pii_redact",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1 555-123-4567 now' AS t
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                            '[EMAIL]', 'g') AS t_no_email,
+             CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+               AS n_emails
+      FROM p
+    )
+    SELECT doc_id,
+           regexp_replace(t_no_email, '\\+?\\d[\\d -]{7,}\\d', '[PHONE]', 'g')
+             AS text,
+           n_emails,
+           CAST(len(regexp_extract_all(t_no_email, '\\+?\\d[\\d -]{7,}\\d'))
+                AS INT) AS n_phones
+    FROM e
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit: emails/phone-shaped digit runs (planted
+    deterministically per doc — the synthetic corpus has none) are
+    replaced with [EMAIL]/[PHONE] placeholders and counted. Pure
+    codegen'd regexp expressions; patterns are RE2/Java-compatible so
+    the oracle applies them verbatim."""
+    from institutional_fx_etl_spark.operators.text import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-123-4567 now"),
+        ).alias("text"),
+    )
+    out = pii_redact(docs)
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_emails").cast("int").alias("n_emails"),
+        F.col("n_phones").cast("int").alias("n_phones"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -3752,6 +3892,9 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HEAD = [
     # new this round (first driver row)
+    "winnow_fingerprint",
+    "decontaminate_ngram",
+    "pii_redact",
     "grouping_sets_agg",
     "bitmap_prune_join",
     "funnel_analysis",

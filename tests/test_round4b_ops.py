@@ -29,6 +29,9 @@ from institutional_fx_etl_spark.plans import driver_queries  # noqa: E402
 SF_DIR = "/root/testdata/sf0.001"
 
 NEW_BATCH = [
+    "winnow_fingerprint",
+    "decontaminate_ngram",
+    "pii_redact",
     "grouping_sets_agg",
     "bitmap_prune_join",
     "funnel_analysis",
