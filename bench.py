@@ -49,6 +49,9 @@ HEADLINE = [
     "skew_salted_agg",
     "tfidf_topterms",
     "range_frame_window",
+    "bitmap_prune_join",
+    "funnel_analysis",
+    "winnow_fingerprint",
 ]
 
 
