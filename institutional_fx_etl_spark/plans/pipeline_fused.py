@@ -19,21 +19,28 @@ frames*:
 - F5's conditional ffill source is the same running ``last`` (spike
   rows legitimately feed it — the reference ffills at ``:161`` before
   the spike drop at ``:163``);
-- densification runs a second, smaller pass over the already-filtered
-  survivor rows (plain ``lead`` + running ffill per chunk — no padding
-  adjacency needed, so F4/F6 emptying whole chunks is harmless);
+- densification state (next surviving timestamp, running survivor
+  spread ffill) is FOLDED into the same window pass, two-versioned:
+  survivorship is carry-dependent for exactly ONE row per chunk — the
+  first post-F4 candidate, whose F6 lag is the cross-chunk previous
+  close — so every densify window is computed against the KNOWN
+  survivors inside the pass-1 sort and the first candidate's verdict
+  resolves on the per-chunk summary, version-selecting the row-level
+  state after the carry broadcast (no second full-row window);
 - every cross-chunk dependency (ffill carries, previous-survivor
-  close, next-survivor timestamp) is a 1-row-per-chunk summary whose
-  prefix/suffix resolves as O(C) running windows over the summary
-  itself (the :mod:`functions.chunked` design) — full rows never leave
-  their chunk.
+  close, next-survivor timestamp, first-candidate verdicts) is a
+  1-row-per-chunk summary whose prefix/suffix resolves as O(C)
+  running windows over the summary itself (the
+  :mod:`functions.chunked` design) — full rows never leave their
+  chunk.
 
 Physical shape: 2 checkpoints (consensus-merged frame, pass-1 windowed
-frame) and 3 full-row exchanges (consensus join, pass-1 window, pass-2
-survivor window) vs v1's 3 checkpoints + ~5 exchanges. No ``Exchange
-SinglePartition`` feeds any Sort/Window (asserted in
+frame) and 2 full-row exchanges (consensus join, pass-1 window) vs
+v1's 3 checkpoints + ~5 exchanges — the former pass-2 survivor
+exchange+sort+window is gone (the densify fold above). No ``Exchange
+SinglePartition`` feeds any full-row Sort/Window (asserted in
 ``tests/test_chunked.py``); the only single-partition movement is the
-1-row global aggregate broadcast.
+1-row global aggregate broadcast and the C-row carry summary.
 """
 
 from __future__ import annotations
@@ -102,50 +109,6 @@ def chunk_bounds(
             F.lag(n).over(w).alias("__n_prev"),
             F.lead(n).over(w).alias("__n_next"),
         )
-    )
-
-
-def _chunk_carries(
-    frame: DataFrame,
-    specs: dict[str, tuple[Column, bool]],
-    order_by: Column,
-    partition_cols: tuple[str, ...],
-) -> DataFrame:
-    """Cross-chunk carries for several values in ONE scan of ``frame``.
-
-    ``specs`` maps an output column name to ``(value, forward)``: the
-    carry is the last (``forward=True``) or first non-null ``value`` of
-    any earlier (later) chunk, per partition key. One groupBy computes
-    every chunk-edge summary together; ALL carries then resolve as
-    O(C) prefix/suffix running windows over that 1-row-per-chunk
-    summary table — its sort orders C summary rows by ``__cidx`` (full
-    rows never pass through it), so chunk count is unbounded. Returns
-    ``(partition_cols…, __cidx, <name>…)`` for broadcast back onto the
-    frame.
-    """
-    part = [*partition_cols, CIDX]
-    if PAD in frame.columns:
-        frame = frame.filter(~F.col(PAD))
-    aggs = [
-        (F.max_by if fwd else F.min_by)(
-            value, F.when(value.isNotNull(), order_by)
-        ).alias(f"__e_{name}")
-        for name, (value, fwd) in specs.items()
-    ]
-    sums = frame.groupBy(*part).agg(*aggs)
-    w = Window.partitionBy(*partition_cols).orderBy(CIDX)
-    prefix = w.rowsBetween(Window.unboundedPreceding, -1)
-    suffix = w.rowsBetween(1, Window.unboundedFollowing)
-    return sums.select(
-        *part,
-        *[
-            (
-                F.last(f"__e_{name}", ignorenulls=True).over(prefix)
-                if fwd
-                else F.first(f"__e_{name}", ignorenulls=True).over(suffix)
-            ).alias(name)
-            for name, (_value, fwd) in specs.items()
-        ],
     )
 
 
@@ -417,38 +380,153 @@ def merge_fused(
         .filter(f"NOT {PAD}")
         .drop(PAD)
     )
+
+    # -- pass-2 state folded into pass-1's sorted subtree ---------------
+    # The densify stage (J4+W2+W4) needs, per SURVIVOR row, the next
+    # surviving timestamp and the running survivor spread ffill. Both
+    # used to cost a second full-row exchange+sort over the survivor
+    # frame (the checkpoint loses partitioning under AQE, so the
+    # window re-shuffled everything). Survivorship = post-F4 AND NOT
+    # F6-spike, and the spike lag is the PREVIOUS post-F4 row — which
+    # is in-chunk-known for every candidate EXCEPT the chunk's first
+    # (its lag is the cross-chunk __pc_carry). So the fold works
+    # two-versioned: compute every densify window against the KNOWN
+    # survivors (non-first candidates) here, inside the pass-1 sort
+    # (Filter preserves the ordering — no new exchange), and resolve
+    # the single carry-dependent row per chunk on the O(C) summary:
+    # - __spike_loc: F6 flag for non-first candidates (post-fix
+    #   values, T3 struct lag), NULL-lag → first candidate;
+    # - __nt_loc: next known-survivor ts (suffix frame) — exact for
+    #   every row, because the first candidate precedes all survivors
+    #   of its chunk (nothing after any row can be a first candidate);
+    # - __gf_b: running known-survivor spread ffill; the A-version
+    #   (first candidate survives) is coalesce(__gf_b, fc.spread)
+    #   since the first candidate is the EARLIEST candidate — later
+    #   non-null spreads always win the running last;
+    # - __ntk_incl / __fc_incl: running first-known-survivor-ts and
+    #   first-candidate summary struct — read at the chunk-last row
+    #   they ARE the per-chunk summaries the carry resolution needs.
+    thr = f"CAST('{spike_threshold!r}' AS DOUBLE)"
+    hl_spike_sql = f"coalesce((high - low) / open > {thr}, false)"
+    spike_loc_sql = (
+        "(NOT __inv) AND __pc_loc IS NOT NULL AND ("
+        f"{hl_spike_sql}"
+        f" OR coalesce(abs((close - __pc_loc.c) / __pc_loc.c) > {thr},"
+        " false))"
+    )
+    surv_known_sql = "(NOT __inv) AND __pc_loc IS NOT NULL AND NOT __spike_loc"
+    fc_struct_sql = (
+        "CASE WHEN (NOT __inv) AND __pc_loc IS NULL THEN named_struct("
+        f"'ts', {ts}, 'c', close, 'hl', {hl_spike_sql}, 'sp', spread) END"
+    )
+    # next known-survivor ts: a running LAST over the DESCENDING order
+    # — NOT a "1 FOLLOWING .. UNBOUNDED FOLLOWING" frame, whose
+    # WindowExec implementation re-scans to the partition end for
+    # every row (O(rows·chunk_size): measured 122 s vs 15 s on the
+    # 30M-tick scale proof). The DESC spec costs one extra LOCAL sort
+    # per partition, no exchange.
+    desc_prev_sql = (
+        f"PARTITION BY {part_sql} ORDER BY {ts} DESC"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    )
+    pdd = (
+        pdd.selectExpr("*", f"{spike_loc_sql} AS __spike_loc")
+        .selectExpr(
+            "*",
+            f"last(CASE WHEN {surv_known_sql} THEN spread END, true)"
+            f" OVER ({run_sql}) AS __gf_b",
+            f"first(CASE WHEN {surv_known_sql} THEN {ts} END, true)"
+            f" OVER ({run_sql}) AS __ntk_incl",
+            f"first({fc_struct_sql}, true) OVER ({run_sql}) AS __fc_incl",
+        )
+        .selectExpr(
+            "*",
+            f"last(CASE WHEN {surv_known_sql} THEN {ts} END, true)"
+            f" OVER ({desc_prev_sql}) AS __nt_loc",
+        )
+    )
     frame = _mat(pdd)
 
-    # -- cross-chunk carries for pass-1 state -----------------------------
+    # -- cross-chunk carries, ALL from one C-row summary ------------------
     # Each chunk's LAST real row (ts == __lr, exactly one per chunk)
     # already holds the chunk-edge summary in its running-window
-    # columns: __sf_loc = last non-null post-F4 spread of the chunk,
-    # __pc_incl = last non-inverted close. The cross-chunk prefix is
-    # then an O(C) running window over that C-row slice — a
-    # filter+project over the materialized frame instead of a second
-    # hash-aggregate shuffle (the prior _chunk_carries groupBy).
+    # columns: __sf_loc = last non-null post-F4 spread, __pc_incl =
+    # last non-inverted close, __gf_b = last known-survivor spread,
+    # __ntk_incl = first known-survivor ts, __fc_incl = the first
+    # candidate's (ts, close, hl-flag, spread). Resolution is three
+    # chained O(C) selects over that slice: prefix carries → the
+    # per-chunk first-candidate verdict (its F6 lag is __pc_carry) →
+    # the across-chunk next-survivor-ts / survivor-spread carries the
+    # densify fold consumes.
+    p_part = f"PARTITION BY {', '.join(p)} " if p else ""
     prefix1_sql = (
-        (f"PARTITION BY {', '.join(p)} " if p else "")
+        p_part
         + f"ORDER BY {CIDX} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    )
+    # DESC running-last, same reason as __nt_loc above (the summary is
+    # C rows, but at 150 years C ~ 9e4 and the following-frame scan is
+    # quadratic in it)
+    suffix1_sql = (
+        p_part
+        + f"ORDER BY {CIDX} DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    )
+    spike_first_sql = (
+        "__fc_incl IS NOT NULL AND (__fc_incl.hl OR"
+        f" coalesce(abs((__fc_incl.c - __pc_carry.c) / __pc_carry.c)"
+        f" > {thr}, false))"
     )
     carries1 = (
         frame.filter(f"{ts} = __lr")
-        .selectExpr(*part, "__sf_loc", "__pc_incl")
+        .selectExpr(
+            *part, "__sf_loc", "__pc_incl", "__gf_b", "__ntk_incl", "__fc_incl"
+        )
         .selectExpr(
             *part,
+            "__gf_b",
+            "__ntk_incl",
+            "__fc_incl",
             f"last(__sf_loc, true) OVER ({prefix1_sql}) AS __sf_carry",
             f"last(__pc_incl, true) OVER ({prefix1_sql}) AS __pc_carry",
         )
+        .selectExpr(
+            *part,
+            "__sf_carry",
+            "__pc_carry",
+            "__fc_incl",
+            f"{spike_first_sql} AS __spike_first",
+            f"__fc_incl IS NOT NULL AND NOT ({spike_first_sql})"
+            " AS __surv_first",
+            # chunk's first survivor ts: the first candidate if it
+            # survives (it is the earliest), else the first KNOWN one
+            f"CASE WHEN __fc_incl IS NOT NULL AND NOT ({spike_first_sql})"
+            " THEN __fc_incl.ts ELSE __ntk_incl END AS __fs_ts",
+            # chunk's last survivor spread: known-survivor last wins
+            # (later rows); else the surviving first candidate's
+            f"coalesce(__gf_b, CASE WHEN __fc_incl IS NOT NULL AND NOT"
+            f" ({spike_first_sql}) THEN __fc_incl.sp END) AS __chunk_sp",
+        )
+        .selectExpr(
+            *part,
+            "__sf_carry",
+            "__pc_carry",
+            "__spike_first",
+            "__surv_first",
+            "__fc_incl.sp AS __fc_sp",
+            f"last(__fs_ts, true) OVER ({suffix1_sql}) AS __nt_carry",
+            f"last(__chunk_sp, true) OVER ({prefix1_sql}) AS __gf_carry2",
+        )
     )
 
-    # F5's conditional ffill write-back (gated by the global F8 flag) +
-    # the F6 volatility-spike flag land in ONE select after the carry
-    # join. The write-back applies to EVERY row like the vanilla path —
-    # for a non-null spread, __sf (last non-null incl. own) IS the
-    # row's own value. The spike flag reads fixed values in post-F4
-    # row order; __prev_close is the carry-coalesced running lag.
-    pc_sql = "coalesce(__pc_loc, __pc_carry).c"
-    thr = f"CAST('{spike_threshold!r}' AS DOUBLE)"
+    # F5's conditional ffill write-back (gated by the global F8 flag),
+    # the RESOLVED F6 spike flag, and the densify state land in ONE
+    # select after the single carry join. Write-back: for a non-null
+    # spread, __sf (last non-null incl. own) IS the row's own value.
+    # Spike: first candidate (NULL local lag) takes the chunk verdict,
+    # everyone else its in-chunk flag. __spread_f: with the write-back
+    # active every survivor's spread is already ffilled — the densify
+    # ffill collapses to coalesce(__sf_loc, __sf_carry); without it,
+    # the version-selected known-survivor ffill with the
+    # first-candidate and cross-chunk fallbacks.
     frame = (
         frame.join(F.broadcast(carries1), on=part, how="left")
         .selectExpr(
@@ -466,10 +544,13 @@ def merge_fused(
             "__fix",
             "__hi0",
             "__lo0",
-            "(NOT __inv) AND ("
-            f"coalesce((high - low) / open > {thr}, false)"
-            f" OR coalesce(abs((close - {pc_sql}) / {pc_sql}) > {thr}, false)"
-            ") AS __spike",
+            "(NOT __inv) AND (CASE WHEN __pc_loc IS NULL THEN"
+            " coalesce(__spike_first, false) ELSE __spike_loc END)"
+            " AS __spike",
+            f"coalesce(__nt_loc, __nt_carry) AS __next_ts",
+            "CASE WHEN __anyfix = 1 THEN coalesce(__sf_loc, __sf_carry)"
+            " ELSE coalesce(__gf_b, CASE WHEN coalesce(__surv_first,"
+            " false) THEN __fc_sp END, __gf_carry2) END AS __spread_f",
         )
     )
 
@@ -491,25 +572,11 @@ def merge_fused(
     )
     audit_spike = _audit(frame.filter("__spike"), schemas.REASON_DROPPED_SPIKE)
 
-    # -- pass 2: densify over the survivor rows only (J4+W2+W4) ---------
-    # Plain lead/running-ffill per chunk — survivors are adjacent by
-    # construction, so no padding is needed and chunks emptied by F4/F6
-    # are harmless (the carries skip them).
-    surv = frame.filter("(NOT __inv) AND (NOT __spike)").select(
-        *p, ts, "open", "high", "low", "close", "volume", "spread", CIDX
-    )
-
-    carries2 = _chunk_carries(
-        surv,
-        {
-            "__nt_carry": (F.col(ts), False),
-            "__gf_carry": (F.col("spread"), True),
-        },
-        F.col(ts),
-        p,
-    )
-
-    seq = surv.join(F.broadcast(carries2), on=part, how="left").selectExpr(
+    # -- densify inputs: the survivor rows already carry their state ----
+    # (__next_ts, __spread_f folded above) — no second window pass, no
+    # survivor re-shuffle. Chunks emptied by F4/F6 are harmless: their
+    # summaries are all-NULL and the O(C) carries skip them.
+    seq = frame.filter("(NOT __inv) AND (NOT __spike)").select(
         *p,
         ts,
         "open",
@@ -518,10 +585,8 @@ def merge_fused(
         "close",
         "volume",
         "spread",
-        f"coalesce(lead({ts}) OVER (PARTITION BY {part_sql}"
-        f" ORDER BY {ts}), __nt_carry) AS __next_ts",
-        f"coalesce(last(spread, true) OVER ({run_sql}), __gf_carry)"
-        " AS __spread_f",
+        "__next_ts",
+        "__spread_f",
     )
 
     step_expr = f"interval {step}"
