@@ -14,12 +14,15 @@ plan step:
 1. Scan the (small) build side once and collect the DISTINCT buckets
    of ``xxhash64(key) mod m`` — at most ``m`` integers (default 8192),
    driver-bounded METADATA, independent of build-side row count.
-2. Encode them as an ``m``-character '0'/'1' literal string — a tiny
-   broadcast constant baked into the plan.
-3. Filter the probe side with a constant-time ``substring(bits,
-   bucket+1, 1) = '1'`` — pure JVM whole-stage-codegen, evaluated in
-   the probe side's SCAN stage, so non-matching rows never reach the
-   exchange.
+2. Encode them as a literal array of ``m / 64`` packed 64-bit words —
+   a tiny broadcast constant baked into the plan. (NOT a '0'/'1'
+   string probed with ``substring``: UTF8String indexing is
+   character-counted, so ``substring(bits, bucket, 1)`` walks O(m)
+   bytes per row — measured 11 µs/row at m=8192.)
+3. Filter the probe side with a constant-time
+   ``element_at(words, bucket div 64 + 1) >> (bucket % 64) & 1`` —
+   pure JVM whole-stage-codegen, evaluated in the probe side's SCAN
+   stage, so non-matching rows never reach the exchange.
 4. Run the exact join; bitmap false positives (hash-bucket
    collisions) are eliminated here, so the result is bit-identical to
    the unpruned join.
@@ -48,6 +51,8 @@ def bitmap_filter(
     occupant. Superset of the joinable rows (false positives possible,
     false negatives impossible) — always follow with the exact join.
     """
+    if m % 64:
+        raise ValueError(f"m must be a multiple of 64, got {m}")
     buckets = {
         r["b"]
         for r in build.select(
@@ -56,10 +61,22 @@ def bitmap_filter(
         .distinct()
         .collect()
     }
-    bits = "".join("1" if i in buckets else "0" for i in range(m))
-    pos = (F.pmod(F.xxhash64(probe_key), F.lit(m)).cast("int") + F.lit(1))
+    words = [0] * (m // 64)
+    for b in buckets:
+        words[b // 64] |= 1 << (b % 64)
+    # two's-complement into SQL BIGINT literals; the arithmetic
+    # sign-extension of shiftright is masked off by the & 1
+    wlit = ", ".join(
+        f"{w - (1 << 64) if w >= (1 << 63) else w}L" for w in words
+    )
+    key = (
+        f"`{probe_key}`" if isinstance(probe_key, str) else probe_key._jc.toString()
+    )
+    bucket = f"cast(pmod(xxhash64({key}), {m}) as int)"
     return probe.filter(
-        F.substring(F.lit(bits), pos, F.lit(1)) == F.lit("1")
+        f"(shiftright(element_at(array({wlit}),"
+        f" cast(({bucket} div 64) + 1 as int)),"
+        f" {bucket} % 64) & 1) = 1"
     )
 
 

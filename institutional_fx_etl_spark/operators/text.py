@@ -233,7 +233,13 @@ def winnow_fingerprints(
     docs shorter than ``shingle_n`` tokens emit nothing; docs with
     fewer than ``window_w`` shingles emit their single global min.
     Hashes are md5-based (``_token_hash``) so an external engine
-    reproduces them exactly."""
+    reproduces them exactly.
+
+    The shingle-hash array is materialized as its OWN projection
+    before the sliding windows slice it: inlining the ``transform``
+    expression into every ``slice`` call would re-evaluate the md5 of
+    the whole document once per window — O(tokens²) hashing per doc
+    (measured 31 s → 0.6 s at sf0.1)."""
     toks = "__toks"
     hs = (
         f"transform({shingles_expr(toks, shingle_n)},"
@@ -241,16 +247,22 @@ def winnow_fingerprints(
     )
     fps = f"""
       CASE
-        WHEN size({toks}) < {shingle_n} THEN array()
-        WHEN size({toks}) - {shingle_n} + 1 < {window_w}
-          THEN array(array_min({hs}))
+        WHEN size(__hs) = 0 THEN array()
+        WHEN size(__hs) < {window_w} THEN array(array_min(__hs))
         ELSE array_distinct(transform(
-               sequence(0, size({toks}) - {shingle_n} + 1 - {window_w}),
-               j -> array_min(slice({hs}, j + 1, {window_w}))))
+               sequence(0, size(__hs) - {window_w}),
+               j -> array_min(slice(__hs, j + 1, {window_w}))))
       END
     """
     return (
         df.withColumn(toks, tokens(text_col))
+        .selectExpr(
+            f"`{id_col}`",
+            f"CASE WHEN size({toks}) < {shingle_n}"
+            " THEN array() ELSE "
+            + hs
+            + " END AS __hs",
+        )
         .selectExpr(f"`{id_col}`", f"explode({fps}) AS fp")
     )
 

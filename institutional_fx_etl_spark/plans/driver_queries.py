@@ -3765,10 +3765,16 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-hash of every 4-shingle window — the position-robust overlap
     fingerprint the single min-shingle in ``text_fingerprint`` is a
     degenerate case of. Scan-side array exprs + one explode; md5-based
-    hashes reproduce exactly in the oracle."""
+    hashes reproduce exactly in the oracle.
+
+    The testdata corpus is ONE small parquet file — one input split —
+    and the interpreted higher-order hashing is CPU-bound, so the
+    query repartitions the (tiny) text up front to parallelize it. At
+    real corpus scale the input has thousands of splits and the
+    repartition would be dropped."""
     from institutional_fx_etl_spark.operators.text import winnow_fingerprints
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
     return winnow_fingerprints(docs)
 
 

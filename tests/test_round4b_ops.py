@@ -98,7 +98,7 @@ def test_bitmap_filter_runs_before_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
     filt = next(
-        (i for i, l in enumerate(lines) if "substring" in l.lower()), None
+        (i for i, l in enumerate(lines) if "shiftright" in l.lower()), None
     )
     exch = next(
         (i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l),
