@@ -343,3 +343,37 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(text_col, F.regexp_replace(no_email, phone, "[PHONE]"))
     )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 10,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Document-overlap candidate pairs from winnowing fingerprints:
+    docs sharing ≥ ``min_shared`` selected fingerprints (the
+    plagiarism/near-dup retrieval winnowing exists for). Fingerprints
+    appearing in more than ``max_df`` documents are dropped BEFORE the
+    self-join — boilerplate shingles otherwise fan a hot fingerprint
+    into df² pair rows, the same band-bucket cap the MinHash-LSH path
+    applies. With the cap, pair generation is bounded by
+    (#fingerprints · max_df²) regardless of corpus size."""
+    fps = winnow_fingerprints(df, text_col, id_col)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("fp")
+    )
+    fpr = fps.join(rare, "fp")
+    a = fpr.selectExpr("fp", f"`{id_col}` AS doc_a")
+    b = fpr.selectExpr("fp", f"`{id_col}` AS doc_b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -3880,6 +3880,84 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "winnow_pairs",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(0, len(toks) - 3 + 1),
+               i -> CAST(concat('0x', substr(md5(toks[i+1] || ' ' ||
+                    toks[i+2] || ' ' || toks[i+3]), 1, 8)) AS BIGINT)) AS hs
+      FROM f
+    ),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4
+                  THEN list_distinct(list_transform(range(0, len(hs) - 4 + 1),
+                         j -> list_min(list_slice(hs, j + 1, j + 4))))
+                  ELSE [list_min(hs)] END AS fps
+      FROM h
+    ),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+    rare AS (
+      SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY fp)
+      WHERE df <= 10
+    ),
+    fpr AS (SELECT doc_id, fp FROM fp JOIN rare USING (fp)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared FROM pairs WHERE shared >= 3
+    """,
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-pair retrieval from winnowing fingerprints — the use
+    winnowing exists for: docs sharing ≥3 selected fingerprints, with
+    hot fingerprints (document frequency > 10, boilerplate shingles)
+    dropped BEFORE the self-join so pair fan-out is bounded by
+    #fingerprints · max_df², not corpus². Same cap strategy as the
+    MinHash-LSH band buckets."""
+    from institutional_fx_etl_spark.operators.text import winnow_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    return winnow_overlap_pairs(docs)
+
+
+@register(
+    "skew_salted_join",
+    """
+    WITH users AS (
+      SELECT user_id, min(ts) AS first_seen FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.value, u.first_seen
+    FROM events e JOIN users u USING (user_id)
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicated join (``functions/skew.py::salt_join``): the
+    fact side's hot keys are spread across ``factor`` shuffle
+    sub-partitions and the small side is replicated to match — the
+    standard fix when one join key dominates and the small side is
+    still too big to broadcast whole. Deterministic row-hash salt (no
+    RNG — stable under task retries); result equals the plain
+    equi-join the oracle runs."""
+    from institutional_fx_etl_spark.functions.skew import salt_join
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(F.min("ts").alias("first_seen"))
+    fact = ev.select("event_id", "user_id", "value")
+    return salt_join(fact, users, ["user_id"], factor=8).select(
+        "event_id", "user_id", "value", "first_seen"
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -3898,6 +3976,8 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HEAD = [
     # new this round (first driver row)
+    "winnow_pairs",
+    "skew_salted_join",
     "winnow_fingerprint",
     "decontaminate_ngram",
     "pii_redact",

@@ -29,6 +29,8 @@ from institutional_fx_etl_spark.plans import driver_queries  # noqa: E402
 SF_DIR = "/root/testdata/sf0.001"
 
 NEW_BATCH = [
+    "winnow_pairs",
+    "skew_salted_join",
     "winnow_fingerprint",
     "decontaminate_ngram",
     "pii_redact",
