@@ -377,3 +377,37 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed-window document chunking with overlap (``chunk_tokens`` −
+    ``stride`` tokens shared between neighbours) — the standard
+    pretraining-prep split of long documents into training sequences.
+    Chunk starts step by ``stride`` from 0 while inside the document;
+    the final chunk may be short. One scan-side array slice + explode
+    per document — no shuffle, no UDF; at corpus scale the fan-out is
+    tokens/stride per doc and rides the scan partitioning."""
+    toks = "__toks"
+    chunks = (
+        f"transform(sequence(0, greatest(size({toks}) - 1, 0), {stride}),"
+        f" s -> named_struct("
+        f"'start_tok', s,"
+        f" 'chunk_text', array_join(slice({toks}, s + 1, {chunk_tokens}), ' '),"
+        f" 'n_tokens', least({chunk_tokens}, size({toks}) - s)))"
+    )
+    return (
+        df.withColumn(toks, tokens(text_col))
+        .selectExpr(f"`{id_col}`", f"explode({chunks}) AS __c")
+        .selectExpr(
+            f"`{id_col}`",
+            "cast(__c.start_tok as int) AS start_tok",
+            "__c.chunk_text AS chunk_text",
+            "cast(__c.n_tokens as int) AS n_tokens",
+        )
+    )

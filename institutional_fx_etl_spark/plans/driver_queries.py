@@ -3958,6 +3958,36 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_chunking",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, s AS start_tok,
+             array_to_string(list_slice(toks, s + 1, s + 64), ' ')
+               AS chunk_text,
+             least(64, len(toks) - s) AS n_tokens
+      FROM t, unnest(range(0, greatest(len(toks), 1), 48)) AS u(s)
+    )
+    SELECT doc_id, CAST(start_tok AS INT) AS start_tok, chunk_text,
+           CAST(n_tokens AS INT) AS n_tokens
+    FROM c
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window training-sequence chunking (64-token chunks, 48
+    stride → 16 overlap) over the documents corpus — the standard
+    long-document split every pretraining pipeline runs before
+    packing. Scan-side slice+explode, no shuffle."""
+    from institutional_fx_etl_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs)
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -3976,6 +4006,7 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HEAD = [
     # new this round (first driver row)
+    "doc_chunking",
     "winnow_pairs",
     "skew_salted_join",
     "winnow_fingerprint",

@@ -29,6 +29,7 @@ from institutional_fx_etl_spark.plans import driver_queries  # noqa: E402
 SF_DIR = "/root/testdata/sf0.001"
 
 NEW_BATCH = [
+    "doc_chunking",
     "winnow_pairs",
     "skew_salted_join",
     "winnow_fingerprint",
