@@ -172,3 +172,62 @@ def test_funnel_stage_ordering(spark):
         .collect()
     }
     assert stages == {1: 3, 2: 1, 3: 0}
+
+
+def test_chunking_covers_every_token_and_overlap(spark):
+    """Every token index must fall in ≥1 chunk; consecutive chunks of
+    a long doc overlap by exactly chunk_tokens − stride; rebuilding
+    the document from stride-aligned chunk prefixes reproduces it."""
+    from institutional_fx_etl_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r["start_tok"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    )
+    starts = [s for s, _, _ in rows]
+    assert starts == [0, 48, 96, 144]
+    covered = set()
+    for s, _, n in rows:
+        covered.update(range(s, s + n))
+    assert covered == set(range(150))
+    # overlap: chunk k's tokens [48k, 48k+64) — 16 tokens shared
+    toks0 = rows[0][1].split(" ")
+    toks1 = rows[1][1].split(" ")
+    assert toks0[48:] == toks1[:16]
+    # stride-aligned prefixes reassemble the document
+    rebuilt = []
+    for s, chunk, _ in rows:
+        rebuilt.extend(chunk.split(" ")[:48])
+    assert rebuilt[:150] == text.split(" ")
+
+
+def test_winnowing_robust_to_local_edit(spark):
+    """SIGMOD'03 winnowing guarantee: an edit at one position changes
+    only the fingerprints of windows overlapping it — two documents
+    sharing a long suffix share (most of) its fingerprints."""
+    from institutional_fx_etl_spark.operators.text import winnow_fingerprints
+
+    base = " ".join(f"tok{i}" for i in range(100))
+    edited = "CHANGED " + " ".join(f"tok{i}" for i in range(1, 100))
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    fps = winnow_fingerprints(df)
+    by_doc = {1: set(), 2: set()}
+    for r in fps.collect():
+        by_doc[r["doc_id"]].add(r["fp"])
+    shared = by_doc[1] & by_doc[2]
+    # the edit perturbs at most shingle_n + window_w − 1 leading
+    # windows; everything after must coincide
+    assert len(shared) >= 0.8 * min(len(by_doc[1]), len(by_doc[2]))
+    # and a completely different doc shares (almost) nothing
+    other = " ".join(f"zzz{i}" for i in range(100))
+    df2 = spark.createDataFrame(
+        [(1, base), (3, other)], "doc_id long, text string"
+    )
+    by2 = {1: set(), 3: set()}
+    for r in winnow_fingerprints(df2).collect():
+        by2[r["doc_id"]].add(r["fp"])
+    assert not (by2[1] & by2[3])
