@@ -115,18 +115,25 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "detail": detail,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,  # insertion order == HEADLINE == flagships first
+        "detail": detail,
+        "sf": sf,
+    }
+    # full artifact to disk FIRST: the round-4 driver captured only a
+    # truncated tail of stdout and lost the flagship timings — the
+    # committed file is the durable round-over-round record
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    # stdout line stays compact (no per-query detail dict) so the
+    # flagship entries at the head of `queries` survive any capture
+    # truncation; detail lives in BENCH_local.json
+    print(json.dumps({k: v for k, v in result.items() if k != "detail"}))
 
 
 if __name__ == "__main__":

@@ -39,11 +39,23 @@ def exact_dedup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact dedup: group identical texts, keep the smallest id as the
-    canonical representative. Output: text_hash, keep_id, n_dups."""
-    return df.groupBy(text_col).agg(
-        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
-    ).select(
-        F.md5(F.col(text_col)).alias("text_hash"), "keep_id", "n_dups"
+    canonical representative. Output: text_hash, keep_id, n_dups.
+
+    Groups on ``md5(text)`` so the shuffle exchange carries 32-byte
+    keys instead of full document bodies — at corpus scale the GROUP BY
+    key IS the shuffle payload, and hashing scan-side turns a
+    shuffle-the-corpus plan into a shuffle-the-digests plan. md5
+    collisions (2^-64 birthday bound at ~2^64 docs) are accepted; a
+    byte-exact paranoia mode would re-verify within groups."""
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col)
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
     )
 
 
@@ -77,6 +89,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs with exact-Jaccard verify.
 
@@ -85,6 +98,14 @@ def minhash_lsh_pairs(
     ``(band_idx, band_sig)`` (candidate generation; the ONLY place two
     documents meet, so cost tracks bucket collisions, not n²) →
     distinct pairs → exact shingle-set Jaccard filter.
+
+    Buckets with more than ``max_bucket`` members are dropped BEFORE
+    the self-join (same cap ``winnow_overlap_pairs`` applies via
+    ``max_df``): one boilerplate band signature shared by 10^6 docs
+    would otherwise fan into 10^12 candidate rows. Docs in a hot
+    bucket are near-exact duplicates of a huge cohort — the exact-hash
+    pass catches true duplicates, and capping bounds candidate
+    generation at #buckets · max_bucket² regardless of corpus skew.
 
     Output: id_a < id_b, jaccard (rounded to 6dp).
     """
@@ -106,6 +127,16 @@ def minhash_lsh_pairs(
               md5(array_join(slice(signature, b*{rows_per_band}+1, {rows_per_band}), ',')) AS band_sig
             ))) AS band""",
     ).select(id_col, "band.band_idx", "band.band_sig")
+
+    # hot-bucket cap: left-semi join against the ≤max_bucket buckets.
+    # The count agg shuffles narrow (band_idx, band_sig) rows only.
+    cool = (
+        banded.groupBy("band_idx", "band_sig")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_bucket)
+        .select("band_idx", "band_sig")
+    )
+    banded = banded.join(cool, on=["band_idx", "band_sig"], how="left_semi")
 
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_sig")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_sig")

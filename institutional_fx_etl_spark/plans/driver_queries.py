@@ -1203,9 +1203,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], ',')) AS band_sig
       FROM sigs, (SELECT unnest(range(0, 4)) AS band_idx) b
     ),
+    capped AS (
+      SELECT doc_id, band_idx, band_sig FROM (
+        SELECT *, count(*) OVER (PARTITION BY band_idx, band_sig) AS __n
+        FROM banded
+      ) WHERE __n <= 64
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-      FROM banded a JOIN banded c USING (band_idx, band_sig)
+      FROM capped a JOIN capped c USING (band_idx, band_sig)
       WHERE a.doc_id < c.doc_id
     )
     SELECT id_a, id_b,
@@ -1249,9 +1255,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], ',')) AS band_sig
       FROM sigs, (SELECT unnest(range(0, 4)) AS band_idx) b
     ),
+    capped AS (
+      SELECT doc_id, band_idx, band_sig FROM (
+        SELECT *, count(*) OVER (PARTITION BY band_idx, band_sig) AS __n
+        FROM banded
+      ) WHERE __n <= 64
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-      FROM banded a JOIN banded c USING (band_idx, band_sig)
+      FROM capped a JOIN capped c USING (band_idx, band_sig)
       WHERE a.doc_id < c.doc_id
     ),
     pairs AS (
@@ -2327,9 +2339,15 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], ',')) AS band_sig
       FROM sigs, (SELECT unnest(range(0, 4)) AS band_idx) b
     ),
+    capped AS (
+      SELECT doc_id, band_idx, band_sig FROM (
+        SELECT *, count(*) OVER (PARTITION BY band_idx, band_sig) AS __n
+        FROM banded
+      ) WHERE __n <= 64
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-      FROM banded a JOIN banded c USING (band_idx, band_sig)
+      FROM capped a JOIN capped c USING (band_idx, band_sig)
       WHERE a.doc_id < c.doc_id
     ),
     pairs AS (
@@ -3109,7 +3127,8 @@ def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CASE WHEN rep_ratio > 0.3 THEN 1 ELSE 0 END) AS f_rep
       FROM s2
     )
-    SELECT rule, n_failed, CAST(n_docs AS BIGINT) AS n_docs
+    SELECT rule, CAST(n_failed AS BIGINT) AS n_failed,
+           CAST(n_docs AS BIGINT) AS n_docs
     FROM (
       SELECT 'too_short' AS rule, f_short AS n_failed, n_docs FROM agg
       UNION ALL

@@ -363,3 +363,46 @@ def test_kmeans_pq_codebook_beats_frozen(spark):
         f"fitted codebook should cut reconstruction error: "
         f"fitted={fitted_err} frozen={frozen_err}"
     )
+
+
+def test_minhash_hot_bucket_cap_bounds_candidates(spark):
+    """A boilerplate-heavy corpus (one band signature shared by a huge
+    cohort) must NOT fan the band self-join into cohort² candidate
+    rows: buckets over ``max_bucket`` are dropped before the join
+    (round-4 verdict ask #3). The hot cohort's pairs disappear (they
+    are exact-dedup's job anyway); genuinely rare near-dups survive."""
+    boiler = [(i, BASE, "boiler") for i in range(200)]
+    rare = [(1000, NEAR, "src"), (1001, NEAR + " extra", "src")]
+    docs = spark.createDataFrame(
+        boiler + rare, "doc_id long, text string, source string"
+    )
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.2).collect()
+    }
+    # 200 identical docs would contribute 19 900 pairs without the cap
+    assert all(a >= 1000 for a, _ in pairs), (
+        f"hot-bucket cohort leaked into candidates: {sorted(pairs)[:5]}"
+    )
+    assert (1000, 1001) in pairs, "rare near-dup must survive the cap"
+
+    # cap lifted -> the cohort pairs come back (the cap is the bound)
+    uncapped = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.2, max_bucket=1000
+    ).count()
+    assert uncapped >= 19_900
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark, docs):
+    """The exact-dedup GROUP BY key must be the 32-byte md5 digest, not
+    the document body: at corpus scale the grouping key IS the shuffle
+    payload (round-4 verdict ask #4)."""
+    plan = (
+        exact_dedup_groups(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(text_hash" in plan
+    assert "hashpartitioning(text#" not in plan
