@@ -5,11 +5,12 @@ Two paths (BASELINE.json north star):
 - **brute-force cosine top-k** — the exactness baseline: broadcast the
   (small) query set against the corpus, compute cosine with built-in
   array expressions (``zip_with`` + ``aggregate`` — JVM-side, no UDF),
-  rank per query with a window. One shuffle (the per-query window
-  sort); corpus scan is embarrassingly parallel. At 100 TB the corpus
-  side stays partitioned and only k rows per query per partition
-  survive the window (use a partial top-k via ``row_number`` after
-  repartitioning by query).
+  rank per query with a two-level window: a per-(query,
+  scan-partition) ``row_number`` prune first (balanced exchange, no
+  hot partition), then a global ranking window whose input is at most
+  partitions·k rows per query. Corpus scan is embarrassingly
+  parallel; no operator ever holds |corpus| rows for one query in a
+  single partition.
 - **LSH-bucketed ANN** — the scale path: deterministic random-
   hyperplane signatures (signs of dot products with md5-derived ±1
   planes) bucket the corpus; candidates meet only within a bucket, so
@@ -93,9 +94,25 @@ def cosine_topk(
         c.crossJoin(F.broadcast(q))
         .selectExpr("q_id", "vec_id", f"round({dot} / (nv * nq), 6) AS cosine")
     )
+    # two-level top-k (round-4 verdict ask #7): a global
+    # per-query window would funnel ALL |corpus| scored rows for a
+    # query into one window partition. Instead, prune per
+    # (q_id, scan-partition): the local window's exchange hashes on
+    # (q_id, __pid) — |partitions|× more keys, no hot partition — and
+    # only the per-partition top-k survivors (≤ partitions·k rows per
+    # query) reach the global ranking window.
+    local = Window.partitionBy("q_id", "__pid").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    pruned = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrank", F.row_number().over(local))
+        .filter(F.col("__lrank") <= k)
+        .drop("__pid", "__lrank")
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank", "cosine")
     )

@@ -3421,6 +3421,37 @@ def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_stats_exact",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_sketch_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked shadow of ``sketch_stats``: the SAME report
+    (distinct users, p50/p99, row count per event type) computed
+    exactly — COUNT(DISTINCT) + interpolated ``percentile`` — so the
+    sketch query's only-rows driver check is paired with an exact-hash
+    row over identical group keys (round-4 verdict ask #6). At 100 TB
+    the sketch variant is the plan you run (mergeable map-side
+    partials, no expand + no per-group sort); this exact twin is the
+    correctness anchor the sketch's pytest accuracy gate
+    (test_round4_ops.py::test_sketch_accuracy_vs_exact) compares
+    against."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
     "grouping_sets_agg",
     """
     SELECT l_returnflag, l_linestatus,

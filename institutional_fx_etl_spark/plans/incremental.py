@@ -235,9 +235,11 @@ class IncrementalHybridPipeline:
         chunk_seconds: int = 21600,
         context_days: int = 3,
         partition_cols: tuple[str, ...] = (),
+        max_state_rows: int = 5_000_000,
     ):
         self.spark = spark
         self.state_dir = state_dir.rstrip("/")
+        self.max_state_rows = max_state_rows
         # a multi-year state has thousands of day partitions; above 32
         # paths Spark launches a DISTRIBUTED listing job — one task per
         # directory, ~5,475 tasks per state read at 15 years, pure
@@ -259,6 +261,29 @@ class IncrementalHybridPipeline:
         self.partition_cols = tuple(partition_cols)
 
     # -- state helpers --------------------------------------------------
+    def _bounded_collect(self, df: DataFrame, what: str) -> list:
+        """Guarded metadata collect (round-4 verdict ask #8): the
+        driver-side boundary math holds one row per (key, day) — at FX
+        scale (10² symbols × 10⁴ days) a few MB, but a pipeline keyed
+        on a high-cardinality column would silently turn this into a
+        driver OOM. ``count()`` is a cheap aggregate-only job; above
+        ``max_state_rows`` we fail fast with guidance instead. The
+        join-based alternative (diff day-state distributively, collect
+        only the changed set) trades this bound for 3 extra shuffles
+        per update; the guard keeps the cheap path honest."""
+        n = df.count()
+        if n > self.max_state_rows:
+            raise RuntimeError(
+                f"incremental {what} metadata has {n} (key, day) rows, "
+                f"over max_state_rows={self.max_state_rows}. The "
+                "driver-side boundary math is O(keys x days); for "
+                "high-cardinality keys partition the state by key and "
+                "run one IncrementalHybridPipeline per key range, or "
+                "raise max_state_rows if the driver has the memory "
+                f"(~100 bytes/row => {n * 100 // 2**20} MB here)."
+            )
+        return df.collect()
+
     def _path(self, name: str) -> str:
         return f"{self.state_dir}/{name}"
 
@@ -315,7 +340,9 @@ class IncrementalHybridPipeline:
         ).withColumn("d", F.to_date("datetime"))
         parts_new = parts_new.localCheckpoint(eager=True)
         affected: dict[tuple, set] = {}
-        for r in parts_new.select(*p, "d").distinct().collect():
+        for r in self._bounded_collect(
+            parts_new.select(*p, "d").distinct(), "affected-days"
+        ):
             affected.setdefault(sk(r), set()).add(r["d"])
         if not affected:
             raise RuntimeError("empty tick batch after F1/F2 filters (S5 abort)")
@@ -354,15 +381,17 @@ class IncrementalHybridPipeline:
         # count + bit_xor.)
         m1_fp = {
             (sk(r), r["d"]): (r["m1_cnt"], r["m1_fp"])
-            for r in m1.groupBy(*p, F.to_date("datetime").alias("d"))
-            .agg(
-                F.count(F.lit(1)).alias("m1_cnt"),
-                # bit_xor: order-independent and overflow-free under
-                # ANSI mode (a sum of hashes overflows long); the count
-                # disambiguates the even-multiplicity XOR cancellation
-                F.bit_xor(F.xxhash64(*m1.columns)).alias("m1_fp"),
+            for r in self._bounded_collect(
+                m1.groupBy(*p, F.to_date("datetime").alias("d")).agg(
+                    F.count(F.lit(1)).alias("m1_cnt"),
+                    # bit_xor: order-independent and overflow-free
+                    # under ANSI mode (a sum of hashes overflows long);
+                    # the count disambiguates the even-multiplicity XOR
+                    # cancellation
+                    F.bit_xor(F.xxhash64(*m1.columns)).alias("m1_fp"),
+                ),
+                "m1-fingerprint",
             )
-            .collect()
         }
         m1_days: dict[tuple, list] = {}
         for (s, d) in sorted(m1_fp):
@@ -370,7 +399,10 @@ class IncrementalHybridPipeline:
 
         day_state = self._read_state("day_scalars")
         state_rows = (
-            day_state.select(*p, "d", "m1_cnt", "m1_fp", "ntick").collect()
+            self._bounded_collect(
+                day_state.select(*p, "d", "m1_cnt", "m1_fp", "ntick"),
+                "day-scalar",
+            )
             if day_state is not None
             else []
         )

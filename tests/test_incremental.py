@@ -315,3 +315,28 @@ def test_m1_day_removal_raises(spark, tmp_path):
             _m1(spark, range(DAY, DAY + 100)),  # day 0 gone
             _ticks(spark, range(100, 200)),
         )
+
+
+def test_bounded_collect_guard(spark, tmp_path):
+    """Driver-side (key, day) metadata collects are guarded by
+    ``max_state_rows`` (round-4 verdict ask #8): a 60k-row keys×days
+    frame passes under the default bound; a pipeline configured with a
+    small bound fails fast with guidance instead of OOMing the
+    driver."""
+    from institutional_fx_etl_spark.plans.incremental import (
+        IncrementalHybridPipeline,
+    )
+
+    # 2 000 keys × 30 days — far beyond FX cardinality, well under the
+    # 5M default bound
+    many = spark.range(2_000).selectExpr(
+        "id AS key", "explode(sequence(1, 30)) AS day"
+    )
+    eng = IncrementalHybridPipeline(spark, str(tmp_path / "s1"))
+    assert len(eng._bounded_collect(many, "keys-x-days")) == 60_000
+
+    tight = IncrementalHybridPipeline(
+        spark, str(tmp_path / "s2"), max_state_rows=1_000
+    )
+    with pytest.raises(RuntimeError, match="max_state_rows"):
+        tight._bounded_collect(many, "keys-x-days")

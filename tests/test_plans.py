@@ -161,3 +161,18 @@ def test_cc_lineage_truncated_by_checkpoint(spark):
     assert len(plan.splitlines()) <= 5, (
         f"lineage not truncated:\n{plan}"
     )
+
+
+def test_cosine_topk_two_level_window(spark):
+    """The brute-force top-k must prune per (q_id, scan partition)
+    before the global per-query ranking window (round-4 verdict ask
+    #7): two Window operators, the first one's exchange hashing on
+    BOTH q_id and the partition id — so no single window partition
+    ever ingests all |corpus| scored rows for one query."""
+    plan = plan_of(spark, "ann_topk")
+    assert plan.count("Window") >= 2, plan
+    # the local prune's exchange carries the composite key
+    first_exchange = plan.split("Exchange hashpartitioning", 2)[1]
+    assert "q_id" in first_exchange and "__pid" in first_exchange, (
+        f"local prune must hash on (q_id, __pid):\n{first_exchange[:300]}"
+    )
