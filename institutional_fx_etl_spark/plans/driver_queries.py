@@ -4055,7 +4055,77 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 _HEAD = [
-    # new this round (first driver row)
+    # new this round / red-fix (first driver row needed)
+    "sketch_stats_exact",
+    "corpus_filter_report",
+    # code or oracle changed this round (hot-bucket cap, digest-key
+    # exact dedup, two-level top-k) — need a fresh row over the new
+    # plans
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "dedup_clusters",
+    "dedup_stats",
+    "corpus_pipeline",
+    "ann_topk",
+    # rotated back in: every remaining query whose last driver row is
+    # r1-r3 (round-4 verdict ask #5 — r5 ∪ r4 covers the whole
+    # registry)
+    "tumbling_ohlc",
+    "global_median",
+    "groupby_agg",
+    "asof_join",
+    "sessionize",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "lsh_ann_pairs",
+    "text_fingerprint",
+    "topk_per_group",
+    "json_extract",
+    "string_functions",
+    "datetime_functions",
+    "unpivot",
+    "cube_agg",
+    "rollup_agg",
+    "pivot_agg",
+    "set_ops",
+    "value_histogram",
+    "pipeline_clean_fixture_fused",
+    "ivf_topk_kmeans",
+    "pq_encode",
+    "stratified_sample",
+    "streaming_dedup",
+    "ngram_topk",
+    "text_token_count",
+    "text_quality",
+    "multimodal_decode",
+    "ivf_topk",
+    "embedding_near_dup",
+    "align_left_join",
+    "time_spine",
+    "rolling_median_centered",
+    "scan_project",
+    "filter_nullsafe",
+    "weekday_filter",
+    # flagship core (stays in-window; the full rotation this round
+    # leaves room for 6 of the 10 — the other four are r4-green,
+    # unchanged, and pytest tail-gated)
+    "hybrid_pipeline",
+    "hybrid_pipeline_multisym",
+    "hybrid_pipeline_audit",
+    "hybrid_pipeline_chunked",
+    "incremental_merge",
+    "streaming_tumbling_ohlc",
+]
+_TAIL = [
+    # r4-green, code unchanged this round — all oracle-checked at
+    # sf0.001 by tests/test_contract_tail.py while out of window.
+    # (Queries new in r5 are NOT listed here, so _reorder_registry
+    # places them between _HEAD and _TAIL — top of the pytest tail,
+    # first in line for the r6 window.)
+    "pipeline_clean_fixture",
+    "validator_reconcile",
+    "streaming_gap_bridge",
+    "incremental_merge_multisym",
     "doc_chunking",
     "winnow_pairs",
     "skew_salted_join",
@@ -4074,14 +4144,9 @@ _HEAD = [
     "text_repetition",
     "tfidf_topterms",
     "sketch_stats",
-    "dedup_stats",
-    "corpus_filter_report",
-    "incremental_merge_multisym",
     "range_frame_window",
     "asof_join_tolerance",
     "rank_distributions",
-    # rotated back in (last row: round 2 — the 16 the r3 verdict asked
-    # to refresh, ask #5)
     "topk",
     "anti_join",
     "audit_union",
@@ -4098,58 +4163,6 @@ _HEAD = [
     "greatest_least_fix",
     "combine_first",
     "array_agg_functions",
-    # flagship family (every round)
-    "hybrid_pipeline",
-    "hybrid_pipeline_multisym",
-    "hybrid_pipeline_audit",
-    "hybrid_pipeline_chunked",
-    "incremental_merge",
-    "pipeline_clean_fixture",
-    "corpus_pipeline",
-    "validator_reconcile",
-    "streaming_tumbling_ohlc",
-    "streaming_gap_bridge",
-]
-_TAIL = [
-    # all GREEN in CORRECTNESS_r03.json; each family keeps an in-window
-    # cousin (topk_per_group→topk, json/string/datetime/array scalar
-    # surface→array_agg_functions, unpivot/cube/rollup/pivot/set_ops/
-    # value_histogram→stats_agg + groupby_agg, clean-fixture fused→
-    # pipeline_clean_fixture, ivf_topk_kmeans+ivf_topk→ann_topk +
-    # lsh_ann_pairs, pq_encode→ann_topk, stratified_sample→
-    # train_test_split, streaming_dedup→streaming_tumbling_ohlc,
-    # ngram_topk→tfidf_topterms, dedup_exact→dedup_minhash_lsh,
-    # text_token_count/text_quality→text_repetition + text_lang_id,
-    # multimodal_decode→multimodal_frames)
-    "topk_per_group",
-    "json_extract",
-    "string_functions",
-    "datetime_functions",
-    "unpivot",
-    "cube_agg",
-    "rollup_agg",
-    "pivot_agg",
-    "set_ops",
-    "value_histogram",
-    "pipeline_clean_fixture_fused",
-    "ivf_topk_kmeans",
-    "pq_encode",
-    "stratified_sample",
-    "streaming_dedup",
-    "ngram_topk",
-    # demoted r3-green middles (make room for the 8 new entries)
-    "dedup_exact",
-    "text_token_count",
-    "text_quality",
-    "multimodal_decode",
-    "ivf_topk",
-    "embedding_near_dup",
-    "align_left_join",
-    "time_spine",
-    "rolling_median_centered",
-    "scan_project",
-    "filter_nullsafe",
-    "weekday_filter",
 ]
 
 
