@@ -67,3 +67,45 @@ def rolling_median_centered(
     """
     w = ordered_window(order_cols, partition_cols).rowsBetween(-before, after)
     return F.percentile(col, 0.5).over(w)
+
+
+def interpolate_linear(
+    col: str | Column,
+    ts_col: str = "datetime",
+    order_cols: tuple[str, ...] = ("datetime",),
+    partition_cols: tuple[str, ...] = (),
+) -> Column:
+    """Time-weighted linear gap interpolation — pandas
+    ``interpolate(method='time')``: a NULL row takes
+    ``prev + (next − prev) · (t − t_prev) / (t_next − t_prev)`` from
+    its nearest non-null neighbours. Leading/trailing runs (one
+    neighbour missing) stay NULL — the caller chooses ffill/bfill for
+    edges.
+
+    Two ignore-nulls running-last windows (one ASC, one DESC) carry
+    the neighbour's (value, ts) as a struct, so the whole fill is one
+    sort pair over the existing partitioning — no self-join against
+    the non-null subset (a second full-series shuffle at 100 TB), and
+    no ``currentRow..unboundedFollowing`` frame (WindowExec re-scans
+    shrinking frames to the partition end per row — the O(rows ·
+    partition) trap recorded in plans/pipeline_fused.py; the DESC
+    running last is the O(rows) form). Extends the reference's flat
+    gap bridge (hybrid_merger.py:231-239) with the time-weighted
+    variant.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    ts = F.col(ts_col)
+    pair = F.when(c.isNotNull(), F.struct(c.alias("v"), ts.alias("t")))
+    back = ordered_window(order_cols, partition_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    desc = Window.partitionBy(*partition_cols).orderBy(
+        *[F.col(o).desc() for o in order_cols]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.last(pair, ignorenulls=True).over(back)
+    nxt = F.last(pair, ignorenulls=True).over(desc)
+    span = nxt["t"].cast("double") - prev["t"].cast("double")
+    w = (ts.cast("double") - prev["t"].cast("double")) / span
+    return F.when(c.isNotNull(), c).otherwise(
+        prev["v"] + (nxt["v"] - prev["v"]) * w
+    )

@@ -85,3 +85,41 @@ def ticks_to_candles(
         "CAST(__n AS DOUBLE) AS volume",
         "spread",
     ).filter("close IS NOT NULL")
+
+
+def resample_candles(
+    candles: DataFrame,
+    ts_col: str = "datetime",
+    window_duration: str = "4 hours",
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """A4 at candle grain — hierarchical OHLC rollup (1-minute candles
+    → coarser bars) without touching ticks: the hypertable-rollup /
+    continuous-aggregate pattern. OHLC partials are mergeable — open
+    rides ``min_by`` on the sub-candle timestamp, close ``max_by``,
+    high/low fold with max/min, volume adds — so a coarse bar over
+    stored fine candles equals the bar computed from raw ticks (modulo
+    tick-level spread weighting, which needs the sum/count partials
+    ``plans/incremental.py`` keeps). Same partial+final single-shuffle
+    plan shape as :func:`ticks_to_candles`; at 100 TB this re-agg
+    reads the (3 orders of magnitude smaller) candle store, never the
+    tick corpus."""
+    ts = bq(ts_col)
+    agg = candles.groupBy(
+        *partition_cols, F.window(ts_col, window_duration).alias("__w")
+    ).agg(
+        F.expr(f"min_by(open, {ts})").alias("open"),
+        F.expr("max(high)").alias("high"),
+        F.expr("min(low)").alias("low"),
+        F.expr(f"max_by(close, {ts})").alias("close"),
+        F.expr("sum(volume)").alias("volume"),
+    )
+    return agg.selectExpr(
+        *[bq(c) for c in partition_cols],
+        f"__w.start AS {ts}",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+    )

@@ -506,3 +506,53 @@ def pq_encode(
         err_terms.append(f"array_min({darr})")
     exprs.append(f"round({' + '.join(err_terms)}, 6) AS recon_err")
     return df.selectExpr(*exprs)
+
+
+def embedding_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Element-wise mean embedding per group — the centroid build step
+    of IVF training / SemDeDup-style cluster dedup, as a first-class
+    operator. posexplode → per-(group, dim) partial sums → re-assemble
+    the centroid array sorted by dimension. The explode fans rows ×
+    dims, but the aggregate is partial+final around ONE shuffle whose
+    key space is |groups| · dims (vocabulary-bounded, thousands), so
+    map-side combine collapses the fan-out before the exchange — at
+    100 TB the shuffled relation is the centroid table, not the
+    corpus. Component sums go through the decimal trick so the mean is
+    bit-identical across engines regardless of summation order."""
+    d = df.select(
+        F.col(group_col).alias(group_col),
+        F.posexplode(_as_double_col(vec_col)).alias("pos", "x"),
+    )
+    agg = d.groupBy(group_col, "pos").agg(
+        F.sum(F.col("x").cast("decimal(27,10)")).alias("__s"),
+        F.count("x").alias("__n"),
+    )
+    return (
+        agg.groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        F.round(
+                            (F.col("__s") / F.col("__n")).cast("double"), 6
+                        ).alias("m"),
+                    )
+                )
+            ).alias("__cm"),
+            F.max("__n").alias("n_vectors"),
+        )
+        .selectExpr(
+            bq(group_col),
+            "transform(__cm, s -> s.m) AS centroid",
+            "n_vectors",
+        )
+    )
+
+
+def _as_double_col(col: str):
+    return F.expr(_as_double(col))

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from institutional_fx_etl_spark.functions.identifiers import bq
+
 #: deterministic 32-bit token hash: first 8 hex chars of md5 → bigint.
 #: DuckDB twin: CAST(concat('0x', substr(md5(t),1,8)) AS BIGINT)
 def _token_hash(expr: str) -> str:
@@ -409,5 +411,106 @@ def chunk_documents(
             "cast(__c.start_tok as int) AS start_tok",
             "__c.chunk_text AS chunk_text",
             "cast(__c.n_tokens as int) AS n_tokens",
+        )
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    start_col: str = "start_tok",
+    len_col: str = "n_tokens",
+    seq_len: int = 256,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Concatenate-and-split sequence packing — the GPT-style step
+    after :func:`chunk_documents`: chunks are laid end-to-end in a
+    deterministic order and cut into ``seq_len``-token training
+    sequences; each chunk learns which pack it starts in and at what
+    offset (a chunk may straddle two packs; the trainer's collate
+    reads the tail from pack_id + 1).
+
+    Packing is a prefix sum, which is inherently sequential — so it
+    runs PER SHARD (``hash(doc_id) % num_shards``): one running-sum
+    window per shard, all shards in parallel, pack ids globally unique
+    via ``shard · 2^40 + local``. No global single-partition window
+    ever sees the corpus; resizing ``num_shards`` trades pack-boundary
+    waste against parallelism. Deterministic order inside a shard:
+    (doc, chunk start). The shard hash is md5-based (``_token_hash``)
+    so external engines reproduce the assignment exactly."""
+    shard = f"{_token_hash(f'cast({bq(id_col)} as string)')} % {num_shards}"
+    return (
+        chunks.selectExpr("*", f"{shard} AS shard")
+        .selectExpr(
+            "*",
+            f"""sum(`{len_col}`) OVER (
+                  PARTITION BY shard ORDER BY `{id_col}`, `{start_col}`
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - `{len_col}` AS __before""",
+        )
+        .selectExpr(
+            f"`{id_col}`",
+            f"`{start_col}`",
+            f"`{len_col}`",
+            "cast(shard as int) AS shard",
+            f"shard * 1099511627776 + cast(floor(__before / {seq_len}) as bigint)"
+            " AS pack_id",
+            f"cast(__before % {seq_len} as int) AS pack_offset",
+        )
+    )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram token entropy and type/token ratio — the
+    information-density quality signal (low entropy ⇒ repetitive /
+    templated text; complements the Gopher-style repetition ratios in
+    :func:`repetition_stats`).
+
+    H = log2(n) − Σ c·log2(c) / n over within-document token counts.
+    Computed with scan-side array expressions only — no explode +
+    per-(doc, token) shuffle; rows never leave their scan partition.
+    The counts come from run-length encoding a SORTED token array
+    (run-start positions → diffs), O(n log n) per doc — NOT from a
+    per-distinct-token ``filter`` scan, which is O(types · tokens):
+    the same accidentally-quadratic expression class as the winnowing
+    bug fixed in d6c3fa3."""
+    toks = "__toks"
+    srt = "__srt"
+    # run-start positions in the sorted array, then counts by diffing
+    # consecutive starts (appending the one-past-the-end sentinel)
+    starts = (
+        f"filter(sequence(1, size({srt})),"
+        f" i -> i = 1 OR element_at({srt}, i) != element_at({srt}, i-1))"
+    )
+    counts = (
+        "zip_with(__starts,"
+        f" concat(slice(__starts, 2, size(__starts) - 1),"
+        f" array(size({srt}) + 1)),"
+        " (a, b) -> b - a)"
+    )
+    return (
+        df.withColumn(toks, tokens(text_col))
+        .filter(f"size({toks}) >= 1 AND NOT ({toks} = array(''))")
+        .selectExpr(
+            f"`{id_col}`", f"size({toks}) AS n_tokens",
+            f"array_sort({toks}) AS {srt}",
+        )
+        .selectExpr(f"`{id_col}`", "n_tokens", srt, f"{starts} AS __starts")
+        .selectExpr(
+            f"`{id_col}`",
+            "n_tokens",
+            "size(__starts) AS n_types",
+            f"{counts} AS __c",
+        )
+        .selectExpr(
+            f"`{id_col}`",
+            "n_tokens",
+            "n_types",
+            "round(cast(n_types as double) / n_tokens, 6) AS type_token_ratio",
+            "round(log2(cast(n_tokens as double)) - aggregate(__c, 0.0d,"
+            " (a, c) -> a + cast(c as double) * log2(cast(c as double)))"
+            " / n_tokens, 6) AS entropy",
         )
     )

@@ -4038,6 +4038,319 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs)
 
 
+@register(
+    "candle_resample",
+    """
+    WITH t AS (
+      SELECT ts, value + 0.01 AS ask, value - 0.01 AS bid FROM events
+    ),
+    t2 AS (
+      SELECT ts, (ask + bid) / 2 AS mid, ask FROM t
+    ),
+    c AS (
+      SELECT date_trunc('hour', ts) AS datetime,
+             first(mid ORDER BY ts, mid) AS open,
+             max(mid) AS high,
+             min(mid) AS low,
+             last(mid ORDER BY ts, mid) AS close,
+             CAST(count(ask) AS DOUBLE) AS volume
+      FROM t2 GROUP BY 1
+    )
+    SELECT CAST(to_timestamp(floor(epoch(datetime) / 14400) * 14400)
+                AS TIMESTAMP) AS datetime,
+           first(open ORDER BY datetime) AS open,
+           max(high) AS high,
+           min(low) AS low,
+           last(close ORDER BY datetime) AS close,
+           SUM(volume) AS volume
+    FROM c GROUP BY 1
+    """,
+)
+def q_candle_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 hierarchical rollup: hourly candles re-aggregated to 4-hour
+    bars through the mergeable-OHLC partial semantics
+    (``operators/ohlc.py::resample_candles``) — the continuous-
+    aggregate pattern: the coarse bar reads the candle store, never
+    the tick corpus."""
+    from institutional_fx_etl_spark.operators.ohlc import resample_candles
+
+    events = load_table(spark, sf_dir, "events")
+    ticks = events.select(
+        F.col("ts").alias("datetime"),
+        (F.col("value") + 0.01).alias("ask"),
+        (F.col("value") - 0.01).alias("bid"),
+    )
+    hourly = ticks_to_candles(ticks, window_duration="1 hour")
+    return resample_candles(hourly, window_duration="4 hours")
+
+
+@register(
+    "doc_packing",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, s AS start_tok,
+             least(64, len(toks) - s) AS n_tokens
+      FROM t, unnest(range(0, greatest(len(toks), 1), 48)) AS u(s)
+    ),
+    sh AS (
+      SELECT doc_id, CAST(start_tok AS INT) AS start_tok,
+             CAST(n_tokens AS INT) AS n_tokens,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+                  AS BIGINT) % 64 AS shard
+      FROM c
+    ),
+    w AS (
+      SELECT doc_id, start_tok, n_tokens, shard,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id, start_tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) - n_tokens AS pre
+      FROM sh
+    )
+    SELECT doc_id, start_tok, n_tokens, CAST(shard AS INT) AS shard,
+           shard * 1099511627776
+             + CAST(floor(CAST(pre AS DOUBLE) / 256) AS BIGINT) AS pack_id,
+           CAST(pre % 256 AS INT) AS pack_offset
+    FROM w
+    """,
+)
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-split sequence packing over the chunked corpus
+    (``operators/text.py::pack_chunks``): 256-token training packs
+    assembled per md5 shard — the prefix sum runs as one window per
+    shard, all shards in parallel, never a global single-partition
+    ordering."""
+    from institutional_fx_etl_spark.operators.text import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs).drop("chunk_text")
+    return pack_chunks(chunks)
+
+
+@register(
+    "text_entropy",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS tok
+      FROM t WHERE len(toks) >= 1 AND NOT toks = ['']
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, tok, count(*) AS c
+      FROM f GROUP BY doc_id, n_tokens, tok
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(count(*) AS INT) AS n_types,
+           round(CAST(count(*) AS DOUBLE) / n_tokens, 6)
+             AS type_token_ratio,
+           round(log2(CAST(n_tokens AS DOUBLE))
+                 - SUM(c * log2(CAST(c AS DOUBLE))) / n_tokens, 6)
+             AS entropy
+    FROM c GROUP BY doc_id, n_tokens
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy + type/token ratio per document — the
+    information-density quality signal, computed scan-side from
+    run-length-encoded sorted token arrays (no per-(doc, token)
+    shuffle; see ``operators/text.py::token_entropy``)."""
+    from institutional_fx_etl_spark.operators.text import token_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_entropy(docs).selectExpr(
+        "doc_id",
+        "cast(n_tokens as int) AS n_tokens",
+        "cast(n_types as int) AS n_types",
+        "type_token_ratio",
+        "entropy",
+    )
+
+
+@register(
+    "emb_centroids",
+    """
+    WITH d AS (
+      SELECT label, u.pos AS pos, u.x AS x
+      FROM embeddings,
+      unnest(list_transform(range(1, len(embedding)+1),
+             i -> struct_pack(pos := i - 1,
+                              x := CAST(embedding[i] AS DOUBLE)))) AS t(u)
+    ),
+    a AS (
+      SELECT label, pos,
+             SUM(CAST(x AS DECIMAL(27,10))) AS s, count(*) AS n
+      FROM d GROUP BY label, pos
+    )
+    SELECT label,
+           array_to_string(
+             list(printf('%.6f', round(CAST(s / n AS DOUBLE), 6))
+                  ORDER BY pos), ',') AS centroid,
+           max(n) AS n_vectors
+    FROM a GROUP BY label
+    """,
+)
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the IVF/SemDeDup centroid build) —
+    posexplode to (label, dim) partials, ONE vocabulary-bounded
+    shuffle, decimal-sum exactness
+    (``operators/similarity.py::embedding_centroids``). The contract
+    projection prints the centroid as a printf-joined string (the
+    repo's array-column compare convention)."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        embedding_centroids,
+    )
+
+    return embedding_centroids(
+        load_table(spark, sf_dir, "embeddings")
+    ).selectExpr(
+        "label",
+        "array_join(transform(centroid, x -> format_string('%.6f', x)), ',')"
+        " AS centroid",
+        "n_vectors",
+    )
+
+
+@register(
+    "equidepth_histogram",
+    """
+    WITH b AS (
+      SELECT event_type,
+             list_transform(
+               quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+               q -> round(q, 6)) AS bounds
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(1 + len(list_filter(b.bounds, x -> e.value > x)) AS INT)
+             AS bucket,
+           count(*) AS n,
+           min(e.value) AS lo,
+           max(e.value) AS hi
+    FROM events e JOIN b USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type, bucket
+    """,
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram per event type: exact
+    interpolated-percentile boundaries (rounded 6dp so the bucket
+    comparisons are bit-identical across engines), broadcast back, and
+    a scan-side bucket assignment + one hash aggregate. No ntile —
+    that would sort each event type's full series in ONE window
+    partition; this plan is two partial+final aggregates and a
+    broadcast join, so it scales with the scan. At 100 TB swap the
+    boundary agg to ``percentile_approx`` (same plan, bounded
+    memory)."""
+    _pin_session_confs(spark)
+    ev = load_table(spark, sf_dir, "events").filter("value IS NOT NULL")
+    probs = ",".join(str(p / 10) for p in range(1, 10))
+    b = ev.groupBy("event_type").agg(
+        F.expr(
+            f"transform(percentile(value, array({probs})), q -> round(q, 6))"
+        ).alias("bounds")
+    )
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .selectExpr(
+            "event_type",
+            "cast(1 + size(filter(bounds, x -> value > x)) as int) AS bucket",
+            "value",
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+@register(
+    "linear_interpolate",
+    """
+    WITH m AS (
+      SELECT date_trunc('minute', ts) AS ts,
+             round(CAST(SUM(CAST(value AS DECIMAL(27,10))) / count(*)
+                   AS DOUBLE), 6) AS v_avg
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    s AS (
+      SELECT unnest(generate_series(min(ts), max(ts), INTERVAL 1 MINUTE))
+               AS ts
+      FROM m
+    ),
+    g AS (SELECT s.ts, m.v_avg FROM s LEFT JOIN m ON s.ts = m.ts),
+    w AS (
+      SELECT ts, v_avg,
+             last_value(CASE WHEN v_avg IS NOT NULL
+                        THEN struct_pack(v := v_avg, t := ts) END IGNORE NULLS)
+               OVER (ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+             first_value(CASE WHEN v_avg IS NOT NULL
+                         THEN struct_pack(v := v_avg, t := ts) END IGNORE NULLS)
+               OVER (ORDER BY ts
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+      FROM g
+    )
+    SELECT ts, v_avg,
+           floor((CASE WHEN v_avg IS NOT NULL THEN v_avg
+                  ELSE p.v + (nx.v - p.v)
+                       * ((epoch(ts) - epoch(p.t))
+                          / (epoch(nx.t) - epoch(p.t))) END)
+                 * 1000000 + 0.5) / 1000000 AS v_filled
+    FROM w
+    """,
+)
+def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted linear gap interpolation over a sparse per-minute
+    series (purchase events on the gapless minute grid): the
+    time-spine right join (J4) + ``functions/windows.py::
+    interpolate_linear`` — two running-last windows (ASC + DESC), no
+    shrinking frames, no self-join. Extends the reference's flat gap
+    bridge with the interpolating variant; edges (no neighbour on one
+    side) stay NULL by contract."""
+    from institutional_fx_etl_spark.functions.timeutils import time_spine
+    from institutional_fx_etl_spark.functions.windows import (
+        interpolate_linear,
+    )
+
+    _pin_session_confs(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        "event_type = 'purchase'"
+    )
+    m = ev.groupBy(F.date_trunc("minute", "ts").alias("ts")).agg(
+        F.round(
+            (
+                F.sum(F.col("value").cast("decimal(27,10)"))
+                / F.count(F.lit(1))
+            ).cast("double"),
+            6,
+        ).alias("v_avg")
+    )
+    spine = time_spine(m, ts_col="ts", step="1 minute")
+    g = spine.join(m, "ts", "left")
+    # floor(x·1e6 + 0.5)/1e6 instead of round(x, 6): interpolated
+    # values land on exact .5 rounding ties often enough (integral
+    # minute weights × 6dp inputs) that engine round() modes diverge;
+    # the floor form is bit-identical given identical IEEE inputs
+    filled = interpolate_linear("v_avg", ts_col="ts", order_cols=("ts",))
+    return g.select(
+        "ts",
+        "v_avg",
+        (F.floor(filled * 1_000_000 + 0.5) / 1_000_000).alias("v_filled"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
