@@ -4351,6 +4351,124 @@ def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_apply",
+    None,  # placeholder; real SQL assigned below (wraps the CC oracle)
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup application: the KEPT corpus after near-dup
+    clustering — a document survives iff it is its cluster's canonical
+    representative (min id; singletons keep themselves). Closes the
+    loop pairs → clusters → filtered corpus: the relation every
+    downstream training-data stage actually consumes. One semi-join
+    against the (doc_id = comp) label rows; text stays out of the
+    shuffle (labels are ids only)."""
+    from institutional_fx_etl_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.2)
+    clusters = dedup_clusters(docs.select("doc_id"), pairs)
+    keep = clusters.filter(F.col("doc_id") == F.col("comp")).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# the dedup_apply oracle wraps the recursive-CTE connected-components
+# oracle verbatim (same pattern as dedup_stats)
+REGISTRY["dedup_apply"] = (
+    REGISTRY["dedup_apply"][0],
+    f"""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN ({REGISTRY["dedup_clusters"][1]}) c ON d.doc_id = c.doc_id
+    WHERE c.doc_id = c.comp
+    """,
+)
+
+
+@register(
+    "corpus_rebalance",
+    """
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    tgt AS (SELECT min(n) AS m FROM counts),
+    rates AS (
+      SELECT lang, CAST(m AS DOUBLE) / n AS rate FROM counts, tgt
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN rates r USING (lang)
+    WHERE CAST(concat('0x',
+            substr(md5(concat('rebal', CAST(d.doc_id AS VARCHAR))),1,8))
+          AS BIGINT) < r.rate * 4294967296
+    """,
+)
+def q_corpus_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalanced corpus sampling: downsample every language
+    to the rarest language's count in expectation (the data-mixing
+    step of corpus composition). Per-language keep rates from one
+    count aggregate, broadcast back; the keep decision is a
+    deterministic md5 coin per document, so the sample is reproducible
+    across engines, runs, AND partitionings — no rand(), no
+    sampleBy-seed drift. Scan-side filter: at 100 TB this is one
+    vocabulary-bounded agg + one broadcast join, no corpus shuffle."""
+    from institutional_fx_etl_spark.operators.text import _token_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    rates = counts.crossJoin(
+        F.broadcast(counts.agg(F.min("n").alias("m")))
+    ).selectExpr("lang", "cast(m as double) / n AS rate")
+    coin = _token_hash("concat('rebal', cast(doc_id as string))")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(F.expr(f"{coin} < rate * 4294967296"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "zscore_normalize",
+    """
+    WITH s AS (
+      SELECT event_type,
+             avg(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mu) / s.sigma, 6) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE e.value IS NOT NULL
+    """,
+)
+def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise z-score feature normalization — per-group moments
+    from ONE partial+final aggregate broadcast back onto the scan (the
+    fit/transform shape every feature pipeline needs). No window: the
+    moments relation is |groups| rows, so the transform is scan-side
+    at any scale."""
+    _pin_session_confs(spark)
+    ev = load_table(spark, sf_dir, "events").filter("value IS NOT NULL")
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .selectExpr(
+            "event_id",
+            "event_type",
+            "value",
+            "round((value - mu) / sigma, 6) AS z",
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the

@@ -138,3 +138,48 @@ def test_embedding_centroids_exact_mean(spark):
     out = {r["label"]: r for r in embedding_centroids(df).collect()}
     assert out[0]["centroid"] == [2.0, 3.0] and out[0]["n_vectors"] == 2
     assert out[1]["centroid"] == [10.0, 20.0] and out[1]["n_vectors"] == 1
+
+
+def test_dedup_apply_keeps_cluster_representatives(spark):
+    """The kept corpus = cluster representatives + singletons: doc 2
+    (exact dup of 1) and 3 (near dup) drop; 1, 4, 5 survive."""
+    from institutional_fx_etl_spark.plans.driver_queries import REGISTRY
+
+    out = REGISTRY["dedup_apply"][0](spark, "/root/testdata/sf0.001")
+    kept = {r["doc_id"] for r in out.collect()}
+    from institutional_fx_etl_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+    from institutional_fx_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    labels = dedup_clusters(
+        docs.select("doc_id"), minhash_lsh_pairs(docs, jaccard_threshold=0.2)
+    )
+    reps = {r["doc_id"] for r in labels.collect() if r["doc_id"] == r["comp"]}
+    assert kept == reps and len(kept) > 0
+
+
+def test_corpus_rebalance_deterministic_and_balanced(spark):
+    """The md5 coin makes the sample identical across runs and
+    partitionings, and each language lands near the rarest language's
+    count in expectation."""
+    from institutional_fx_etl_spark.plans.driver_queries import REGISTRY
+
+    fn = REGISTRY["corpus_rebalance"][0]
+    a = {r["doc_id"] for r in fn(spark, "/root/testdata/sf0.001").collect()}
+    b = {
+        r["doc_id"]
+        for r in fn(spark, "/root/testdata/sf0.001")
+        .repartition(13)
+        .collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    langs = Counter(
+        r["lang"] for r in fn(spark, "/root/testdata/sf0.001").collect()
+    )
+    lo, hi = min(langs.values()), max(langs.values())
+    assert hi <= 3 * lo, f"rebalanced mix still skewed: {langs}"
