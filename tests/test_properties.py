@@ -600,3 +600,99 @@ def test_multisym_incremental_random_batches_equal_full(spark, b1, b2, b3):
         )
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+
+# -- round-5 operators: interpolation vs pandas; packing conservation --
+
+_interp_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=300),  # minute offset
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-5, max_value=5, allow_nan=False),
+        ),
+    ),
+    min_size=2,
+    max_size=40,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=_interp_rows)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_interpolate_linear_matches_pandas_time_interp(spark, rows):
+    """interpolate_linear == pandas interpolate(method='time',
+    limit_area='inside') on every random gappy series (edges stay
+    NULL on both sides)."""
+    from institutional_fx_etl_spark.functions.windows import (
+        interpolate_linear,
+    )
+
+    data = [(T0 + timedelta(minutes=m), v) for m, v in sorted(rows)]
+    df = spark.createDataFrame(data, "ts timestamp, v double")
+    got = {
+        r["ts"]: r["f"]
+        for r in df.select(
+            "ts",
+            interpolate_linear("v", ts_col="ts", order_cols=("ts",)).alias(
+                "f"
+            ),
+        ).collect()
+    }
+    s = pd.Series(
+        [v for _, v in data],
+        index=pd.DatetimeIndex([t for t, _ in data]),
+        dtype="float64",
+    )
+    expect = s.interpolate(method="time", limit_area="inside")
+    for (t, _), e in zip(data, expect):
+        g = got[t]
+        if pd.isna(e):
+            assert g is None, f"{t}: expected NULL, got {g}"
+        else:
+            assert g is not None and abs(g - e) < 1e-9, f"{t}: {g} != {e}"
+
+
+_chunk_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5000),   # doc_id
+        st.integers(min_value=1, max_value=300),    # n_tokens per chunk
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(chunks=_chunk_lists, seq_len=st.sampled_from([64, 256, 1000]))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_pack_chunks_conservation_properties(spark, chunks, seq_len):
+    """Packing never loses or duplicates a chunk; within every shard
+    the (pack_id, pack_offset) sequence is exactly the running token
+    sum cut at seq_len boundaries (offset = cumsum-before mod seq_len,
+    pack = cumsum-before div seq_len)."""
+    from collections import defaultdict
+
+    from institutional_fx_etl_spark.operators.text import pack_chunks
+
+    rows = [
+        (doc, i * 1000, n)  # start_tok just needs per-doc uniqueness
+        for i, (doc, n) in enumerate(chunks)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, start_tok int, n_tokens int")
+    out = pack_chunks(df, seq_len=seq_len, num_shards=8).collect()
+    assert len(out) == len(rows)
+    assert {(r["doc_id"], r["start_tok"]) for r in out} == {
+        (d, s) for d, s, _ in rows
+    }
+    by_shard = defaultdict(list)
+    for r in out:
+        by_shard[r["shard"]].append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r["doc_id"], r["start_tok"]))
+        cum = 0
+        for r in rs:
+            assert r["pack_offset"] == cum % seq_len
+            assert r["pack_id"] == shard * 1099511627776 + cum // seq_len
+            cum += r["n_tokens"]
