@@ -52,6 +52,12 @@ HEADLINE = [
     "bitmap_prune_join",
     "funnel_analysis",
     "winnow_fingerprint",
+    # round-5 ops
+    "candle_resample",
+    "doc_packing",
+    "text_entropy",
+    "emb_centroids",
+    "linear_interpolate",
 ]
 
 

@@ -556,3 +556,98 @@ def embedding_centroids(
 
 def _as_double_col(col: str):
     return F.expr(_as_double(col))
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 8,
+    min_cosine: float = 0.95,
+    max_cell: int | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    corpus by nearest centroid, compare embeddings ONLY within a cell,
+    and drop every vector that has a more-canonical (smaller-id)
+    near-duplicate (cosine ≥ ``min_cosine``) in its cell.
+
+    Output: vec_id, cid, keep (boolean) — keep=false means a smaller
+    id in the same cell is semantically near-identical.
+
+    Scale contract: the pairwise compare fans by CELL size, never
+    corpus² — pick ``num_centroids`` ≈ n / target_cell so cells stay
+    bounded (SemDeDup uses ~100k clusters at web scale), and/or set
+    ``max_cell`` to hard-cap the fan-out (cells above the cap skip the
+    in-cell compare — their members are all kept, trading recall for a
+    guaranteed (#cells · max_cell²) bound, the same hot-bucket policy
+    as ``dedup.minhash_lsh_pairs``). Assignment is one broadcast pass;
+    the only corpus shuffle is the cell-keyed self-join. ``centroids``
+    (cid, cv) overrides the deterministic first-N seeding (e.g.
+    :func:`kmeans_centroids` output)."""
+    assigned = (
+        ivf_assign(df, vec_col, id_col, num_centroids)
+        if centroids is None
+        else _assign_to(df, centroids, vec_col, id_col)
+    )
+    if max_cell is not None:
+        small = (
+            assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_cell)
+            .select("cid")
+        )
+        compared = assigned.join(small, "cid", "left_semi")
+    else:
+        compared = assigned
+    a = compared.selectExpr("vid AS id_a", "vv AS va", "cid")
+    b = compared.selectExpr("vid AS id_b", "vv AS vb", "cid")
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
+    na = "sqrt(aggregate(va, 0.0d, (a, x) -> a + x*x))"
+    nb = "sqrt(aggregate(vb, 0.0d, (a, x) -> a + x*x))"
+    dup_of_smaller = (
+        a.join(b, on="cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .selectExpr("id_b", f"round({dot}/({na}*{nb}), 6) AS cosine")
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_b")
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dup_of_smaller.withColumnRenamed("id_b", "vid").withColumn(
+                "__drop", F.lit(True)
+            ),
+            "vid",
+            "left",
+        )
+        .selectExpr(
+            f"vid AS {bq(id_col)}",
+            "cid",
+            "coalesce(NOT __drop, true) AS keep",
+        )
+    )
+
+
+def _assign_to(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment against an explicit broadcast
+    (cid, cv) table — shared by :func:`semdedup` and the k-means IVF
+    paths."""
+    v = df.selectExpr(f"{bq(id_col)} AS vid", f"{_as_double(vec_col)} AS vv")
+    dotc = "aggregate(zip_with(vv, cv, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
+    nv = "sqrt(aggregate(vv, 0.0d, (a, x) -> a + x*x))"
+    nc = "sqrt(aggregate(cv, 0.0d, (a, x) -> a + x*x))"
+    scored = v.crossJoin(F.broadcast(centroids)).selectExpr(
+        "vid", "vv", "cid", f"round({dotc}/({nv}*{nc}), 6) AS ccos"
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vid", "vv", "cid")
+    )

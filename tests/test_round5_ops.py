@@ -183,3 +183,29 @@ def test_corpus_rebalance_deterministic_and_balanced(spark):
     )
     lo, hi = min(langs.values()), max(langs.values())
     assert hi <= 3 * lo, f"rebalanced mix still skewed: {langs}"
+
+
+def test_semdedup_drops_near_identical_keeps_distinct(spark):
+    """Two nearly-identical vectors in the same cell: the larger id is
+    dropped; a distinct vector in the same cell survives; max_cell
+    skips oversized cells (everything kept)."""
+    from institutional_fx_etl_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),     # centroid seed / keeper
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 0 -> dropped
+        (2, [0.0, 1.0, 0.0, 0.0]),     # distinct direction
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semdedup(df, num_centroids=1, min_cosine=0.95).collect()
+    }
+    assert out[0] is True and out[1] is False
+    assert out[2] is True and out[3] is True
+
+    capped = semdedup(df, num_centroids=1, min_cosine=0.95, max_cell=2)
+    assert all(r["keep"] for r in capped.collect()), (
+        "cells over max_cell must skip the compare, not explode"
+    )
