@@ -61,6 +61,10 @@ def main() -> None:
     engines = ["vanilla", "chunked", "fused"] if engine == "both" else [engine]
     spark = get_spark(app_name="scale_sanity")
 
+    if engine == "corpus":
+        _corpus_scale(spark, sys.argv[1:])
+        return
+
     # ticks: pseudo-random minute placement via integer hashing; ~71% of
     # minutes covered (reference: 29.03% gaps); 1-4 ticks per covered
     # minute; GBP/USD-like random walk priced via a hash-noise term.
@@ -222,6 +226,83 @@ def main() -> None:
             f"({100*n_flat/max(n_rows,1):.1f}%), merge_wall={wall:.1f}s "
             f"(+{flat_wall:.1f}s recount)"
         )
+
+
+
+
+def _corpus_scale(spark, argv) -> None:
+    """``--engine=corpus [--docs=N]``: the dedup/text stack at
+    millions of synthetic documents — the scale proof for the corpus
+    operators (the driver testdata tops out at 50k docs).
+
+    The synthetic corpus plants known structure scan-side (no driver
+    materialization): ~90% unique docs, ~5% exact duplicates of an
+    anchor doc, ~5% near-duplicates (anchor text + one extra token),
+    30 tokens each from a hashed vocabulary, plus a 0.5% boilerplate
+    cohort sharing ONE text — the hot-bucket case the MinHash cap
+    exists for. Reported walls are end-to-end (generation fused into
+    each scan)."""
+    import time as _t
+
+    n_docs = 1_000_000
+    for a in argv:
+        if a.startswith("--docs="):
+            n_docs = int(float(a.split("=", 1)[1]))
+
+    from institutional_fx_etl_spark.operators.dedup import (
+        dedup_clusters,
+        exact_dedup_groups,
+        minhash_lsh_pairs,
+    )
+    from institutional_fx_etl_spark.operators.text import (
+        token_entropy,
+        winnow_fingerprints,
+    )
+
+    # seed: which anchor's text a doc carries. kind: 0 unique,
+    # 1 exact dup, 2 near dup, 3 boilerplate (one shared text).
+    word = (
+        "concat('w', conv(substr(md5(concat(seed, '_', i)), 1, 4), 16, 10))"
+    )
+    docs = (
+        spark.range(n_docs)
+        .selectExpr(
+            "id AS doc_id",
+            "abs(hash(id)) % 200 AS r",
+        )
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN r < 180 THEN doc_id"           # unique
+            "     WHEN r < 190 THEN doc_id - (doc_id % 97) - 1"  # dup anchors
+            "     WHEN r < 199 THEN doc_id - (doc_id % 89) - 2"  # near anchors
+            "     ELSE -1 END AS seed",               # boilerplate cohort
+            "CASE WHEN r < 180 THEN 0 WHEN r < 190 THEN 1"
+            " WHEN r < 199 THEN 2 ELSE 3 END AS kind",
+        )
+        .selectExpr(
+            "doc_id",
+            "kind",
+            f"concat(array_join(transform(sequence(0, 29), i -> {word}), ' '),"
+            " CASE WHEN kind = 2 THEN concat(' extra', doc_id % 7)"
+            " ELSE '' END) AS text",
+        )
+    )
+
+    def timed(label, df):
+        t0 = _t.perf_counter()
+        n = df.count()
+        print(f"[corpus:{label}] rows={n} wall={_t.perf_counter() - t0:.1f}s")
+        return n
+
+    timed("token_entropy", token_entropy(docs))
+    timed("winnow_fingerprints", winnow_fingerprints(docs))
+    timed("exact_dedup", exact_dedup_groups(docs))
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    timed("minhash_lsh_pairs", pairs)
+    timed(
+        "dedup_clusters",
+        dedup_clusters(docs.select("doc_id"), pairs),
+    )
 
 
 if __name__ == "__main__":
