@@ -249,19 +249,7 @@ def ivf_assign(
         centroids = v.filter(
             (F.col("vid") % centroid_stride == 0)
         ).selectExpr("vid AS cid", "vv AS cv")
-
-    dot = "aggregate(zip_with(vv, cv, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
-    nv = "sqrt(aggregate(vv, 0.0d, (a, x) -> a + x*x))"
-    nc = "sqrt(aggregate(cv, 0.0d, (a, x) -> a + x*x))"
-    scored = v.crossJoin(F.broadcast(centroids)).selectExpr(
-        "vid", "vv", "cid", f"round({dot}/({nv}*{nc}), 6) AS ccos"
-    )
-    w = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cid"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vid", "vv", "cid")
-    )
+    return _assign_to(df, centroids, vec_col, id_col)
 
 
 def kmeans_centroids(
@@ -319,23 +307,21 @@ def ivf_topk(
         centroids = v.filter(F.col("vid") < num_centroids).selectExpr(
             "vid AS cid", "vv AS cv"
         )
-    dotc = "aggregate(zip_with(vv, cv, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
-    nv = "sqrt(aggregate(vv, 0.0d, (a, x) -> a + x*x))"
-    nc = "sqrt(aggregate(cv, 0.0d, (a, x) -> a + x*x))"
-    ranked = (
-        v.crossJoin(F.broadcast(centroids))
-        .selectExpr("vid", "vv", "cid", f"round({dotc}/({nv}*{nc}), 6) AS ccos")
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cid"))
-            ),
-        )
+    # scan-side cell ranking against the centroid literal (see
+    # _assign_to): per row, score every centroid and sort by
+    # (ccos desc, cid asc) INSIDE the row — no corpus x k crossJoin
+    # rows, no per-vid window shuffle
+    cells = _scored_cells_expr(centroids)
+    ranked = v.selectExpr("vid", "vv", f"{cells} AS __cells")
+    assigned = ranked.selectExpr(
+        "vid", "vv", "element_at(__cells, 1).cid AS cid"
     )
-    assigned = ranked.filter(F.col("__rn") == 1).select("vid", "vv", "cid")
-    q_cells = ranked.filter(
-        F.col("vid").isin(query_ids) & (F.col("__rn") <= nprobe)
-    ).selectExpr("vid AS q_id", "vv AS qv", "cid")
+    q_cells = ranked.filter(F.col("vid").isin(query_ids)).selectExpr(
+        "vid AS q_id",
+        "vv AS qv",
+        f"explode(transform(slice(__cells, 1, {nprobe}), c -> c.cid)) AS cid",
+    )
+    nv = "sqrt(aggregate(vv, 0.0d, (a, x) -> a + x*x))"
 
     dot = "aggregate(zip_with(vv, qv, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
     nq = "sqrt(aggregate(qv, 0.0d, (a, x) -> a + x*x))"
@@ -629,25 +615,58 @@ def semdedup(
     )
 
 
+def _scored_cells_expr(centroids: DataFrame) -> str:
+    """SQL expr: for the current row's ``vv``, every centroid scored
+    and sorted by (cosine desc, cid asc) — an array of
+    ``struct(cid, ccos)`` computed entirely scan-side.
+
+    The centroid table is collected (bounded: k rows — the same
+    k-vectors driver transfer ``kmeans_centroids`` already makes) and
+    embedded as a LITERAL with each centroid's norm precomputed, so
+    assignment is a pure map over the corpus: no corpus x k crossJoin
+    relation, no per-vid window shuffle. ``repr(float)`` round-trips
+    doubles exactly and the fold order matches the former pairwise
+    expression, so scores are bit-identical to the crossJoin form
+    (oracle-hash-checked)."""
+    import math
+
+    rows = sorted(centroids.select("cid", "cv").collect(), key=lambda r: r["cid"])
+    lits = []
+    for r in rows:
+        cv = ", ".join(f"{float(x)!r}D" for x in r["cv"])
+        nc = math.sqrt(math.fsum(float(x) * float(x) for x in r["cv"]))
+        # nc via the same left fold as the SQL aggregate (not fsum —
+        # order matters in the last ulp)
+        acc = 0.0
+        for x in r["cv"]:
+            acc += float(x) * float(x)
+        nc = math.sqrt(acc)
+        lits.append(
+            f"named_struct('cid', {int(r['cid'])}, 'cv', array({cv}),"
+            f" 'nc', {nc!r}D)"
+        )
+    cents = "array(" + ", ".join(lits) + ")"
+    dotc = "aggregate(zip_with(vv, c.cv, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
+    nv = "sqrt(aggregate(vv, 0.0d, (a, x) -> a + x*x))"
+    return (
+        f"array_sort(transform({cents}, c -> named_struct('cid', c.cid,"
+        f" 'ccos', round({dotc}/({nv}*c.nc), 6))),"
+        " (l, r) -> CASE WHEN l.ccos > r.ccos THEN -1"
+        " WHEN l.ccos < r.ccos THEN 1"
+        " WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1"
+        " ELSE 0 END)"
+    )
+
+
 def _assign_to(
     df: DataFrame,
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Nearest-centroid assignment against an explicit broadcast
-    (cid, cv) table — shared by :func:`semdedup` and the k-means IVF
-    paths."""
+    """Nearest-centroid assignment against a bounded (cid, cv) table —
+    shared by :func:`semdedup`, :func:`ivf_assign` and the k-means IVF
+    paths. Pure scan-side map (see :func:`_scored_cells_expr`)."""
     v = df.selectExpr(f"{bq(id_col)} AS vid", f"{_as_double(vec_col)} AS vv")
-    dotc = "aggregate(zip_with(vv, cv, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
-    nv = "sqrt(aggregate(vv, 0.0d, (a, x) -> a + x*x))"
-    nc = "sqrt(aggregate(cv, 0.0d, (a, x) -> a + x*x))"
-    scored = v.crossJoin(F.broadcast(centroids)).selectExpr(
-        "vid", "vv", "cid", f"round({dotc}/({nv}*{nc}), 6) AS ccos"
-    )
-    w = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cid"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vid", "vv", "cid")
-    )
+    cells = _scored_cells_expr(centroids)
+    return v.selectExpr("vid", "vv", f"element_at({cells}, 1).cid AS cid")
