@@ -303,3 +303,53 @@ def run_streaming_hybrid(
     finally:
         qb.stop()
     return "streaming_hybrid_out"
+
+
+def run_streaming_ingest(
+    spark,
+    tick_stream,
+    m1,
+    state_dir: str,
+    **inc_kwargs,
+):
+    """Streaming front door to the incremental state store: every
+    micro-batch of ticks becomes one
+    :class:`plans.incremental.IncrementalHybridPipeline` update via
+    ``foreachBatch`` — late/out-of-order feeds land as partition-
+    pruned day rewrites instead of whole-history reruns.
+
+    Contract (inherited from the incremental engine): after ANY prefix
+    of micro-batches, ``pipeline.read_final()`` equals a from-scratch
+    batch run over the union of all delivered ticks — so replaying a
+    feed from an earlier offset converges byte-identically (duplicate
+    ticks double-count exactly as the union would; dedup upstream with
+    ``dropDuplicatesWithinWatermark`` for exactly-once).
+
+    Micro-batches that are empty after the F1/F2 filters are skipped
+    (the batch engine's S5 empty-abort is a guard against a WRONG
+    whole-run input; for a stream an empty slice is routine).
+
+    Returns ``(query, pipeline)``; the caller awaits the query and
+    reads state through the pipeline. The ``foreachBatch`` body runs
+    on the driver, so this composes the existing batch plan per
+    micro-batch — Spark's own checkpoint makes delivery at-least-once,
+    which the union contract tolerates by construction.
+    """
+    from institutional_fx_etl_spark.plans.incremental import (
+        IncrementalHybridPipeline,
+    )
+
+    pipeline = IncrementalHybridPipeline(spark, state_dir, **inc_kwargs)
+
+    def _ingest(batch_df, batch_id: int) -> None:
+        if pipeline.engine.filter_ticks(batch_df).isEmpty():
+            return
+        pipeline.update(m1, batch_df)
+
+    query = (
+        tick_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", f"{state_dir.rstrip('/')}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return query, pipeline

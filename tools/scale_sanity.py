@@ -288,20 +288,23 @@ def _corpus_scale(spark, argv) -> None:
         )
     )
 
-    def timed(label, df):
+    def timed(label, thunk):
+        # thunk: construction happens INSIDE the timer — dedup_clusters
+        # runs its eager checkpointed label-propagation loop at build
+        # time, not at count time
         t0 = _t.perf_counter()
-        n = df.count()
+        n = thunk().count()
         print(f"[corpus:{label}] rows={n} wall={_t.perf_counter() - t0:.1f}s")
         return n
 
-    timed("token_entropy", token_entropy(docs))
-    timed("winnow_fingerprints", winnow_fingerprints(docs))
-    timed("exact_dedup", exact_dedup_groups(docs))
+    timed("token_entropy", lambda: token_entropy(docs))
+    timed("winnow_fingerprints", lambda: winnow_fingerprints(docs))
+    timed("exact_dedup", lambda: exact_dedup_groups(docs))
     pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
-    timed("minhash_lsh_pairs", pairs)
+    timed("minhash_lsh_pairs", lambda: pairs)
     timed(
         "dedup_clusters",
-        dedup_clusters(docs.select("doc_id"), pairs),
+        lambda: dedup_clusters(docs.select("doc_id"), pairs),
     )
 
 
