@@ -4512,6 +4512,86 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_packing_text",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, s AS start_tok,
+             array_to_string(list_slice(toks, s + 1, s + 64), ' ')
+               AS chunk_text,
+             least(64, len(toks) - s) AS n_tokens
+      FROM t, unnest(range(0, greatest(len(toks), 1), 48)) AS u(s)
+    ),
+    sh AS (
+      SELECT doc_id, CAST(start_tok AS INT) AS start_tok, chunk_text,
+             CAST(n_tokens AS INT) AS n_tokens,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+                  AS BIGINT) % 64 AS shard
+      FROM c
+    ),
+    w AS (
+      SELECT doc_id, start_tok, chunk_text, n_tokens, shard,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id, start_tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) - n_tokens AS pre
+      FROM sh
+    ),
+    p AS (
+      SELECT *, shard * 1099511627776
+               + CAST(floor(CAST(pre AS DOUBLE) / 256) AS BIGINT) AS pack_id
+      FROM w
+    )
+    SELECT pack_id,
+           string_agg(chunk_text, ' ' ORDER BY doc_id, start_tok)
+             AS pack_text,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           count(*) AS n_chunks
+    FROM p GROUP BY pack_id
+    """,
+)
+def q_doc_packing_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training packs: the chunk texts of each pack
+    concatenated in packing order — what actually gets tokenized and
+    shipped to the trainer. One groupBy(pack_id) over the packed
+    chunk assignment; the shuffle key space is |packs| (corpus tokens
+    / seq_len), rows are chunk-sized, and the per-pack sort is bounded
+    by chunks-per-pack — no global ordering anywhere. (A chunk
+    straddling two packs is assigned to the pack it starts in —
+    same contract as ``pack_chunks``.)"""
+    from institutional_fx_etl_spark.operators.text import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs)
+    packed = pack_chunks(chunks)
+    with_text = packed.join(
+        chunks.select("doc_id", "start_tok", "chunk_text"),
+        ["doc_id", "start_tok"],
+    )
+    return (
+        with_text.groupBy("pack_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(named_struct("
+                    "'doc_id', doc_id, 'start_tok', start_tok,"
+                    " 'txt', chunk_text))), s -> s.txt)"
+                ),
+                " ",
+            ).alias("pack_text"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
