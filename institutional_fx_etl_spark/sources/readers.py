@@ -98,3 +98,42 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     """Load several test tables at once; defaults to all of them."""
     names = names or tuple(schemas.TESTDATA_TABLES)
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    id_field: str = "id",
+) -> DataFrame:
+    """JSONL document scan — the interchange format most training
+    corpora ship as (one JSON object per line). Explicit schema (no
+    sampling-based inference pass over 100 TB), PERMISSIVE mode with a
+    ``_corrupt`` capture column so a torn line degrades to one
+    auditable row instead of failing the scan; output is the engine's
+    canonical ``documents`` relation (doc_id, text + passthrough
+    metadata)."""
+    schema = (
+        f"`{id_field}` BIGINT, `{text_field}` STRING, lang STRING,"
+        " source STRING, _corrupt STRING"
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    return raw.select(
+        F.col(id_field).alias("doc_id"),
+        F.col(text_field).alias("text"),
+        "lang",
+        "source",
+        "_corrupt",
+    )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    via Spark's native vectorized ORC reader; here so a warehouse
+    standardized on ORC can feed every operator unchanged."""
+    return spark.read.orc(path)

@@ -57,3 +57,15 @@ def audit_path_for(output_path: str) -> str:
     if output_path.endswith(".csv"):
         return output_path[: -len(".csv")] + "_AUDIT.csv"
     return output_path + "_AUDIT"
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None
+) -> None:
+    """ORC sink (native vectorized writer, zlib default); partition
+    columns give the same directory-pruned layout as the parquet
+    sink."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)

@@ -109,3 +109,54 @@ def test_cli_end_to_end(tmp_path):
     text_a = "".join(p.read_text() for p in body)
     text_b = "".join(p.read_text() for p in body2)
     assert text_a == text_b, "fused CLI output differs from vanilla"
+
+
+def test_jsonl_corpus_roundtrip_and_corrupt_capture(spark, tmp_path):
+    """JSONL scan: valid lines land typed, a torn line degrades to one
+    auditable _corrupt row, and the relation feeds the text operators
+    unchanged."""
+    import json
+
+    from institutional_fx_etl_spark.operators.text import token_entropy
+    from institutional_fx_etl_spark.sources.readers import read_jsonl_corpus
+
+    p = tmp_path / "docs.jsonl"
+    lines = [
+        json.dumps({"id": 1, "text": "alpha beta beta", "lang": "en",
+                    "source": "s1"}),
+        json.dumps({"id": 2, "text": "gamma", "lang": "fr", "source": "s2"}),
+        '{"id": 3, "text": "torn',  # corrupt line
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    df = read_jsonl_corpus(spark, str(p))
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["text"] == "alpha beta beta" and rows[1]["lang"] == "en"
+    corrupt = [r for r in rows.values() if r["_corrupt"] is not None]
+    assert len(corrupt) == 1 and "torn" in corrupt[0]["_corrupt"]
+    ent = {
+        r["doc_id"]: r["n_types"]
+        for r in token_entropy(df.filter("_corrupt IS NULL")).collect()
+    }
+    assert ent[1] == 2
+
+
+def test_orc_roundtrip_partition_pruned(spark, tmp_path):
+    """ORC sink/scan round-trip preserves types and values; the
+    partition filter prunes to one directory (plan-visible)."""
+    from institutional_fx_etl_spark.sources.readers import read_orc
+    from institutional_fx_etl_spark.sources.writers import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)],
+        "id long, part string, v double",
+    )
+    path = str(tmp_path / "orc")
+    write_orc(df, path, partition_cols=["part"])
+    back = read_orc(spark, path)
+    assert sorted((r["id"], r["v"]) for r in back.collect()) == [
+        (1, 1.5), (2, 2.5), (3, 3.5)
+    ]
+    pruned = back.filter("part = 'a'")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(part" in plan
+    assert pruned.count() == 2
