@@ -176,3 +176,50 @@ def test_cosine_topk_two_level_window(spark):
     assert "q_id" in first_exchange and "__pid" in first_exchange, (
         f"local prune must hash on (q_id, __pid):\n{first_exchange[:300]}"
     )
+
+
+def test_doc_packing_single_shard_exchange(spark):
+    """The packing prefix sum must run per md5 shard: exactly one hash
+    exchange (on the shard key) and one Window — never a global
+    single-partition ordering."""
+    plan = plan_of(spark, "doc_packing")
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "shard" in plan.split("Exchange hashpartitioning", 1)[1][:120]
+
+
+def test_equidepth_histogram_no_window(spark):
+    """Equi-depth buckets come from broadcast percentile boundaries +
+    a scan-side assignment — no ntile, no Window operator, no
+    single-partition exchange."""
+    plan = plan_of(spark, "equidepth_histogram")
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zscore_and_rebalance_broadcast_no_window(spark):
+    """Fit/transform shapes: the moments (or rates) relation broadcasts
+    onto the scan; the corpus itself is never windowed or globally
+    sorted."""
+    for name in ("zscore_normalize", "corpus_rebalance"):
+        plan = plan_of(spark, name)
+        assert "Window" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+    # zscore's corpus side must carry no single-partition stage at all;
+    # rebalance keeps exactly one — the 1-row global min over the
+    # |langs|-row counts relation (scalar attach, not corpus data)
+    assert "Exchange SinglePartition" not in plan_of(spark, "zscore_normalize")
+    assert (
+        plan_of(spark, "corpus_rebalance").count("Exchange SinglePartition")
+        == 1
+    )
+
+
+def test_ivf_assignment_is_scan_side(spark):
+    """After the round-5 refactor the IVF cell assignment is a pure
+    map: no crossJoin relation, no per-vector window — the only
+    remaining window is the final per-query ranking."""
+    plan = plan_of(spark, "ivf_topk")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
