@@ -696,3 +696,38 @@ def test_pack_chunks_conservation_properties(spark, chunks, seq_len):
             assert r["pack_offset"] == cum % seq_len
             assert r["pack_id"] == shard * 1099511627776 + cum // seq_len
             cum += r["n_tokens"]
+
+
+@given(rows=tick_rows)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_resample_candles_equals_direct_coarse_agg(spark, rows):
+    """Mergeable-OHLC property: rolling fine candles up to a coarse
+    bar equals aggregating the raw ticks straight to that bar —
+    open/high/low/close/volume are true partial aggregates (spread is
+    excluded by contract: mean-of-means needs the sum/count partials
+    the incremental engine keeps)."""
+    from institutional_fx_etl_spark.operators.ohlc import (
+        resample_candles,
+        ticks_to_candles,
+    )
+
+    data = [
+        (T0 + timedelta(seconds=s), a, b)
+        for s, a, b in rows
+        if a is not None and b is not None
+    ]
+    if not data:
+        return
+    ticks = spark.createDataFrame(
+        data, "datetime timestamp, ask double, bid double"
+    )
+    fine = ticks_to_candles(ticks, window_duration="1 minute")
+    rolled = resample_candles(fine, window_duration="15 minutes")
+    direct = ticks_to_candles(ticks, window_duration="15 minutes").drop(
+        "spread"
+    )
+    cols = ["datetime", "open", "high", "low", "close", "volume"]
+    got = sorted(tuple(r[c] for c in cols) for r in rolled.collect())
+    exp = sorted(tuple(r[c] for c in cols) for r in direct.collect())
+    assert got == exp
