@@ -305,19 +305,19 @@ def dedup_clusters(
         .persist()
     )
 
-    # near-dup graphs are SPARSE (edges ≪ docs): when Catalyst's
-    # estimate says the edge list broadcasts, hint both per-round joins
-    # onto the broadcast path — the big labels frame then never
-    # shuffles (the per-src aggregate moves only ≤|edges| rows), so a
-    # propagation round costs one scan of labels instead of a full
-    # shuffle of it. Dense edge lists keep the shuffled joins.
-    try:
-        sz = int(
-            edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        bcast_edges = 0 <= sz < (64 << 20)
-    except Exception:  # noqa: BLE001 — estimation is best-effort
-        bcast_edges = False
+    # near-dup graphs are SPARSE (edges ≪ docs): when the edge list is
+    # small, hint both per-round joins onto the broadcast path — the
+    # big labels frame then never shuffles (the per-src aggregate moves
+    # only ≤|edges| rows), so a propagation round costs one scan of
+    # labels instead of a full shuffle of it. Dense edge lists keep the
+    # shuffled joins. The decision uses the REAL row count of the
+    # persisted edges (one action that also materializes the persist —
+    # round 1 needed it anyway): Catalyst's sizeInBytes estimate over
+    # the lazy candidate-generation DAG is garbage at scale, and a
+    # wrong broadcast of a multi-million-row edge table OOMs the build
+    # side (observed at 10M docs / 5.9M directed edges on an 8g heap).
+    n_edges = edges.count()
+    bcast_edges = n_edges <= 2_000_000
     _e = (lambda df: F.broadcast(df)) if bcast_edges else (lambda df: df)
 
     from pyspark.sql import types as T
