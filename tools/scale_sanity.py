@@ -300,7 +300,13 @@ def _corpus_scale(spark, argv) -> None:
     timed("token_entropy", lambda: token_entropy(docs))
     timed("winnow_fingerprints", lambda: winnow_fingerprints(docs))
     timed("exact_dedup", lambda: exact_dedup_groups(docs))
-    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    from pyspark.storagelevel import StorageLevel
+
+    # persist the verified pairs so the CC wall measures the
+    # propagation loop, not a recomputation of the candidate DAG
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5).persist(
+        StorageLevel.DISK_ONLY
+    )
     timed("minhash_lsh_pairs", lambda: pairs)
     timed(
         "dedup_clusters",
