@@ -514,3 +514,34 @@ def token_entropy(
             " / n_tokens, 6) AS entropy",
         )
     )
+
+
+#: GPT-2-style pretokenizer (ASCII classes so Java and RE2 regex
+#: engines agree byte-for-byte): contraction suffixes, space-prefixed
+#: letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+
+def bpe_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """BPE-grain token counting: the GPT-2 pretokenizer regex splits
+    text the way a BPE tokenizer's pre-tokenization does, so
+    ``n_bpe_tokens`` tracks real LM token counts far better than
+    whitespace words (punctuation, contractions and digit runs count
+    separately) — the number token budgets and pack sizing are
+    computed from. Scan-side ``regexp_extract_all``; whitespace runs
+    are excluded from the count. ``chars_per_token`` is the
+    compression-ratio quality signal (outliers ⇒ non-text)."""
+    pat = BPE_PRETOKEN_RE.replace("'", chr(92) + "'")
+    toks = f"regexp_extract_all({bq(text_col)}, '{pat}', 0)"
+    nonws = f"filter({toks}, t -> trim(t) != '')"
+    return df.selectExpr(
+        bq(id_col),
+        f"cast(size({nonws}) as int) AS n_bpe_tokens",
+        f"round(CASE WHEN size({nonws}) > 0 THEN"
+        f" cast(length({bq(text_col)}) as double) / size({nonws}) END, 6)"
+        " AS chars_per_token",
+    )

@@ -4592,6 +4592,34 @@ def q_doc_packing_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_token_count",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(
+               regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'),
+               tk -> trim(tk) != '') AS toks,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, CAST(len(toks) AS INT) AS n_bpe_tokens,
+           round(CASE WHEN len(toks) > 0 THEN
+             CAST(n_chars AS DOUBLE) / len(toks) END, 6) AS chars_per_token
+    FROM t
+    """,
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-grain token counting (GPT-2 pretokenizer regex, ASCII
+    classes so Java and RE2 agree byte-for-byte) — the LM token-budget
+    number, vs the whitespace word count of ``text_token_count``.
+    Scan-side regexp_extract_all, no shuffle."""
+    from institutional_fx_etl_spark.operators.text import bpe_token_stats
+
+    return bpe_token_stats(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the

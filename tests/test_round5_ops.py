@@ -209,3 +209,22 @@ def test_semdedup_drops_near_identical_keeps_distinct(spark):
     assert all(r["keep"] for r in capped.collect()), (
         "cells over max_cell must skip the compare, not explode"
     )
+
+
+def test_bpe_token_stats_pretokenizer_grain(spark):
+    """GPT-2-pretokenizer grain: contractions, punctuation and digit
+    runs count separately from words; whitespace runs don't count."""
+    from institutional_fx_etl_spark.operators.text import bpe_token_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, world's 42 tests!"),
+            # Hello | , | world | 's | 42 | tests | !  -> 7
+            (2, "   "),  # whitespace only -> 0, ratio NULL
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bpe_token_stats(docs).collect()}
+    assert out[1]["n_bpe_tokens"] == 7
+    assert out[2]["n_bpe_tokens"] == 0
+    assert out[2]["chars_per_token"] is None
