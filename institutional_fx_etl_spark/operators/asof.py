@@ -78,3 +78,79 @@ def asof_join(
         *[F.col(f"__left_row.{c}").alias(c) for c in left.columns],
         *[F.col(f"__r.{c}").alias(c + suffix) for c in right_cols],
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "datetime",
+    partition_cols: tuple[str, ...] = (),
+    right_cols: tuple[str, ...] | None = None,
+    suffix: str = "_near",
+) -> DataFrame:
+    """pandas ``merge_asof(direction='nearest')``: attach the right row
+    closest in time on EITHER side (earlier wins a distance tie, and an
+    exactly-simultaneous right row is distance 0). Same union trick as
+    :func:`asof_join` run in both directions — a backward running last
+    over (ts ASC, right-first) and a forward one over (ts DESC,
+    right-first) — then a scan-side pick by |Δt|. Two sorts over one
+    partitioning; no self-join, no shrinking frames."""
+    if right_cols is None:
+        right_cols = tuple(
+            c for c in right.columns if c != ts_col and c not in partition_cols
+        )
+
+    r_payload = F.struct(
+        F.col(ts_col).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
+    r_type = right.select(r_payload.alias("p")).schema["p"].dataType
+    l_type = left.select(F.struct(*left.columns).alias("l")).schema["l"].dataType
+    l_tagged = left.select(
+        *partition_cols,
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left_row"),
+        F.lit(None).cast(r_type).alias("__right_row"),
+    )
+    r_tagged = right.select(
+        *partition_cols,
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_type).alias("__left_row"),
+        r_payload.alias("__right_row"),
+    )
+    back = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.asc("__ts"), F.asc("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.desc("__ts"), F.asc("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l_tagged.unionByName(r_tagged)
+    filled = u.withColumn(
+        "__prev", F.last("__right_row", ignorenulls=True).over(back)
+    ).withColumn("__next", F.last("__right_row", ignorenulls=True).over(fwd))
+    # TIMESTAMP_NTZ refuses a direct numeric cast — hop through
+    # cast("timestamp") (UTC session: same instant)
+    def _epoch(c):
+        return c.cast("timestamp").cast("double")
+
+    d_prev = _epoch(F.col("__ts")) - _epoch(F.col("__prev.__rts"))
+    d_next = _epoch(F.col("__next.__rts")) - _epoch(F.col("__ts"))
+    pick = (
+        F.when(F.col("__prev").isNull(), F.col("__next"))
+        .when(F.col("__next").isNull(), F.col("__prev"))
+        .when(d_prev <= d_next, F.col("__prev"))
+        .otherwise(F.col("__next"))
+    )
+    return (
+        filled.filter(F.col("__side") == 1)
+        .withColumn("__pick", pick)
+        .select(
+            *[F.col(f"__left_row.{c}").alias(c) for c in left.columns],
+            *[F.col(f"__pick.{c}").alias(c + suffix) for c in right_cols],
+        )
+    )

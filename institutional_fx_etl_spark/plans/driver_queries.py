@@ -4620,6 +4620,106 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "asof_join_nearest",
+    """
+    WITH trades AS (
+      SELECT event_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    quotes AS (
+      SELECT ts, value AS quote FROM events WHERE event_type = 'view'
+    ),
+    j AS (
+      SELECT t.event_id, t.ts, t.value,
+             b.ts AS bts, b.quote AS bquote,
+             f.ts AS fts, f.quote AS fquote
+      FROM trades t
+      ASOF LEFT JOIN quotes b ON t.ts >= b.ts
+      ASOF LEFT JOIN quotes f ON t.ts <= f.ts
+    )
+    SELECT event_id, ts, value,
+           CASE WHEN bts IS NULL THEN fquote
+                WHEN fts IS NULL THEN bquote
+                WHEN epoch(ts) - epoch(bts) <= epoch(fts) - epoch(ts)
+                  THEN bquote ELSE fquote END AS quote_near,
+           CASE WHEN bts IS NULL THEN fts
+                WHEN fts IS NULL THEN bts
+                WHEN epoch(ts) - epoch(bts) <= epoch(fts) - epoch(ts)
+                  THEN bts ELSE fts END AS quote_ts_near
+    FROM j
+    """,
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``merge_asof(direction='nearest')`` semantics: each purchase
+    takes the time-closest view quote on either side (earlier wins a
+    tie). Two running-last windows (ASC + DESC) over one union — no
+    self-join, no shrinking frames (``operators/asof.py::
+    asof_join_nearest``); the oracle is a backward + forward DuckDB
+    ASOF pair resolved by distance."""
+    from institutional_fx_etl_spark.operators.asof import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    trades = ev.filter("event_type = 'purchase'").select(
+        "event_id", "ts", "value"
+    )
+    quotes = ev.filter("event_type = 'view'").select(
+        "ts",
+        F.col("value").alias("quote"),
+        F.col("ts").alias("quote_ts"),
+    )
+    out = asof_join_nearest(trades, quotes, ts_col="ts", suffix="_near")
+    return out.selectExpr(
+        "event_id", "ts", "value", "quote_near",
+        "quote_ts_near",
+    )
+
+
+@register(
+    "bollinger_bands",
+    """
+    WITH s AS (
+      SELECT event_type, event_id, ts, value FROM events
+      WHERE value IS NOT NULL
+    )
+    SELECT event_type, event_id, ts, value,
+           round(avg(value) OVER w, 6) AS ma20,
+           round(stddev_samp(value) OVER w, 6) AS sd20,
+           round(avg(value) OVER w + 2 * stddev_samp(value) OVER w, 6)
+             AS upper_band,
+           round(avg(value) OVER w - 2 * stddev_samp(value) OVER w, 6)
+             AS lower_band
+    FROM s
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands — the classic FX technical-indicator window
+    (20-row trailing mean ± 2σ): one sort per event-type partition,
+    bounded moving frame, all JVM-side window aggregates."""
+    from pyspark.sql import Window as W
+
+    _pin_session_confs(spark)
+    ev = load_table(spark, sf_dir, "events").filter("value IS NOT NULL")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    ma = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    return ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+        F.round(ma, 6).alias("ma20"),
+        F.round(sd, 6).alias("sd20"),
+        F.round(ma + 2 * sd, 6).alias("upper_band"),
+        F.round(ma - 2 * sd, 6).alias("lower_band"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the

@@ -49,3 +49,32 @@ def test_asof_partitioned(spark):
         for r in asof_join(left, right, partition_cols=("sym",)).collect()
     }
     assert out == {1: 1.0, 2: 2.0}  # no cross-symbol leakage
+
+
+def test_asof_nearest_picks_closer_side_and_tie_goes_earlier(spark):
+    """direction='nearest': closest right row on either side wins;
+    an exact-distance tie takes the earlier row; edges fall back to
+    the only available side."""
+    from datetime import datetime, timedelta
+
+    from institutional_fx_etl_spark.operators.asof import asof_join_nearest
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0), (2, t0 + timedelta(seconds=100)),
+         (3, t0 + timedelta(seconds=250))],
+        "id long, datetime timestamp",
+    )
+    right = spark.createDataFrame(
+        [(t0 + timedelta(seconds=90), 10.0),
+         (t0 + timedelta(seconds=110), 20.0),
+         (t0 + timedelta(seconds=400), 30.0)],
+        "datetime timestamp, q double",
+    )
+    out = {
+        r["id"]: r["q_near"]
+        for r in asof_join_nearest(left, right, suffix="_near").collect()
+    }
+    assert out[1] == 10.0          # only earlier side... nearest is +90
+    assert out[2] == 10.0          # tie (10 vs 10) -> earlier row
+    assert out[3] == 20.0          # -140 beats +150
