@@ -4720,6 +4720,56 @@ def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week,
+                                  date_trunc('week', e.ts)) / 7.0) AS INT)
+               AS week_no
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_no,
+           count(*) AS n_active
+    FROM activity GROUP BY cohort_week, week_no
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts — the canonical product-analytics
+    rollup: users grouped by first-seen week, counted per subsequent
+    active week. Two hash aggregates (per-user first week; distinct
+    (user, week) activity) around user-keyed shuffles; the cohort
+    matrix itself is weeks² rows. No window, no self-join over
+    events."""
+    _pin_session_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7.0
+            )
+            .cast("int")
+            .alias("week_no"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_no").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
