@@ -4770,6 +4770,69 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weighted_sample",
+    """
+    WITH q AS (
+      SELECT doc_id, lang,
+             greatest(
+               0.4 * (CAST(len(list_filter(
+                        string_split_regex(lower(text), '\\s+'),
+                        t -> t IN ('the','and','of','to','a','in','is')))
+                      AS DOUBLE)
+                      / len(string_split_regex(lower(text), '\\s+')))
+               + 0.3 * least(len(string_split_regex(lower(text), '\\s+')),
+                             100) / 100.0,
+               0.001) AS w,
+             (CAST(concat('0x',
+                substr(md5(concat('wsamp', CAST(doc_id AS VARCHAR))),1,8))
+                AS BIGINT) + 1.0) / 4294967297.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, lang, round(w, 6) AS w,
+           round(ln(u) / w, 6) AS sample_key
+    FROM q
+    ORDER BY sample_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES keys, ln(u)/w form): the corpus-mixing step that
+    up-samples fluent documents. The randomness is a deterministic md5
+    coin per document, so the drawn sample is identical across
+    engines, runs and partitionings — and the plan is a scan-side key
+    computation + one top-k (TakeOrderedAndProject — partial top-k
+    map-side, never a global sort of the corpus)."""
+    _pin_session_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = r"split(lower(text), '\\s+')"
+    stop = (
+        f"cast(size(filter({toks}, t -> t IN"
+        " ('the','and','of','to','a','in','is'))) as double)"
+        f" / size({toks})"
+    )
+    w = (
+        f"greatest(0.4 * ({stop})"
+        f" + 0.3 * least(size({toks}), 100) / 100.0, 0.001)"
+    )
+    coin = (
+        "cast(conv(substr(md5(concat('wsamp', cast(doc_id as string))),1,8),"
+        "16,10) as bigint)"
+    )
+    u = f"({coin} + 1.0) / 4294967297.0"
+    return (
+        docs.selectExpr(
+            "doc_id",
+            "lang",
+            f"round({w}, 6) AS w",
+            f"round(ln({u}) / {w}, 6) AS sample_key",
+        )
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
