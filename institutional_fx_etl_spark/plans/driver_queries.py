@@ -4833,6 +4833,106 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_degree_stats",
+    None,  # assigned below: wraps the rendered MinHash-LSH oracle
+)
+def q_dedup_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph degree histogram — the skew diagnostic a dedup
+    run is sanity-checked with before clustering (a heavy tail means a
+    boilerplate cohort slipped the hot-bucket cap). Two hash
+    aggregates over the verified pair list; never touches the corpus
+    again."""
+    from institutional_fx_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.2)
+    deg = (
+        pairs.selectExpr("id_a AS id")
+        .unionAll(pairs.selectExpr("id_b AS id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# degree-stats oracle wraps the rendered MinHash-LSH pair oracle
+# verbatim (same pattern as dedup_stats)
+REGISTRY["dedup_degree_stats"] = (
+    REGISTRY["dedup_degree_stats"][0],
+    f"""
+    WITH pairs AS (
+      SELECT id_a, id_b FROM ({REGISTRY["dedup_minhash_lsh"][1]})
+    ),
+    deg AS (
+      SELECT id, count(*) AS degree FROM (
+        SELECT id_a AS id FROM pairs
+        UNION ALL SELECT id_b FROM pairs
+      ) GROUP BY id
+    )
+    SELECT degree, count(*) AS n_docs
+    FROM deg GROUP BY degree
+    """,
+)
+
+
+@register(
+    "doc_feature_matrix",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks,
+             length(text) AS n_chars, text
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens,
+             CAST(n_chars AS INT) AS n_chars,
+             round(CAST(len(list_filter(toks,
+                     tk -> tk IN ('the','and','of','to','a','in','is')))
+                   AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+             round(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                   AS DOUBLE) / length(text), 6) AS punct_ratio,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+               AS type_token_ratio
+      FROM t WHERE len(toks) >= 1 AND NOT toks = ['']
+    )
+    SELECT * FROM base
+    """,
+)
+def q_doc_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document feature relation a quality classifier trains
+    on: token/char counts, stopword fluency, punctuation noise and
+    lexical diversity in ONE scan-side projection (no joins between
+    signal families — each signal is an expression over the same token
+    array, so the feature build costs one corpus pass)."""
+    _pin_session_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "__toks"
+    stop = (
+        f"cast(size(filter({toks}, t -> t IN"
+        " ('the','and','of','to','a','in','is'))) as double)"
+        f" / size({toks})"
+    )
+    return (
+        docs.selectExpr(
+            "doc_id", "lang", "text",
+            r"split(lower(text), '\\s+') AS __toks",
+        )
+        .filter(f"size({toks}) >= 1 AND NOT ({toks} = array(''))")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            f"cast(size({toks}) as int) AS n_tokens",
+            "cast(length(text) as int) AS n_chars",
+            f"round({stop}, 6) AS stopword_ratio",
+            "round(cast(length(regexp_replace(text, '[^.,!?;:]', ''))"
+            " as double) / length(text), 6) AS punct_ratio",
+            f"round(cast(size(array_distinct({toks})) as double)"
+            f" / size({toks}), 6) AS type_token_ratio",
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
