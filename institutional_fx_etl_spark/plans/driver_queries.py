@@ -4933,6 +4933,78 @@ def q_doc_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "interval_merge",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             OR max(e) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           min(s) AS interval_start, max(e) AS interval_end,
+           count(*) AS n_events
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (merge-overlaps): each event opens a
+    5-minute interval; overlapping/touching intervals per user fuse
+    into maximal spans — the gaps-and-islands generalization interval
+    tables (maintenance windows, user presence) need. One running max
+    + one running sum over the same per-user sort, then a hash
+    aggregate; all three share a single exchange."""
+    from pyspark.sql import Window as W
+
+    _pin_session_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.selectExpr(
+        "user_id", "ts AS s", "ts + INTERVAL 5 MINUTE AS e"
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev_end = F.max("e").over(w_prev)
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            prev_end.isNull() | (F.col("s") > prev_end), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(w_run).cast("bigint")
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("interval_start"),
+        F.max("e").alias("interval_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
