@@ -104,8 +104,15 @@ def interpolate_linear(
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.last(pair, ignorenulls=True).over(back)
     nxt = F.last(pair, ignorenulls=True).over(desc)
-    span = nxt["t"].cast("double") - prev["t"].cast("double")
-    w = (ts.cast("double") - prev["t"].cast("double")) / span
+
+    # TIMESTAMP_NTZ cannot cast to numeric directly on every Spark
+    # version — hop through TIMESTAMP first, the repo-wide convention
+    # (functions/chunked.py::epoch_seconds, operators/asof.py)
+    def _secs(t: Column) -> Column:
+        return t.cast("timestamp").cast("double")
+
+    span = _secs(nxt["t"]) - _secs(prev["t"])
+    w = (_secs(ts) - _secs(prev["t"])) / span
     return F.when(c.isNotNull(), c).otherwise(
         prev["v"] + (nxt["v"] - prev["v"]) * w
     )

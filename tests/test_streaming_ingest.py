@@ -98,3 +98,41 @@ def test_streaming_ingest_equals_batch_run(spark, tmp_path):
     )
     assert len(got) == len(exp)
     assert got == exp
+
+    # --- redelivery idempotency (round-5 advice, medium): wipe the
+    # streaming checkpoint so Spark redelivers every file with the SAME
+    # batch_ids. The _last_batch_id marker in the state dir must make
+    # _ingest skip them all — before the fix this double-applied every
+    # tick permanently.
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "state" / "_checkpoint"))
+    query2, pipeline2 = run_streaming_ingest(
+        spark,
+        stream,
+        m1,
+        str(tmp_path / "state"),
+        spike_threshold=1e9,
+        consensus_threshold=1e9,
+        chunk_seconds=6 * 3600,
+    )
+    query2.awaitTermination(300)
+    again = sorted(
+        (r.asDict() for r in pipeline2.read_final().collect()),
+        key=lambda r: r["datetime"],
+    )
+    assert again == exp, "redelivered batches must be skipped, not re-applied"
+
+
+def test_batch_marker_roundtrip(spark, tmp_path):
+    from institutional_fx_etl_spark.streaming.stateful import (
+        _read_marker,
+        _write_marker,
+    )
+
+    marker = str(tmp_path / "state" / "_last_batch_id")
+    assert _read_marker(spark, marker) is None
+    _write_marker(spark, marker, 0)
+    assert _read_marker(spark, marker) == 0
+    _write_marker(spark, marker, 17)
+    assert _read_marker(spark, marker) == 17
