@@ -234,6 +234,22 @@ def dedup_clusters(
     # endpoints outside ``ids`` are semi-filtered out so they cannot
     # bridge components (contract parity with the loop, which never
     # labels them).
+    # persist-or-respect on the pairs input (round-5 verdict ask #4 /
+    # ROADMAP §23): at 10M docs the unpersisted MinHash candidate DAG
+    # was re-derived by BOTH the regime probe and the loop's edge
+    # materialization — CC wall-clock included a full second pass of
+    # candidate generation. If the caller didn't persist ``pairs``,
+    # persist it here DISK_ONLY (edge lists can exceed executor
+    # memory; candidate regeneration is what we're avoiding, not
+    # spill) and release it on every exit path. A caller-persisted
+    # frame is left untouched.
+    from pyspark import StorageLevel
+
+    _pairs_persisted_here = False
+    if pairs.storageLevel == StorageLevel.NONE:
+        pairs = pairs.persist(StorageLevel.DISK_ONLY)
+        _pairs_persisted_here = True
+
     eligible = (
         pairs.select("id_a", "id_b")
         .join(ids.select(F.col(id_col).alias("id_a")), "id_a", "semi")
@@ -272,6 +288,8 @@ def dedup_clusters(
                 ]
             ),
         )
+        if _pairs_persisted_here:
+            pairs.unpersist()
         return (
             ids.select(F.col(id_col))
             .join(
@@ -317,6 +335,9 @@ def dedup_clusters(
     # wrong broadcast of a multi-million-row edge table OOMs the build
     # side (observed at 10M docs / 5.9M directed edges on an 8g heap).
     n_edges = edges.count()
+    # edges is now materialized — the pairs DAG will not be re-read
+    if _pairs_persisted_here:
+        pairs.unpersist()
     bcast_edges = n_edges <= 2_000_000
     _e = (lambda df: F.broadcast(df)) if bcast_edges else (lambda df: df)
 

@@ -382,30 +382,33 @@ def merge_fused(
     )
 
     # -- pass-2 state folded into pass-1's sorted subtree ---------------
-    # The densify stage (J4+W2+W4) needs, per SURVIVOR row, the next
-    # surviving timestamp and the running survivor spread ffill. Both
-    # used to cost a second full-row exchange+sort over the survivor
-    # frame (the checkpoint loses partitioning under AQE, so the
-    # window re-shuffled everything). Survivorship = post-F4 AND NOT
-    # F6-spike, and the spike lag is the PREVIOUS post-F4 row — which
-    # is in-chunk-known for every candidate EXCEPT the chunk's first
-    # (its lag is the cross-chunk __pc_carry). So the fold works
-    # two-versioned: compute every densify window against the KNOWN
-    # survivors (non-first candidates) here, inside the pass-1 sort
-    # (Filter preserves the ordering — no new exchange), and resolve
-    # the single carry-dependent row per chunk on the O(C) summary:
+    # The densify stage (J4+W2+W4) needs, per SURVIVOR row, its
+    # PREDECESSOR survivor's (ts, close, running spread ffill) — the
+    # backward bridge. This used to cost a second full-row
+    # exchange+sort over the survivor frame (the checkpoint loses
+    # partitioning under AQE, so the window re-shuffled everything).
+    # Survivorship = post-F4 AND NOT F6-spike, and the spike lag is
+    # the PREVIOUS post-F4 row — which is in-chunk-known for every
+    # candidate EXCEPT the chunk's first (its lag is the cross-chunk
+    # __pc_carry). So the fold works two-versioned: compute every
+    # densify window against the KNOWN survivors (non-first
+    # candidates) here, inside the pass-1 sort (Filter preserves the
+    # ordering — no new exchange; every window below shares the one
+    # ASC order), and resolve the single carry-dependent row per chunk
+    # on the O(C) summary:
     # - __spike_loc: F6 flag for non-first candidates (post-fix
     #   values, T3 struct lag), NULL-lag → first candidate;
-    # - __nt_loc: next known-survivor ts (suffix frame) — exact for
-    #   every row, because the first candidate precedes all survivors
-    #   of its chunk (nothing after any row can be a first candidate);
     # - __gf_b: running known-survivor spread ffill; the A-version
     #   (first candidate survives) is coalesce(__gf_b, fc.spread)
     #   since the first candidate is the EARLIEST candidate — later
     #   non-null spreads always win the running last;
-    # - __ntk_incl / __fc_incl: running first-known-survivor-ts and
-    #   first-candidate summary struct — read at the chunk-last row
-    #   they ARE the per-chunk summaries the carry resolution needs.
+    # - __pv_loc / __lsv: exclusive / inclusive running last of the
+    #   known-survivor (ts, close, sf, gf) struct — the predecessor
+    #   lookup and (at the chunk-last row) the chunk's last-survivor
+    #   summary for the cross-chunk carry;
+    # - __fc_incl: first-candidate summary struct — read at the
+    #   chunk-last row it IS the per-chunk summary the carry
+    #   resolution needs.
     thr = f"CAST('{spike_threshold!r}' AS DOUBLE)"
     hl_spike_sql = f"coalesce((high - low) / open > {thr}, false)"
     spike_loc_sql = (
@@ -419,15 +422,26 @@ def merge_fused(
         "CASE WHEN (NOT __inv) AND __pc_loc IS NULL THEN named_struct("
         f"'ts', {ts}, 'c', close, 'hl', {hl_spike_sql}, 'sp', spread) END"
     )
-    # next known-survivor ts: a running LAST over the DESCENDING order
-    # — NOT a "1 FOLLOWING .. UNBOUNDED FOLLOWING" frame, whose
-    # WindowExec implementation re-scans to the partition end for
-    # every row (O(rows·chunk_size): measured 122 s vs 15 s on the
-    # 30M-tick scale proof). The DESC spec costs one extra LOCAL sort
-    # per partition, no exchange.
-    desc_prev_sql = (
-        f"PARTITION BY {part_sql} ORDER BY {ts} DESC"
-        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    # FORWARD-EMITTING → BACKWARD-EMITTING bridge (round-5 verdict ask
+    # #5 / ROADMAP §19 candidate (c)): the old design had every
+    # survivor emit its gap FORWARD to the next survivor, which needs
+    # the next-survivor timestamp — a running last over the DESCENDING
+    # order, i.e. one extra full local re-sort of the frame per chunk
+    # partition. Flipped: every survivor bridges BACK to its
+    # predecessor, whose (ts, close, spread-state) ride in an ASC
+    # running-last struct over the order pass 1 already sorted by —
+    # the DESC sort is gone and the emitted flat rows are identical
+    # (a bridge between consecutive survivors q < r carries q's close
+    # and q's folded spread either way; only the emitting row moved
+    # from q to r). __pv_loc is EXCLUSIVE (1 PRECEDING); __lsv is the
+    # INCLUSIVE version whose value at the chunk-last row IS the
+    # chunk's last-known-survivor summary for the O(C) cross-chunk
+    # carry. (The "1 FOLLOWING .. UNBOUNDED FOLLOWING" frame stays
+    # banned: WindowExec re-scans shrinking frames to the partition
+    # end per row — O(rows·chunk_size), measured 122 s vs 15 s.)
+    qstruct_sql = (
+        f"CASE WHEN {surv_known_sql} THEN named_struct("
+        f"'ts', {ts}, 'c', close, 'sf', __sf_loc, 'gf', __gf_b) END"
     )
     pdd = (
         pdd.selectExpr("*", f"{spike_loc_sql} AS __spike_loc")
@@ -435,14 +449,12 @@ def merge_fused(
             "*",
             f"last(CASE WHEN {surv_known_sql} THEN spread END, true)"
             f" OVER ({run_sql}) AS __gf_b",
-            f"first(CASE WHEN {surv_known_sql} THEN {ts} END, true)"
-            f" OVER ({run_sql}) AS __ntk_incl",
             f"first({fc_struct_sql}, true) OVER ({run_sql}) AS __fc_incl",
         )
         .selectExpr(
             "*",
-            f"last(CASE WHEN {surv_known_sql} THEN {ts} END, true)"
-            f" OVER ({desc_prev_sql}) AS __nt_loc",
+            f"last({qstruct_sql}, true) OVER ({run_prev_sql}) AS __pv_loc",
+            f"last({qstruct_sql}, true) OVER ({run_sql}) AS __lsv",
         )
     )
     frame = _mat(pdd)
@@ -452,54 +464,76 @@ def merge_fused(
     # already holds the chunk-edge summary in its running-window
     # columns: __sf_loc = last non-null post-F4 spread, __pc_incl =
     # last non-inverted close, __gf_b = last known-survivor spread,
-    # __ntk_incl = first known-survivor ts, __fc_incl = the first
-    # candidate's (ts, close, hl-flag, spread). Resolution is three
-    # chained O(C) selects over that slice: prefix carries → the
+    # __lsv = last known-survivor summary struct, __fc_incl = the
+    # first candidate's (ts, close, hl-flag, spread). Resolution is a
+    # chain of O(C) selects over that slice: prefix carries → the
     # per-chunk first-candidate verdict (its F6 lag is __pc_carry) →
-    # the across-chunk next-survivor-ts / survivor-spread carries the
-    # densify fold consumes.
+    # the chunk's resolved last-survivor summary → the across-chunk
+    # predecessor (__pv_carry) and survivor-spread carries the densify
+    # fold consumes.
     p_part = f"PARTITION BY {', '.join(p)} " if p else ""
     prefix1_sql = (
         p_part
         + f"ORDER BY {CIDX} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
-    )
-    # DESC running-last, same reason as __nt_loc above (the summary is
-    # C rows, but at 150 years C ~ 9e4 and the following-frame scan is
-    # quadratic in it)
-    suffix1_sql = (
-        p_part
-        + f"ORDER BY {CIDX} DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
     )
     spike_first_sql = (
         "__fc_incl IS NOT NULL AND (__fc_incl.hl OR"
         f" coalesce(abs((__fc_incl.c - __pc_carry.c) / __pc_carry.c)"
         f" > {thr}, false))"
     )
+    # per-chunk LAST-SURVIVOR summary for the backward bridge: the
+    # chunk's last known survivor (__lsv at the chunk-last row) wins —
+    # every known survivor follows the first candidate — else the
+    # first candidate if the chunk verdict says it survives. 'spf' is
+    # that survivor's FINAL folded spread, built with THIS chunk's own
+    # carries (exactly the value the old forward emitter computed at
+    # the survivor row); the prefix running last over these summaries
+    # is the cross-chunk predecessor every chunk-first survivor
+    # bridges back to.
+    ls_sql = (
+        "CASE WHEN __lsv IS NOT NULL THEN named_struct("
+        "'ts', __lsv.ts, 'c', __lsv.c, 'spf',"
+        " CASE WHEN __anyfix = 1 THEN coalesce(__lsv.sf, __sf_carry)"
+        " ELSE coalesce(__lsv.gf,"
+        " CASE WHEN __surv_first THEN __fc_incl.sp END,"
+        " __gf_carry2) END)"
+        " WHEN __surv_first THEN named_struct("
+        "'ts', __fc_incl.ts, 'c', __fc_incl.c, 'spf',"
+        " CASE WHEN __anyfix = 1 THEN coalesce(__fc_incl.sp, __sf_carry)"
+        " ELSE coalesce(__fc_incl.sp, __gf_carry2) END)"
+        " END"
+    )
     carries1 = (
         frame.filter(f"{ts} = __lr")
         .selectExpr(
-            *part, "__sf_loc", "__pc_incl", "__gf_b", "__ntk_incl", "__fc_incl"
+            *part,
+            "__anyfix",
+            "__sf_loc",
+            "__pc_incl",
+            "__gf_b",
+            "__fc_incl",
+            "__lsv",
         )
         .selectExpr(
             *part,
+            "__anyfix",
             "__gf_b",
-            "__ntk_incl",
             "__fc_incl",
+            "__lsv",
             f"last(__sf_loc, true) OVER ({prefix1_sql}) AS __sf_carry",
             f"last(__pc_incl, true) OVER ({prefix1_sql}) AS __pc_carry",
         )
         .selectExpr(
             *part,
+            "__anyfix",
             "__sf_carry",
             "__pc_carry",
             "__fc_incl",
+            "__lsv",
+            "__gf_b",
             f"{spike_first_sql} AS __spike_first",
             f"__fc_incl IS NOT NULL AND NOT ({spike_first_sql})"
             " AS __surv_first",
-            # chunk's first survivor ts: the first candidate if it
-            # survives (it is the earliest), else the first KNOWN one
-            f"CASE WHEN __fc_incl IS NOT NULL AND NOT ({spike_first_sql})"
-            " THEN __fc_incl.ts ELSE __ntk_incl END AS __fs_ts",
             # chunk's last survivor spread: known-survivor last wins
             # (later rows); else the surviving first candidate's
             f"coalesce(__gf_b, CASE WHEN __fc_incl IS NOT NULL AND NOT"
@@ -507,13 +541,38 @@ def merge_fused(
         )
         .selectExpr(
             *part,
+            "__anyfix",
             "__sf_carry",
             "__pc_carry",
             "__spike_first",
             "__surv_first",
-            "__fc_incl.sp AS __fc_sp",
-            f"last(__fs_ts, true) OVER ({suffix1_sql}) AS __nt_carry",
+            "__fc_incl",
+            "__lsv",
             f"last(__chunk_sp, true) OVER ({prefix1_sql}) AS __gf_carry2",
+        )
+        .selectExpr(
+            *part,
+            "__sf_carry",
+            "__pc_carry",
+            "__spike_first",
+            "__surv_first",
+            "__fc_incl.ts AS __fc_ts",
+            "__fc_incl.c AS __fc_c",
+            "__fc_incl.sp AS __fc_sp",
+            "__gf_carry2",
+            f"{ls_sql} AS __ls",
+        )
+        .selectExpr(
+            *part,
+            "__sf_carry",
+            "__pc_carry",
+            "__spike_first",
+            "__surv_first",
+            "__fc_ts",
+            "__fc_c",
+            "__fc_sp",
+            "__gf_carry2",
+            f"last(__ls, true) OVER ({prefix1_sql}) AS __pv_carry",
         )
     )
 
@@ -522,10 +581,11 @@ def merge_fused(
     # select after the single carry join. Write-back: for a non-null
     # spread, __sf (last non-null incl. own) IS the row's own value.
     # Spike: first candidate (NULL local lag) takes the chunk verdict,
-    # everyone else its in-chunk flag. __spread_f: with the write-back
-    # active every survivor's spread is already ffilled — the densify
-    # ffill collapses to coalesce(__sf_loc, __sf_carry); without it,
-    # the version-selected known-survivor ffill with the
+    # everyone else its in-chunk flag. __pv.spf (the predecessor's
+    # folded spread): with the write-back active every survivor's
+    # spread is already ffilled — the fold collapses to
+    # coalesce(sf, __sf_carry) over the predecessor's captured state;
+    # without it, the version-selected known-survivor ffill with the
     # first-candidate and cross-chunk fallbacks.
     frame = (
         frame.join(F.broadcast(carries1), on=part, how="left")
@@ -547,10 +607,26 @@ def merge_fused(
             "(NOT __inv) AND (CASE WHEN __pc_loc IS NULL THEN"
             " coalesce(__spike_first, false) ELSE __spike_loc END)"
             " AS __spike",
-            f"coalesce(__nt_loc, __nt_carry) AS __next_ts",
-            "CASE WHEN __anyfix = 1 THEN coalesce(__sf_loc, __sf_carry)"
-            " ELSE coalesce(__gf_b, CASE WHEN coalesce(__surv_first,"
-            " false) THEN __fc_sp END, __gf_carry2) END AS __spread_f",
+            # backward-bridge predecessor (ts, close, folded spread):
+            # the first candidate (NULL local lag) bridges to the
+            # cross-chunk carry; everyone else to the last in-chunk
+            # known survivor, else the surviving first candidate, else
+            # the carry. 'spf' applies the SAME fold the old forward
+            # emitter computed at the predecessor row, from the
+            # predecessor's captured (sf, gf) running state and this
+            # chunk's carries.
+            "CASE WHEN __pc_loc IS NULL THEN __pv_carry"
+            " ELSE coalesce("
+            "CASE WHEN __pv_loc IS NOT NULL THEN named_struct("
+            "'ts', __pv_loc.ts, 'c', __pv_loc.c, 'spf',"
+            " CASE WHEN __anyfix = 1 THEN coalesce(__pv_loc.sf, __sf_carry)"
+            " ELSE coalesce(__pv_loc.gf, CASE WHEN coalesce(__surv_first,"
+            " false) THEN __fc_sp END, __gf_carry2) END) END,"
+            " CASE WHEN coalesce(__surv_first, false) THEN named_struct("
+            "'ts', __fc_ts, 'c', __fc_c, 'spf',"
+            " CASE WHEN __anyfix = 1 THEN coalesce(__fc_sp, __sf_carry)"
+            " ELSE coalesce(__fc_sp, __gf_carry2) END) END,"
+            " __pv_carry) END AS __pv",
         )
     )
 
@@ -573,9 +649,15 @@ def merge_fused(
     audit_spike = _audit(frame.filter("__spike"), schemas.REASON_DROPPED_SPIKE)
 
     # -- densify inputs: the survivor rows already carry their state ----
-    # (__next_ts, __spread_f folded above) — no second window pass, no
-    # survivor re-shuffle. Chunks emptied by F4/F6 are harmless: their
-    # summaries are all-NULL and the O(C) carries skip them.
+    # (the __pv predecessor struct folded above) — no second window
+    # pass, no survivor re-shuffle. Each survivor emits the flat rows
+    # of the gap BEHIND it (backward bridge): same flat set as the old
+    # forward emission — one bridge per consecutive survivor pair,
+    # carrying the EARLIER survivor's close/spread — minus the DESC
+    # sort the next-ts lookup needed. Chunks emptied by F4/F6 are
+    # harmless: their summaries are all-NULL and the O(C) carries skip
+    # them. The series-first survivor has a NULL __pv and emits only
+    # itself.
     seq = frame.filter("(NOT __inv) AND (NOT __spike)").select(
         *p,
         ts,
@@ -585,8 +667,7 @@ def merge_fused(
         "close",
         "volume",
         "spread",
-        "__next_ts",
-        "__spread_f",
+        "__pv",
     )
 
     step_expr = f"interval {step}"
@@ -598,10 +679,10 @@ def merge_fused(
         "close",
         "volume",
         "spread",
-        "__spread_f",
+        "__pv",
         f"{ts} AS __real_ts",
-        f"explode(sequence({ts}, coalesce(__next_ts - {step_expr},"
-        f" {ts}), {step_expr})) AS {ts}",
+        f"explode(sequence(coalesce(__pv.ts + {step_expr}, {ts}),"
+        f" {ts}, {step_expr})) AS {ts}",
     )
     gap_sql = f"({ts} != __real_ts)"
 
@@ -618,12 +699,12 @@ def merge_fused(
         *p,
         ts,
         *[
-            f"CASE WHEN {gap_sql} THEN close ELSE {c} END AS {c}"
+            f"CASE WHEN {gap_sql} THEN __pv.c ELSE {c} END AS {c}"
             for c in ["open", "high", "low"]
         ],
-        "close",
+        f"CASE WHEN {gap_sql} THEN __pv.c ELSE close END AS close",
         f"CASE WHEN {gap_sql} THEN 0.0D ELSE volume END AS volume",
-        f"CASE WHEN {gap_sql} THEN __spread_f ELSE spread END AS spread",
+        f"CASE WHEN {gap_sql} THEN __pv.spf ELSE spread END AS spread",
         f"CASE WHEN {gap_sql} THEN 1 ELSE 0 END AS is_flat",
     ).filter("close IS NOT NULL")
 

@@ -231,3 +231,17 @@ def test_chunked_plan_has_no_single_partition_sort(spark, pipeline_io, engine):
     vfinal, _ = eng.merge(m1, ticks)
     vplan = vfinal._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" in vplan
+
+
+def test_fused_plan_has_no_desc_sort(spark, pipeline_io):
+    """Round-5 verdict ask #5 (forward→backward bridge): the fused
+    plan's next-survivor DESC re-sort is gone — every window runs over
+    the one ASC (chunk, datetime) order, so the plan contains NO
+    descending sort at all."""
+    m1, ticks = pipeline_io
+    final, _ = merge_fused(
+        m1, ticks, spike_threshold=0.05, consensus_threshold=15.0,
+        chunk_seconds=CHUNK_SECONDS, materialize=False,
+    )
+    plan = final._jdf.queryExecution().executedPlan().toString()
+    assert "DESC" not in plan, "fused plan regained a descending sort"

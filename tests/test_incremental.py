@@ -317,26 +317,67 @@ def test_m1_day_removal_raises(spark, tmp_path):
         )
 
 
-def test_bounded_collect_guard(spark, tmp_path):
-    """Driver-side (key, day) metadata collects are guarded by
-    ``max_state_rows`` (round-4 verdict ask #8): a 60k-row keys×days
-    frame passes under the default bound; a pipeline configured with a
-    small bound fails fast with guidance instead of OOMing the
-    driver."""
-    from institutional_fx_etl_spark.plans.incremental import (
-        IncrementalHybridPipeline,
-    )
+def test_no_keys_x_days_driver_ceiling(spark, tmp_path):
+    """Round-5 verdict ask #3: the keys×days metadata math is
+    join-based, so ``max_state_rows`` is retired — an update whose
+    (key, day) state far exceeds the configured bound must run to the
+    correct answer instead of fail-fasting. 8 keys × 5+ days with
+    max_state_rows=10 (< 40 state rows) over two updates, compared
+    against a from-scratch multisym run."""
+    DAY = 24 * 60
 
-    # 2 000 keys × 30 days — far beyond FX cardinality, well under the
-    # 5M default bound
-    many = spark.range(2_000).selectExpr(
-        "id AS key", "explode(sequence(1, 30)) AS day"
-    )
-    eng = IncrementalHybridPipeline(spark, str(tmp_path / "s1"))
-    assert len(eng._bounded_collect(many, "keys-x-days")) == 60_000
+    def _kticks(spec):
+        rows = []
+        for sym, m in spec:
+            for k in range(2):
+                mid = 1.0 + (m % 64) / 16 + k / 16 + (hash(sym) % 4) / 16
+                rows.append(
+                    (
+                        sym,
+                        T0 + timedelta(minutes=m, seconds=10 * k),
+                        mid + 0.125,
+                        mid - 0.125,
+                    )
+                )
+        return spark.createDataFrame(
+            rows, "symbol string, datetime timestamp, ask double, bid double"
+        )
 
-    tight = IncrementalHybridPipeline(
-        spark, str(tmp_path / "s2"), max_state_rows=1_000
+    syms = [f"S{i}" for i in range(8)]
+    m1 = spark.createDataFrame(
+        [
+            (s, T0 + timedelta(minutes=m), 1.25, 1.375, 1.125, 1.25, 5.0, None)
+            for s in syms
+            for m in range(0, 3 * DAY, 360)
+        ],
+        "symbol string, datetime timestamp, open double, high double,"
+        " low double, close double, volume double, spread double",
     )
-    with pytest.raises(RuntimeError, match="max_state_rows"):
-        tight._bounded_collect(many, "keys-x-days")
+    b1 = _kticks([(s, m) for s in syms for m in (30, DAY + 45, 2 * DAY + 10)])
+    b2 = _kticks([(s, m) for s in syms for m in (4 * DAY + 5, 4 * DAY + 125)])
+
+    inc = IncrementalHybridPipeline(
+        spark,
+        str(tmp_path / "state"),
+        spike_threshold=1e9,
+        consensus_threshold=1e9,
+        partition_cols=("symbol",),
+        max_state_rows=10,  # retired: must be ignored, not enforced
+    )
+    inc.update(m1, b1)
+    inc.update(m1, b2)
+
+    eng = HybridMergerSpark(
+        spike_threshold=1e9,
+        consensus_threshold=1e9,
+        partition_cols=("symbol",),
+    )
+    full, _ = eng.run(m1, b1.unionByName(b2))
+    got = sorted(
+        (tuple(r) for r in inc.read_final().collect()),
+        key=lambda t: (t[0], str(t[1])),
+    )
+    exp = sorted(
+        (tuple(r) for r in full.collect()), key=lambda t: (t[0], str(t[1]))
+    )
+    assert got == exp
