@@ -58,6 +58,21 @@ HEADLINE = [
     "text_entropy",
     "emb_centroids",
     "linear_interpolate",
+    # round-5 late ops (round-5 verdict ask #6: track their walls)
+    "weighted_sample",
+    "interval_merge",
+    "semdedup",
+    "bpe_token_count",
+    # round-6 ops
+    "segment_dedup",
+    "inverted_index",
+    "knn_join",
+    "emb_quantize",
+    "realized_vol",
+    "autocorr_lag",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q18",
 ]
 
 

@@ -21,8 +21,10 @@ from institutional_fx_etl_spark.operators.multimodal import (
 from institutional_fx_etl_spark.operators.ohlc import ticks_to_candles
 from institutional_fx_etl_spark.operators.similarity import (
     cosine_topk,
+    emb_quantize_int8,
     embedding_near_dup_pairs,
     ivf_topk,
+    knn_join,
     lsh_ann_pairs,
 )
 from institutional_fx_etl_spark.operators.spread import (
@@ -31,9 +33,19 @@ from institutional_fx_etl_spark.operators.spread import (
 )
 from institutional_fx_etl_spark.operators.text import (
     fingerprint,
+    inverted_index,
     lang_id,
     quality_score,
+    segment_dedup,
     with_text_stats,
+)
+from institutional_fx_etl_spark.operators.timeseries import (
+    autocorr_exact,
+    max_drawdown,
+    minmax_normalize,
+    realized_volatility,
+    rsi_cutler,
+    vwap,
 )
 
 __all__ = [
@@ -54,12 +66,22 @@ __all__ = [
     "ticks_to_candles",
     "cosine_topk",
     "embedding_near_dup_pairs",
+    "emb_quantize_int8",
     "ivf_topk",
+    "knn_join",
     "lsh_ann_pairs",
     "repair_spread",
     "repair_spread_windowed",
     "fingerprint",
+    "inverted_index",
     "lang_id",
     "quality_score",
+    "segment_dedup",
     "with_text_stats",
+    "autocorr_exact",
+    "max_drawdown",
+    "minmax_normalize",
+    "realized_volatility",
+    "rsi_cutler",
+    "vwap",
 ]

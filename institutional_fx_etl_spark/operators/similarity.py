@@ -742,3 +742,96 @@ def _assign_to(
         F.first("vv").alias("vv"),
         F.expr("max_by(cid, named_struct('c', ccos, 'n', -cid))").alias("cid"),
     ).select("vid", "vv", "cid")
+
+
+def emb_quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 embedding quantization (the serving-side
+    compression step between full PQ and raw floats): per vector,
+    ``scale = max|x| / 127`` and ``code_i = floor(x_i/scale + 0.5)``
+    (explicit half-up fixed-point — ``round()`` tie rules differ
+    across engines). Pure scan-side array expressions — no shuffle,
+    no UDF; at 100 TB this is a map stage that shrinks the vector
+    payload 4×. Codes serialize comma-joined so the contract compare
+    is array-free; ``recon_err`` is the rounded max absolute
+    reconstruction error."""
+    v = _as_double(vec_col)
+    scale = "array_max(transform(__v, x -> abs(x))) / 127.0D"
+    codes = (
+        "transform(__v, x -> CAST(floor(x / __scale + 0.5D) AS INT))"
+    )
+    recon = (
+        "round(array_max(zip_with(__v, __codes,"
+        " (x, c) -> abs(x - c * __scale))), 6)"
+    )
+    return (
+        df.selectExpr(bq(id_col), f"{v} AS __v")
+        .selectExpr(bq(id_col), "__v", f"{scale} AS __scale")
+        .selectExpr(
+            bq(id_col),
+            "__v",
+            "__scale",
+            f"{codes} AS __codes",
+        )
+        .selectExpr(
+            bq(id_col),
+            "round(__scale, 6) AS scale",
+            "array_join(__codes, ',') AS codes",
+            f"{recon} AS recon_err",
+        )
+    )
+
+
+def knn_join(
+    df: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 8,
+    max_cell: int | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """All-pairs k-nearest-neighbor join, cell-bounded: EVERY vector
+    gets its ``k`` most cosine-similar neighbors from its own
+    nearest-centroid cell (the contrastive-pair / hard-negative
+    mining primitive — a full corpus×corpus KNN is quadratic, the
+    IVF-cell restriction makes it Σ|cell|² with the usual
+    num_centroids ≈ n/target_cell sizing and the same ``max_cell``
+    hot-cell cap as :func:`semdedup`). One cell-keyed self-join, then
+    a per-vector row_number rank — the rank window's keys are the
+    corpus ids, so no hot partition. Output: vec_id, nn_id, rank,
+    cosine (desc, nn_id-asc tiebreak)."""
+    assigned = (
+        ivf_assign(df, vec_col, id_col, num_centroids)
+        if centroids is None
+        else _assign_to(df, centroids, vec_col, id_col)
+    )
+    if max_cell is not None:
+        small = (
+            assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_cell)
+            .select("cid")
+        )
+        assigned = assigned.join(small, "cid", "left_semi")
+    a = assigned.selectExpr("vid", "vv AS va", "cid")
+    b = assigned.selectExpr("vid AS nn_id", "vv AS vb", "cid")
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
+    na = "sqrt(aggregate(va, 0.0d, (a, x) -> a + x*x))"
+    nb = "sqrt(aggregate(vb, 0.0d, (a, x) -> a + x*x))"
+    scored = (
+        a.join(b, on="cid")
+        .filter(F.col("vid") != F.col("nn_id"))
+        .selectExpr(
+            "vid", "nn_id", f"round({dot}/({na}*{nb}), 6) AS cosine"
+        )
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .selectExpr(f"vid AS {bq(id_col)}", "nn_id", "rank", "cosine")
+    )

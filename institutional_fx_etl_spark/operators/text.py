@@ -12,7 +12,7 @@ external engine (the DuckDB oracle) reproduces values exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from institutional_fx_etl_spark.functions.identifiers import bq
@@ -544,4 +544,103 @@ def bpe_token_stats(
         f"round(CASE WHEN size({nonws}) > 0 THEN"
         f" cast(length({bq(text_col)}) as double) / size({nonws}) END, 6)"
         " AS chars_per_token",
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segment_tokens: int = 16,
+) -> DataFrame:
+    """Segment-grain exact substring dedup (the scalable approximation
+    of Lee et al. 2022's exact-substring dedup, at fixed token-window
+    grain): split every document into non-overlapping
+    ``segment_tokens``-token segments, keep each distinct segment text
+    only at its FIRST occurrence corpus-wide (smallest (doc, start)),
+    and reassemble the cleaned text per document.
+
+    One shuffle keyed on the segment digest (md5 — 32-byte keys, the
+    segment text itself never re-shuffles for ranking), then one
+    per-document regroup bounded by the document's own segment count.
+    Boilerplate that repeats across millions of documents collapses to
+    its single first copy; at 100 TB the hot digest is one reduce key
+    whose group is ids-only. Output: id, clean_text (kept segments in
+    order), n_segments, n_kept."""
+    toks = "__toks"
+    segs = (
+        f"transform(sequence(0, greatest(size({toks}) - 1, 0),"
+        f" {segment_tokens}), s -> named_struct('start', s, 'seg',"
+        f" array_join(slice({toks}, s + 1, {segment_tokens}), ' ')))"
+    )
+    seg_rows = (
+        df.withColumn(toks, tokens(text_col))
+        .selectExpr(bq(id_col), f"explode({segs}) AS __s")
+        .selectExpr(
+            bq(id_col),
+            "cast(__s.start as int) AS start",
+            "__s.seg AS seg",
+            "md5(__s.seg) AS __h",
+        )
+    )
+    w = Window.partitionBy("__h").orderBy(id_col, "start")
+    ranked = seg_rows.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("__rn") == 1).cast("int")).alias("n_kept"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__rn") == 1,
+                        F.struct(F.col("start"), F.col("seg")),
+                    )
+                )
+            ).alias("__kept"),
+        )
+        .selectExpr(
+            bq(id_col),
+            "array_join(transform(__kept, s -> s.seg), ' ') AS clean_text",
+            "cast(n_segments as int) AS n_segments",
+            "cast(n_kept as int) AS n_kept",
+        )
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 10,
+    min_df: int = 1,
+) -> DataFrame:
+    """Term → posting-list build (the search-index / data-exploration
+    primitive): distinct (term, doc) pairs, one hash aggregate per
+    term producing the document frequency and the first
+    ``max_postings`` doc ids ascending (a bounded prefix — the full
+    list for a stopword-grade term would be corpus-sized; the df count
+    stays exact regardless). Postings serialize to a comma-joined
+    string so the contract compare is array-free. Scan-side explode +
+    ONE term-keyed shuffle whose combiner collapses per-partition
+    duplicates first."""
+    pairs = (
+        df.withColumn("__t", F.explode(tokens(text_col)))
+        .filter(F.col("__t") != "")
+        .select(F.col("__t").alias("term"), F.col(id_col).alias("__id"))
+        .distinct()
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.slice(
+                    F.array_sort(F.collect_list("__id")), 1, max_postings
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+        .select("term", F.col("df").cast("int").alias("df"), "postings")
     )

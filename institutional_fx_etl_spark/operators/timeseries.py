@@ -1,0 +1,231 @@
+"""Time-series indicator operators (round-6 surface widening).
+
+The reference's analytics stop at the OHLC/consensus pipeline
+(`/root/reference/src/hybrid_merger.py` — no indicator layer); these
+are the standard financial-series follow-ons a user of such a pipeline
+computes next, each expressed as one partitioned window pass or one
+hash aggregate — JVM-side expressions only, no UDFs, every window
+keyed by the series column so partitions parallelize at 100 TB.
+
+Determinism contract (shared with plans/driver_queries.py): ordered
+windows carry a total-order tiebreak; float outputs are rounded to 6
+decimals with expression shapes mirrored verbatim in the DuckDB
+oracles; cross-engine-exact sums go through integer/decimal fixed-
+point (``floor(x·1e6+0.5)`` micro-units summed as DECIMAL(38,0)) so
+summation order cannot drift the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def vwap(
+    df: DataFrame,
+    price_col: str,
+    qty_col: str,
+    group_cols: tuple[str, ...],
+) -> DataFrame:
+    """Volume-weighted average price per group:
+    ``sum(price·qty)/sum(qty)`` with DECIMAL-exact partial sums (the
+    repo's decimal-sum trick — map-side combine + one vocabulary-
+    bounded shuffle, bit-identical across engines and partitionings).
+    Output: group cols, vwap (round 6), total_qty."""
+    pq = (F.col(price_col) * F.col(qty_col)).cast("decimal(38,6)")
+    q = F.col(qty_col).cast("decimal(38,6)")
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.sum(pq).alias("__spq"),
+            F.sum(q).alias("__sq"),
+        )
+        .select(
+            *group_cols,
+            F.round(
+                (F.col("__spq") / F.col("__sq")).cast("double"), 6
+            ).alias("vwap"),
+            F.col("__sq").cast("double").alias("total_qty"),
+        )
+    )
+
+
+def max_drawdown(
+    df: DataFrame,
+    value_col: str,
+    order_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...],
+) -> DataFrame:
+    """Maximum drawdown per series: running peak (unbounded-preceding
+    max) then the largest peak-to-value decline ``(peak − v)/peak``.
+    One ordered window + one hash aggregate per series. Output:
+    partition cols, max_drawdown (round 6), n_rows."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max(value_col).over(w)
+    dd = (peak - F.col(value_col)) / peak
+    return (
+        df.select(*partition_cols, dd.alias("__dd"))
+        .groupBy(*partition_cols)
+        .agg(
+            F.round(F.max("__dd"), 6).alias("max_drawdown"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def realized_volatility(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    order_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...],
+) -> DataFrame:
+    """Realized volatility per (series, day): the square root of the
+    day's sum of squared log returns (the standard high-frequency
+    vol estimator). The log-return lag runs over the full series
+    order (returns spanning midnight belong to the day they land in);
+    the per-day sum is fixed-point (micro-unit bigint of each squared
+    return, summed as DECIMAL — order-independent) so the hash cannot
+    drift. Output: partition cols, d, realized_vol (round 6),
+    n_returns."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    lr = F.log(F.col(value_col) / F.lag(value_col).over(w))
+    sq_micro = F.expr(
+        "CAST(floor(__lr * __lr * 1e6 + 0.5) AS DECIMAL(38,0))"
+    )
+    return (
+        df.withColumn("__lr", lr)
+        .filter(F.col("__lr").isNotNull())
+        .select(
+            *partition_cols,
+            # date-of-day as midnight TIMESTAMP: the contract compare
+            # is dtype-strict and DATE surfaces differently per engine
+            F.to_date(ts_col).cast("timestamp").alias("d"),
+            sq_micro.alias("__sq"),
+        )
+        .groupBy(*partition_cols, "d")
+        .agg(
+            F.round(
+                F.sqrt(F.sum("__sq").cast("double") / F.lit(1e6)), 6
+            ).alias("realized_vol"),
+            F.count(F.lit(1)).alias("n_returns"),
+        )
+    )
+
+
+def rsi_cutler(
+    df: DataFrame,
+    value_col: str,
+    order_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...],
+    n: int = 14,
+) -> DataFrame:
+    """Cutler's RSI (simple-moving-average form — window-expressible,
+    unlike Wilder's recursive smoothing): over the trailing ``n``
+    diffs, ``rsi = 100 − 100/(1 + avgGain/avgLoss)``; all-gain
+    windows pin to 100, all-loss to 0, and the first row (no diff)
+    is NULL. One ordered window pass per series."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    diff = F.col(value_col) - F.lag(value_col).over(w)
+    frame = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(n - 1), 0)
+    )
+    gain = F.avg(F.greatest(F.col("__diff"), F.lit(0.0))).over(frame)
+    loss = F.avg(F.greatest(-F.col("__diff"), F.lit(0.0))).over(frame)
+    rsi = (
+        F.when(F.col("__diff").isNull(), F.lit(None).cast("double"))
+        .when(F.col("__loss") == 0.0, F.lit(100.0))
+        .otherwise(
+            F.lit(100.0)
+            - F.lit(100.0) / (F.lit(1.0) + F.col("__gain") / F.col("__loss"))
+        )
+    )
+    return (
+        df.withColumn("__diff", diff)
+        .withColumn("__gain", gain)
+        .withColumn("__loss", loss)
+        .withColumn("rsi", F.round(rsi, 6))
+        .drop("__diff", "__gain", "__loss")
+    )
+
+
+def autocorr_exact(
+    df: DataFrame,
+    value_col: str,
+    order_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...],
+    lag: int = 1,
+) -> DataFrame:
+    """Lag-k autocorrelation per series, EXACT across engines: built-in
+    ``corr`` is a streaming co-moment whose last-ulp result depends on
+    partition/visit order, so instead the inputs are fixed-pointed to
+    micro-units (``floor(v·1e6+0.5)`` bigints) and the five Pearson
+    sums (Σx Σy Σxy Σx² Σy²) accumulate as DECIMAL(38,0) — integer-
+    exact under any grouping — with the final formula evaluated once
+    in doubles with an expression shape the oracle mirrors verbatim.
+    Output: partition cols, autocorr (round 6), n_pairs."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    # micro-unit BIGINTs at row level (products stay in long range for
+    # |v| < ~3e3); the per-group sums cast to DECIMAL(38,0) so they
+    # are integer-exact under any partial-aggregation grouping
+    x = F.expr(f"CAST(floor({value_col} * 1e6 + 0.5) AS BIGINT)")
+    dec = "decimal(38,0)"
+    paired = (
+        df.withColumn("__x", x)
+        .withColumn("__y", F.lag("__x", lag).over(w))
+        .filter(F.col("__y").isNotNull())
+    )
+    agg = paired.groupBy(*partition_cols).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("__x").cast(dec)).alias("__sx"),
+        F.sum(F.col("__y").cast(dec)).alias("__sy"),
+        F.sum((F.col("__x") * F.col("__y")).cast(dec)).alias("__sxy"),
+        F.sum((F.col("__x") * F.col("__x")).cast(dec)).alias("__sxx"),
+        F.sum((F.col("__y") * F.col("__y")).cast(dec)).alias("__syy"),
+    )
+    corr_sql = (
+        "round((CAST(n_pairs AS DOUBLE) * CAST(__sxy AS DOUBLE)"
+        " - CAST(__sx AS DOUBLE) * CAST(__sy AS DOUBLE))"
+        " / sqrt((CAST(n_pairs AS DOUBLE) * CAST(__sxx AS DOUBLE)"
+        " - CAST(__sx AS DOUBLE) * CAST(__sx AS DOUBLE))"
+        " * (CAST(n_pairs AS DOUBLE) * CAST(__syy AS DOUBLE)"
+        " - CAST(__sy AS DOUBLE) * CAST(__sy AS DOUBLE))), 6)"
+    )
+    return agg.selectExpr(
+        *partition_cols, f"{corr_sql} AS autocorr", "n_pairs"
+    )
+
+
+def minmax_normalize(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: tuple[str, ...],
+    out_col: str = "value_mm",
+) -> DataFrame:
+    """Per-group min-max scaling ``(v − min)/(max − min)`` (the
+    companion to ``zscore_normalize``): one hash aggregate per group,
+    broadcast back onto the scan — no window, no per-group sort.
+    Constant groups (max == min) scale to NULL (division by zero under
+    non-ANSI — the oracle mirrors with NULLIF)."""
+    bounds = df.groupBy(*partition_cols).agg(
+        F.min(value_col).alias("__mn"), F.max(value_col).alias("__mx")
+    )
+    joined = (
+        df.join(F.broadcast(bounds), list(partition_cols))
+        if partition_cols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    return joined.withColumn(
+        out_col,
+        F.round(
+            (F.col(value_col) - F.col("__mn"))
+            / F.nullif(F.col("__mx") - F.col("__mn"), F.lit(0.0)),
+            6,
+        ),
+    ).drop("__mn", "__mx")

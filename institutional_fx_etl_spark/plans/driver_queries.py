@@ -5018,6 +5018,561 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "vwap",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(SUM(CAST(l_extendedprice * l_quantity
+                              AS DECIMAL(38,6)))
+                      / SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                      AS DOUBLE), 6) AS vwap,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per (returnflag, linestatus):
+    DECIMAL-exact partial sums (map-side combine, one bounded shuffle)
+    — ``operators/timeseries.py::vwap``."""
+    from institutional_fx_etl_spark.operators.timeseries import vwap
+
+    return vwap(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        ("l_returnflag", "l_linestatus"),
+    )
+
+
+@register(
+    "max_drawdown",
+    """
+    WITH s AS (
+      SELECT event_type, event_id, ts, value FROM events
+      WHERE value IS NOT NULL AND value > 0
+    ),
+    r AS (
+      SELECT event_type,
+             (max(value) OVER w - value) / max(value) OVER w AS dd
+      FROM s
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, round(max(dd), 6) AS max_drawdown,
+           count(*) AS n_rows
+    FROM r GROUP BY event_type
+    """,
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series: running peak (unbounded-preceding
+    max) then the largest (peak−v)/peak — one ordered window + one
+    hash aggregate per event_type
+    (``operators/timeseries.py::max_drawdown``)."""
+    from institutional_fx_etl_spark.operators.timeseries import max_drawdown
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        "value IS NOT NULL AND value > 0"
+    )
+    return max_drawdown(ev, "value", ("ts", "event_id"), ("event_type",))
+
+
+@register(
+    "realized_vol",
+    """
+    WITH s AS (
+      SELECT event_type, event_id, ts, value FROM events
+      WHERE value IS NOT NULL AND value > 0
+    ),
+    r AS (
+      SELECT event_type, ts,
+             ln(value / lag(value) OVER
+                (PARTITION BY event_type ORDER BY ts, event_id)) AS lr
+      FROM s
+    ),
+    f AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d,
+             CAST(floor(lr * lr * 1e6 + 0.5) AS DECIMAL(38,0)) AS sq
+      FROM r WHERE lr IS NOT NULL
+    )
+    SELECT event_type, d,
+           round(sqrt(CAST(SUM(sq) AS DOUBLE) / 1e6), 6)
+             AS realized_vol,
+           count(*) AS n_returns
+    FROM f GROUP BY event_type, d
+    """,
+)
+def q_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized volatility per (event_type, day): sqrt of the day's
+    sum of squared log returns; the squared returns go through
+    micro-unit fixed point summed as DECIMAL, so the hash is
+    summation-order-proof
+    (``operators/timeseries.py::realized_volatility``)."""
+    from institutional_fx_etl_spark.operators.timeseries import (
+        realized_volatility,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        "value IS NOT NULL AND value > 0"
+    )
+    return realized_volatility(
+        ev, "value", "ts", ("ts", "event_id"), ("event_type",)
+    )
+
+
+@register(
+    "rsi_cutler",
+    """
+    WITH s AS (
+      SELECT event_type, event_id, ts, value FROM events
+      WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT *, value - lag(value) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id) AS diff
+      FROM s
+    ),
+    g AS (
+      SELECT *, avg(greatest(diff, 0)) OVER w AS gain,
+                avg(greatest(-diff, 0)) OVER w AS loss
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, event_id, ts, value,
+           round(CASE WHEN diff IS NULL THEN NULL
+                      WHEN loss = 0 THEN 100.0
+                      ELSE 100.0 - 100.0 / (1.0 + gain / loss) END, 6)
+             AS rsi
+    FROM g
+    """,
+)
+def q_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI (simple-average form, window-expressible — unlike
+    Wilder's recursive smoothing): one ordered window pass per
+    event_type (``operators/timeseries.py::rsi_cutler``). Both engines
+    treat the first row's NULL diff identically (greatest skips
+    NULLs), so the frame averages agree bit-for-bit."""
+    from institutional_fx_etl_spark.operators.timeseries import rsi_cutler
+
+    ev = load_table(spark, sf_dir, "events").filter("value IS NOT NULL")
+    out = rsi_cutler(ev, "value", ("ts", "event_id"), ("event_type",), n=14)
+    return out.select("event_type", "event_id", "ts", "value", "rsi")
+
+
+@register(
+    "autocorr_lag",
+    """
+    WITH s AS (
+      SELECT event_type, event_id, ts, value FROM events
+      WHERE value IS NOT NULL
+    ),
+    p AS (
+      SELECT event_type,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS x,
+             lag(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id) AS y
+      FROM s
+    ),
+    a AS (
+      SELECT event_type, count(*) AS n_pairs,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+      FROM p WHERE y IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type,
+           round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS autocorr,
+           n_pairs
+    FROM a
+    """,
+)
+def q_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per series, EXACT across engines: the
+    five Pearson sums accumulate over micro-unit bigints as DECIMAL
+    (streaming ``corr`` co-moments drift in the last ulp with visit
+    order — this doesn't) —
+    ``operators/timeseries.py::autocorr_exact``."""
+    from institutional_fx_etl_spark.operators.timeseries import autocorr_exact
+
+    ev = load_table(spark, sf_dir, "events").filter("value IS NOT NULL")
+    return autocorr_exact(
+        ev, "value", ("ts", "event_id"), ("event_type",), lag=1
+    )
+
+
+@register(
+    "minmax_scale",
+    """
+    WITH b AS (
+      SELECT event_type, min(value) AS mn, max(value) AS mx
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type, e.event_id, e.ts, e.value,
+           round((e.value - b.mn) / NULLIF(b.mx - b.mn, 0.0), 6)
+             AS value_mm
+    FROM events e JOIN b USING (event_type)
+    WHERE e.value IS NOT NULL
+    """,
+)
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max normalization (companion to
+    ``zscore_normalize``): one hash aggregate broadcast back onto the
+    scan — no window sort
+    (``operators/timeseries.py::minmax_normalize``)."""
+    from institutional_fx_etl_spark.operators.timeseries import (
+        minmax_normalize,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter("value IS NOT NULL")
+    out = minmax_normalize(ev, "value", ("event_type",))
+    return out.select("event_type", "event_id", "ts", "value", "value_mm")
+
+
+@register(
+    "segment_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, CAST(s AS INT) AS start,
+             array_to_string(list_slice(toks, s + 1, s + 16), ' ') AS seg
+      FROM t, unnest(range(0, greatest(len(toks), 1), 16)) AS u(s)
+    ),
+    r AS (
+      SELECT *, row_number() OVER
+               (PARTITION BY seg ORDER BY doc_id, start) AS rn
+      FROM seg
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                               ORDER BY start), '') AS clean_text,
+           CAST(count(*) AS INT) AS n_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT)
+             AS n_kept
+    FROM r GROUP BY doc_id
+    """,
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-grain exact substring dedup (Lee et al. 2022 at fixed
+    16-token windows): each distinct segment survives only at its
+    first (doc, start) occurrence; documents reassemble from kept
+    segments. One digest-keyed shuffle + one per-doc regroup
+    (``operators/text.py::segment_dedup``)."""
+    from institutional_fx_etl_spark.operators.text import segment_dedup
+
+    return segment_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "inverted_index",
+    """
+    WITH t AS (
+      SELECT DISTINCT term, doc_id FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents
+      ) WHERE term <> ''
+    ),
+    a AS (
+      SELECT term, CAST(count(*) AS INT) AS df,
+             list_sort(list(doc_id)) AS ids
+      FROM t GROUP BY term
+    )
+    SELECT term, df,
+           array_to_string(list_slice(ids, 1, 10), ',') AS postings
+    FROM a WHERE df >= 2
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term → posting-list build: distinct (term, doc) pairs, one
+    term-keyed aggregate emitting the exact document frequency and a
+    bounded ascending posting prefix
+    (``operators/text.py::inverted_index``)."""
+    from institutional_fx_etl_spark.operators.text import inverted_index
+
+    return inverted_index(
+        load_table(spark, sf_dir, "documents"), max_postings=10, min_df=2
+    )
+
+
+@register(
+    "emb_quantize",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, vv,
+             list_max(list_transform(vv, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ),
+    c AS (
+      SELECT vec_id, vv, scale,
+             list_transform(vv, x -> CAST(floor(x / scale + 0.5) AS INT))
+               AS codes
+      FROM s
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           array_to_string(codes, ',') AS codes,
+           round(list_max(list_transform(range(1, len(vv) + 1),
+                 i -> abs(vv[i] - codes[i] * scale))), 6) AS recon_err
+    FROM c
+    """,
+)
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization: per-vector max-abs scale,
+    half-up fixed-point codes, max reconstruction error — a pure
+    scan-side map (``operators/similarity.py::emb_quantize_int8``)."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        emb_quantize_int8,
+    )
+
+    return emb_quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "knn_join",
+    """
+    WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS vv
+               FROM embeddings),
+    cents AS (SELECT vid AS cid, vv AS cv FROM v WHERE vid < 8),
+    scored AS (
+      SELECT v.vid, v.vv, c.cid,
+             round(list_dot_product(v.vv, c.cv)
+                   / (sqrt(list_dot_product(v.vv, v.vv))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos
+      FROM v CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vid, vv, cid FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    s AS (
+      SELECT a.vid, b.vid AS nn_id,
+             round(list_dot_product(a.vv, b.vv)
+                   / (sqrt(list_dot_product(a.vv, a.vv))
+                      * sqrt(list_dot_product(b.vv, b.vv))), 6) AS cosine
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vid <> b.vid
+    )
+    SELECT vid AS vec_id, nn_id,
+           CAST(row_number() OVER
+             (PARTITION BY vid ORDER BY cosine DESC, nn_id) AS INT)
+             AS rank,
+           cosine
+    FROM s QUALIFY rank <= 3
+    """,
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs KNN join, IVF-cell-bounded: every vector's 3 nearest
+    neighbors from its own cell (contrastive-pair / hard-negative
+    mining primitive; fan-out Σ|cell|², never corpus²) —
+    ``operators/similarity.py::knn_join``."""
+    from institutional_fx_etl_spark.operators.similarity import knn_join
+
+    return knn_join(load_table(spark, sf_dir, "embeddings"), k=3)
+
+
+@register(
+    "tpch_q3",
+    """
+    SELECT l.l_orderkey,
+           round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-06-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,4))) DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): a dim-filtered 3-way star
+    join — customer is explicitly broadcast (filter first, then
+    broadcast the survivors), orders↔lineitem shuffle on the order
+    key — topped by a DECIMAL-exact revenue aggregate and a
+    TakeOrderedAndProject top-10 (no global sort). The classic
+    Catalyst showcase: both filters push to the parquet scans, column
+    pruning cuts the fact read to 4 columns."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter("c_mktsegment = 'BUILDING'")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        "o_orderdate < TIMESTAMP '1996-06-01 00:00:00'"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        "l_shipdate > TIMESTAMP '1996-06-01 00:00:00'"
+    )
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("__rev"))
+        .orderBy(F.desc("__rev"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round(F.col("__rev").cast("double"), 6).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "tpch_q5",
+    """
+    SELECT n.n_name,
+           round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): a SIX-way star join.
+    region→nation→supplier collapses to one broadcast dim chain; the
+    fact side shuffles once on the order key; the
+    same-nation (c_nationkey = s_nationkey) condition rides the
+    supplier join. Revenue is DECIMAL-exact per nation."""
+    region = load_table(spark, sf_dir, "region").filter("r_name = 'ASIA'")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        " AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sn = (
+        supp.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            supp.s_nationkey == nation.n_nationkey,
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(sn),
+            (li.l_suppkey == sn.s_suppkey)
+            & (cust.c_nationkey == sn.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.round(rev.cast("double"), 6).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q18",
+    """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): a self-semi-join pattern
+    — the HAVING subquery reduces lineitem to qualifying order keys
+    (map-side partial sums first), which then SEMI-prune the fact
+    re-read before the detail join; the final top-100 is a
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty")
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -5035,21 +5590,79 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 _HEAD = [
-    # new this round / red-fix (first driver row needed)
+    # --- round-6 window (50) ------------------------------------------
+    # new this round (first driver row needed)
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q18",
+    "vwap",
+    "max_drawdown",
+    "realized_vol",
+    "rsi_cutler",
+    "autocorr_lag",
+    "minmax_scale",
+    "segment_dedup",
+    "inverted_index",
+    "emb_quantize",
+    "knn_join",
+    # round-5 late additions — never driver-certified (round-5 verdict
+    # ask #1: all 19 into the r6 window)
+    "asof_join_nearest",
+    "bollinger_bands",
+    "bpe_token_count",
+    "candle_resample",
+    "corpus_rebalance",
+    "dedup_apply",
+    "dedup_degree_stats",
+    "doc_feature_matrix",
+    "doc_packing",
+    "doc_packing_text",
+    "emb_centroids",
+    "equidepth_histogram",
+    "interval_merge",
+    "linear_interpolate",
+    "retention_cohorts",
+    "semdedup",
+    "text_entropy",
+    "weighted_sample",
+    "zscore_normalize",
+    # code changed this round — fresh rows over the new plans
+    # (cell-blocked near-dup, pairs persist in CC, backward-emitting
+    # fused bridge, join-diffed incremental state) + flagship family
+    "embedding_near_dup",
+    "dedup_clusters",
+    "pipeline_clean_fixture_fused",
+    "hybrid_pipeline",
+    "hybrid_pipeline_audit",
+    "hybrid_pipeline_chunked",
+    "hybrid_pipeline_multisym",
+    "incremental_merge",
+    "incremental_merge_multisym",
+    # rotated back in: last driver row is r4 (oldest first priority)
+    "streaming_gap_bridge",
+    "pipeline_clean_fixture",
+    "validator_reconcile",
+    "doc_chunking",
+    "winnow_pairs",
+    "skew_salted_join",
+    "winnow_fingerprint",
+    "decontaminate_ngram",
+    "pii_redact",
+]
+_TAIL = [
+    # r5-green, code unchanged this round — oracle-checked at sf0.001
+    # by tests/test_contract_tail.py while out of window. The r4-green
+    # remainder (consecutive_streaks ... array_agg_functions) is NOT
+    # listed here, so _reorder_registry places it between _HEAD and
+    # _TAIL — top of the pytest tail, first in line for the r7 window
+    # (their rows are oldest).
     "sketch_stats_exact",
     "corpus_filter_report",
-    # code or oracle changed this round (hot-bucket cap, digest-key
-    # exact dedup, two-level top-k) — need a fresh row over the new
-    # plans
     "dedup_minhash_lsh",
     "dedup_exact",
-    "dedup_clusters",
     "dedup_stats",
     "corpus_pipeline",
     "ann_topk",
-    # rotated back in: every remaining query whose last driver row is
-    # r1-r3 (round-4 verdict ask #5 — r5 ∪ r4 covers the whole
-    # registry)
     "tumbling_ohlc",
     "global_median",
     "groupby_agg",
@@ -5069,7 +5682,6 @@ _HEAD = [
     "pivot_agg",
     "set_ops",
     "value_histogram",
-    "pipeline_clean_fixture_fused",
     "ivf_topk_kmeans",
     "pq_encode",
     "stratified_sample",
@@ -5079,70 +5691,13 @@ _HEAD = [
     "text_quality",
     "multimodal_decode",
     "ivf_topk",
-    "embedding_near_dup",
     "align_left_join",
     "time_spine",
     "rolling_median_centered",
     "scan_project",
     "filter_nullsafe",
     "weekday_filter",
-    # flagship core (stays in-window; the full rotation this round
-    # leaves room for 6 of the 10 — the other four are r4-green,
-    # unchanged, and pytest tail-gated)
-    "hybrid_pipeline",
-    "hybrid_pipeline_multisym",
-    "hybrid_pipeline_audit",
-    "hybrid_pipeline_chunked",
-    "incremental_merge",
     "streaming_tumbling_ohlc",
-]
-_TAIL = [
-    # r4-green, code unchanged this round — all oracle-checked at
-    # sf0.001 by tests/test_contract_tail.py while out of window.
-    # (Queries new in r5 are NOT listed here, so _reorder_registry
-    # places them between _HEAD and _TAIL — top of the pytest tail,
-    # first in line for the r6 window.)
-    "pipeline_clean_fixture",
-    "validator_reconcile",
-    "streaming_gap_bridge",
-    "incremental_merge_multisym",
-    "doc_chunking",
-    "winnow_pairs",
-    "skew_salted_join",
-    "winnow_fingerprint",
-    "decontaminate_ngram",
-    "pii_redact",
-    "grouping_sets_agg",
-    "bitmap_prune_join",
-    "funnel_analysis",
-    "consecutive_streaks",
-    "streaming_sliding_window",
-    "streaming_stream_join",
-    "range_join_banded",
-    "skew_salted_agg",
-    "exact_quantiles",
-    "text_repetition",
-    "tfidf_topterms",
-    "sketch_stats",
-    "range_frame_window",
-    "asof_join_tolerance",
-    "rank_distributions",
-    "topk",
-    "anti_join",
-    "audit_union",
-    "ffill",
-    "lag_pct_change",
-    "rolling_stats",
-    "stats_agg",
-    "latest_record_dedup",
-    "train_test_split",
-    "session_window_agg",
-    "text_lang_id",
-    "multimodal_frames",
-    "inner_reconcile",
-    "greatest_least_fix",
-    "combine_first",
-    "array_agg_functions",
 ]
 
 

@@ -97,3 +97,129 @@ def test_asof_nearest_equal_ts_right_rows_deterministic(spark):
         assert out[0]["quote_near"] == 30.0, (
             "equal-ts right rows must resolve to the max payload"
         )
+
+
+def test_max_drawdown_known_series(spark):
+    """10 → 5 is a 50% drawdown; the later 8 → 6 dip (25%) must not
+    win; a monotone series has drawdown 0."""
+    from datetime import datetime, timedelta
+
+    from institutional_fx_etl_spark.operators.timeseries import max_drawdown
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("A", t0 + timedelta(minutes=i), v)
+        for i, v in enumerate([10.0, 5.0, 8.0, 6.0, 9.0])
+    ] + [("B", t0 + timedelta(minutes=i), float(i + 1)) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    out = {
+        r["g"]: r["max_drawdown"]
+        for r in max_drawdown(df, "value", ("ts",), ("g",)).collect()
+    }
+    assert out["A"] == 0.5
+    assert out["B"] == 0.0
+
+
+def test_rsi_cutler_monotone_series(spark):
+    """A strictly rising series pins RSI at 100 after the first row;
+    a strictly falling one pins at 0."""
+    from datetime import datetime, timedelta
+
+    from institutional_fx_etl_spark.operators.timeseries import rsi_cutler
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("up", t0 + timedelta(minutes=i), float(i)) for i in range(6)]
+    rows += [("dn", t0 + timedelta(minutes=i), float(-i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    out = rsi_cutler(df, "value", ("ts",), ("g",), n=3).collect()
+    for r in out:
+        if r["rsi"] is None:
+            continue
+        assert r["rsi"] == (100.0 if r["g"] == "up" else 0.0)
+
+
+def test_autocorr_exact_alternating_and_linear(spark):
+    """A perfectly alternating ±1 series has lag-1 autocorr −1; a
+    linear ramp has +1 (both exactly, thanks to fixed-point sums)."""
+    from datetime import datetime, timedelta
+
+    from institutional_fx_etl_spark.operators.timeseries import autocorr_exact
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("alt", t0 + timedelta(minutes=i), 1.0 if i % 2 == 0 else -1.0)
+        for i in range(10)
+    ] + [("lin", t0 + timedelta(minutes=i), float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    out = {
+        r["g"]: r["autocorr"]
+        for r in autocorr_exact(df, "value", ("ts",), ("g",)).collect()
+    }
+    assert out["alt"] == -1.0
+    assert out["lin"] == 1.0
+
+
+def test_segment_dedup_cross_doc_boilerplate(spark):
+    """A 16-token boilerplate block shared by three docs survives only
+    in the first; unique segments are untouched."""
+    from institutional_fx_etl_spark.operators.text import segment_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(16))
+    uniq = lambda d: " ".join(f"u{d}_{i}" for i in range(16))  # noqa: E731
+    rows = [
+        (0, boiler + " " + uniq(0)),
+        (1, boiler + " " + uniq(1)),
+        (2, uniq(2) + " " + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in segment_dedup(df).collect()}
+    assert out[0]["n_kept"] == 2 and out[0]["clean_text"].startswith(boiler)
+    assert out[1]["n_kept"] == 1 and out[1]["clean_text"] == uniq(1)
+    assert out[2]["n_kept"] == 1 and out[2]["clean_text"] == uniq(2)
+
+
+def test_inverted_index_postings(spark):
+    from institutional_fx_etl_spark.operators.text import inverted_index
+
+    rows = [(1, "alpha beta"), (2, "beta gamma beta"), (3, "beta alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["term"]: r for r in inverted_index(df, min_df=1).collect()}
+    assert out["beta"]["df"] == 3 and out["beta"]["postings"] == "1,2,3"
+    assert out["alpha"]["df"] == 2 and out["alpha"]["postings"] == "1,3"
+    assert out["gamma"]["df"] == 1
+
+
+def test_emb_quantize_roundtrip_error_bounded(spark):
+    """Reconstruction error is bounded by scale/2 and the largest
+    component hits ±127 exactly."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        emb_quantize_int8,
+    )
+
+    rows = [(0, [0.5, -1.0, 0.25, 0.0]), (1, [2.0, 1.0, -2.0, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in emb_quantize_int8(df).collect()}
+    for vid, r in out.items():
+        codes = [int(c) for c in r["codes"].split(",")]
+        assert max(abs(c) for c in codes) == 127
+        assert r["recon_err"] <= r["scale"] / 2 + 1e-9
+
+
+def test_knn_join_neighbors_in_cell(spark):
+    """Every vector gets k ranked neighbors from its cell; rank-1 is
+    its true nearest within the cell."""
+    from institutional_fx_etl_spark.operators.similarity import knn_join
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.8, 0.3, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn_join(df, k=2, num_centroids=1).collect()
+    nn1 = {
+        r["vec_id"]: r["nn_id"] for r in out if r["rank"] == 1
+    }
+    assert nn1[0] == 1 and nn1[1] == 2 or nn1[1] == 0
+    assert all(r["cosine"] <= 1.0 for r in out)
