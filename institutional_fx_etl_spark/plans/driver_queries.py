@@ -38,6 +38,22 @@ from institutional_fx_etl_spark.sources.readers import load_table
 
 QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
 
+
+def _auto_cells(n: int, target_cell: int = 512) -> int:
+    """Corpus-sized nearest-centroid cell count for the cell-blocked
+    similarity queries (semdedup / knn_join / embedding_near_dup):
+    cells of ~``target_cell`` vectors keep the in-cell pairwise
+    compare at n·target_cell total pairs — LINEAR in the corpus —
+    instead of the quadratic blowup a fixed cell count hits as n
+    grows (round-6 bench: 8 cells at 50k vectors made knn_join 8.8 s;
+    ~100 right-sized cells cut the candidate set 12x). Mirrored in
+    the oracles as a scalar-subquery bound; past
+    MAX_LITERAL_CENTROIDS the assignment automatically switches to
+    the broadcast-join regime."""
+    import math
+
+    return max(8, math.ceil(n / target_cell))
+
 #: registry: name -> (spark_fn, oracle_sql or None for rows-only checks)
 REGISTRY: dict[str, QuerySpec] = {}
 
@@ -1365,7 +1381,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS vv
                FROM embeddings),
-    cents AS (SELECT vid AS cid, vv AS cv FROM v WHERE vid < 8),
+    cents AS (SELECT vid AS cid, vv AS cv FROM v
+              WHERE vid < greatest(8, CAST(ceil(
+                (SELECT count(*) FROM v) / 512.0) AS BIGINT))),
     scored AS (
       SELECT v.vid, v.vv, c.cid,
              round(list_dot_product(v.vv, c.cv)
@@ -1378,12 +1396,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, row_number() OVER
           (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn
         FROM scored) WHERE rn = 1
+    ),
+    normed AS (
+      SELECT vid, cid,
+             list_transform(vv, x -> x / sqrt(list_dot_product(vv, vv)))
+               AS vn
+      FROM assigned
     )
     SELECT a.vid AS id_a, b.vid AS id_b,
-           round(list_dot_product(a.vv, b.vv)
-                 / (sqrt(list_dot_product(a.vv, a.vv))
-                    * sqrt(list_dot_product(b.vv, b.vv))), 6) AS cosine
-    FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vid < b.vid
+           round(list_dot_product(a.vn, b.vn), 6) AS cosine
+    FROM normed a JOIN normed b ON a.cid = b.cid AND a.vid < b.vid
     ORDER BY cosine DESC, id_a, id_b
     LIMIT 20
     """,
@@ -1397,7 +1419,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_near_dup_pairs,
     )
 
-    return embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, num_centroids=_auto_cells(emb.count())
+    )
 
 
 @register(
@@ -4486,7 +4511,9 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semdedup",
     """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
-    cents AS (SELECT vec_id AS cid, vv AS cv FROM v WHERE vec_id < 8),
+    cents AS (SELECT vec_id AS cid, vv AS cv FROM v
+              WHERE vec_id < greatest(8, CAST(ceil(
+                (SELECT count(*) FROM v) / 512.0) AS BIGINT))),
     scored AS (
       SELECT v.vec_id AS vid, v.vv, c.cid,
              round(list_dot_product(v.vv, c.cv)
@@ -4500,13 +4527,17 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
           (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn
         FROM scored) WHERE rn = 1
     ),
+    normed AS (
+      SELECT vid, cid,
+             list_transform(vv, x -> x / sqrt(list_dot_product(vv, vv)))
+               AS vn
+      FROM assigned
+    ),
     dups AS (
       SELECT DISTINCT b.vid AS vid
-      FROM assigned a JOIN assigned b
+      FROM normed a JOIN normed b
         ON a.cid = b.cid AND a.vid < b.vid
-      WHERE round(list_dot_product(a.vv, b.vv)
-                  / (sqrt(list_dot_product(a.vv, a.vv))
-                     * sqrt(list_dot_product(b.vv, b.vv))), 6) >= 0.9
+      WHERE round(list_dot_product(a.vn, b.vn), 6) >= 0.9
     )
     SELECT s.vid AS vec_id, s.cid, d.vid IS NULL AS keep
     FROM assigned s LEFT JOIN dups d ON s.vid = d.vid
@@ -4520,9 +4551,8 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n; ``max_cell`` hard-caps skew like the MinHash hot-bucket cap)."""
     from institutional_fx_etl_spark.operators.similarity import semdedup
 
-    return semdedup(
-        load_table(spark, sf_dir, "embeddings"), min_cosine=0.9
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, min_cosine=0.9, num_centroids=_auto_cells(emb.count()))
 
 
 @register(
@@ -5346,7 +5376,9 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS vv
                FROM embeddings),
-    cents AS (SELECT vid AS cid, vv AS cv FROM v WHERE vid < 8),
+    cents AS (SELECT vid AS cid, vv AS cv FROM v
+              WHERE vid < greatest(8, CAST(ceil(
+                (SELECT count(*) FROM v) / 512.0) AS BIGINT))),
     scored AS (
       SELECT v.vid, v.vv, c.cid,
              round(list_dot_product(v.vv, c.cv)
@@ -5360,12 +5392,16 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
           (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn
         FROM scored) WHERE rn = 1
     ),
+    normed AS (
+      SELECT vid, cid,
+             list_transform(vv, x -> x / sqrt(list_dot_product(vv, vv)))
+               AS vn
+      FROM assigned
+    ),
     s AS (
       SELECT a.vid, b.vid AS nn_id,
-             round(list_dot_product(a.vv, b.vv)
-                   / (sqrt(list_dot_product(a.vv, a.vv))
-                      * sqrt(list_dot_product(b.vv, b.vv))), 6) AS cosine
-      FROM assigned a JOIN assigned b
+             round(list_dot_product(a.vn, b.vn), 6) AS cosine
+      FROM normed a JOIN normed b
         ON a.cid = b.cid AND a.vid <> b.vid
     )
     SELECT vid AS vec_id, nn_id,
@@ -5383,7 +5419,36 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/similarity.py::knn_join``."""
     from institutional_fx_etl_spark.operators.similarity import knn_join
 
-    return knn_join(load_table(spark, sf_dir, "embeddings"), k=3)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join(emb, k=3, num_centroids=_auto_cells(emb.count()))
+
+
+@register(
+    "streaming_static_join",
+    """
+    SELECT date_trunc('hour', e.ts) AS window_start, c.c_mktsegment,
+           count(*) AS n_events,
+           round(avg(e.value), 6) AS avg_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment + tumbling rollup driven to
+    completion over the bounded events source — must equal the batch
+    join+aggregate exactly (``streaming/candles.py::
+    run_stream_static_enrich``). The stateless streaming join shape:
+    no watermark, no buffering, static side re-broadcast per batch."""
+    from institutional_fx_etl_spark.streaming.candles import (
+        run_stream_static_enrich,
+    )
+
+    return run_stream_static_enrich(
+        spark,
+        f"{sf_dir}/events.parquet",
+        load_table(spark, sf_dir, "customer"),
+        table_name="stream_enriched_q",
+    )
 
 
 @register(
@@ -5573,6 +5638,219 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q7",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): a 6-way
+    join where the two nation dims broadcast onto supplier/customer,
+    the disjunctive nation-pair predicate prunes BEFORE the fact
+    joins, and revenue rolls up DECIMAL-exact per (nation pair,
+    year)."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.selectExpr(
+        "n_nationkey AS n1_key", "n_name AS supp_nation"
+    ).filter("supp_nation IN ('NATION_1', 'NATION_2')")
+    n2 = nation.selectExpr(
+        "n_nationkey AS n2_key", "n_name AS cust_nation"
+    ).filter("cust_nation IN ('NATION_1', 'NATION_2')")
+    sn = s.join(F.broadcast(n1), s.s_nationkey == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cn = cust.join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+    )
+    return (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cn), orders.o_custkey == cn.c_custkey)
+        .filter(
+            "(supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')"
+            " OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')"
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(rev.cast("double"), 6).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q10",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,4))) DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): returnflag filter
+    pushes to the fact scan, date range prunes orders, customer/nation
+    broadcast, top-20 by exact-decimal revenue via
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").filter("l_returnflag = 'R'")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        " AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "n_name")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cn), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.alias("__rev"))
+        .orderBy(F.desc("__rev"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("__rev").cast("double"), 6).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q14",
+    """
+    SELECT round(
+             100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4))
+               END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE), 6)
+             AS promo_revenue_pct,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion revenue share): date-pruned fact
+    scan, broadcast part dim, one conditional DECIMAL aggregate —
+    the promo/total ratio is computed once in doubles with the oracle
+    mirroring the exact expression."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        " AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q19",
+    """
+    SELECT round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive brand/size/
+    quantity predicates): the classic OR-of-ANDs pushdown test — the
+    part-side conjuncts prune the broadcast dim, the quantity
+    conjuncts prune the fact scan, and the residual disjunction
+    evaluates on the joined row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    cond = (
+        "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15"
+        " AND l_quantity BETWEEN 1 AND 20)"
+        " OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30"
+        " AND l_quantity BETWEEN 10 AND 35)"
+        " OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50"
+        " AND l_quantity BETWEEN 20 AND 50)"
+    )
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(rev.cast("double"), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -5592,7 +5870,12 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HEAD = [
     # --- round-6 window (50) ------------------------------------------
     # new this round (first driver row needed)
+    "streaming_static_join",
     "tpch_q3",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q19",
     "tpch_q5",
     "tpch_q18",
     "vwap",
@@ -5643,11 +5926,6 @@ _HEAD = [
     "pipeline_clean_fixture",
     "validator_reconcile",
     "doc_chunking",
-    "winnow_pairs",
-    "skew_salted_join",
-    "winnow_fingerprint",
-    "decontaminate_ngram",
-    "pii_redact",
 ]
 _TAIL = [
     # r5-green, code unchanged this round — oracle-checked at sf0.001

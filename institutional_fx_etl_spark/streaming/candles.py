@@ -144,3 +144,74 @@ def run_bounded_stream(
     # materialize: the memory table lives in the session; filter the
     # same null-close guard the batch operator applies
     return spark.table(table_name).filter(F.col("close").isNotNull())
+
+
+def run_stream_static_enrich(
+    spark: SparkSession,
+    events_path: str,
+    customer_df: DataFrame,
+    table_name: str = "stream_enriched",
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment — the canonical streaming join shape
+    Spark executes WITHOUT state: each micro-batch broadcast-joins the
+    static dimension (no watermark, no stream-stream buffering, the
+    static side is simply re-planned per batch), then a tumbling
+    windowed aggregate rolls the enriched stream up per (segment,
+    window). Driven to completion over the bounded source so the
+    DuckDB oracle can check the result against the equivalent batch
+    join+aggregate. At scale the static side is a broadcast (or a
+    storage-partitioned join for big dims); the stream side never
+    shuffles before the windowed aggregate."""
+    import os
+
+    from institutional_fx_etl_spark.sources.readers import (
+        read_parquet_nanos_safe,
+    )
+
+    static = read_parquet_nanos_safe(spark, events_path)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    ts_expr = (
+        F.expr("timestamp_micros(ts div 1000)")
+        if dict(static.dtypes).get("ts") == "bigint"
+        else F.col("ts")
+    )
+    dim = customer_df.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        stream.select(
+            ts_expr.alias("ts"), "user_id", "value"
+        )
+        .join(F.broadcast(dim), "user_id")
+    )
+    agg = (
+        enriched.groupBy(
+            F.window("ts", window_duration).alias("__w"), "c_mktsegment"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("__w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "avg_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(table_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(table_name)
