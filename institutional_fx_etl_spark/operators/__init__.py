@@ -39,13 +39,17 @@ from institutional_fx_etl_spark.operators.text import (
     segment_dedup,
     with_text_stats,
 )
+from institutional_fx_etl_spark.operators.profiling import profile_columns
 from institutional_fx_etl_spark.operators.timeseries import (
     autocorr_exact,
+    mad_robust,
     max_drawdown,
     minmax_normalize,
+    psi_drift,
     realized_volatility,
     rsi_cutler,
     vwap,
+    winsorize,
 )
 
 __all__ = [
@@ -79,9 +83,13 @@ __all__ = [
     "segment_dedup",
     "with_text_stats",
     "autocorr_exact",
+    "mad_robust",
     "max_drawdown",
     "minmax_normalize",
+    "profile_columns",
+    "psi_drift",
     "realized_volatility",
     "rsi_cutler",
     "vwap",
+    "winsorize",
 ]

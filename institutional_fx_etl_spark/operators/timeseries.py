@@ -229,3 +229,126 @@ def minmax_normalize(
             6,
         ),
     ).drop("__mn", "__mx")
+
+
+def mad_robust(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: tuple[str, ...],
+) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    statistic quality filters use where stddev is outlier-poisoned:
+    ``MAD = median(|x − median(x)|)``. Two exact interpolating
+    percentiles: the group median broadcasts back onto the scan, then
+    one more hash aggregate over the absolute deviations. Output:
+    partition cols, med (round 6), mad (round 6), n_rows."""
+    med = df.groupBy(*partition_cols).agg(
+        F.percentile(value_col, 0.5).alias("__med")
+    )
+    joined = (
+        df.join(F.broadcast(med), list(partition_cols))
+        if partition_cols
+        else df.crossJoin(F.broadcast(med))
+    )
+    return (
+        joined.withColumn(
+            "__ad", F.abs(F.col(value_col) - F.col("__med"))
+        )
+        .groupBy(*partition_cols)
+        .agg(
+            F.round(F.max("__med"), 6).alias("med"),
+            F.round(F.percentile("__ad", 0.5), 6).alias("mad"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: tuple[str, ...],
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str = "value_w",
+) -> DataFrame:
+    """Per-group winsorization: clip to the group's [lo, hi] exact
+    interpolated percentiles — the outlier treatment before training
+    on heavy-tailed features. One percentile aggregate broadcast back
+    onto the scan, clip is a scan-side ``least/greatest``. Clip
+    bounds are rounded to 6 before clipping so both engines clip
+    against the identical number."""
+    bounds = df.groupBy(*partition_cols).agg(
+        F.round(F.percentile(value_col, lo), 6).alias("__lo"),
+        F.round(F.percentile(value_col, hi), 6).alias("__hi"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), list(partition_cols))
+        if partition_cols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    return joined.withColumn(
+        out_col,
+        F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+    ).drop("__lo", "__hi")
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    num_buckets: int = 10,
+    lo: float = 0.0,
+    hi: float = 500.0,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    window of the same metric — the standard production drift monitor
+    (PSI > 0.2 ≈ significant shift): equi-width buckets over a FIXED
+    [lo, hi) range (fixed, so the two sides bucket identically and
+    the monitor is comparable across runs), per-bucket population
+    shares clamped by ``eps``, ``Σ (cur−ref)·ln(cur/ref)``. Two scans
+    + one ``num_buckets``-row join; everything else is scalar math on
+    the bounded bucket table. Output: one row — psi (round 6),
+    n_ref, n_cur."""
+    width = (hi - lo) / num_buckets
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)
+        ),
+        F.lit(num_buckets - 1),
+    ).cast("int")
+
+    def shares(df: DataFrame, name: str) -> DataFrame:
+        counts = df.groupBy(bucket.alias("b")).agg(
+            F.count(F.lit(1)).alias(f"__c_{name}")
+        )
+        return counts
+
+    r = shares(ref, "ref")
+    c = shares(cur, "cur")
+    n_r = "CAST(sum(__c_ref) OVER () AS DOUBLE)"
+    n_c = "CAST(sum(__c_cur) OVER () AS DOUBLE)"
+    per_bucket = (
+        r.join(c, "b", "full_outer")
+        .selectExpr(
+            "b",
+            "coalesce(__c_ref, 0L) AS __c_ref",
+            "coalesce(__c_cur, 0L) AS __c_cur",
+        )
+        .selectExpr(
+            "__c_ref",
+            "__c_cur",
+            f"greatest(coalesce(__c_ref, 0L) / {n_r}, {eps!r}D) AS __p_ref",
+            f"greatest(coalesce(__c_cur, 0L) / {n_c}, {eps!r}D) AS __p_cur",
+        )
+        .selectExpr(
+            "__c_ref",
+            "__c_cur",
+            "(__p_cur - __p_ref) * ln(__p_cur / __p_ref) AS __term",
+        )
+    )
+    return per_bucket.agg(
+        F.round(F.sum("__term"), 6).alias("psi"),
+        F.sum("__c_ref").alias("n_ref"),
+        F.sum("__c_cur").alias("n_cur"),
+    )

@@ -5851,6 +5851,157 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mad_robust",
+    """
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type, round(max(m.med), 6) AS med,
+           round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad,
+           count(*) AS n_rows
+    FROM events e JOIN m USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+    """,
+)
+def q_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per series — the robust dispersion
+    statistic for outlier-poisoned features: two exact interpolating
+    percentiles, group median broadcast back onto the scan
+    (``operators/timeseries.py::mad_robust``)."""
+    from institutional_fx_etl_spark.operators.timeseries import mad_robust
+
+    ev = load_table(spark, sf_dir, "events").filter("value IS NOT NULL")
+    return mad_robust(ev, "value", ("event_type",))
+
+
+@register(
+    "winsorize",
+    """
+    WITH b AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.01), 6) AS lo,
+             round(quantile_cont(value, 0.99), 6) AS hi
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type, e.event_id, e.ts, e.value,
+           least(greatest(e.value, b.lo), b.hi) AS value_w
+    FROM events e JOIN b USING (event_type)
+    WHERE e.value IS NOT NULL
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clip at the exact p1/p99): one
+    percentile aggregate broadcast onto the scan, scan-side
+    least/greatest clip (``operators/timeseries.py::winsorize``)."""
+    from institutional_fx_etl_spark.operators.timeseries import winsorize
+
+    ev = load_table(spark, sf_dir, "events").filter("value IS NOT NULL")
+    out = winsorize(ev, "value", ("event_type",))
+    return out.select("event_type", "event_id", "ts", "value", "value_w")
+
+
+@register(
+    "psi_drift",
+    """
+    WITH r AS (
+      SELECT CAST(least(greatest(floor((value - 0.0) / 50.0), 0), 9)
+                  AS INT) AS b, count(*) AS c_ref
+      FROM events WHERE value IS NOT NULL
+        AND ts < TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT CAST(least(greatest(floor((value - 0.0) / 50.0), 0), 9)
+                  AS INT) AS b, count(*) AS c_cur
+      FROM events WHERE value IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(r.c_ref, 0) AS c_ref, coalesce(c.c_cur, 0) AS c_cur
+      FROM r FULL OUTER JOIN c USING (b)
+    ),
+    p AS (
+      SELECT c_ref, c_cur,
+             greatest(c_ref / CAST(SUM(c_ref) OVER () AS DOUBLE), 0.0001)
+               AS p_ref,
+             greatest(c_cur / CAST(SUM(c_cur) OVER () AS DOUBLE), 0.0001)
+               AS p_cur
+      FROM j
+    )
+    SELECT round(SUM((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
+           SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur
+    FROM p
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the events window — the standard production drift monitor: fixed
+    equi-width buckets so runs are comparable, eps-clamped shares,
+    Σ (cur−ref)·ln(cur/ref). Two pruned scans + scalar math on a
+    10-row bucket table (``operators/timeseries.py::psi_drift``)."""
+    from institutional_fx_etl_spark.operators.timeseries import psi_drift
+
+    ev = load_table(spark, sf_dir, "events").filter("value IS NOT NULL")
+    split = "TIMESTAMP '2024-01-16 00:00:00'"
+    return psi_drift(
+        ev.filter(f"ts < {split}"),
+        ev.filter(f"ts >= {split}"),
+        "value",
+        num_buckets=10,
+        lo=0.0,
+        hi=500.0,
+    )
+
+
+@register(
+    "profile_table",
+    """
+    SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(DISTINCT l_quantity) AS n_distinct,
+           CAST(min(l_quantity) AS VARCHAR) AS min_value,
+           CAST(max(l_quantity) AS VARCHAR) AS max_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*),
+           SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT l_discount),
+           CAST(min(l_discount) AS VARCHAR), CAST(max(l_discount) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*),
+           SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT l_returnflag),
+           CAST(min(l_returnflag) AS VARCHAR),
+           CAST(max(l_returnflag) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', count(*),
+           SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT l_linestatus),
+           CAST(min(l_linestatus) AS VARCHAR),
+           CAST(max(l_linestatus) AS VARCHAR)
+    FROM lineitem
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column dataset profile (rows / nulls / exact distincts /
+    min / max as strings) — one single-column aggregate per column
+    UNIONed, so parquet column pruning reads each column once and no
+    multi-distinct Expand multiplies the scan
+    (``operators/profiling.py::profile_columns``)."""
+    from institutional_fx_etl_spark.operators.profiling import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li, ["l_quantity", "l_discount", "l_returnflag", "l_linestatus"]
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the

@@ -236,9 +236,30 @@ class IncrementalHybridPipeline:
         context_days: int = 3,
         partition_cols: tuple[str, ...] = (),
         max_state_rows: int = 5_000_000,
+        partition_state_by_key: bool = False,
     ):
         self.spark = spark
         self.state_dir = state_dir.rstrip("/")
+        # ROADMAP §19 "per-key day partitioning": with many keys, a
+        # d-only layout rewrites EVERY key's rows on an affected day
+        # even when one key changed. Opt-in (*keys, d) partitioning
+        # makes the overwrite unit (key, day) and lets the candle /
+        # day-scalar / final WRITES skip unchanged keys entirely —
+        # safe because unchanged keys' recomputed rows are
+        # byte-identical by construction (their data, boundaries and
+        # scalars did not move; see update()'s per-key boundary
+        # docstring). Write amplification drops from O(all keys on
+        # affected days) to O(changed keys' rows). The windowed
+        # RECOMPUTE still covers every key (the audit log is keyless,
+        # so its day partitions are only complete when all keys'
+        # window rows regenerate — it keeps the d-only layout via the
+        # column guard in _write_partitions). Cost: more, smaller
+        # partition directories — pick this for key cardinality ≳
+        # 10², keep the default for a handful of symbols. State
+        # layouts are incompatible; choose at creation.
+        self.partition_state_by_key = bool(partition_state_by_key) and bool(
+            tuple(partition_cols)
+        )
         # RETIRED (round-6, verdict ask #3): the keys×days metadata
         # collects this bounded are now distributed joins — driver
         # transfer is O(changed days + batch keys) regardless of
@@ -294,18 +315,24 @@ class IncrementalHybridPipeline:
         # silently treating it as "first update" would fork state on
         # top of the unreadable data
 
-    @staticmethod
-    def _write_partitions(df: DataFrame, path: str) -> None:
-        """Dynamic partition overwrite: only the day partitions present
-        in ``df`` are replaced; everything else is untouched. The
-        pre-write repartition clusters each day into one task, so a
-        partition is one parquet file instead of one per (task, day) —
-        at a 15-year first build that is 5,475 files, not ~175k."""
+    def _write_partitions(self, df: DataFrame, path: str) -> None:
+        """Dynamic partition overwrite: only the partitions present in
+        ``df`` are replaced; everything else is untouched. The
+        pre-write repartition clusters each partition into one task, so
+        a partition is one parquet file instead of one per (task, day)
+        — at a 15-year first build that is 5,475 files, not ~175k.
+        Layout is ``d`` alone by default; ``partition_state_by_key``
+        prefixes the key columns so the overwrite unit is (key, day)."""
+        part_cols = (
+            [c for c in [*self.partition_cols, "d"] if c in df.columns]
+            if self.partition_state_by_key
+            else ["d"]
+        )
         (
-            df.repartition("d")
+            df.repartition(*part_cols)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("d")
+            .partitionBy(*part_cols)
             .parquet(path)
         )
 
@@ -364,6 +391,15 @@ class IncrementalHybridPipeline:
             prior = existing.filter(
                 F.col("d").isin([str(x) for x in days_affected])
             )
+            if self.partition_state_by_key:
+                # (key, day) overwrite unit: unchanged keys' candle
+                # partitions are never rewritten, so only the batch's
+                # keys need their prior rows merged
+                prior = prior.join(
+                    F.broadcast(self._key_frame(sorted(new_lo), parts_new)),
+                    list(p),
+                    "left_semi",
+                )
             merged_parts = merge_partials(
                 prior.select(*part_cols).unionByName(
                     parts_new.select(*part_cols)
@@ -472,6 +508,20 @@ class IncrementalHybridPipeline:
                 )
             for r in fmax.collect():
                 old_max[sk(r)] = r["mx"]
+        # under the per-key layout, the refresh and the windowed
+        # recompute read/write ONLY changed keys — unchanged keys'
+        # (key, day) partitions stay as-is (their recomputed rows
+        # would be byte-identical; see class docstring)
+        if self.partition_state_by_key:
+            __ck = F.broadcast(self._key_frame(changed_keys, parts_new))
+
+            def _changed_only(df: DataFrame) -> DataFrame:
+                return df.join(__ck, list(p), "left_semi")
+        else:
+
+            def _changed_only(df: DataFrame) -> DataFrame:
+                return df
+
         lo_by_key: dict[tuple, object] = {}
         for s in changed_keys:
             bounds = []
@@ -498,13 +548,13 @@ class IncrementalHybridPipeline:
         refresh = sorted(set(days_affected) | set(changed_days_m1))
         key_schema = list(parts_new.select(*p).schema) if p else []
         refresh_strs = [str(d) for d in refresh]
-        m1_r = m1.filter(
-            F.to_date("datetime").isin(refresh_strs)
+        m1_r = _changed_only(
+            m1.filter(F.to_date("datetime").isin(refresh_strs))
         )
         cand_r = finalize_partials(
-            candles_state.filter(F.col("d").isin(refresh_strs)).select(
-                *part_cols
-            ),
+            _changed_only(
+                candles_state.filter(F.col("d").isin(refresh_strs))
+            ).select(*part_cols),
             partition_cols=p,
         )
         merged_r, _ = fused_consensus_merge(
@@ -846,6 +896,11 @@ class IncrementalHybridPipeline:
         out = final_w.withColumn("d", F.to_date("datetime")).filter(
             F.col("d") >= F.lit(overwrite_lo)
         )
+        # per-key layout: unchanged keys' recomputed rows are
+        # byte-identical to what their untouched (key, day) partitions
+        # already hold - skip writing them (the write-amplification
+        # win; the keyless audit below still rewrites full days)
+        out = _changed_only(out)
         out = out.localCheckpoint(eager=True)
         audit_out = audit_w.withColumn("d", F.to_date("datetime")).filter(
             F.col("d") >= F.lit(overwrite_lo)

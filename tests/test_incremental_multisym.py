@@ -161,3 +161,61 @@ def test_multisym_scalar_drift_is_per_symbol(spark):
         assert _rows(got) == _rows(want)
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+
+def test_per_key_state_partitioning_equals_and_prunes(spark):
+    """ROADMAP §19 per-key day partitioning: with
+    ``partition_state_by_key=True`` the state lays out as
+    (symbol, d) partitions, updates rewrite ONLY changed keys'
+    partitions (B's files untouched by an A-only batch), and the final
+    state still equals a from-scratch multisym run."""
+    import os
+
+    kw = dict(spike_threshold=1e9, consensus_threshold=1e9)
+    eng = HybridMergerSpark(partition_cols=("symbol",), **kw)
+    m1 = _m1(
+        spark,
+        [("A", m) for m in range(0, 240, 7)]
+        + [("B", m) for m in range(0, 180, 11)],
+    )
+    b1 = _ticks(spark, [("A", 300), ("A", 420), ("B", 250), ("B", 400)])
+    b2 = _ticks(spark, [("A", DAY + 95), ("A", DAY + 200)])  # A only
+
+    state = fresh_state_dir()
+    try:
+        inc = IncrementalHybridPipeline(
+            spark,
+            state,
+            chunk_seconds=6 * 3600,
+            partition_cols=("symbol",),
+            partition_state_by_key=True,
+            **kw,
+        )
+        inc.update(m1, b1)
+        final_dir = os.path.join(state, "final")
+        assert any(
+            e.startswith("symbol=") for e in os.listdir(final_dir)
+        ), "state must be partitioned by key first"
+
+        def _mtimes(sym):
+            out = {}
+            for root, _, files in os.walk(
+                os.path.join(final_dir, f"symbol={sym}")
+            ):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        p = os.path.join(root, f)
+                        out[p] = os.path.getmtime(p)
+            return out
+
+        b_before = _mtimes("B")
+        inc.update(m1, b2)  # touches A only
+        assert _mtimes("B") == b_before, (
+            "an A-only batch must not rewrite B's partitions"
+        )
+
+        want, _ = eng.run(m1, b1.unionByName(b2))
+        got = inc.read_final().select(*want.columns)
+        assert _rows(got) == _rows(want)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
