@@ -73,6 +73,12 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q18",
+    "tpch_q10",
+    "psi_drift",
+    "winsorize",
+    "mad_robust",
+    "profile_table",
+    "streaming_static_join",
 ]
 
 

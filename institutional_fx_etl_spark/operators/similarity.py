@@ -192,17 +192,22 @@ def lsh_ann_pairs(
     determinism. The default L=1 keeps the original single-join plan
     (and the SQL oracle) byte-identical."""
     sigs = hyperplane_signatures(df, vec_col, id_col, num_planes)
-    dot = "aggregate(zip_with(va, vb, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
-    na = "sqrt(aggregate(va, 0.0d, (a, x) -> a + x*x))"
-    nb = "sqrt(aggregate(vb, 0.0d, (a, x) -> a + x*x))"
+    # normalize once per vector so the in-bucket verify is a bare dot
+    # (same 3x HOF saving as the cell-blocked compares; bucket signs
+    # are scale-invariant, so the signatures stay on the raw vectors)
+    unit = (
+        "transform(__v, x -> x /"
+        " sqrt(aggregate(__v, 0.0d, (a, x) -> a + x*x)))"
+    )
     if num_tables == 1:
-        a = sigs.selectExpr(f"{bq(id_col)} AS id_a", "__v AS va", "bucket")
-        b = sigs.selectExpr(f"{bq(id_col)} AS id_b", "__v AS vb", "bucket")
+        normed = sigs.selectExpr(bq(id_col), "bucket", f"{unit} AS vn")
+        a = normed.selectExpr(f"{bq(id_col)} AS id_a", "vn AS va", "bucket")
+        b = normed.selectExpr(f"{bq(id_col)} AS id_b", "vn AS vb", "bucket")
         return (
             a.join(b, on="bucket")
             .filter(F.col("id_a") < F.col("id_b"))
             .selectExpr(
-                "bucket", "id_a", "id_b", f"round({dot}/({na}*{nb}), 6) AS cosine"
+                "bucket", "id_a", "id_b", f"round({_PAIR_DOT}, 6) AS cosine"
             )
             .filter(F.col("cosine") >= min_cosine)
         )
@@ -224,13 +229,17 @@ def lsh_ann_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.min("tbucket").alias("bucket"))
     )
-    va = df.selectExpr(f"{bq(id_col)} AS id_a", f"{_as_double(vec_col)} AS va")
-    vb = df.selectExpr(f"{bq(id_col)} AS id_b", f"{_as_double(vec_col)} AS vb")
+    vunit = (
+        f"transform({_as_double(vec_col)}, x -> x /"
+        f" sqrt(aggregate({_as_double(vec_col)}, 0.0d, (a, x) -> a + x*x)))"
+    )
+    va = df.selectExpr(f"{bq(id_col)} AS id_a", f"{vunit} AS va")
+    vb = df.selectExpr(f"{bq(id_col)} AS id_b", f"{vunit} AS vb")
     return (
         cands.join(va, on="id_a")
         .join(vb, on="id_b")
         .selectExpr(
-            "bucket", "id_a", "id_b", f"round({dot}/({na}*{nb}), 6) AS cosine"
+            "bucket", "id_a", "id_b", f"round({_PAIR_DOT}, 6) AS cosine"
         )
         .filter(F.col("cosine") >= min_cosine)
     )
@@ -328,20 +337,22 @@ def ivf_topk(
     # rows, no per-vid window shuffle
     cells = _scored_cells_expr(centroids)
     ranked = v.selectExpr("vid", "vv", f"{cells} AS __cells")
+    # normalize once at assignment so the probe join scores with a
+    # bare dot (assignment itself stays on the raw vectors)
+    unit = (
+        "transform(vv, x -> x /"
+        " sqrt(aggregate(vv, 0.0d, (a, x) -> a + x*x)))"
+    )
     assigned = ranked.selectExpr(
-        "vid", "vv", "element_at(__cells, 1).cid AS cid"
+        "vid", f"{unit} AS va", "element_at(__cells, 1).cid AS cid"
     )
     q_cells = ranked.filter(F.col("vid").isin(query_ids)).selectExpr(
         "vid AS q_id",
-        "vv AS qv",
+        f"{unit} AS vb",
         f"explode(transform(slice(__cells, 1, {nprobe}), c -> c.cid)) AS cid",
     )
-    nv = "sqrt(aggregate(vv, 0.0d, (a, x) -> a + x*x))"
-
-    dot = "aggregate(zip_with(vv, qv, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
-    nq = "sqrt(aggregate(qv, 0.0d, (a, x) -> a + x*x))"
     scored = assigned.join(F.broadcast(q_cells), on="cid").selectExpr(
-        "q_id", "vid AS vec_id", f"round({dot}/({nv}*{nq}), 6) AS cosine"
+        "q_id", "vid AS vec_id", f"round({_PAIR_DOT}, 6) AS cosine"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

@@ -1466,22 +1466,26 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v CROSS JOIN cents c
     ),
     assigned AS (
-      SELECT vid, vv, cid FROM (
+      SELECT vid,
+             list_transform(vv, x -> x / sqrt(list_dot_product(vv, vv)))
+               AS vn,
+             cid FROM (
         SELECT *, row_number() OVER
           (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn
         FROM scored) WHERE rn = 1
     ),
     q AS (
-      SELECT vid AS q_id, vv AS qv, cid FROM (
+      SELECT vid AS q_id,
+             list_transform(vv, x -> x / sqrt(list_dot_product(vv, vv)))
+               AS qn,
+             cid FROM (
         SELECT *, row_number() OVER
           (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn
         FROM scored WHERE vid IN (0, 1, 2)) WHERE rn <= 2
     ),
     s AS (
       SELECT q.q_id, a.vid AS vec_id,
-             round(list_dot_product(a.vv, q.qv)
-                   / (sqrt(list_dot_product(a.vv, a.vv))
-                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+             round(list_dot_product(a.vn, q.qn), 6) AS cosine
       FROM assigned a JOIN q ON a.cid = q.cid
     )
     SELECT q_id, vec_id,
@@ -1537,22 +1541,26 @@ def _ivf_kmeans_oracle() -> str:
       FROM v CROSS JOIN cents c
     ),
     assigned AS (
-      SELECT vid, vv, cid FROM (
+      SELECT vid,
+             list_transform(vv, x -> x / sqrt(list_dot_product(vv, vv)))
+               AS vn,
+             cid FROM (
         SELECT *, row_number() OVER
           (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn
         FROM scored) WHERE rn = 1
     ),
     q AS (
-      SELECT vid AS q_id, vv AS qv, cid FROM (
+      SELECT vid AS q_id,
+             list_transform(vv, x -> x / sqrt(list_dot_product(vv, vv)))
+               AS qn,
+             cid FROM (
         SELECT *, row_number() OVER
           (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn
         FROM scored WHERE vid IN (0, 1, 2)) WHERE rn <= 3
     ),
     s AS (
       SELECT q.q_id, a.vid AS vec_id,
-             round(list_dot_product(a.vv, q.qv)
-                   / (sqrt(list_dot_product(a.vv, a.vv))
-                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+             round(list_dot_product(a.vn, q.qn), 6) AS cosine
       FROM assigned a JOIN q ON a.cid = q.cid
     )
     SELECT q_id, vec_id,
@@ -1638,15 +1646,18 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                           % 2 = 0 THEN 1.0 ELSE -1.0 END))) > 0
                     THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
       FROM v
+    ),
+    normed AS (
+      SELECT vec_id, bucket,
+             list_transform(vv, x -> x / sqrt(list_dot_product(vv, vv)))
+               AS vn
+      FROM sig
     )
     SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.vv, b.vv)
-                 / (sqrt(list_dot_product(a.vv, a.vv))
-                    * sqrt(list_dot_product(b.vv, b.vv))), 6) AS cosine
-    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.vv, b.vv)
-                / (sqrt(list_dot_product(a.vv, a.vv))
-                   * sqrt(list_dot_product(b.vv, b.vv))), 6) >= 0.3
+           round(list_dot_product(a.vn, b.vn), 6) AS cosine
+    FROM normed a JOIN normed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.vn, b.vn), 6) >= 0.3
     """,
 )
 def q_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6076,10 +6087,12 @@ _HEAD = [
     "streaming_gap_bridge",
     "pipeline_clean_fixture",
     "validator_reconcile",
-    "doc_chunking",
+    "lsh_ann_pairs",
 ]
 _TAIL = [
-    # r5-green, code unchanged this round — oracle-checked at sf0.001
+    # r5-green — oracle-checked at sf0.001 (ivf_topk/ivf_topk_kmeans
+    # gained the normalized pair dot this round WITH their oracles;
+    # both re-verified at sf0.01 and tail-gated every CI run)
     # by tests/test_contract_tail.py while out of window. The r4-green
     # remainder (consecutive_streaks ... array_agg_functions) is NOT
     # listed here, so _reorder_registry places it between _HEAD and
@@ -6099,7 +6112,6 @@ _TAIL = [
     "sessionize",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "lsh_ann_pairs",
     "text_fingerprint",
     "topk_per_group",
     "json_extract",
