@@ -6013,6 +6013,545 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                 AS DOUBLE), 6) AS sum_qty,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                 AS DOUBLE), 6) AS sum_base_price,
+           round(CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * 1000000.0 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 1000000.0, 6) AS sum_disc_price,
+           round(CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * (1 + l_tax) * 1000000.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 1000000.0, 6)
+             AS sum_charge,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 6) AS avg_qty,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                 AS DOUBLE) / count(*), 6) AS avg_price,
+           round(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1997-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (pricing summary): the canonical wide
+    scan-and-aggregate — one pass over the fact table, eight
+    aggregates over a 4-value grouping key, all map-side combinable
+    (partial hash agg → 4-row exchange → final agg). Plain-column
+    sums use DECIMAL partials; the two product sums fix-point to
+    micro-units (floor(x*1e6+0.5) BIGINT) because double→decimal
+    cast tie rules differ across engines; averages divide the exact
+    sum by the count in double (mirrored in the oracle)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        "l_shipdate <= TIMESTAMP '1997-12-01 00:00:00'"
+    )
+
+    def dsum(expr: str):
+        return F.sum(F.expr(expr).cast("decimal(18,4)"))
+
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(dsum("l_quantity").cast("double"), 6).alias("sum_qty"),
+            F.round(dsum("l_extendedprice").cast("double"), 6).alias(
+                "sum_base_price"
+            ),
+            F.round(
+                F.sum(
+                    F.expr(
+                        "CAST(floor(l_extendedprice * (1 - l_discount)"
+                        " * 1000000.0 + 0.5) AS BIGINT)"
+                    )
+                ).cast("double")
+                / 1000000.0,
+                6,
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.expr(
+                        "CAST(floor(l_extendedprice * (1 - l_discount)"
+                        " * (1 + l_tax) * 1000000.0 + 0.5) AS BIGINT)"
+                    )
+                ).cast("double")
+                / 1000000.0,
+                6,
+            ).alias("sum_charge"),
+            F.round(dsum("l_quantity").cast("double") / n, 6).alias(
+                "avg_qty"
+            ),
+            F.round(dsum("l_extendedprice").cast("double") / n, 6).alias(
+                "avg_price"
+            ),
+            F.round(dsum("l_discount").cast("double") / n, 6).alias(
+                "avg_disc"
+            ),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q4",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 7 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): EXISTS decorrelated
+    to a LEFT SEMI join — the fact side never duplicates orders with
+    many matching lineitems, so the count is per-order. The reference
+    schema has no commit/receipt dates; "late" is adapted to
+    shipdate > orderdate + 7d, keeping the correlated-predicate
+    shape (the comparison rides the join, not a pre-filter)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        " AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 7 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "tpch_q6",
+    """
+    SELECT round(CAST(SUM(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(18,4))) AS DOUBLE), 6)
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure filter +
+    global aggregate — every predicate pushes to the parquet scan
+    (date range, discount band, quantity cap all appear in
+    PushedFilters), the projection prunes to 4 columns, and the
+    single-row result needs no wide shuffle (partial sums →
+    SinglePartition of 32 partial rows)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        " AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"
+        " AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    )
+    return li.agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(18,4)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q8",
+    """
+    WITH vol AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(18,4)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'AMERICA'
+        AND p.p_type LIKE '%PROMO%'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                               THEN volume ELSE CAST(0 AS DECIMAL(18,4))
+                          END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): an 8-way join where
+    every dimension chain (region→nation→customer, nation→supplier,
+    part) collapses to a broadcast and the two fact tables shuffle
+    once on the order key; the market-share ratio divides two
+    DECIMAL-exact conditional sums. partsupp is absent from the
+    reference schema, so the supplier cost leg is omitted — the join
+    topology and conditional-share aggregate are the point."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        " AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        "r_name = 'AMERICA'"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        "p_type LIKE '%PROMO%'"
+    )
+    cust_am = cust.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region),
+                nation.n_regionkey == region.r_regionkey,
+            ).select("n_nationkey")
+        ),
+        cust.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_n = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    vol = (
+        li.join(
+            orders.join(F.broadcast(cust_am), orders.o_custkey == F.col("c_custkey")),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                .otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q12",
+    """
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split): fact-side
+    filter + join + conditional two-way counts. The reference schema
+    has no l_shipmode, so the grouping key is l_linestatus — the plan
+    shape (filtered fact joined to orders, CASE-split counts, tiny
+    grouping cardinality) is identical to the canonical query."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        " AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13",
+    """
+    WITH c_orders AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT
+    OUTER join with the filter ON THE JOIN CONDITION (not a WHERE —
+    customers with zero qualifying orders must survive with
+    c_count=0), then a double aggregation: per-customer count →
+    histogram over the counts. The reference schema has no o_comment,
+    so the canonical NOT LIKE filter is adapted to an order-priority
+    exclusion riding the join."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "tpch_q17",
+    """
+    WITH target AS (
+      SELECT p_partkey FROM part
+      WHERE p_brand = 'Brand#1' AND p_size <= 5
+    ),
+    pavg AS (
+      SELECT l.l_partkey,
+             0.2 * (CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4)))
+                    AS DOUBLE) / count(*)) AS qty_cut
+      FROM lineitem l JOIN target t ON l.l_partkey = t.p_partkey
+      GROUP BY l.l_partkey
+    )
+    SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                 AS DOUBLE) / 7.0, 6) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN pavg a ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < a.qty_cut
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the classic
+    correlated scalar subquery (per-part 20%-of-average quantity
+    cutoff) decorrelated into a self-join — one pass computes the
+    per-part average over the brand-filtered parts, broadcast back
+    against the same scan, fact rows below their own part's cutoff
+    aggregate. The average divides a DECIMAL-exact sum by the count
+    in double; the 0.2 multiplier stays in double on both engines so
+    the cutoff comparison is bit-identical."""
+    part = load_table(spark, sf_dir, "part").filter(
+        "p_brand = 'Brand#1' AND p_size <= 5"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    tgt = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pavg = tgt.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_cut")
+    )
+    return (
+        tgt.join(F.broadcast(pavg.select(F.col("l_partkey").alias("__pk"), "qty_cut")),
+                 tgt.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / 7.0,
+                6,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q21",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    ),
+    multi AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1
+    ),
+    sole_late AS (
+      SELECT l_orderkey, min(l_suppkey) AS l_suppkey
+      FROM late GROUP BY l_orderkey
+      HAVING count(DISTINCT l_suppkey) = 1
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM sole_late sl
+    JOIN multi m ON sl.l_orderkey = m.l_orderkey
+    JOIN supplier s ON sl.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    EXISTS ("another supplier in the order") + NOT EXISTS ("no OTHER
+    late supplier") pair, decorrelated into per-order distinct-supplier
+    counts — the multi-supplier semi-set and the exactly-one-late-
+    supplier set join back to the supplier dim. Adapted to the reduced
+    schema: "late" is shipdate > orderdate + 30d (no receipt/commit
+    dates). Top-20 via TakeOrderedAndProject, no global sort."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        "o_orderstatus = 'F'"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 30 DAY")
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("__ns"))
+        .filter("__ns > 1")
+        .select("l_orderkey")
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("__nl"),
+            F.min("l_suppkey").alias("l_suppkey"),
+        )
+        .filter("__nl = 1")
+        .select("l_orderkey", "l_suppkey")
+    )
+    return (
+        sole_late.join(multi, "l_orderkey", "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q22",
+    """
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             / count(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+        AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    )
+    SELECT c.c_nationkey AS cntrycode, count(*) AS numcust,
+           round(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4)))
+                 AS DOUBLE), 6) AS totacctbal
+    FROM customer c, pos
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c.c_acctbal > pos.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >=
+                            TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): scalar subquery
+    (average positive balance over the country subset) broadcast as a
+    one-row crossJoin, NOT EXISTS decorrelated to a LEFT ANTI join
+    against the filtered orders side, grouped by country code. The
+    reference schema has no c_phone, so the phone-prefix country
+    filter is adapted to a nationkey set, and since every customer
+    has at least one order in this dataset the NOT EXISTS is scoped
+    to recent orders (lapsed customers) so the anti join is
+    non-vacuous. The AVG threshold divides a DECIMAL-exact sum by
+    the count in double on both engines, so the balance comparison
+    is order-independent."""
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(nations)
+    )
+    avg_bal = cust.filter("c_acctbal > 0.0").agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter("o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("totacctbal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
