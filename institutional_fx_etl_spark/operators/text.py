@@ -644,3 +644,55 @@ def inverted_index(
         .filter(F.col("df") >= min_df)
         .select("term", F.col("df").cast("int").alias("df"), "postings")
     )
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    public paper), as named boolean flags plus the conjunction. All
+    scan-side array/string expressions (whole-stage codegen, no UDF,
+    no shuffle): the filter decision is computable in the scan stage
+    of a 100 TB corpus read.
+
+    Rules (the subset expressible over plain text; the canonical
+    thresholds):
+      * 50 ≤ word count ≤ 100 000
+      * 3 ≤ mean word length ≤ 10
+      * ≥ 80 % of words contain at least one alphabetic character
+      * symbol-to-word ratio (``#`` or ``...``) ≤ 0.1
+      * ≥ 2 distinct required stopwords present
+        (the/of/and/to/be — fluency proxy)
+
+    Output: doc_id plus one BOOLEAN per rule and ``gopher_pass``.
+    """
+    toks = "__toks"
+    n = f"size({toks})"
+    mean_len = (
+        f"CAST(aggregate({toks}, 0L, (a, t) -> a + length(t)) AS DOUBLE)"
+        f" / {n}"
+    )
+    alpha_frac = (
+        f"CAST(size(filter({toks}, t -> t rlike '[a-z]')) AS DOUBLE)"
+        f" / {n}"
+    )
+    sym_ratio = (
+        f"CAST(size(filter({toks},"
+        f" t -> t rlike '#' OR t rlike '\\\\.\\\\.\\\\.')) AS DOUBLE)"
+        f" / {n}"
+    )
+    req = ["the", "of", "and", "to", "be"]
+    quoted = ", ".join(f"'{w}'" for w in req)
+    stop_distinct = (
+        f"size(array_distinct(filter({toks}, t -> t IN ({quoted}))))"
+    )
+    flags = {
+        "rule_word_count": f"{n} >= 50 AND {n} <= 100000",
+        "rule_mean_word_len": f"({mean_len}) >= 3.0 AND ({mean_len}) <= 10.0",
+        "rule_alpha_words": f"({alpha_frac}) >= 0.8",
+        "rule_symbol_ratio": f"({sym_ratio}) <= 0.1",
+        "rule_stopwords": f"{stop_distinct} >= 2",
+    }
+    out = df.withColumn(toks, tokens(text_col)).selectExpr(
+        "*", *(f"({e}) AS {name}" for name, e in flags.items())
+    )
+    conj = " AND ".join(flags)
+    return out.selectExpr("*", f"({conj}) AS gopher_pass").drop(toks)

@@ -352,3 +352,78 @@ def psi_drift(
         F.sum("__c_ref").alias("n_ref"),
         F.sum("__c_cur").alias("n_cur"),
     )
+
+
+def linreg_per_group(
+    df: DataFrame,
+    ts_col: str,
+    y_col: str,
+    partition_cols: tuple[str, ...],
+    base_ts: str = "2024-01-01 00:00:00",
+    y_scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact per-group ordinary-least-squares trend (slope, intercept,
+    r²) from mergeable second moments — the distributed form of a
+    regression: one map-side-combinable hash aggregate computes
+    (n, Σx, Σy, Σx², Σxy, Σy²) per group, then the closed-form OLS
+    formulas run on the six scalars. No window, no sort, no second
+    pass — the plan is a partial agg → one small exchange → final agg,
+    the same shape at 100 TB.
+
+    Cross-engine exactness: x is integer MICROSECONDS since
+    ``base_ts`` (``unix_micros`` — timestamps are microsecond-grain,
+    so no float rounding), y fix-points to ``floor(y·y_scale+0.5)``
+    BIGINT, and the five sums accumulate as DECIMAL(38,0) (integer
+    sums — order-independent). The final formulas cast each exact sum
+    to DOUBLE once and keep one parenthesization, mirrored verbatim
+    in the DuckDB oracle (HUGEINT sums there).
+
+    Output: partition cols, n_rows, slope_per_sec, intercept, r2.
+    """
+    x = (
+        f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
+        f" - unix_micros(CAST(TIMESTAMP '{base_ts}' AS TIMESTAMP))"
+    )
+    qy = f"CAST(floor({y_col} * {y_scale} + 0.5) AS BIGINT)"
+    dec = "DECIMAL(38,0)"
+    moments = df.selectExpr(
+        *partition_cols, f"({x}) AS __x", f"({qy}) AS __y"
+    ).groupBy(*partition_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.expr(f"CAST(__x AS {dec})")).alias("__sx"),
+        F.sum(F.expr(f"CAST(__y AS {dec})")).alias("__sy"),
+        F.sum(
+            F.expr(f"CAST(__x AS {dec}) * CAST(__x AS {dec})")
+        ).alias("__sxx"),
+        F.sum(
+            F.expr(f"CAST(__x AS {dec}) * CAST(__y AS {dec})")
+        ).alias("__sxy"),
+        F.sum(
+            F.expr(f"CAST(__y AS {dec}) * CAST(__y AS {dec})")
+        ).alias("__syy"),
+    )
+    n = "CAST(__n AS DOUBLE)"
+    sx = "CAST(__sx AS DOUBLE)"
+    sy = "CAST(__sy AS DOUBLE)"
+    sxx = "CAST(__sxx AS DOUBLE)"
+    sxy = "CAST(__sxy AS DOUBLE)"
+    syy = "CAST(__syy AS DOUBLE)"
+    num = f"({n} * {sxy} - {sx} * {sy})"
+    den = f"({n} * {sxx} - {sx} * {sx})"
+    deny = f"({n} * {syy} - {sy} * {sy})"
+    # slope in y-units per SECOND: micro-y per microsecond is
+    # y/1e6 per x/1e6 — the two scales cancel only when
+    # y_scale == 1e6; keep both factors explicit so other scales work
+    slope_units = f"({num} / {den}) * (1000000.0 / {float(y_scale)!r})"
+    intercept = (
+        f"(({sy} / {n}) - ({num} / {den}) * ({sx} / {n}))"
+        f" / {float(y_scale)!r}"
+    )
+    r2 = f"({num} * {num}) / ({den} * {deny})"
+    return moments.selectExpr(
+        *partition_cols,
+        "__n AS n_rows",
+        f"round({slope_units}, 6) AS slope_per_sec",
+        f"round({intercept}, 6) AS intercept",
+        f"round({r2}, 6) AS r2",
+    )

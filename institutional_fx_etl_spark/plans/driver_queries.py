@@ -6552,6 +6552,171 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "linreg_per_group",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(date_diff('microsecond',
+                  TIMESTAMP '2024-01-01 00:00:00', ts) AS HUGEINT) AS x,
+             CAST(CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                  AS HUGEINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type, count(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type, n AS n_rows,
+           round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * (1000000.0 / 1000000.0), 6) AS slope_per_sec,
+           round(((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / 1000000.0, 6) AS intercept,
+           round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS r2
+    FROM m
+    """,
+)
+def q_linreg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-series OLS trend (slope / intercept / r²) from
+    mergeable second moments — one map-side-combinable hash aggregate,
+    closed-form finish, no window or sort
+    (``operators/timeseries.py::linreg_per_group``). x is integer
+    microseconds since a constant base, y fix-points to micro-units,
+    moments sum as DECIMAL(38,0) ↔ HUGEINT."""
+    from institutional_fx_etl_spark.operators.timeseries import (
+        linreg_per_group,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter("value IS NOT NULL")
+    return linreg_per_group(ev, "ts", "value", ("event_type",))
+
+
+@register(
+    "quality_gopher",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             CAST(list_sum(list_transform(toks, tk -> length(tk)))
+                  AS DOUBLE) / len(toks) AS mean_len,
+             CAST(len(list_filter(toks,
+                  tk -> regexp_matches(tk, '[a-z]'))) AS DOUBLE)
+               / len(toks) AS alpha_frac,
+             CAST(len(list_filter(toks,
+                  tk -> regexp_matches(tk, '#')
+                     OR regexp_matches(tk, '\.\.\.'))) AS DOUBLE)
+               / len(toks) AS sym_ratio,
+             len(list_distinct(list_filter(toks,
+                  tk -> tk IN ('the','of','and','to','be'))))
+               AS stop_distinct
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n >= 50 AND n <= 100000 AS INTEGER) AS rule_word_count,
+           CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS INTEGER)
+             AS rule_mean_word_len,
+           CAST(alpha_frac >= 0.8 AS INTEGER) AS rule_alpha_words,
+           CAST(sym_ratio <= 0.1 AS INTEGER) AS rule_symbol_ratio,
+           CAST(stop_distinct >= 2 AS INTEGER) AS rule_stopwords,
+           CAST((n >= 50 AND n <= 100000)
+                AND (mean_len >= 3.0 AND mean_len <= 10.0)
+                AND alpha_frac >= 0.8 AND sym_ratio <= 0.1
+                AND stop_distinct >= 2 AS INTEGER) AS gopher_pass
+    FROM f
+    """,
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule flags (Rae et al. 2021 §A1.1 subset)
+    per document — named boolean rules + the conjunction, all
+    scan-side codegen'd array/string expressions
+    (``operators/text.py::gopher_quality``)."""
+    from institutional_fx_etl_spark.operators.text import gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = gopher_quality(docs)
+    flags = [
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_alpha_words",
+        "rule_symbol_ratio",
+        "rule_stopwords",
+        "gopher_pass",
+    ]
+    return out.selectExpr(
+        "doc_id", *(f"CAST({c} AS INT) AS {c}" for c in flags)
+    )
+
+
+@register(
+    "emb_covariance",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5)
+                         AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    u AS (
+      SELECT vec_id, u.pos AS pos, u.x AS x
+      FROM q,
+      unnest(list_transform(range(1, len(qv)+1),
+             i -> struct_pack(pos := i - 1, x := qv[i]))) AS t(u)
+    ),
+    g AS (
+      SELECT a.pos AS i, b.pos AS j, SUM(a.x * b.x) AS g
+      FROM u a JOIN u b USING (vec_id)
+      WHERE a.pos <= b.pos
+      GROUP BY a.pos, b.pos
+    ),
+    s AS (SELECT pos, SUM(x) AS s FROM u GROUP BY pos),
+    n AS (SELECT count(*) AS n FROM q)
+    SELECT g.i, g.j,
+           round((CAST(g.g AS DOUBLE) / n.n
+                  - (CAST(si.s AS DOUBLE) / n.n)
+                    * (CAST(sj.s AS DOUBLE) / n.n))
+                 / (1000.0 * 1000.0), 6) AS cov
+    FROM g, n
+    JOIN s si ON si.pos = g.i
+    JOIN s sj ON sj.pos = g.j
+    """,
+)
+def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d×d embedding covariance (PCA/whitening input) from mergeable
+    integer Gram partials — one Arrow ``mapInPandas`` pass emits
+    (n, Σq, Σqqᵀ) per batch, partials reduce with plain sums, final
+    cells computed from exact integers
+    (``operators/embstats.py::embedding_covariance``)."""
+    from institutional_fx_etl_spark.operators.embstats import (
+        embedding_covariance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding", dim=64, scale=1000)
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the

@@ -223,3 +223,75 @@ def test_knn_join_neighbors_in_cell(spark):
     }
     assert nn1[0] == 1 and nn1[1] == 2 or nn1[1] == 0
     assert all(r["cosine"] <= 1.0 for r in out)
+
+
+def test_linreg_per_group_exact_line(spark):
+    """y = 2t + 5 exactly -> slope 2/sec, intercept 5, r2 = 1."""
+    from institutional_fx_etl_spark.operators.timeseries import (
+        linreg_per_group,
+    )
+
+    rows = [
+        ("a", f"2024-01-01 00:00:{s:02d}", 5.0 + 2.0 * s) for s in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = linreg_per_group(df, "ts", "value", ("g",)).collect()[0]
+    assert out["n_rows"] == 10
+    assert out["slope_per_sec"] == pytest.approx(2.0, abs=1e-6)
+    assert out["intercept"] == pytest.approx(5.0, abs=1e-6)
+    assert out["r2"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_linreg_constant_series_degenerate(spark):
+    """Zero-variance y: slope 0; r2 is 0/0 -> NULL (non-ANSI division),
+    never an exception."""
+    from institutional_fx_etl_spark.operators.timeseries import (
+        linreg_per_group,
+    )
+
+    rows = [("a", f"2024-01-01 00:00:{s:02d}", 7.0) for s in range(5)]
+    df = spark.createDataFrame(rows, "g string, ts string, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = linreg_per_group(df, "ts", "value", ("g",)).collect()[0]
+    assert out["slope_per_sec"] == pytest.approx(0.0, abs=1e-6)
+    assert out["r2"] is None
+
+
+def test_gopher_quality_rules(spark):
+    from institutional_fx_etl_spark.operators.text import gopher_quality
+
+    good = " ".join(
+        ["the quick brown fox jumps over and says to be nice"] * 6
+    )  # 60 words, stopwords present, alphabetic, no symbols
+    short = "too short to pass the word count rule"
+    symbols = " ".join(["### ##x y#z ..."] * 20)
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["rule_word_count"] is False and not out[2]["gopher_pass"]
+    assert out[3]["rule_symbol_ratio"] is False and not out[3]["gopher_pass"]
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from institutional_fx_etl_spark.operators.embstats import (
+        embedding_covariance,
+    )
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(40, 6)).astype(np.float32)
+    rows = [(i, mat[i].tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_covariance(df, "embedding", dim=6, scale=1000).collect()
+    assert len(out) == 6 * 7 // 2
+    q = np.floor(mat.astype(np.float64) * 1000.0 + 0.5)
+    exp = (q.T @ q) / len(q) - np.outer(q.mean(0), q.mean(0))
+    exp /= 1000.0 * 1000.0
+    for r in out:
+        assert r["cov"] == pytest.approx(
+            exp[r["i"], r["j"]], abs=2e-6
+        ), (r["i"], r["j"])
