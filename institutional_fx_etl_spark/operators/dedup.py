@@ -516,3 +516,80 @@ def ngram_jaccard_pairs(
         .selectExpr(block_col, "id_a", "id_b", f"round({jac}, 6) AS jaccard")
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 64,
+) -> DataFrame:
+    """Directional n-gram CONTAINMENT near-dup pairs via a shared-
+    shingle inverted index — the measure Jaccard misses: a short
+    document fully embedded in a long one has low Jaccard (the union
+    is large) but containment |A∩B|/|A| ≈ 1.
+
+    Candidate generation is the posting-list self-join: explode each
+    document's distinct shingle hashes, DROP shingles occurring in
+    more than ``max_df`` documents (boilerplate phrases would
+    otherwise create O(df²) candidate pairs per shingle — the same
+    hot-key cap policy as the MinHash band buckets, and it must be
+    mirrored verbatim in any oracle), then count shared shingles per
+    pair in one hash aggregate. Denominators keep the FULL distinct
+    shingle counts, so the cap only prunes candidates, it does not
+    inflate scores.
+
+    At 100 TB: posting rows ≈ corpus shingle volume, the self-join is
+    bounded per shingle by ``max_df²``, and no text ever shuffles —
+    only (hash, id) pairs.
+
+    Output: id_a < id_b, shared count, containment_a (= shared/|A|),
+    containment_b, filtered to ``greatest(containment_a,
+    containment_b) >= threshold``.
+    """
+    from institutional_fx_etl_spark.operators.text import (
+        shingle_hashes_expr,
+        tokens,
+    )
+
+    sized = (
+        df.withColumn("__toks", tokens(text_col))
+        .filter(f"size(__toks) >= {shingle_n}")
+        .selectExpr(
+            id_col,
+            f"{shingle_hashes_expr('__toks', shingle_n)} AS __sh",
+        )
+        .selectExpr(id_col, "__sh", "size(__sh) AS n_sh")
+    )
+    posting = sized.select(
+        F.col(id_col), F.col("n_sh"), F.explode("__sh").alias("g")
+    )
+    hot = (
+        posting.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("g")
+    )
+    cold = posting.join(hot, "g", "left_anti")
+    a = cold.selectExpr(f"{id_col} AS id_a", "n_sh AS n_a", "g")
+    b = cold.selectExpr(f"{id_col} AS id_b", "n_sh AS n_b", "g")
+    return (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "shared",
+            "round(CAST(shared AS DOUBLE) / n_a, 6) AS containment_a",
+            "round(CAST(shared AS DOUBLE) / n_b, 6) AS containment_b",
+        )
+        .filter(
+            F.expr(
+                f"greatest(containment_a, containment_b) >= {threshold!r}D"
+            )
+        )
+    )

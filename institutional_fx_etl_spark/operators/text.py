@@ -696,3 +696,63 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     conj = " AND ".join(flags)
     return out.selectExpr("*", f"({conj}) AS gopher_pass").drop(toks)
+
+
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-fit bigram language-model scoring — the classic
+    perplexity quality signal: fit P(w2|w1) = C(w1 w2)/C(w1 ·) by
+    counting over the WHOLE corpus, then score each document by its
+    mean log2 bigram probability and perplexity.
+
+    Plan shape (the 100 TB story): one explode pass produces the
+    (doc, bigram-occurrence) stream; TWO vocabulary-bounded hash
+    aggregates build the count tables; two shuffle joins key the
+    stream back to its counts (bigram table can exceed broadcast size
+    at web scale — the join keys are hashes, text never moves twice);
+    one final per-doc aggregate. Every stage is JVM codegen, no UDF.
+
+    Probabilities are ratios of exact integer counts; the per-doc sum
+    of log2 ratios is a ≤n_tokens-term double sum rounded to 6
+    (the text_entropy precedent — cross-engine log2 agrees well under
+    the rounding at these term counts). Perplexity is computed FROM
+    the rounded mean so both engines exponentiate the same value.
+
+    Output: doc_id, n_bigrams, avg_log2_prob, perplexity.
+    """
+    toks = tokens(text_col)
+    doc_bi = (
+        df.withColumn("__toks", toks)
+        .filter("size(__toks) >= 2")
+        .selectExpr(
+            id_col,
+            "explode(transform(sequence(0, size(__toks)-2),"
+            " i -> concat_ws(' ', element_at(__toks, i+1),"
+            " element_at(__toks, i+2)))) AS bg",
+        )
+        .selectExpr(id_col, "bg", "substring_index(bg, ' ', 1) AS w1")
+    )
+    cb = doc_bi.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    cu = doc_bi.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    return (
+        doc_bi.join(cb, "bg")
+        .join(cu, "w1")
+        .selectExpr(
+            id_col,
+            "log2(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE)) AS __lp",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("__lp") / F.count(F.lit(1)), 6
+            ).alias("avg_log2_prob"),
+        )
+        .selectExpr(
+            id_col,
+            "n_bigrams",
+            "avg_log2_prob",
+            "round(power(2.0, -avg_log2_prob), 6) AS perplexity",
+        )
+    )

@@ -6717,6 +6717,95 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(emb, "embedding", dim=64, scale=1000)
 
 
+@register(
+    "dedup_containment",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    t2 AS (
+      SELECT doc_id, {_DUCK_SHINGLES.format(toks='toks')} AS sh
+      FROM t WHERE len(toks) >= 3
+    ),
+    posting AS (
+      SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM t2
+    ),
+    hot AS (
+      SELECT g FROM posting GROUP BY g HAVING count(*) > 64
+    ),
+    cold AS (
+      SELECT * FROM posting WHERE g NOT IN (SELECT g FROM hot)
+    ),
+    pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS shared
+      FROM cold a JOIN cold b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, shared,
+           round(CAST(shared AS DOUBLE) / n_a, 6) AS containment_a,
+           round(CAST(shared AS DOUBLE) / n_b, 6) AS containment_b
+    FROM pr
+    WHERE greatest(round(CAST(shared AS DOUBLE) / n_a, 6),
+                   round(CAST(shared AS DOUBLE) / n_b, 6)) >= 0.2
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram containment near-dup pairs via a
+    hot-capped shared-shingle inverted index — catches short-in-long
+    duplication that Jaccard's union denominator hides
+    (``operators/dedup.py::containment_pairs``). The max_df=64 hot
+    cap is mirrored in the oracle's HAVING clause."""
+    from institutional_fx_etl_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+@register(
+    "bigram_lm_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ),
+    doc_bi AS (
+      SELECT doc_id,
+             concat_ws(' ', toks[i], toks[i+1]) AS bg,
+             toks[i] AS w1
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    cb AS (SELECT bg, count(*) AS cb FROM doc_bi GROUP BY bg),
+    cu AS (SELECT w1, count(*) AS cu FROM doc_bi GROUP BY w1),
+    lp AS (
+      SELECT d.doc_id,
+             log2(CAST(cb.cb AS DOUBLE) / CAST(cu.cu AS DOUBLE)) AS lp
+      FROM doc_bi d JOIN cb USING (bg) JOIN cu USING (w1)
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(SUM(lp) / count(*), 6) AS avg_log2_prob
+      FROM lp GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, avg_log2_prob,
+           round(power(2.0, -avg_log2_prob), 6) AS perplexity
+    FROM agg
+    """,
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit bigram LM quality scoring (mean log2 probability +
+    perplexity per document): two vocabulary-bounded count aggregates,
+    two hash joins keying the bigram stream to its counts, one per-doc
+    finish — all JVM codegen
+    (``operators/text.py::bigram_lm_score``)."""
+    from institutional_fx_etl_spark.operators.text import bigram_lm_score
+
+    return bigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the

@@ -295,3 +295,60 @@ def test_embedding_covariance_matches_numpy(spark):
         assert r["cov"] == pytest.approx(
             exp[r["i"], r["j"]], abs=2e-6
         ), (r["i"], r["j"])
+
+
+def test_containment_catches_short_in_long(spark):
+    """A short doc fully embedded in a long one: Jaccard is low (big
+    union) but containment_a ~= 1. The pair must survive the
+    containment threshold."""
+    from institutional_fx_etl_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    long_doc = filler + " " + short + " " + " ".join(
+        f"z{i} q{i}" for i in range(30)
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc)], "doc_id long, text string"
+    )
+    out = containment_pairs(df, threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment_a"] == pytest.approx(1.0, abs=1e-6)
+    assert r["containment_b"] < 0.5  # Jaccard-style symmetric view fails
+
+
+def test_containment_hot_shingle_cap_prunes_candidates(spark):
+    """A boilerplate shingle shared by >max_df docs must not produce
+    O(df^2) pairs on its own."""
+    from institutional_fx_etl_spark.operators.dedup import containment_pairs
+
+    boiler = "all rights reserved worldwide"
+    rows = [
+        (i, f"unique{i} token{i} filler{i} " + boiler) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = containment_pairs(df, threshold=0.1, max_df=8).collect()
+    assert out == []  # shared shingles are all hot -> no candidates
+
+
+def test_bigram_lm_score_known_probabilities(spark):
+    """Corpus: doc1 'a b a b', doc2 'a b a c'.
+    Occurrences: ab:3 ba:2 ac:1; first-word counts: a:4 b:2.
+    P(b|a)=3/4, P(a|b)=1, P(c|a)=1/4."""
+    from institutional_fx_etl_spark.operators.text import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b a c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+    lp_ab = math.log2(3 / 4)
+    lp_ba = math.log2(2 / 2)
+    lp_ac = math.log2(1 / 4)
+    exp1 = round((lp_ab + lp_ba + lp_ab) / 3, 6)
+    exp2 = round((lp_ab + lp_ba + lp_ac) / 3, 6)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_log2_prob"] == pytest.approx(exp1, abs=1e-6)
+    assert out[2]["avg_log2_prob"] == pytest.approx(exp2, abs=1e-6)
+    assert out[2]["perplexity"] == pytest.approx(2.0 ** -exp2, abs=1e-5)
