@@ -6806,6 +6806,91 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "streaming_session_window",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    tagged AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM tagged GROUP BY user_id, sid
+    """,
+)
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows (``session_window`` under Structured
+    Streaming, 30-minute gap, event-time watermark): the stateful
+    dynamic-window operator — state merges adjacent sessions as
+    events arrive and the watermark bounds how long a session can
+    stay open. Driven to completion over the bounded events source in
+    complete mode (the state store holds every merged session);
+    must equal the batch islands computation the oracle runs. The
+    batch twin is ``session_window_agg`` — this entry certifies the
+    same semantics through the streaming state store path."""
+    import tempfile
+
+    from institutional_fx_etl_spark.sources.readers import (
+        read_parquet_nanos_safe,
+    )
+
+    name = "streaming_session_window_result"
+    static = read_parquet_nanos_safe(spark, f"{sf_dir}/events.parquet")
+    ts_is_long = dict(static.dtypes).get("ts") == "bigint"
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_expr = (
+        F.expr("timestamp_micros(ts div 1000)")
+        if ts_is_long
+        else F.col("ts").cast("timestamp")
+    )
+    agg = (
+        stream.select(ts_expr.alias("__ts"), "user_id")
+        .withWatermark("__ts", "1 hour")
+        .groupBy(
+            F.session_window("__ts", "30 minutes").alias("__w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("__w.start").alias("session_start"),
+            F.col("__w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="stream_session_ck_"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
