@@ -79,6 +79,13 @@ HEADLINE = [
     "mad_robust",
     "profile_table",
     "streaming_static_join",
+    "tpch_q1",
+    "tpch_q21",
+    "emb_covariance",
+    "bigram_lm_score",
+    "dedup_containment",
+    "linreg_per_group",
+    "quality_gopher",
 ]
 
 
