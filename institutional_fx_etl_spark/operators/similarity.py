@@ -839,7 +839,14 @@ def knn_join(
             .select("cid")
         )
         assigned = assigned.join(small, "cid", "left_semi")
-    normed = assigned.selectExpr("vid", "cid", f"{_UNIT} AS vn")
+    from pyspark import StorageLevel
+
+    # both self-join branches consume the assigned+normalized vectors;
+    # persist so centroid scoring + normalization run once, not twice
+    # (n×(d+2) doubles — bounded by the corpus, never pairs)
+    normed = assigned.selectExpr("vid", "cid", f"{_UNIT} AS vn").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = normed.selectExpr("vid", "vn AS va", "cid")
     b = normed.selectExpr("vid AS nn_id", "vn AS vb", "cid")
     scored = (

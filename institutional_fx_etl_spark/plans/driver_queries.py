@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from institutional_fx_etl_spark.functions.chunked import epoch_seconds
@@ -6889,6 +6889,56 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "scd2_apply",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_type) AS prev
+      FROM events
+    ),
+    versions AS (
+      SELECT user_id, event_type, ts FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER
+             (PARTITION BY user_id ORDER BY ts, event_type) AS valid_to
+    FROM versions
+    """,
+)
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension maintenance (the MERGE INTO primitive):
+    an open-row snapshot seeded from each user's first event absorbs
+    every later event as a change batch — consecutive identical
+    attribute values collapse, each surviving version is closed by
+    its successor's timestamp, the last stays open
+    (``operators/scd.py::scd2_apply``). One key-partitioned shuffle;
+    settled history would stream through untouched."""
+    from institutional_fx_etl_spark.operators.scd import scd2_apply
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    ranked = ev.select(
+        "user_id", "event_type", "ts", F.row_number().over(w).alias("__rn")
+    )
+    dim = ranked.filter("__rn = 1").select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    changes = ranked.filter("__rn > 1").select("user_id", "event_type", "ts")
+    return scd2_apply(
+        dim,
+        changes,
+        key_cols=("user_id",),
+        attr_cols=("event_type",),
+        ts_col="ts",
+    )
 
 
 # ---------------------------------------------------------------------

@@ -352,3 +352,42 @@ def test_bigram_lm_score_known_probabilities(spark):
     assert out[1]["avg_log2_prob"] == pytest.approx(exp1, abs=1e-6)
     assert out[2]["avg_log2_prob"] == pytest.approx(exp2, abs=1e-6)
     assert out[2]["perplexity"] == pytest.approx(2.0 ** -exp2, abs=1e-5)
+
+
+def test_scd2_apply_closes_and_collapses(spark):
+    """Chain A -> A (re-observe, collapse) -> B (close A, open B) ->
+    A (value returns: a NEW version); settled history untouched."""
+    from institutional_fx_etl_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            # settled history row: must pass through byte-identical
+            (1, "X", "2023-12-01 00:00:00", "2024-01-01 00:00:00"),
+            # current open version
+            (1, "A", "2024-01-01 00:00:00", None),
+        ],
+        "user_id long, attr string, valid_from string, valid_to string",
+    ).selectExpr(
+        "user_id",
+        "attr",
+        "CAST(valid_from AS TIMESTAMP) AS valid_from",
+        "CAST(valid_to AS TIMESTAMP) AS valid_to",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "A", "2024-01-02 00:00:00"),  # re-observation: collapses
+            (1, "B", "2024-01-03 00:00:00"),
+            (1, "A", "2024-01-04 00:00:00"),  # returns: new version
+        ],
+        "user_id long, attr string, ts string",
+    ).selectExpr("user_id", "attr", "CAST(ts AS TIMESTAMP) AS ts")
+    out = scd2_apply(
+        dim, changes, ("user_id",), ("attr",), "ts"
+    ).orderBy("valid_from").collect()
+    hist = [(r["attr"], str(r["valid_from"]), str(r["valid_to"])) for r in out]
+    assert hist == [
+        ("X", "2023-12-01 00:00:00", "2024-01-01 00:00:00"),
+        ("A", "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+        ("B", "2024-01-03 00:00:00", "2024-01-04 00:00:00"),
+        ("A", "2024-01-04 00:00:00", "None"),
+    ]
