@@ -1,0 +1,79 @@
+"""Iterative graph analytics beyond connected components.
+
+The reference has no graph surface (its single join is the
+legacy/tick merge, `/root/reference/src/hybrid_merger.py:175`);
+connected components (``operators/dedup.py``) covers the dedup
+clustering need. This module adds the other canonical iterative
+pattern — PageRank-style score propagation — expressed the way an
+iterative algorithm should be on Spark: a FIXED number of unrolled
+join+aggregate rounds (the loop count is part of the contract, so the
+plan is a static DAG Catalyst can see end-to-end, checkpoint-free at
+small k).
+
+Cross-engine exactness: floating-point PageRank sums are
+order-dependent, so scores stay in SCALED INTEGER space end to end —
+contributions use integer division ``r div deg``, the damping step is
+``(85 · Σ) div 100 + 150000``, and every oracle mirrors the same
+truncating arithmetic. Mass lost to truncation is deterministic and
+identical on both engines; ranks are exact BIGINTs, no float
+comparison anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over a directed edge list.
+
+    Every node present as a source or destination starts at
+    ``scale`` (i.e. 1.0 scaled); each round every node sends
+    ``r div out_degree`` along each out-edge and collects
+    ``teleport + (damping_pct · Σ incoming) div 100`` where
+    ``teleport = ((100 - damping_pct) · scale) div 100``. Nodes with
+    no in-edges keep the bare teleport term (left join + coalesce);
+    dangling nodes (no out-edges) simply do not contribute — the
+    standard simplification, deterministic here.
+
+    Plan shape: ``iterations`` rounds of (hash join on src →
+    re-aggregate on dst), all shuffles on the node key — the scale
+    path is the same edge-partitioned propagation as the CC loop,
+    with a static unrolled DAG instead of a convergence loop.
+
+    Output: ``node``, ``pr_scaled`` (exact BIGINT, ``scale`` = 1.0).
+    """
+    e = edges.selectExpr(f"{src_col} AS src", f"{dst_col} AS dst")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        e.selectExpr("src AS node")
+        .union(e.selectExpr("dst AS node"))
+        .distinct()
+    )
+    teleport = ((100 - damping_pct) * scale) // 100
+    ranks = nodes.withColumn("pr", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.selectExpr("node AS src", "pr"), "src")
+            .join(deg, "src")
+            .selectExpr("dst AS node", "pr div deg AS c")
+            .groupBy("node")
+            .agg(F.sum("c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .selectExpr(
+                "node",
+                f"{teleport}L + ({damping_pct}L * coalesce(__in, 0L))"
+                " div 100 AS pr",
+            )
+        )
+    return ranks.selectExpr("node", "pr AS pr_scaled")

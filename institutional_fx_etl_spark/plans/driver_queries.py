@@ -6941,6 +6941,88 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pagerank_fixed",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    e AS (
+      SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+    ),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+    c1 AS (
+      SELECT e.dst AS node, SUM(r0.pr // d.deg) AS sm
+      FROM e JOIN r0 ON e.src = r0.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(c1.sm, 0)) // 100 AS BIGINT)
+               AS pr
+      FROM nodes n LEFT JOIN c1 ON n.node = c1.node
+    ),
+    c2 AS (
+      SELECT e.dst AS node, SUM(r1.pr // d.deg) AS sm
+      FROM e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(c2.sm, 0)) // 100 AS BIGINT)
+               AS pr
+      FROM nodes n LEFT JOIN c2 ON n.node = c2.node
+    ),
+    c3 AS (
+      SELECT e.dst AS node, SUM(r2.pr // d.deg) AS sm
+      FROM e JOIN r2 ON e.src = r2.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(c3.sm, 0)) // 100 AS BIGINT)
+               AS pr
+      FROM nodes n LEFT JOIN c3 ON n.node = c3.node
+    )
+    SELECT node, pr AS pr_scaled FROM r3
+    """,
+)
+def q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration INTEGER PageRank (3 unrolled rounds, damping
+    0.85, teleport 0.15, scale 1e6) over the undirected
+    customer↔supplier bipartite graph (distinct trade pairs from
+    orders⋈lineitem; customers encode as 2k, suppliers 2k+1).
+    Contributions use truncating integer division mirrored on both
+    engines, so ranks are exact BIGINTs — no float summation order
+    anywhere (``operators/graph.py::pagerank_fixed``)."""
+    from institutional_fx_etl_spark.operators.graph import pagerank_fixed
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("c * 2 AS src", "s * 2 + 1 AS dst").union(
+        pairs.selectExpr("s * 2 + 1 AS src", "c * 2 AS dst")
+    )
+    return pagerank_fixed(edges, iterations=3)
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the

@@ -391,3 +391,15 @@ def test_scd2_apply_closes_and_collapses(spark):
         ("B", "2024-01-03 00:00:00", "2024-01-04 00:00:00"),
         ("A", "2024-01-04 00:00:00", "None"),
     ]
+
+
+def test_pagerank_fixed_hand_computed(spark):
+    """3-node graph A->B, B->A, C->A, hand-unrolled 3 integer
+    iterations (scale 1e6, damping 85%, teleport 150000)."""
+    from institutional_fx_etl_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1)], "src long, dst long"
+    )
+    out = {r["node"]: r["pr_scaled"] for r in pagerank_fixed(edges).collect()}
+    assert out == {1: 1741625, 2: 1108375, 3: 150000}

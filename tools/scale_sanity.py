@@ -300,6 +300,39 @@ def _corpus_scale(spark, argv) -> None:
     timed("token_entropy", lambda: token_entropy(docs))
     timed("winnow_fingerprints", lambda: winnow_fingerprints(docs))
     timed("exact_dedup", lambda: exact_dedup_groups(docs))
+
+    from institutional_fx_etl_spark.operators.dedup import containment_pairs
+    from institutional_fx_etl_spark.operators.embstats import (
+        embedding_covariance,
+    )
+    from institutional_fx_etl_spark.operators.text import (
+        bigram_lm_score,
+        gopher_quality,
+    )
+
+    # .filter forces rule evaluation — a bare count() over the narrow
+    # projection would let Catalyst prune the rule expressions away
+    timed(
+        "gopher_quality",
+        lambda: gopher_quality(docs).filter("gopher_pass"),
+    )
+    timed("bigram_lm_score", lambda: bigram_lm_score(docs))
+    timed(
+        "containment_pairs",
+        lambda: containment_pairs(docs, threshold=0.5),
+    )
+    # synthetic embeddings: 64 hash-derived floats per doc, generated
+    # scan-side so the covariance probe measures the Gram partials,
+    # not a driver materialization
+    vecs = docs.selectExpr(
+        "doc_id AS vec_id",
+        "transform(sequence(0, 63), j -> CAST((abs(hash(doc_id, j)) % 2001"
+        " - 1000) / 1000.0 AS FLOAT)) AS embedding",
+    )
+    timed(
+        "embedding_covariance",
+        lambda: embedding_covariance(vecs, "embedding", dim=64, scale=1000),
+    )
     from pyspark.storagelevel import StorageLevel
 
     # persist the verified pairs so the CC wall measures the
