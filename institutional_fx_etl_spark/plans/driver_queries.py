@@ -7023,6 +7023,418 @@ def q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed(edges, iterations=3)
 
 
+@register(
+    "tpch_q2",
+    """
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(floor(l_extendedprice * 1000000.0 / l_quantity
+                            + 0.5) AS BIGINT)) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s.s_suppkey
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT p.p_partkey, e.s_suppkey, sp.unit_cost
+      FROM part p
+      JOIN supply sp ON sp.l_partkey = p.p_partkey
+      JOIN eu e ON e.s_suppkey = sp.l_suppkey
+      WHERE p.p_size <= 10 AND p.p_type = 'ECONOMY'
+    ),
+    mn AS (
+      SELECT p_partkey, MIN(unit_cost) AS min_cost_micro
+      FROM cand GROUP BY p_partkey
+    )
+    SELECT c.p_partkey, m.min_cost_micro,
+           MIN(c.s_suppkey) AS best_suppkey
+    FROM cand c
+    JOIN mn m ON c.p_partkey = m.p_partkey
+              AND c.unit_cost = m.min_cost_micro
+    GROUP BY c.p_partkey, m.min_cost_micro
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the canonical
+    correlated MIN subquery decorrelated into (per-part-supplier agg →
+    per-part min → equality join back), with the supplier→nation→
+    region dimension chain collapsed to a broadcast semi-filter. The
+    reference schema has no partsupp, so unit cost is derived from
+    lineitem (min observed extendedprice/quantity, micro-unit BIGINT
+    fixed point so the min and the equality join are exact on both
+    engines); supplier-key MIN is the deterministic tiebreak the
+    canonical query gets from its ORDER BY."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.floor(
+                F.col("l_extendedprice")
+                * F.lit(1000000.0)
+                / F.col("l_quantity")
+                + F.lit(0.5)
+            )
+        ).alias("unit_cost")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        "r_name = 'EUROPE'"
+    )
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        "p_size <= 10 AND p_type = 'ECONOMY'"
+    ).select("p_partkey")
+    cand = supply.join(
+        F.broadcast(part), supply.l_partkey == part.p_partkey
+    ).join(F.broadcast(eu), supply.l_suppkey == eu.s_suppkey).select(
+        "p_partkey", "s_suppkey", "unit_cost"
+    )
+    mn = cand.groupBy("p_partkey").agg(
+        F.min("unit_cost").alias("min_cost_micro")
+    )
+    return (
+        cand.join(
+            mn.selectExpr("p_partkey AS __pk", "min_cost_micro"),
+            (cand.p_partkey == F.col("__pk"))
+            & (cand.unit_cost == F.col("min_cost_micro")),
+        )
+        .groupBy("p_partkey", "min_cost_micro")
+        .agg(F.min("s_suppkey").alias("best_suppkey"))
+    )
+
+
+@register(
+    "tpch_q9",
+    """
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                          * 1000000.0 + 0.5) AS BIGINT)
+               - CAST(floor(p.p_retailprice * l.l_quantity
+                            * 1000000.0 + 0.5) AS BIGINT))
+             AS profit_micro
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): the
+    biggest join fan in the suite — lineitem joined to part (LIKE
+    filter pushed into the broadcast build side), supplier→nation,
+    and orders, aggregating a revenue-minus-cost expression. partsupp
+    is absent, so the cost leg uses p_retailprice·quantity; both
+    product terms are per-row micro-unit BIGINTs (floor(x·1e6+0.5))
+    so the profit sum is exact integer arithmetic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        "p_name LIKE '%red%'"
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp_n = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    rev = F.floor(
+        F.col("l_extendedprice")
+        * (F.lit(1) - F.col("l_discount"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    )
+    cost = F.floor(
+        F.col("p_retailprice")
+        * F.col("l_quantity")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (rev - cost).alias("__amt"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("__amt").alias("profit_micro"))
+    )
+
+
+@register(
+    "tpch_q11",
+    """
+    WITH nat AS (
+      SELECT s.s_suppkey
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_1'
+    ),
+    val AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS v
+      FROM lineitem l JOIN nat ON l.l_suppkey = nat.s_suppkey
+      GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT SUM(v) AS t FROM val)
+    SELECT v.l_partkey AS p_partkey, CAST(v.v AS DOUBLE) AS part_value
+    FROM val v, tot
+    WHERE CAST(v.v AS DOUBLE) > CAST(tot.t AS DOUBLE) * 0.001
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock concentration): a GROUP BY
+    HAVING whose threshold is a scalar subquery over the SAME
+    aggregate — computed once, broadcast as a literal-free cross
+    join, never recomputed per group. Inventory value is adapted to
+    supplier-nation lineitem revenue (no partsupp). Sums are
+    DECIMAL-exact; the fraction comparison happens in double on both
+    engines after the exact sums."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        "n_name = 'NATION_1'"
+    )
+    nat = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    val = (
+        li.join(F.broadcast(nat), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias(
+                "v"
+            )
+        )
+    )
+    tot = val.agg(F.sum("v").alias("t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("v").cast("double")
+            > F.col("t").cast("double") * F.lit(0.001)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("v").cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q15",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                            * 1000000.0 + 0.5) AS BIGINT))
+               AS total_rev_micro
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    ),
+    mx AS (SELECT MAX(total_rev_micro) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name, r.total_rev_micro
+    FROM rev r
+    JOIN mx ON r.total_rev_micro = mx.m
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the revenue view is aggregated
+    once, its MAX becomes a broadcast scalar, and the equality filter
+    selects the argmax rows (ties kept, exactly as the canonical
+    query). Micro-unit BIGINT revenue makes the MAX and the equality
+    join exact — no float argmax ambiguity across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        " AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1) - F.col("l_discount"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+        ).alias("total_rev_micro")
+    )
+    mx = rev.agg(F.max("total_rev_micro").alias("m"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev_micro") == F.col("m"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_micro")
+    )
+
+
+@register(
+    "tpch_q16",
+    """
+    SELECT p.p_brand, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'ECONOMY%'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): negated
+    predicates on the dimension (<> / NOT LIKE / IN-list), a NOT IN
+    subquery realized as a broadcast ANTI join against the excluded
+    supplier set (s_acctbal<0 stands in for the canonical complaint
+    comment — no s_comment in the reduced schema), and a COUNT
+    DISTINCT grouped at dimension grain."""
+    part = load_table(spark, sf_dir, "part").filter(
+        "p_brand <> 'Brand#1' AND p_type NOT LIKE 'ECONOMY%'"
+        " AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)"
+    ).select("p_partkey", "p_brand", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        "s_acctbal < 0"
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad),
+            li.l_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20",
+    """
+    WITH red AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+    ),
+    avail AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS avail_qty
+      FROM lineitem JOIN red ON l_partkey = p_partkey
+      GROUP BY l_partkey, l_suppkey
+    ),
+    dem AS (
+      SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,4)))
+               AS yr_demand
+      FROM lineitem JOIN red ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey
+    ),
+    excess AS (
+      SELECT DISTINCT avail.l_suppkey
+      FROM avail JOIN dem ON avail.l_partkey = dem.l_partkey
+      WHERE CAST(avail.avail_qty AS DOUBLE)
+            > 0.5 * CAST(dem.yr_demand AS DOUBLE)
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN excess e ON s.s_suppkey = e.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_2'
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-supply suppliers): a nested-aggregate
+    semi-join chain — the supplier's all-time shipped quantity per
+    part stands in for partsupp.ps_availqty and is compared to half
+    the part's 1996 demand (the canonical availqty > 0.5·year-demand
+    predicate), DISTINCT supplier keys semi-filter the supplier dim,
+    nation broadcast-filters the result. Both quantity sums are
+    DECIMAL-exact; only the final fraction comparison runs in double,
+    identically on both engines."""
+    red = load_table(spark, sf_dir, "part").filter(
+        "p_name LIKE '%red%'"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    ).join(F.broadcast(red), F.col("l_partkey") == red.p_partkey)
+    qdec = F.col("l_quantity").cast("decimal(18,4)")
+    avail = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qdec).alias("avail_qty")
+    )
+    dem = (
+        li.filter(
+            "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
+            " AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(qdec).alias("yr_demand"))
+    )
+    excess = (
+        avail.join(
+            dem.selectExpr("l_partkey AS __pk", "yr_demand"),
+            avail.l_partkey == F.col("__pk"),
+        )
+        .filter(
+            F.col("avail_qty").cast("double")
+            > F.lit(0.5) * F.col("yr_demand").cast("double")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        "n_name = 'NATION_2'"
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(excess, F.col("s_suppkey") == excess.l_suppkey)
+        .select("s_suppkey", "s_name")
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
