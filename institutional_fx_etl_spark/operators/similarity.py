@@ -862,3 +862,67 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .selectExpr(f"vid AS {bq(id_col)}", "nn_id", "rank", "cosine")
     )
+
+
+#: Frozen 64-dim ADC demo query vector: pure integer-arithmetic
+#: rationals ((i·37+11) mod 97 − 48)/97 so no libm call is involved —
+#: the same decimal literals parse to the same doubles on both
+#: engines.
+_ADC_QUERY = [((i * 37 + 11) % 97 - 48) / 97.0 for i in range(64)]
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query: list | None = None,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebook: list | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes — the scan
+    stage of an IVF-PQ index: the query is NOT quantized; instead a
+    per-subspace lookup table ``lut[m][c] = ‖q_m − centroid_{m,c}‖²``
+    is computed ONCE (M·K doubles, driver-side, frozen into literals)
+    and each row's approximate distance is M table lookups + an add
+    chain — no per-row vector math at all, which is why PQ scans rate
+    billions of vectors per node.
+
+    Plan: :func:`pq_encode`'s pure scan map → ``element_at`` lookups
+    into the LUT literal arrays → ``TakeOrderedAndProject`` partial
+    top-k (per-partition k, then a k-row final merge — no global
+    sort). Ordering uses the UNROUNDED adc (bit-identical on both
+    engines: same literals, same left-assoc add chain) with the id as
+    total-order tiebreak.
+
+    Output: ``id``, ``code_0..code_{M-1}``, ``adc_dist`` (round 6) —
+    the ``k`` nearest by approximate distance.
+    """
+    cb = codebook if codebook is not None else _PQ_CODEBOOK
+    q = query if query is not None else _ADC_QUERY
+    m_sub, k_cent = len(cb), len(cb[0])
+    dims = len(cb[0][0])
+    codes = pq_encode(df, vec_col=vec_col, id_col=id_col, codebook=cb)
+    luts = [
+        [
+            sum(
+                (q[m * dims + d] - cb[m][c][d]) ** 2
+                for d in range(dims)
+            )
+            for c in range(k_cent)
+        ]
+        for m in range(m_sub)
+    ]
+    terms = [
+        "element_at(array("
+        + ", ".join(f"{v!r}D" for v in luts[m])
+        + f"), code_{m} + 1)"
+        for m in range(m_sub)
+    ]
+    adc = " + ".join(terms)
+    code_cols = [f"code_{m}" for m in range(m_sub)]
+    return (
+        codes.selectExpr("id", *code_cols, f"{adc} AS __adc")
+        .orderBy("__adc", "id")
+        .limit(k)
+        .selectExpr("id", *code_cols, "round(__adc, 6) AS adc_dist")
+    )

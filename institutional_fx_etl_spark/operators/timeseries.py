@@ -427,3 +427,60 @@ def linreg_per_group(
         f"round({intercept}, 6) AS intercept",
         f"round({r2}, 6) AS r2",
     )
+
+
+def twap(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: tuple[str, ...],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-weighted average price per group over IRREGULARLY spaced
+    observations: each value holds until the next observation, so its
+    weight is the gap to the successor (``sum(vᵢ·Δtᵢ)/sum(Δtᵢ)``; the
+    final observation of a series has no successor and carries zero
+    weight — the standard left-closed TWAP convention). The duration
+    weighting is what distinguishes this from ``vwap``/plain mean:
+    bursts of quotes stop dominating the average.
+
+    One per-group ordered window (``lead`` — the ordering carries a
+    total-order tiebreak) then one hash aggregate; both keyed on the
+    group columns, so series parallelize independently at 100 TB.
+
+    Cross-engine exactness: Δt is integer MICROSECONDS
+    (``unix_micros`` — no float time math), values fix-point to
+    ``floor(v·1e6+0.5)`` BIGINT, and the weighted sum accumulates as
+    DECIMAL(38,0), so summation order cannot drift the result; the
+    single double division happens once at the end, mirrored verbatim
+    in the oracle. Output: group cols, twap (round 6), dur_seconds.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    us = f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
+    stepped = df.withColumn(
+        "__dt",
+        F.lead(F.expr(us)).over(w) - F.expr(us),
+    ).filter(F.col("__dt").isNotNull())
+    vdt = (
+        f"CAST(floor({value_col} * 1000000.0 + 0.5) AS DECIMAL(38,0))"
+        " * CAST(__dt AS DECIMAL(38,0))"
+    )
+    return (
+        stepped.selectExpr(
+            *group_cols, f"{vdt} AS __vdt", "CAST(__dt AS DECIMAL(38,0)) AS __dtd"
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("__vdt").alias("__svdt"),
+            F.sum("__dtd").alias("__sdt"),
+        )
+        .selectExpr(
+            *group_cols,
+            "round(CAST(__svdt AS DOUBLE) / CAST(__sdt AS DOUBLE)"
+            " / 1000000.0, 6) AS twap",
+            "round(CAST(__sdt AS DOUBLE) / 1000000.0, 6) AS dur_seconds",
+        )
+    )

@@ -7435,6 +7435,210 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "twap_events",
+    """
+    WITH stepped AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT) AS vmic,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+             ) - epoch_us(ts) AS dt
+      FROM events
+    )
+    SELECT event_type,
+           round(CAST(SUM(vmic * CAST(dt AS HUGEINT)) AS DOUBLE)
+                 / CAST(SUM(CAST(dt AS HUGEINT)) AS DOUBLE)
+                 / 1000000.0, 6) AS twap,
+           round(CAST(SUM(CAST(dt AS HUGEINT)) AS DOUBLE)
+                 / 1000000.0, 6) AS dur_seconds
+    FROM stepped WHERE dt IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_twap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the event value per event type over
+    the irregular event stream — each observation weighted by its
+    holding time to the successor (micro-unit integer Δt·value sums,
+    one ordered window + one hash agg;
+    ``operators/timeseries.py::twap``)."""
+    from institutional_fx_etl_spark.operators.timeseries import twap
+
+    return twap(
+        load_table(spark, sf_dir, "events"),
+        ts_col="ts",
+        value_col="value",
+        group_cols=("event_type",),
+        tiebreak_col="event_id",
+    )
+
+
+@register(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    tot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS t
+      FROM cnt GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           round(CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS prob
+    FROM cnt c JOIN tot t ON c.from_type = t.from_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event
+    stream: successor event type via one user-keyed ordered window
+    (total-order tiebreak on event_id), transition counts in one hash
+    aggregate, and row-normalized probabilities from a broadcast join
+    against the per-source totals — |types|² output rows regardless
+    of corpus size."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (
+        events.withColumn(
+            "to_type", F.lead("event_type").over(w)
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.groupBy(F.col("from_type").alias("__f")).agg(
+        F.sum("n").alias("t")
+    )
+    return (
+        cnt.join(F.broadcast(tot), cnt.from_type == F.col("__f"))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("t").cast("double"), 6
+            ).alias("prob"),
+        )
+    )
+
+
+@register(
+    "triangle_count",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT i1.p AS a, i2.p AS b
+      FROM items i1 JOIN items i2 ON i1.o = i2.o AND i1.p < i2.p
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+      ) GROUP BY node
+    ),
+    w AS (
+      SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+    ),
+    ne AS (SELECT count(*) AS n_edges FROM e),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT n_edges, n_wedges, n_triangles,
+           round(CAST(3.0 AS DOUBLE) * n_triangles / n_wedges, 6)
+             AS global_clustering
+    FROM ne, w, tri
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census + global clustering coefficient of the
+    part co-purchase graph (parts are linked when they appear in the
+    same order): ordered-wedge two-join plan, each triangle counted
+    once under the a<b<c total order
+    (``operators/graph.py::triangle_count``)."""
+    from institutional_fx_etl_spark.operators.graph import triangle_count
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    i2 = items.selectExpr("o", "p AS p2")
+    edges = (
+        items.join(i2, "o")
+        .filter(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
+def _pq_adc_oracle(k: int = 10) -> str:
+    """DuckDB mirror of operators.similarity.pq_adc_topk: the PQ
+    encode CTE (same frozen codebook) + the SAME driver-computed LUT
+    literals, summed in the same left-assoc order, ordered by the
+    unrounded adc with the id tiebreak."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        _ADC_QUERY,
+        _PQ_CODEBOOK,
+    )
+
+    m_sub, k_cent = len(_PQ_CODEBOOK), len(_PQ_CODEBOOK[0])
+    dims = len(_PQ_CODEBOOK[0][0])
+    luts = [
+        [
+            sum(
+                (_ADC_QUERY[m * dims + d] - _PQ_CODEBOOK[m][c][d]) ** 2
+                for d in range(dims)
+            )
+            for c in range(k_cent)
+        ]
+        for m in range(m_sub)
+    ]
+    terms = [
+        "(["
+        + ", ".join(repr(v) for v in luts[m])
+        + f"])[code_{m} + 1]"
+        for m in range(m_sub)
+    ]
+    adc = " + ".join(terms)
+    codes = ", ".join(f"code_{m}" for m in range(m_sub))
+    return f"""
+    WITH enc AS ({_pq_oracle()})
+    SELECT id, {codes}, round(adc, 6) AS adc_dist FROM (
+      SELECT id, {codes}, {adc} AS adc FROM enc
+    ) ORDER BY adc, id LIMIT {k}
+    """
+
+
+@register("pq_adc_topk", _pq_adc_oracle())
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ scan stage: asymmetric-distance (ADC) top-10 over the
+    PQ-encoded embeddings corpus — per-subspace LUT of squared
+    distances to the frozen query, each row costs M ``element_at``
+    lookups + an add chain, partial top-k merge
+    (``operators/similarity.py::pq_adc_topk``)."""
+    from institutional_fx_etl_spark.operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(load_table(spark, sf_dir, "embeddings"), k=10)
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the

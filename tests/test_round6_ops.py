@@ -403,3 +403,75 @@ def test_pagerank_fixed_hand_computed(spark):
     )
     out = {r["node"]: r["pr_scaled"] for r in pagerank_fixed(edges).collect()}
     assert out == {1: 1741625, 2: 1108375, 3: 150000}
+
+
+def test_triangle_count_k4_minus_edge(spark):
+    """K4 minus edge (3,4): triangles {1,2,3},{1,2,4}; degrees
+    3,3,2,2 → wedges 3+3+1+1=8; clustering 6/8."""
+    from institutional_fx_etl_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(2, 1), (1, 3), (4, 1), (2, 3), (2, 4), (1, 2)],  # dupes/reversed
+        "src long, dst long",
+    )
+    row = triangle_count(edges).collect()[0]
+    assert (
+        row["n_edges"],
+        row["n_wedges"],
+        row["n_triangles"],
+        row["global_clustering"],
+    ) == (5, 8, 2, 0.75)
+
+
+def test_twap_hand_computed(spark):
+    """10 held 10 s, 20 held 20 s, final obs zero-weight:
+    (10·10+20·20)/30 = 16.666667."""
+    from institutional_fx_etl_spark.operators.timeseries import twap
+
+    df = spark.createDataFrame(
+        [
+            ("A", "2024-01-01 00:00:00", 10.0),
+            ("A", "2024-01-01 00:00:10", 20.0),
+            ("A", "2024-01-01 00:00:30", 99.0),
+        ],
+        "sym string, ts string, v double",
+    ).selectExpr("sym", "CAST(ts AS TIMESTAMP) AS ts", "v")
+    row = twap(df, "ts", "v", ("sym",)).collect()[0]
+    assert row["twap"] == 16.666667
+    assert row["dur_seconds"] == 30.0
+
+
+def test_pq_adc_topk_matches_lut_recompute(spark):
+    """ADC distances equal the LUT sum for each row's codes, ascend,
+    and return exactly k rows."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        _ADC_QUERY,
+        _PQ_CODEBOOK,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    vecs = spark.range(20).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 63), j ->"
+        " CAST((abs(hash(id, j)) % 2001 - 1000) / 1000.0 AS FLOAT))"
+        " AS embedding",
+    )
+    out = pq_adc_topk(vecs, k=5).collect()
+    assert len(out) == 5
+    dims = len(_PQ_CODEBOOK[0][0])
+    luts = [
+        [
+            sum(
+                (_ADC_QUERY[m * dims + d] - _PQ_CODEBOOK[m][c][d]) ** 2
+                for d in range(dims)
+            )
+            for c in range(len(_PQ_CODEBOOK[0]))
+        ]
+        for m in range(len(_PQ_CODEBOOK))
+    ]
+    dists = [r["adc_dist"] for r in out]
+    assert dists == sorted(dists)
+    for r in out:
+        expect = sum(luts[m][r[f"code_{m}"]] for m in range(4))
+        assert abs(r["adc_dist"] - expect) < 1e-6
