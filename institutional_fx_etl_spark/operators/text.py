@@ -756,3 +756,41 @@ def bigram_lm_score(
             "round(power(2.0, -avg_log2_prob), 6) AS perplexity",
         )
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """First BPE merge iteration over the corpus: the most frequent
+    ADJACENT CHARACTER PAIRS, weighted by word frequency — the
+    classic tokenizer-training recipe (Sennrich et al. 2016) computes
+    pair counts over the DISTINCT word vocabulary × word frequency,
+    never over raw running text, and that is exactly the scale path
+    here: one vocabulary-bounded shuffle collapses the corpus to
+    (word, count), the pair explode then fans over distinct words
+    only (len(word)−1 pairs each), and a second vocabulary-bounded
+    aggregate sums the weighted pair counts. At 100 TB the corpus is
+    touched once; everything after the first combine is
+    vocabulary-sized. Top-k by (freq desc, pair asc) is a partial
+    TakeOrderedAndProject, fully tie-broken. Output: pair, freq.
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter("w <> ''")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.selectExpr(
+        "explode(transform(sequence(1, length(w) - 1),"
+        " i -> substring(w, i, 2))) AS pair",
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("pair"))
+        .limit(top_k)
+    )

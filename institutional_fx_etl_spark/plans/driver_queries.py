@@ -7589,6 +7589,82 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+@register(
+    "grouping_sets_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS (
+      (o_orderstatus, o_orderpriority), (o_orderstatus),
+      (o_orderpriority), ()
+    )
+    """,
+)
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the generalization the cube_agg /
+    rollup_agg queries specialize): four explicit sets over the order
+    dims with GROUPING() null-disambiguation flags and a DECIMAL-exact
+    price sum. Catalyst expands the sets into one Expand + single hash
+    aggregate — the corpus is scanned once, not once per set."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "__orders_gs"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_price
+        FROM __orders_gs
+        GROUP BY GROUPING SETS (
+          (o_orderstatus, o_orderpriority), (o_orderstatus),
+          (o_orderpriority), ()
+        )
+        """
+    )
+
+
+@register(
+    "bpe_merge_candidates",
+    """
+    WITH words AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                    i -> substr(w, CAST(i AS INT), 2))) AS pair,
+             cnt
+      FROM words WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair LIMIT 20
+    """,
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training, first merge round: most frequent adjacent
+    character pairs weighted by word frequency, computed over the
+    distinct vocabulary (Sennrich-style) so the corpus is scanned
+    once (``operators/text.py::bpe_merge_candidates``)."""
+    from institutional_fx_etl_spark.operators.text import (
+        bpe_merge_candidates,
+    )
+
+    return bpe_merge_candidates(
+        load_table(spark, sf_dir, "documents"), top_k=20
+    )
+
+
 def _pq_adc_oracle(k: int = 10) -> str:
     """DuckDB mirror of operators.similarity.pq_adc_topk: the PQ
     encode CTE (same frozen codebook) + the SAME driver-computed LUT
