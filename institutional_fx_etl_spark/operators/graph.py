@@ -51,12 +51,25 @@ def pagerank_fixed(
 
     Output: ``node``, ``pr_scaled`` (exact BIGINT, ``scale`` = 1.0).
     """
-    e = edges.selectExpr(f"{src_col} AS src", f"{dst_col} AS dst")
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    from pyspark.storagelevel import StorageLevel
+
+    # Each unrolled round re-consumes the edge list, the out-degrees
+    # and the node set; persisting them (ids-only rows, DISK_ONLY)
+    # keeps the caller's upstream DAG from being re-derived
+    # ``iterations`` times (the dedup_clusters pairs lesson).
+    e = edges.selectExpr(
+        f"{src_col} AS src", f"{dst_col} AS dst"
+    ).persist(StorageLevel.DISK_ONLY)
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
     nodes = (
         e.selectExpr("src AS node")
         .union(e.selectExpr("dst AS node"))
         .distinct()
+        .persist(StorageLevel.DISK_ONLY)
     )
     teleport = ((100 - damping_pct) * scale) // 100
     ranks = nodes.withColumn("pr", F.lit(scale).cast("long"))
@@ -103,6 +116,8 @@ def triangle_count(
     Output (single row): n_edges, n_wedges, n_triangles,
     global_clustering (= 3·T/W, round 6, NULL when W=0).
     """
+    from pyspark.storagelevel import StorageLevel
+
     e = (
         edges.selectExpr(
             f"least({src_col}, {dst_col}) AS a",
@@ -111,6 +126,12 @@ def triangle_count(
         .filter("a < b")
         .distinct()
     )
+    # The edge set feeds FIVE consumers (edge count, both degree
+    # legs, both sides of the wedge join, the closing join) — without
+    # persistence Catalyst re-derives the caller's whole upstream DAG
+    # for each leg (the dedup_clusters pairs lesson, ROADMAP §23).
+    # Ids-only rows, so DISK_ONLY is cheap at any scale.
+    e = e.persist(StorageLevel.DISK_ONLY)
     deg = (
         e.selectExpr("a AS node")
         .union(e.selectExpr("b AS node"))
