@@ -86,6 +86,17 @@ HEADLINE = [
     "dedup_containment",
     "linreg_per_group",
     "quality_gopher",
+    # round-6 continuation ops
+    "scd2_apply",
+    "pagerank_fixed",
+    "triangle_count",
+    "pq_adc_topk",
+    "twap_events",
+    "tpch_q9",
+    "tpch_q2",
+    "grouping_sets_agg",
+    "bpe_merge_candidates",
+    "event_transitions",
 ]
 
 

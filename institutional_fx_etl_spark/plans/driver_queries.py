@@ -82,6 +82,10 @@ def register(name: str, oracle: str | None):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate contract query name: {name!r}"
+            )
         REGISTRY[name] = (wrapped, oracle)
         return wrapped
 
@@ -7587,48 +7591,6 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
     )
     return triangle_count(edges)
-
-
-@register(
-    "grouping_sets_agg",
-    """
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(grouping(o_orderstatus) AS INT) AS g_status,
-           CAST(grouping(o_orderpriority) AS INT) AS g_prio,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-             AS total_price
-    FROM orders
-    GROUP BY GROUPING SETS (
-      (o_orderstatus, o_orderpriority), (o_orderstatus),
-      (o_orderpriority), ()
-    )
-    """,
-)
-def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arbitrary GROUPING SETS (the generalization the cube_agg /
-    rollup_agg queries specialize): four explicit sets over the order
-    dims with GROUPING() null-disambiguation flags and a DECIMAL-exact
-    price sum. Catalyst expands the sets into one Expand + single hash
-    aggregate — the corpus is scanned once, not once per set."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
-        "__orders_gs"
-    )
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority,
-               CAST(grouping(o_orderstatus) AS INT) AS g_status,
-               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
-               count(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-                 AS total_price
-        FROM __orders_gs
-        GROUP BY GROUPING SETS (
-          (o_orderstatus, o_orderpriority), (o_orderstatus),
-          (o_orderpriority), ()
-        )
-        """
-    )
 
 
 @register(
