@@ -78,3 +78,38 @@ def scd2_apply(
         )
         .unionByName(closed)
     )
+
+
+def cdc_apply(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    op_col: str,
+    payload_cols: tuple[str, ...],
+    tiebreak_col: str | None = None,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Materialize the current snapshot from a CDC change log:
+    last-writer-wins per key under the (ts, tiebreak) total order,
+    and a key whose LATEST operation is a delete is absent from the
+    snapshot entirely — the standard log-compaction / MERGE INTO
+    outcome, computed set-wise.
+
+    One key-partitioned ordered window (rank-1 row per key) and a
+    filter — no join, no driver state; keys parallelize independently
+    at 100 TB. Use :func:`scd2_apply` instead when history (validity
+    intervals) must be retained; this operator keeps only the head.
+
+    Output: key cols, ts_col, op_col, payload cols of the surviving
+    latest row per key.
+    """
+    order = [F.col(ts_col).desc()] + (
+        [F.col(tiebreak_col).desc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col(op_col) != delete_op)
+        .select(*key_cols, ts_col, op_col, *payload_cols)
+    )

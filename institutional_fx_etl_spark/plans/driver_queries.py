@@ -7627,6 +7627,51 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_snapshot",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END
+               AS op,
+             event_type, value
+      FROM events
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM log
+    )
+    SELECT user_id, ts, op, event_type, value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction to the current snapshot: the event stream
+    as a change log (error events act as deletes), last-writer-wins
+    per user under the (ts, event_id) total order, latest-deleted
+    users absent (``operators/scd.py::cdc_apply``)."""
+    from institutional_fx_etl_spark.operators.scd import cdc_apply
+
+    log = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "ts",
+        "event_id",
+        "CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op",
+        "event_type",
+        "value",
+    )
+    return cdc_apply(
+        log,
+        key_cols=("user_id",),
+        ts_col="ts",
+        op_col="op",
+        payload_cols=("event_type", "value"),
+        tiebreak_col="event_id",
+    )
+
+
 def _pq_adc_oracle(k: int = 10) -> str:
     """DuckDB mirror of operators.similarity.pq_adc_topk: the PQ
     encode CTE (same frozen codebook) + the SAME driver-computed LUT

@@ -475,3 +475,25 @@ def test_pq_adc_topk_matches_lut_recompute(spark):
     for r in out:
         expect = sum(luts[m][r[f"code_{m}"]] for m in range(4))
         assert abs(r["adc_dist"] - expect) < 1e-6
+
+
+def test_cdc_apply_last_writer_wins_and_delete(spark):
+    """B's latest op is a delete → absent; A keeps only its newest
+    payload; equal-ts rows resolve by the tiebreak."""
+    from institutional_fx_etl_spark.operators.scd import cdc_apply
+
+    log = spark.createDataFrame(
+        [
+            ("A", "2024-01-01 00:00:00", 1, "U", 10.0),
+            ("A", "2024-01-02 00:00:00", 2, "U", 20.0),
+            ("A", "2024-01-02 00:00:00", 3, "U", 30.0),
+            ("B", "2024-01-01 00:00:00", 4, "U", 1.0),
+            ("B", "2024-01-03 00:00:00", 5, "D", 0.0),
+        ],
+        "k string, ts string, seq long, op string, v double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "seq", "op", "v")
+    out = cdc_apply(
+        log, ("k",), "ts", "op", ("v",), tiebreak_col="seq"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["k"] == "A" and out[0]["v"] == 30.0
