@@ -7739,64 +7739,65 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 _HEAD = [
-    # --- round-6 window (50) ------------------------------------------
+    # --- round-7 window (50) ------------------------------------------
     # new this round (first driver row needed)
-    "streaming_static_join",
-    "tpch_q3",
-    "tpch_q7",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q19",
-    "tpch_q5",
-    "tpch_q18",
-    "vwap",
-    "max_drawdown",
-    "realized_vol",
-    "rsi_cutler",
-    "autocorr_lag",
-    "minmax_scale",
-    "segment_dedup",
-    "inverted_index",
-    "emb_quantize",
-    "knn_join",
-    # round-5 late additions — never driver-certified (round-5 verdict
-    # ask #1: all 19 into the r6 window)
-    "asof_join_nearest",
-    "bollinger_bands",
-    "bpe_token_count",
-    "candle_resample",
-    "corpus_rebalance",
-    "dedup_apply",
-    "dedup_degree_stats",
-    "doc_feature_matrix",
-    "doc_packing",
-    "doc_packing_text",
-    "emb_centroids",
-    "equidepth_histogram",
-    "interval_merge",
-    "linear_interpolate",
-    "retention_cohorts",
-    "semdedup",
-    "text_entropy",
-    "weighted_sample",
-    "zscore_normalize",
+    "lsh_ann_pairs_multitable",
+    # never driver-certified (round-6 verdict ask #1: all 33 into the
+    # r7 window) — the 15 remaining TPC-H shapes first
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    # ... then the 18 round-6 continuation ops
+    "bigram_lm_score",
+    "bpe_merge_candidates",
+    "cdc_snapshot",
+    "dedup_containment",
+    "emb_covariance",
+    "event_transitions",
+    "linreg_per_group",
+    "mad_robust",
+    "pagerank_fixed",
+    "pq_adc_topk",
+    "profile_table",
+    "psi_drift",
+    "quality_gopher",
+    "scd2_apply",
+    "streaming_session_window",
+    "triangle_count",
+    "twap_events",
+    "winsorize",
     # code changed this round — fresh rows over the new plans
-    # (cell-blocked near-dup, pairs persist in CC, backward-emitting
-    # fused bridge, join-diffed incremental state) + flagship family
-    "embedding_near_dup",
-    "dedup_clusters",
-    "pipeline_clean_fixture_fused",
-    "hybrid_pipeline",
-    "hybrid_pipeline_audit",
+    # (O(1)-state chunk bounds in the fused engine, multi-table LSH)
     "hybrid_pipeline_chunked",
+    "pipeline_clean_fixture_fused",
+    "lsh_ann_pairs",
+    # flagship/streaming family stays in-window every round
+    "hybrid_pipeline",
     "hybrid_pipeline_multisym",
     "incremental_merge",
-    "incremental_merge_multisym",
-    # rotated back in: last driver row is r4 (oldest first priority)
-    "streaming_gap_bridge",
-    "pipeline_clean_fixture",
     "validator_reconcile",
-    "lsh_ann_pairs",
+    "streaming_gap_bridge",
+    # rotated back in: last driver row is r4 (oldest rows first)
+    "anti_join",
+    "combine_first",
+    "inner_reconcile",
+    "lag_pct_change",
+    "ffill",
+    "greatest_least_fix",
+    "audit_union",
+    "topk",
 ]
 _TAIL = [
     # r5-green — oracle-checked at sf0.001 (ivf_topk/ivf_topk_kmeans

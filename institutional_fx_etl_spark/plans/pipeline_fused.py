@@ -71,11 +71,13 @@ def chunk_bounds(
     chunked: bool = False,
 ) -> DataFrame:
     """Per-chunk top-2/bottom-2 boundary timestamps + the dense chunk
-    ordinal, in ONE scan: a per-chunk sorted collect (bounded by chunk
-    row count, which ``chunk_seconds`` controls) and a ``row_number``
-    over the resulting C-row summary. ``F.get`` is 0-based and NULL
-    out-of-range regardless of ANSI mode, so 1-row chunks get NULL
-    ``__hi2``/``__lo2`` (→ coalesce to ``__hi1``/``__lo1``).
+    ordinal, in ONE scan: a two-level skew-proof aggregation (per
+    physical-partition candidates, then a per-chunk merge of ≤2
+    candidates per sub — O(1) state per chunk row-wise; see the inline
+    comment) and a ``row_number`` over the resulting C-row summary.
+    ``F.get`` is 0-based and NULL out-of-range regardless of ANSI mode,
+    so 1-row chunks get NULL ``__hi2``/``__lo2`` (→ coalesce to
+    ``__hi1``/``__lo1``).
 
     This deliberately takes the PRE-scalar-join frame so its broadcast
     build is independent of the global-scalar aggregate's — AQE
@@ -84,18 +86,54 @@ def chunk_bounds(
     p = partition_cols
     if not chunked:
         df = df.withColumn(CHUNK, chunk_of(ts_col, chunk_seconds))
-    n = F.size("__l")
-    w = Window.partitionBy(*p).orderBy(CHUNK)
-    return (
-        df.groupBy(*p, CHUNK)
+    # Two-level aggregation, skew-proof (round-6 verdict ask #2).  A
+    # single per-chunk ``collect_list(ts)`` holds the WHOLE chunk's
+    # timestamps in one final-merge buffer — a flash-crash tick storm
+    # landing in one chunk blows that buffer up with the skew.  Level 1
+    # instead groups by ``(p, chunk, spark_partition_id)``: each group
+    # is wholly contained in one physical input partition, so its
+    # buffer is bounded by ``spark.sql.files.maxPartitionBytes`` no
+    # matter how skewed the chunk is, and only the per-sub top-2 /
+    # bottom-2 candidates + count survive into level 2.  Level 2 state
+    # is O(#subs-per-chunk) — #input-partitions at worst — never
+    # O(rows).  The global top-2 rows of a chunk are each either their
+    # sub's max or its 2nd-max, so they are always inside the candidate
+    # set; same for bottom-2.  ``collect_list`` skips NULL ts on both
+    # levels exactly as the old single-level collect did.
+    lvl1 = (
+        df.groupBy(*p, CHUNK, F.spark_partition_id().alias("__sub"))
         .agg(F.sort_array(F.collect_list(ts_col)).alias("__l"))
         .select(
             *p,
             CHUNK,
-            F.get("__l", n - 1).alias("__hi1"),
-            F.get("__l", n - 2).alias("__hi2"),
-            F.get("__l", F.lit(0)).alias("__lo1"),
-            F.get("__l", F.lit(1)).alias("__lo2"),
+            # last ≤2 (asc) and first ≤2 (asc); slice is 1-based and
+            # tolerates short arrays (1-row subs yield 1-element slices)
+            F.slice(
+                "__l", F.greatest(F.size("__l") - 1, F.lit(1)), 2
+            ).alias("__t2"),
+            F.slice("__l", 1, 2).alias("__b2"),
+            F.size("__l").alias("__sn"),
+        )
+    )
+    hi_c = F.sort_array(F.flatten(F.collect_list("__t2")))
+    lo_c = F.sort_array(F.flatten(F.collect_list("__b2")))
+    n = F.col("__n")
+    nh = F.size("__hi_c")
+    w = Window.partitionBy(*p).orderBy(CHUNK)
+    return (
+        lvl1.groupBy(*p, CHUNK)
+        .agg(
+            hi_c.alias("__hi_c"),
+            lo_c.alias("__lo_c"),
+            F.sum("__sn").alias("__n"),
+        )
+        .select(
+            *p,
+            CHUNK,
+            F.get("__hi_c", nh - 1).alias("__hi1"),
+            F.get("__hi_c", nh - 2).alias("__hi2"),
+            F.get("__lo_c", F.lit(0)).alias("__lo1"),
+            F.get("__lo_c", F.lit(1)).alias("__lo2"),
             # dense chunk ordinal from the (tiny) chunk list — adjacency
             # survives empty chunk ranges (FX weekends); O(C) row_number
             # over the C-row summary, no full-row sort

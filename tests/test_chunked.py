@@ -135,6 +135,47 @@ def test_chunk_index_is_dense_per_partition(spark, series):
     assert idx == list(range(1, len(idx) + 1)), "dense despite empty chunks"
 
 
+def test_chunk_bounds_skewed_chunk(spark):
+    """Round-6 verdict ask #2: one chunk catching a flash-crash tick
+    storm (100× the rows of its neighbors) must not blow up a
+    per-chunk collect buffer. The two-level aggregation groups level 1
+    by physical partition, so the storm spreads over subs; the merged
+    top-2/bottom-2 must still be exact. Verified against a plain
+    Python reference over every chunk shape: the 1-row chunk (NULL
+    __hi2/__lo2), normal chunks, and the 6000-row storm chunk."""
+    from institutional_fx_etl_spark.plans.pipeline_fused import chunk_bounds
+
+    rows = []
+    for chunk in range(5):
+        if chunk == 2:  # storm: 6000 second-grain rows in one chunk
+            ts = [T0 + timedelta(seconds=1200 + i * 0.1) for i in range(6000)]
+        elif chunk == 3:  # 1-row chunk → NULL 2nd extremes
+            ts = [T0 + timedelta(seconds=1800 + 7)]
+        else:
+            ts = [T0 + timedelta(seconds=chunk * 600 + i * 10) for i in range(60)]
+        rows += [(t,) for t in ts]
+    df = spark.createDataFrame(rows, "datetime timestamp").repartition(8)
+    got = {
+        r["__chunk"]: r.asDict()
+        for r in chunk_bounds(df, "datetime", 600, ()).collect()
+    }
+    by_chunk = {}
+    for (t,) in rows:
+        by_chunk.setdefault(int(t.timestamp() // 600), []).append(t)
+    assert sorted(got) == sorted(by_chunk)
+    for i, c in enumerate(sorted(by_chunk)):
+        ts = sorted(by_chunk[c])
+        r = got[c]
+        assert r["__hi1"] == ts[-1] and r["__lo1"] == ts[0]
+        assert r["__hi2"] == (ts[-2] if len(ts) > 1 else None)
+        assert r["__lo2"] == (ts[1] if len(ts) > 1 else None)
+        assert r[CIDX] == i + 1
+        prev_c = sorted(by_chunk)[i - 1] if i else None
+        next_cs = sorted(by_chunk)[i + 1:]
+        assert r["__n_prev"] == (len(by_chunk[prev_c]) if prev_c is not None else None)
+        assert r["__n_next"] == (len(by_chunk[next_cs[0]]) if next_cs else None)
+
+
 @pytest.fixture(scope="module")
 def pipeline_io(spark):
     """Candle-level inputs that trip every stage across chunk edges."""
