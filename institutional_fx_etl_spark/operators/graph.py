@@ -206,3 +206,61 @@ def triangle_count(
         "n_edges long, n_wedges long, n_triangles long,"
         " global_clustering double",
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Bounded breadth-first hop distance from a seed set over an
+    undirected graph: ``hops`` = length of the shortest path to any
+    seed, for every node within ``max_hops`` (k-hop neighborhood
+    expansion — lineage/contamination-blast-radius style queries).
+
+    Spark shape: ``max_hops`` UNROLLED frontier join+anti-join rounds
+    — a static DAG, no driver loop state. Each round joins only the
+    CURRENT frontier against the (bidirectional) edge list, then
+    anti-joins the visited set, so a node is labeled exactly once at
+    its first (minimal) level — the textbook level-synchronous BFS.
+    Frontier and visited sets are ids-only and persisted per round
+    (each feeds two consumers: the next expansion and the final
+    union); at 1000 executors the expansion is one shuffle per round
+    on the frontier keys, never O(paths) — path enumeration is what
+    makes the naive recursive formulation explode.
+
+    Output: node, hops (0 for seeds). Deterministic and exact; the
+    DuckDB mirror is a bounded recursive CTE + ``min(hops)``.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    e2 = (
+        edges.selectExpr(f"{src_col} AS s", f"{dst_col} AS d")
+        .union(edges.selectExpr(f"{dst_col} AS s", f"{src_col} AS d"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frontier = seeds.selectExpr(f"{node_col} AS node").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    visited = frontier.withColumn("hops", F.lit(0))
+    levels = [visited]
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e2, frontier.node == e2.s)
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        lvl = nxt.withColumn("hops", F.lit(k))
+        levels.append(lvl)
+        visited = visited.unionByName(lvl)
+        frontier = nxt
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out

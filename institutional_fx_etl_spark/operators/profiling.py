@@ -44,3 +44,61 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             )
         )
     return reduce(DataFrame.unionByName, branches)
+
+
+#: Benford expected first-digit frequencies log10(1 + 1/d), frozen as
+#: 6-dp literals so Spark and any oracle emit bit-identical doubles
+#: (libm log10 may differ in the last ulp between engines).
+BENFORD_EXPECTED = {
+    1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+def benford_profile(
+    df: DataFrame, value_col: str, scale: int = 100
+) -> DataFrame:
+    """First-significant-digit (Benford) distribution of a positive
+    numeric column — a classic fraud/synthetic-data screen for large
+    numeric datasets.
+
+    Exactness engineering: the value is fixed-pointed to an integer
+    (``floor(x·scale + 0.5)``) and the first digit read from the
+    BIGINT's STRING form — identical across engines, where a
+    float ``log10``-magnitude approach can misclassify values that sit
+    on powers of ten. One groupBy on a 9-value key; ratios get ONE
+    division against the broadcast total.
+
+    Output per digit 1-9: digit, n, ratio (6 dp), expected (Benford
+    literal), deviation = ratio − expected (6 dp).
+    """
+    exp_case = " ".join(
+        f"WHEN {d} THEN {v!r}D" for d, v in BENFORD_EXPECTED.items()
+    )
+    digits = (
+        df.filter(F.col(value_col) > 0)
+        .selectExpr(
+            f"CAST(substring(CAST(CAST(floor({value_col} * {scale} + 0.5D)"
+            " AS BIGINT) AS STRING), 1, 1) AS INT) AS digit"
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = digits.agg(F.sum("n").alias("__t"))
+    return (
+        digits.crossJoin(F.broadcast(total))
+        .selectExpr(
+            "digit",
+            "n",
+            "floor(CAST(n AS DOUBLE) / CAST(__t AS DOUBLE) * 1e6 + 0.5D)"
+            " / 1e6 AS ratio",
+            f"CASE digit {exp_case} END AS expected",
+        )
+        .selectExpr(
+            "digit",
+            "n",
+            "ratio",
+            "expected",
+            "floor((ratio - expected) * 1e6 + 0.5D) / 1e6 AS deviation",
+        )
+    )

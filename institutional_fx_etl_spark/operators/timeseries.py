@@ -484,3 +484,87 @@ def twap(
             "round(CAST(__sdt AS DOUBLE) / 1000000.0, 6) AS dur_seconds",
         )
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: tuple[str, ...] = (),
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact Spearman rank correlation per group, deterministic under
+    ties: ranks are ``row_number`` over ``(value, *tiebreak_cols)`` —
+    a TOTAL order (callers pass a unique tiebreak), so both engines
+    assign identical integer ranks and the whole statistic reduces to
+    the classic ρ = 1 − 6·Σd² / (n·(n²−1)) with Σd² an exact BIGINT
+    sum (DECIMAL(38,0) against overflow at scale) and ONE final double
+    division — no float summation order anywhere (the micro-unit
+    exactness policy, ROADMAP §19).
+
+    Scale shape: two ranking windows per group (one shuffle on the
+    group key — both windows share the partitioning) and one
+    aggregation; no driver collect. Skewed groups are the caller's
+    ranking-window reality at any engine — Spearman fundamentally
+    needs a per-group total order.
+    """
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    wx = Window.partitionBy(*g).orderBy(x_col, *tiebreak_cols)
+    wy = Window.partitionBy(*g).orderBy(y_col, *tiebreak_cols)
+    ranked = df.select(
+        *g,
+        F.row_number().over(wx).alias("__rx"),
+        F.row_number().over(wy).alias("__ry"),
+    )
+    d2 = "CAST((__rx - __ry) AS DECIMAL(38,0)) * (__rx - __ry)"
+    agg = ranked.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"sum({d2})").alias("__sd2"),
+    )
+    rho = (
+        "1.0D - 6.0D * CAST(__sd2 AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        " - 1.0D))"
+    )
+    return agg.selectExpr(
+        *g,
+        "CAST(n AS BIGINT) AS n",
+        f"CASE WHEN n > 1 THEN floor(({rho}) * 1e6 + 0.5) / 1e6"
+        " ELSE NULL END AS spearman",
+    )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-``window_days`` EXACT distinct-key count per active day
+    (rolling 7-day-active-users over an event stream).
+
+    Exact rolling COUNT(DISTINCT) cannot ride an ordinary window frame
+    (distinctness does not decompose), and the naive day×window range
+    join rescans the fact table per day. Spark shape instead: each
+    event row EMITS its ≤``window_days`` target days scan-side
+    (``explode(sequence(day, day+w-1))`` — bounded ×w fan-out, no
+    range join), a semi-join keeps only days that actually occur, and
+    one hash aggregate counts distinct keys per target day. Shuffle
+    keys are (day, key) ids — at 100 TB the fan-out is the constant
+    ``window_days``, never O(days²), and partial aggregation collapses
+    per-day duplicates map-side.
+    """
+    day = f"date_trunc('DAY', {ts_col})"
+    emitted = df.selectExpr(
+        f"explode(sequence({day}, {day} + make_interval(0, 0, 0,"
+        f" {window_days - 1}, 0, 0, 0), interval 1 day)) AS day",
+        f"{key_col} AS k",
+    )
+    active = df.selectExpr(f"{day} AS day").distinct()
+    return (
+        emitted.join(active, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("k").alias(f"{key_col}_{window_days}d"))
+    )

@@ -1673,6 +1673,61 @@ def q_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_ann_pairs_multitable",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    sig AS (
+      SELECT tb.t AS tbl, vec_id, vv,
+             CAST(list_sum(list_transform(range(0, 8), j ->
+               CASE WHEN list_sum(list_transform(range(0, len(vv)), i ->
+                      vv[i+1] * (CASE WHEN CAST(concat('0x',
+                          substr(md5(concat(
+                            CASE WHEN tb.t = 0 THEN '' ELSE 't1' END,
+                            'plane', j, '_', i)),1,8)) AS BIGINT)
+                          % 2 = 0 THEN 1.0 ELSE -1.0 END))) > 0
+                    THEN (1::BIGINT << j) ELSE 0::BIGINT END))
+               + tb.t * 256 AS BIGINT) AS tbucket
+      FROM v, (SELECT unnest(range(0, 2)) AS t) tb
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             min(a.tbucket) AS bucket
+      FROM sig a JOIN sig b
+        ON a.tbucket = b.tbucket AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    normed AS (
+      SELECT vec_id,
+             list_transform(vv, x -> x / sqrt(list_dot_product(vv, vv)))
+               AS vn
+      FROM v
+    )
+    SELECT c.bucket AS bucket, c.id_a, c.id_b,
+           round(list_dot_product(a.vn, b.vn), 6) AS cosine
+    FROM cand c
+    JOIN normed a ON c.id_a = a.vec_id
+    JOIN normed b ON c.id_b = b.vec_id
+    WHERE round(list_dot_product(a.vn, b.vn), 6) >= 0.3
+    """,
+)
+def q_lsh_ann_pairs_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table (b=8, L=2) LSH ANN (round-6 verdict ask #4): a pair
+    is a candidate if it collides in EITHER independent seed-prefixed
+    plane set — recall 1 − (1 − p^8)² vs the single table's p^8 —
+    deduped narrow (ids only) before one exact-cosine verify. The
+    oracle mirrors both plane seeds ('' and 't1'), the
+    table-offset bucket key (bucket + t·2^8), and the min-collision
+    bucket report bit-for-bit."""
+    from institutional_fx_etl_spark.operators.similarity import lsh_ann_pairs
+
+    return lsh_ann_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        min_cosine=0.3,
+        num_tables=2,
+    )
+
+
+@register(
     "text_token_count",
     """
     WITH t AS (
@@ -7722,6 +7777,187 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(load_table(spark, sf_dir, "embeddings"), k=10)
 
 
+@register(
+    "dedup_editdistance",
+    """
+    WITH d AS (SELECT doc_id AS id, lower(text) AS t,
+                      length(lower(text)) AS ln
+               FROM documents),
+    blocks AS (SELECT id, t, ln, (ln // 8) + e AS blk
+               FROM d, (SELECT unnest([0, 1]) AS e)),
+    small AS (SELECT blk FROM blocks GROUP BY blk HAVING count(*) <= 256),
+    bl AS (SELECT b.* FROM blocks b JOIN small USING (blk)),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             levenshtein(a.t, b.t) AS dist
+      FROM bl a JOIN bl b ON a.blk = b.blk AND a.id < b.id
+      WHERE abs(a.ln - b.ln) <= 8)
+    SELECT id_a, id_b, CAST(dist AS INTEGER) AS dist
+    FROM pairs WHERE dist <= 8
+    """,
+)
+def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact Levenshtein near-dup pairs (character-grain dedup:
+    OCR noise / small in-place edits that shingle Jaccard misses).
+    Length-bucket double-emit blocking is lossless for dist<=max_edits;
+    oversized blocks drop whole under the max_block cap (mirrored in
+    the oracle) — ``operators/dedup.py::editdistance_pairs``."""
+    from institutional_fx_etl_spark.operators.dedup import editdistance_pairs
+
+    return editdistance_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "graph_bfs_hops",
+    """
+    WITH RECURSIVE
+    items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+              FROM lineitem),
+    g AS (SELECT DISTINCT a.p AS src, b.p AS dst
+          FROM items a JOIN items b ON a.o = b.o AND a.p < b.p),
+    e AS (SELECT src AS s, dst AS d FROM g
+          UNION SELECT dst, src FROM g),
+    seeds AS (SELECT DISTINCT p AS node FROM items WHERE p % 97 = 0),
+    bfs AS (
+      SELECT node, 0 AS hops FROM seeds
+      UNION
+      SELECT e.d AS node, b.hops + 1 AS hops
+      FROM bfs b JOIN e ON b.node = e.s WHERE b.hops < 3
+    )
+    SELECT node, CAST(min(hops) AS INTEGER) AS hops
+    FROM bfs GROUP BY node
+    """,
+)
+def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded (3-hop) BFS distance from a seed set (partkeys divisible
+    by 97) over the part co-purchase graph — k-hop neighborhood /
+    contamination-blast-radius expansion as unrolled frontier
+    join+anti-join rounds (``operators/graph.py::bfs_hops``); the
+    oracle is a bounded recursive CTE + min(hops)."""
+    from institutional_fx_etl_spark.operators.graph import bfs_hops
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr("l_orderkey AS o", "l_partkey AS p")
+        .distinct()
+    )
+    a = items.selectExpr("o", "p AS src")
+    b = items.selectExpr("o", "p AS dst")
+    edges = a.join(b, "o").filter("src < dst").select("src", "dst").distinct()
+    seeds = items.filter("p % 97 = 0").selectExpr("p AS node").distinct()
+    out = bfs_hops(edges, seeds, max_hops=3)
+    return out.selectExpr("node", "CAST(hops AS INT) AS hops")
+
+
+@register(
+    "spearman_corr",
+    """
+    WITH r AS (
+      SELECT l_returnflag,
+        row_number() OVER (PARTITION BY l_returnflag
+          ORDER BY l_quantity, l_orderkey, l_linenumber) AS rx,
+        row_number() OVER (PARTITION BY l_returnflag
+          ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS ry
+      FROM lineitem),
+    a AS (SELECT l_returnflag, count(*) AS n,
+                 sum(CAST((rx - ry) AS DECIMAL(38,0)) * (rx - ry)) AS sd2
+          FROM r GROUP BY 1)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      CASE WHEN n > 1 THEN
+        floor((1.0 - 6.0 * CAST(sd2 AS DOUBLE)
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+             - 1.0))) * 1e6 + 0.5) / 1e6
+      ELSE NULL END AS spearman
+    FROM a
+    """,
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-broken Spearman rank correlation of quantity vs
+    extended price per return flag: row_number ranks over a TOTAL
+    order, Σd² as DECIMAL, the ρ = 1 − 6Σd²/(n(n²−1)) closed form with
+    one final double division mirrored shape-identically
+    (``operators/timeseries.py::spearman_corr``)."""
+    from institutional_fx_etl_spark.operators.timeseries import spearman_corr
+
+    return spearman_corr(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        group_cols=("l_returnflag",),
+        tiebreak_cols=("l_orderkey", "l_linenumber"),
+    )
+
+
+@register(
+    "benford_profile",
+    """
+    WITH v AS (
+      SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
+               AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM lineitem WHERE l_extendedprice > 0),
+    c AS (SELECT digit, count(*) AS n FROM v GROUP BY digit),
+    t AS (SELECT sum(n) AS tt FROM c),
+    base AS (
+      SELECT digit, n,
+        floor(CAST(n AS DOUBLE) / CAST(tt AS DOUBLE) * 1e6 + 0.5) / 1e6
+          AS ratio,
+        CASE digit
+          WHEN 1 THEN CAST(0.301030 AS DOUBLE)
+          WHEN 2 THEN CAST(0.176091 AS DOUBLE)
+          WHEN 3 THEN CAST(0.124939 AS DOUBLE)
+          WHEN 4 THEN CAST(0.096910 AS DOUBLE)
+          WHEN 5 THEN CAST(0.079181 AS DOUBLE)
+          WHEN 6 THEN CAST(0.066947 AS DOUBLE)
+          WHEN 7 THEN CAST(0.057992 AS DOUBLE)
+          WHEN 8 THEN CAST(0.051153 AS DOUBLE)
+          WHEN 9 THEN CAST(0.045757 AS DOUBLE)
+        END AS expected
+      FROM c, t)
+    SELECT digit, CAST(n AS BIGINT) AS n, ratio, expected,
+           floor((ratio - expected) * 1e6 + 0.5) / 1e6 AS deviation
+    FROM base
+    """,
+)
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen on extended price:
+    fixed-point BIGINT → string first digit (engine-identical, no
+    float log10 magnitude), counts + 6-dp ratio/deviation against the
+    frozen Benford literals
+    (``operators/profiling.py::benford_profile``)."""
+    from institutional_fx_etl_spark.operators.profiling import benford_profile
+
+    return benford_profile(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice", scale=100
+    )
+
+
+@register(
+    "rolling_distinct_users",
+    """
+    WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day
+                  FROM events),
+    ev AS (SELECT date_trunc('day', ts) AS d, user_id FROM events)
+    SELECT CAST(days.day AS TIMESTAMP) AS day,
+           CAST(count(DISTINCT ev.user_id) AS BIGINT) AS user_id_7d
+    FROM days JOIN ev
+      ON ev.d BETWEEN days.day - INTERVAL 6 DAY AND days.day
+    GROUP BY days.day
+    """,
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day EXACT distinct active users per day: each event
+    emits its ≤7 target days scan-side (constant fan-out, no day×fact
+    range join), semi-join to occurring days, one distinct-count
+    aggregate (``operators/timeseries.py::rolling_distinct``)."""
+    from institutional_fx_etl_spark.operators.timeseries import (
+        rolling_distinct,
+    )
+
+    return rolling_distinct(
+        load_table(spark, sf_dir, "events"), "ts", "user_id", window_days=7
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -7742,6 +7978,11 @@ _HEAD = [
     # --- round-7 window (50) ------------------------------------------
     # new this round (first driver row needed)
     "lsh_ann_pairs_multitable",
+    "dedup_editdistance",
+    "graph_bfs_hops",
+    "spearman_corr",
+    "benford_profile",
+    "rolling_distinct_users",
     # never driver-certified (round-6 verdict ask #1: all 33 into the
     # r7 window) — the 15 remaining TPC-H shapes first
     "tpch_q1",
@@ -7793,11 +8034,6 @@ _HEAD = [
     "anti_join",
     "combine_first",
     "inner_reconcile",
-    "lag_pct_change",
-    "ffill",
-    "greatest_least_fix",
-    "audit_union",
-    "topk",
 ]
 _TAIL = [
     # r5-green — oracle-checked at sf0.001 (ivf_topk/ivf_topk_kmeans

@@ -1,0 +1,115 @@
+"""Round-7 operators: blocked edit-distance dedup, bounded BFS,
+Spearman correlation, Benford profiling, rolling distinct counts —
+hand-computed fixtures (the contract queries add the sf0.01 oracle
+equivalence on top)."""
+
+from datetime import datetime
+
+import pytest  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+
+def test_editdistance_pairs_hand(spark):
+    from institutional_fx_etl_spark.operators.dedup import editdistance_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "hello worlds"),
+            (3, "completely different text here"),
+            (4, "hXLLO world"),  # case-folds to 1 edit from doc 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in editdistance_pairs(docs).collect()
+    }
+    assert got == {(1, 2): 1, (1, 4): 1, (2, 4): 2}
+
+
+def test_editdistance_block_cap_drops_whole_block(spark):
+    from institutional_fx_etl_spark.operators.dedup import editdistance_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "samelength") for i in range(5)], "doc_id long, text string"
+    )
+    # 5 identical docs: max_block=4 drops both buckets whole → no pairs
+    assert editdistance_pairs(docs, max_block=4).count() == 0
+    assert editdistance_pairs(docs, max_block=16).count() == 10
+
+
+def test_bfs_hops_path_graph(spark):
+    from institutional_fx_etl_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (3, 4), (5, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # node 5 is 4 hops → absent
+
+
+def test_bfs_hops_min_level_wins(spark):
+    from institutional_fx_etl_spark.operators.graph import bfs_hops
+
+    # diamond: 1-2, 1-3, 2-4, 3-4 and long tail 4-5; node 4 reachable
+    # at level 2 twice — labeled once, at 2
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = bfs_hops(edges, seeds).collect()
+    got = {r["node"]: r["hops"] for r in out}
+    assert len(out) == len(got), "each node labeled exactly once"
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_spearman_perfect_monotone(spark):
+    from institutional_fx_etl_spark.operators.timeseries import spearman_corr
+
+    df = spark.createDataFrame(
+        [("g", 1, 1.0, 10.0), ("g", 2, 2.0, 20.0), ("g", 3, 3.0, 30.0),
+         ("h", 1, 1.0, 30.0), ("h", 2, 2.0, 20.0), ("h", 3, 3.0, 10.0)],
+        "grp string, id long, x double, y double",
+    )
+    got = {
+        r["grp"]: r["spearman"]
+        for r in spearman_corr(
+            df, "x", "y", group_cols=("grp",), tiebreak_cols=("id",)
+        ).collect()
+    }
+    assert got == {"g": 1.0, "h": -1.0}
+
+
+def test_benford_profile_hand(spark):
+    from institutional_fx_etl_spark.operators.profiling import benford_profile
+
+    df = spark.createDataFrame(
+        [(1.0,), (1.5,), (2.0,), (9.99,), (0.5,), (-3.0,), (0.0,)],
+        "v double",
+    )
+    rows = {r["digit"]: r for r in benford_profile(df, "v").collect()}
+    # negatives/zeros excluded; 1.0→100, 1.5→150, 2.0→200, 9.99→999, 0.5→50
+    assert {d: rows[d]["n"] for d in rows} == {1: 2, 2: 1, 9: 1, 5: 1}
+    assert rows[1]["ratio"] == 0.4
+    assert rows[1]["expected"] == 0.301030
+    assert rows[1]["deviation"] == round(0.4 - 0.301030, 6)
+
+
+def test_rolling_distinct_window_boundary(spark):
+    from institutional_fx_etl_spark.operators.timeseries import (
+        rolling_distinct,
+    )
+
+    t = lambda d, h: datetime(2024, 1, d, h)  # noqa: E731
+    df = spark.createDataFrame(
+        [(t(1, 9), "a"), (t(2, 9), "a"), (t(2, 10), "b"), (t(9, 9), "c")],
+        "ts timestamp, user_id string",
+    )
+    got = {
+        r["day"].day: r["user_id_7d"]
+        for r in rolling_distinct(df, "ts", "user_id").collect()
+    }
+    # day 9 window is [3..9]: day-2 events fall OUT (boundary exact)
+    assert got == {1: 1, 2: 2, 9: 1}

@@ -349,6 +349,42 @@ def _corpus_scale(spark, argv) -> None:
         lambda: dedup_clusters(docs.select("doc_id"), pairs),
     )
 
+    # round-6 verdict asks #3/#6: the iterative graph operators on the
+    # REAL dedup graph (the LSH pairs edge list), not just the synthetic
+    # --engine=graph topology — and the triangle census through BOTH
+    # closing regimes (broadcast vs key-partitioned fallback) with an
+    # equality assert, since the fallback otherwise only runs above
+    # 2M edges.
+    from institutional_fx_etl_spark.operators.graph import (
+        pagerank_fixed,
+        triangle_count,
+    )
+
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst")
+    t0 = _t.perf_counter()
+    pr_top = (
+        pagerank_fixed(edges)
+        .orderBy("pr_scaled", ascending=False)
+        .limit(3)
+        .collect()
+    )
+    print(
+        f"[corpus:pagerank_dedup_graph] top={[r['pr_scaled'] for r in pr_top]}"
+        f" wall={_t.perf_counter() - t0:.1f}s"
+    )
+    t0 = _t.perf_counter()
+    tri_b = triangle_count(edges).collect()[0]
+    w_b = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    tri_f = triangle_count(edges, broadcast_max_edges=0).collect()[0]
+    w_f = _t.perf_counter() - t0
+    assert tri_b == tri_f, f"closing-regime mismatch: {tri_b} vs {tri_f}"
+    print(
+        f"[corpus:triangle_dedup_graph] edges={tri_b['n_edges']}"
+        f" wedges={tri_b['n_wedges']} triangles={tri_b['n_triangles']}"
+        f" broadcast={w_b:.1f}s fallback_join={w_f:.1f}s (results equal)"
+    )
+
 
 if __name__ == "__main__":
     main()
