@@ -97,6 +97,13 @@ HEADLINE = [
     "grouping_sets_agg",
     "bpe_merge_candidates",
     "event_transitions",
+    # round-7 ops
+    "lsh_ann_pairs_multitable",
+    "dedup_editdistance",
+    "graph_bfs_hops",
+    "spearman_corr",
+    "benford_profile",
+    "rolling_distinct_users",
 ]
 
 

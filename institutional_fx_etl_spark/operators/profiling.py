@@ -102,3 +102,41 @@ def benford_profile(
             "floor((ratio - expected) * 1e6 + 0.5D) / 1e6 AS deviation",
         )
     )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity risk profile over a quasi-identifier combination:
+    group the table by the quasi columns and report, in ONE row, how
+    re-identifiable the dataset is — the governance screen run before
+    releasing any derived dataset.
+
+    Two chained aggregations, both map-side combinable: rows →
+    (quasi-group, size), then sizes → the scalar profile. Shuffle
+    volume is one row per distinct quasi group; nothing wide.
+
+    Output: n_rows, n_groups, min_group_size, groups_below_k,
+    rows_below_k, at_risk_share (6 dp; rows in groups smaller than
+    ``k`` — each such row is k-anonymous only at level < k).
+    """
+    sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__g"))
+    return sizes.agg(
+        F.sum("__g").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("__g").alias("min_group_size"),
+        F.sum(F.expr(f"CASE WHEN __g < {k} THEN 1 ELSE 0 END")).alias(
+            "groups_below_k"
+        ),
+        F.sum(F.expr(f"CASE WHEN __g < {k} THEN __g ELSE 0 END")).alias(
+            "rows_below_k"
+        ),
+    ).selectExpr(
+        "n_rows",
+        "n_groups",
+        "min_group_size",
+        "groups_below_k",
+        "rows_below_k",
+        "floor(CAST(rows_below_k AS DOUBLE) / CAST(n_rows AS DOUBLE)"
+        " * 1e6 + 0.5D) / 1e6 AS at_risk_share",
+    )

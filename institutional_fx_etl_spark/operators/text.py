@@ -794,3 +794,114 @@ def bpe_merge_candidates(
         .orderBy(F.col("freq").desc(), F.col("pair"))
         .limit(top_k)
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    max_tokens: int = 40,
+) -> DataFrame:
+    """Document-level token co-occurrence LIFT (the PMI association
+    measure without its logarithm): for token pair (a, b),
+    ``lift = n_ab · N / (n_a · n_b)`` over document frequencies —
+    > 1 means the tokens attract, < 1 they repel.
+
+    Determinism engineering: PMI's ``log`` is libm territory (JVM vs
+    DuckDB may differ in the last ulp); lift is a SINGLE IEEE division
+    of exact integers — bit-identical everywhere, and monotone in PMI
+    so rankings agree. Per-doc token sets are ``array_sort(
+    array_distinct(tokens))`` truncated to ``max_tokens`` —
+    lexicographic, so the truncation is engine-independent (DuckDB's
+    ``list_distinct`` does not preserve order; sort-then-slice
+    sidesteps that). Pairs below ``min_count`` docs drop.
+
+    Scale shape: pair fan-out is C(max_tokens, 2) per doc — a
+    CONSTANT, not O(vocab²); counts are two hash aggregates
+    (vocabulary-bounded) and the final lift joins token counts back by
+    key. No text shuffles beyond the per-doc token arrays.
+
+    Output: tok_a < tok_b, n_ab, n_a, n_b, lift (6 dp).
+    """
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"slice(array_sort(array_distinct(split(lower({text_col}),"
+            f" '\\\\s+'))), 1, {max_tokens})"
+        ).alias("ts"),
+    ).persist()
+    n_docs = toked.count()
+    tok = toked.select(F.explode("ts").alias("t")).filter("t <> ''")
+    df_counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    pairs = (
+        toked.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (a, i) ->"
+                    " transform(slice(ts, i + 2, size(ts)), b ->"
+                    " struct(a AS ta, b AS tb))))"
+                )
+            ).alias("p")
+        )
+        .selectExpr("p.ta AS tok_a", "p.tb AS tok_b")
+        .filter("tok_a <> '' AND tok_b <> ''")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    return (
+        pairs.join(df_counts.selectExpr("t AS tok_a", "n_t AS n_a"), "tok_a")
+        .join(df_counts.selectExpr("t AS tok_b", "n_t AS n_b"), "tok_b")
+        .selectExpr(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            f"floor(CAST(n_ab AS DOUBLE) * {n_docs}.0D"
+            " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1e6 + 0.5D)"
+            " / 1e6 AS lift",
+        )
+    )
+
+
+def tokenizer_coverage(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Vocabulary coverage per group: what share of a corpus' token
+    OCCURRENCES a frozen tokenizer vocabulary covers — the go/no-go
+    check before committing a tokenizer to a 100 TB pretraining run
+    (high OOV ⇒ wasted context length on byte-fallback).
+
+    The vocabulary broadcasts as an array literal; membership is a
+    scan-side ``array_contains`` fold — one aggregate, no join, no
+    UDF. Exact integer counts; coverage is one final division.
+
+    Output per group: group, n_tokens, n_covered, coverage (6 dp).
+    """
+    vlit = "array(" + ", ".join(f"'{w}'" for w in sorted(vocab)) + ")"
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x <> '')"
+    return (
+        df.selectExpr(
+            f"{group_col} AS grp",
+            f"size({toks}) AS n",
+            f"size(filter({toks}, x -> array_contains({vlit}, x)))"
+            " AS c",
+        )
+        .groupBy("grp")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum("c").alias("n_covered"),
+        )
+        .selectExpr(
+            "grp",
+            "n_tokens",
+            "n_covered",
+            "floor(CAST(n_covered AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
+            " * 1e6 + 0.5D) / 1e6 AS coverage",
+        )
+    )

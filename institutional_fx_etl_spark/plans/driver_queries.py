@@ -7958,6 +7958,119 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cooccurrence_lift",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_slice(list_sort(list_distinct(
+               string_split_regex(lower(text), '\\s+'))), 1, 40) AS ts
+      FROM documents),
+    n AS (SELECT count(*) AS nd FROM d),
+    tc AS (
+      SELECT t, count(*) AS n_t
+      FROM (SELECT unnest(ts) AS t FROM d) WHERE t <> '' GROUP BY t),
+    pr AS (
+      SELECT a.t AS tok_a, b.t AS tok_b, count(*) AS n_ab
+      FROM (SELECT doc_id, unnest(ts) AS t FROM d) a
+      JOIN (SELECT doc_id, unnest(ts) AS t FROM d) b
+        ON a.doc_id = b.doc_id AND a.t < b.t
+      WHERE a.t <> '' AND b.t <> ''
+      GROUP BY 1, 2 HAVING count(*) >= 5)
+    SELECT tok_a, tok_b, n_ab, ta.n_t AS n_a, tb.n_t AS n_b,
+      floor(CAST(n_ab AS DOUBLE) * nd
+        / (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE))
+        * 1e6 + 0.5) / 1e6 AS lift
+    FROM pr JOIN tc ta ON pr.tok_a = ta.t
+            JOIN tc tb ON pr.tok_b = tb.t, n
+    """,
+)
+def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence lift (PMI's association ratio without its
+    libm logarithm — exact integer counts, one IEEE division):
+    attract/repel pairs over document frequencies with a constant
+    per-doc pair fan-out (``operators/text.py::cooccurrence_lift``)."""
+    from institutional_fx_etl_spark.operators.text import cooccurrence_lift
+
+    return cooccurrence_lift(load_table(spark, sf_dir, "documents"))
+
+
+#: frozen toy vocabulary for the coverage contract query — a stand-in
+#: for a real tokenizer's lexicon, mirrored verbatim in the oracle
+_COVERAGE_VOCAB = [
+    "the", "of", "and", "to", "in", "a", "is", "that", "for", "it",
+    "on", "with", "as", "by", "at", "from", "this", "be", "are", "an",
+]
+
+
+@register(
+    "tokenizer_coverage",
+    f"""
+    WITH t AS (
+      SELECT source AS grp,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    c AS (
+      SELECT grp, len(toks) AS n,
+             len(list_filter(toks, x -> list_contains(
+               {sorted(_COVERAGE_VOCAB)!r}, x))) AS cov
+      FROM t)
+    SELECT grp, CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(cov) AS BIGINT) AS n_covered,
+           floor(CAST(sum(cov) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS coverage
+    FROM c GROUP BY grp
+    """,
+)
+def q_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage per source: share of token
+    occurrences inside a frozen vocabulary literal — scan-side
+    membership fold, exact integers, one final division
+    (``operators/text.py::tokenizer_coverage``)."""
+    from institutional_fx_etl_spark.operators.text import tokenizer_coverage
+
+    return tokenizer_coverage(
+        load_table(spark, sf_dir, "documents"), _COVERAGE_VOCAB
+    )
+
+
+@register(
+    "k_anonymity",
+    """
+    WITH g AS (
+      SELECT lang, source, n_chars // 100 AS len_bucket,
+             count(*) AS gs
+      FROM documents GROUP BY 1, 2, 3),
+    a AS (
+      SELECT CAST(sum(gs) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(min(gs) AS BIGINT) AS min_group_size,
+             CAST(sum(CASE WHEN gs < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_below_k,
+             CAST(sum(CASE WHEN gs < 5 THEN gs ELSE 0 END) AS BIGINT)
+               AS rows_below_k
+      FROM g)
+    SELECT n_rows, n_groups, min_group_size, groups_below_k,
+           rows_below_k,
+           floor(CAST(rows_below_k AS DOUBLE) / CAST(n_rows AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS at_risk_share
+    FROM a
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk profile of the documents table under the
+    (lang, source, length-bucket) quasi-identifier: one row with group
+    counts and the at-risk row share
+    (``operators/profiling.py::k_anonymity``)."""
+    from institutional_fx_etl_spark.operators.profiling import k_anonymity
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "lang", "source", "n_chars div 100 AS len_bucket"
+    )
+    return k_anonymity(docs, ["lang", "source", "len_bucket"], k=5)
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -7983,6 +8096,9 @@ _HEAD = [
     "spearman_corr",
     "benford_profile",
     "rolling_distinct_users",
+    "cooccurrence_lift",
+    "tokenizer_coverage",
+    "k_anonymity",
     # never driver-certified (round-6 verdict ask #1: all 33 into the
     # r7 window) — the 15 remaining TPC-H shapes first
     "tpch_q1",
@@ -8030,10 +8146,6 @@ _HEAD = [
     "incremental_merge",
     "validator_reconcile",
     "streaming_gap_bridge",
-    # rotated back in: last driver row is r4 (oldest rows first)
-    "anti_join",
-    "combine_first",
-    "inner_reconcile",
 ]
 _TAIL = [
     # r5-green — oracle-checked at sf0.001 (ivf_topk/ivf_topk_kmeans

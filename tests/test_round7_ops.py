@@ -113,3 +113,44 @@ def test_rolling_distinct_window_boundary(spark):
     }
     # day 9 window is [3..9]: day-2 events fall OUT (boundary exact)
     assert got == {1: 1, 2: 2, 9: 1}
+
+
+def test_cooccurrence_lift_hand(spark):
+    from institutional_fx_etl_spark.operators.text import cooccurrence_lift
+
+    docs = spark.createDataFrame(
+        [(i, "x y") for i in range(5)] + [(5, "x z")],
+        "doc_id long, text string",
+    )
+    rows = cooccurrence_lift(docs, min_count=5).collect()
+    assert len(rows) == 1  # (x, z) count 1 < min_count drops
+    r = rows[0]
+    # lift = n_ab·N/(n_a·n_b) = 5·6/(6·5) = 1.0
+    assert (r["tok_a"], r["tok_b"], r["n_ab"], r["n_a"], r["n_b"], r["lift"]) \
+        == ("x", "y", 5, 6, 5, 1.0)
+
+
+def test_tokenizer_coverage_hand(spark):
+    from institutional_fx_etl_spark.operators.text import tokenizer_coverage
+
+    docs = spark.createDataFrame(
+        [("s1", "the cat"), ("s1", "a dog runs"), ("s2", "zebra")],
+        "source string, text string",
+    )
+    got = {
+        r["grp"]: (r["n_tokens"], r["n_covered"], r["coverage"])
+        for r in tokenizer_coverage(docs, ["the", "a"]).collect()
+    }
+    assert got == {"s1": (5, 2, 0.4), "s2": (1, 0, 0.0)}
+
+
+def test_k_anonymity_hand(spark):
+    from institutional_fx_etl_spark.operators.profiling import k_anonymity
+
+    rows = [("en", "web")] * 6 + [("en", "book")] * 2 + [("fr", "web")]
+    df = spark.createDataFrame(rows, "lang string, source string")
+    r = k_anonymity(df, ["lang", "source"], k=5).collect()[0]
+    assert (
+        r["n_rows"], r["n_groups"], r["min_group_size"],
+        r["groups_below_k"], r["rows_below_k"], r["at_risk_share"],
+    ) == (9, 3, 1, 2, 3, 0.333333)
