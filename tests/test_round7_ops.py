@@ -154,3 +154,33 @@ def test_k_anonymity_hand(spark):
         r["n_rows"], r["n_groups"], r["min_group_size"],
         r["groups_below_k"], r["rows_below_k"], r["at_risk_share"],
     ) == (9, 3, 1, 2, 3, 0.333333)
+
+
+def test_round7_plans_have_no_cartesian(spark):
+    """Plan gates: none of the round-7 operators may degrade to a
+    nested-loop/cartesian join (the rolling-distinct day emission and
+    the blocked edit-distance join are equi-joins by construction;
+    benford's only cross join is the 1-row broadcast total)."""
+    from institutional_fx_etl_spark.operators.dedup import editdistance_pairs
+    from institutional_fx_etl_spark.operators.profiling import benford_profile
+    from institutional_fx_etl_spark.operators.timeseries import (
+        rolling_distinct,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc def"), (2, "abc deg")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(datetime(2024, 1, 1), "u")], "ts timestamp, user_id string"
+    )
+    nums = spark.createDataFrame([(123.0,)], "v double")
+    for df in (
+        editdistance_pairs(docs),
+        rolling_distinct(ev, "ts", "user_id"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    bplan = benford_profile(nums, "v")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in bplan
