@@ -91,6 +91,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 64,
+    new_col: str | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs with exact-Jaccard verify.
 
@@ -109,6 +110,18 @@ def minhash_lsh_pairs(
     generation at #buckets · max_bucket² regardless of corpus skew.
 
     Output: id_a < id_b, jaccard (rounded to 6dp).
+
+    ``new_col`` (a boolean column on ``df``) switches the operator to
+    INCREMENTAL mode: only pairs touching at least one "new" doc are
+    emitted — the merge-a-batch-into-existing-state shape, where
+    old×old pairs were already found by the previous run and must not
+    be recomputed or re-emitted. The hot-bucket cap is evaluated on
+    the COMBINED corpus, so the incremental result is exactly the full
+    run's output restricted to new-involving pairs (set-equality
+    gated in tests/test_round7_ops.py). At scale the state side's
+    banded index is a precomputed relation loaded from storage; the
+    candidate join's fan-out tracks only the NEW docs' bucket
+    collisions.
     """
     rows_per_band = num_perm // bands
     # the signature relation is consumed three times (banding + two
@@ -139,14 +152,34 @@ def minhash_lsh_pairs(
     )
     banded = banded.join(cool, on=["band_idx", "band_sig"], how="left_semi")
 
-    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_sig")
-    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_sig")
-    candidates = (
-        a.join(b, on=["band_idx", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    if new_col is None:
+        a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_sig")
+        b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_sig")
+        candidates = (
+            a.join(b, on=["band_idx", "band_sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        # incremental: one side of the candidate join is ONLY the new
+        # docs, so fan-out tracks new-doc bucket collisions — not the
+        # whole corpus re-paired. least/greatest canonicalizes; the
+        # distinct collapses the new×new double emission.
+        flags = df.select(F.col(id_col), F.col(new_col).alias("__new"))
+        bflag = banded.join(flags, on=id_col)
+        n = bflag.filter("__new").select(
+            F.col(id_col).alias("id_n"), "band_idx", "band_sig"
+        )
+        o = bflag.select(F.col(id_col).alias("id_o"), "band_idx", "band_sig")
+        candidates = (
+            n.join(o, on=["band_idx", "band_sig"])
+            .filter("id_n <> id_o")
+            .selectExpr(
+                "least(id_n, id_o) AS id_a", "greatest(id_n, id_o) AS id_b"
+            )
+            .distinct()
+        )
 
     sets = sigs.select(F.col(id_col), "shingle_hashes")
     jac = (
@@ -669,4 +702,39 @@ def editdistance_pairs(
         )
         .filter(F.col("dist") >= 0)
         .distinct()
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    test_pct: int = 10,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Train/val/test assignment that can NOT leak exact duplicates
+    across splits: the md5 of the case-folded text is the split unit,
+    so every member of a duplicate group draws the SAME deterministic
+    coin and lands in the same split (plain per-row hash splitting —
+    ``train_test_split`` — lets one copy of a duplicated document sit
+    in train and another in test, inflating eval).
+
+    Pure scan-side map — no shuffle, no state: the coin is an
+    md5-derived bucket of the GROUP key, not the row id. Exactly
+    reproducible across engines, runs, and partitionings.
+
+    Output: id, split ('train' | 'validation' | 'test'), group_key
+    (the md5 — callers can audit group cohesion).
+    """
+    key = f"md5(lower({bq(text_col)}))"
+    coin = (
+        f"cast(conv(substr(md5(concat('lsplit', {key})),1,8),16,10)"
+        " as bigint) % 100"
+    )
+    return df.selectExpr(
+        f"{bq(id_col)}",
+        f"CASE WHEN {coin} < {test_pct} THEN 'test'"
+        f" WHEN {coin} < {test_pct + val_pct} THEN 'validation'"
+        " ELSE 'train' END AS split",
+        f"{key} AS group_key",
     )

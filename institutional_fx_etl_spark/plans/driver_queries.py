@@ -8071,6 +8071,71 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity(docs, ["lang", "source", "len_bucket"], k=5)
 
 
+@register(
+    "dedup_incremental",
+    None,  # placeholder — real SQL assigned below (reuses the
+    # dedup_minhash_lsh CTE chain; see _finalize_incremental_oracle)
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: merge a 20% 'new batch' (doc_id % 5
+    = 0) into the existing corpus and emit ONLY pairs touching a new
+    doc — the full run's output restricted to new-involving pairs,
+    with the hot-bucket cap evaluated on the combined corpus
+    (``operators/dedup.py::minhash_lsh_pairs(new_col=...)``)."""
+    from institutional_fx_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__isnew", F.expr("doc_id % 5 = 0")
+    )
+    return minhash_lsh_pairs(
+        docs, jaccard_threshold=0.2, new_col="__isnew"
+    )
+
+
+def _finalize_incremental_oracle() -> None:
+    """The incremental oracle IS the full minhash oracle + the
+    new-involving filter — share the CTE text so the two can never
+    drift (the max_bucket=64 mirroring lesson, ROADMAP §25)."""
+    fn, _ = REGISTRY["dedup_incremental"]
+    full = REGISTRY["dedup_minhash_lsh"][1]
+    REGISTRY["dedup_incremental"] = (
+        fn,
+        f"""
+        SELECT * FROM ({full})
+        WHERE id_a % 5 = 0 OR id_b % 5 = 0
+        """,
+    )
+
+
+_finalize_incremental_oracle()
+
+
+@register(
+    "leakage_safe_split",
+    """
+    WITH h AS (
+      SELECT doc_id, md5(lower(text)) AS group_key,
+             CAST(concat('0x', substr(md5(concat('lsplit',
+               md5(lower(text)))), 1, 8)) AS BIGINT) % 100 AS b
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN b < 10 THEN 'test'
+                WHEN b < 20 THEN 'validation'
+                ELSE 'train' END AS split,
+           group_key
+    FROM h
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split coin is drawn per
+    exact-duplicate GROUP (md5 of case-folded text), so no duplicate
+    pair can straddle train and test — the eval-integrity upgrade over
+    per-row hash splitting (``operators/dedup.py::leakage_safe_split``)."""
+    from institutional_fx_etl_spark.operators.dedup import leakage_safe_split
+
+    return leakage_safe_split(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -8099,6 +8164,8 @@ _HEAD = [
     "cooccurrence_lift",
     "tokenizer_coverage",
     "k_anonymity",
+    "dedup_incremental",
+    "leakage_safe_split",
     # never driver-certified (round-6 verdict ask #1: all 33 into the
     # r7 window) — the 15 remaining TPC-H shapes first
     "tpch_q1",
@@ -8140,12 +8207,12 @@ _HEAD = [
     "hybrid_pipeline_chunked",
     "pipeline_clean_fixture_fused",
     "lsh_ann_pairs",
-    # flagship/streaming family stays in-window every round
+    # flagship family (validator_reconcile / streaming_gap_bridge hold
+    # fresh r6 rows and are tail-gated; 11 first-row queries outrank
+    # them for the 50 slots this round)
     "hybrid_pipeline",
     "hybrid_pipeline_multisym",
     "incremental_merge",
-    "validator_reconcile",
-    "streaming_gap_bridge",
 ]
 _TAIL = [
     # r5-green — oracle-checked at sf0.001 (ivf_topk/ivf_topk_kmeans

@@ -184,3 +184,44 @@ def test_round7_plans_have_no_cartesian(spark):
     bplan = benford_profile(nums, "v")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "CartesianProduct" not in bplan
+
+
+def test_incremental_minhash_equals_full_restriction(spark):
+    """dedup_incremental's contract: incremental output == full-run
+    pairs restricted to new-involving, as SETS (cap on combined
+    corpus makes this exact)."""
+    from institutional_fx_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("__isnew", F.expr("doc_id % 5 = 0"))
+    )
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.2).collect()
+    }
+    want = {t for t in full if t[0] % 5 == 0 or t[1] % 5 == 0}
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(
+            docs, jaccard_threshold=0.2, new_col="__isnew"
+        ).collect()
+    }
+    assert got == want and len(full) > len(want) > 0
+
+
+def test_leakage_safe_split_groups_cohere(spark):
+    from institutional_fx_etl_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(1, "Same Text"), (2, "same text"), (3, "other words"),
+         (4, "same text")],
+        "doc_id long, text string",
+    )
+    rows = leakage_safe_split(docs).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["group_key"], set()).add(r["split"])
+    # every duplicate group lands in exactly one split
+    assert all(len(s) == 1 for s in by_key.values())
+    assert len(by_key) == 2  # case-folded dups share a group
