@@ -668,6 +668,52 @@ def semdedup(
 #: broadcast-join path in :func:`_assign_to`.
 MAX_LITERAL_CENTROIDS = 256
 
+#: regime thresholds for :func:`_assign_to` (round 7): ≤16 centroids
+#: the literal HOF expression wins (no Arrow transfer, zero overhead);
+#: 17..4096 the numpy kernel wins (one interpreter dispatch per element
+#: vs one vectorized pass per dimension); above that the centroid
+#: collect itself is no longer a sensible driver transfer and the
+#: broadcast-join regime takes over.
+MAX_HOF_CENTROIDS = 16
+MAX_NUMPY_CENTROIDS = 4096
+
+
+def _assign_numpy(v: DataFrame, rows: list, cid_type: str) -> DataFrame:
+    """Arrow-batched nearest-centroid assignment, bit-identical to the
+    literal-HOF scoring: dimension-ordered fold accumulation, the same
+    a/(b·c) division shape, 6-dp half-up rounding with the exact
+    decimal fallback for boundary-risky cells, and first-max argmax
+    over cid-ascending columns (== the (ccos desc, cid asc) sort).
+    ``v`` must be ``(vid, vv array<double>)``."""
+    import numpy as np
+    import pandas as pd
+
+    from institutional_fx_etl_spark.functions import npexact as npe
+
+    cids = np.array([int(r["cid"]) for r in rows], dtype=np.int64)
+    C = np.array([[float(x) for x in r["cv"]] for r in rows], dtype=np.float64)
+    nc = npe.centroid_norms([r["cv"] for r in rows])
+    vid_type = dict(v.dtypes)["vid"]
+    schema = f"vid {vid_type}, vv array<double>, cid {cid_type}"
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["vv"].tolist(), dtype=np.float64)
+            cc = npe.fold_dot(X, C) / (
+                np.sqrt(npe.fold_sqnorm(X))[:, None] * nc[None, :]
+            )
+            rc, risky = npe.round6_block(cc)
+            win = rc.argmax(axis=1)
+            for i in np.nonzero(risky.any(axis=1))[0]:
+                win[i] = int(npe.exact_row_round(cc[i]).argmax())
+            yield pd.DataFrame(
+                {"vid": pdf["vid"], "vv": pdf["vv"], "cid": cids[win]}
+            )
+
+    return v.mapInPandas(assign, schema=schema)
+
 
 def _bounded_centroid_rows(centroids: DataFrame) -> list:
     """Collect the centroid table with a cap+1 limit — ONE bounded
@@ -747,13 +793,28 @@ def _assign_to(
     the argmax per vector with the same (ccos desc, cid asc) tiebreak.
     The broadcast join emits the k scored rows for a vector inside its
     scan partition, so the partial aggregate collapses them to one row
-    per vector before the single vid-keyed exchange."""
+    per vector before the single vid-keyed exchange.
+
+    Round-7 third regime: between :data:`MAX_HOF_CENTROIDS` and
+    :data:`MAX_NUMPY_CENTROIDS` the assignment runs as an
+    Arrow-batched numpy kernel (:func:`_assign_numpy`) — the
+    O(n·cells·d) score matrix is the quadratic-creep term the 10×
+    heavy-family bench flagged (interpreted HOF dispatch per element),
+    and the kernel computes bit-identical doubles (fold-order-matched
+    accumulation + exact half-up rounding fallback,
+    ``functions/npexact.py``), so no oracle hash moves across the
+    regime switch (equality machine-gated in tests/test_round7_ops.py).
+    """
     v = df.selectExpr(f"{bq(id_col)} AS vid", f"{_as_double(vec_col)} AS vv")
-    try:
+    probe = centroids.select("cid", "cv").limit(MAX_NUMPY_CENTROIDS + 1).collect()
+    if len(probe) <= MAX_HOF_CENTROIDS:
         cells = _scored_cells_expr(centroids)
         return v.selectExpr("vid", "vv", f"element_at({cells}, 1).cid AS cid")
-    except ValueError:
-        pass  # > MAX_LITERAL_CENTROIDS — broadcast-join regime below
+    if len(probe) <= MAX_NUMPY_CENTROIDS:
+        cid_type = dict(centroids.dtypes)["cid"]
+        return _assign_numpy(
+            v, sorted(probe, key=lambda r: r["cid"]), cid_type
+        )
     dotc = "aggregate(zip_with(vv, cv, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
     nv = "sqrt(aggregate(vv, 0.0d, (a, x) -> a + x*x))"
     ncv = "sqrt(aggregate(cv, 0.0d, (a, x) -> a + x*x))"
@@ -815,6 +876,7 @@ def knn_join(
     num_centroids: int = 8,
     max_cell: int | None = None,
     centroids: DataFrame | None = None,
+    pair_strategy: str = "auto",
 ) -> DataFrame:
     """All-pairs k-nearest-neighbor join, cell-bounded: EVERY vector
     gets its ``k`` most cosine-similar neighbors from its own
@@ -847,6 +909,26 @@ def knn_join(
     normed = assigned.selectExpr("vid", "cid", f"{_UNIT} AS vn").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # pair stage — two regimes with identical results (round 7; the
+    # 10× heavy-family bench showed the Σ|cell|²·d interpreted-HOF
+    # dots as the operator's quadratic-creep term):
+    #   sql   — cell-keyed self-join + per-pair HOF dot + rank window
+    #   numpy — one Arrow pass per cell: fold-order-matched (m,m)
+    #           score block in row chunks, stable top-k per row
+    #           (== (cosine desc, nn_id asc)); exact-rounding fallback
+    #           for boundary-risky cells. Equality machine-gated in
+    #           tests/test_round7_ops.py.
+    # auto: numpy once the cell count says the corpus outgrew the
+    # HOF constant (same crossover as the assignment regimes).
+    n_cells = num_centroids if centroids is None else centroids.count()
+    use_numpy = pair_strategy == "numpy" or (
+        pair_strategy == "auto" and n_cells > MAX_HOF_CENTROIDS
+    )
+    if use_numpy:
+        id_type = dict(normed.dtypes)["vid"]
+        return _knn_pairs_numpy(normed, k, id_type).selectExpr(
+            f"vid AS {bq(id_col)}", "nn_id", "rank", "cosine"
+        )
     a = normed.selectExpr("vid", "vn AS va", "cid")
     b = normed.selectExpr("vid AS nn_id", "vn AS vb", "cid")
     scored = (
@@ -862,6 +944,56 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .selectExpr(f"vid AS {bq(id_col)}", "nn_id", "rank", "cosine")
     )
+
+
+def _knn_pairs_numpy(normed: DataFrame, k: int, id_type: str) -> DataFrame:
+    """Per-cell Arrow KNN kernel over pre-normalized vectors
+    (``vid, cid, vn``): the (m, m) cosine block is accumulated with
+    the same dimension-ordered fold as ``_PAIR_DOT`` and processed in
+    1024-row chunks so memory stays O(chunk·m), never O(m²) for a hot
+    cell. Stable argsort over cid-sorted columns reproduces the SQL
+    (cosine desc, nn_id asc) rank exactly; boundary-risky cells
+    re-round through the exact decimal path."""
+    import numpy as np
+    import pandas as pd
+
+    from institutional_fx_etl_spark.functions import npexact as npe
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid").reset_index(drop=True)
+        m = len(pdf)
+        out = {"vid": [], "nn_id": [], "rank": [], "cosine": []}
+        if m >= 2:
+            X = np.array(pdf["vn"].tolist(), dtype=np.float64)
+            vids = pdf["vid"].to_numpy()
+            kk = min(k, m - 1)
+            for lo in range(0, m, 1024):
+                hi = min(lo + 1024, m)
+                cc = npe.fold_dot(X[lo:hi], X)
+                rc, risky = npe.round6_block(cc)
+                for r in range(hi - lo):
+                    risky[r, lo + r] = False
+                    rc[r, lo + r] = -np.inf
+                order = np.argsort(-rc, axis=1, kind="stable")[:, :kk]
+                bad = set(np.nonzero(risky.any(axis=1))[0].tolist())
+                for r in range(hi - lo):
+                    if r in bad:
+                        er = npe.exact_row_round(cc[r])
+                        er[lo + r] = -np.inf
+                        idx = np.argsort(-er, kind="stable")[:kk]
+                        vals = er
+                    else:
+                        idx = order[r]
+                        vals = rc[r]
+                    for rank0, j in enumerate(idx):
+                        out["vid"].append(vids[lo + r])
+                        out["nn_id"].append(vids[j])
+                        out["rank"].append(rank0 + 1)
+                        out["cosine"].append(float(vals[j]))
+        return pd.DataFrame(out)
+
+    schema = f"vid {id_type}, nn_id {id_type}, rank int, cosine double"
+    return normed.groupBy("cid").applyInPandas(per_cell, schema=schema)
 
 
 #: Frozen 64-dim ADC demo query vector: pure integer-arithmetic

@@ -225,3 +225,58 @@ def test_leakage_safe_split_groups_cohere(spark):
     # every duplicate group lands in exactly one split
     assert all(len(s) == 1 for s in by_key.values())
     assert len(by_key) == 2  # case-folded dups share a group
+
+
+def _hash_corpus(spark, n, dims=64):
+    return spark.range(n).selectExpr(
+        "id AS vec_id",
+        f"transform(sequence(0, {dims - 1}), j -> CAST((abs(hash(id, j))"
+        " % 2001 - 1000) / 1000.0 AS FLOAT)) AS embedding",
+    )
+
+
+def test_assign_numpy_equals_literal_hof(spark):
+    """The Arrow assignment regime must be bit-identical to the
+    literal-HOF scoring (fold-order-matched accumulation + exact
+    rounding fallback) — the invariant that lets _assign_to switch
+    regimes without moving any oracle hash."""
+    from institutional_fx_etl_spark.operators import similarity as S
+
+    emb = _hash_corpus(spark, 1200)
+    v = emb.selectExpr("vec_id AS vid", S._as_double("embedding") + " AS vv")
+    cents = v.filter("vid < 24").selectExpr("vid AS cid", "vv AS cv")
+    cells = S._scored_cells_expr(cents)
+    lit = {
+        r["vid"]: r["cid"]
+        for r in v.selectExpr(
+            "vid", f"element_at({cells}, 1).cid AS cid"
+        ).collect()
+    }
+    rows = sorted(cents.collect(), key=lambda r: r["cid"])
+    got = {
+        r["vid"]: r["cid"]
+        for r in S._assign_numpy(v, rows, "bigint").collect()
+    }
+    assert got == lit
+
+
+def test_knn_pair_numpy_equals_sql(spark):
+    """Pair-stage regime equality: full output tuples (ids, rank,
+    cosine) identical between the self-join+window SQL path and the
+    per-cell Arrow kernel."""
+    from institutional_fx_etl_spark.operators.similarity import knn_join
+
+    emb = _hash_corpus(spark, 1500)
+    a = sorted(
+        tuple(r)
+        for r in knn_join(
+            emb, k=3, num_centroids=24, pair_strategy="sql"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in knn_join(
+            emb, k=3, num_centroids=24, pair_strategy="numpy"
+        ).collect()
+    )
+    assert a == b and len(a) > 0

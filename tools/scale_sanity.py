@@ -248,6 +248,7 @@ def _corpus_scale(spark, argv) -> None:
     import time as _t
 
     n_docs = 1_000_000
+    graph_only = "--graph-only" in argv
     for a in argv:
         if a.startswith("--docs="):
             n_docs = int(float(a.split("=", 1)[1]))
@@ -300,9 +301,10 @@ def _corpus_scale(spark, argv) -> None:
         print(f"[corpus:{label}] rows={n} wall={_t.perf_counter() - t0:.1f}s")
         return n
 
-    timed("token_entropy", lambda: token_entropy(docs))
-    timed("winnow_fingerprints", lambda: winnow_fingerprints(docs))
-    timed("exact_dedup", lambda: exact_dedup_groups(docs))
+    if not graph_only:
+        timed("token_entropy", lambda: token_entropy(docs))
+        timed("winnow_fingerprints", lambda: winnow_fingerprints(docs))
+        timed("exact_dedup", lambda: exact_dedup_groups(docs))
 
     from institutional_fx_etl_spark.operators.dedup import containment_pairs
     from institutional_fx_etl_spark.operators.embstats import (
@@ -313,17 +315,19 @@ def _corpus_scale(spark, argv) -> None:
         gopher_quality,
     )
 
-    # .filter forces rule evaluation — a bare count() over the narrow
-    # projection would let Catalyst prune the rule expressions away
-    timed(
-        "gopher_quality",
-        lambda: gopher_quality(docs).filter("gopher_pass"),
-    )
-    timed("bigram_lm_score", lambda: bigram_lm_score(docs))
-    timed(
-        "containment_pairs",
-        lambda: containment_pairs(docs, threshold=0.5),
-    )
+    if not graph_only:
+        # .filter forces rule evaluation — a bare count() over the
+        # narrow projection would let Catalyst prune the rule
+        # expressions away
+        timed(
+            "gopher_quality",
+            lambda: gopher_quality(docs).filter("gopher_pass"),
+        )
+        timed("bigram_lm_score", lambda: bigram_lm_score(docs))
+        timed(
+            "containment_pairs",
+            lambda: containment_pairs(docs, threshold=0.5),
+        )
     # synthetic embeddings: 64 hash-derived floats per doc, generated
     # scan-side so the covariance probe measures the Gram partials,
     # not a driver materialization
@@ -332,10 +336,11 @@ def _corpus_scale(spark, argv) -> None:
         "transform(sequence(0, 63), j -> CAST((abs(hash(doc_id, j)) % 2001"
         " - 1000) / 1000.0 AS FLOAT)) AS embedding",
     )
-    timed(
-        "embedding_covariance",
-        lambda: embedding_covariance(vecs, "embedding", dim=64, scale=1000),
-    )
+    if not graph_only:
+        timed(
+            "embedding_covariance",
+            lambda: embedding_covariance(vecs, "embedding", dim=64, scale=1000),
+        )
     from pyspark.storagelevel import StorageLevel
 
     # persist the verified pairs so the CC wall measures the
