@@ -140,3 +140,54 @@ def k_anonymity(
         "floor(CAST(rows_below_k AS DOUBLE) / CAST(n_rows AS DOUBLE)"
         " * 1e6 + 0.5D) / 1e6 AS at_risk_share",
     )
+
+CHISQ_TERM = (
+    "(CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)"
+    " / CAST(n AS DOUBLE))"
+    " * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)"
+    " / CAST(n AS DOUBLE))"
+    " / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+)
+"""Per-cell Pearson chi-square term ``(o-e)²/e`` with the expected
+count ``e = r·c/n`` inlined — one SQL string shared verbatim by the
+Spark plan and the DuckDB oracle so every intermediate double is
+IEEE-identical on both engines (expression-shape mirroring)."""
+
+
+def chisq_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the feature-screening statistic a corpus/feature
+    pipeline runs before trusting a segmentation.
+
+    Plan: one hash aggregate to the contingency cells (the only
+    full-data pass — shuffle is bounded by |A|·|B| cells), then
+    window-sum marginals OVER the TINY cell table (the unpartitioned
+    ``OVER ()`` single-task window is |A|·|B| rows, never data rows),
+    per-cell terms in mirrored-double arithmetic, micro-unit
+    fixed-point (``floor(t·1e6 + 0.5)``) summed as DECIMAL(38,0) so
+    the cross-engine hash cannot drift with summation order. Output:
+    one row — n_cells, dof, chi2 (micro-rounded).
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    marg = cells.selectExpr(
+        "a",
+        "b",
+        "o",
+        "SUM(o) OVER (PARTITION BY a) AS r",
+        "SUM(o) OVER (PARTITION BY b) AS c",
+        "SUM(o) OVER () AS n",
+    )
+    return marg.selectExpr(f"{CHISQ_TERM} AS term", "a", "b").agg(
+        F.expr("count(*) AS n_cells"),
+        F.expr(
+            "(count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof"
+        ),
+        F.expr(
+            "CAST(SUM(CAST(floor(term * 1e6 + 0.5) AS DECIMAL(38,0)))"
+            " AS DOUBLE) / 1e6 AS chi2"
+        ),
+    )

@@ -568,3 +568,88 @@ def rolling_distinct(
         .groupBy("day")
         .agg(F.count_distinct("k").alias(f"{key_col}_{window_days}d"))
     )
+
+def ewma_exprs(
+    value_col: str,
+    over_sql: str,
+    alpha: float = 0.25,
+    k: int = 8,
+) -> str:
+    """SQL text for a truncated-horizon EWMA: ``round(num/den, 6)``
+    where ``num = Σ_{j<k} w_j·lag(value, j)`` and ``den`` re-normalizes
+    over the lags actually present (series head), with
+    ``w_j = α(1-α)^j``.
+
+    The infinite-memory EWMA recurrence is order-SERIAL (each row
+    depends on the previous result) — it cannot ride a window frame
+    and would force a single-pass stateful scan. The truncated form is
+    the distributable equivalent: at j=8, the dropped tail carries
+    (1-α)^8 ≈ 10% of the mass which the denominator re-normalization
+    absorbs, and every term is an independent ``lag`` over ONE
+    partitioned sort — the same single window pass all the indicator
+    family shares.
+
+    Cross-engine exactness: this returns one SQL string used VERBATIM
+    by both the Spark `selectExpr` and the DuckDB oracle — weights are
+    `CAST('<repr>' AS DOUBLE)` literals (string→double is correctly
+    rounded in both engines) and the `+`/`*`/`/` chains parse
+    left-associative in both, so every intermediate is the same IEEE
+    double on both sides (the expression-shape-mirroring contract,
+    plans/driver_queries.py docstring).
+    """
+    weights = [alpha * (1.0 - alpha) ** j for j in range(k)]
+
+    def lit(w: float) -> str:
+        return f"CAST('{w!r}' AS DOUBLE)"
+
+    def lagged(j: int) -> str:
+        if j == 0:
+            return value_col
+        return f"lag({value_col}, {j}) OVER {over_sql}"
+
+    num = " + ".join(
+        f"{lit(w)} * coalesce({lagged(j)}, {lit(0.0)})"
+        for j, w in enumerate(weights)
+    )
+    den = " + ".join(
+        [lit(weights[0])]
+        + [
+            f"(CASE WHEN {lagged(j)} IS NULL THEN {lit(0.0)}"
+            f" ELSE {lit(w)} END)"
+            for j, w in enumerate(weights)
+            if j > 0
+        ]
+    )
+    return f"round(({num}) / ({den}), 6)"
+
+def candle_pattern_exprs(over_sql: str) -> list[str]:
+    """SQL flag expressions for the classic single/two-candle
+    candlestick patterns over OHLC columns ``open/high/low/close``:
+    doji (body ≤ 10% of range), hammer (lower shadow ≥ 2× body, upper
+    shadow ≤ body), shooting star (mirrored), and bullish/bearish
+    engulfing (current body swallows the previous candle's body —
+    needs ``lag(open/close)`` over ``over_sql``, the one window pass).
+
+    Division-free forms (``body·10 ≤ range`` instead of
+    ``body/range ≤ 0.1``) avoid div-by-zero rows; every comparison is
+    plain IEEE arithmetic on the candle doubles with the expression
+    text shared verbatim between the Spark plan and the DuckDB oracle
+    (expression-shape mirroring), so the flags are bit-identical.
+    First row per partition: engulfing flags are NULL (no previous
+    candle) — both engines agree.
+    """
+    body = "abs(close - open)"
+    rng = "(high - low)"
+    upsh = "(high - greatest(open, close))"
+    dnsh = "(least(open, close) - low)"
+    po = f"(lag(open, 1) OVER {over_sql})"
+    pc = f"(lag(close, 1) OVER {over_sql})"
+    return [
+        f"({body} * 10.0 <= {rng}) AS doji",
+        f"({dnsh} >= {body} * 2.0 AND {upsh} <= {body}) AS hammer",
+        f"({upsh} >= {body} * 2.0 AND {dnsh} <= {body}) AS shooting_star",
+        f"({pc} < {po} AND close > open AND open <= {pc}"
+        f" AND close >= {po}) AS bull_engulf",
+        f"({pc} > {po} AND close < open AND open >= {pc}"
+        f" AND close <= {po}) AS bear_engulf",
+    ]

@@ -8136,6 +8136,218 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(load_table(spark, sf_dir, "documents"))
 
 
+# --- round-7 continuation: indicator/profiling/analytics widening ----
+
+from institutional_fx_etl_spark.operators.timeseries import (  # noqa: E402
+    candle_pattern_exprs,
+    ewma_exprs,
+)
+
+_EWMA8 = ewma_exprs(
+    "value", "(PARTITION BY event_type ORDER BY ts, event_id)"
+)
+
+
+@register(
+    "ewma",
+    f"""
+    SELECT event_type, event_id, ts, value,
+           {_EWMA8} AS ewma8
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-horizon EWMA (α=0.25, 8 lags, head-renormalized) per
+    event-type series — the distributable form of the serial EWMA
+    recurrence (``operators/timeseries.py::ewma_exprs``): one
+    partitioned window sort feeds all 8 ``lag`` terms, weights are
+    shared ``CAST('<repr>' AS DOUBLE)`` literals so the oracle is
+    bit-identical."""
+    ev = load_table(spark, sf_dir, "events").filter("value IS NOT NULL")
+    return ev.selectExpr(
+        "event_type", "event_id", "ts", "value", f"{_EWMA8} AS ewma8"
+    )
+
+
+_CP_OVER = "(PARTITION BY event_type ORDER BY datetime)"
+_CP_FLAGS = candle_pattern_exprs(_CP_OVER)
+_CP_ANY = "doji OR hammer OR shooting_star OR bull_engulf OR bear_engulf"
+
+
+@register(
+    "candle_patterns",
+    f"""
+    WITH t AS (
+      SELECT event_type, ts, value + 0.01 AS ask, value - 0.01 AS bid
+      FROM events
+    ),
+    t2 AS (
+      SELECT event_type, ts, (ask + bid) / 2 AS mid, ask FROM t
+    ),
+    c AS (
+      SELECT event_type, date_trunc('hour', ts) AS datetime,
+             first(mid ORDER BY ts, mid) AS open,
+             max(mid) AS high,
+             min(mid) AS low,
+             last(mid ORDER BY ts, mid) AS close
+      FROM t2 GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT event_type, datetime, open, high, low, close,
+             {", ".join(_CP_FLAGS)}
+      FROM c
+    )
+    SELECT * FROM p WHERE {_CP_ANY}
+    """,
+)
+def q_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick-pattern screen over hourly per-symbol candles —
+    doji / hammer / shooting star / engulfing flags
+    (``operators/timeseries.py::candle_pattern_exprs``) on the
+    mergeable-OHLC layer (A1-A3), one lag window pass per symbol, flag
+    expressions shared verbatim with the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    ticks = ev.select(
+        "event_type",
+        F.col("ts").alias("datetime"),
+        (F.col("value") + 0.01).alias("ask"),
+        (F.col("value") - 0.01).alias("bid"),
+    )
+    candles = ticks_to_candles(
+        ticks, window_duration="1 hour", partition_cols=("event_type",)
+    )
+    return candles.selectExpr(
+        "event_type", "datetime", "open", "high", "low", "close",
+        *_CP_FLAGS,
+    ).filter(_CP_ANY)
+
+
+@register(
+    "chisq_independence",
+    """
+    WITH cells AS (
+      SELECT c_mktsegment AS a, c_nationkey % 5 AS b, count(*) AS o
+      FROM customer GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT a, b, o,
+             SUM(o) OVER (PARTITION BY a) AS r,
+             SUM(o) OVER (PARTITION BY b) AS c,
+             SUM(o) OVER () AS n
+      FROM cells
+    ),
+    terms AS (
+      SELECT a, b,
+             (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+              / CAST(n AS DOUBLE))
+             * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+              / CAST(n AS DOUBLE))
+             / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               AS term
+      FROM marg
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1)
+                AS BIGINT) AS dof,
+           CAST(SUM(CAST(floor(term * 1e6 + 0.5) AS DECIMAL(38,0)))
+                AS DOUBLE) / 1e6 AS chi2
+    FROM terms
+    """,
+)
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test (market segment × nation
+    bucket) — contingency aggregate + tiny-table window marginals +
+    micro-unit decimal term sum
+    (``operators/profiling.py::chisq_independence``)."""
+    from institutional_fx_etl_spark.operators.profiling import (
+        chisq_independence,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_mktsegment", "c_nationkey % 5 AS nat_bucket"
+    )
+    out = chisq_independence(cust, "c_mktsegment", "nat_bucket")
+    return out.selectExpr(
+        "CAST(n_cells AS BIGINT) AS n_cells",
+        "CAST(dof AS BIGINT) AS dof",
+        "chi2",
+    )
+
+
+@register(
+    "bot_rate_profile",
+    """
+    WITH m AS (
+      SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS epm
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(max(epm) AS BIGINT) AS max_epm,
+           CAST(SUM(epm) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS active_minutes,
+           (max(epm) >= 3 OR SUM(epm) >= count(*) * 2) AS bot_flag
+    FROM m GROUP BY 1
+    """,
+)
+def q_bot_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/abuse-rate profile per user — burst detection every event
+    pipeline runs before trusting engagement counts: per-minute event
+    rates re-aggregated to per-user peaks (A4 partial→final shape:
+    the minute grain collapses map-side, the user grain is the only
+    wide shuffle), flag = peak ≥ 3/min or sustained ≥ 2/active-minute.
+    Pure integer arithmetic — exact on any engine."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count(F.lit(1)).alias("epm"))
+    return m.groupBy("user_id").agg(
+        F.expr("CAST(max(epm) AS BIGINT) AS max_epm"),
+        F.expr("CAST(SUM(epm) AS BIGINT) AS n_events"),
+        F.expr("CAST(count(*) AS BIGINT) AS active_minutes"),
+        F.expr(
+            "(max(epm) >= 3 OR SUM(epm) >= count(*) * 2) AS bot_flag"
+        ),
+    )
+
+
+@register(
+    "source_rollup",
+    """
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(lower(text))) AS BIGINT)
+             AS n_distinct_texts,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(floor(CAST(count(*) - count(DISTINCT md5(lower(text)))
+                           AS DOUBLE) * 1e6
+                      / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)
+             AS dup_rate_micro
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus rollup — the C4-style provenance
+    audit: doc counts, exact distinct-text counts (32-byte md5 keys,
+    text never shuffles), total chars, and a fixed-point exact-dup
+    rate. One hash aggregate; distinct rides the same shuffle as the
+    group keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
+        F.expr(
+            "CAST(count(DISTINCT md5(lower(text))) AS BIGINT)"
+            " AS n_distinct_texts"
+        ),
+        F.expr("CAST(SUM(n_chars) AS BIGINT) AS sum_chars"),
+        F.expr(
+            "CAST(floor(CAST(count(*) - count(DISTINCT md5(lower(text)))"
+            " AS DOUBLE) * 1e6"
+            " / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)"
+            " AS dup_rate_micro"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -8155,6 +8367,11 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HEAD = [
     # --- round-7 window (50) ------------------------------------------
     # new this round (first driver row needed)
+    "ewma",
+    "candle_patterns",
+    "chisq_independence",
+    "bot_rate_profile",
+    "source_rollup",
     "lsh_ann_pairs_multitable",
     "dedup_editdistance",
     "graph_bfs_hops",
@@ -8202,17 +8419,21 @@ _HEAD = [
     "triangle_count",
     "twap_events",
     "winsorize",
-    # code changed this round — fresh rows over the new plans
-    # (O(1)-state chunk bounds in the fused engine, multi-table LSH)
+    # code changed this round — fresh row over the new plans
+    # (O(1)-state chunk bounds in the fused engine; dedup_containment's
+    # grouped-array candidate stage is covered by its never-certified
+    # slot above; the changed multi-table LSH path is certified by the
+    # NEW lsh_ann_pairs_multitable entry). pipeline_clean_fixture_fused
+    # exercises the same changed fused-engine path as
+    # hybrid_pipeline_chunked and stays tail-gated instead — 49
+    # never-certified queries outrank it for the 50 slots.
     "hybrid_pipeline_chunked",
-    "pipeline_clean_fixture_fused",
+    # slot 51+: highest-priority tail (tail-gated every CI run)
     "lsh_ann_pairs",
-    # flagship family (validator_reconcile / streaming_gap_bridge hold
-    # fresh r6 rows and are tail-gated; 11 first-row queries outrank
-    # them for the 50 slots this round)
-    "hybrid_pipeline",
-    "hybrid_pipeline_multisym",
-    "incremental_merge",
+    # flagship family (hybrid_pipeline/_multisym/incremental_merge,
+    # validator_reconcile, streaming_gap_bridge) holds fresh r6 rows
+    # and is tail-gated on every CI run; the union-of-two-windows
+    # invariant keeps their next driver row ≤ r8.
 ]
 _TAIL = [
     # r5-green — oracle-checked at sf0.001 (ivf_topk/ivf_topk_kmeans
