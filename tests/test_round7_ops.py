@@ -280,3 +280,146 @@ def test_knn_pair_numpy_equals_sql(spark):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+# --- round-7 continuation: indicator/profiling widening --------------
+
+
+def test_ewma_head_renormalizes(spark):
+    """First rows of a series must renormalize over the lags present:
+    a constant series yields EWMA == the constant from row 1 onward
+    (any weight leakage to missing lags would pull it toward 0)."""
+    from institutional_fx_etl_spark.operators.timeseries import ewma_exprs
+
+    df = spark.createDataFrame(
+        [("s", i, 5.0) for i in range(12)], "sym string, i int, value double"
+    )
+    e = ewma_exprs("value", "(PARTITION BY sym ORDER BY i)")
+    rows = df.selectExpr("i", f"{e} AS ewma").collect()
+    assert all(r["ewma"] == 5.0 for r in rows)
+
+
+def test_ewma_matches_python_reference(spark):
+    """Truncated-EWMA values must equal an independent Python fold of
+    the same weights (6-dp agreement; the oracle gate separately pins
+    bit-identity vs DuckDB)."""
+    from institutional_fx_etl_spark.operators.timeseries import ewma_exprs
+
+    vals = [1.0, 4.0, 2.0, 8.0, 3.0, 7.0, 5.0, 6.0, 9.0, 2.5]
+    df = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(vals)],
+        "sym string, i int, value double",
+    )
+    e = ewma_exprs("value", "(PARTITION BY sym ORDER BY i)")
+    got = [
+        r["ewma"]
+        for r in df.selectExpr("i", f"{e} AS ewma").orderBy("i").collect()
+    ]
+    alpha = 0.25
+    w = [alpha * (1 - alpha) ** j for j in range(8)]
+    for t, g in enumerate(got):
+        num = sum(w[j] * vals[t - j] for j in range(8) if t - j >= 0)
+        den = sum(w[j] for j in range(8) if t - j >= 0)
+        assert abs(g - num / den) < 1e-6, (t, g, num / den)
+
+
+def test_candle_patterns_flags(spark):
+    """Hand-built candles exercise each pattern flag."""
+    from institutional_fx_etl_spark.operators.timeseries import (
+        candle_pattern_exprs,
+    )
+
+    #       open  high  low   close          expected
+    rows = [
+        ("s", 0, 10.0, 20.0, 0.0, 10.5),   # doji: body .5 <= range*0.1=2
+        ("s", 1, 10.0, 10.5, 2.0, 11.0),   # hammer: dnsh 8 >= 2, upsh 0
+        ("s", 2, 10.0, 18.0, 9.5, 9.0),    # shooting star: upsh 8, dnsh .5
+        ("s", 3, 12.0, 12.1, 7.9, 8.0),    # big down candle
+        ("s", 4, 7.5, 12.6, 7.4, 12.5),    # bull engulf of row 3
+        ("s", 5, 13.0, 13.1, 6.9, 7.0),    # bear engulf of row 4
+    ]
+    df = spark.createDataFrame(
+        rows, "sym string, i int, open double, high double,"
+        " low double, close double"
+    )
+    flags = candle_pattern_exprs("(PARTITION BY sym ORDER BY i)")
+    out = {
+        r["i"]: r
+        for r in df.selectExpr("i", *flags).collect()
+    }
+    assert out[0]["doji"]
+    assert out[1]["hammer"] and not out[1]["doji"]
+    assert out[2]["shooting_star"]
+    assert out[4]["bull_engulf"]
+    assert out[5]["bear_engulf"]
+
+
+def test_chisq_independent_uniform_is_zero(spark):
+    """A perfectly balanced contingency table has chi2 == 0; dof and
+    cell count come out exact."""
+    from institutional_fx_etl_spark.operators.profiling import (
+        chisq_independence,
+    )
+
+    rows = [(a, b) for a in "xyz" for b in range(4) for _ in range(7)]
+    df = spark.createDataFrame(rows, "a string, b int")
+    r = chisq_independence(df, "a", "b").collect()[0]
+    assert r["n_cells"] == 12 and r["dof"] == 6 and r["chi2"] == 0.0
+
+
+def test_chisq_matches_closed_form(spark):
+    """2x2 table vs the hand-computed statistic."""
+    from institutional_fx_etl_spark.operators.profiling import (
+        chisq_independence,
+    )
+
+    counts = {("a", 0): 10, ("a", 1): 20, ("b", 0): 30, ("b", 1): 5}
+    rows = [(k[0], k[1]) for k, n in counts.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "a string, b int")
+    r = chisq_independence(df, "a", "b").collect()[0]
+    n = sum(counts.values())
+    expected = 0.0
+    for (a, b), o in counts.items():
+        ra = sum(v for k, v in counts.items() if k[0] == a)
+        cb = sum(v for k, v in counts.items() if k[1] == b)
+        e = ra * cb / n
+        expected += (o - e) ** 2 / e
+    assert abs(r["chi2"] - expected) < 1e-5
+    assert r["dof"] == 1
+
+
+def test_containment_candidate_stage_has_no_join(spark):
+    """The grouped-array candidate stage must plan WITHOUT any join
+    operator (the round-7 restructure: one shuffle to shingle groups,
+    in-array pair emission, one shuffle to pair counts)."""
+    from institutional_fx_etl_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(6)]
+        + [(10, "totally different words here now yes")],
+        "doc_id long, text string",
+    )
+    out = containment_pairs(docs, threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(i, j) for i in range(6) for j in range(i + 1, 6)}
+
+
+def test_containment_hot_shingle_cap(spark):
+    """Shingles above max_df must drop from candidate generation but
+    full denominators stay (the cap prunes, never inflates)."""
+    from institutional_fx_etl_spark.operators.dedup import containment_pairs
+
+    boiler = "one two three four five six"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(5)],
+        "doc_id long, text string",
+    )
+    # df=5 > max_df=4 -> every shingle is hot -> no pairs at all
+    assert containment_pairs(docs, threshold=0.1, max_df=4).count() == 0
+    # df=5 <= max_df=5 -> all pairs with containment 1.0
+    out = containment_pairs(docs, threshold=0.99, max_df=5)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r["containment_a"] == 1.0 for r in rows)
