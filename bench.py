@@ -104,6 +104,15 @@ HEADLINE = [
     "spearman_corr",
     "benford_profile",
     "rolling_distinct_users",
+    # round-7 continuation ops
+    "ewma",
+    "candle_patterns",
+    "chisq_independence",
+    "bot_rate_profile",
+    "source_rollup",
+    "anova_oneway",
+    "ks_two_sample",
+    "gini_by_group",
 ]
 
 

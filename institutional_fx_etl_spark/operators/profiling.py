@@ -191,3 +191,178 @@ def chisq_independence(
             " AS DOUBLE) / 1e6 AS chi2"
         ),
     )
+
+def anova_oneway(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """One-way ANOVA F-statistic across groups — the
+    does-this-segmentation-matter screen (continuous response ×
+    categorical factor; the chi-square's numeric sibling).
+
+    Exactness: values fix-point to micro-units scan-side, so the
+    per-group moment sums (Σx, Σx²) accumulate as DECIMAL(38,0) —
+    order-independent, bit-identical on any engine/partitioning. The
+    between-group term Σ S_g²/n_g is per-group mirrored-double
+    arithmetic micro-rounded back to DECIMAL before the (tiny,
+    group-count-sized) final sum. One hash aggregate over the data,
+    one over the groups — no window, no sort.
+
+    Output (one row): k, n, ssb, ssw, f_stat (round 6).
+    """
+    x = df.filter(f"{value_col} IS NOT NULL").selectExpr(
+        f"{group_col} AS g",
+        f"CAST(floor({value_col} * 1e6 + 0.5) AS DECIMAL(18,0)) AS v",
+    )
+    grp = x.groupBy("g").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_g"),
+        F.expr("SUM(v) AS s_g"),
+        F.expr("SUM(v * v) AS q_g"),
+    )
+    tb = (
+        "(CAST(s_g AS DOUBLE) / 1e6) * (CAST(s_g AS DOUBLE) / 1e6)"
+        " / CAST(n_g AS DOUBLE)"
+    )
+    agg = grp.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS k"),
+        F.expr("CAST(SUM(n_g) AS BIGINT) AS n"),
+        F.expr("CAST(SUM(s_g) AS DOUBLE) / 1e6 AS s"),
+        F.expr("CAST(SUM(q_g) AS DOUBLE) / 1e12 AS q"),
+        F.expr(
+            f"CAST(SUM(CAST(floor(({tb}) * 1e6 + 0.5)"
+            " AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS t_between"
+        ),
+    )
+    return agg.selectExpr(
+        "k",
+        "n",
+        "round(t_between - s * s / CAST(n AS DOUBLE), 6) AS ssb",
+        "round(q - t_between, 6) AS ssw",
+        "round(((t_between - s * s / CAST(n AS DOUBLE))"
+        " / CAST(k - 1 AS DOUBLE))"
+        " / ((q - t_between) / CAST(n - k AS DOUBLE)), 6) AS f_stat",
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    bucket_width: float = 16.0,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the value
+    distributions of two groups: ``D = max_v |F_a(v) - F_b(v)|`` over
+    the distinct observed values — EXACT (integer cumulative counts;
+    the per-value double ratio is deterministic and ``max`` is
+    order-free).
+
+    The ECDF is a value-ORDERED prefix sum, which naively plans as one
+    single-partition global window. Spark shape instead: two-level
+    range prefix — distinct values carry fixed-width range buckets,
+    per-bucket subtotals (one tiny row per bucket) prefix-sum in a
+    bucket-count-sized window, and the within-bucket window runs
+    PARTITIONED BY bucket with the bucket offset broadcast-joined
+    back. No full-data single-partition stage at any point; the oracle
+    uses the plain global window (single-node engine) and matches
+    because integer cumsums are decomposition-invariant.
+    """
+    labeled = df.filter(
+        f"{value_col} IS NOT NULL"
+        f" AND {group_col} IN ('{group_a}', '{group_b}')"
+    ).selectExpr(
+        f"{value_col} AS v",
+        f"CASE WHEN {group_col} = '{group_a}' THEN 1 ELSE 0 END AS ia",
+        f"CASE WHEN {group_col} = '{group_b}' THEN 1 ELSE 0 END AS ib",
+    )
+    per_v = labeled.groupBy("v").agg(
+        F.expr("CAST(SUM(ia) AS BIGINT) AS ca"),
+        F.expr("CAST(SUM(ib) AS BIGINT) AS cb"),
+    ).selectExpr("*", f"CAST(floor(v / {bucket_width!r}) AS BIGINT) AS bkt")
+    offsets = (
+        per_v.groupBy("bkt")
+        .agg(
+            F.expr("SUM(ca) AS ta"),
+            F.expr("SUM(cb) AS tb"),
+        )
+        .selectExpr(
+            "bkt",
+            "SUM(ta) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) - ta AS off_a",
+            "SUM(tb) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) - tb AS off_b",
+        )
+    )
+    in_bucket = per_v.join(F.broadcast(offsets), "bkt").selectExpr(
+        "v",
+        "SUM(ca) OVER (PARTITION BY bkt ORDER BY v ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW) + off_a AS cum_a",
+        "SUM(cb) OVER (PARTITION BY bkt ORDER BY v ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW) + off_b AS cum_b",
+    )
+    totals = labeled.agg(
+        F.expr("CAST(SUM(ia) AS BIGINT) AS n_a"),
+        F.expr("CAST(SUM(ib) AS BIGINT) AS n_b"),
+    )
+    return (
+        in_bucket.crossJoin(F.broadcast(totals))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.expr(
+                "round(max(abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+                " - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE))), 6)"
+                " AS ks_d"
+            )
+        )
+        .select("n_a", "n_b", "ks_d")
+    )
+
+
+def gini_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative quantity —
+    inequality/concentration profiling (is 90% of the balance held by
+    3% of the accounts?).
+
+    Closed form over the sorted sample ``G = Σ(2i−n−1)·x_i / (n·Σx)``;
+    values fix-point to cents so the rank-weighted sum accumulates as
+    exact DECIMAL (BIGINT terms), one ranking window per group + one
+    hash aggregate. Ties: Σ(2i−n−1) over a tie run is
+    permutation-invariant, so ``row_number`` with a key tiebreak is
+    deterministic AND correct. Groups parallelize; no global sort.
+
+    Output: group, n, total (cents→unit, round 2), gini (round 6).
+    """
+    cents = df.selectExpr(
+        f"{group_col} AS grp",
+        f"{key_col} AS k",
+        f"CAST(floor(greatest({value_col}, 0.0) * 100 + 0.5) AS BIGINT)"
+        " AS xc",
+    )
+    ranked = cents.selectExpr(
+        "grp",
+        "xc",
+        "row_number() OVER (PARTITION BY grp ORDER BY xc, k) AS i",
+        "count(*) OVER (PARTITION BY grp) AS n",
+    )
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.expr("CAST(max(n) AS BIGINT) AS n"),
+            F.expr("SUM(CAST(xc AS DECIMAL(18,0))) AS sx"),
+            F.expr(
+                "SUM(CAST(xc AS DECIMAL(18,0)) * CAST(2 * i - n - 1 AS DECIMAL(19,0))) AS sw"
+            ),
+        )
+        .selectExpr(
+            "grp",
+            "n",
+            "round(CAST(sx AS DOUBLE) / 100, 2) AS total",
+            "round(CAST(sw AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini",
+        )
+    )

@@ -423,3 +423,92 @@ def test_containment_hot_shingle_cap(spark):
     rows = out.collect()
     assert len(rows) == 10
     assert all(r["containment_a"] == 1.0 for r in rows)
+
+
+def test_anova_matches_scipy_formula(spark):
+    """Hand-computed one-way ANOVA on a small fixture (values chosen
+    micro-exact so fix-pointing is lossless)."""
+    from institutional_fx_etl_spark.operators.profiling import anova_oneway
+
+    data = {"a": [1.0, 2.0, 3.0], "b": [2.0, 3.0, 4.0], "c": [5.0, 6.0, 7.0]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "v", "g").collect()[0]
+    import statistics
+
+    all_v = [v for vs in data.values() for v in vs]
+    gm = statistics.mean(all_v)
+    ssb = sum(len(vs) * (statistics.mean(vs) - gm) ** 2 for vs in data.values())
+    ssw = sum(
+        (v - statistics.mean(vs)) ** 2 for vs in data.values() for v in vs
+    )
+    f = (ssb / 2) / (ssw / 6)
+    assert r["k"] == 3 and r["n"] == 9
+    assert abs(r["ssb"] - ssb) < 1e-5
+    assert abs(r["ssw"] - ssw) < 1e-5
+    assert abs(r["f_stat"] - f) < 1e-4
+
+
+def test_ks_two_sample_exact(spark):
+    """KS distance vs a brute-force Python ECDF computation, and the
+    identical-distribution zero case."""
+    from institutional_fx_etl_spark.operators.profiling import ks_two_sample
+
+    a = [1.0, 2.0, 3.0, 4.0, 10.0]
+    b = [2.5, 3.5, 4.5, 20.0]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_two_sample(df, "v", "g", "A", "B", bucket_width=2.0).collect()[0]
+    vals = sorted(set(a + b))
+    d = max(
+        abs(
+            sum(1 for x in a if x <= v) / len(a)
+            - sum(1 for x in b if x <= v) / len(b)
+        )
+        for v in vals
+    )
+    assert r["n_a"] == 5 and r["n_b"] == 4
+    assert abs(r["ks_d"] - d) < 1e-6
+
+    same = spark.createDataFrame(
+        [("A", v) for v in a] + [("B", v) for v in a], "g string, v double"
+    )
+    assert (
+        ks_two_sample(same, "v", "g", "A", "B").collect()[0]["ks_d"] == 0.0
+    )
+
+
+def test_ks_bucket_width_invariance(spark):
+    """The two-level range prefix must give the same D for any bucket
+    width (decomposition invariance of integer cumsums)."""
+    from institutional_fx_etl_spark.operators.profiling import ks_two_sample
+
+    rows = [("A", float(i % 17) + 0.25) for i in range(40)] + [
+        ("B", float((i * 7) % 23) / 2) for i in range(35)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    outs = {
+        w: ks_two_sample(df, "v", "g", "A", "B", bucket_width=w)
+        .collect()[0]["ks_d"]
+        for w in (0.5, 3.0, 1000.0)
+    }
+    assert len(set(outs.values())) == 1, outs
+
+
+def test_gini_known_values(spark):
+    """Gini = 0 for perfectly equal values; hand-checked value for a
+    skewed fixture; negatives clip to zero."""
+    from institutional_fx_etl_spark.operators.profiling import gini_by_group
+
+    rows = [(1, i, 10.0) for i in range(4)] + [
+        (2, 10, 0.0),
+        (2, 11, 0.0),
+        (2, 12, 0.0),
+        (2, 13, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "grp int, k int, bal double")
+    out = {r["grp"]: r for r in gini_by_group(df, "bal", "grp", "k").collect()}
+    assert out[1]["gini"] == 0.0
+    # one holder of everything among n=4: G = (n-1)/n = 0.75
+    assert out[2]["gini"] == 0.75
+    assert out[2]["total"] == 100.0
