@@ -707,11 +707,17 @@ def bigram_lm_score(
     mean log2 bigram probability and perplexity.
 
     Plan shape (the 100 TB story): one explode pass produces the
-    (doc, bigram-occurrence) stream; TWO vocabulary-bounded hash
-    aggregates build the count tables; two shuffle joins key the
-    stream back to its counts (bigram table can exceed broadcast size
-    at web scale — the join keys are hashes, text never moves twice);
-    one final per-doc aggregate. Every stage is JVM codegen, no UDF.
+    (doc, bigram-occurrence) stream (persisted — three logical
+    consumers must not re-tokenize the corpus); ONE vocabulary-bounded
+    hash aggregate builds the bigram table, and the unigram table
+    derives FROM it (``cu = Σ cb per w1`` — a vocabulary-sized
+    aggregate, never a second stream pass); the two count tables
+    pre-join at vocabulary size so the stream shuffles exactly ONCE to
+    pick up both counts (bigram table can exceed broadcast size at web
+    scale — the join key is the bigram, text never moves twice); one
+    final per-doc aggregate. Every stage is JVM codegen, no UDF.
+    (Round 7: this replaced 3 tokenize passes + 2 stream shuffles with
+    1 + 1 — counts are identical, the oracle is untouched.)
 
     Probabilities are ratios of exact integer counts; the per-doc sum
     of log2 ratios is a ≤n_tokens-term double sum rounded to 6
@@ -733,11 +739,19 @@ def bigram_lm_score(
         )
         .selectExpr(id_col, "bg", "substring_index(bg, ' ', 1) AS w1")
     )
-    cb = doc_bi.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
-    cu = doc_bi.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    from pyspark import StorageLevel
+
+    doc_bi = doc_bi.persist(StorageLevel.MEMORY_AND_DISK)
+    # w1 is functional on bg (the bigram's first token), so max(w1) is
+    # a constant pick, and the unigram count is the bigram-table
+    # rollup — both aggregates after the first are vocabulary-sized
+    cb = doc_bi.groupBy("bg").agg(
+        F.count(F.lit(1)).alias("cb"), F.expr("max(w1) AS w1")
+    )
+    cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    ref = cb.join(cu, "w1").select("bg", "cb", "cu")
     return (
-        doc_bi.join(cb, "bg")
-        .join(cu, "w1")
+        doc_bi.join(ref, "bg")
         .selectExpr(
             id_col,
             "log2(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE)) AS __lp",
