@@ -70,7 +70,11 @@ def test_assign_to_broadcast_path_matches_literal(spark, monkeypatch):
         r["vid"]: r["cid"]
         for r in similarity._assign_to(df, cents).collect()
     }
-    monkeypatch.setattr(similarity, "MAX_LITERAL_CENTROIDS", 2)
+    # force the broadcast regime: both the literal-HOF and the Arrow
+    # kernel caps drop below the 6 centroids (round 7 split the old
+    # single MAX_LITERAL_CENTROIDS dispatch into three regimes)
+    monkeypatch.setattr(similarity, "MAX_HOF_CENTROIDS", 2)
+    monkeypatch.setattr(similarity, "MAX_NUMPY_CENTROIDS", 2)
     bc = {
         r["vid"]: r["cid"]
         for r in similarity._assign_to(df, cents).collect()
