@@ -113,6 +113,8 @@ HEADLINE = [
     "anova_oneway",
     "ks_two_sample",
     "gini_by_group",
+    "crosscorr_lags",
+    "key_skew_profile",
 ]
 
 

@@ -8488,6 +8488,139 @@ def q_gini_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CCF_CORR = (
+    "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+)
+
+_CCF_LAGS = [-3, -2, -1, 0, 1, 2, 3]
+
+
+def _ccf_shift(lag: int) -> str:
+    if lag >= 0:
+        return f"lead(y, {lag}) OVER (ORDER BY h)"
+    return f"lag(y, {-lag}) OVER (ORDER BY h)"
+
+
+@register(
+    "crosscorr_lags",
+    f"""
+    WITH hours AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    shifted AS (
+      SELECT x,
+             {", ".join(f"{_ccf_shift(lg)} AS y_{lg + 3}" for lg in _CCF_LAGS)}
+      FROM hours
+    ),
+    pairs AS (
+      {" UNION ALL ".join(
+        f"SELECT CAST({lg} AS INT) AS lag_h, x, y_{lg + 3} AS yl"
+        f" FROM shifted WHERE y_{lg + 3} IS NOT NULL"
+        for lg in _CCF_LAGS
+      )}
+    ),
+    mom AS (
+      SELECT lag_h, CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(x AS DECIMAL(18,0))) AS sx,
+             SUM(CAST(yl AS DECIMAL(18,0))) AS sy,
+             SUM(CAST(x * yl AS DECIMAL(18,0))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(18,0))) AS sxx,
+             SUM(CAST(yl * yl AS DECIMAL(18,0))) AS syy
+      FROM pairs GROUP BY lag_h
+    )
+    SELECT lag_h, n, {_CCF_CORR} AS ccf
+    FROM mom
+    """,
+)
+def q_crosscorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between two event series (hourly
+    click vs purchase counts at lags −3..+3) — the does-X-lead-Y scan.
+    The hourly rollup is the only full-data pass (hash aggregate); the
+    lag windows and moment sums run over the HOURS series (time-
+    bounded, thousands of rows — a single sort is the right plan at
+    any corpus size, the series length is calendar-bounded, not
+    data-bounded). Pearson per lag from exact DECIMAL integer moments;
+    the final expression is mirrored double arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS x"
+        ),
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS y"
+        ),
+    )
+    shifted = hours.selectExpr(
+        "x", *[f"{_ccf_shift(lg)} AS y_{lg + 3}" for lg in _CCF_LAGS]
+    )
+    stack_args = ", ".join(
+        f"CAST({lg} AS INT), y_{lg + 3}" for lg in _CCF_LAGS
+    )
+    pairs = shifted.selectExpr(
+        "x", f"stack({len(_CCF_LAGS)}, {stack_args}) AS (lag_h, yl)"
+    ).filter("yl IS NOT NULL")
+    mom = pairs.groupBy("lag_h").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr("SUM(CAST(x AS DECIMAL(18,0))) AS sx"),
+        F.expr("SUM(CAST(yl AS DECIMAL(18,0))) AS sy"),
+        F.expr("SUM(CAST(x * yl AS DECIMAL(18,0))) AS sxy"),
+        F.expr("SUM(CAST(x * x AS DECIMAL(18,0))) AS sxx"),
+        F.expr("SUM(CAST(yl * yl AS DECIMAL(18,0))) AS syy"),
+    )
+    return mom.selectExpr("lag_h", "n", f"{_CCF_CORR} AS ccf")
+
+
+@register(
+    "key_skew_profile",
+    """
+    WITH c AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           round(quantile_cont(cnt, 0.50), 6) AS p50,
+           round(quantile_cont(cnt, 0.90), 6) AS p90,
+           round(quantile_cont(cnt, 0.99), 6) AS p99,
+           round(CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+                 / CAST(SUM(cnt) AS DOUBLE), 6) AS skew_ratio
+    FROM c
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report — the pre-join diagnostic this engine's
+    own salting/AQE decisions rest on: per-key count distribution
+    (exact interpolated percentiles over the KEY table, not the data),
+    the hot-key maximum, and max/mean skew ratio. Two hash aggregates;
+    the percentile sort runs over one row per key."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_keys"),
+        F.expr("CAST(SUM(cnt) AS BIGINT) AS n_rows"),
+        F.expr("CAST(max(cnt) AS BIGINT) AS max_cnt"),
+        F.expr("round(percentile(cnt, 0.50), 6) AS p50"),
+        F.expr("round(percentile(cnt, 0.90), 6) AS p90"),
+        F.expr("round(percentile(cnt, 0.99), 6) AS p99"),
+        F.expr(
+            "round(CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE)"
+            " / CAST(SUM(cnt) AS DOUBLE), 6) AS skew_ratio"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -8576,6 +8709,8 @@ _HEAD = [
     "anova_oneway",
     "ks_two_sample",
     "gini_by_group",
+    "crosscorr_lags",
+    "key_skew_profile",
     # flagship family (hybrid_pipeline/_multisym/incremental_merge,
     # validator_reconcile, streaming_gap_bridge) holds fresh r6 rows
     # and is tail-gated on every CI run; the union-of-two-windows

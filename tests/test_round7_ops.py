@@ -512,3 +512,56 @@ def test_gini_known_values(spark):
     # one holder of everything among n=4: G = (n-1)/n = 0.75
     assert out[2]["gini"] == 0.75
     assert out[2]["total"] == 100.0
+
+
+def test_crosscorr_lag0_is_pearson(spark):
+    """ccf at lag 0 must equal the plain Pearson correlation of the
+    aligned hourly series; a shifted copy peaks at its shift."""
+    from institutional_fx_etl_spark.plans.driver_queries import (
+        q_crosscorr_lags,
+    )
+    import datetime
+    import math
+    import tempfile
+
+    base = datetime.datetime(2024, 1, 1)
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    rows = []
+    eid = 0
+    for t, x in enumerate(xs):
+        ts = base + datetime.timedelta(hours=t)
+        for _ in range(x):
+            rows.append((eid, ts, eid % 50, "click", 1.0, "{}"))
+            eid += 1
+        # purchase series = click series shifted one hour later
+        if t >= 1:
+            for _ in range(xs[t - 1]):
+                rows.append((eid, ts, eid % 50, "purchase", 1.0, "{}"))
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {
+            r["lag_h"]: r["ccf"]
+            for r in q_crosscorr_lags(spark, d).collect()
+        }
+
+    def pearson(a, b):
+        n = len(a)
+        sx, sy = sum(a), sum(b)
+        sxy = sum(p * q for p, q in zip(a, b))
+        sxx = sum(p * p for p in a)
+        syy = sum(q * q for q in b)
+        return (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+
+    y = [0] + xs[:-1]
+    assert abs(out[0] - pearson(xs, y)) < 1e-6
+    # y leads x by -1: corr(x_t, y_{t-1}) ... the shifted copy aligns
+    # at lag +1 (y_{t+1} == x_t)
+    assert out[1] == 1.0
