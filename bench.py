@@ -115,6 +115,7 @@ HEADLINE = [
     "gini_by_group",
     "crosscorr_lags",
     "key_skew_profile",
+    "zorder_layout",
 ]
 
 

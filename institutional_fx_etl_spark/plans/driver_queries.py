@@ -8621,6 +8621,56 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zvalue_duck(x: str, y: str, bits: int = 16) -> str:
+    """DuckDB-operator twin of ``operators/zorder.py::zvalue_expr`` —
+    same Morton interleave, native ``>>``/``&``/``<<`` syntax; integer
+    bit math is exact so the two render identical keys."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZO_Y_DUCK = "date_diff('day', DATE '1995-01-01', o_orderdate)"
+
+
+@register(
+    "zorder_layout",
+    f"""
+    WITH b AS (
+      SELECT o_custkey AS x, {_ZO_Y_DUCK} AS y,
+             {_zvalue_duck("o_custkey", _ZO_Y_DUCK, bits=12)} >> 20 AS file_bucket
+      FROM orders
+    )
+    SELECT file_bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+           CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+    FROM b GROUP BY file_bucket
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit over orders clustered on
+    (customer, order day): per-file-bucket row counts and min/max of
+    BOTH dimensions — the parquet-footer prunability evidence for the
+    OPTIMIZE-ZORDER-style writer (``operators/zorder.py``). ``bits``
+    is sized to the dimensions' actual ranges (11/12 bits here) so the
+    bucket split uses OCCUPIED leading bits — interleaving dead high
+    bits would put the whole table in bucket 0. Pure integer bit math;
+    the oracle renders the same key with native operators."""
+    from institutional_fx_etl_spark.operators.zorder import (
+        zorder_layout_stats,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return zorder_layout_stats(
+        orders,
+        "o_custkey",
+        "CAST(datediff(o_orderdate, DATE '1995-01-01') AS BIGINT)",
+        bits=12,
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -8711,6 +8761,7 @@ _HEAD = [
     "gini_by_group",
     "crosscorr_lags",
     "key_skew_profile",
+    "zorder_layout",
     # flagship family (hybrid_pipeline/_multisym/incremental_merge,
     # validator_reconcile, streaming_gap_bridge) holds fresh r6 rows
     # and is tail-gated on every CI run; the union-of-two-windows

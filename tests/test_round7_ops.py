@@ -565,3 +565,41 @@ def test_crosscorr_lag0_is_pearson(spark):
     # y leads x by -1: corr(x_t, y_{t-1}) ... the shifted copy aligns
     # at lag +1 (y_{t+1} == x_t)
     assert out[1] == 1.0
+
+
+def test_zorder_write_prunes_both_dims(spark, tmp_path):
+    """write_zordered must produce files whose per-file min/max ranges
+    are narrow on BOTH dimensions: a point-ish predicate on either
+    column overlaps only a minority of files (parquet footer pruning),
+    while a hash layout overlaps ~all of them. Also: the layout is a
+    pure reorder — the row multiset is unchanged."""
+    from pyspark.sql import functions as F
+
+    from institutional_fx_etl_spark.operators.zorder import write_zordered
+
+    df = spark.range(4096).selectExpr(
+        "id % 64 AS x", "CAST(floor(id / 64) AS BIGINT) AS y", "id AS payload"
+    )
+    zpath = str(tmp_path / "z")
+    write_zordered(df, zpath, "x", "y", bits=6, num_files=16)
+    back = spark.read.parquet(zpath)
+    assert back.count() == 4096
+    assert back.selectExpr("sum(payload)").collect()[0][0] == sum(range(4096))
+
+    stats = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("x").alias("minx"),
+            F.max("x").alias("maxx"),
+            F.min("y").alias("miny"),
+            F.max("y").alias("maxy"),
+        )
+        .collect()
+    )
+    n_files = len(stats)
+    assert n_files >= 8
+    # predicate x IN [0, 7] — an eighth of the x domain
+    hit_x = sum(1 for s in stats if s["minx"] <= 7 and s["maxx"] >= 0)
+    hit_y = sum(1 for s in stats if s["miny"] <= 7 and s["maxy"] >= 0)
+    assert hit_x <= n_files / 2, (hit_x, n_files)
+    assert hit_y <= n_files / 2, (hit_y, n_files)
