@@ -275,10 +275,23 @@ def ks_two_sample(
         f"CASE WHEN {group_col} = '{group_a}' THEN 1 ELSE 0 END AS ia",
         f"CASE WHEN {group_col} = '{group_b}' THEN 1 ELSE 0 END AS ib",
     )
-    per_v = labeled.groupBy("v").agg(
-        F.expr("CAST(SUM(ia) AS BIGINT) AS ca"),
-        F.expr("CAST(SUM(ib) AS BIGINT) AS cb"),
-    ).selectExpr("*", f"CAST(floor(v / {bucket_width!r}) AS BIGINT) AS bkt")
+    from pyspark import StorageLevel
+
+    # persisted: BOTH the bucket-offset branch and the in-bucket window
+    # consume the distinct-value table — without this the corpus scan
+    # + per-value aggregate runs twice. (value, 2 counts, bucket) rows
+    # only, bounded by the number of DISTINCT values.
+    per_v = (
+        labeled.groupBy("v")
+        .agg(
+            F.expr("CAST(SUM(ia) AS BIGINT) AS ca"),
+            F.expr("CAST(SUM(ib) AS BIGINT) AS cb"),
+        )
+        .selectExpr(
+            "*", f"CAST(floor(v / {bucket_width!r}) AS BIGINT) AS bkt"
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     offsets = (
         per_v.groupBy("bkt")
         .agg(
