@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from institutional_fx_etl_spark.functions.identifiers import bq
+from institutional_fx_etl_spark.functions.identifiers import bq, let1
 
 #: deterministic ±1 hyperplane component for (plane j, dimension i):
 #: parity of a md5-derived bit — reproducible in any engine with md5.
@@ -72,10 +72,20 @@ def _as_double(col: str) -> str:
 #: (interpreted HOF cost scales with lambda invocations). The oracles
 #: mirror with list_transform-normalize + list_dot_product, the same
 #: fold-association pairing every existing cosine oracle uses.
-_UNIT = (
-    "transform(vv, x -> x /"
-    " sqrt(aggregate(vv, 0.0d, (a, x) -> a + x*x)))"
-)
+#: The norm is LET-BOUND (``let1``) so it evaluates once per VECTOR:
+#: written inline inside the transform lambda it evaluates once per
+#: ELEMENT (O(d²) interpreted work — same value, d× the cost).
+
+
+def _unit_expr(arr: str) -> str:
+    return let1(
+        f"sqrt(aggregate({arr}, 0.0d, (a, x) -> a + x*x))",
+        "__nv",
+        f"transform({arr}, x -> x / __nv)",
+    )
+
+
+_UNIT = _unit_expr("vv")
 _PAIR_DOT = "aggregate(zip_with(va, vb, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
 
 
@@ -154,8 +164,14 @@ def hyperplane_signatures(
     """
     num_dims = 64
     planes = _plane_matrix_literal(num_planes, num_dims, table=table)
+    # __u let-binds the vector INSIDE the bucket expression: referencing
+    # the named __v column from the per-plane lambda would inline the
+    # element-wise double cast once per (plane, element) after project
+    # collapse — O(planes·d²) interpreted work per row for the same
+    # value. The plane matrix literal is constant-folded, so its
+    # single textual inlining is free.
     proj = (
-        "aggregate(zip_with(__v, element_at(__planes, j+1),"
+        f"aggregate(zip_with(__u, element_at({planes}, j+1),"
         " (x, s) -> x*s), 0.0d, (a, x) -> a + x)"
     )
     bucket = (
@@ -163,11 +179,9 @@ def hyperplane_signatures(
         f"CASE WHEN {proj} > 0 THEN shiftleft(1L, j) ELSE 0L END),"
         f" 0L, (a, x) -> a + x)"
     )
-    return (
-        df.selectExpr(bq(id_col), f"{_as_double(vec_col)} AS __v")
-        .selectExpr(bq(id_col), "__v", f"{planes} AS __planes")
-        .selectExpr(bq(id_col), "__v", f"{bucket} AS bucket")
-    )
+    return df.selectExpr(
+        bq(id_col), f"{_as_double(vec_col)} AS __v"
+    ).selectExpr(bq(id_col), "__v", f"{let1('__v', '__u', bucket)} AS bucket")
 
 
 def lsh_ann_pairs(
@@ -195,10 +209,7 @@ def lsh_ann_pairs(
     # normalize once per vector so the in-bucket verify is a bare dot
     # (same 3x HOF saving as the cell-blocked compares; bucket signs
     # are scale-invariant, so the signatures stay on the raw vectors)
-    unit = (
-        "transform(__v, x -> x /"
-        " sqrt(aggregate(__v, 0.0d, (a, x) -> a + x*x)))"
-    )
+    unit = _unit_expr("__v")
     if num_tables == 1:
         normed = sigs.selectExpr(bq(id_col), "bucket", f"{unit} AS vn")
         a = normed.selectExpr(f"{bq(id_col)} AS id_a", "vn AS va", "bucket")
@@ -229,10 +240,7 @@ def lsh_ann_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.min("tbucket").alias("bucket"))
     )
-    vunit = (
-        f"transform({_as_double(vec_col)}, x -> x /"
-        f" sqrt(aggregate({_as_double(vec_col)}, 0.0d, (a, x) -> a + x*x)))"
-    )
+    vunit = let1(_as_double(vec_col), "__u", _unit_expr("__u"))
     va = df.selectExpr(f"{bq(id_col)} AS id_a", f"{vunit} AS va")
     vb = df.selectExpr(f"{bq(id_col)} AS id_b", f"{vunit} AS vb")
     return (
@@ -339,10 +347,7 @@ def ivf_topk(
     ranked = v.selectExpr("vid", "vv", f"{cells} AS __cells")
     # normalize once at assignment so the probe join scores with a
     # bare dot (assignment itself stays on the raw vectors)
-    unit = (
-        "transform(vv, x -> x /"
-        " sqrt(aggregate(vv, 0.0d, (a, x) -> a + x*x)))"
-    )
+    unit = _UNIT
     assigned = ranked.selectExpr(
         "vid", f"{unit} AS va", "element_at(__cells, 1).cid AS cid"
     )
@@ -762,16 +767,22 @@ def _scored_cells_expr(centroids: DataFrame) -> str:
             f" 'nc', {nc!r}D)"
         )
     cents = "array(" + ", ".join(lits) + ")"
+    # the row vector's norm is let-bound: inlined in the per-centroid
+    # lambda it would re-aggregate vv once per centroid (k·d instead
+    # of d interpreted ops); same value, so scores stay bit-identical
     dotc = "aggregate(zip_with(vv, c.cv, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
     nv = "sqrt(aggregate(vv, 0.0d, (a, x) -> a + x*x))"
-    return (
+    scored = (
         f"array_sort(transform({cents}, c -> named_struct('cid', c.cid,"
-        f" 'ccos', round({dotc}/({nv}*c.nc), 6))),"
+        f" 'ccos', round({dotc}/(__nv*c.nc), 6))),"
         " (l, r) -> CASE WHEN l.ccos > r.ccos THEN -1"
         " WHEN l.ccos < r.ccos THEN 1"
         " WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1"
         " ELSE 0 END)"
     )
+    from institutional_fx_etl_spark.functions.identifiers import let1
+
+    return let1(nv, "__nv", scored)
 
 
 def _assign_to(
@@ -840,32 +851,38 @@ def emb_quantize_int8(
     no UDF; at 100 TB this is a map stage that shrinks the vector
     payload 4×. Codes serialize comma-joined so the contract compare
     is array-free; ``recon_err`` is the rounded max absolute
-    reconstruction error."""
+    reconstruction error.
+
+    scale/codes/recon are LET-BOUND (``let1``) and emitted through one
+    ``inline`` generator: chained named columns collapse into a single
+    projection where ``__scale`` re-evaluates per code element and
+    ``__codes`` (with its embedded per-element scale) re-evaluates per
+    recon element — O(d²)+ interpreted work per row for the same
+    values. The generator surfaces all three output columns from ONE
+    evaluation of the bound chain."""
     v = _as_double(vec_col)
-    scale = "array_max(transform(__v, x -> abs(x))) / 127.0D"
-    codes = (
-        "transform(__v, x -> CAST(floor(x / __scale + 0.5D) AS INT))"
+    struct = (
+        "named_struct("
+        "'scale', round(__scale, 6), "
+        "'codes', array_join(__codes, ','), "
+        "'recon_err', round(array_max(zip_with(__u, __codes,"
+        " (x, c) -> abs(x - c * __scale))), 6))"
     )
-    recon = (
-        "round(array_max(zip_with(__v, __codes,"
-        " (x, c) -> abs(x - c * __scale))), 6)"
-    )
-    return (
-        df.selectExpr(bq(id_col), f"{v} AS __v")
-        .selectExpr(bq(id_col), "__v", f"{scale} AS __scale")
-        .selectExpr(
-            bq(id_col),
-            "__v",
+    full = let1(
+        v,
+        "__u",
+        let1(
+            "array_max(transform(__u, x -> abs(x))) / 127.0D",
             "__scale",
-            f"{codes} AS __codes",
-        )
-        .selectExpr(
-            bq(id_col),
-            "round(__scale, 6) AS scale",
-            "array_join(__codes, ',') AS codes",
-            f"{recon} AS recon_err",
-        )
+            let1(
+                "transform(__u, x -> CAST(floor(x / __scale + 0.5D)"
+                " AS INT))",
+                "__codes",
+                struct,
+            ),
+        ),
     )
+    return df.selectExpr(bq(id_col), f"inline(array({full}))")
 
 
 def knn_join(

