@@ -69,16 +69,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature (array<bigint> of length
     ``num_perm``) over hashed word n-gram shingles. Pure scan-side
-    array expressions — embarrassingly parallel."""
+    array expressions — embarrassingly parallel.
+
+    The shingle set is let-bound and BOTH outputs emit through one
+    ``inline`` generator, so the tokenize→shingle→md5 pipeline runs
+    exactly once per document: as chained named columns it inlines
+    into the signature's per-permutation lambda after project collapse
+    — num_perm + 1 (17×) re-evaluations of ~28 md5 calls each."""
+    from institutional_fx_etl_spark.functions.identifiers import let1
+
     sig = (
         f"transform(sequence(0, {num_perm - 1}), i -> "
-        f"array_min(transform(__sh, h -> ((2*i+1)*h + (7*i+3)) % {MINHASH_P})))"
+        f"array_min(transform(__s, h -> ((2*i+1)*h + (7*i+3)) % {MINHASH_P})))"
+    )
+    full = let1(
+        shingle_hashes_expr("__toks", shingle_n),
+        "__s",
+        f"named_struct('shingle_hashes', __s, 'signature', {sig})",
     )
     return (
         df.withColumn("__toks", tokens(text_col))
         .filter(f"size(__toks) >= {shingle_n}")
-        .withColumn("__sh", F.expr(shingle_hashes_expr("__toks", shingle_n)))
-        .selectExpr(id_col, "__sh AS shingle_hashes", f"{sig} AS signature")
+        .selectExpr(id_col, f"inline(array({full}))")
     )
 
 
