@@ -67,6 +67,9 @@ def main() -> None:
     if engine == "graph":
         _graph_scale(spark, sys.argv[1:])
         return
+    if engine == "analytics":
+        _analytics_scale(spark, sys.argv[1:])
+        return
 
     # ticks: pseudo-random minute placement via integer hashing; ~71% of
     # minutes covered (reference: 29.03% gaps); 1-4 ticks per covered
@@ -231,6 +234,75 @@ def main() -> None:
         )
 
 
+
+
+def _analytics_scale(spark, argv) -> None:
+    """``--engine=analytics [--events=N]``: the round-7 analytics /
+    statistics family at tens of millions of events (driver testdata
+    tops out at 100k) — walls for the hash-aggregate-shaped operators
+    whose scale contracts say "one full pass + bounded small-table
+    stages". Synthetic events are generated scan-side: 100k users with
+    a zipf-ish skew (user 0 is a deliberate bot / hot key), 5 event
+    types, values on a hash walk."""
+    import time as _t
+
+    n_events = 30_000_000
+    for a in argv:
+        if a.startswith("--events="):
+            n_events = int(float(a.split("=", 1)[1]))
+
+    ev = spark.range(n_events).selectExpr(
+        "id AS event_id",
+        "timestamp_seconds(1700000000 + (abs(hash(id)) % 31536000))"
+        " AS ts",
+        # skew: ~3% of events land on user 0 (the bot), rest zipf-ish
+        "CASE WHEN abs(hash(id, 1)) % 33 = 0 THEN 0"
+        " ELSE abs(hash(id, 2)) % 100000 END AS user_id",
+        "element_at(array('click','view','purchase','signup','error'),"
+        " 1 + abs(hash(id, 3)) % 5) AS event_type",
+        "CAST((abs(hash(id, 4)) % 50000) / 100.0 AS DOUBLE) AS value",
+        "'{}' AS props",
+    )
+
+    from institutional_fx_etl_spark.operators.profiling import (
+        anova_oneway,
+        ks_two_sample,
+    )
+    from institutional_fx_etl_spark.operators.timeseries import ewma_exprs
+
+    def timed(label, thunk):
+        t0 = _t.perf_counter()
+        n = thunk().count()
+        print(
+            f"[analytics:{label}] rows={n}"
+            f" wall={_t.perf_counter() - t0:.1f}s",
+            flush=True,
+        )
+
+    e8 = ewma_exprs("value", "(PARTITION BY event_type ORDER BY ts, event_id)")
+    # NOTE: ewma at this grain sorts each event-type partition — the
+    # indicator family's documented cost; 5 types → 5 parallel sorts.
+    # the agg CONSUMES ewma8 — a bare count() would let column
+    # pruning elide the window entirely
+    timed("ewma", lambda: ev.filter("value IS NOT NULL").selectExpr(
+        "event_id", f"{e8} AS ewma8").agg(F.sum("ewma8"), F.count("*")))
+    timed("anova_oneway", lambda: anova_oneway(ev, "value", "event_type"))
+    timed("ks_two_sample", lambda: ks_two_sample(
+        ev, "value", "event_type", "click", "purchase"))
+    m = ev.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count(F.lit(1)).alias("epm"))
+    timed("bot_rate_profile", lambda: m.groupBy("user_id").agg(
+        F.expr("max(epm) AS max_epm"), F.expr("SUM(epm) AS n_events")))
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    timed("key_skew_profile", lambda: c.agg(
+        F.expr("max(cnt) AS max_cnt"),
+        F.expr("round(percentile(cnt, 0.99), 6) AS p99")))
+    hours = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.expr("SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x"),
+        F.expr("SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+               " AS y"))
+    timed("crosscorr_hours", lambda: hours)
 
 
 def _corpus_scale(spark, argv) -> None:
