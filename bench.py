@@ -116,6 +116,7 @@ HEADLINE = [
     "crosscorr_lags",
     "key_skew_profile",
     "zorder_layout",
+    "bm25_rank",
 ]
 
 

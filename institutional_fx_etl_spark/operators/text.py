@@ -932,3 +932,103 @@ def tokenizer_coverage(
             " * 1e6 + 0.5D) / 1e6 AS coverage",
         )
     )
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query — the IR scoring
+    classic (Robertson-Spärck Jones, public formula):
+    ``Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` with
+    ``idf = ln((N−df+0.5)/(df+0.5)+1)``.
+
+    Plan: ONE corpus scan computes (dl, tf per term) scan-side — term
+    frequencies via ``size(filter(tokens, = term))``, no posting-list
+    explode/shuffle for a bounded query — all emitted from a single
+    let-bound token evaluation through an ``inline`` generator; one
+    one-row global aggregate (N, Σdl, df per term) broadcasts back;
+    the final top-k is a partial TakeOrdered. At 100 TB: one pass,
+    one scalar broadcast, no full sort.
+
+    Determinism: ordering key is (round(score, 6) DESC, id ASC) on
+    BOTH engines, so last-ulp ``ln`` differences cannot flip the
+    cutoff: rounded ties break on the unique id.
+    """
+    from institutional_fx_etl_spark.functions.identifiers import let1
+
+    tf_fields = ", ".join(
+        f"'tf{i}', size(filter(__t, x -> x = '{t}'))"
+        for i, t in enumerate(query_terms)
+    )
+    struct = f"named_struct('dl', size(__t), {tf_fields})"
+    split_expr = "split(lower(" + text_col + "), '\\\\s+')"
+    per_doc = df.selectExpr(
+        id_col,
+        f"inline(array({let1(split_expr, '__t', struct)}))",
+    )
+    df_aggs = [
+        F.expr(
+            f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS df{i}"
+        )
+        for i in range(len(query_terms))
+    ]
+    g = per_doc.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n"),
+        F.expr("CAST(SUM(dl) AS BIGINT) AS sum_dl"),
+        *df_aggs,
+    )
+    c_k1 = f"CAST('{k1!r}' AS DOUBLE)"
+    c_k11 = f"CAST('{k1 + 1.0!r}' AS DOUBLE)"
+    c_1b = f"CAST('{1.0 - b!r}' AS DOUBLE)"
+    c_b = f"CAST('{b!r}' AS DOUBLE)"
+    terms = []
+    for i in range(len(query_terms)):
+        idf = (
+            f"ln((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)"
+        )
+        terms.append(
+            f"{idf} * (CAST(tf{i} AS DOUBLE) * {c_k11})"
+            f" / (CAST(tf{i} AS DOUBLE) + {c_k1} * ({c_1b} + {c_b}"
+            f" * CAST(dl AS DOUBLE)"
+            f" / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))"
+        )
+    score = " + ".join(terms)
+    scored = per_doc.crossJoin(F.broadcast(g)).selectExpr(
+        id_col,
+        "dl",
+        *[f"tf{i}" for i in range(len(query_terms))],
+        f"round({score}, 6) AS score",
+    )
+    return scored.orderBy(
+        F.desc("score"), F.asc(id_col)
+    ).limit(top_k)
+
+
+def bm25_score_sql(query_terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """The oracle-side mirror of :func:`bm25_rank`'s score expression
+    (identical text modulo engine-shared syntax) — kept adjacent so
+    the two cannot drift."""
+    c_k1 = f"CAST('{k1!r}' AS DOUBLE)"
+    c_k11 = f"CAST('{k1 + 1.0!r}' AS DOUBLE)"
+    c_1b = f"CAST('{1.0 - b!r}' AS DOUBLE)"
+    c_b = f"CAST('{b!r}' AS DOUBLE)"
+    terms = []
+    for i in range(len(query_terms)):
+        idf = (
+            f"ln((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)"
+        )
+        terms.append(
+            f"{idf} * (CAST(tf{i} AS DOUBLE) * {c_k11})"
+            f" / (CAST(tf{i} AS DOUBLE) + {c_k1} * ({c_1b} + {c_b}"
+            f" * CAST(dl AS DOUBLE)"
+            f" / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))"
+        )
+    return " + ".join(terms)

@@ -8671,6 +8671,54 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_oracle() -> str:
+    from institutional_fx_etl_spark.operators.text import bm25_score_sql
+
+    terms = ["hash", "join", "scan"]
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS INT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, CAST(len(toks) AS INT) AS dl, {tf_cols} FROM t
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl, {df_cols}
+      FROM d
+    )
+    SELECT doc_id, dl, tf0, tf1, tf2,
+           round({bm25_score_sql(terms)}, 6) AS score
+    FROM d, g
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+
+
+@register("bm25_rank", _bm25_oracle())
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the query {hash, join, scan} — one corpus scan
+    (scan-side per-term tf from a single let-bound token evaluation),
+    a one-row global broadcast, a partial TakeOrdered
+    (``operators/text.py::bm25_rank``). Ordering key is the ROUNDED
+    score + unique id on both engines, so last-ulp ``ln`` drift cannot
+    flip the cutoff."""
+    from institutional_fx_etl_spark.operators.text import bm25_rank
+
+    return bm25_rank(
+        load_table(spark, sf_dir, "documents"), ["hash", "join", "scan"]
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -8762,6 +8810,7 @@ _HEAD = [
     "crosscorr_lags",
     "key_skew_profile",
     "zorder_layout",
+    "bm25_rank",
     # flagship family (hybrid_pipeline/_multisym/incremental_merge,
     # validator_reconcile, streaming_gap_bridge) holds fresh r6 rows
     # and is tail-gated on every CI run; the union-of-two-windows
