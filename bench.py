@@ -117,6 +117,7 @@ HEADLINE = [
     "key_skew_profile",
     "zorder_layout",
     "bm25_rank",
+    "dedup_sorted_neighborhood",
 ]
 
 

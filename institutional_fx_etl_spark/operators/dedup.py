@@ -780,3 +780,87 @@ def leakage_safe_split(
         " ELSE 'train' END AS split",
         f"{key} AS group_key",
     )
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    jaccard_threshold: float = 0.5,
+    bucket_width: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates (Hernández-Stolfo): sort
+    the corpus by a blocking key — here (n_chars, id), near-dups have
+    near-equal lengths — and pair each document with its ``window``
+    successors in that global order, then exact-Jaccard verify. The
+    classic alternative to hash blocking (MinHash/SimHash): candidate
+    count is EXACTLY n·window by construction, immune to hot-key skew.
+
+    Spark shape — a global sort order WITHOUT a global sort: the rank
+    comes from the two-level range prefix (fixed-width ``n_chars``
+    buckets → bucket-count-sized offset window → within-bucket
+    ``row_number`` + broadcast offsets, the same decomposition as the
+    KS ECDF), and neighbor pairing is band-double-emission: block
+    ``floor(r/window)``, each row emitted to its own and the next
+    block, pairs filtered to ``1 <= r_b - r_a <= window`` — every
+    qualifying pair meets in exactly one block. No single-partition
+    full-data stage; the oracle uses the plain global window.
+
+    Output: id_a, id_b, rank_dist, jaccard (≥ threshold).
+    """
+    from institutional_fx_etl_spark.operators.text import (
+        shingle_hashes_expr,
+        tokens,
+    )
+
+    keyed = (
+        df.withColumn("__toks", tokens(text_col))
+        .filter(f"size(__toks) >= {shingle_n}")
+        .selectExpr(
+            f"{id_col} AS id",
+            f"length({text_col}) AS nc",
+            f"{shingle_hashes_expr('__toks', shingle_n)} AS sh",
+        )
+        .selectExpr("id", "nc", "sh", f"nc DIV {bucket_width} AS bkt")
+        .persist()
+    )
+    offsets = (
+        keyed.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .selectExpr(
+            "bkt",
+            "SUM(cnt) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) - cnt AS off",
+        )
+    )
+    ranked = keyed.join(F.broadcast(offsets), "bkt").selectExpr(
+        "id",
+        "sh",
+        "off + row_number() OVER (PARTITION BY bkt ORDER BY nc, id) AS r",
+    )
+    a = ranked.selectExpr(
+        "id AS id_a",
+        "sh AS sh_a",
+        "r AS r_a",
+        f"explode(array(r DIV {window}, r DIV {window} + 1)) AS blk",
+    )
+    b = ranked.selectExpr(
+        "id AS id_b", "sh AS sh_b", "r AS r_b",
+        f"r DIV {window} AS blk",
+    )
+    jac = (
+        "cast(size(array_intersect(sh_a, sh_b)) as double)"
+        " / size(array_union(sh_a, sh_b))"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(f"r_b - r_a BETWEEN 1 AND {window}")
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "CAST(r_b - r_a AS INT) AS rank_dist",
+            f"round({jac}, 6) AS jaccard",
+        )
+        .filter(f"jaccard >= {jaccard_threshold!r}D")
+    )

@@ -8719,6 +8719,48 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_sorted_neighborhood",
+    f"""
+    WITH t AS (
+      SELECT doc_id AS id, length(text) AS nc,
+             string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    k AS (
+      SELECT id, nc, {_DUCK_SHINGLES.format(toks="toks")} AS sh
+      FROM t WHERE len(toks) >= 3
+    ),
+    r AS (
+      SELECT id, sh, row_number() OVER (ORDER BY nc, id) AS r FROM k
+    ),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(b.r - a.r AS INT) AS rank_dist,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+               AS jaccard
+      FROM r a JOIN r b ON b.r - a.r BETWEEN 1 AND 4
+    )
+    SELECT id_a, id_b, rank_dist, jaccard FROM p WHERE jaccard >= 0.5
+    """,
+)
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates (window 4 over the
+    (n_chars, id) order) + exact-Jaccard verify — the skew-immune
+    n·window blocking alternative to MinHash
+    (``operators/dedup.py::sorted_neighborhood_pairs``); the global
+    rank decomposes into range buckets + broadcast offsets, pairs meet
+    by block double-emission."""
+    from institutional_fx_etl_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(
+        load_table(spark, sf_dir, "documents"), window=4
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -8811,6 +8853,7 @@ _HEAD = [
     "key_skew_profile",
     "zorder_layout",
     "bm25_rank",
+    "dedup_sorted_neighborhood",
     # flagship family (hybrid_pipeline/_multisym/incremental_merge,
     # validator_reconcile, streaming_gap_bridge) holds fresh r6 rows
     # and is tail-gated on every CI run; the union-of-two-windows

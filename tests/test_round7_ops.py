@@ -603,3 +603,37 @@ def test_zorder_write_prunes_both_dims(spark, tmp_path):
     hit_y = sum(1 for s in stats if s["miny"] <= 7 and s["maxy"] >= 0)
     assert hit_x <= n_files / 2, (hit_x, n_files)
     assert hit_y <= n_files / 2, (hit_y, n_files)
+
+
+def test_sorted_neighborhood_pairs_complete_and_unique(spark):
+    """Every (a, b) with rank distance in [1, window] must appear
+    EXACTLY once (block double-emission can neither drop boundary
+    pairs nor double-count), for bucket widths that do and don't align
+    with the blocks."""
+    from institutional_fx_etl_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    # 30 docs, identical text (jaccard 1.0 everywhere) but varying
+    # lengths so ranks spread across n_chars buckets
+    rows = [
+        (i, ("tok%d " % (i % 3)) * 3 + "x" * (i * 7 % 50))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for bw in (8, 64):
+        out = sorted_neighborhood_pairs(
+            df, window=3, jaccard_threshold=0.0, bucket_width=bw
+        ).collect()
+        got = sorted((r["id_a"], r["id_b"], r["rank_dist"]) for r in out)
+        assert len(got) == len(set(got)), "duplicate pair emitted"
+        # expected: every rank pair at distance 1..3 over the total
+        # (n_chars, id) order
+        order = sorted(rows, key=lambda x: (len(x[1]), x[0]))
+        exp = sorted(
+            (order[i][0], order[i + d][0], d)
+            for i in range(len(order))
+            for d in (1, 2, 3)
+            if i + d < len(order)
+        )
+        assert got == exp, (bw, len(got), len(exp))
