@@ -118,6 +118,7 @@ HEADLINE = [
     "zorder_layout",
     "bm25_rank",
     "dedup_sorted_neighborhood",
+    "weighted_median",
 ]
 
 

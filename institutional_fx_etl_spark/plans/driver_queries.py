@@ -8761,6 +8761,61 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weighted_median",
+    """
+    WITH w AS (
+      SELECT l_returnflag AS grp, l_extendedprice AS price,
+             CAST(l_quantity AS BIGINT) AS q,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumq,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS totq
+      FROM lineitem
+    )
+    SELECT grp, CAST(max(totq) AS BIGINT) AS total_qty,
+           min(price) AS wmedian_price
+    FROM w WHERE 2 * cumq >= totq GROUP BY grp
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group weighted (lower) median — price weighted by
+    quantity: one per-group ranking window computes the running weight,
+    and ``min(price)`` over the rows past the half-weight threshold IS
+    the weighted median (cumulative weight increases with price, so
+    the first qualifying row has the minimum qualifying price — no
+    second pass, no self-join). Integer weights make the threshold
+    exact; the selected value is a row value, so no interpolation
+    drift. Ties on price are safe: any tie-order crossing the
+    threshold selects the same tied price."""
+    _pin_session_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    ww = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy("l_returnflag")
+    w = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("price"),
+        F.sum(F.col("l_quantity").cast("bigint")).over(ww).alias("cumq"),
+        F.sum(F.col("l_quantity").cast("bigint")).over(wt).alias("totq"),
+    )
+    return (
+        w.filter("2 * cumq >= totq")
+        .groupBy("grp")
+        .agg(
+            F.expr("CAST(max(totq) AS BIGINT) AS total_qty"),
+            F.expr("min(price) AS wmedian_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -8854,6 +8909,7 @@ _HEAD = [
     "zorder_layout",
     "bm25_rank",
     "dedup_sorted_neighborhood",
+    "weighted_median",
     # flagship family (hybrid_pipeline/_multisym/incremental_merge,
     # validator_reconcile, streaming_gap_bridge) holds fresh r6 rows
     # and is tail-gated on every CI run; the union-of-two-windows
