@@ -108,18 +108,23 @@ def minhash_lsh_pairs(
     """MinHash + banded LSH near-dup pairs with exact-Jaccard verify.
 
     signatures → split into ``bands`` bands of ``num_perm/bands`` rows →
-    band fingerprint (md5 of the band slice) → self-join on
-    ``(band_idx, band_sig)`` (candidate generation; the ONLY place two
-    documents meet, so cost tracks bucket collisions, not n²) →
+    band fingerprint (md5 of the band slice) → ONE groupBy on
+    ``(band_idx, band_sig)`` collecting the bucket's member array
+    (candidate generation; the ONLY place two documents meet, so cost
+    tracks bucket collisions, not n²) → in-array sorted pair emission →
     distinct pairs → exact shingle-set Jaccard filter.
 
-    Buckets with more than ``max_bucket`` members are dropped BEFORE
-    the self-join (same cap ``winnow_overlap_pairs`` applies via
-    ``max_df``): one boilerplate band signature shared by 10^6 docs
-    would otherwise fan into 10^12 candidate rows. Docs in a hot
-    bucket are near-exact duplicates of a huge cohort — the exact-hash
-    pass catches true duplicates, and capping bounds candidate
-    generation at #buckets · max_bucket² regardless of corpus skew.
+    Buckets with more than ``max_bucket`` members are dropped in the
+    SAME aggregate that discovers them (same cap
+    ``winnow_overlap_pairs`` applies via ``max_df``): one boilerplate
+    band signature shared by 10^6 docs would otherwise fan into 10^12
+    candidate rows. Docs in a hot bucket are near-exact duplicates of
+    a huge cohort — the exact-hash pass catches true duplicates, and
+    capping bounds candidate generation at #buckets · max_bucket²
+    regardless of corpus skew. (The aggregation buffer itself holds
+    ids only — a pathological 10^6-member bucket is a few MB of ids,
+    not a few GB of pairs; the size filter then drops it before any
+    pair is emitted.)
 
     Output: id_a < id_b, jaccard (rounded to 6dp).
 
@@ -142,10 +147,11 @@ def minhash_lsh_pairs(
     # subtrees — explicit reuse is the idiomatic fix)
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n).persist()
 
-    # banding rows carry ONLY (id, band_idx, band_sig): the self-join
-    # shuffles narrow rows, not the wide shingle-hash arrays. The sets
-    # are re-joined afterwards for just the surviving candidate pairs —
-    # a tiny relation compared to the banded corpus at scale.
+    # banding rows carry ONLY (id, band_idx, band_sig): the bucket
+    # grouping shuffles narrow rows, not the wide shingle-hash arrays.
+    # The sets are re-joined afterwards for just the surviving
+    # candidate pairs — a tiny relation compared to the banded corpus
+    # at scale.
     banded = sigs.selectExpr(
         id_col,
         f"""explode(transform(sequence(0, {bands - 1}), b -> struct(
@@ -154,42 +160,60 @@ def minhash_lsh_pairs(
             ))) AS band""",
     ).select(id_col, "band.band_idx", "band.band_sig")
 
-    # hot-bucket cap: left-semi join against the ≤max_bucket buckets.
-    # The count agg shuffles narrow (band_idx, band_sig) rows only.
-    cool = (
-        banded.groupBy("band_idx", "band_sig")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") <= max_bucket)
-        .select("band_idx", "band_sig")
-    )
-    banded = banded.join(cool, on=["band_idx", "band_sig"], how="left_semi")
-
+    # ONE groupBy-bucket shuffle builds the collision groups AND
+    # applies the hot-bucket cap in the same aggregate (size(m) IS the
+    # bucket population, so boilerplate buckets drop in the pass that
+    # discovers them, and singleton buckets — the vast majority —
+    # vanish for free). This replaces the former 3-exchange shape
+    # (count pre-pass + left-semi + self-join): same candidate set,
+    # one wide exchange. array_sort orders members, so the in-array
+    # combination emit yields id_a < id_b directly; the distinct
+    # collapses pairs colliding in several bands.
     if new_col is None:
-        a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_sig")
-        b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_sig")
+        groups = (
+            banded.groupBy("band_idx", "band_sig")
+            .agg(F.collect_list(F.col(id_col)).alias("m"))
+            .filter(f"size(m) BETWEEN 2 AND {max_bucket}")
+            .selectExpr("array_sort(m) AS m")
+        )
         candidates = (
-            a.join(b, on=["band_idx", "band_sig"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+            groups.selectExpr(
+                "explode(flatten(transform(m, (x, i) ->"
+                " transform(slice(m, i + 2, size(m) - i - 1), y ->"
+                " struct(x AS id_a, y AS id_b))))) AS p"
+            )
+            .select("p.*")
             .distinct()
         )
     else:
-        # incremental: one side of the candidate join is ONLY the new
-        # docs, so fan-out tracks new-doc bucket collisions — not the
-        # whole corpus re-paired. least/greatest canonicalizes; the
-        # distinct collapses the new×new double emission.
+        # incremental: members carry their "new" flag into the bucket
+        # array; only pairs touching at least one new doc are emitted,
+        # so fan-out tracks new-doc bucket collisions — not the whole
+        # corpus re-paired. The cap is still evaluated on the COMBINED
+        # bucket population, so the incremental result is exactly the
+        # full run's output restricted to new-involving pairs.
         flags = df.select(F.col(id_col), F.col(new_col).alias("__new"))
         bflag = banded.join(flags, on=id_col)
-        n = bflag.filter("__new").select(
-            F.col(id_col).alias("id_n"), "band_idx", "band_sig"
-        )
-        o = bflag.select(F.col(id_col).alias("id_o"), "band_idx", "band_sig")
-        candidates = (
-            n.join(o, on=["band_idx", "band_sig"])
-            .filter("id_n <> id_o")
-            .selectExpr(
-                "least(id_n, id_o) AS id_a", "greatest(id_n, id_o) AS id_b"
+        groups = (
+            bflag.groupBy("band_idx", "band_sig")
+            .agg(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), F.col("__new"))
+                ).alias("m")
             )
+            .filter(f"size(m) BETWEEN 2 AND {max_bucket}")
+            .selectExpr("array_sort(m) AS m")
+        )
+        candidates = (
+            groups.selectExpr(
+                "explode(flatten(transform(m, (x, i) ->"
+                " transform(slice(m, i + 2, size(m) - i - 1), y ->"
+                " struct(x.id AS id_a, y.id AS id_b,"
+                " x.__new OR y.__new AS touches_new))))) AS p"
+            )
+            .select("p.*")
+            .filter("touches_new")
+            .select("id_a", "id_b")
             .distinct()
         )
 

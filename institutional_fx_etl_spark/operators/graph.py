@@ -264,3 +264,70 @@ def bfs_hops(
     for lvl in levels[1:]:
         out = out.unionByName(lvl)
     return out
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+) -> DataFrame:
+    """Bounded weighted single-source(-set) shortest distance over an
+    undirected graph: for every node reachable within ``rounds`` edge
+    relaxations, the minimum total edge weight to any seed — the
+    weighted companion to :func:`bfs_hops` (think "cheapest 3-step
+    substitution path" over a co-purchase graph).
+
+    Spark shape: ``rounds`` UNROLLED Bellman-Ford relaxation rounds —
+    a static DAG, no driver loop state. Each round is one
+    frontier-keyed join (dist ⋈ edges → candidate dist+w), a union
+    with the incumbent labels, and one min-aggregate per node; edge
+    and label relations are ids+ints only. Per-round persists because
+    each label set feeds both the relax join and the union. Integer
+    weights end-to-end, so no summation-order drift anywhere.
+
+    Bounded-round semantics is deliberate (same contract as
+    ``bfs_hops``): the result is exact for "within k relaxations",
+    converges to true SSSP when ``rounds`` ≥ graph diameter, and the
+    unrolled form is what a 1000-executor plan actually wants — no
+    driver-side convergence loop over a 100 TB edge list. The oracle
+    mirrors the SAME unrolled rounds in SQL CTEs (a recursive-CTE
+    formulation would enumerate paths, not labels, and explode).
+
+    Output: node, dist (BIGINT; 0 for seeds).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    e2 = (
+        edges.selectExpr(
+            f"{src_col} AS s", f"{dst_col} AS d", f"{weight_col} AS w"
+        )
+        .union(
+            edges.selectExpr(
+                f"{dst_col} AS s", f"{src_col} AS d", f"{weight_col} AS w"
+            )
+        )
+        .groupBy("s", "d")
+        .agg(F.expr("CAST(MIN(w) AS BIGINT) AS w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dist = (
+        seeds.selectExpr(f"{node_col} AS node")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(rounds):
+        relaxed = dist.join(e2, dist.node == e2.s).selectExpr(
+            "d AS node", "dist + w AS dist"
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.expr("CAST(MIN(dist) AS BIGINT) AS dist"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return dist

@@ -153,6 +153,27 @@ count ``e = r·c/n`` inlined — one SQL string shared verbatim by the
 Spark plan and the DuckDB oracle so every intermediate double is
 IEEE-identical on both engines (expression-shape mirroring)."""
 
+CHISQ_EXPECTED = (
+    "(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+)
+"""The expected count ``e = r·c/n`` alone — needed for the zero-cell
+correction: the contingency aggregate only materializes OBSERVED
+(a, b) combinations, but every unobserved cell still contributes
+``(0-e)²/e = e`` to the statistic, and ``Σ_zero e = n − Σ_observed e``
+exactly (marginals sum to n). Omitting it understates χ² on sparse
+tables — badly when the association is strong (the perfectly
+associated k×k table loses its entire off-diagonal mass)."""
+
+CHISQ_AGG = (
+    "CAST(SUM(CAST(floor(term * 1e6 + 0.5) AS DECIMAL(38,0)))"
+    " + CAST(MAX(n) AS DECIMAL(38,0)) * 1000000"
+    " - SUM(CAST(floor(e * 1e6 + 0.5) AS DECIMAL(38,0)))"
+    " AS DOUBLE) / 1e6"
+)
+"""Order-invariant χ² total: micro-rounded observed-cell terms plus
+the zero-cell mass ``n − Σe``, every addend fixed to DECIMAL before
+summation so distributed aggregation order cannot drift the double."""
+
 
 def chisq_independence(
     df: DataFrame, col_a: str, col_b: str
@@ -167,8 +188,13 @@ def chisq_independence(
     ``OVER ()`` single-task window is |A|·|B| rows, never data rows),
     per-cell terms in mirrored-double arithmetic, micro-unit
     fixed-point (``floor(t·1e6 + 0.5)``) summed as DECIMAL(38,0) so
-    the cross-engine hash cannot drift with summation order. Output:
-    one row — n_cells, dof, chi2 (micro-rounded).
+    the cross-engine hash cannot drift with summation order. Cells
+    never observed are not materialized but still contribute: each
+    zero cell adds ``(0-e)²/e = e``, and their total is exactly
+    ``n − Σ_observed e`` (see ``CHISQ_EXPECTED``) — added as a single
+    micro-exact correction, so the statistic is the full textbook χ²,
+    not the observed-support truncation. Output:
+    one row — n_cells (observed), dof, chi2 (micro-rounded).
     """
     cells = df.groupBy(
         F.col(col_a).alias("a"), F.col(col_b).alias("b")
@@ -181,15 +207,14 @@ def chisq_independence(
         "SUM(o) OVER (PARTITION BY b) AS c",
         "SUM(o) OVER () AS n",
     )
-    return marg.selectExpr(f"{CHISQ_TERM} AS term", "a", "b").agg(
+    return marg.selectExpr(
+        f"{CHISQ_TERM} AS term", f"{CHISQ_EXPECTED} AS e", "a", "b", "n"
+    ).agg(
         F.expr("count(*) AS n_cells"),
         F.expr(
             "(count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof"
         ),
-        F.expr(
-            "CAST(SUM(CAST(floor(term * 1e6 + 0.5) AS DECIMAL(38,0)))"
-            " AS DOUBLE) / 1e6 AS chi2"
-        ),
+        F.expr(f"{CHISQ_AGG} AS chi2"),
     )
 
 def anova_oneway(
@@ -378,4 +403,198 @@ def gini_by_group(
             "round(CAST(sw AS DOUBLE)"
             " / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini",
         )
+    )
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    bucket_width: float = 16.0,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test — the
+    nonparametric "did the distribution shift?" companion to
+    ``ks_two_sample``, sensitive to location where KS is sensitive to
+    shape.
+
+    Exactness: with midranks for ties, every rank is a multiple of ½ —
+    so the whole computation runs in HALF-UNIT BIGINTs. The midrank of
+    a tied value v is ``before(v) + (t_v + 1)/2`` where ``before`` is
+    the cumulative count of smaller values; in half-units that is
+    ``2·before + t + 1``, an integer. ``R_a`` (rank sum of sample a)
+    accumulates as Σ c_a(v) · midrank2(v) BIGINT, and
+    ``U_a = R_a − n_a(n_a+1)/2`` stays in half-units until one final
+    exact division by 2 (halves are exactly representable doubles).
+    The normal-approximation z uses the tie-corrected variance
+    ``σ² = n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1)))`` — every input an
+    exact BIGINT, the double expression mirrored verbatim in the
+    oracle, so even z hashes identically.
+
+    Spark shape: identical to ``ks_two_sample`` — per-distinct-value
+    counts (ONE corpus aggregate), a two-level range-bucket prefix for
+    ``before(v)`` (no single-partition full-data window), then one
+    scalar aggregate. The oracle uses the plain global window; integer
+    cumsums are decomposition-invariant.
+
+    Output: n_a, n_b, u_a, u_b (doubles, exact halves), z (round 6).
+    """
+    labeled = df.filter(
+        f"{value_col} IS NOT NULL"
+        f" AND {group_col} IN ('{group_a}', '{group_b}')"
+    ).selectExpr(
+        f"{value_col} AS v",
+        f"CASE WHEN {group_col} = '{group_a}' THEN 1 ELSE 0 END AS ia",
+        f"CASE WHEN {group_col} = '{group_b}' THEN 1 ELSE 0 END AS ib",
+    )
+    per_v = (
+        labeled.groupBy("v")
+        .agg(
+            F.expr("CAST(SUM(ia) AS BIGINT) AS ca"),
+            F.expr("CAST(SUM(ib) AS BIGINT) AS cb"),
+        )
+        .selectExpr(
+            "*",
+            "ca + cb AS t",
+            f"CAST(floor(v / {bucket_width!r}) AS BIGINT) AS bkt",
+        )
+    )
+    offsets = (
+        per_v.groupBy("bkt")
+        .agg(F.expr("SUM(t) AS tt"))
+        .selectExpr(
+            "bkt",
+            "CAST(SUM(tt) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) - tt AS BIGINT) AS off",
+        )
+    )
+    ranked = per_v.join(F.broadcast(offsets), "bkt").selectExpr(
+        "ca",
+        "cb",
+        "t",
+        # before(v) = bucket offset + in-bucket exclusive cumsum
+        "off + CAST(SUM(t) OVER (PARTITION BY bkt ORDER BY v ROWS"
+        " BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS BIGINT)"
+        " AS before",
+    )
+    return (
+        ranked.selectExpr(
+            "ca",
+            "cb",
+            "t",
+            "ca * (2 * before + t + 1) AS ra2_term",
+            "t * t * t - t AS tie_term",
+        )
+        .agg(
+            F.expr("CAST(SUM(ca) AS BIGINT) AS n_a"),
+            F.expr("CAST(SUM(cb) AS BIGINT) AS n_b"),
+            F.expr("CAST(SUM(ra2_term) AS BIGINT) AS r_a2"),
+            F.expr("CAST(SUM(tie_term) AS BIGINT) AS ties"),
+        )
+        .selectExpr(
+            "n_a",
+            "n_b",
+            "(CAST(r_a2 - n_a * (n_a + 1) AS DOUBLE)) / 2 AS u_a",
+            "CAST(n_a AS DOUBLE) * n_b"
+            " - CAST(r_a2 - n_a * (n_a + 1) AS DOUBLE) / 2 AS u_b",
+            "round((CAST(r_a2 - n_a * (n_a + 1) AS DOUBLE) / 2"
+            "  - CAST(n_a AS DOUBLE) * n_b / 2)"
+            " / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0"
+            "   * ((CAST(n_a + n_b AS DOUBLE) + 1)"
+            "      - CAST(ties AS DOUBLE)"
+            "        / (CAST(n_a + n_b AS DOUBLE)"
+            "           * (CAST(n_a + n_b AS DOUBLE) - 1)))), 6) AS z",
+        )
+    )
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cramér's V effect size between two categorical columns — the
+    normalized companion to :func:`chisq_independence` (chi-square says
+    "dependent?", V says "how strongly", on a 0..1 scale comparable
+    across tables): ``V = sqrt((χ²/n) / min(r-1, c-1))``.
+
+    Same plan as the chi-square (one contingency aggregate, marginal
+    windows over the tiny cell table, micro-rounded DECIMAL term sum);
+    the final sqrt is a correctly-rounded IEEE op over an exact
+    double, so even V hashes identically against the oracle. Output:
+    one row — n, n_cells, dof, chi2, cramers_v (round 6).
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    marg = cells.selectExpr(
+        "a",
+        "b",
+        "o",
+        "SUM(o) OVER (PARTITION BY a) AS r",
+        "SUM(o) OVER (PARTITION BY b) AS c",
+        "SUM(o) OVER () AS n",
+    )
+    return (
+        marg.selectExpr(
+            f"{CHISQ_TERM} AS term", f"{CHISQ_EXPECTED} AS e", "a", "b", "n"
+        )
+        .agg(
+            F.expr("CAST(MAX(n) AS BIGINT) AS n"),
+            F.expr("count(*) AS n_cells"),
+            F.expr(
+                "(count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof"
+            ),
+            F.expr(f"{CHISQ_AGG} AS chi2"),
+            F.expr(
+                "least(count(DISTINCT a) - 1, count(DISTINCT b) - 1)"
+                " AS mindim"
+            ),
+        )
+        .selectExpr(
+            "n",
+            "n_cells",
+            "dof",
+            "chi2",
+            "round(sqrt(chi2 / CAST(n AS DOUBLE)"
+            " / CAST(mindim AS DOUBLE)), 6) AS cramers_v",
+        )
+    )
+
+
+def referential_integrity(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    fk_name: str,
+) -> DataFrame:
+    """One FK-edge integrity audit: how many child rows / distinct
+    child keys reference a parent key that does not exist — the
+    constraint check a lakehouse ingest runs before promoting a batch
+    (plain parquet has no enforced foreign keys; this IS the
+    enforcement).
+
+    NULL child keys are excluded (SQL FK semantics: NULL references
+    nothing and violates nothing). Plan: the child aggregates to
+    per-key counts FIRST (narrow key+count rows), then one
+    key-partitioned anti-join against the parent's distinct keys —
+    the join moves distinct keys, never child rows, so a 100 TB fact
+    table audits with a shuffle bounded by its key cardinality.
+
+    Output: one row — fk, child_rows, orphan_rows, orphan_keys.
+    """
+    keyed = child.filter(f"{child_key} IS NOT NULL")
+    per_key = keyed.groupBy(
+        F.col(child_key).alias("k")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    orphans = per_key.join(
+        parent.selectExpr(f"{parent_key} AS k").distinct(), "k", "left_anti"
+    )
+    totals = keyed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("child_rows")
+    )
+    orph = orphans.agg(
+        F.expr("CAST(COALESCE(SUM(c), 0) AS BIGINT) AS orphan_rows"),
+        F.expr("CAST(COUNT(1) AS BIGINT) AS orphan_keys"),
+    )
+    return totals.crossJoin(orph).selectExpr(
+        f"'{fk_name}' AS fk", "child_rows", "orphan_rows", "orphan_keys"
     )

@@ -653,3 +653,117 @@ def candle_pattern_exprs(over_sql: str) -> list[str]:
         f"({pc} > {po} AND close < open AND open >= {pc}"
         f" AND close <= {po}) AS bear_engulf",
     ]
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    group_col: str = "event_type",
+    target: float = 55.0,
+    threshold: float = 200.0,
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Per-group upper CUSUM drift statistic with alarm flags — the
+    classic sequential changepoint detector ``S_i = max(0, S_{i-1} +
+    (x_i - target))``, alarm when ``S_i > threshold``.
+
+    The recursion looks inherently sequential, but it has a prefix
+    closed form: with ``P_i = Σ_{j<=i}(x_j - target)``,
+
+        ``S_i = P_i - min(0, min_{j<=i} P_j)``
+
+    (the reflected-walk identity: subtracting the running minimum of
+    the unreflected walk, floored at the origin, IS the reflection).
+    That turns the stateful filter into a running sum + running min —
+    and those decompose into the same two-level range prefix
+    ``ks_two_sample`` uses: rows carry time buckets; per-bucket
+    subtotals (sum, min-of-local-prefix) prefix in a bucket-count-sized
+    window; the bucket offset and the prior-buckets' global minimum
+    broadcast back onto the in-bucket window. No single-partition
+    full-data stage even when one group holds the whole corpus.
+
+    Exactness: values fix-point to micro-units
+    (``floor(x*1e6 + 0.5)`` BIGINT) so every sum/min/comparison is
+    integer — the output hashes identically against a single-window
+    oracle because integer prefix sums and mins are
+    decomposition-invariant.
+
+    Output: group, id, ``cusum_micro`` (BIGINT, micro-units), ``alarm``
+    (boolean). Two-sided monitoring is this operator applied twice
+    (negate the series for the lower side).
+    """
+    k_micro = int(round(target * 1_000_000))
+    h_micro = int(round(threshold * 1_000_000))
+    base = df.selectExpr(
+        f"{group_col} AS grp",
+        f"{id_col} AS id",
+        f"{ts_col} AS ts",
+        f"CAST(floor({value_col} * 1000000 + 0.5) AS BIGINT)"
+        f" - {k_micro} AS d",
+        f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
+        f" div ({bucket_seconds} * 1000000) AS bkt",
+    )
+    from pyspark import StorageLevel
+
+    in_bucket_w = (
+        "(PARTITION BY grp, bkt ORDER BY ts, id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    # one in-bucket sort feeds BOTH window functions (p, then its
+    # running min — same spec, one exchange+sort); persisted because
+    # the bucket rollup and the final combine both consume it
+    local = (
+        base.withColumn(
+            "p", F.expr(f"CAST(SUM(d) OVER {in_bucket_w} AS BIGINT)")
+        )
+        .withColumn(
+            "m", F.expr(f"CAST(MIN(p) OVER {in_bucket_w} AS BIGINT)")
+        )
+        .select("grp", "id", "bkt", "d", "p", "m")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # bucket rollup: one tiny row per (group, bucket). t is the
+    # bucket's TOTAL delta (sum of d — not max(p): with negative
+    # deltas the running prefix peaks mid-bucket); off = sum of PRIOR
+    # buckets; mprior = min of (off' + whole-bucket min-prefix) over
+    # PRIOR buckets (NULL for the group's first bucket).
+    per_bkt = (
+        local.groupBy("grp", "bkt")
+        .agg(
+            F.expr("CAST(SUM(d) AS BIGINT) AS t"),
+            F.expr("CAST(MIN(m) AS BIGINT) AS mstar"),
+        )
+        .selectExpr(
+            "grp",
+            "bkt",
+            "mstar",
+            "CAST(SUM(t) OVER (PARTITION BY grp ORDER BY bkt"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t"
+            " AS BIGINT) AS off",
+        )
+        .selectExpr(
+            "grp",
+            "bkt",
+            "off",
+            "CAST(MIN(off + mstar) OVER (PARTITION BY grp ORDER BY bkt"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            " AS BIGINT) AS mprior",
+        )
+    )
+    return (
+        local.join(F.broadcast(per_bkt), ["grp", "bkt"])
+        .selectExpr(
+            "grp",
+            "id",
+            "off + p AS pre",
+            "least(coalesce(mprior, off + m), off + m) AS runmin",
+        )
+        .selectExpr(
+            "grp",
+            "id",
+            "CAST(pre - least(0, runmin) AS BIGINT) AS cusum_micro",
+            f"pre - least(0, runmin) > {h_micro} AS alarm",
+        )
+    )

@@ -8237,19 +8237,23 @@ def q_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cells
     ),
     terms AS (
-      SELECT a, b,
+      SELECT a, b, n,
              (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
               / CAST(n AS DOUBLE))
              * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
               / CAST(n AS DOUBLE))
              / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-               AS term
+               AS term,
+             (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               AS e
       FROM marg
     )
     SELECT CAST(count(*) AS BIGINT) AS n_cells,
            CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1)
                 AS BIGINT) AS dof,
            CAST(SUM(CAST(floor(term * 1e6 + 0.5) AS DECIMAL(38,0)))
+                + CAST(MAX(n) AS DECIMAL(38,0)) * 1000000
+                - SUM(CAST(floor(e * 1e6 + 0.5) AS DECIMAL(38,0)))
                 AS DOUBLE) / 1e6 AS chi2
     FROM terms
     """,
@@ -8816,6 +8820,381 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _refint_oracle() -> str:
+    parts = []
+    for ct, ck, pt, pk in _FK_EDGES:
+        parts.append(
+            f"""
+    SELECT '{ct}.{ck}->{pt}.{pk}' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS child_rows,
+           CAST(COALESCE(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS orphan_rows,
+           CAST(COUNT(DISTINCT CASE WHEN p.k IS NULL THEN c.{ck} END)
+                AS BIGINT) AS orphan_keys
+    FROM {ct} c LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {pt}) p
+      ON c.{ck} = p.k
+    WHERE c.{ck} IS NOT NULL"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("referential_integrity", _refint_oracle())
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK integrity audit over the whole TPC-H-ish constellation — one
+    row per foreign-key edge with orphan row/key counts (plain parquet
+    enforces nothing; this query IS the constraint check a lakehouse
+    ingest gate runs). Each edge aggregates the child to per-key
+    counts FIRST, then anti-joins the parent's distinct keys — the
+    shuffle carries key cardinality, never fact rows
+    (``operators/profiling.py::referential_integrity``). The clean
+    fixtures yield zero orphans; the orphan path is pytest-proven on a
+    synthetic torn batch."""
+    from institutional_fx_etl_spark.operators.profiling import (
+        referential_integrity,
+    )
+
+    out = None
+    for ct, ck, pt, pk in _FK_EDGES:
+        audit = referential_integrity(
+            load_table(spark, sf_dir, ct),
+            ck,
+            load_table(spark, sf_dir, pt),
+            pk,
+            f"{ct}.{ck}->{pt}.{pk}",
+        )
+        out = audit if out is None else out.unionByName(audit)
+    return out
+
+
+@register(
+    "cramers_v",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT a, b, o,
+             SUM(o) OVER (PARTITION BY a) AS r,
+             SUM(o) OVER (PARTITION BY b) AS c,
+             SUM(o) OVER () AS n
+      FROM cells
+    ),
+    terms AS (
+      SELECT a, b, n,
+             (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+              / CAST(n AS DOUBLE))
+             * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+              / CAST(n AS DOUBLE))
+             / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               AS term,
+             (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               AS e
+      FROM marg
+    ),
+    s AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1)
+                  AS BIGINT) AS dof,
+             CAST(SUM(CAST(floor(term * 1e6 + 0.5) AS DECIMAL(38,0)))
+                  + CAST(MAX(n) AS DECIMAL(38,0)) * 1000000
+                  - SUM(CAST(floor(e * 1e6 + 0.5) AS DECIMAL(38,0)))
+                  AS DOUBLE) / 1e6 AS chi2,
+             least(count(DISTINCT a) - 1, count(DISTINCT b) - 1) AS mindim
+      FROM terms)
+    SELECT n, n_cells, dof, chi2,
+           round(sqrt(chi2 / CAST(n AS DOUBLE) / CAST(mindim AS DOUBLE)), 6)
+             AS cramers_v
+    FROM s
+    """,
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength between order priority and
+    order status — the normalized 0..1 effect size on top of the
+    chi-square machinery (same one-aggregate contingency plan,
+    micro-rounded DECIMAL term sum; the final sqrt is a
+    correctly-rounded IEEE op so V hashes exactly;
+    ``operators/profiling.py::cramers_v``)."""
+    from institutional_fx_etl_spark.operators.profiling import cramers_v
+
+    return cramers_v(
+        load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+def _register_ann_recall_eval() -> None:
+    """ann_recall_eval composes the two already-registered ANN oracles
+    (brute-force truth restricted to rank ≤ 5 vs the IVF nprobe=2
+    result) — the standard recall@k evaluation harness an ANN index
+    ships with. Registered via a helper because the oracle SQL embeds
+    the ann_topk / ivf_topk oracle texts (same composition pattern as
+    ``dedup_apply``)."""
+    bf = REGISTRY["ann_topk"][1]
+    iv = REGISTRY["ivf_topk"][1]
+    oracle = f"""
+    WITH bf AS (SELECT q_id, vec_id FROM ({bf}) WHERE rank <= 5),
+    iv AS (SELECT q_id, vec_id FROM ({iv})),
+    h AS (
+      SELECT bf.q_id, CAST(COUNT(iv.vec_id) AS BIGINT) AS hits
+      FROM bf LEFT JOIN iv
+        ON bf.q_id = iv.q_id AND bf.vec_id = iv.vec_id
+      GROUP BY bf.q_id)
+    SELECT q_id, CAST(5 AS BIGINT) AS k, hits,
+           round(CAST(hits AS DOUBLE) / 5, 6) AS recall
+    FROM h
+    """
+
+    @register("ann_recall_eval", oracle)
+    def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Recall@5 of the IVF index (nprobe=2) against the brute-force
+        cosine truth for the 3 benchmark queries — the evaluation
+        harness that quantifies the IVF speed/recall trade
+        (``operators/similarity.py::cosine_topk`` vs ``ivf_topk``).
+        Both sides shuffle only (q_id, vec_id) pairs; the hit count is
+        one key-partitioned join + aggregate."""
+        from institutional_fx_etl_spark.operators.similarity import (
+            cosine_topk,
+            ivf_topk,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        truth = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5).select(
+            "q_id", "vec_id"
+        )
+        got = ivf_topk(emb, query_ids=[0, 1, 2], k=5, nprobe=2).select(
+            F.col("q_id").alias("iq"), F.col("vec_id").alias("iv")
+        )
+        return (
+            truth.join(
+                got,
+                (F.col("q_id") == F.col("iq")) & (F.col("vec_id") == F.col("iv")),
+                "left",
+            )
+            .groupBy("q_id")
+            .agg(F.expr("CAST(COUNT(iv) AS BIGINT) AS hits"))
+            .selectExpr(
+                "q_id",
+                "CAST(5 AS BIGINT) AS k",
+                "hits",
+                "round(CAST(hits AS DOUBLE) / 5, 6) AS recall",
+            )
+        )
+
+
+_register_ann_recall_eval()
+
+
+def _sssp_oracle(rounds: int = 3) -> str:
+    """Unrolled Bellman-Ford rounds as chained CTEs — the oracle
+    mirrors the Spark DAG round-for-round (a recursive CTE would
+    enumerate paths, not labels, and explode on a dense graph)."""
+    relax = """
+    d{k} AS (
+      SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM d{p}
+        UNION ALL
+        SELECT e2.d AS node, d{p}.dist + e2.w AS dist
+        FROM d{p} JOIN e2 ON d{p}.node = e2.s
+      ) GROUP BY node)"""
+    steps = ",".join(relax.format(k=k, p=k - 1) for k in range(1, rounds + 1))
+    return f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    g AS (
+      SELECT a.p AS src, b.p AS dst,
+             CAST((11 + COUNT(*)) // COUNT(*) AS BIGINT) AS w
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2),
+    e AS (SELECT src AS s, dst AS d, w FROM g
+          UNION ALL SELECT dst, src, w FROM g),
+    e2 AS (SELECT s, d, CAST(MIN(w) AS BIGINT) AS w FROM e GROUP BY 1, 2),
+    d0 AS (SELECT DISTINCT p AS node, CAST(0 AS BIGINT) AS dist
+           FROM items WHERE p % 97 = 0),{steps}
+    SELECT node, dist FROM d{rounds}
+    """
+
+
+@register("graph_sssp_weighted", _sssp_oracle(3))
+def q_graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded weighted shortest distance from the seed set (partkeys
+    divisible by 97) over the part co-purchase graph, edge weight
+    ``ceil(12 / co_order_count)`` (stronger affinity = shorter edge) —
+    3 unrolled Bellman-Ford relaxation rounds, integer weights
+    end-to-end (``operators/graph.py::sssp_weighted``). The oracle
+    unrolls the same rounds as chained CTEs."""
+    from institutional_fx_etl_spark.operators.graph import sssp_weighted
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr("l_orderkey AS o", "l_partkey AS p")
+        .distinct()
+    )
+    a = items.selectExpr("o", "p AS src")
+    b = items.selectExpr("o", "p AS dst")
+    edges = (
+        a.join(b, "o")
+        .filter("src < dst")
+        .groupBy("src", "dst")
+        .agg(F.expr("CAST((11 + COUNT(*)) div COUNT(*) AS BIGINT) AS w"))
+    )
+    seeds = items.filter("p % 97 = 0").selectExpr("p AS node").distinct()
+    return sssp_weighted(edges, seeds, rounds=3)
+
+
+@register(
+    "cusum_changepoint",
+    """
+    WITH e AS (
+      SELECT event_type AS grp, event_id AS id, ts,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+               - 55000000 AS d
+      FROM events),
+    p AS (
+      SELECT grp, id, ts,
+             CAST(SUM(d) OVER (PARTITION BY grp ORDER BY ts, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS pre
+      FROM e),
+    m AS (
+      SELECT grp, id, pre,
+             CAST(MIN(pre) OVER (PARTITION BY grp ORDER BY ts, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS runmin
+      FROM p)
+    SELECT grp, id,
+           CAST(pre - LEAST(0, runmin) AS BIGINT) AS cusum_micro,
+           pre - LEAST(0, runmin) > 200000000 AS alarm
+    FROM m
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM drift statistic (target 55, alarm > 200) —
+    the sequential changepoint recursion ``S_i = max(0, S_{i-1} + x_i
+    - k)`` computed WITHOUT sequential state via the reflected-walk
+    prefix identity ``S_i = P_i - min(0, min_{j<=i} P_j)``, distributed
+    as a two-level day-bucket prefix (no single-partition full-data
+    window even for one giant group;
+    ``operators/timeseries.py::cusum_changepoint``). Micro-unit BIGINT
+    arithmetic end-to-end: integer prefix sums/mins are
+    decomposition-invariant, so the hash matches the oracle's plain
+    global window."""
+    from institutional_fx_etl_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    return cusum_changepoint(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "assoc_rules",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT o) AS n_txn FROM b),
+    s AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY p),
+    pr AS (
+      SELECT a.p AS pa, c.p AS pb, CAST(COUNT(*) AS BIGINT) AS cab
+      FROM b a JOIN b c ON a.o = c.o AND a.p < c.p GROUP BY 1, 2)
+    SELECT pa AS item_a, pb AS item_b, cab AS pair_orders,
+           sa.c AS orders_a, sb.c AS orders_b,
+           round(CAST(cab AS DOUBLE) / sa.c, 6) AS confidence_ab,
+           round(CAST(cab AS DOUBLE) / sb.c, 6) AS confidence_ba,
+           round(CAST(cab AS DOUBLE) * n.n_txn
+                 / (CAST(sa.c AS DOUBLE) * sb.c), 6) AS lift
+    FROM pr JOIN s sa ON pa = sa.p JOIN s sb ON pb = sb.p CROSS JOIN n
+    WHERE cab >= 2
+    """,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order lines: pairwise
+    support / confidence / lift for parts co-ordered ≥ 2 times. The
+    pair stage is the engine's standard in-array combination emit (ONE
+    groupBy-order shuffle, no self-join, fan-out Σ C(|basket|,2) with
+    a degenerate-basket cap); item supports broadcast back onto the
+    aggregated pair relation
+    (``operators/basket.py::basket_assoc_rules``). The oracle
+    self-joins — fine single-node, exactly what the Spark plan
+    avoids."""
+    from institutional_fx_etl_spark.operators.basket import (
+        basket_assoc_rules,
+    )
+
+    return basket_assoc_rules(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+    )
+
+
+@register(
+    "mannwhitney_u",
+    """
+    WITH l AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+    per_v AS (
+      SELECT v, CAST(SUM(ia) AS BIGINT) AS ca,
+             CAST(SUM(ib) AS BIGINT) AS cb,
+             CAST(SUM(ia) + SUM(ib) AS BIGINT) AS t
+      FROM l GROUP BY v),
+    r AS (
+      SELECT ca, cb, t,
+             CAST(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) - t AS BIGINT) AS before
+      FROM per_v),
+    s AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b,
+             CAST(SUM(ca * (2 * before + t + 1)) AS BIGINT) AS r_a2,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+      FROM r)
+    SELECT n_a, n_b,
+           (CAST(r_a2 - n_a * (n_a + 1) AS DOUBLE)) / 2 AS u_a,
+           CAST(n_a AS DOUBLE) * n_b
+             - CAST(r_a2 - n_a * (n_a + 1) AS DOUBLE) / 2 AS u_b,
+           round((CAST(r_a2 - n_a * (n_a + 1) AS DOUBLE) / 2
+              - CAST(n_a AS DOUBLE) * n_b / 2)
+             / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+               * ((CAST(n_a + n_b AS DOUBLE) + 1)
+                  - CAST(ties AS DOUBLE)
+                    / (CAST(n_a + n_b AS DOUBLE)
+                       * (CAST(n_a + n_b AS DOUBLE) - 1)))), 6) AS z
+    FROM s
+    """,
+)
+def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann-Whitney U (click vs purchase event values) —
+    midranks in HALF-UNIT BIGINTs so rank sums are exact integers; the
+    before-counts come from the same two-level range-bucket prefix as
+    ``ks_two_sample`` (no single-partition full-data window); the
+    tie-corrected z mirrors the oracle's double expression verbatim
+    (``operators/profiling.py::mannwhitney_u``)."""
+    from institutional_fx_etl_spark.operators.profiling import (
+        mannwhitney_u,
+    )
+
+    return mannwhitney_u(
+        load_table(spark, sf_dir, "events"),
+        "value",
+        "event_type",
+        "click",
+        "purchase",
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -8910,6 +9289,13 @@ _HEAD = [
     "bm25_rank",
     "dedup_sorted_neighborhood",
     "weighted_median",
+    "cusum_changepoint",
+    "assoc_rules",
+    "mannwhitney_u",
+    "graph_sssp_weighted",
+    "ann_recall_eval",
+    "referential_integrity",
+    "cramers_v",
     # flagship family (hybrid_pipeline/_multisym/incremental_merge,
     # validator_reconcile, streaming_gap_bridge) holds fresh r6 rows
     # and is tail-gated on every CI run; the union-of-two-windows

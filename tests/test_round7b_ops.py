@@ -1,0 +1,252 @@
+"""Round-7 continuation operators: CUSUM changepoint (reflected-walk
+prefix identity + two-level bucket decomposition), market-basket
+association rules, Mann-Whitney U — hand-computed fixtures; the
+contract queries add the sf0.01 oracle equivalence on top."""
+
+from datetime import datetime, timedelta
+
+import pytest  # noqa: F401
+
+
+def _cusum_reference(values, target):
+    """The sequential recursion the operator must reproduce."""
+    s, out = 0, []
+    for v in values:
+        d = int(round(v * 1_000_000)) - int(round(target * 1_000_000))
+        s = max(0, s + d)
+        out.append(s)
+    return out
+
+
+def _cusum_frame(spark, values_by_group, step_seconds=40_000):
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for grp, vals in values_by_group.items():
+        for i, v in enumerate(vals):
+            rows.append(
+                (eid, t0 + timedelta(seconds=i * step_seconds), grp, v)
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_cusum_matches_sequential_reference(spark):
+    from institutional_fx_etl_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    series = {
+        "a": [10.0, 80.0, 90.0, 5.0, 5.0, 70.0, 200.0, 1.0],
+        "b": [100.0, 100.0, 1.0, 1.0, 1.0, 300.0],
+    }
+    # 40 ks steps + 86400 s buckets → roughly one bucket boundary every
+    # other row: the two-level path is exercised, not just one bucket
+    df = _cusum_frame(spark, series)
+    got = cusum_changepoint(df, target=55.0, threshold=100.0)
+    by_group = {
+        grp: [
+            r["cusum_micro"]
+            for r in sorted(
+                got.filter(f"grp = '{grp}'").collect(), key=lambda r: r["id"]
+            )
+        ]
+        for grp in series
+    }
+    for grp, vals in series.items():
+        assert by_group[grp] == _cusum_reference(vals, 55.0), grp
+
+
+def test_cusum_bucket_decomposition_invariant(spark):
+    from institutional_fx_etl_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    series = {"a": [10.0, 80.0, 90.0, 5.0, 5.0, 70.0, 200.0, 1.0] * 3}
+    df = _cusum_frame(spark, series)
+    one_bucket = cusum_changepoint(df, bucket_seconds=10**9)
+    many_buckets = cusum_changepoint(df, bucket_seconds=60_000)
+    key = lambda r: r["id"]  # noqa: E731
+    assert sorted(one_bucket.collect(), key=key) == sorted(
+        many_buckets.collect(), key=key
+    )
+
+
+def test_cusum_alarm_threshold(spark):
+    from institutional_fx_etl_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    df = _cusum_frame(spark, {"a": [56.0, 56.0, 56.0]})
+    got = sorted(
+        cusum_changepoint(df, target=55.0, threshold=2.5).collect(),
+        key=lambda r: r["id"],
+    )
+    # S = 1, 2, 3 units; alarm strictly above 2.5
+    assert [r["cusum_micro"] for r in got] == [1_000_000, 2_000_000, 3_000_000]
+    assert [r["alarm"] for r in got] == [False, False, True]
+
+
+def test_basket_rules_hand(spark):
+    from institutional_fx_etl_spark.operators.basket import (
+        basket_assoc_rules,
+    )
+
+    rows = [
+        (1, "milk"), (1, "bread"), (1, "eggs"),
+        (2, "milk"), (2, "bread"),
+        (3, "milk"), (3, "bread"),
+        (4, "eggs"),
+        (4, "eggs"),  # duplicate line — distinct() collapses it
+        (5, "milk"),
+    ]
+    df = spark.createDataFrame(rows, "o long, p string")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in basket_assoc_rules(df, "o", "p").collect()
+    }
+    # only (bread, milk) co-occurs ≥ 2 times (orders 1, 2, 3)
+    assert set(got) == {("bread", "milk")}
+    r = got[("bread", "milk")]
+    assert r["pair_orders"] == 3
+    assert r["orders_a"] == 3 and r["orders_b"] == 4
+    assert r["confidence_ab"] == 1.0
+    assert r["confidence_ba"] == 0.75
+    assert r["lift"] == round(3 * 5 / (3 * 4), 6)
+
+
+def test_basket_cap_drops_degenerate_basket(spark):
+    from institutional_fx_etl_spark.operators.basket import (
+        basket_assoc_rules,
+    )
+
+    rows = [(1, f"i{k}") for k in range(10)] + [
+        (2, "i0"), (2, "i1"),
+        (3, "i0"), (3, "i1"),
+    ]
+    df = spark.createDataFrame(rows, "o long, p string")
+    # basket 1 (10 items) over the cap → contributes no pairs; the
+    # (i0, i1) pair keeps only orders 2 and 3
+    got = basket_assoc_rules(df, "o", "p", max_basket=8).collect()
+    assert len(got) == 1 and got[0]["pair_orders"] == 2
+
+
+def test_mannwhitney_ties_reference(spark):
+    from institutional_fx_etl_spark.operators.profiling import mannwhitney_u
+
+    a = [1.0, 2.0, 2.0, 5.0]
+    b = [2.0, 3.0, 5.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = mannwhitney_u(df, "v", "g", "a", "b").collect()[0]
+    # midranks: 1.0→1; 2.0,2.0,2.0→3; 3.0→5; 5.0,5.0→6.5
+    # R_a = 1 + 3 + 3 + 6.5 = 13.5 ; U_a = 13.5 - 4*5/2 = 3.5
+    assert got["n_a"] == 4 and got["n_b"] == 3
+    assert got["u_a"] == 3.5
+    assert got["u_b"] == 4 * 3 - 3.5
+
+
+def test_sssp_weighted_hand_graph(spark):
+    from institutional_fx_etl_spark.operators.graph import sssp_weighted
+
+    # 1 -2- 2 -3- 3 ; 1 -10- 3 ; 3 -1- 4 : shortest 1→3 is 5 via 2
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, 3), (1, 3, 10), (3, 4, 1)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in sssp_weighted(edges, seeds).collect()}
+    assert got == {1: 0, 2: 2, 3: 5, 4: 6}
+
+
+def test_sssp_weighted_bounded_rounds(spark):
+    from institutional_fx_etl_spark.operators.graph import sssp_weighted
+
+    # path 1-2-3-4-5, unit weights; 2 rounds reach only 3 hops... no:
+    # 2 relaxations reach nodes ≤ 2 edges away
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_weighted(edges, seeds, rounds=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_sssp_cheaper_longer_path_needs_enough_rounds(spark):
+    from institutional_fx_etl_spark.operators.graph import sssp_weighted
+
+    # direct edge 1→4 costs 10; the 3-edge path costs 3 — found only
+    # once rounds ≥ 3 (Bellman-Ford bounded-relaxation semantics)
+    edges = spark.createDataFrame(
+        [(1, 4, 10), (1, 2, 1), (2, 3, 1), (3, 4, 1)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    one = {
+        r["node"]: r["dist"]
+        for r in sssp_weighted(edges, seeds, rounds=1).collect()
+    }
+    three = {
+        r["node"]: r["dist"]
+        for r in sssp_weighted(edges, seeds, rounds=3).collect()
+    }
+    assert one[4] == 10 and three[4] == 3
+
+
+def test_referential_integrity_finds_orphans(spark):
+    from institutional_fx_etl_spark.operators.profiling import (
+        referential_integrity,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, 98), (5, 98), (6, None)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (11,)], "pk long")
+    r = referential_integrity(child, "fk", parent, "pk", "c.fk->p.pk").collect()[0]
+    # NULL fk excluded; 99 (1 row) and 98 (2 rows) are orphans
+    assert r["fk"] == "c.fk->p.pk"
+    assert r["child_rows"] == 5
+    assert r["orphan_rows"] == 3
+    assert r["orphan_keys"] == 2
+
+
+def test_cramers_v_perfect_association(spark):
+    from institutional_fx_etl_spark.operators.profiling import cramers_v
+
+    # b is a function of a → V = 1 exactly
+    rows = [("x", "p")] * 5 + [("y", "q")] * 7 + [("z", "r")] * 3
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r["n"] == 15 and r["n_cells"] == 3 and r["dof"] == 4
+    assert r["cramers_v"] == 1.0
+
+
+def test_cramers_v_independence_zero(spark):
+    from institutional_fx_etl_spark.operators.profiling import cramers_v
+
+    # perfectly balanced 2×2 → chi2 = 0 → V = 0
+    rows = [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")] * 4
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+
+
+def test_chisq_sparse_table_counts_zero_cells(spark):
+    """A diagonal (perfect-association) table: only k of the k² cells
+    are observed, but the χ² must include the zero-cell mass — the
+    textbook value is n·(k−1)."""
+    from institutional_fx_etl_spark.operators.profiling import (
+        chisq_independence,
+    )
+
+    rows = [("x", "p")] * 5 + [("y", "q")] * 7 + [("z", "r")] * 3
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chisq_independence(df, "a", "b").collect()[0]
+    assert r["n_cells"] == 3 and r["dof"] == 4
+    assert abs(r["chi2"] - 15 * 2) < 1e-4
