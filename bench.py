@@ -119,6 +119,14 @@ HEADLINE = [
     "bm25_rank",
     "dedup_sorted_neighborhood",
     "weighted_median",
+    # round-7 late ops
+    "cusum_changepoint",
+    "assoc_rules",
+    "mannwhitney_u",
+    "graph_sssp_weighted",
+    "ann_recall_eval",
+    "referential_integrity",
+    "cramers_v",
 ]
 
 

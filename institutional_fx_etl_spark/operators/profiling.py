@@ -598,3 +598,115 @@ def referential_integrity(
     return totals.crossJoin(orph).selectExpr(
         f"'{fk_name}' AS fk", "child_rows", "orphan_rows", "orphan_keys"
     )
+
+
+def proportion_ztest(
+    df: DataFrame,
+    success_expr: str,
+    cohort_expr: str,
+) -> DataFrame:
+    """Two-proportion z-test (pooled variance) between two cohorts —
+    the A/B-test readout: is the success rate of cohort 0 different
+    from cohort 1?
+
+    ``success_expr`` / ``cohort_expr`` are boolean SQL expressions
+    (cohort TRUE → cohort 1). One hash aggregate produces the four
+    exact BIGINT counts; rates and z are single mirrored double
+    expressions over them (sqrt is correctly-rounded IEEE), so the
+    output hashes identically cross-engine. Output: one row —
+    n_0, x_0, n_1, x_1, rate_0, rate_1, z (round 6).
+    """
+    counted = df.agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN NOT ({cohort_expr}) THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_0"
+        ),
+        F.expr(
+            f"CAST(SUM(CASE WHEN NOT ({cohort_expr}) AND ({success_expr})"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS x_0"
+        ),
+        F.expr(
+            f"CAST(SUM(CASE WHEN ({cohort_expr}) THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_1"
+        ),
+        F.expr(
+            f"CAST(SUM(CASE WHEN ({cohort_expr}) AND ({success_expr})"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS x_1"
+        ),
+    )
+    return counted.selectExpr(
+        "n_0",
+        "x_0",
+        "n_1",
+        "x_1",
+        "round(CAST(x_0 AS DOUBLE) / n_0, 6) AS rate_0",
+        "round(CAST(x_1 AS DOUBLE) / n_1, 6) AS rate_1",
+        "round((CAST(x_0 AS DOUBLE) / n_0 - CAST(x_1 AS DOUBLE) / n_1)"
+        " / sqrt((CAST(x_0 + x_1 AS DOUBLE) / (n_0 + n_1))"
+        "   * (1 - CAST(x_0 + x_1 AS DOUBLE) / (n_0 + n_1))"
+        "   * (1.0 / n_0 + 1.0 / n_1)), 6) AS z",
+    )
+
+
+def pareto_topshare(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    share: tuple[int, int] = (4, 5),
+) -> DataFrame:
+    """Concentration readout per group: how many top keys (and what
+    fraction of the key base) carry ``share`` of the total value —
+    the "do 20% of customers drive 80% of revenue?" Pareto audit, the
+    count-side companion to ``gini_by_group``.
+
+    Values fix-point to cents and the ``share = (num, den)`` fraction
+    (default 4/5 = 80%) is tested by integer cross-multiplication
+    ``den·cum ≥ num·total`` — no floating threshold anywhere.
+    One ranking window per group (groups parallelize, same shape as
+    ``weighted_median``: cumulative value rises monotonically with
+    rank, so ``min(rank)`` past the threshold IS the answer — no
+    second pass). Output: group, n_keys, total_value (round 2),
+    k_top, k_share (round 6).
+    """
+    num, den = share
+    cents = df.selectExpr(
+        f"{group_col} AS grp",
+        f"{key_col} AS k",
+        f"CAST(floor({value_col} * 100 + 0.5) AS BIGINT) AS v",
+    )
+    per_key = cents.groupBy("grp", "k").agg(
+        F.expr("CAST(SUM(v) AS BIGINT) AS kv")
+    )
+    from pyspark.sql import Window as W
+
+    wrank = W.partitionBy("grp").orderBy(
+        F.col("kv").desc(), F.col("k").asc()
+    )
+    ranked = per_key.select(
+        "grp",
+        F.row_number().over(wrank).alias("rn"),
+        F.sum("kv")
+        .over(wrank.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.sum("kv").over(W.partitionBy("grp")).alias("total"),
+        F.count(F.lit(1)).over(W.partitionBy("grp")).alias("n_keys"),
+    )
+    return (
+        ranked.filter(f"{den} * cum >= {num} * total")
+        .groupBy("grp")
+        .agg(
+            F.expr("CAST(MAX(n_keys) AS BIGINT) AS n_keys"),
+            F.expr(
+                "round(CAST(MAX(total) AS DOUBLE) / 100, 2) AS total_value"
+            ),
+            F.expr("CAST(MIN(rn) AS BIGINT) AS k_top"),
+        )
+        .selectExpr(
+            "grp",
+            "n_keys",
+            "total_value",
+            "k_top",
+            "round(CAST(k_top AS DOUBLE) / n_keys, 6) AS k_share",
+        )
+    )

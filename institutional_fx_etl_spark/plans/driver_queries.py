@@ -8820,6 +8820,173 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "countmin_estimate",
+    """
+    WITH ks AS (SELECT user_id AS k FROM events WHERE user_id IS NOT NULL),
+    hrows AS (SELECT i FROM (VALUES (0), (1), (2), (3)) t(i)),
+    cnts AS (
+      SELECT i,
+             CAST(concat('0x', substr(md5(concat('cms', i, '_',
+               CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % 256 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ks CROSS JOIN hrows GROUP BY 1, 2),
+    top AS (
+      SELECT k AS key, CAST(COUNT(*) AS BIGINT) AS true_cnt,
+             row_number() OVER (ORDER BY COUNT(*) DESC, k ASC) AS rn
+      FROM ks GROUP BY k QUALIFY rn <= 10),
+    probe AS (
+      SELECT t.key, t.true_cnt, r.i,
+             CAST(concat('0x', substr(md5(concat('cms', r.i, '_',
+               CAST(t.key AS VARCHAR))), 1, 8)) AS BIGINT) % 256 AS bucket
+      FROM top t CROSS JOIN hrows r)
+    SELECT p.key, p.true_cnt,
+           CAST(MIN(c.cnt) AS BIGINT) AS cms_est,
+           CAST(MIN(c.cnt) - p.true_cnt AS BIGINT) AS overestimate
+    FROM probe p JOIN cnts c ON p.i = c.i AND p.bucket = c.bucket
+    GROUP BY p.key, p.true_cnt
+    """,
+)
+def q_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4, w=256, md5-derived hash rows) built over
+    the event user stream, read back at the 10 heaviest users against
+    their exact counts — the deterministic sketch construction makes
+    the whole counter matrix oracle-checkable, unlike a seeded-random
+    CMS (``operators/sketches.py::countmin_estimate``). The shuffle
+    carries ≤ partitions·d·w partial cells regardless of stream size
+    (map-side combine) — the reason a sketch exists at 100 TB."""
+    from institutional_fx_etl_spark.operators.sketches import (
+        countmin_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter("user_id IS NOT NULL")
+    return countmin_estimate(ev, "user_id", top_n=10)
+
+
+@register(
+    "proportion_ztest",
+    """
+    WITH s AS (
+      SELECT CAST(SUM(CASE WHEN NOT (user_id % 2 = 1) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_0,
+             CAST(SUM(CASE WHEN NOT (user_id % 2 = 1)
+                       AND (event_type = 'error') THEN 1 ELSE 0 END)
+               AS BIGINT) AS x_0,
+             CAST(SUM(CASE WHEN (user_id % 2 = 1) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_1,
+             CAST(SUM(CASE WHEN (user_id % 2 = 1)
+                       AND (event_type = 'error') THEN 1 ELSE 0 END)
+               AS BIGINT) AS x_1
+      FROM events)
+    SELECT n_0, x_0, n_1, x_1,
+           round(CAST(x_0 AS DOUBLE) / n_0, 6) AS rate_0,
+           round(CAST(x_1 AS DOUBLE) / n_1, 6) AS rate_1,
+           round((CAST(x_0 AS DOUBLE) / n_0 - CAST(x_1 AS DOUBLE) / n_1)
+             / sqrt((CAST(x_0 + x_1 AS DOUBLE) / (n_0 + n_1))
+               * (1 - CAST(x_0 + x_1 AS DOUBLE) / (n_0 + n_1))
+               * (1.0 / n_0 + 1.0 / n_1)), 6) AS z
+    FROM s
+    """,
+)
+def q_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (pooled variance): error-event rate of
+    odd-user-id vs even-user-id cohorts — the A/B readout as one hash
+    aggregate to four exact BIGINTs plus one mirrored double
+    expression (``operators/profiling.py::proportion_ztest``)."""
+    from institutional_fx_etl_spark.operators.profiling import (
+        proportion_ztest,
+    )
+
+    return proportion_ztest(
+        load_table(spark, sf_dir, "events"),
+        "event_type = 'error'",
+        "user_id % 2 = 1",
+    )
+
+
+@register(
+    "pareto_topshare",
+    """
+    WITH per_key AS (
+      SELECT c.c_nationkey AS grp, o.o_custkey AS k,
+             CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS kv
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT grp,
+             row_number() OVER (PARTITION BY grp
+               ORDER BY kv DESC, k ASC) AS rn,
+             SUM(kv) OVER (PARTITION BY grp ORDER BY kv DESC, k ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(kv) OVER (PARTITION BY grp) AS total,
+             COUNT(*) OVER (PARTITION BY grp) AS n_keys
+      FROM per_key)
+    SELECT grp, CAST(MAX(n_keys) AS BIGINT) AS n_keys,
+           round(CAST(MAX(total) AS DOUBLE) / 100, 2) AS total_value,
+           CAST(MIN(rn) AS BIGINT) AS k_top,
+           round(CAST(MIN(rn) AS DOUBLE) / MAX(n_keys), 6) AS k_share
+    FROM ranked WHERE 5 * cum >= 4 * total GROUP BY grp
+    """,
+)
+def q_pareto_topshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Pareto audit per customer nation: the
+    number (and base share) of top customers carrying 80% of order
+    revenue — cents-exact integer threshold, one ranking window per
+    group, threshold-min extraction with no second pass
+    (``operators/profiling.py::pareto_topshare``)."""
+    from institutional_fx_etl_spark.operators.profiling import (
+        pareto_topshare,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        cust.selectExpr("c_custkey", "c_nationkey"),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    return pareto_topshare(joined, "c_nationkey", "o_custkey", "o_totalprice")
+
+
+def _register_dedup_ensemble() -> None:
+    """High-precision ensemble dedup: pairs flagged by BOTH independent
+    signature families (MinHash-Jaccard AND SimHash-Hamming) — the
+    precision-stacking trick production dedup pipelines use before an
+    expensive human/LLM adjudication pass. Oracle composes the two
+    registered oracles (same pattern as ``dedup_apply``)."""
+    mh = REGISTRY["dedup_minhash_lsh"][1]
+    sh = REGISTRY["dedup_simhash"][1]
+    oracle = f"""
+    SELECT m.id_a, m.id_b, m.jaccard, s.hamming
+    FROM ({mh}) m JOIN ({sh}) s
+      ON m.id_a = s.id_a AND m.id_b = s.id_b
+    """
+
+    @register("dedup_ensemble_pairs", oracle)
+    def q_dedup_ensemble_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Near-dup pairs agreed by BOTH signature families: MinHash
+        banded LSH (+ exact-Jaccard verify) ∩ SimHash blocked Hamming —
+        one key-partitioned join of two already-bounded pair relations
+        (``operators/dedup.py::minhash_lsh_pairs`` /
+        ``simhash_near_pairs``)."""
+        from institutional_fx_etl_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            simhash_near_pairs,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        mh = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+        sh = simhash_near_pairs(
+            docs, max_hamming=8, block_col="source"
+        ).select("id_a", "id_b", "hamming")
+        return mh.join(sh, ["id_a", "id_b"]).select(
+            "id_a", "id_b", "jaccard", "hamming"
+        )
+
+
+_register_dedup_ensemble()
+
+
 _FK_EDGES = [
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem", "l_partkey", "part", "p_partkey"),
@@ -9296,6 +9463,10 @@ _HEAD = [
     "ann_recall_eval",
     "referential_integrity",
     "cramers_v",
+    "countmin_estimate",
+    "proportion_ztest",
+    "pareto_topshare",
+    "dedup_ensemble_pairs",
     # flagship family (hybrid_pipeline/_multisym/incremental_merge,
     # validator_reconcile, streaming_gap_bridge) holds fresh r6 rows
     # and is tail-gated on every CI run; the union-of-two-windows

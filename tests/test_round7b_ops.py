@@ -250,3 +250,69 @@ def test_chisq_sparse_table_counts_zero_cells(spark):
     r = chisq_independence(df, "a", "b").collect()[0]
     assert r["n_cells"] == 3 and r["dof"] == 4
     assert abs(r["chi2"] - 15 * 2) < 1e-4
+
+
+def test_countmin_never_underestimates_and_exact_when_sparse(spark):
+    from institutional_fx_etl_spark.operators.sketches import (
+        countmin_estimate,
+    )
+
+    rows = [(k,) for k in [1] * 50 + [2] * 30 + [3] * 20 + [4] * 5]
+    df = spark.createDataFrame(rows, "user_id long")
+    got = {r["key"]: r for r in countmin_estimate(df, "user_id").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["true_cnt"] == 50
+    for r in got.values():
+        assert r["cms_est"] >= r["true_cnt"]
+        assert r["overestimate"] == r["cms_est"] - r["true_cnt"]
+    # 4 distinct keys in 4×256 counters: collisions are impossible per
+    # row, so the estimate is exact
+    assert all(r["overestimate"] == 0 for r in got.values())
+
+
+def test_countmin_collision_overestimates(spark):
+    from institutional_fx_etl_spark.operators.sketches import (
+        countmin_estimate,
+    )
+
+    # width=1: every key shares the single counter per row → every
+    # estimate equals the total stream length
+    rows = [(k,) for k in [1] * 7 + [2] * 3]
+    df = spark.createDataFrame(rows, "user_id long")
+    got = {
+        r["key"]: r
+        for r in countmin_estimate(df, "user_id", width=1).collect()
+    }
+    assert got[1]["cms_est"] == 10 and got[2]["cms_est"] == 10
+    assert got[2]["overestimate"] == 7
+
+
+def test_proportion_ztest_hand(spark):
+    from institutional_fx_etl_spark.operators.profiling import (
+        proportion_ztest,
+    )
+
+    # cohort 0: 10 trials 4 successes; cohort 1: 20 trials 5 successes
+    rows = [(0, 1)] * 4 + [(0, 0)] * 6 + [(1, 1)] * 5 + [(1, 0)] * 15
+    df = spark.createDataFrame(rows, "c int, s int")
+    r = proportion_ztest(df, "s = 1", "c = 1").collect()[0]
+    assert (r["n_0"], r["x_0"], r["n_1"], r["x_1"]) == (10, 4, 20, 5)
+    import math
+
+    p = 9 / 30
+    z = (0.4 - 0.25) / math.sqrt(p * (1 - p) * (1 / 10 + 1 / 20))
+    assert abs(r["z"] - z) < 1e-6
+
+
+def test_pareto_topshare_hand(spark):
+    from institutional_fx_etl_spark.operators.profiling import (
+        pareto_topshare,
+    )
+
+    # group g: values 50, 30, 10, 10 → top-2 (80.0) carry exactly 80%
+    rows = [("g", "a", 50.0), ("g", "b", 30.0), ("g", "c", 10.0),
+            ("g", "d", 10.0)]
+    df = spark.createDataFrame(rows, "grp string, k string, v double")
+    r = pareto_topshare(df, "grp", "k", "v").collect()[0]
+    assert r["n_keys"] == 4 and r["total_value"] == 100.0
+    assert r["k_top"] == 2 and r["k_share"] == 0.5
