@@ -304,6 +304,41 @@ def _analytics_scale(spark, argv) -> None:
                " AS y"))
     timed("crosscorr_hours", lambda: hours)
 
+    # round-7 continuation family: two-level-prefix CUSUM (the per-type
+    # series here are ~6M rows each — the day buckets are what keep the
+    # windows partitioned), the CMS counter matrix + heavy-key readout,
+    # exact Mann-Whitney over the distinct-value table, and the
+    # four-count z-test (one pass each, by contract)
+    from institutional_fx_etl_spark.operators.profiling import (
+        mannwhitney_u,
+        proportion_ztest,
+    )
+    from institutional_fx_etl_spark.operators.sketches import (
+        countmin_estimate,
+    )
+    from institutional_fx_etl_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    timed(
+        "cusum_changepoint",
+        lambda: cusum_changepoint(ev, target=260.0, threshold=5000.0)
+        .filter("alarm")
+        .groupBy("grp")
+        .count(),
+    )
+    timed("countmin_estimate", lambda: countmin_estimate(ev, "user_id"))
+    timed(
+        "mannwhitney_u",
+        lambda: mannwhitney_u(ev, "value", "event_type", "click", "purchase"),
+    )
+    timed(
+        "proportion_ztest",
+        lambda: proportion_ztest(
+            ev, "event_type = 'error'", "user_id % 2 = 1"
+        ),
+    )
+
 
 def _corpus_scale(spark, argv) -> None:
     """``--engine=corpus [--docs=N]``: the dedup/text stack at
