@@ -127,6 +127,10 @@ HEADLINE = [
     "ann_recall_eval",
     "referential_integrity",
     "cramers_v",
+    "countmin_estimate",
+    "pareto_topshare",
+    "dedup_canonical",
+    "streaming_cusum",
 ]
 
 

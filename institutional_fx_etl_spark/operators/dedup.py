@@ -888,3 +888,35 @@ def sorted_neighborhood_pairs(
         )
         .filter(f"jaccard >= {jaccard_threshold!r}D")
     )
+
+
+def dedup_canonical(
+    members: DataFrame,
+    cluster_col: str = "comp",
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Pick each dedup cluster's canonical representative by CONTENT,
+    not by id: the longest member (id tiebreak) — the
+    keep-the-most-complete-version policy production dedup uses where
+    ``dedup_apply``'s min-id keep would discard the fuller duplicate
+    (e.g. the truncated scrape survives because it crawled first).
+
+    One hash aggregate per cluster — ``min_by`` over the composite
+    ``struct(-length, id)`` key needs no sort and no second pass;
+    ties on length resolve to the smallest id deterministically.
+
+    Output: cluster, n_members, rep_<id>, rep_<length> (= max length).
+    """
+    return (
+        members.groupBy(F.col(cluster_col).alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.expr(
+                f"min_by({id_col}, struct(-{length_col}, {id_col}))"
+            ).alias("rep_doc_id"),
+            F.expr(f"CAST(MAX({length_col}) AS BIGINT)").alias(
+                "rep_n_chars"
+            ),
+        )
+    )

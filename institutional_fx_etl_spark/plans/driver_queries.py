@@ -8987,6 +8987,108 @@ def _register_dedup_ensemble() -> None:
 _register_dedup_ensemble()
 
 
+def _register_streaming_cusum() -> None:
+    """Streaming CUSUM certified against the BATCH operator's oracle —
+    the strongest statement a streaming twin can make: identical rows
+    over the same bounded input, through the state-store path."""
+    oracle = REGISTRY["cusum_changepoint"][1]
+
+    @register("streaming_cusum", oracle)
+    def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STREAMING CUSUM drift alarms (``applyInPandasWithState``,
+        one-number state per group, vectorized reflected-walk updates
+        seeded by the carry) driven over the bounded events source —
+        must equal the batch ``cusum_changepoint`` row-for-row (shared
+        oracle; ``streaming/stateful.py::streaming_cusum``)."""
+        import tempfile
+
+        from institutional_fx_etl_spark.sources.readers import (
+            read_parquet_nanos_safe,
+        )
+        from institutional_fx_etl_spark.streaming.stateful import (
+            streaming_cusum,
+        )
+
+        _pin_session_confs(spark)
+        name = "streaming_cusum_result"
+        static = read_parquet_nanos_safe(spark, f"{sf_dir}/events.parquet")
+        ts_is_long = dict(static.dtypes).get("ts") == "bigint"
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        ts_expr = (
+            F.expr("timestamp_micros(ts div 1000)")
+            if ts_is_long
+            else F.col("ts").cast("timestamp")
+        )
+        src = stream.select(
+            F.col("event_type"),
+            F.col("event_id"),
+            ts_expr.alias("ts"),
+            F.col("value"),
+        )
+        out = streaming_cusum(src)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_cusum_ck_"),
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name)
+
+
+def _register_dedup_canonical() -> None:
+    """Canonical-representative selection composed on the
+    connected-components oracle (same wrap pattern as dedup_apply) —
+    keep the LONGEST member per cluster instead of the min id."""
+    cc = REGISTRY["dedup_clusters"][1]
+    oracle = f"""
+    WITH c AS ({cc}),
+    m AS (
+      SELECT c.comp, d.doc_id, d.n_chars
+      FROM c JOIN documents d ON c.doc_id = d.doc_id)
+    SELECT comp AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           first(doc_id ORDER BY n_chars DESC, doc_id) AS rep_doc_id,
+           CAST(MAX(n_chars) AS BIGINT) AS rep_n_chars
+    FROM m GROUP BY comp
+    """
+
+    @register("dedup_canonical", oracle)
+    def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Quality-aware dedup: each near-dup cluster keeps its LONGEST
+        member (id tiebreak) — the keep-the-most-complete-version
+        policy, one composite-key ``min_by`` aggregate over the
+        cluster assignment (``operators/dedup.py::dedup_canonical``;
+        contrast ``dedup_apply``'s min-id keep)."""
+        from institutional_fx_etl_spark.operators.dedup import (
+            dedup_canonical,
+            dedup_clusters,
+            minhash_lsh_pairs,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.2)
+        clusters = dedup_clusters(docs.select("doc_id"), pairs)
+        members = clusters.join(
+            docs.select("doc_id", "n_chars"), "doc_id"
+        )
+        return dedup_canonical(members)
+
+
+_register_dedup_canonical()
+
+
 _FK_EDGES = [
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem", "l_partkey", "part", "p_partkey"),
@@ -9362,6 +9464,10 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deferred: needs REGISTRY["cusum_changepoint"] (registered above)
+_register_streaming_cusum()
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -9467,6 +9573,8 @@ _HEAD = [
     "proportion_ztest",
     "pareto_topshare",
     "dedup_ensemble_pairs",
+    "streaming_cusum",
+    "dedup_canonical",
     # flagship family (hybrid_pipeline/_multisym/incremental_merge,
     # validator_reconcile, streaming_gap_bridge) holds fresh r6 rows
     # and is tail-gated on every CI run; the union-of-two-windows

@@ -409,3 +409,101 @@ def run_streaming_ingest(
         .start()
     )
     return query, pipeline
+
+
+#: streaming CUSUM output: group, id, cusum (micro-units), alarm
+CUSUM_OUTPUT_SCHEMA = (
+    "grp string, id long, cusum_micro long, alarm boolean"
+)
+
+#: state: the statistic after the last processed row (micro-units)
+CUSUM_STATE_SCHEMA = "s_last long"
+
+
+def make_cusum_fn(target: float, threshold: float):
+    """Build the per-group stateful function for :func:`streaming_cusum`.
+
+    The batch operator removes the recursion with the reflected-walk
+    prefix identity; the streaming form keeps ONE number of state per
+    key — the statistic after the last row — and applies the same
+    identity vectorized WITHIN each micro-batch, seeded by the carry:
+    with ``P_i = Σ d`` (batch-local prefix) and carry ``S0``,
+
+        ``S_i = P_i − min(−S0, min_{j≤i} P_j)``
+
+    (derivation: unroll ``max(0, ·)`` — the candidate restart points
+    are every batch row plus the pre-batch state). numpy cumsum /
+    minimum.accumulate over int64 micro-units — exact, no float drift,
+    and bit-equal to the batch operator row-for-row (gated by the
+    contract oracle and the split-batch pytest).
+    """
+    k_micro = int(round(target * 1_000_000))
+    h_micro = int(round(threshold * 1_000_000))
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (grp,) = key
+        s_last = state.get[0] if state.exists else 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "id"])
+            d = (
+                np.floor(
+                    pdf["value"].to_numpy(dtype="float64") * 1_000_000 + 0.5
+                ).astype("int64")
+                - k_micro
+            )
+            p = np.cumsum(d)
+            runmin = np.minimum.accumulate(p)
+            s = p - np.minimum(-s_last, runmin)
+            s_last = int(s[-1])
+            yield pd.DataFrame(
+                {
+                    "grp": grp,
+                    "id": pdf["id"].to_numpy(),
+                    "cusum_micro": s,
+                    "alarm": s > h_micro,
+                }
+            )
+        state.update((s_last,))
+
+    return fn
+
+
+def streaming_cusum(
+    events: DataFrame,
+    target: float = 55.0,
+    threshold: float = 200.0,
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Live CUSUM drift monitoring over an event stream
+    (``applyInPandasWithState``): per-group one-number state (the
+    statistic after the last row), Arrow-batched vectorized updates,
+    alarms emitted in append mode as rows arrive — the streaming twin
+    of ``operators/timeseries.py::cusum_changepoint``, certified to
+    produce IDENTICAL output over the same bounded input (shared
+    contract oracle).
+
+    Caveat shared with every per-key sequential stream op: correctness
+    assumes per-key event-time order across micro-batches (true for
+    replayed bounded sources and per-key-ordered feeds like kafka
+    partitions keyed by group).
+    """
+    base = events.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+    )
+    return base.groupBy("grp").applyInPandasWithState(
+        make_cusum_fn(target, threshold),
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -6,6 +6,7 @@ contract queries add the sf0.01 oracle equivalence on top."""
 from datetime import datetime, timedelta
 
 import pytest  # noqa: F401
+from pyspark.sql import functions as F
 
 
 def _cusum_reference(values, target):
@@ -316,3 +317,61 @@ def test_pareto_topshare_hand(spark):
     r = pareto_topshare(df, "grp", "k", "v").collect()[0]
     assert r["n_keys"] == 4 and r["total_value"] == 100.0
     assert r["k_top"] == 2 and r["k_share"] == 0.5
+
+
+def test_streaming_cusum_state_across_batches(spark, tmp_path):
+    """Two file drops → two micro-batches; the statistic must carry
+    across the boundary through persisted state and equal the batch
+    operator row-for-row."""
+    from institutional_fx_etl_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+    from institutional_fx_etl_spark.streaming.stateful import streaming_cusum
+
+    series = {
+        "a": [10.0, 80.0, 90.0, 5.0, 5.0, 70.0, 200.0, 1.0],
+        "b": [100.0, 100.0, 1.0, 1.0, 1.0, 300.0],
+    }
+    df = _cusum_frame(spark, series)
+    batch = {
+        (r["grp"], r["id"]): (r["cusum_micro"], r["alarm"])
+        for r in cusum_changepoint(df, target=55.0, threshold=100.0).collect()
+    }
+
+    src = tmp_path / "cusum_events"
+    src.mkdir()
+    schema = (
+        "event_id long, ts timestamp, event_type string, value double"
+    )
+    # the split must respect per-key event-time order (the operator's
+    # documented stream contract) — so cut on TIME, not on id parity
+    cut = datetime(2024, 1, 1) + timedelta(seconds=4 * 40_000)
+    df.filter(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(
+        str(src / "batch1")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        streaming_cusum(stream, target=55.0, threshold=100.0)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cusum_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        df.filter(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(
+            str(src / "batch2")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["grp"], r["id"]): (r["cusum_micro"], r["alarm"])
+        for r in spark.table("cusum_stream").collect()
+    }
+    assert got == batch
