@@ -131,6 +131,7 @@ HEADLINE = [
     "pareto_topshare",
     "dedup_canonical",
     "streaming_cusum",
+    "hll_estimate",
 ]
 
 

@@ -9464,6 +9464,61 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hll_estimate",
+    """
+    WITH hashed AS (
+      SELECT event_type AS grp, user_id AS k,
+             CAST(concat('0x', substr(md5(concat('hll',
+               CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL),
+    rho AS (
+      SELECT grp, k, h % 256 AS j,
+             CASE WHEN h // 256 = 0 THEN 30
+                  ELSE least(53 - length(bin(h // 256)), 30) END AS rho
+      FROM hashed),
+    regs AS (
+      SELECT grp, j, CAST(MAX(rho) AS BIGINT) AS mj
+      FROM rho GROUP BY grp, j),
+    sk AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_hit,
+             CAST(SUM(CAST(pow(2, 30 - mj) AS BIGINT)) AS BIGINT) AS s_hit
+      FROM regs GROUP BY grp),
+    truth AS (
+      SELECT event_type AS grp,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    joined AS (
+      SELECT t.grp, t.true_distinct, CAST(256 AS BIGINT) AS m,
+             256 - s.n_hit AS v_zero,
+             s.s_hit + (256 - s.n_hit) * CAST(1073741824 AS BIGINT)
+               AS sum_scaled
+      FROM truth t JOIN sk s ON t.grp = s.grp)
+    SELECT grp, true_distinct, m, v_zero, sum_scaled,
+           round(CASE WHEN 0.718272 * 256 * 256 * CAST(1073741824 AS DOUBLE)
+                        / CAST(sum_scaled AS DOUBLE) <= 2.5 * 256
+                        AND v_zero > 0
+                  THEN 256 * ln(CAST(256 AS DOUBLE) / v_zero)
+                  ELSE 0.718272 * 256 * 256 * CAST(1073741824 AS DOUBLE)
+                       / CAST(sum_scaled AS DOUBLE) END, 4) AS est
+    FROM joined
+    """,
+)
+def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog per event type, exact truth beside
+    the estimate — md5-derived registers, leading-zero rank from
+    INTEGER STRING ops (no float log), harmonic sum as an exact scaled
+    BIGINT so summation order cannot drift it; the one ln (the
+    linear-counting small-range branch) and final division are single
+    mirrored expressions (``operators/sketches.py::hll_estimate``).
+    Upgrades the engine's cardinality-sketch story from the rows-only
+    ``sketch_stats`` to a fully oracle-paired construction."""
+    from institutional_fx_etl_spark.operators.sketches import hll_estimate
+
+    ev = load_table(spark, sf_dir, "events").filter("user_id IS NOT NULL")
+    return hll_estimate(ev, "user_id", "event_type")
+
+
 # deferred: needs REGISTRY["cusum_changepoint"] (registered above)
 _register_streaming_cusum()
 
@@ -9575,6 +9630,7 @@ _HEAD = [
     "dedup_ensemble_pairs",
     "streaming_cusum",
     "dedup_canonical",
+    "hll_estimate",
     # flagship family (hybrid_pipeline/_multisym/incremental_merge,
     # validator_reconcile, streaming_gap_bridge) holds fresh r6 rows
     # and is tail-gated on every CI run; the union-of-two-windows

@@ -375,3 +375,37 @@ def test_streaming_cusum_state_across_batches(spark, tmp_path):
         for r in spark.table("cusum_stream").collect()
     }
     assert got == batch
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The defining sketch property: registers built on two halves,
+    merged with MAX, equal the registers built on the union — so the
+    estimate is identical however the data was partitioned."""
+    from institutional_fx_etl_spark.operators.sketches import hll_estimate
+
+    rows = [("g", k) for k in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, k long")
+    whole = hll_estimate(df, "k", "grp").collect()[0]
+    # same data written as two disjoint halves into one frame — the
+    # distributed MAX(rho) must see through any split
+    split = df.repartition(7)
+    split_r = hll_estimate(split, "k", "grp").collect()[0]
+    assert whole["sum_scaled"] == split_r["sum_scaled"]
+    assert whole["est"] == split_r["est"]
+
+
+def test_hll_estimate_accuracy(spark):
+    """HLL with m=256 has ~6.5% relative standard error — assert the
+    estimate lands within 20% of truth at two cardinalities (fixed
+    hashes: this is a deterministic regression gate, not a flake)."""
+    from institutional_fx_etl_spark.operators.sketches import hll_estimate
+
+    rows = [("small", k) for k in range(300)] + [
+        ("large", 10_000 + k) for k in range(20_000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, k long")
+    got = {r["grp"]: r for r in hll_estimate(df, "k", "grp").collect()}
+    for grp, true in (("small", 300), ("large", 20_000)):
+        est = got[grp]["est"]
+        assert abs(est - true) / true < 0.20, (grp, est)
+        assert got[grp]["true_distinct"] == true
