@@ -409,3 +409,37 @@ def test_hll_estimate_accuracy(spark):
         est = got[grp]["est"]
         assert abs(est - true) / true < 0.20, (grp, est)
         assert got[grp]["true_distinct"] == true
+
+
+def test_cusum_plan_has_no_single_partition_exchange(spark):
+    """The two-level bucket decomposition must keep every window
+    partitioned — no full-data single-partition stage even though the
+    statistic is a global running prefix per group."""
+    from institutional_fx_etl_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    df = _cusum_frame(spark, {"a": [1.0] * 20, "b": [2.0] * 20})
+    plan = (
+        cusum_changepoint(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_minhash_candidate_stage_has_no_semi_join(spark):
+    """The grouped-bucket restructure removed the hot-bucket semi-join
+    and the candidate self-join: the only joins left in the whole plan
+    are the two Jaccard-verify lookups."""
+    import re
+
+    from institutional_fx_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = minhash_lsh_pairs(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan, plan
+    assert len(re.findall(r"Join", plan)) == 2, plan
+    assert out.count() == 6  # all 4 identical docs pair up
