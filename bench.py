@@ -132,6 +132,8 @@ HEADLINE = [
     "dedup_canonical",
     "streaming_cusum",
     "hll_estimate",
+    "fuzzy_lookup_join",
+    "decay_score",
 ]
 
 

@@ -1,0 +1,104 @@
+"""Entity resolution / record linkage — fuzzy best-match lookup of
+dirty strings against a canonical catalog.
+
+Spark has no fuzzy-join operator; the scalable composition is the same
+capped-inverted-index discipline as ``dedup.containment_pairs``: block
+on shared trigrams (a candidate must share at least one — exactly the
+pairs with Jaccard > 0, so the blocking is LOSSLESS for any positive
+threshold), cap degenerate trigrams, score only the candidates, and
+take the per-query argmax with a deterministic tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def trigram_set_expr(col: str) -> str:
+    """Distinct character-trigram set of ``lower(col)`` — plain SQL
+    shared shape-for-shape with the DuckDB oracle (list comprehension
+    there, ``transform(sequence(...))`` here)."""
+    return (
+        f"array_distinct(transform(sequence(1, length(lower({col})) - 2),"
+        f" i -> substring(lower({col}), i, 3)))"
+    )
+
+
+def fuzzy_best_match(
+    queries: DataFrame,
+    catalog: DataFrame,
+    query_id: str,
+    query_text: str,
+    catalog_text: str,
+    max_df: int = 1024,
+) -> DataFrame:
+    """Best catalog match per query string by trigram Jaccard.
+
+    Plan: the catalog builds a trigram posting list ONCE (explode +
+    one count aggregate applying the hot-trigram cap — a trigram in
+    more than ``max_df`` catalog entries is a stopword-grade blocker
+    that would fan candidates without discriminating; dropping it
+    never drops a pair that shares any rarer trigram). The query
+    trigrams BROADCAST onto the posting list (the lookup side is small
+    by construction — that asymmetry is what distinguishes this from
+    the pair-mining dedups), shared counts aggregate per (query,
+    entity), the Jaccard divides two exact integers, and ONE
+    composite-key ``min_by`` picks the winner (highest rounded
+    Jaccard, then lexicographically smallest entity — fully
+    deterministic under score ties).
+
+    Output: <query_id>, query_text, match_text, shared (BIGINT),
+    jaccard (round 6).
+    """
+    # length guard BEFORE the trigram sequence (sequence(1, n-2) with
+    # n < 3 would be a descending range — an error, not an empty set)
+    q = (
+        queries.filter(f"length({query_text}) >= 3")
+        .selectExpr(
+            f"{query_id} AS qid",
+            f"{query_text} AS qtext",
+            f"{trigram_set_expr(query_text)} AS qg",
+        )
+        .filter("size(qg) > 0")
+    )
+    c = (
+        catalog.filter(f"length({catalog_text}) >= 3")
+        .selectExpr(
+            f"{catalog_text} AS ctext",
+            f"{trigram_set_expr(catalog_text)} AS cg",
+        )
+        .filter("size(cg) > 0")
+    )
+
+    posting = c.selectExpr(
+        "ctext", "size(cg) AS nc", "explode(cg) AS g"
+    )
+    cool = (
+        posting.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(f"df <= {max_df}")
+        .select("g")
+    )
+    posting = posting.join(cool, "g", "left_semi")
+
+    qg = q.selectExpr("qid", "size(qg) AS nq", "explode(qg) AS g")
+    cand = posting.join(F.broadcast(qg), "g").groupBy(
+        "qid", "nq", "ctext", "nc"
+    ).agg(F.count(F.lit(1)).alias("shared"))
+    scored = cand.selectExpr(
+        "qid",
+        "ctext",
+        "shared",
+        "round(CAST(shared AS DOUBLE) / (nq + nc - shared), 6) AS j",
+    )
+    best = scored.groupBy("qid").agg(
+        F.expr("min_by(ctext, struct(-j, ctext)) AS match_text"),
+        F.expr("CAST(min_by(shared, struct(-j, ctext)) AS BIGINT) AS shared"),
+        F.expr("min_by(j, struct(-j, ctext)) AS jaccard"),
+    )
+    return (
+        q.select("qid", "qtext")
+        .join(best, "qid")
+        .selectExpr("qid", "qtext AS query_text", "match_text", "shared", "jaccard")
+    )

@@ -767,3 +767,49 @@ def cusum_changepoint(
             f"pre - least(0, runmin) > {h_micro} AS alarm",
         )
     )
+
+
+def decay_score(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    as_of: str,
+    half_life_days: int = 1,
+    max_age: int = 40,
+) -> DataFrame:
+    """Recency-weighted engagement score per key: ``Σ value ·
+    2^(−age/half_life)`` with age in whole days against a fixed
+    ``as_of`` date — the feature a ranking/abuse system keeps per user
+    where a plain sum never forgets.
+
+    The decay base is deliberately 2 (not e): ``2^(−k)`` for integer k
+    is an EXACT double (one exact division by ``pow(2, k)``, itself an
+    exactly-representable integer ≤ 2⁴⁰), so there is no libm
+    transcendental anywhere — the classic ``exp(−λΔt)`` form drifts in
+    the last ulp across engines. Any half-life is expressible by
+    rescaling ``half_life_days``. Per-term micro-rounding + DECIMAL
+    summation make the aggregate order-invariant; ages beyond
+    ``max_age`` half-lives floor to a zero term anyway (2⁻⁴⁰ < 1e-6
+    for any bounded value). One scan, one hash aggregate.
+
+    Output: key, n_events, decayed_score (round 6 via the micro grid).
+    """
+    k = (
+        f"least(greatest(CAST(datediff(DATE'{as_of}',"
+        f" CAST({ts_col} AS DATE)) AS INT) div {half_life_days}, 0),"
+        f" {max_age})"
+    )
+    term = (
+        f"CAST(floor({value_col} / CAST(pow(2, {k}) AS BIGINT)"
+        " * 1000000 + 0.5) AS DECIMAL(38,0))"
+    )
+    return (
+        df.filter(f"{value_col} IS NOT NULL")
+        .selectExpr(f"{key_col} AS key", f"{term} AS t")
+        .groupBy("key")
+        .agg(
+            F.expr("CAST(COUNT(1) AS BIGINT) AS n_events"),
+            F.expr("CAST(SUM(t) AS DOUBLE) / 1000000 AS decayed_score"),
+        )
+    )

@@ -9465,6 +9465,99 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decay_score",
+    """
+    WITH t AS (
+      SELECT user_id AS key,
+             CAST(floor(value / CAST(pow(2, least(greatest(
+                 CAST(date_diff('day', CAST(ts AS DATE),
+                      DATE '2024-02-01') AS INT) // 1, 0), 40))
+               AS BIGINT) * 1000000 + 0.5) AS DECIMAL(38,0)) AS t
+      FROM events WHERE value IS NOT NULL)
+    SELECT key, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(t) AS DOUBLE) / 1000000 AS decayed_score
+    FROM t GROUP BY key
+    """,
+)
+def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-user engagement: Σ value · 2^(−age_days) as
+    of 2024-02-01 — base-2 decay so every weight is an EXACT double
+    (no libm transcendental to drift), per-term micro-rounding +
+    DECIMAL sum for order invariance
+    (``operators/timeseries.py::decay_score``)."""
+    from institutional_fx_etl_spark.operators.timeseries import decay_score
+
+    return decay_score(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "value",
+        "ts",
+        "2024-02-01",
+    )
+
+
+@register(
+    "fuzzy_lookup_join",
+    """
+    WITH cat AS (SELECT DISTINCT p_name AS ctext FROM part
+                 WHERE length(p_name) >= 3),
+    catg AS (
+      SELECT ctext,
+             list_distinct([substring(lower(ctext), i, 3)
+                            for i in range(1, length(lower(ctext)) - 1)])
+               AS cg
+      FROM cat),
+    qs AS (
+      SELECT p_partkey AS qid,
+             concat(substring(p_name, 1, 2), substring(p_name, 4)) AS qtext
+      FROM part WHERE p_partkey % 97 = 0),
+    qg AS (
+      SELECT qid, qtext,
+             list_distinct([substring(lower(qtext), i, 3)
+                            for i in range(1, length(lower(qtext)) - 1)])
+               AS qg
+      FROM qs WHERE length(qtext) >= 3),
+    pairs AS (
+      SELECT q.qid, q.qtext, c.ctext,
+             CAST(len(list_intersect(q.qg, c.cg)) AS BIGINT) AS shared,
+             len(q.qg) AS nq, len(c.cg) AS nc
+      FROM qg q CROSS JOIN catg c),
+    scored AS (
+      SELECT qid, qtext, ctext, shared,
+             round(CAST(shared AS DOUBLE) / (nq + nc - shared), 6) AS j
+      FROM pairs WHERE shared >= 1),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY j DESC, ctext ASC) AS rn
+      FROM scored)
+    SELECT qid, qtext AS query_text, ctext AS match_text, shared,
+           j AS jaccard
+    FROM best WHERE rn = 1
+    """,
+)
+def q_fuzzy_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy best-match lookup: part names corrupted by deleting their
+    3rd character resolve back against the distinct-name catalog by
+    trigram Jaccard — capped-inverted-index blocking (lossless: a
+    candidate must share ≥1 trigram, exactly the Jaccard>0 pairs),
+    query trigrams broadcast, one composite-key ``min_by`` argmax with
+    a deterministic tie order
+    (``operators/linkage.py::fuzzy_best_match``). The single-node
+    oracle brute-forces the cross product the blocking avoids."""
+    from institutional_fx_etl_spark.operators.linkage import (
+        fuzzy_best_match,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    queries = part.filter("p_partkey % 97 = 0").selectExpr(
+        "p_partkey AS qid",
+        "concat(substring(p_name, 1, 2), substring(p_name, 4)) AS qtext",
+    )
+    catalog = part.select("p_name").distinct()
+    return fuzzy_best_match(queries, catalog, "qid", "qtext", "p_name")
+
+
+@register(
     "hll_estimate",
     """
     WITH hashed AS (
@@ -9631,6 +9724,8 @@ _HEAD = [
     "streaming_cusum",
     "dedup_canonical",
     "hll_estimate",
+    "fuzzy_lookup_join",
+    "decay_score",
     # flagship family (hybrid_pipeline/_multisym/incremental_merge,
     # validator_reconcile, streaming_gap_bridge) holds fresh r6 rows
     # and is tail-gated on every CI run; the union-of-two-windows

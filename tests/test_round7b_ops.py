@@ -443,3 +443,60 @@ def test_minhash_candidate_stage_has_no_semi_join(spark):
     assert "LeftSemi" not in plan, plan
     assert len(re.findall(r"Join", plan)) == 2, plan
     assert out.count() == 6  # all 4 identical docs pair up
+
+
+def test_fuzzy_best_match_hand(spark):
+    from institutional_fx_etl_spark.operators.linkage import fuzzy_best_match
+
+    catalog = spark.createDataFrame(
+        [("red widget",), ("blue bolt",), ("small ring",)], "name string"
+    )
+    queries = spark.createDataFrame(
+        [(1, "rd widget"), (2, "blue blot"), (3, "xyzzyq")],
+        "qid long, qtext string",
+    )
+    got = {
+        r["qid"]: r["match_text"]
+        for r in fuzzy_best_match(
+            queries, catalog, "qid", "qtext", "name"
+        ).collect()
+    }
+    assert got[1] == "red widget"
+    assert got[2] == "blue bolt"
+    assert 3 not in got  # zero shared trigrams → no match row
+
+
+def test_fuzzy_hot_trigram_cap_prunes(spark):
+    from institutional_fx_etl_spark.operators.linkage import fuzzy_best_match
+
+    # every catalog entry shares the 'aaa' trigrams; max_df=2 drops
+    # them all → no candidates at all
+    catalog = spark.createDataFrame(
+        [("aaaa x",), ("aaaa y",), ("aaaa z",)], "name string"
+    )
+    queries = spark.createDataFrame([(1, "aaaa q")], "qid long, qtext string")
+    pruned = fuzzy_best_match(
+        queries, catalog, "qid", "qtext", "name", max_df=2
+    )
+    full = fuzzy_best_match(queries, catalog, "qid", "qtext", "name")
+    assert pruned.count() == 0 and full.count() == 1
+
+
+def test_decay_score_hand(spark):
+    from institutional_fx_etl_spark.operators.timeseries import decay_score
+
+    rows = [
+        (7, datetime(2024, 1, 31), 8.0),   # age 1 → 4.0
+        (7, datetime(2024, 1, 30), 8.0),   # age 2 → 2.0
+        (7, datetime(2024, 1, 1), 8.0),    # age 31 → ~0 (micro-floor)
+        (9, datetime(2024, 2, 1), 3.5),    # age 0 → 3.5
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        r["key"]: r for r in decay_score(
+            df, "user_id", "value", "ts", "2024-02-01"
+        ).collect()
+    }
+    assert got[9]["decayed_score"] == 3.5
+    assert abs(got[7]["decayed_score"] - (4.0 + 2.0 + 8.0 / 2**31)) < 1e-5
+    assert got[7]["n_events"] == 3
