@@ -338,6 +338,23 @@ def _analytics_scale(spark, argv) -> None:
             ev, "event_type = 'error'", "user_id % 2 = 1"
         ),
     )
+    from institutional_fx_etl_spark.operators.basket import (
+        basket_assoc_rules,
+    )
+    from institutional_fx_etl_spark.operators.sketches import hll_estimate
+
+    timed("hll_estimate", lambda: hll_estimate(ev, "user_id", "event_type"))
+    # synthetic baskets at the same scale: ~6 items per transaction
+    # from a 50k-item catalog — the pair fan-out is Σ C(6,2) ≈ 15·n/6
+    baskets = spark.range(n_events).selectExpr(
+        "id div 6 AS txn", "abs(hash(id, 9)) % 50000 AS item"
+    )
+    timed(
+        "basket_assoc_rules",
+        lambda: basket_assoc_rules(
+            baskets, "txn", "item", min_pair_count=3
+        ),
+    )
 
 
 def _corpus_scale(spark, argv) -> None:
