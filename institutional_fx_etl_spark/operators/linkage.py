@@ -50,6 +50,14 @@ def fuzzy_best_match(
 
     Output: <query_id>, query_text, match_text, shared (BIGINT),
     jaccard (round 6).
+
+    Scale caveat (probed at 1M catalog × 50k queries, 38.9 s): the
+    hot cap drops stopword-grade trigrams BY DESIGN, so a low-entropy
+    key space (serial numbers, digits-only codes — few distinct
+    trigrams, all hot) caps away every blocker and matches nothing.
+    Such catalogs need a higher-entropy blocking key (word grams,
+    longer q-grams) — raising ``max_df`` instead re-opens the
+    candidate fan the cap exists to bound.
     """
     # length guard BEFORE the trigram sequence (sequence(1, n-2) with
     # n < 3 would be a descending range — an error, not an empty set)
