@@ -35,6 +35,10 @@ REPORT_QUERIES = [
     "linear_interpolate",
     "dedup_containment",
     "ks_two_sample",
+    "cusum_changepoint",
+    "fuzzy_lookup_join",
+    "hll_estimate",
+    "assoc_rules",
 ]
 
 SF = "/root/testdata/sf0.1"
@@ -52,6 +56,30 @@ NOTES = {
         "feed the BUCKET-count-sized offset table and the one-row "
         "totals; the per-value cumulative window is partitioned by "
         "range bucket with offsets broadcast back."
+    ),
+    "cusum_changepoint": (
+        "Two-level day-bucket prefix: ZERO SinglePartition exchanges "
+        "— data-grain windows partition by (group, bucket), the "
+        "rollup windows by group over one-row-per-bucket relations, "
+        "offsets broadcast back (machine-gated in "
+        "test_round7b_ops.py)."
+    ),
+    "fuzzy_lookup_join": (
+        "Capped trigram posting list on the catalog side; query "
+        "trigrams BROADCAST; the argmax is one composite-key min_by "
+        "aggregate — no window over candidates."
+    ),
+    "hll_estimate": (
+        "Sketch shape: the registers aggregate bounds the shuffle at "
+        "groups·m rows; the harmonic sum is an exact scaled-BIGINT "
+        "aggregate, so no recombination drift at any parallelism."
+    ),
+    "assoc_rules": (
+        "In-array pair emission from one groupBy-transaction "
+        "exchange; item supports broadcast onto the AGGREGATED pair "
+        "relation — no self-join of the basket relation. The one "
+        "SinglePartition exchange is the N-transactions scalar "
+        "(partial counts only — one row per task crosses it)."
     ),
     "hybrid_pipeline": (
         "The one `Exchange SinglePartition` feeds the single-symbol "
