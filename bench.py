@@ -134,6 +134,7 @@ HEADLINE = [
     "hll_estimate",
     "fuzzy_lookup_join",
     "decay_score",
+    "streaming_countmin",
 ]
 
 

@@ -9465,6 +9465,61 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_countmin",
+    """
+    WITH ks AS (SELECT user_id AS k FROM events WHERE user_id IS NOT NULL),
+    hrows AS (SELECT i FROM (VALUES (0), (1), (2), (3)) t(i))
+    SELECT i,
+           CAST(concat('0x', substr(md5(concat('cms', i, '_',
+             CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % 256 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ks CROSS JOIN hrows GROUP BY 1, 2
+    """,
+)
+def q_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING count-min: the d×w counter matrix maintained as a
+    live streaming aggregation (complete mode — the state IS the
+    sketch, bounded at d·w rows forever) over the bounded events
+    source; must equal the batch ``countmin_counters`` matrix exactly
+    (the whole point of a deterministic sketch: any ingestion order,
+    batch or streaming, yields the identical structure)."""
+    import tempfile
+
+    from institutional_fx_etl_spark.operators.sketches import (
+        countmin_counters,
+    )
+    from institutional_fx_etl_spark.sources.readers import (
+        read_parquet_nanos_safe,
+    )
+
+    name = "streaming_countmin_result"
+    static = read_parquet_nanos_safe(spark, f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    counters = countmin_counters(
+        stream.filter("user_id IS NOT NULL"), "user_id"
+    ).selectExpr("i", "bucket", "CAST(cnt AS BIGINT) AS cnt")
+    q = (
+        counters.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="stream_cms_ck_"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
     "decay_score",
     """
     WITH t AS (
@@ -9726,6 +9781,7 @@ _HEAD = [
     "hll_estimate",
     "fuzzy_lookup_join",
     "decay_score",
+    "streaming_countmin",
     # flagship family (hybrid_pipeline/_multisym/incremental_merge,
     # validator_reconcile, streaming_gap_bridge) holds fresh r6 rows
     # and is tail-gated on every CI run; the union-of-two-windows
