@@ -135,6 +135,7 @@ HEADLINE = [
     "fuzzy_lookup_join",
     "decay_score",
     "streaming_countmin",
+    "dedup_recall_eval",
 ]
 
 

@@ -9047,6 +9047,94 @@ def _register_streaming_cusum() -> None:
         return spark.table(name)
 
 
+def _register_dedup_recall_eval() -> None:
+    """LSH recall measured against blocking-free ground truth — the
+    eval harness that quantifies what the banded-LSH candidate stage
+    misses (the verify step makes precision 1.0 by construction; the
+    interesting number is recall). Ground truth is a brute-force n²
+    pair scan — an EVAL tool, run on a sample at scale, exactly like
+    ``ann_recall_eval`` vs the IVF index."""
+    mh = REGISTRY["dedup_minhash_lsh"][1]
+    oracle = f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    t2 AS (
+      SELECT doc_id, {_DUCK_SHINGLES.format(toks='toks')} AS sh
+      FROM t WHERE len(toks) >= 3
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t2 a JOIN t2 b ON a.doc_id < b.doc_id
+      WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+    ),
+    found AS (SELECT id_a, id_b FROM ({mh})),
+    s AS (
+      SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+             (SELECT COUNT(*) FROM found) AS n_found,
+             (SELECT COUNT(*) FROM found f JOIN truth t
+                ON f.id_a = t.id_a AND f.id_b = t.id_b) AS tp)
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_found AS BIGINT) AS n_found,
+           CAST(tp AS BIGINT) AS true_positives,
+           round(CAST(tp AS DOUBLE) / n_found, 6) AS precision,
+           round(CAST(tp AS DOUBLE) / n_truth, 6) AS recall
+    FROM s
+    """
+
+    @register("dedup_recall_eval", oracle)
+    def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Recall of the banded MinHash LSH against the blocking-free
+        exact-Jaccard ground truth (threshold 0.5) — brute-force n²
+        on the eval corpus BY DESIGN (sample-based at scale); the
+        found side is the production candidate path
+        (``operators/dedup.py::minhash_lsh_pairs``)."""
+        from institutional_fx_etl_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            minhash_signatures,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        sets = minhash_signatures(docs).select("doc_id", "shingle_hashes")
+        a = sets.selectExpr("doc_id AS id_a", "shingle_hashes AS sh_a")
+        b = sets.selectExpr("doc_id AS id_b", "shingle_hashes AS sh_b")
+        truth = (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .selectExpr(
+                "id_a",
+                "id_b",
+                "round(cast(size(array_intersect(sh_a, sh_b)) as double)"
+                " / size(array_union(sh_a, sh_b)), 6) AS j",
+            )
+            .filter("j >= 0.5")
+            .select("id_a", "id_b")
+        )
+        found = minhash_lsh_pairs(docs, jaccard_threshold=0.5).select(
+            "id_a", "id_b"
+        )
+        tp = found.join(truth, ["id_a", "id_b"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("tp")
+        )
+        nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+        nf = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+        return (
+            nt.crossJoin(F.broadcast(nf))
+            .crossJoin(F.broadcast(tp))
+            .selectExpr(
+                "n_truth",
+                "n_found",
+                "tp AS true_positives",
+                "round(CAST(tp AS DOUBLE) / n_found, 6) AS precision",
+                "round(CAST(tp AS DOUBLE) / n_truth, 6) AS recall",
+            )
+        )
+
+
+_register_dedup_recall_eval()
+
+
 def _register_dedup_canonical() -> None:
     """Canonical-representative selection composed on the
     connected-components oracle (same wrap pattern as dedup_apply) —
@@ -9782,6 +9870,7 @@ _HEAD = [
     "fuzzy_lookup_join",
     "decay_score",
     "streaming_countmin",
+    "dedup_recall_eval",
     # flagship family (hybrid_pipeline/_multisym/incremental_merge,
     # validator_reconcile, streaming_gap_bridge) holds fresh r6 rows
     # and is tail-gated on every CI run; the union-of-two-windows

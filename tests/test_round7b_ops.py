@@ -500,3 +500,26 @@ def test_decay_score_hand(spark):
     assert got[9]["decayed_score"] == 3.5
     assert abs(got[7]["decayed_score"] - (4.0 + 2.0 + 8.0 / 2**31)) < 1e-5
     assert got[7]["n_events"] == 3
+
+
+def test_dedup_recall_eval_counts(spark, tmp_path):
+    """Hand corpus: 3 identical docs (+1 unrelated) → truth = 3 pairs,
+    LSH finds all (identical signatures always collide), precision 1."""
+    import __spark_entry__ as entry
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(3)]
+        + [(9, "unrelated words appear only here today")],
+        "doc_id long, text string",
+    )
+    docs = docs.selectExpr(
+        "doc_id", "text", "'en' AS lang", "'s' AS source",
+        "length(text) AS n_chars",
+    )
+    out = tmp_path / "documents.parquet"
+    docs.coalesce(1).write.parquet(str(out))
+    # the contract fn reads <sf_dir>/documents.parquet
+    r = entry.queries()["dedup_recall_eval"](spark, str(tmp_path)).collect()[0]
+    assert r["n_truth"] == 3 and r["n_found"] == 3
+    assert r["true_positives"] == 3
+    assert r["precision"] == 1.0 and r["recall"] == 1.0
