@@ -51,9 +51,12 @@ def _bridge(
         "symbol", "datetime", "open", "high", "low", "close",
         "volume", "spread", "is_flat",
     ]
-    for pdf in batches:
-        if len(pdf) == 0:
-            continue
+    # a group's micro-batch may arrive as SEVERAL Arrow chunks in
+    # arbitrary order — concatenate before the one sorted pass so the
+    # state carry sequences correctly even when a symbol's batch
+    # exceeds one Arrow batch (e.g. a backfill)
+    chunks = [pdf for pdf in batches if len(pdf)]
+    for pdf in [pd.concat(chunks, ignore_index=True)] if chunks else []:
         # Vectorized bridging (no per-row Python loop): each row looks
         # at its predecessor (batch shift, state-seeded first row) and
         # emits its missing minutes via np.repeat gap expansion.
@@ -445,9 +448,14 @@ def make_cusum_fn(target: float, threshold: float):
     ) -> Iterator[pd.DataFrame]:
         (grp,) = key
         s_last = state.get[0] if state.exists else 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
+        # a group's micro-batch may arrive as SEVERAL Arrow chunks in
+        # arbitrary order — concatenate before the one sorted pass, or
+        # the within-batch ordering (and therefore the recursion)
+        # breaks whenever a group exceeds one Arrow batch
+        chunks = [pdf for pdf in batches if len(pdf)]
+        for pdf in (
+            [pd.concat(chunks, ignore_index=True)] if chunks else []
+        ):
             pdf = pdf.sort_values(["ts", "id"])
             d = (
                 np.floor(
