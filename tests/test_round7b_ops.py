@@ -523,3 +523,27 @@ def test_dedup_recall_eval_counts(spark, tmp_path):
     assert r["n_truth"] == 3 and r["n_found"] == 3
     assert r["true_positives"] == 3
     assert r["precision"] == 1.0 and r["recall"] == 1.0
+
+
+def test_compact_small_files(spark, tmp_path):
+    from institutional_fx_etl_spark.sources.writers import (
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(10_000).selectExpr(
+        "id", "id % 3 AS part", "md5(CAST(id AS STRING)) AS payload"
+    )
+    # 64 shuffle partitions × 3 hive partitions → a small-file mess
+    df.repartition(64).write.partitionBy("part").parquet(path)
+    before = spark.read.parquet(path).orderBy("id").collect()
+
+    stats = compact_small_files(spark, path, partition_col="part")
+    after_df = spark.read.parquet(path)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 3  # one file per hive partition here
+    # partition layout (and pruning) preserved
+    assert [d.name for d in sorted((tmp_path / "tbl").glob("part=*"))] == [
+        "part=0", "part=1", "part=2",
+    ]
+    assert after_df.orderBy("id").collect() == before

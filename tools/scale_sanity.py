@@ -572,3 +572,25 @@ def _graph_scale(spark, argv) -> None:
         f" {_t.time() - t0:.1f}s",
         flush=True,
     )
+
+    # bounded traversals on the same skewed graph: frontier BFS and
+    # weighted Bellman-Ford rounds — per-round persisted ids-only sets
+    from institutional_fx_etl_spark.operators.graph import (
+        bfs_hops,
+        sssp_weighted,
+    )
+
+    seeds = edges.selectExpr("src AS node").filter("node % 9973 = 0").distinct()
+    t0 = _t.time()
+    n = bfs_hops(edges, seeds, max_hops=3).count()
+    print(f"bfs_hops(3): reached {n} nodes, {_t.time() - t0:.1f}s", flush=True)
+
+    weighted = edges.selectExpr(
+        "src", "dst", "1 + abs(hash(src, dst)) % 7 AS w"
+    )
+    t0 = _t.time()
+    n = sssp_weighted(weighted, seeds, rounds=3).count()
+    print(
+        f"sssp_weighted(3): labeled {n} nodes, {_t.time() - t0:.1f}s",
+        flush=True,
+    )
