@@ -136,6 +136,7 @@ HEADLINE = [
     "decay_score",
     "streaming_countmin",
     "dedup_recall_eval",
+    "diff_in_diff",
 ]
 
 

@@ -710,3 +710,59 @@ def pareto_topshare(
             "round(CAST(k_top AS DOUBLE) / n_keys, 6) AS k_share",
         )
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    value_col: str,
+    treated_expr: str,
+    post_expr: str,
+) -> DataFrame:
+    """Difference-in-differences estimator — the causal companion to
+    :func:`proportion_ztest`: how much MORE did the treated cohort's
+    mean move across the treatment boundary than the control cohort's
+    (which nets out the common time trend).
+
+    One hash aggregate produces the four cells' exact micro-unit
+    DECIMAL sums and BIGINT counts; the four means and the DiD are
+    single mirrored double expressions over them — no float
+    accumulates distributed, so the estimate hashes identically.
+
+    Output: one row — n per cell, mean per cell (round 6),
+    did (round 6).
+    """
+    cells = {
+        "c_pre": f"NOT ({treated_expr}) AND NOT ({post_expr})",
+        "c_post": f"NOT ({treated_expr}) AND ({post_expr})",
+        "t_pre": f"({treated_expr}) AND NOT ({post_expr})",
+        "t_post": f"({treated_expr}) AND ({post_expr})",
+    }
+    aggs = []
+    for name, cond in cells.items():
+        aggs.append(
+            F.expr(
+                f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS n_{name}"
+            )
+        )
+        aggs.append(
+            F.expr(
+                f"SUM(CASE WHEN {cond} THEN"
+                f" CAST(floor({value_col} * 1000000 + 0.5)"
+                " AS DECIMAL(38,0)) ELSE 0 END)"
+                f" AS s_{name}"
+            )
+        )
+    mean = (
+        lambda c: f"CAST(s_{c} AS DOUBLE) / 1000000 / n_{c}"
+    )  # noqa: E731
+    return (
+        df.filter(f"{value_col} IS NOT NULL")
+        .agg(*aggs)
+        .selectExpr(
+            *(f"n_{c}" for c in cells),
+            *(f"round({mean(c)}, 6) AS mean_{c}" for c in cells),
+            f"round(({mean('t_post')} - {mean('t_pre')})"
+            f" - ({mean('c_post')} - {mean('c_pre')}), 6) AS did",
+        )
+    )

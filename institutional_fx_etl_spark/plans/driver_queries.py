@@ -9553,6 +9553,69 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "diff_in_diff",
+    """
+    WITH s AS (
+      SELECT
+        CAST(SUM(CASE WHEN NOT (user_id % 2 = 1)
+              AND NOT (ts >= TIMESTAMP '2024-01-16 00:00:00')
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+        SUM(CASE WHEN NOT (user_id % 2 = 1)
+              AND NOT (ts >= TIMESTAMP '2024-01-16 00:00:00')
+              THEN CAST(floor(value * 1000000 + 0.5) AS DECIMAL(38,0))
+              ELSE 0 END) AS s_c_pre,
+        CAST(SUM(CASE WHEN NOT (user_id % 2 = 1)
+              AND (ts >= TIMESTAMP '2024-01-16 00:00:00')
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+        SUM(CASE WHEN NOT (user_id % 2 = 1)
+              AND (ts >= TIMESTAMP '2024-01-16 00:00:00')
+              THEN CAST(floor(value * 1000000 + 0.5) AS DECIMAL(38,0))
+              ELSE 0 END) AS s_c_post,
+        CAST(SUM(CASE WHEN (user_id % 2 = 1)
+              AND NOT (ts >= TIMESTAMP '2024-01-16 00:00:00')
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+        SUM(CASE WHEN (user_id % 2 = 1)
+              AND NOT (ts >= TIMESTAMP '2024-01-16 00:00:00')
+              THEN CAST(floor(value * 1000000 + 0.5) AS DECIMAL(38,0))
+              ELSE 0 END) AS s_t_pre,
+        CAST(SUM(CASE WHEN (user_id % 2 = 1)
+              AND (ts >= TIMESTAMP '2024-01-16 00:00:00')
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+        SUM(CASE WHEN (user_id % 2 = 1)
+              AND (ts >= TIMESTAMP '2024-01-16 00:00:00')
+              THEN CAST(floor(value * 1000000 + 0.5) AS DECIMAL(38,0))
+              ELSE 0 END) AS s_t_post
+      FROM events WHERE value IS NOT NULL)
+    SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+      round(CAST(s_c_pre AS DOUBLE) / 1000000 / n_c_pre, 6) AS mean_c_pre,
+      round(CAST(s_c_post AS DOUBLE) / 1000000 / n_c_post, 6) AS mean_c_post,
+      round(CAST(s_t_pre AS DOUBLE) / 1000000 / n_t_pre, 6) AS mean_t_pre,
+      round(CAST(s_t_post AS DOUBLE) / 1000000 / n_t_post, 6) AS mean_t_post,
+      round((CAST(s_t_post AS DOUBLE) / 1000000 / n_t_post
+             - CAST(s_t_pre AS DOUBLE) / 1000000 / n_t_pre)
+          - (CAST(s_c_post AS DOUBLE) / 1000000 / n_c_post
+             - CAST(s_c_pre AS DOUBLE) / 1000000 / n_c_pre), 6) AS did
+    FROM s
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: how much more did odd-user-id (the
+    "treated" cohort) event values move across Jan 16 than even-user-id
+    values — the causal A/B readout that nets out the common time
+    trend. One aggregate to four exact micro-DECIMAL cells; means and
+    the DiD are mirrored double expressions
+    (``operators/profiling.py::diff_in_diff``)."""
+    from institutional_fx_etl_spark.operators.profiling import diff_in_diff
+
+    return diff_in_diff(
+        load_table(spark, sf_dir, "events"),
+        "value",
+        "user_id % 2 = 1",
+        "ts >= TIMESTAMP '2024-01-16 00:00:00'",
+    )
+
+
+@register(
     "streaming_countmin",
     """
     WITH ks AS (SELECT user_id AS k FROM events WHERE user_id IS NOT NULL),
@@ -9871,6 +9934,7 @@ _HEAD = [
     "decay_score",
     "streaming_countmin",
     "dedup_recall_eval",
+    "diff_in_diff",
     # flagship family (hybrid_pipeline/_multisym/incremental_merge,
     # validator_reconcile, streaming_gap_bridge) holds fresh r6 rows
     # and is tail-gated on every CI run; the union-of-two-windows

@@ -547,3 +547,20 @@ def test_compact_small_files(spark, tmp_path):
         "part=0", "part=1", "part=2",
     ]
     assert after_df.orderBy("id").collect() == before
+
+
+def test_diff_in_diff_hand(spark):
+    from institutional_fx_etl_spark.operators.profiling import diff_in_diff
+
+    # control: 10 → 12 (+2); treated: 20 → 27 (+7) → DiD = +5
+    rows = (
+        [(0, 0, 10.0)] * 3 + [(0, 1, 12.0)] * 3
+        + [(1, 0, 20.0)] * 2 + [(1, 1, 27.0)] * 4
+    )
+    df = spark.createDataFrame(rows, "t int, p int, value double")
+    r = diff_in_diff(df, "value", "t = 1", "p = 1").collect()[0]
+    assert (r["n_c_pre"], r["n_c_post"], r["n_t_pre"], r["n_t_post"]) == (
+        3, 3, 2, 4,
+    )
+    assert r["mean_t_post"] == 27.0 and r["mean_c_pre"] == 10.0
+    assert r["did"] == 5.0
