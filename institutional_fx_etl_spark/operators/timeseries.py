@@ -702,8 +702,11 @@ def cusum_changepoint(
         f"{ts_col} AS ts",
         f"CAST(floor({value_col} * 1000000 + 0.5) AS BIGINT)"
         f" - {k_micro} AS d",
+        # divisor computed in PYTHON: an in-SQL `3600 * 1000000`
+        # multiplies as int32 and silently wraps (ansi off), which
+        # broke bucket monotonicity for sub-day bucket sizes
         f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
-        f" div ({bucket_seconds} * 1000000) AS bkt",
+        f" div {bucket_seconds * 1_000_000} AS bkt",
     )
     from pyspark import StorageLevel
 

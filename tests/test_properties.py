@@ -731,3 +731,93 @@ def test_resample_candles_equals_direct_coarse_agg(spark, rows):
     got = sorted(tuple(r[c] for c in cols) for r in rolled.collect())
     exp = sorted(tuple(r[c] for c in cols) for r in direct.collect())
     assert got == exp
+
+
+# ---------------------------------------------------------------------
+# round-7 continuation: CUSUM prefix identity and Mann-Whitney midranks
+# against pure-Python sequential references on random draws
+# ---------------------------------------------------------------------
+
+cusum_values = st.lists(
+    st.floats(min_value=0.0, max_value=500.0, allow_nan=False),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=cusum_values, bucket_seconds=st.sampled_from([60, 3600, 10**9]))
+def test_cusum_prefix_identity_property(spark, vals, bucket_seconds):
+    """Any series, any bucketing: the two-level distributed form must
+    equal the sequential recursion exactly (integer micro-units)."""
+    from institutional_fx_etl_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    target = 55.0
+    rows = [
+        (i, T0 + timedelta(seconds=i * 97), "g", v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = [
+        r["cusum_micro"]
+        for r in sorted(
+            cusum_changepoint(
+                df, target=target, bucket_seconds=bucket_seconds
+            ).collect(),
+            key=lambda r: r["id"],
+        )
+    ]
+    s, want = 0, []
+    for v in vals:
+        d = int(round(v * 1_000_000)) - int(round(target * 1_000_000))
+        s = max(0, s + d)
+        want.append(s)
+    assert got == want
+
+
+mwu_samples = st.lists(
+    st.floats(min_value=0.0, max_value=20.0, allow_nan=False).map(
+        lambda x: round(x * 2) / 2  # force ties on a half-unit grid
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(a=mwu_samples, b=mwu_samples)
+def test_mannwhitney_midrank_property(spark, a, b):
+    """Random tied samples: U from the distributed per-distinct-value
+    construction must equal the midrank textbook computation."""
+    from institutional_fx_etl_spark.operators.profiling import mannwhitney_u
+
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = mannwhitney_u(df, "v", "g", "a", "b").collect()[0]
+
+    pooled = sorted(a + b)
+    # midrank of value v = average 1-based position of its tie run
+    first = {}
+    for i, v in enumerate(pooled):
+        first.setdefault(v, i + 1)
+    count = {}
+    for v in pooled:
+        count[v] = count.get(v, 0) + 1
+    midrank = {v: first[v] + (count[v] - 1) / 2 for v in count}
+    r_a = sum(midrank[v] for v in a)
+    u_a = r_a - len(a) * (len(a) + 1) / 2
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert got["u_a"] == u_a
+    assert got["u_b"] == len(a) * len(b) - u_a
