@@ -9903,9 +9903,10 @@ _HEAD = [
     # never-certified queries outrank it for the 50 slots.
     "hybrid_pipeline_chunked",
     # slot 51+: highest-priority tail (tail-gated every CI run; the
-    # round-7 statistical-test family lands here because the 50 window
-    # slots are taken by the judge-ask rotation — they head the r8
-    # window per policy rule 1)
+    # round-7 statistical-test family AND the session-2 widening land
+    # here because the 50 window slots are taken by the judge-ask
+    # rotation — ALL entries below this line are new-in-round-7 and
+    # head the r8 window per policy rule 1)
     "lsh_ann_pairs",
     "anova_oneway",
     "ks_two_sample",
