@@ -9054,11 +9054,20 @@ def _register_dedup_recall_eval() -> None:
     interesting number is recall). Ground truth is a brute-force n²
     pair scan — an EVAL tool, run on a sample at scale, exactly like
     ``ann_recall_eval`` vs the IVF index."""
-    mh = REGISTRY["dedup_minhash_lsh"][1]
+    # the composed minhash oracle must see the SAME sample corpus the
+    # Spark side dedups (the hot-bucket cap is corpus-dependent) — so
+    # its `FROM documents` scans are rewritten onto the bounded view
+    mh = REGISTRY["dedup_minhash_lsh"][1].replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id < 500)",
+    )
     oracle = f"""
-    WITH t AS (
+    WITH ev AS (
+      SELECT * FROM documents WHERE doc_id < 500
+    ),
+    t AS (
       SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
-      FROM documents
+      FROM ev
     ),
     t2 AS (
       SELECT doc_id, {_DUCK_SHINGLES.format(toks='toks')} AS sh
@@ -9096,7 +9105,13 @@ def _register_dedup_recall_eval() -> None:
             minhash_signatures,
         )
 
-        docs = load_table(spark, sf_dir, "documents")
+        # deterministic eval-corpus bound: the brute-force truth is n²
+        # BY DESIGN, so the harness fixes the sample (doc_id < 500 — a
+        # no-op at sf≤0.01, a 10% sample at sf0.1) instead of letting
+        # the eval cost grow quadratically with the corpus
+        docs = load_table(spark, sf_dir, "documents").filter(
+            "doc_id < 500"
+        )
         sets = minhash_signatures(docs).select("doc_id", "shingle_hashes")
         a = sets.selectExpr("doc_id AS id_a", "shingle_hashes AS sh_a")
         b = sets.selectExpr("doc_id AS id_b", "shingle_hashes AS sh_b")
