@@ -128,3 +128,51 @@ def compact_small_files(
         "files_after": len(after),
         "bytes": total_bytes,
     }
+
+
+def erase_keys(
+    spark,
+    path: str,
+    key_col: str,
+    keys_df,
+) -> dict:
+    """Right-to-erasure rewrite: remove every row whose ``key_col``
+    appears in ``keys_df`` (a one-column DataFrame of subject keys)
+    from a parquet dataset — the GDPR/CCPA deletion pass that
+    complements the engine's ``pii_redact``/``k_anonymity`` governance
+    ops with actual data removal.
+
+    The filter is a broadcast LEFT ANTI join against the key list
+    (erasure requests are small by nature; at millions of keys drop
+    the broadcast hint and it degrades to a key-partitioned anti
+    join), the rewrite goes through a temp directory + swap (the same
+    never-half-rewritten discipline as ``compact_small_files``), and
+    the returned audit — rows before/after/erased — is what the
+    compliance log wants. Erasure is rewrite-based because plain
+    parquet has no delete vectors; on a format with deletion support
+    the same anti-join becomes a MERGE DELETE.
+    """
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    rows_before = df.count()
+    keys = keys_df.toDF("k").select(F.col("k").alias("__erase_k"))
+    kept = df.join(
+        F.broadcast(keys),
+        df[key_col] == F.col("__erase_k"),
+        "left_anti",
+    )
+    p = Path(path)
+    tmp = str(p.with_name(p.name + "__erasing"))
+    kept.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    rows_after = spark.read.parquet(path).count()
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "rows_erased": rows_before - rows_after,
+    }

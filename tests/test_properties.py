@@ -821,3 +821,98 @@ def test_mannwhitney_midrank_property(spark, a, b):
     assert got["n_a"] == len(a) and got["n_b"] == len(b)
     assert got["u_a"] == u_a
     assert got["u_b"] == len(a) * len(b) - u_a
+
+
+wm_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),
+        st.integers(min_value=1, max_value=9),   # weight
+        st.floats(min_value=0.5, max_value=99.5, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=wm_rows)
+def test_weighted_median_property(spark, rows):
+    """Random weighted samples: the threshold-min window form must
+    equal the textbook lower weighted median (first value whose
+    cumulative weight reaches half the total, in value order)."""
+    from institutional_fx_etl_spark.plans.driver_queries import REGISTRY
+
+    data = [
+        (g, i, 1, float(w), float(v))
+        for i, (g, w, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "l_returnflag string, l_orderkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/lineitem.parquet")
+        got = {
+            r["grp"]: r["wmedian_price"]
+            for r in REGISTRY["weighted_median"][0](spark, d).collect()
+        }
+    for g in {r[0] for r in rows}:
+        sample = sorted(
+            [(v, w) for (gg, w, v) in rows if gg == g]
+        )
+        total = sum(w for _, w in sample)
+        cum = 0
+        for v, w in sample:
+            cum += w
+            if 2 * cum >= total:
+                assert got[g] == v, (g, sample)
+                break
+
+
+pareto_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),    # key
+        st.floats(min_value=0.01, max_value=99.0, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=pareto_rows)
+def test_pareto_topshare_property(spark, rows):
+    """Random value sets: k_top must be the minimal prefix (by value
+    desc, key asc, cents-exact) whose share reaches 80%."""
+    from institutional_fx_etl_spark.operators.profiling import (
+        pareto_topshare,
+    )
+
+    df = spark.createDataFrame(
+        [("g", k, v) for k, v in rows], "grp string, k long, v double"
+    )
+    r = pareto_topshare(df, "grp", "k", "v").collect()[0]
+    per_key = {}
+    for k, v in rows:
+        per_key[k] = per_key.get(k, 0) + int(v * 100 + 0.5)
+    ordered = sorted(per_key.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(per_key.values())
+    cum, k_top = 0, 0
+    for _, v in ordered:
+        cum += v
+        k_top += 1
+        if 5 * cum >= 4 * total:
+            break
+    assert r["k_top"] == k_top
+    assert r["n_keys"] == len(per_key)

@@ -564,3 +564,24 @@ def test_diff_in_diff_hand(spark):
     )
     assert r["mean_t_post"] == 27.0 and r["mean_c_pre"] == 10.0
     assert r["did"] == 5.0
+
+
+def test_erase_keys(spark, tmp_path):
+    from institutional_fx_etl_spark.sources.writers import erase_keys
+
+    path = str(tmp_path / "events_tbl")
+    df = spark.range(1000).selectExpr(
+        "id AS event_id", "id % 50 AS user_id", "md5(CAST(id AS STRING)) AS payload"
+    )
+    df.write.parquet(path)
+    subjects = spark.createDataFrame([(7,), (13,), (999,)], "user_id long")
+    audit = erase_keys(spark, path, "user_id", subjects)
+    # users 7 and 13 have 20 rows each; 999 matches nothing
+    assert audit == {
+        "rows_before": 1000,
+        "rows_after": 960,
+        "rows_erased": 40,
+    }
+    left = spark.read.parquet(path)
+    assert left.filter("user_id IN (7, 13)").count() == 0
+    assert left.count() == 960
