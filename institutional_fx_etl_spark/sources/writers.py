@@ -176,3 +176,35 @@ def erase_keys(
         "rows_after": rows_after,
         "rows_erased": rows_before - rows_after,
     }
+
+
+def quarantine_write(
+    df,
+    expectations: dict,
+    good_path: str,
+    quarantine_path: str,
+) -> dict:
+    """Expectation-gated dual sink: rows passing every declared
+    invariant land in ``good_path``, violations land in
+    ``quarantine_path`` tagged by the rule they broke — the standard
+    ingest-quality topology (never block the pipeline on bad rows,
+    never silently drop them either).
+
+    Composition of :func:`functions.expectations.check_expectations`
+    (one fused-predicate scan) with two parquet sinks; the returned
+    audit counts are what the ingest monitor alerts on. The violations
+    write carries the ``rule`` tag column (one row per violated rule),
+    so quarantined data is self-describing for replay after a rule
+    fix.
+    """
+    from institutional_fx_etl_spark.functions.expectations import (
+        check_expectations,
+    )
+
+    good, bad = check_expectations(df, expectations)
+    good.write.mode("overwrite").parquet(good_path)
+    bad.write.mode("overwrite").parquet(quarantine_path)
+    spark = df.sparkSession
+    n_good = spark.read.parquet(good_path).count()
+    n_bad = spark.read.parquet(quarantine_path).count()
+    return {"rows_good": n_good, "rows_quarantined": n_bad}

@@ -44,3 +44,29 @@ def test_plan_has_no_forbidden_operators(spark, name):
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
     assert "BatchEvalPython" not in plan, f"{name} plans a Python UDF"
     assert "ArrowEvalPython" not in plan, f"{name} plans a scalar UDF"
+
+
+def test_rotation_lists_have_no_typos():
+    """_reorder_registry silently skips names missing from REGISTRY —
+    a typo in the rotation lists would silently shrink the driver
+    window. Every listed name must resolve."""
+    from institutional_fx_etl_spark.plans.driver_queries import (
+        _HEAD,
+        _TAIL,
+        REGISTRY,
+    )
+
+    missing = [n for n in _HEAD + _TAIL if n not in REGISTRY]
+    assert not missing, missing
+    assert len(set(_HEAD)) == len(_HEAD)
+    assert len(set(_TAIL)) == len(_TAIL)
+    assert not (set(_HEAD) & set(_TAIL))
+
+
+def test_driver_window_is_full():
+    """The driver certifies the FIRST 50 registry entries — the window
+    must actually hold 50 distinct queries."""
+    from institutional_fx_etl_spark.plans.driver_queries import REGISTRY
+
+    window = list(REGISTRY)[:50]
+    assert len(window) == 50 and len(set(window)) == 50

@@ -585,3 +585,23 @@ def test_erase_keys(spark, tmp_path):
     left = spark.read.parquet(path)
     assert left.filter("user_id IN (7, 13)").count() == 0
     assert left.count() == 960
+
+
+def test_quarantine_write(spark, tmp_path):
+    from institutional_fx_etl_spark.sources.writers import quarantine_write
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, None), (4, 7.0)],
+        "id long, v double",
+    )
+    audit = quarantine_write(
+        df,
+        {"v_positive": F.col("v") > 0, "v_present": F.col("v").isNotNull()},
+        str(tmp_path / "good"),
+        str(tmp_path / "quarantine"),
+    )
+    assert audit == {"rows_good": 2, "rows_quarantined": 3}
+    bad = spark.read.parquet(str(tmp_path / "quarantine"))
+    got = {(r["id"], r["rule"]) for r in bad.collect()}
+    # id 2 breaks v_positive; id 3 breaks both (NULL fails both rules)
+    assert got == {(2, "v_positive"), (3, "v_positive"), (3, "v_present")}
