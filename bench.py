@@ -137,6 +137,7 @@ HEADLINE = [
     "streaming_countmin",
     "dedup_recall_eval",
     "diff_in_diff",
+    "quantile_sketch",
 ]
 
 

@@ -197,3 +197,92 @@ def hll_estimate(
             f" ELSE {est_raw} END, 4) AS est",
         )
     )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Mergeable approximate-quantile sketch with DETERMINISTIC
+    log-grid buckets — the fixed-size percentile summary (p50/p95/p99
+    dashboards) whose exact sibling (``exact_quantiles``) needs a
+    value-ordered pass.
+
+    Construction: values fix-point to micro-units; each lands in an
+    exponential bucket read from the BIGINT's binary STRING length
+    (``length(bin(v))`` = ⌊log₂v⌋+1 — integer string ops, the same
+    no-float-log trick as the HLL rank) refined by the top ``sub_bits``
+    mantissa bits — 2^sub_bits sub-buckets per octave bounds the
+    relative error at ~2^(−sub_bits). State is (count, min value) per
+    occupied bucket (≤ ~64·2^sub_bits rows — fixed regardless of data
+    size, mergeable by add/min). The bucket id is order-isomorphic to
+    the value, so the quantile readout is a cumulative walk; the
+    reported estimate is the target bucket's MINIMUM OBSERVED value —
+    an actual data point, deterministic, within one sub-bucket of the
+    true quantile. The exact percentile rides along for the accuracy
+    audit.
+
+    Output per quantile: q, est (unit scale, round 6), exact
+    (round 6), n.
+    """
+    v = f"CAST(floor({value_col} * 1000000 + 0.5) AS BIGINT)"
+    # bucket id = (bitlen << sub_bits) | top mantissa bits — integer,
+    # order-isomorphic to the value, so cumulative walks are valid
+    bucket = (
+        f"CASE WHEN {v} <= 0 THEN 0 ELSE"
+        f" (length(bin({v})) * {1 << sub_bits})"
+        f" + ({v} div CAST(pow(2, greatest(length(bin({v}))"
+        f" - {1 + sub_bits}, 0)) AS BIGINT)) % {1 << sub_bits} END"
+    )
+    counts = (
+        df.filter(f"{value_col} IS NOT NULL")
+        .selectExpr(f"{bucket} AS bucket", f"{v} AS vm")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.expr("CAST(MIN(vm) AS BIGINT) AS lo"),
+        )
+        .selectExpr(
+            "bucket",
+            "c",
+            "lo",
+            "SUM(c) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) AS cum",
+            "SUM(c) OVER () AS n",
+        )
+    )
+    outs = []
+    for q in quantiles:
+        est = (
+            counts.filter(f"cum >= ceil({q!r} * n)")
+            .groupBy("n")
+            .agg(F.expr("CAST(min_by(lo, bucket) AS BIGINT) AS lo_micro"))
+            .selectExpr(
+                f"CAST({q!r} AS DOUBLE) AS q",
+                "round(CAST(lo_micro AS DOUBLE) / 1000000, 6) AS est",
+                "CAST(n AS BIGINT) AS n",
+            )
+        )
+        outs.append(est)
+    from functools import reduce
+
+    sk = reduce(DataFrame.unionByName, outs)
+    exacts = df.filter(f"{value_col} IS NOT NULL").agg(
+        *[
+            F.expr(
+                f"round(CAST(percentile_disc({q!r}) WITHIN GROUP"
+                f" (ORDER BY {value_col}) AS DOUBLE), 6) AS e_{i}"
+            )
+            for i, q in enumerate(quantiles)
+        ]
+    )
+    wide = sk.crossJoin(F.broadcast(exacts))
+    cases = " ".join(
+        f"WHEN q = CAST({q!r} AS DOUBLE) THEN e_{i}"
+        for i, q in enumerate(quantiles)
+    )
+    return wide.selectExpr(
+        "q", "est", f"CASE {cases} END AS exact", "n"
+    )

@@ -9568,6 +9568,76 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_sketch",
+    """
+    WITH vm AS (
+      SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    b AS (
+      SELECT CASE WHEN v <= 0 THEN 0 ELSE
+               (length(bin(v)) * 16)
+               + (v // CAST(pow(2, greatest(length(bin(v)) - 5, 0))
+                     AS BIGINT)) % 16 END AS bucket,
+             v
+      FROM vm),
+    counts AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(MIN(v) AS BIGINT) AS lo
+      FROM b GROUP BY bucket),
+    walk AS (
+      SELECT bucket, c, lo,
+             SUM(c) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER () AS n
+      FROM counts),
+    ex AS (
+      SELECT
+        round(CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY value)
+          AS DOUBLE), 6) AS e_0,
+        round(CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY value)
+          AS DOUBLE), 6) AS e_1,
+        round(CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY value)
+          AS DOUBLE), 6) AS e_2
+      FROM events WHERE value IS NOT NULL),
+    sk AS (
+      SELECT CAST(0.5 AS DOUBLE) AS q,
+             round(CAST(min_by(lo, bucket) AS DOUBLE) / 1000000, 6)
+               AS est, CAST(MAX(n) AS BIGINT) AS n
+      FROM walk WHERE cum >= ceil(0.5 * n)
+      UNION ALL
+      SELECT CAST(0.9 AS DOUBLE),
+             round(CAST(min_by(lo, bucket) AS DOUBLE) / 1000000, 6),
+             CAST(MAX(n) AS BIGINT)
+      FROM walk WHERE cum >= ceil(0.9 * n)
+      UNION ALL
+      SELECT CAST(0.99 AS DOUBLE),
+             round(CAST(min_by(lo, bucket) AS DOUBLE) / 1000000, 6),
+             CAST(MAX(n) AS BIGINT)
+      FROM walk WHERE cum >= ceil(0.99 * n))
+    SELECT q, est,
+           CASE WHEN q = 0.5 THEN ex.e_0
+                WHEN q = 0.9 THEN ex.e_1
+                ELSE ex.e_2 END AS exact,
+           n
+    FROM sk CROSS JOIN ex
+    """,
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic log-grid quantile sketch (p50/p90/p99 of event
+    values) — the third oracle-paired sketch after CMS and HLL:
+    exponential buckets from integer-string bit lengths (no float
+    log), fixed state of (count, min) per occupied bucket, cumulative
+    readout returning an actual observed value within one sub-bucket
+    of truth; the exact percentile rides along as the accuracy audit
+    (``operators/sketches.py::quantile_sketch``)."""
+    from institutional_fx_etl_spark.operators.sketches import (
+        quantile_sketch,
+    )
+
+    return quantile_sketch(load_table(spark, sf_dir, "events"), "value")
+
+
+@register(
     "diff_in_diff",
     """
     WITH s AS (
@@ -9951,6 +10021,7 @@ _HEAD = [
     "streaming_countmin",
     "dedup_recall_eval",
     "diff_in_diff",
+    "quantile_sketch",
     # flagship family (hybrid_pipeline/_multisym/incremental_merge,
     # validator_reconcile, streaming_gap_bridge) holds fresh r6 rows
     # and is tail-gated on every CI run; the union-of-two-windows

@@ -605,3 +605,22 @@ def test_quarantine_write(spark, tmp_path):
     got = {(r["id"], r["rule"]) for r in bad.collect()}
     # id 2 breaks v_positive; id 3 breaks both (NULL fails both rules)
     assert got == {(2, "v_positive"), (3, "v_positive"), (3, "v_present")}
+
+
+def test_quantile_sketch_accuracy_and_merge_invariance(spark):
+    from institutional_fx_etl_spark.operators.sketches import quantile_sketch
+
+    rows = [(float(k % 997) + 0.25,) for k in range(20_000)]
+    df = spark.createDataFrame(rows, "value double")
+    got = {r["q"]: r for r in quantile_sketch(df, "value").collect()}
+    for q, r in got.items():
+        # sub_bits=4 ⇒ ≤ ~1/16 relative error, est from below
+        assert r["est"] <= r["exact"]
+        assert r["exact"] == 0 or (r["exact"] - r["est"]) / r["exact"] < 1 / 8
+        assert r["n"] == 20_000
+    # partitioning must not change the sketch (mergeable state)
+    re = {
+        r["q"]: r["est"]
+        for r in quantile_sketch(df.repartition(13), "value").collect()
+    }
+    assert re == {q: r["est"] for q, r in got.items()}
