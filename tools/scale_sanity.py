@@ -515,9 +515,6 @@ def _corpus_scale(spark, argv) -> None:
     )
 
 
-if __name__ == "__main__":
-    main()
-
 
 def _graph_scale(spark, argv) -> None:
     """``--engine=graph [--edges=N]``: the iterative-graph operators
@@ -594,3 +591,6 @@ def _graph_scale(spark, argv) -> None:
         f"sssp_weighted(3): labeled {n} nodes, {_t.time() - t0:.1f}s",
         flush=True,
     )
+
+if __name__ == "__main__":
+    main()
