@@ -138,6 +138,7 @@ HEADLINE = [
     "dedup_recall_eval",
     "diff_in_diff",
     "quantile_sketch",
+    "streaming_quantile_sketch",
 ]
 
 

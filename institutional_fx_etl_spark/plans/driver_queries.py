@@ -9637,6 +9637,113 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_sketch(load_table(spark, sf_dir, "events"), "value")
 
 
+def _register_streaming_quantile_sketch() -> None:
+    """The live-sketch topology: the (count, min) bucket state is
+    maintained as a streaming aggregation (complete mode — the state
+    IS the sketch, fixed-size forever); quantiles are read OUT of the
+    materialized sketch statically on demand. Certified against the
+    batch quantile_sketch oracle — the deterministic construction
+    guarantees the same sketch from any ingestion order."""
+    oracle = REGISTRY["quantile_sketch"][1]
+
+    @register("streaming_quantile_sketch", oracle)
+    def q_streaming_quantile_sketch(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """STREAMING log-grid quantile sketch: bucket (count, min)
+        state maintained live over the bounded events source, the
+        p50/p90/p99 readout walked statically from the sketch table —
+        must equal the batch operator exactly (shared oracle;
+        ``operators/sketches.py::quantile_sketch`` is the batch
+        twin)."""
+        import tempfile
+
+        from institutional_fx_etl_spark.sources.readers import (
+            read_parquet_nanos_safe,
+        )
+
+        name = "streaming_qsketch_state"
+        static = read_parquet_nanos_safe(spark, f"{sf_dir}/events.parquet")
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        v = "CAST(floor(value * 1000000 + 0.5) AS BIGINT)"
+        bucket = (
+            f"CASE WHEN {v} <= 0 THEN 0 ELSE"
+            f" (length(bin({v})) * 16)"
+            f" + ({v} div CAST(pow(2, greatest(length(bin({v}))"
+            f" - 5, 0)) AS BIGINT)) % 16 END"
+        )
+        counters = (
+            stream.filter("value IS NOT NULL")
+            .selectExpr(f"{bucket} AS bucket", f"{v} AS vm")
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.expr("CAST(MIN(vm) AS BIGINT) AS lo"),
+            )
+        )
+        q = (
+            counters.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_qsk_ck_"),
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        walk = spark.table(name).selectExpr(
+            "bucket",
+            "lo",
+            "SUM(c) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND CURRENT ROW) AS cum",
+            "SUM(c) OVER () AS n",
+        )
+        outs = []
+        exacts = static.filter("value IS NOT NULL").agg(
+            *[
+                F.expr(
+                    f"round(CAST(percentile_disc({qq!r}) WITHIN GROUP"
+                    f" (ORDER BY value) AS DOUBLE), 6) AS e_{i}"
+                )
+                for i, qq in enumerate((0.5, 0.9, 0.99))
+            ]
+        )
+        for i, qq in enumerate((0.5, 0.9, 0.99)):
+            outs.append(
+                walk.filter(f"cum >= ceil({qq!r} * n)")
+                .groupBy("n")
+                .agg(
+                    F.expr("CAST(min_by(lo, bucket) AS BIGINT) AS lo_micro")
+                )
+                .selectExpr(
+                    f"CAST({qq!r} AS DOUBLE) AS q",
+                    "round(CAST(lo_micro AS DOUBLE) / 1000000, 6) AS est",
+                    "CAST(n AS BIGINT) AS n",
+                )
+            )
+        from functools import reduce as _reduce
+
+        sk = _reduce(DataFrame.unionByName, outs)
+        cases = " ".join(
+            f"WHEN q = CAST({qq!r} AS DOUBLE) THEN e_{i}"
+            for i, qq in enumerate((0.5, 0.9, 0.99))
+        )
+        return sk.crossJoin(F.broadcast(exacts)).selectExpr(
+            "q", "est", f"CASE {cases} END AS exact", "n"
+        )
+
+
+_register_streaming_quantile_sketch()
+
+
 @register(
     "diff_in_diff",
     """
@@ -10022,6 +10129,7 @@ _HEAD = [
     "dedup_recall_eval",
     "diff_in_diff",
     "quantile_sketch",
+    "streaming_quantile_sketch",
     # flagship family (hybrid_pipeline/_multisym/incremental_merge,
     # validator_reconcile, streaming_gap_bridge) holds fresh r6 rows
     # and is tail-gated on every CI run; the union-of-two-windows
