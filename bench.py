@@ -139,6 +139,8 @@ HEADLINE = [
     "diff_in_diff",
     "quantile_sketch",
     "streaming_quantile_sketch",
+    "bloom_membership",
+    "interarrival_stats",
 ]
 
 

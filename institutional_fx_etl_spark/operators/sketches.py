@@ -286,3 +286,70 @@ def quantile_sketch(
     return wide.selectExpr(
         "q", "est", f"CASE {cases} END AS exact", "n"
     )
+
+
+def bloom_membership(
+    df: DataFrame,
+    key_col: str,
+    probes: DataFrame,
+    probe_col: str = "probe",
+    depth: int = 4,
+    width: int = 4096,
+    salt: str = "bf",
+) -> DataFrame:
+    """Deterministic Bloom-filter membership audit: build the filter
+    over the stream's keys (md5-derived bit positions — the same
+    construction discipline as the CMS/HLL, so the ENTIRE bit set and
+    every probe verdict is oracle-checkable), probe it with a query
+    relation, and report the verdict against exact membership — the
+    false-positive audit that sizes a Bloom-pruned join.
+
+    State: the distinct (row, bit) set — at most d·width rows however
+    large the stream (the filter property). A probe is "maybe present"
+    iff ALL ``depth`` of its bits are set; Bloom never false-negatives
+    (machine-checked in the output: every truly-present probe has
+    maybe_present = true).
+
+    Output per probe: probe, maybe_present, actually_present,
+    false_positive.
+    """
+    bit = (
+        lambda col, i: f"CAST(conv(substr(md5(concat('{salt}', {i}, '_',"
+        f" CAST({col} AS STRING))), 1, 8), 16, 10) AS BIGINT) % {width}"
+    )
+    key_structs = ", ".join(
+        f"struct({i} AS i, {bit(key_col, i)} AS b)" for i in range(depth)
+    )
+    probe_structs = ", ".join(
+        f"struct({i} AS i, {bit('probe', i)} AS b)" for i in range(depth)
+    )
+    bits_set = (
+        df.selectExpr(f"explode(array({key_structs})) AS c")
+        .select("c.i", "c.b")
+        .distinct()
+    )
+    probe_bits = probes.selectExpr(
+        f"{probe_col} AS probe",
+        f"explode(array({probe_structs})) AS c",
+    ).select("probe", "c.i", "c.b")
+    hits = (
+        probe_bits.join(F.broadcast(bits_set), ["i", "b"], "left_semi")
+        .groupBy("probe")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    member = df.selectExpr(f"{key_col} AS probe").distinct()
+    return (
+        probes.selectExpr(f"{probe_col} AS probe")
+        .distinct()
+        .join(hits, "probe", "left")
+        .join(
+            member.withColumn("__m", F.lit(True)), "probe", "left"
+        )
+        .selectExpr(
+            "probe",
+            f"COALESCE(n_set, 0) = {depth} AS maybe_present",
+            "COALESCE(__m, false) AS actually_present",
+            f"COALESCE(n_set, 0) = {depth} AND NOT COALESCE(__m, false)"
+            " AS false_positive",
+        )
+    )

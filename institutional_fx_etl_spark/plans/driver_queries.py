@@ -9637,6 +9637,107 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_sketch(load_table(spark, sf_dir, "events"), "value")
 
 
+@register(
+    "interarrival_stats",
+    """
+    WITH d AS (
+      SELECT event_type AS grp,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS dt
+      FROM events),
+    f AS (SELECT grp, CAST(dt AS BIGINT) AS dt FROM d WHERE dt IS NOT NULL)
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           round(CAST(SUM(CAST(dt AS DECIMAL(38,0))) AS DOUBLE)
+                 / COUNT(*) / 1000000, 6) AS mean_gap_s,
+           round(CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dt)
+                 AS DOUBLE) / 1000000, 6) AS p50_gap_s,
+           round(CAST(MAX(dt) AS DOUBLE) / 1000000, 6) AS max_gap_s
+    FROM f GROUP BY grp
+    """,
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time profile per event type (count / mean / exact
+    median / max of the gaps) — the traffic-shape diagnostic behind
+    rate alerting and sessionization gap choices. One per-type lag
+    window (integer MICROSECOND gaps — no float time math), one hash
+    aggregate with a DECIMAL mean numerator; the median is
+    ``percentile_disc`` over exact BIGINTs, so everything hashes
+    identically."""
+    _pin_session_confs(spark)
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    us = "unix_micros(CAST(ts AS TIMESTAMP))"
+    gaps = (
+        ev.withColumn("__us", F.expr(us))
+        .withColumn("dt", F.col("__us") - F.lag("__us").over(w))
+        .filter("dt IS NOT NULL")
+        .selectExpr("event_type AS grp", "CAST(dt AS BIGINT) AS dt")
+    )
+    return gaps.groupBy("grp").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT) AS n_gaps"),
+        F.expr(
+            "round(CAST(SUM(CAST(dt AS DECIMAL(38,0))) AS DOUBLE)"
+            " / COUNT(*) / 1000000, 6) AS mean_gap_s"
+        ),
+        F.expr(
+            "round(CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dt)"
+            " AS DOUBLE) / 1000000, 6) AS p50_gap_s"
+        ),
+        F.expr("round(CAST(MAX(dt) AS DOUBLE) / 1000000, 6) AS max_gap_s"),
+    )
+
+
+@register(
+    "bloom_membership",
+    """
+    WITH keys AS (
+      SELECT DISTINCT user_id AS k FROM events WHERE user_id IS NOT NULL),
+    hrows AS (SELECT i FROM (VALUES (0), (1), (2), (3)) t(i)),
+    bits AS (
+      SELECT DISTINCT i,
+             CAST(concat('0x', substr(md5(concat('bf', i, '_',
+               CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % 4096 AS b
+      FROM keys CROSS JOIN hrows),
+    probes AS (SELECT CAST(range AS BIGINT) AS probe FROM range(0, 300)),
+    pb AS (
+      SELECT probe, i,
+             CAST(concat('0x', substr(md5(concat('bf', i, '_',
+               CAST(probe AS VARCHAR))), 1, 8)) AS BIGINT) % 4096 AS b
+      FROM probes CROSS JOIN hrows),
+    hits AS (
+      SELECT probe, CAST(COUNT(*) AS BIGINT) AS n_set
+      FROM pb WHERE EXISTS (
+        SELECT 1 FROM bits WHERE bits.i = pb.i AND bits.b = pb.b)
+      GROUP BY probe)
+    SELECT p.probe,
+           COALESCE(h.n_set, 0) = 4 AS maybe_present,
+           EXISTS (SELECT 1 FROM keys WHERE keys.k = p.probe)
+             AS actually_present,
+           COALESCE(h.n_set, 0) = 4
+             AND NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = p.probe)
+             AS false_positive
+    FROM probes p LEFT JOIN hits h ON p.probe = h.probe
+    """,
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom-filter membership audit (d=4, w=4096,
+    md5-derived bits) over the event users, probed with ids 0..299 —
+    the fourth oracle-paired sketch: the bit set is ≤ d·w rows
+    whatever the stream size, probes broadcast against it, and the
+    output carries the exact-membership verdict so the false-positive
+    rate is measured, not assumed
+    (``operators/sketches.py::bloom_membership``)."""
+    from institutional_fx_etl_spark.operators.sketches import (
+        bloom_membership,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter("user_id IS NOT NULL")
+    probes = spark.range(300).selectExpr("id AS probe")
+    return bloom_membership(ev, "user_id", probes)
+
+
 def _register_streaming_quantile_sketch() -> None:
     """The live-sketch topology: the (count, min) bucket state is
     maintained as a streaming aggregation (complete mode — the state
@@ -10130,6 +10231,8 @@ _HEAD = [
     "diff_in_diff",
     "quantile_sketch",
     "streaming_quantile_sketch",
+    "bloom_membership",
+    "interarrival_stats",
     # flagship family (hybrid_pipeline/_multisym/incremental_merge,
     # validator_reconcile, streaming_gap_bridge) holds fresh r6 rows
     # and is tail-gated on every CI run; the union-of-two-windows

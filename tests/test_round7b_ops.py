@@ -624,3 +624,32 @@ def test_quantile_sketch_accuracy_and_merge_invariance(spark):
         for r in quantile_sketch(df.repartition(13), "value").collect()
     }
     assert re == {q: r["est"] for q, r in got.items()}
+
+
+def test_bloom_membership_no_false_negatives_and_fp_when_tiny(spark):
+    from institutional_fx_etl_spark.operators.sketches import (
+        bloom_membership,
+    )
+
+    keys = spark.createDataFrame([(k,) for k in range(100)], "user_id long")
+    probes = spark.createDataFrame(
+        [(p,) for p in range(200)], "probe long"
+    )
+    got = {r["probe"]: r for r in bloom_membership(keys, "user_id", probes).collect()}
+    assert len(got) == 200
+    # Bloom never false-negatives
+    for p in range(100):
+        assert got[p]["maybe_present"] and got[p]["actually_present"]
+        assert not got[p]["false_positive"]
+    for p in range(100, 200):
+        assert not got[p]["actually_present"]
+        assert got[p]["false_positive"] == got[p]["maybe_present"]
+    # width=1: every bit set → everything "maybe", absent = all FPs
+    tiny = {
+        r["probe"]: r
+        for r in bloom_membership(
+            keys, "user_id", probes, width=1
+        ).collect()
+    }
+    assert all(r["maybe_present"] for r in tiny.values())
+    assert sum(r["false_positive"] for r in tiny.values()) == 100
