@@ -916,3 +916,42 @@ def test_pareto_topshare_property(spark, rows):
             break
     assert r["k_top"] == k_top
     assert r["n_keys"] == len(per_key)
+
+
+decay_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=45),  # age in days
+        st.floats(min_value=0.0, max_value=500.0, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=decay_rows)
+def test_decay_score_property(spark, rows):
+    """Random (age, value) draws: the DECIMAL-summed distributed form
+    must equal the micro-rounded Python reference exactly."""
+    from datetime import datetime, timedelta
+
+    from institutional_fx_etl_spark.operators.timeseries import decay_score
+
+    as_of = datetime(2024, 2, 1)
+    data = [
+        (1, as_of - timedelta(days=age), float(v)) for age, v in rows
+    ]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp, value double")
+    got = decay_score(df, "user_id", "value", "ts", "2024-02-01").collect()[0]
+    import math
+
+    want = sum(
+        math.floor(v / (1 << min(max(age, 0), 40)) * 1_000_000 + 0.5)
+        for age, v in rows
+    ) / 1_000_000
+    assert got["decayed_score"] == want
+    assert got["n_events"] == len(rows)
