@@ -141,6 +141,7 @@ HEADLINE = [
     "streaming_quantile_sketch",
     "bloom_membership",
     "interarrival_stats",
+    "streaming_hll",
 ]
 
 

@@ -9738,6 +9738,120 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_membership(ev, "user_id", probes)
 
 
+def _register_streaming_hll() -> None:
+    """Streaming HLL: the register table (max rho per (group, j)) is
+    maintained as a complete-mode streaming aggregation — state fixed
+    at groups·m rows forever — and the estimate read out of the
+    materialized registers statically. Shares the batch hll_estimate
+    oracle: the deterministic construction guarantees the identical
+    sketch from any ingestion order."""
+    oracle = REGISTRY["hll_estimate"][1]
+
+    @register("streaming_hll", oracle)
+    def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STREAMING HyperLogLog per event type — live register
+        maintenance through the state store, static readout, certified
+        against the batch operator's oracle
+        (``operators/sketches.py::hll_estimate`` is the batch twin)."""
+        import tempfile
+
+        from institutional_fx_etl_spark.operators.sketches import (
+            HLL_ALPHA_256,
+            HLL_M,
+            HLL_RHO_CAP,
+        )
+        from institutional_fx_etl_spark.sources.readers import (
+            read_parquet_nanos_safe,
+        )
+
+        m, cap = HLL_M, HLL_RHO_CAP
+        name = "streaming_hll_regs"
+        static = read_parquet_nanos_safe(spark, f"{sf_dir}/events.parquet")
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        h = (
+            "CAST(conv(substr(md5(concat('hll',"
+            " CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+        regs = (
+            stream.filter("user_id IS NOT NULL")
+            .selectExpr("event_type AS grp", f"{h} AS h")
+            .selectExpr(
+                "grp",
+                f"h % {m} AS j",
+                f"CASE WHEN h div {m} = 0 THEN {cap}"
+                f" ELSE least(53 - length(bin(h div {m})), {cap}) END"
+                " AS rho",
+            )
+            .groupBy("grp", "j")
+            .agg(F.expr("CAST(MAX(rho) AS BIGINT) AS mj"))
+        )
+        q = (
+            regs.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_hll_ck_"),
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        sketch = (
+            spark.table(name)
+            .groupBy("grp")
+            .agg(
+                F.expr("CAST(COUNT(1) AS BIGINT) AS n_hit"),
+                F.expr(
+                    f"CAST(SUM(CAST(pow(2, {cap} - mj) AS BIGINT))"
+                    " AS BIGINT) AS s_hit"
+                ),
+            )
+        )
+        truth = (
+            static.filter("user_id IS NOT NULL")
+            .selectExpr("event_type AS grp", "user_id")
+            .groupBy("grp")
+            .agg(
+                F.countDistinct("user_id").cast("bigint").alias(
+                    "true_distinct"
+                )
+            )
+        )
+        est_raw = (
+            f"{HLL_ALPHA_256} * {m} * {m} * CAST({1 << cap} AS DOUBLE)"
+            " / CAST(sum_scaled AS DOUBLE)"
+        )
+        return (
+            truth.join(sketch, "grp")
+            .selectExpr(
+                "grp",
+                "true_distinct",
+                f"CAST({m} AS BIGINT) AS m",
+                f"{m} - n_hit AS v_zero",
+                f"s_hit + ({m} - n_hit) * CAST({1 << cap} AS BIGINT)"
+                " AS sum_scaled",
+            )
+            .selectExpr(
+                "grp",
+                "true_distinct",
+                "m",
+                "v_zero",
+                "sum_scaled",
+                f"round(CASE WHEN {est_raw} <= 2.5 * {m} AND v_zero > 0"
+                f" THEN {m} * ln(CAST({m} AS DOUBLE) / v_zero)"
+                f" ELSE {est_raw} END, 4) AS est",
+            )
+        )
+
+
+
 def _register_streaming_quantile_sketch() -> None:
     """The live-sketch topology: the (count, min) bucket state is
     maintained as a streaming aggregation (complete mode — the state
@@ -10111,8 +10225,9 @@ def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(ev, "user_id", "event_type")
 
 
-# deferred: needs REGISTRY["cusum_changepoint"] (registered above)
+# deferred: need their batch twins' REGISTRY entries (registered above)
 _register_streaming_cusum()
+_register_streaming_hll()
 
 
 # ---------------------------------------------------------------------
@@ -10233,6 +10348,7 @@ _HEAD = [
     "streaming_quantile_sketch",
     "bloom_membership",
     "interarrival_stats",
+    "streaming_hll",
     # flagship family (hybrid_pipeline/_multisym/incremental_merge,
     # validator_reconcile, streaming_gap_bridge) holds fresh r6 rows
     # and is tail-gated on every CI run; the union-of-two-windows
