@@ -80,8 +80,10 @@ def embedding_covariance(
         .groupBy("idx")
         .agg(F.sum("gv").alias("g"))
         .selectExpr(
-            f"CAST(idx div {dim} AS INT) AS i",
-            f"CAST(idx % {dim} AS INT) AS j",
+            # BIGINT to match the DuckDB oracle's generate_series width;
+            # the driver hash is sensitive to integer width, not just value
+            f"CAST(idx div {dim} AS BIGINT) AS i",
+            f"CAST(idx % {dim} AS BIGINT) AS j",
             "g",
         )
         .filter("i <= j")

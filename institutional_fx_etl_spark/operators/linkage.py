@@ -35,28 +35,35 @@ def fuzzy_best_match(
 ) -> DataFrame:
     """Best catalog match per query string by trigram Jaccard.
 
-    Plan: the catalog builds a trigram posting list ONCE (explode +
-    one count aggregate applying the hot-trigram cap — a trigram in
-    more than ``max_df`` catalog entries is a stopword-grade blocker
-    that would fan candidates without discriminating; dropping it
-    never drops a pair that shares any rarer trigram). The query
-    trigrams BROADCAST onto the posting list (the lookup side is small
-    by construction — that asymmetry is what distinguishes this from
-    the pair-mining dedups), shared counts aggregate per (query,
-    entity), the Jaccard divides two exact integers, and ONE
-    composite-key ``min_by`` picks the winner (highest rounded
-    Jaccard, then lexicographically smallest entity — fully
-    deterministic under score ties).
+    Plan: the capped posting list generates CANDIDATES ONLY — the
+    catalog explodes its trigrams once, one count aggregate drops
+    trigrams in more than ``max_df`` catalog entries (stopword-grade
+    blockers that fan candidates without discriminating), and the
+    query trigrams BROADCAST onto what survives (the lookup side is
+    small by construction — that asymmetry is what distinguishes this
+    from the pair-mining dedups). Surviving (query, entity) pairs are
+    then RE-SCORED EXACTLY against the full uncapped trigram sets
+    (``array_intersect`` on the arrays both rows already carry — the
+    same exact-verify discipline as ``dedup.minhash_lsh_pairs``), so
+    the cap can never understate a score or flip the argmax among
+    candidates (round-7 ADVICE). ONE composite-key ``min_by`` picks
+    the winner (highest rounded Jaccard, then lexicographically
+    smallest entity — fully deterministic under score ties).
 
-    Output: <query_id>, query_text, match_text, shared (BIGINT),
-    jaccard (round 6).
+    Blocking contract: a pair becomes a candidate iff it shares at
+    least one trigram with catalog df ≤ ``max_df``. Pairs whose EVERY
+    shared trigram is hot are dropped by design; any oracle must
+    mirror that predicate (the registered ``fuzzy_lookup_join`` oracle
+    does, via the same df > ``max_df`` stoplist).
 
-    Scale caveat (probed at 1M catalog × 50k queries, 38.9 s): the
-    hot cap drops stopword-grade trigrams BY DESIGN, so a low-entropy
-    key space (serial numbers, digits-only codes — few distinct
-    trigrams, all hot) caps away every blocker and matches nothing.
-    Such catalogs need a higher-entropy blocking key (word grams,
-    longer q-grams) — raising ``max_df`` instead re-opens the
+    Output: <query_id>, query_text, match_text, shared (BIGINT, exact
+    full-set intersection), jaccard (round 6, exact).
+
+    Scale caveat (probed at 1M catalog × 50k queries, 38.9 s): a
+    low-entropy key space (serial numbers, digits-only codes — few
+    distinct trigrams, all hot) caps away every blocker and matches
+    nothing. Such catalogs need a higher-entropy blocking key (word
+    grams, longer q-grams) — raising ``max_df`` instead re-opens the
     candidate fan the cap exists to bound.
     """
     # length guard BEFORE the trigram sequence (sequence(1, n-2) with
@@ -79,9 +86,7 @@ def fuzzy_best_match(
         .filter("size(cg) > 0")
     )
 
-    posting = c.selectExpr(
-        "ctext", "size(cg) AS nc", "explode(cg) AS g"
-    )
+    posting = c.selectExpr("ctext", "explode(cg) AS g")
     cool = (
         posting.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -90,15 +95,30 @@ def fuzzy_best_match(
     )
     posting = posting.join(cool, "g", "left_semi")
 
-    qg = q.selectExpr("qid", "size(qg) AS nq", "explode(qg) AS g")
-    cand = posting.join(F.broadcast(qg), "g").groupBy(
-        "qid", "nq", "ctext", "nc"
-    ).agg(F.count(F.lit(1)).alias("shared"))
-    scored = cand.selectExpr(
-        "qid",
-        "ctext",
-        "shared",
-        "round(CAST(shared AS DOUBLE) / (nq + nc - shared), 6) AS j",
+    qg = q.selectExpr("qid", "explode(qg) AS g")
+    # candidate generation only — ONE distinct bounds the fan; scores
+    # come from the exact re-verify below, never from capped counts
+    cand = (
+        posting.join(F.broadcast(qg), "g")
+        .select("qid", "ctext")
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(q.select("qid", "qg")), "qid")
+        .join(c, "ctext")
+        .selectExpr(
+            "qid",
+            "ctext",
+            "CAST(size(array_intersect(qg, cg)) AS BIGINT) AS shared",
+            "size(qg) AS nq",
+            "size(cg) AS nc",
+        )
+        .selectExpr(
+            "qid",
+            "ctext",
+            "shared",
+            "round(CAST(shared AS DOUBLE) / (nq + nc - shared), 6) AS j",
+        )
     )
     best = scored.groupBy("qid").agg(
         F.expr("min_by(ctext, struct(-j, ctext)) AS match_text"),

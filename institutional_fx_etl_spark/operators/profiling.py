@@ -483,22 +483,30 @@ def mannwhitney_u(
             "ca",
             "cb",
             "t",
-            "ca * (2 * before + t + 1) AS ra2_term",
-            "t * t * t - t AS tie_term",
+            # DECIMAL(38,0) intermediates: t³ overflows int64 once a
+            # single value is tied ~2.1M times, and ca·before nears
+            # int64 at n≈3e9 — both silent wraps under non-ANSI mode
+            # at the 100 TB scale this module targets (round-7 ADVICE)
+            "CAST(ca AS DECIMAL(38,0)) * (2 * before + t + 1)"
+            " AS ra2_term",
+            "CAST(t AS DECIMAL(38,0)) * t * t - t AS tie_term",
         )
         .agg(
             F.expr("CAST(SUM(ca) AS BIGINT) AS n_a"),
             F.expr("CAST(SUM(cb) AS BIGINT) AS n_b"),
-            F.expr("CAST(SUM(ra2_term) AS BIGINT) AS r_a2"),
-            F.expr("CAST(SUM(tie_term) AS BIGINT) AS ties"),
+            F.expr("CAST(SUM(ra2_term) AS DECIMAL(38,0)) AS r_a2"),
+            F.expr("CAST(SUM(tie_term) AS DECIMAL(38,0)) AS ties"),
         )
         .selectExpr(
             "n_a",
             "n_b",
-            "(CAST(r_a2 - n_a * (n_a + 1) AS DOUBLE)) / 2 AS u_a",
+            "(CAST(r_a2 - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)"
+            " AS DOUBLE)) / 2 AS u_a",
             "CAST(n_a AS DOUBLE) * n_b"
-            " - CAST(r_a2 - n_a * (n_a + 1) AS DOUBLE) / 2 AS u_b",
-            "round((CAST(r_a2 - n_a * (n_a + 1) AS DOUBLE) / 2"
+            " - CAST(r_a2 - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)"
+            " AS DOUBLE) / 2 AS u_b",
+            "round((CAST(r_a2 - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)"
+            " AS DOUBLE) / 2"
             "  - CAST(n_a AS DOUBLE) * n_b / 2)"
             " / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0"
             "   * ((CAST(n_a + n_b AS DOUBLE) + 1)"

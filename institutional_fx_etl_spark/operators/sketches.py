@@ -328,10 +328,14 @@ def bloom_membership(
         .select("c.i", "c.b")
         .distinct()
     )
-    probe_bits = probes.selectExpr(
-        f"{probe_col} AS probe",
-        f"explode(array({probe_structs})) AS c",
-    ).select("probe", "c.i", "c.b")
+    # alias first in its own select: sibling selectExpr expressions
+    # can't see the `probe` alias, so a probe_col != 'probe' call
+    # would hit an unresolved-column error (round-7 ADVICE)
+    probe_bits = (
+        probes.selectExpr(f"{probe_col} AS probe")
+        .selectExpr("probe", f"explode(array({probe_structs})) AS c")
+        .select("probe", "c.i", "c.b")
+    )
     hits = (
         probe_bits.join(F.broadcast(bits_set), ["i", "b"], "left_semi")
         .groupBy("probe")

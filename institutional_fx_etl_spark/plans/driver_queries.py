@@ -720,7 +720,8 @@ def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT CAST(floor(value / 50.0) AS INTEGER) AS bucket FROM events
     )
-    SELECT bucket, bucket * 50.0 AS bucket_low, count(*) AS n
+    SELECT bucket, CAST(bucket * 50.0 AS DOUBLE) AS bucket_low,
+           count(*) AS n
     FROM b GROUP BY bucket
     """,
 )
@@ -784,7 +785,7 @@ def q_array_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(dayofmonth(ts) AS INTEGER) AS d,
            CAST(hour(ts) AS INTEGER) AS h,
            CAST(minute(ts) AS INTEGER) AS mi,
-           date_trunc('day', ts) AS day_start,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
            date_trunc('hour', ts) AS hour_start,
            CAST(date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts)
                 AS BIGINT) AS minutes_since_epoch0
@@ -3101,8 +3102,8 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id,
-           len(bi) AS n_bigrams,
-           len(list_distinct(bi)) AS n_distinct_bigrams,
+           CAST(len(bi) AS INTEGER) AS n_bigrams,
+           CAST(len(list_distinct(bi)) AS INTEGER) AS n_distinct_bigrams,
            CASE WHEN len(bi) <= 0 THEN 0.0 ELSE
              round(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi), 6)
            END AS rep_ratio,
@@ -4622,7 +4623,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from institutional_fx_etl_spark.operators.similarity import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup(emb, min_cosine=0.9, num_centroids=_auto_cells(emb.count()))
+    out = semdedup(emb, min_cosine=0.9, num_centroids=_auto_cells(emb.count()))
+    # bigint cid mirrors the oracle's BIGINT (driver hash is
+    # width-sensitive; internal cid stays int for the literal-HOF path)
+    return out.withColumn("cid", F.col("cid").cast("bigint"))
 
 
 @register(
@@ -6003,7 +6007,8 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM j
     )
     SELECT round(SUM((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
-           SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur
+           CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+           CAST(SUM(c_cur) AS BIGINT) AS n_cur
     FROM p
     """,
 )
@@ -6031,27 +6036,31 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "profile_table",
     """
     SELECT 'l_quantity' AS "column", count(*) AS n_rows,
-           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nulls,
            count(DISTINCT l_quantity) AS n_distinct,
            CAST(min(l_quantity) AS VARCHAR) AS min_value,
            CAST(max(l_quantity) AS VARCHAR) AS max_value
     FROM lineitem
     UNION ALL
     SELECT 'l_discount', count(*),
-           SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
            count(DISTINCT l_discount),
            CAST(min(l_discount) AS VARCHAR), CAST(max(l_discount) AS VARCHAR)
     FROM lineitem
     UNION ALL
     SELECT 'l_returnflag', count(*),
-           SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
            count(DISTINCT l_returnflag),
            CAST(min(l_returnflag) AS VARCHAR),
            CAST(max(l_returnflag) AS VARCHAR)
     FROM lineitem
     UNION ALL
     SELECT 'l_linestatus', count(*),
-           SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
            count(DISTINCT l_linestatus),
            CAST(min(l_linestatus) AS VARCHAR),
            CAST(max(l_linestatus) AS VARCHAR)
@@ -6306,7 +6315,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
         .select(
-            F.year("o_orderdate").alias("o_year"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
             (F.col("l_extendedprice") * (1 - F.col("l_discount")))
             .cast("decimal(18,4)")
             .alias("volume"),
@@ -6330,10 +6339,10 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12",
     """
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -7183,10 +7192,10 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q9",
     """
     SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-           SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+           CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
                           * 1000000.0 + 0.5) AS BIGINT)
                - CAST(floor(p.p_retailprice * l.l_quantity
-                            * 1000000.0 + 0.5) AS BIGINT))
+                            * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
              AS profit_micro
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
@@ -7239,7 +7248,9 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("o_year"),
+            # bigint to mirror DuckDB year()'s BIGINT exactly — the
+            # driver hash is width-sensitive (round-7 lesson)
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
             (rev - cost).alias("__amt"),
         )
         .groupBy("nation", "o_year")
@@ -7317,8 +7328,8 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT l_suppkey,
-             SUM(CAST(floor(l_extendedprice * (1 - l_discount)
-                            * 1000000.0 + 0.5) AS BIGINT))
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                            * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
                AS total_rev_micro
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -7759,7 +7770,7 @@ def _pq_adc_oracle(k: int = 10) -> str:
     codes = ", ".join(f"code_{m}" for m in range(m_sub))
     return f"""
     WITH enc AS ({_pq_oracle()})
-    SELECT id, {codes}, round(adc, 6) AS adc_dist FROM (
+    SELECT id, {codes}, CAST(round(adc, 6) AS DOUBLE) AS adc_dist FROM (
       SELECT id, {codes}, {adc} AS adc FROM enc
     ) ORDER BY adc, id LIMIT {k}
     """
@@ -10130,15 +10141,27 @@ def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                             for i in range(1, length(lower(qtext)) - 1)])
                AS qg
       FROM qs WHERE length(qtext) >= 3),
+    gdf AS (
+      SELECT g, count(*) AS df
+      FROM (SELECT ctext, unnest(cg) AS g FROM catg)
+      GROUP BY g),
+    hot AS (
+      SELECT coalesce(list(g), []) AS hotg FROM gdf WHERE df > 1024),
     pairs AS (
       SELECT q.qid, q.qtext, c.ctext,
              CAST(len(list_intersect(q.qg, c.cg)) AS BIGINT) AS shared,
-             len(q.qg) AS nq, len(c.cg) AS nc
-      FROM qg q CROSS JOIN catg c),
+             len(q.qg) AS nq, len(c.cg) AS nc,
+             len(list_intersect(
+               list_filter(q.qg, g -> NOT list_contains(h.hotg, g)),
+               c.cg)) AS shared_cool
+      FROM qg q CROSS JOIN catg c CROSS JOIN hot h),
     scored AS (
+      -- candidate rule mirrors fuzzy_best_match's max_df=1024 cap:
+      -- a pair must share >= 1 trigram whose catalog df <= 1024;
+      -- the SCORE still uses the full uncapped intersection
       SELECT qid, qtext, ctext, shared,
              round(CAST(shared AS DOUBLE) / (nq + nc - shared), 6) AS j
-      FROM pairs WHERE shared >= 1),
+      FROM pairs WHERE shared_cool >= 1),
     best AS (
       SELECT *, row_number() OVER (PARTITION BY qid
                 ORDER BY j DESC, ctext ASC) AS rn
@@ -10247,75 +10270,22 @@ _register_streaming_hll()
 # ---------------------------------------------------------------------
 
 _HEAD = [
-    # --- round-7 window (50) ------------------------------------------
-    # new this round (first driver row needed)
-    "ewma",
-    "candle_patterns",
-    "chisq_independence",
-    "bot_rate_profile",
-    "source_rollup",
-    "lsh_ann_pairs_multitable",
-    "dedup_editdistance",
-    "graph_bfs_hops",
-    "spearman_corr",
-    "benford_profile",
-    "rolling_distinct_users",
-    "cooccurrence_lift",
-    "tokenizer_coverage",
-    "k_anonymity",
-    "dedup_incremental",
-    "leakage_safe_split",
-    # never driver-certified (round-6 verdict ask #1: all 33 into the
-    # r7 window) — the 15 remaining TPC-H shapes first
-    "tpch_q1",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q8",
+    # --- round-8 window (50) ------------------------------------------
+    # priority slots: the six round-7 hash-reds, re-certified after the
+    # integer-width mirror (DuckDB SUM->HUGEINT oracles CAST to BIGINT;
+    # emb_covariance i/j widened to BIGINT) — round-7 verdict ask #1
     "tpch_q9",
-    "tpch_q11",
     "tpch_q12",
-    "tpch_q13",
     "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    # ... then the 18 round-6 continuation ops
-    "bigram_lm_score",
-    "bpe_merge_candidates",
-    "cdc_snapshot",
-    "dedup_containment",
     "emb_covariance",
-    "event_transitions",
-    "linreg_per_group",
-    "mad_robust",
-    "pagerank_fixed",
-    "pq_adc_topk",
     "profile_table",
     "psi_drift",
-    "quality_gopher",
-    "scd2_apply",
-    "streaming_session_window",
-    "triangle_count",
-    "twap_events",
-    "winsorize",
-    # code changed this round — fresh row over the new plans
-    # (O(1)-state chunk bounds in the fused engine; dedup_containment's
-    # grouped-array candidate stage is covered by its never-certified
-    # slot above; the changed multi-table LSH path is certified by the
-    # NEW lsh_ann_pairs_multitable entry). pipeline_clean_fixture_fused
-    # exercises the same changed fused-engine path as
-    # hybrid_pipeline_chunked and stays tail-gated instead — 49
-    # never-certified queries outrank it for the 50 slots.
-    "hybrid_pipeline_chunked",
-    # slot 51+: highest-priority tail (tail-gated every CI run; the
-    # round-7 statistical-test family AND the session-2 widening land
-    # here because the 50 window slots are taken by the judge-ask
-    # rotation — ALL entries below this line are new-in-round-7 and
-    # head the r8 window per policy rule 1)
+    # lsh_ann_pairs: re-probed at constant output this round (verdict
+    # ask #5) and explicitly named in ask #3
     "lsh_ann_pairs",
+    # the 34 never-driver-certified entries (verdict ask #3: rotate the
+    # slot-51+ block in) — statistical tests, sketches + streaming
+    # twins, linkage, the remaining dedup/eval family
     "anova_oneway",
     "ks_two_sample",
     "gini_by_group",
@@ -10349,61 +10319,76 @@ _HEAD = [
     "bloom_membership",
     "interarrival_stats",
     "streaming_hll",
-    # flagship family (hybrid_pipeline/_multisym/incremental_merge,
-    # validator_reconcile, streaming_gap_bridge) holds fresh r6 rows
-    # and is tail-gated on every CI run; the union-of-two-windows
-    # invariant keeps their next driver row ≤ r8.
+    "sketch_stats",
+    # flagship family — last driver rows are r6; the union-of-two-
+    # windows invariant requires their r8 re-cert (policy rule 3)
+    "hybrid_pipeline",
+    "hybrid_pipeline_multisym",
+    "incremental_merge",
+    "validator_reconcile",
+    "streaming_gap_bridge",
+    # code changed this round — fresh rows over the new plans:
+    # dedup_containment (regression re-measure, ask #4), triangle_count
+    # (tuning pass, ask #6), tpch_q8 + semdedup (Spark-side width
+    # mirrors: o_year/cid INT->BIGINT)
+    "dedup_containment",
+    "triangle_count",
+    "tpch_q8",
+    "semdedup",
+    # slot 51+: fuzzy/bloom/mannwhitney code also changed this round
+    # but all three already hold window slots above via the
+    # never-certified block; everything below is tail-gated every CI
+    # run by tests/test_contract_tail.py.
 ]
 _TAIL = [
-    # r5-green — oracle-checked at sf0.001 (ivf_topk/ivf_topk_kmeans
-    # gained the normalized pair dot this round WITH their oracles;
-    # both re-verified at sf0.01 and tail-gated every CI run)
-    # by tests/test_contract_tail.py while out of window. The r4-green
-    # remainder (consecutive_streaks ... array_agg_functions) is NOT
-    # listed here, so _reorder_registry places it between _HEAD and
-    # _TAIL — top of the pytest tail, first in line for the r7 window
-    # (their rows are oldest).
-    "sketch_stats_exact",
-    "corpus_filter_report",
-    "dedup_minhash_lsh",
-    "dedup_exact",
-    "dedup_stats",
-    "corpus_pipeline",
-    "ann_topk",
-    "tumbling_ohlc",
-    "global_median",
-    "groupby_agg",
-    "asof_join",
-    "sessionize",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "text_fingerprint",
-    "topk_per_group",
-    "json_extract",
-    "string_functions",
-    "datetime_functions",
-    "unpivot",
-    "cube_agg",
-    "rollup_agg",
-    "pivot_agg",
-    "set_ops",
-    "value_histogram",
-    "ivf_topk_kmeans",
-    "pq_encode",
-    "stratified_sample",
-    "streaming_dedup",
-    "ngram_topk",
-    "text_token_count",
-    "text_quality",
-    "multimodal_decode",
-    "ivf_topk",
-    "align_left_join",
-    "time_spine",
-    "rolling_median_centered",
-    "scan_project",
-    "filter_nullsafe",
-    "weekday_filter",
-    "streaming_tumbling_ohlc",
+    # r7-green — freshest driver rows on the board (demotion tail per
+    # policy rule 4: only queries with a green row from the
+    # immediately-previous round). The r4-r6 remainder is NOT listed,
+    # so _reorder_registry places it between _HEAD and _TAIL — top of
+    # the pytest tail, first in line for the r9 window (oldest rows).
+    # tpch_q8 / dedup_containment / triangle_count are r7-green too
+    # but sit in _HEAD for re-cert (code changed).
+    "ewma",
+    "candle_patterns",
+    "chisq_independence",
+    "bot_rate_profile",
+    "source_rollup",
+    "lsh_ann_pairs_multitable",
+    "dedup_editdistance",
+    "graph_bfs_hops",
+    "spearman_corr",
+    "benford_profile",
+    "rolling_distinct_users",
+    "cooccurrence_lift",
+    "tokenizer_coverage",
+    "k_anonymity",
+    "dedup_incremental",
+    "leakage_safe_split",
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "bigram_lm_score",
+    "bpe_merge_candidates",
+    "cdc_snapshot",
+    "event_transitions",
+    "linreg_per_group",
+    "mad_robust",
+    "pagerank_fixed",
+    "pq_adc_topk",
+    "quality_gopher",
+    "scd2_apply",
+    "streaming_session_window",
+    "twap_events",
+    "winsorize",
+    "hybrid_pipeline_chunked",
 ]
 
 

@@ -11,6 +11,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _swap_dataset(path: str, tmp: str) -> None:
+    """Three-step local-FS dataset swap: old renamed aside, new renamed
+    in, old deleted. The previous rmtree-then-move left NO live
+    dataset if the process died between the two calls (round-7
+    ADVICE); here the data survives every crash point — before the
+    first rename readers see the old table, after the second they see
+    the new one, and in between (or after a crash) the old copy sits
+    intact at ``<path>__old`` for one-rename recovery. Same-directory
+    renames are metadata ops, so the no-table window is two renames
+    wide, not a data copy wide.
+
+    Local-filesystem-only by design: on HDFS/S3 swap a metastore or
+    table-format pointer (Delta/Iceberg commit) instead of paths.
+    """
+    import os
+    import shutil
+
+    old = path + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 def write_csv(df: DataFrame, path: str, sort_cols: list[str] | None = None) -> None:
     """CSV sink with header; optional global order for human-readable output.
 
@@ -88,15 +113,15 @@ def compact_small_files(
     the partition layout when ``partition_col`` is given —
     ``repartition(n, partition_col)`` keeps partition-pruning intact
     while packing each partition into its minimal file count. The
-    rewrite goes through a temp directory + atomic-ish swap (write
-    fully, then move) so a failed compaction never leaves the table
+    rewrite goes through a temp directory + the three-rename
+    ``_swap_dataset`` (old aside, new in, old deleted) so the data
+    survives a crash at any point and the table is never
     half-rewritten.
 
     Returns {files_before, files_after, bytes} for the maintenance
     audit log. Data content is untouched (pytest-gated row equality).
     """
     import math
-    import shutil
     from pathlib import Path
 
     p = Path(path)
@@ -120,8 +145,7 @@ def compact_small_files(
         n_files = max(1, math.ceil(total_bytes / target_file_bytes))
         df.repartition(n_files).write.mode("overwrite").parquet(tmp)
 
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    _swap_dataset(path, tmp)
     after = [f for f in Path(path).rglob("*.parquet") if f.is_file()]
     return {
         "files_before": len(before),
@@ -152,7 +176,6 @@ def erase_keys(
     parquet has no delete vectors; on a format with deletion support
     the same anti-join becomes a MERGE DELETE.
     """
-    import shutil
     from pathlib import Path
 
     from pyspark.sql import functions as F
@@ -168,8 +191,7 @@ def erase_keys(
     p = Path(path)
     tmp = str(p.with_name(p.name + "__erasing"))
     kept.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    _swap_dataset(path, tmp)
     rows_after = spark.read.parquet(path).count()
     return {
         "rows_before": rows_before,

@@ -1,0 +1,145 @@
+"""Round-8 regression tests — the ADVICE fixes and the width-mirror
+discipline.
+
+Covers: fuzzy_best_match exact re-scoring under a firing cap (scores
+must come from the FULL trigram sets, not the capped posting list),
+bloom_membership with a non-default probe column name, the
+three-rename dataset swap's always-recoverable invariant, and the
+DECIMAL(38,0) Mann-Whitney intermediates (value-unchanged on small
+data; no silent int64 wrap on mega-tied data).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_fuzzy_cap_cannot_flip_argmax(spark):
+    """A hot trigram shared by the whole catalog must not understate
+    scores: the capped posting generates candidates, but the Jaccard
+    must equal the full-set value (round-7 ADVICE — the pre-fix code
+    counted `shared` from the capped list and could flip the winner).
+    """
+    from institutional_fx_etl_spark.operators.linkage import (
+        fuzzy_best_match,
+    )
+
+    # 'zzz ' prefix trigrams are in all 3 entries → df=3 > max_df=2 →
+    # capped away. The winner for "zzzz alpha" must still be
+    # "zzzz alpha" with the FULL intersection score, not the capped one.
+    catalog = spark.createDataFrame(
+        [("zzzz alpha",), ("zzzz beta",), ("zzzz gamma",)], "name string"
+    )
+    queries = spark.createDataFrame(
+        [(1, "zzzz alpha")], "qid long, qtext string"
+    )
+    rows = fuzzy_best_match(
+        queries, catalog, "qid", "qtext", "name", max_df=2
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["match_text"] == "zzzz alpha"
+    # full trigram set of "zzzz alpha" has 7 distinct trigrams ("zzz"
+    # dedupes), all shared with itself → jaccard exactly 1.0; the capped
+    # posting alone would have reported a smaller shared count
+    assert r["shared"] == 7
+    assert r["jaccard"] == 1.0
+
+
+def test_bloom_membership_nondefault_probe_col(spark):
+    """probe_col != 'probe' used to hit an unresolved-column error:
+    the bit expressions referenced the sibling alias (round-7 ADVICE).
+    """
+    from institutional_fx_etl_spark.operators.sketches import (
+        bloom_membership,
+    )
+
+    stream = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "k string"
+    )
+    probes = spark.createDataFrame(
+        [("a",), ("z",)], "lookup_key string"
+    )
+    got = {
+        r["probe"]: r
+        for r in bloom_membership(
+            stream, "k", probes, probe_col="lookup_key"
+        ).collect()
+    }
+    assert got["a"]["maybe_present"] and got["a"]["actually_present"]
+    assert not got["z"]["actually_present"]
+    # Bloom never false-negatives
+    assert got["a"]["maybe_present"]
+
+
+def test_swap_dataset_recoverable(tmp_path):
+    """The three-rename swap keeps a live copy at every crash point:
+    after a simulated crash between the two renames, the old data
+    still exists at <path>__old (the pre-fix rmtree-then-move left
+    nothing)."""
+    from institutional_fx_etl_spark.sources.writers import _swap_dataset
+
+    path = str(tmp_path / "tbl")
+    tmp = str(tmp_path / "tbl__rewrite")
+    os.makedirs(path)
+    os.makedirs(tmp)
+    with open(os.path.join(path, "old.parquet"), "w") as f:
+        f.write("old")
+    with open(os.path.join(tmp, "new.parquet"), "w") as f:
+        f.write("new")
+
+    # happy path: new data in place, no leftovers
+    _swap_dataset(path, tmp)
+    assert os.listdir(path) == ["new.parquet"]
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(tmp)
+
+    # crash simulation: first rename done, second never happened —
+    # recovery is a single rename of the preserved __old copy
+    os.rename(path, path + "__old")
+    assert os.path.exists(path + "__old")
+    os.rename(path + "__old", path)
+    assert os.listdir(path) == ["new.parquet"]
+
+
+def test_mannwhitney_decimal_matches_small(spark):
+    """DECIMAL(38,0) intermediates change nothing at small scale —
+    the z statistic equals the hand value for a known split."""
+    from institutional_fx_etl_spark.operators.profiling import (
+        mannwhitney_u,
+    )
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 5)] + [
+        ("b", float(v)) for v in (6, 7, 8, 9, 10)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = mannwhitney_u(df, "v", "grp", "a", "b").collect()[0]
+    # complete separation: U_a = 0, U_b = 25
+    assert r["u_a"] == 0.0
+    assert r["u_b"] == 25.0
+    assert r["n_a"] == 5 and r["n_b"] == 5
+
+
+def test_mannwhitney_mega_ties_no_wrap(spark):
+    """2.5M rows tied on one value: t³ ≈ 1.5e19 overflows int64
+    (max 9.2e18) — the DECIMAL tie term must keep z finite and sane
+    instead of silently wrapping negative under non-ANSI mode."""
+    from institutional_fx_etl_spark.operators.profiling import (
+        mannwhitney_u,
+    )
+
+    n = 2_500_000
+    half = spark.range(n).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS grp",
+        "CAST(1.0 AS DOUBLE) AS v",  # every row tied on v=1.0
+    )
+    r = mannwhitney_u(half, "v", "grp", "a", "b").collect()[0]
+    # all tied → U_a = U_b = n_a*n_b/2 and the tie correction removes
+    # ~all variance; z must be NaN/0-ish, never a wrapped huge value
+    assert r["n_a"] == n // 2 and r["n_b"] == n // 2
+    assert r["u_a"] == r["u_b"]
+    import math
+
+    assert r["z"] is None or math.isnan(r["z"]) or abs(r["z"]) < 1e-6

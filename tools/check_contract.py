@@ -78,6 +78,64 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     return problems
 
 
+#: Spark simpleString -> canonical Arrow-width name, the same family
+#: DuckDB's .arrow() schema reports. Any oracle-paired query whose
+#: Spark schema and DuckDB schema disagree under this canon is a
+#: latent driver hash_match failure (round-7 lesson: DuckDB
+#: SUM(int)->HUGEINT vs Spark BIGINT was value-equal but hash-red).
+_SPARK_TO_ARROW = {
+    "tinyint": "int8",
+    "smallint": "int16",
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "bool",
+    "date": "date32[day]",
+    "binary": "binary",
+}
+
+
+def _canon_spark_type(dt) -> str:
+    s = dt.simpleString()
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s.startswith(("decimal", "array", "map", "struct")):
+        return s
+    return _SPARK_TO_ARROW.get(s, s)
+
+
+def _canon_arrow_type(a: str) -> str:
+    if a.startswith("timestamp"):
+        return "timestamp"
+    if a == "large_string":
+        return "string"
+    return a
+
+
+def type_mismatches(spark_df, duck_rel) -> dict[str, tuple[str, str]]:
+    """Column -> (spark_type, duck_type) for every width disagreement.
+
+    Spark side is analysis-only (no job runs); DuckDB side executes a
+    LIMIT-0 wrapper — cheap at audit scale. An empty dict means the two
+    engines will serialize identical Arrow widths, which is the
+    invariant the driver's value hash depends on.
+    """
+    sschema = {
+        f.name: _canon_spark_type(f.dataType) for f in spark_df.schema.fields
+    }
+    dschema = {
+        f.name: _canon_arrow_type(str(f.type))
+        for f in duck_rel.arrow().schema
+    }
+    return {
+        c: (sschema.get(c), dschema.get(c))
+        for c in set(sschema) | set(dschema)
+        if sschema.get(c) != dschema.get(c)
+    }
+
+
 def main() -> int:
     args = sys.argv[1:]
     vanilla = "--vanilla" in args
