@@ -616,10 +616,13 @@ def containment_pairs(
 
     The earlier self-join formulation (a ⋈ b ON g) cost four wide
     exchanges of the posting (hot-df pre-pass, anti-join, both join
-    sides) plus a persist; the grouped form is two (posting → shingle
-    groups, pairs → pair counts) with the df cap applied in the SAME
-    aggregate that builds the groups — measured 2.1× end-to-end at
-    100k docs, tuple-identical output.
+    sides) plus a persist; the grouped form is two wide exchanges
+    (posting → shingle groups, pairs → pair counts) plus one cheap
+    round-robin re-spread of the bounded group arrays before the pair
+    emit (see inline comment — without it AQE coalesces the
+    pre-explode stage to 1-2 tasks and the C(df,2) fan-out serializes,
+    which was the round-7 bench regression). Measured 2.1× end-to-end
+    vs the self-join at 100k docs, tuple-identical output.
 
     At 100 TB: posting rows ≈ corpus shingle volume, pair fan-out is
     bounded per shingle by ``max_df²``, the member arrays carry ≤
@@ -664,6 +667,17 @@ def containment_pairs(
         .filter(f"size(m) BETWEEN 2 AND {max_df}")
         .selectExpr("array_sort(m) AS m")
     )
+    # re-spread BEFORE the combination emit: the explode below
+    # amplifies each group row by up to C(max_df,2) ≈ max_df²/2, so
+    # AQE's post-shuffle coalesce (sized on the PRE-explode bytes)
+    # would funnel the entire pair fan-out through 1-2 tasks — the
+    # round-7→8 bench regression (2.95 s → 1.9 s at sf0.1 with this
+    # line). The extra exchange moves only the bounded (id, n)-array
+    # group rows, never the pair fan-out or any text.
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    groups = groups.repartition(n_part)
     pairs = groups.selectExpr(
         "explode(flatten(transform(m, (x, i) ->"
         " transform(slice(m, i + 2, size(m) - i - 1), y ->"

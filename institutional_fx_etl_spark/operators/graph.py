@@ -106,22 +106,37 @@ def triangle_count(
     means each triangle is generated and counted exactly once — no
     division by 3/6, no double counting.
 
-    Scale shape: edges are degree-ordered BEFORE wedge generation —
-    each edge points from its lower-(degree, id) endpoint to the
-    higher one, so wedges enumerate only at each triangle's
-    lowest-degree vertex and the wedge fan drops from Σ C(deg(v), 2)
-    to Σ C(outdeg⁺(v), 2) = O(m^{3/2}) (the node-iterator bound;
-    hubs stop exploding the join — 148M → 41M enumerated wedges on
-    the near-uniform sf0.1 co-purchase graph; the asymptotic win is
-    far larger on skewed degree distributions). The count is
+    Scale shape: edges are degree-ordered first — each edge points
+    from its lower-(degree, id) endpoint to the higher one, so
+    triangle work concentrates at each triangle's lowest-degree
+    vertex and the total drops from Σ C(deg(v), 2) to
+    Σ C(outdeg⁺(v), 2) = O(m^{3/2}) (the node-iterator bound; hubs
+    stop exploding — 148M raw wedges vs 41M oriented on the
+    near-uniform sf0.1 co-purchase graph; the asymptotic win is far
+    larger on skewed degree distributions). The count is
     orientation-invariant: every triangle has exactly ONE vertex
     whose two triangle edges both point outward under the acyclic
-    (degree, id) total order. The closing probe reuses the
-    dedup_clusters broadcast policy: the edge count is already
-    materialized for ``n_edges``, and at ≤ ``broadcast_max_edges``
-    REAL edges the canonical edge set broadcasts so the wedge stream
-    is probed map-side and never shuffles (10.6 s → 1.3 s at sf0.1);
-    above the cap it falls back to a key-partitioned join.
+    (degree, id) total order.
+
+    Two regimes on the materialized REAL edge count (the
+    dedup_clusters broadcast policy):
+
+    - ≤ ``broadcast_max_edges``: EDGE-ITERATOR ("compact-forward") —
+      build the out-neighbor adjacency once (one groupBy; total
+      payload = m ids), broadcast it onto both endpoints of the
+      oriented edge list, and count ``array_intersect(N⁺(x), N⁺(y))``
+      scan-side per edge. No wedge row ever materializes (the wedge
+      formulation shuffled 41M skinny pair rows at sf0.1; this form
+      computes the same intersections inside the scan — 7.7 s →
+      3.2 s warm at sf0.1, census-identical). Per-row arrays are
+      bounded by max outdeg⁺ = O(√m).
+    - above the cap: the wedge two-join plan — ordered wedges
+      ``(x→p) ⋈ (x→q), p<q`` closed against the key-partitioned edge
+      set — whose state per task stays skinny-row-bounded when the
+      adjacency arrays would no longer broadcast. Both regimes are
+      machine-gated equal on a power-law graph
+      (``test_triangle_count_fallback_join_equals_broadcast``).
+
     Everything is integer arithmetic except the final clustering
     coefficient, one double division mirrored in the oracle.
 
@@ -171,18 +186,42 @@ def triangle_count(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    wedge_pairs = (
-        oriented.selectExpr("x", "y AS p")
-        .join(oriented.selectExpr("x", "y AS q"), "x")
-        .filter("p < q")
-        .selectExpr("p AS a", "q AS b")
-    )
-    closing = (
-        F.broadcast(e) if n_edges_val <= broadcast_max_edges else e
-    )
-    tri = wedge_pairs.join(closing, ["a", "b"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
+    if n_edges_val <= broadcast_max_edges:
+        # edge-iterator regime: adjacency broadcasts (≤ m ids total),
+        # intersections run scan-side — zero wedge materialization
+        nbrs = oriented.groupBy("x").agg(
+            F.collect_list("y").alias("ys")
+        )
+        tri = (
+            oriented.join(
+                F.broadcast(nbrs.selectExpr("x", "ys AS ysx")), "x"
+            )
+            .join(
+                F.broadcast(nbrs.selectExpr("x AS y", "ys AS ysy")),
+                "y",
+            )
+            .selectExpr("size(array_intersect(ysx, ysy)) AS t")
+            # COALESCE: a wedge-free graph leaves zero probe rows and
+            # SUM would be NULL where the wedge plan counted 0
+            .agg(
+                F.expr(
+                    "CAST(COALESCE(SUM(t), 0) AS BIGINT)"
+                    " AS n_triangles"
+                )
+            )
+        )
+    else:
+        # large-graph regime: skinny wedge rows + key-partitioned
+        # closing join (adjacency arrays would no longer broadcast)
+        wedge_pairs = (
+            oriented.selectExpr("x", "y AS p")
+            .join(oriented.selectExpr("x", "y AS q"), "x")
+            .filter("p < q")
+            .selectExpr("p AS a", "q AS b")
+        )
+        tri = wedge_pairs.join(e, ["a", "b"]).agg(
+            F.count(F.lit(1)).alias("n_triangles")
+        )
     # the census is one row and the operator is already eager (the
     # broadcast decision materialized the edge count), so finish the
     # computation here and release the three cached sets instead of

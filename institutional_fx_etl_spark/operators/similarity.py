@@ -184,6 +184,33 @@ def hyperplane_signatures(
     ).selectExpr(bq(id_col), "__v", f"{let1('__v', '__u', bucket)} AS bucket")
 
 
+def auto_planes(
+    n_rows: int,
+    target_bucket_rows: int = 8,
+    min_planes: int = 8,
+    max_planes: int = 24,
+) -> int:
+    """Hyperplane count that holds E[rows per bucket] ≈
+    ``target_bucket_rows`` as the corpus grows: ``ceil(log2(n /
+    target))`` clamped to [min, max].
+
+    The in-bucket verify work is Σ|bucket|² ≈ n·(n/2^planes), so a
+    FIXED plane count turns 10× data into ~100× join fan (measured:
+    the round-7 scale probe's wall ×10.6 at data ×10 with planes
+    pinned at 8). Scaling planes with log2(n) is what keeps the
+    candidate stage linear in n — the same discipline as
+    ``_auto_cells`` for the IVF/semdedup cell count.
+    """
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return min_planes
+    return max(
+        min_planes,
+        min(max_planes, math.ceil(math.log2(n_rows / target_bucket_rows))),
+    )
+
+
 def lsh_ann_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -204,7 +231,14 @@ def lsh_ann_pairs(
     join back for the single exact-cosine verify; ``bucket`` reports
     the smallest (table ≪ planes | bucket) collision key for
     determinism. The default L=1 keeps the original single-join plan
-    (and the SQL oracle) byte-identical."""
+    (and the SQL oracle) byte-identical.
+
+    Scale contract: work is Σ|bucket|² ≈ n²/2^planes, so
+    ``num_planes`` MUST grow with the corpus — pass
+    ``auto_planes(n)`` to hold expected bucket occupancy constant
+    (then wall tracks data size; pinning planes at 8 made the 10×
+    probe go ×10.6 super-linear in round 7). The registered contract
+    query keeps planes=8 because its oracle mirrors that constant."""
     sigs = hyperplane_signatures(df, vec_col, id_col, num_planes)
     # normalize once per vector so the in-bucket verify is a bare dot
     # (same 3x HOF saving as the cell-blocked compares; bucket signs

@@ -139,7 +139,17 @@ def main() -> None:
         "knn_join",
         lambda f: knn_join(emb[f], k=3, num_centroids=_auto_cells(n_emb[f])),
     )
-    run("lsh_ann_pairs", lambda f: lsh_ann_pairs(emb[f], min_cosine=0.3))
+    # planes scale with n (auto_planes holds E[rows/bucket] constant);
+    # round-7's ×10.6 wall at pinned planes=8 was the fixed-bucket
+    # quadratic term, not the operator — this is the scale-correct call
+    from institutional_fx_etl_spark.operators.similarity import auto_planes
+
+    run(
+        "lsh_ann_pairs",
+        lambda f: lsh_ann_pairs(
+            emb[f], min_cosine=0.3, num_planes=auto_planes(n_emb[f])
+        ),
+    )
     run(
         "pagerank_fixed",
         lambda f: pagerank_fixed(scaled_trade_edges(spark, sf_dir, f)),
