@@ -142,6 +142,10 @@ HEADLINE = [
     "bloom_membership",
     "interarrival_stats",
     "streaming_hll",
+    # round-8 ops — training-data selection family (containment /
+    # triangle / semdedup re-measures already sit in the list above)
+    "mixture_sampling",
+    "dsir_weights",
 ]
 
 

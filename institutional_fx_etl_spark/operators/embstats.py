@@ -104,8 +104,12 @@ def embedding_covariance(
         .selectExpr(
             "i",
             "j",
+            # `+ 0.0` folds IEEE -0.0 to +0.0 (a negative covariance
+            # rounding to zero keeps its sign bit; the driver hash is
+            # bit-pattern-sensitive — the actual round-7 hash-red
+            # cause, mirrored in the oracle)
             "round((CAST(g AS DOUBLE) / n"
             " - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n))"
-            f" / {sc2}, 6) AS cov",
+            f" / {sc2}, 6) + 0.0D AS cov",
         )
     )

@@ -1,0 +1,214 @@
+"""Training-data selection operators — corpus mixing and importance
+weighting, the two levers a pretraining pipeline pulls after
+dedup/quality filtering decide WHAT is admissible: how much of each
+source to take (``mixture_sampling``) and which documents look most
+like a target distribution (``dsir_weights``).
+
+Both are md5-deterministic end to end — every sampled id and every
+weight is reproducible and cross-engine oracle-checkable, the same
+discipline as the sketch family. The reference pipeline
+(``/root/reference/src/hybrid_merger.py``) has no corpus-selection
+surface; these extend the engine for the 100 TB training-data use the
+commission names as first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: 2^60 — md5's leading 15 hex chars as a uniform draw denominator
+_U60 = 1 << 60
+
+
+def _uniform_expr(col: str, salt: str) -> str:
+    """Deterministic uniform draw in [0, 1): the md5 prefix of the
+    salted key, 60 bits, over 2^60. Identical construction works in
+    DuckDB (``CAST(concat('0x', substr(md5(..),1,15)) AS BIGINT)``),
+    so inclusion decisions are bit-reproducible across engines."""
+    return (
+        f"CAST(conv(substr(md5(concat('{salt}', CAST({col} AS STRING))),"
+        f" 1, 15), 16, 10) AS BIGINT) / CAST({_U60} AS DOUBLE)"
+    )
+
+
+def mixture_sampling(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-weighted source mixing: per-source sampling rates
+    that flatten the corpus distribution toward ``n_s^alpha`` (the
+    multilingual-pretraining temperature trick — alpha < 1 upsamples
+    rare sources relative to their natural share), realized by a
+    deterministic per-document md5 Bernoulli draw.
+
+    Math: target share ``w_s = n_s^alpha / Σ n_t^alpha``; with a total
+    budget ``B = floor(budget_frac · N)`` documents, source s keeps
+    ``rate_s = min(1, B·w_s / n_s)``. With alpha = 0.5 the weight is
+    ``sqrt`` — computed as integer micro-units (``floor(sqrt(n)·1e6 +
+    0.5)``) so the normalizing denominator is an EXACT integer sum
+    (float Σ over sources would be order-nondeterministic); the rest
+    of the rate pipeline is correctly-rounded IEEE ops in a fixed
+    association, identical in the oracle.
+
+    Plan shape: ONE count aggregate over ``group_col`` (tiny — one row
+    per source), rates derived scalar-side on that tiny relation, a
+    broadcast join back onto the corpus, and the md5-draw filter runs
+    scan-side — the corpus itself is never shuffled, which is the
+    whole point at 100 TB (sampling must be a scan decoration, not a
+    repartition).
+
+    Output (audit grain, one row per source): group, n_docs,
+    rate_ppm (BIGINT micro-rate — integer output, immune to float
+    hashing), n_sampled.
+
+    Only alpha = 0.5 is cross-engine exact (sqrt is a correctly-
+    rounded IEEE op; ``pow`` is not guaranteed to be) — other alphas
+    work but carry last-ulp oracle risk.
+    """
+    if alpha != 0.5:
+        raise ValueError(
+            "mixture_sampling: only alpha=0.5 (sqrt weighting) is "
+            "supported — pow(x, alpha) is not correctly rounded and "
+            "breaks cross-engine determinism"
+        )
+    counts = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .selectExpr(
+            "grp",
+            "n_docs",
+            # integer micro-weights: the Σ below stays exact
+            "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5)"
+            " AS BIGINT) AS w_micro",
+        )
+    )
+    tot = counts.agg(
+        F.expr("CAST(SUM(n_docs) AS BIGINT) AS n_total"),
+        F.expr("CAST(SUM(w_micro) AS BIGINT) AS w_denom"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "grp",
+            "n_docs",
+            # fixed left-to-right association, mirrored in the oracle:
+            # rate = min(1, B * w_micro / w_denom / n_s)
+            f"least(1.0D, CAST(floor({budget_frac!r}D *"
+            " CAST(n_total AS DOUBLE)) AS DOUBLE)"
+            " * CAST(w_micro AS DOUBLE) / CAST(w_denom AS DOUBLE)"
+            " / CAST(n_docs AS DOUBLE)) AS rate",
+        )
+    )
+    u = _uniform_expr("__id", salt)
+    sampled = (
+        df.selectExpr(
+            f"{group_col} AS grp", f"{id_col} AS __id"
+        )
+        .join(F.broadcast(rates.select("grp", "rate")), "grp")
+        .filter(f"{u} < rate")
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        rates.join(sampled, "grp", "left")
+        .selectExpr(
+            "grp AS grp_name",
+            "n_docs",
+            "CAST(floor(rate * 1000000.0 + 0.5) AS BIGINT) AS rate_ppm",
+            "CAST(COALESCE(n_sampled, 0) AS BIGINT) AS n_sampled",
+        )
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_expr: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR) weights:
+    per-document log importance ``log p_target(doc) − log p_source
+    (doc)`` under hashed-unigram bag-of-words models — the public
+    importance-resampling recipe for picking pretraining data that
+    looks like a target domain (Xie et al., 2023). Documents matching
+    ``target_expr`` define the target distribution; all other
+    documents define the source distribution.
+
+    Features are md5-hashed token buckets (cross-engine
+    reproducible); both distributions are add-one smoothed. The
+    per-bucket log-ratio is micro-quantized to a BIGINT
+    (``floor(x·1e6 + 0.5)``) so the per-document Σ over buckets is
+    EXACT integer arithmetic — float accumulation order can never
+    shift a hash, and a last-ulp ``ln`` divergence between engines is
+    absorbed unless it lands within ~1e-10 of a rounding boundary
+    (the cramers_v micro-term discipline).
+
+    Plan shape: one explode over the corpus feeding TWO aggregates —
+    the (bucket → target/source counts) distribution (``buckets``
+    rows, broadcast back) and the (doc, bucket) count matrix — then
+    one broadcast join and one final per-doc sum. Only (id, bucket,
+    count) triples shuffle; text never leaves the scan. Documents
+    with zero tokens have no distribution evidence and are absent
+    from the output (mirrored in the oracle).
+
+    Output: <id_col>, n_toks, log_weight_micro (BIGINT — exact),
+    log_weight (double, micro/1e6 for readability).
+    """
+    bucket = (
+        f"CAST(conv(substr(md5(concat('{salt}', w)), 1, 8), 16, 10)"
+        f" AS BIGINT) % {buckets}"
+    )
+    tok = (
+        df.selectExpr(
+            f"{id_col} AS __id",
+            f"CAST(({target_expr}) AS INT) AS __t",
+            f"explode(split(lower({text_col}), '\\\\s+')) AS w",
+        )
+        .filter("w <> ''")
+        .selectExpr("__id", "__t", f"{bucket} AS b")
+    )
+    dist = tok.groupBy("b").agg(
+        F.expr("CAST(SUM(__t) AS BIGINT) AS ct"),
+        F.expr("CAST(SUM(1 - __t) AS BIGINT) AS cs"),
+    )
+    tots = dist.agg(
+        F.expr("CAST(SUM(ct) AS BIGINT) AS tt"),
+        F.expr("CAST(SUM(cs) AS BIGINT) AS ts"),
+    )
+    lr = dist.crossJoin(F.broadcast(tots)).selectExpr(
+        "b",
+        # identical expression shape in the oracle: smoothed
+        # log-ratio, micro-quantized
+        "CAST(floor((ln((CAST(ct AS DOUBLE) + 1.0D)"
+        f" / (CAST(tt AS DOUBLE) + {buckets}.0D))"
+        " - ln((CAST(cs AS DOUBLE) + 1.0D)"
+        f" / (CAST(ts AS DOUBLE) + {buckets}.0D)))"
+        " * 1000000.0D + 0.5D) AS BIGINT) AS lr_micro",
+    )
+    docb = tok.groupBy("__id", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        docb.join(F.broadcast(lr), "b")
+        .groupBy("__id")
+        .agg(
+            F.expr("CAST(SUM(c) AS BIGINT) AS n_toks"),
+            F.expr(
+                "CAST(SUM(c * lr_micro) AS BIGINT) AS log_weight_micro"
+            ),
+        )
+        .selectExpr(
+            f"__id AS {id_col}",
+            "n_toks",
+            "log_weight_micro",
+            "CAST(log_weight_micro AS DOUBLE) / 1000000.0D"
+            " AS log_weight",
+        )
+    )

@@ -6765,7 +6765,7 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((CAST(g.g AS DOUBLE) / n.n
                   - (CAST(si.s AS DOUBLE) / n.n)
                     * (CAST(sj.s AS DOUBLE) / n.n))
-                 / (1000.0 * 1000.0), 6) AS cov
+                 / (1000.0 * 1000.0), 6) + 0.0 AS cov
     FROM g, n
     JOIN s si ON si.pos = g.i
     JOIN s sj ON sj.pos = g.j
@@ -10248,6 +10248,113 @@ def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(ev, "user_id", "event_type")
 
 
+@register(
+    "mixture_sampling",
+    """
+    WITH counts AS (
+      SELECT source AS grp, count(*) AS n_docs,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0
+                        + 0.5) AS BIGINT) AS w_micro
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+             CAST(SUM(w_micro) AS BIGINT) AS w_denom
+      FROM counts),
+    rates AS (
+      SELECT grp, n_docs,
+             least(1.0, CAST(floor(0.5 * CAST(n_total AS DOUBLE))
+                             AS DOUBLE)
+                   * CAST(w_micro AS DOUBLE) / CAST(w_denom AS DOUBLE)
+                   / CAST(n_docs AS DOUBLE)) AS rate
+      FROM counts CROSS JOIN tot),
+    sampled AS (
+      SELECT d.source AS grp, count(*) AS n_sampled
+      FROM documents d JOIN rates r ON d.source = r.grp
+      WHERE CAST(concat('0x', substr(md5(concat('mix',
+              CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+            / CAST(1152921504606846976 AS DOUBLE) < r.rate
+      GROUP BY d.source)
+    SELECT r.grp AS grp_name, r.n_docs,
+           CAST(floor(r.rate * 1000000.0 + 0.5) AS BIGINT) AS rate_ppm,
+           CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM rates r LEFT JOIN sampled s ON r.grp = s.grp
+    """,
+)
+def q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (alpha=0.5, budget 50%):
+    per-source sampling rates that flatten the corpus toward
+    sqrt-share, realized by a deterministic md5 Bernoulli per doc —
+    the corpus-mixing pass of a pretraining pipeline as a scan
+    decoration (one tiny per-source aggregate + broadcast join; the
+    corpus never shuffles — ``operators/selection.py::
+    mixture_sampling``)."""
+    from institutional_fx_etl_spark.operators.selection import (
+        mixture_sampling,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sampling(
+        docs, group_col="source", id_col="doc_id",
+        alpha=0.5, budget_frac=0.5,
+    )
+
+
+@register(
+    "dsir_weights",
+    """
+    WITH tok AS (
+      SELECT id, t,
+             CAST(concat('0x', substr(md5(concat('dsir', w)), 1, 8))
+                  AS BIGINT) % 64 AS b
+      FROM (
+        SELECT doc_id AS id,
+               CAST(COALESCE(lang = 'en', false) AS INT) AS t,
+               unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents)
+      WHERE w <> ''),
+    dist AS (
+      SELECT b, CAST(SUM(t) AS BIGINT) AS ct,
+             CAST(SUM(1 - t) AS BIGINT) AS cs
+      FROM tok GROUP BY b),
+    tots AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+             CAST(SUM(cs) AS BIGINT) AS ts
+      FROM dist),
+    lr AS (
+      SELECT b,
+             CAST(floor((ln((CAST(ct AS DOUBLE) + 1.0)
+                            / (CAST(tt AS DOUBLE) + 64.0))
+                         - ln((CAST(cs AS DOUBLE) + 1.0)
+                              / (CAST(ts AS DOUBLE) + 64.0)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lr_micro
+      FROM dist CROSS JOIN tots),
+    docb AS (SELECT id, b, count(*) AS c FROM tok GROUP BY id, b)
+    SELECT d.id AS doc_id,
+           CAST(SUM(d.c) AS BIGINT) AS n_toks,
+           CAST(SUM(d.c * l.lr_micro) AS BIGINT) AS log_weight_micro,
+           CAST(CAST(SUM(d.c * l.lr_micro) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS log_weight
+    FROM docb d JOIN lr l ON d.b = l.b
+    GROUP BY d.id
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights against the lang='en' target: hashed-
+    unigram log-likelihood ratios, add-one smoothed, micro-quantized
+    per bucket so the per-doc sum is exact integer arithmetic —
+    the data-selection scoring pass of a pretraining pipeline
+    (``operators/selection.py::dsir_weights``; Xie et al. 2023)."""
+    from institutional_fx_etl_spark.operators.selection import (
+        dsir_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs, target_expr="COALESCE(lang = 'en', false)",
+        text_col="text", id_col="doc_id", buckets=64,
+    )
+
+
 # deferred: need their batch twins' REGISTRY entries (registered above)
 _register_streaming_cusum()
 _register_streaming_hll()
@@ -10271,9 +10378,14 @@ _register_streaming_hll()
 
 _HEAD = [
     # --- round-8 window (50) ------------------------------------------
+    # new this round (policy rule 1: first driver row needed) — the
+    # training-data selection family
+    "mixture_sampling",
+    "dsir_weights",
     # priority slots: the six round-7 hash-reds, re-certified after the
     # integer-width mirror (DuckDB SUM->HUGEINT oracles CAST to BIGINT;
-    # emb_covariance i/j widened to BIGINT) — round-7 verdict ask #1
+    # emb_covariance -0.0 sign-bit normalized + i/j widened to BIGINT)
+    # — round-7 verdict ask #1
     "tpch_q9",
     "tpch_q12",
     "tpch_q15",
@@ -10329,16 +10441,17 @@ _HEAD = [
     "streaming_gap_bridge",
     # code changed this round — fresh rows over the new plans:
     # dedup_containment (regression re-measure, ask #4), triangle_count
-    # (tuning pass, ask #6), tpch_q8 + semdedup (Spark-side width
-    # mirrors: o_year/cid INT->BIGINT)
+    # (tuning pass, ask #6)
     "dedup_containment",
     "triangle_count",
-    "tpch_q8",
-    "semdedup",
-    # slot 51+: fuzzy/bloom/mannwhitney code also changed this round
-    # but all three already hold window slots above via the
-    # never-certified block; everything below is tail-gated every CI
-    # run by tests/test_contract_tail.py.
+    # slot 51+: tpch_q8 + semdedup also changed Spark-side this round
+    # (o_year/cid INT->BIGINT width mirrors — value-identical, widths
+    # now exactly equal, bit-pattern re-verified at sf0.01 and width-
+    # audited by tests/test_type_widths.py) but lose their slots to
+    # the two NEW queries; they head the r9 window. fuzzy/bloom/
+    # mannwhitney code also changed but already hold window slots via
+    # the never-certified block. Everything below is tail-gated every
+    # CI run by tests/test_contract_tail.py.
 ]
 _TAIL = [
     # r7-green — freshest driver rows on the board (demotion tail per

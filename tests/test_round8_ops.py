@@ -143,3 +143,74 @@ def test_mannwhitney_mega_ties_no_wrap(spark):
     import math
 
     assert r["z"] is None or math.isnan(r["z"]) or abs(r["z"]) < 1e-6
+
+
+def test_mixture_sampling_rates_hand(spark):
+    """4-vs-16 docs at alpha=0.5, budget 50%: B=10, micro-weights
+    2e6/4e6, denom 6e6 → rate_a = 10·(2/6)/4 = 0.833333,
+    rate_b = 10·(4/6)/16 = 0.416667 — exact ppm values."""
+    from institutional_fx_etl_spark.operators.selection import (
+        mixture_sampling,
+    )
+
+    rows = [(i, "a") for i in range(4)] + [(100 + i, "b") for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        r["grp_name"]: r
+        for r in mixture_sampling(df, "source", "doc_id").collect()
+    }
+    assert got["a"]["n_docs"] == 4 and got["b"]["n_docs"] == 16
+    assert got["a"]["rate_ppm"] == 833333
+    assert got["b"]["rate_ppm"] == 416667
+    for g in ("a", "b"):
+        assert 0 <= got[g]["n_sampled"] <= got[g]["n_docs"]
+    # determinism: identical second run
+    again = {
+        r["grp_name"]: r["n_sampled"]
+        for r in mixture_sampling(df, "source", "doc_id").collect()
+    }
+    assert again == {g: got[g]["n_sampled"] for g in got}
+
+
+def test_mixture_sampling_rejects_nonsqrt_alpha(spark):
+    import pytest
+
+    from institutional_fx_etl_spark.operators.selection import (
+        mixture_sampling,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        mixture_sampling(df, "source", "doc_id", alpha=0.3)
+
+
+def test_dsir_weights_sign_and_counts(spark):
+    """Docs made of the target token score positive, docs made of the
+    source token negative; token counts are exact; an empty doc is
+    absent from the output."""
+    from institutional_fx_etl_spark.operators.selection import (
+        dsir_weights,
+    )
+
+    rows = [
+        (1, "aaa aaa aaa", "en"),
+        (2, "aaa aaa", "en"),
+        (3, "bbb bbb bbb", "de"),
+        (4, "bbb bbb", "de"),
+        (5, "aaa aaa aaa aaa", None),  # probe: target-looking, no lang
+        (6, "", "en"),  # empty → absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            df, target_expr="COALESCE(lang = 'en', false)"
+        ).collect()
+    }
+    assert 6 not in got
+    assert got[1]["n_toks"] == 3 and got[5]["n_toks"] == 4
+    assert got[1]["log_weight"] > 0 and got[5]["log_weight"] > 0
+    assert got[3]["log_weight"] < 0 and got[4]["log_weight"] < 0
+    # micro column is the exact integer the double derives from
+    for r in got.values():
+        assert r["log_weight"] == r["log_weight_micro"] / 1e6

@@ -60,12 +60,21 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
             if np.issubdtype(av.dtype, np.floating):
-                eq = (av == bv) | (np.isnan(av.astype(float)) & np.isnan(bv.astype(float)))
+                # BIT-PATTERN equality (plus NaN==NaN): the driver hash
+                # is sensitive to the sign bit of -0.0, which `==`
+                # treats as equal to +0.0 — the round-7 emb_covariance
+                # hash-red slipped through the value compare this way
+                af, bf = av.astype(np.float64), bv.astype(np.float64)
+                eq = (af.view(np.uint64) == bf.view(np.uint64)) | (
+                    np.isnan(af) & np.isnan(bf)
+                )
                 if not eq.all():
                     bad = int((~eq).sum())
-                    diffs = np.abs(av[~eq].astype(float) - bv[~eq].astype(float))
+                    diffs = np.abs(af[~eq] - bf[~eq])
                     problems.append(
-                        f"col {c}: {bad} value diffs, max abs diff {np.nanmax(diffs):.3e}"
+                        f"col {c}: {bad} bit-pattern diffs, max abs diff"
+                        f" {np.nanmax(diffs):.3e} (0.0 diffs are -0.0"
+                        " sign-bit mismatches)"
                     )
             else:
                 eq = (av == bv) | (pd.isna(a[c]).to_numpy() & pd.isna(b[c]).to_numpy())
