@@ -115,7 +115,9 @@ def mixture_sampling(
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
     return (
-        rates.join(sampled, "grp", "left")
+        # both sides are source-cardinality tiny; broadcast keeps the
+        # audit join off the shuffle service
+        rates.join(F.broadcast(sampled), "grp", "left")
         .selectExpr(
             "grp AS grp_name",
             "n_docs",

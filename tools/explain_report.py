@@ -39,6 +39,9 @@ REPORT_QUERIES = [
     "fuzzy_lookup_join",
     "hll_estimate",
     "assoc_rules",
+    "triangle_count",
+    "mixture_sampling",
+    "dsir_weights",
 ]
 
 SF = "/root/testdata/sf0.1"
@@ -46,10 +49,36 @@ SF = "/root/testdata/sf0.1"
 #: per-section caveats rendered under the operator counts
 NOTES = {
     "dedup_containment": (
-        "Round-7 grouped candidate stage: NO join anywhere — one "
-        "exchange to shingle groups (df cap in the same aggregate), "
-        "in-array ordered pair emission, one exchange to pair counts. "
-        "Was a 4-exchange posting self-join."
+        "Grouped candidate stage: NO join anywhere — one exchange to "
+        "shingle groups (df cap in the same aggregate), a cheap "
+        "round-robin re-spread of the bounded group arrays (round 8: "
+        "AQE's pre-explode coalesce had serialized the C(df,2) pair "
+        "fan-out), in-array ordered pair emission, one exchange to "
+        "pair counts. Was a 4-exchange posting self-join."
+    ),
+    "fuzzy_lookup_join": (
+        "Capped trigram posting generates CANDIDATES ONLY (round 8): "
+        "survivors re-score exactly against the full trigram arrays, "
+        "so the hot cap can never flip the argmax; the oracle mirrors "
+        "the df>cap stoplist as the candidate rule."
+    ),
+    "triangle_count": (
+        "Edge-iterator regime (round 8, ≤ broadcast cap): the degree-"
+        "ordered out-adjacency broadcasts onto both endpoints and "
+        "array_intersect counts run scan-side — zero wedge rows. "
+        "Above the cap: ordered-wedge two-join with key-partitioned "
+        "closing probe."
+    ),
+    "mixture_sampling": (
+        "Corpus mixing as a scan decoration: ONE tiny per-source "
+        "aggregate, rates broadcast back, md5 Bernoulli filter "
+        "scan-side — the corpus itself never shuffles."
+    ),
+    "dsir_weights": (
+        "One explode feeds the bucket-distribution aggregate "
+        "(buckets rows, broadcast back) and the (doc, bucket) count "
+        "matrix; only (id, bucket, count) triples shuffle — text "
+        "never leaves the scan."
     ),
     "ks_two_sample": (
         "Distributed exact ECDF: the only SinglePartition exchanges "
@@ -63,11 +92,6 @@ NOTES = {
         "rollup windows by group over one-row-per-bucket relations, "
         "offsets broadcast back (machine-gated in "
         "test_round7b_ops.py)."
-    ),
-    "fuzzy_lookup_join": (
-        "Capped trigram posting list on the catalog side; query "
-        "trigrams BROADCAST; the argmax is one composite-key min_by "
-        "aggregate — no window over candidates."
     ),
     "hll_estimate": (
         "Sketch shape: the registers aggregate bounds the shuffle at "
