@@ -146,6 +146,7 @@ HEADLINE = [
     # triangle / semdedup re-measures already sit in the list above)
     "mixture_sampling",
     "dsir_weights",
+    "random_projection",
 ]
 
 

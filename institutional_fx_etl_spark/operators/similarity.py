@@ -184,6 +184,44 @@ def hyperplane_signatures(
     ).selectExpr(bq(id_col), "__v", f"{let1('__v', '__u', bucket)} AS bucket")
 
 
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 16,
+    table: int = 0,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim``
+    dimensions with deterministic md5-derived ±1 planes (Achlioptas
+    2003 sign matrices — distance-preserving in expectation, and the
+    cheap dense-sketch front-end for ANN / clustering over wide
+    embeddings). Reuses the LSH plane machinery
+    (:func:`_plane_matrix_literal`), so the projection is reproducible
+    across engines and partitions.
+
+    Pure scan-side map — zero shuffles: the plane matrix is a
+    constant-folded literal and each output coordinate is one
+    let-bound fold over the vector. Output LONG FORM (one row per
+    (vector, coordinate)): <id_col>, p (1-based BIGINT), proj
+    (round 6, sign-bit-normalized) — long form keeps the contract
+    output array-free (the compare's column sort chokes on ndarray
+    cells) and feeds coordinate-wise stats directly.
+    """
+    planes = _plane_matrix_literal(out_dim, 64, table=table)
+    projs = let1(
+        _as_double(vec_col),
+        "__u",
+        f"transform(sequence(1, {out_dim}), p ->"
+        f" round(aggregate(zip_with(__u, element_at({planes}, p),"
+        " (x, s) -> x*s), 0.0d, (a, x) -> a + x), 6) + 0.0d)",
+    )
+    return df.selectExpr(
+        f"{bq(id_col)}", f"posexplode({projs}) AS (__p0, proj)"
+    ).selectExpr(
+        f"{bq(id_col)}", "CAST(__p0 + 1 AS BIGINT) AS p", "proj"
+    )
+
+
 def auto_planes(
     n_rows: int,
     target_bucket_rows: int = 8,

@@ -10355,6 +10355,52 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rp_oracle(out_dim: int = 16, num_dims: int = 64) -> str:
+    """DuckDB twin of ``similarity.py::random_projection``: the SAME
+    md5-derived ±1 plane literals (hashlib == both engines' md5),
+    ``list_dot_product`` mirroring Spark's zip_with fold — the proven
+    cosine-oracle pairing — and the same round-6 + sign-bit
+    normalization."""
+    import hashlib
+
+    terms = []
+    for j in range(out_dim):
+        signs = []
+        for i in range(num_dims):
+            h = int(
+                hashlib.md5(f"plane{j}_{i}".encode()).hexdigest()[:8], 16
+            )
+            signs.append("1.0" if h % 2 == 0 else "-1.0")
+        terms.append(
+            "round(list_dot_product(vv, ["
+            + ", ".join(signs)
+            + "]), 6) + 0.0"
+        )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings)
+    SELECT vec_id, CAST(p AS BIGINT) AS p, proj FROM (
+      SELECT vec_id, unnest(range(1, {out_dim + 1})) AS p,
+             unnest([{", ".join(terms)}]) AS proj
+      FROM v)
+    """
+
+
+@register("random_projection", _rp_oracle())
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection of the embedding
+    table to 16 dims (long form — one row per coordinate): the cheap
+    distance-preserving sketch in front of clustering/ANN over wide
+    vectors. Pure scan-side map, zero shuffles
+    (``operators/similarity.py::random_projection``)."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(emb, out_dim=16)
+
+
 # deferred: need their batch twins' REGISTRY entries (registered above)
 _register_streaming_cusum()
 _register_streaming_hll()
@@ -10444,7 +10490,11 @@ _HEAD = [
     # (tuning pass, ask #6)
     "dedup_containment",
     "triangle_count",
-    # slot 51+: tpch_q8 + semdedup also changed Spark-side this round
+    # slot 51+: random_projection is new-in-round-8 but arrived after
+    # the window filled (new-query slots went to mixture_sampling /
+    # dsir_weights) — it is tail-gated + width-audited this round and
+    # heads the r9 window per policy rule 1 alongside tpch_q8 +
+    # semdedup. Those two also changed Spark-side this round
     # (o_year/cid INT->BIGINT width mirrors — value-identical, widths
     # now exactly equal, bit-pattern re-verified at sf0.01 and width-
     # audited by tests/test_type_widths.py) but lose their slots to

@@ -214,3 +214,26 @@ def test_dsir_weights_sign_and_counts(spark):
     # micro column is the exact integer the double derives from
     for r in got.values():
         assert r["log_weight"] == r["log_weight_micro"] / 1e6
+
+
+def test_random_projection_hand(spark):
+    """±1 projection of a basis vector returns exactly the plane's
+    sign in every coordinate; long form has out_dim rows per vector."""
+    import hashlib
+
+    from institutional_fx_etl_spark.operators.similarity import (
+        random_projection,
+    )
+
+    # e_0: picks out component 0 of every plane
+    vec = [1.0] + [0.0] * 63
+    df = spark.createDataFrame(
+        [(7, vec)], "vec_id long, embedding array<double>"
+    )
+    rows = random_projection(df, out_dim=16).collect()
+    assert len(rows) == 16
+    got = {r["p"]: r["proj"] for r in rows}
+    for j in range(16):
+        h = int(hashlib.md5(f"plane{j}_0".encode()).hexdigest()[:8], 16)
+        expect = 1.0 if h % 2 == 0 else -1.0
+        assert got[j + 1] == expect
