@@ -765,6 +765,19 @@ def editdistance_pairs(
         .select("blk")
     )
     bl = blocks.join(small, "blk")
+    # pin the self-join's partitioning: AQE sizes its coalesce on the
+    # (bucket, text) INPUT bytes, but the join output fans to
+    # O(block²) Levenshtein verifies per bucket — the coalesced plan
+    # funneled the verify work through a handful of tasks (the same
+    # pre-explode-coalesce class as containment_pairs; 3.9 s → 3.0 s
+    # steady at sf0.1, identical pairs). User-specified repartitions
+    # are exempt from AQE coalescing, and deriving BOTH join sides
+    # from the one repartitioned frame keeps them co-partitioned — no
+    # extra exchange.
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    bl = bl.repartition(n_part, "blk")
     a = bl.selectExpr("blk", "id AS id_a", "t AS ta", "ln AS la", "h AS ha")
     b = bl.selectExpr("blk", "id AS id_b", "t AS tb", "ln AS lb", "h AS hb")
     bag_l1 = (
