@@ -10,6 +10,15 @@ libraries, so :func:`decode_features` uses a clearly-marked
 deterministic fake decoder (md5/length-derived features). Swapping in a
 real decoder (PIL/librosa/ffmpeg) changes only the marked function body
 — not the Spark plumbing, which is what these operators exercise.
+
+Arrow batch sizing (measured, ``tools/arrow_batch_sweep.py`` at 100k
+payload rows): the per-batch fixed cost is ~2 ms — 500-row batches run
+2× slower than the 10000-row default, and 50000 gains only ~7% more.
+Keep the default ``spark.sql.execution.arrow.maxRecordsPerBatch`` for
+metadata-sized payloads; for real media (MB-scale payloads) the BYTES
+bound worker memory, so set maxRecordsPerBatch ≈ target_batch_bytes /
+avg_payload_bytes (e.g. 64 MB / 2 MB ≈ 32 rows) — row count is the
+only knob Spark exposes here.
 """
 
 from __future__ import annotations
