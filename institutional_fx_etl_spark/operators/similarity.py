@@ -1007,12 +1007,13 @@ def knn_join(
     #           (== (cosine desc, nn_id asc)); exact-rounding fallback
     #           for boundary-risky cells. Equality machine-gated in
     #           tests/test_round7_ops.py.
-    # auto: numpy once the cell count says the corpus outgrew the
-    # HOF constant (same crossover as the assignment regimes).
-    n_cells = num_centroids if centroids is None else centroids.count()
-    use_numpy = pair_strategy == "numpy" or (
-        pair_strategy == "auto" and n_cells > MAX_HOF_CENTROIDS
-    )
+    # auto: ALWAYS numpy (round 8) — A/B at 500/2000/20000 vectors put
+    # the Arrow kernel 1.3-4x ahead at every size (the per-pair
+    # interpreted HOF dot never beats a vectorized (m,m) block once a
+    # cell holds more than a handful of vectors; Arrow fixed cost is
+    # already amortized at 500 rows). "sql" stays forceable — it is
+    # the pure-JVM twin the equality gate checks the kernel against.
+    use_numpy = pair_strategy != "sql"
     if use_numpy:
         id_type = dict(normed.dtypes)["vid"]
         return _knn_pairs_numpy(normed, k, id_type).selectExpr(
