@@ -147,6 +147,7 @@ HEADLINE = [
     "mixture_sampling",
     "dsir_weights",
     "random_projection",
+    "knn_incremental",
 ]
 
 

@@ -184,6 +184,61 @@ def hyperplane_signatures(
     ).selectExpr(bq(id_col), "__v", f"{let1('__v', '__u', bucket)} AS bucket")
 
 
+def knn_join_incremental(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    old_topk: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental maintenance of an all-pairs KNN table when a batch
+    of new vectors arrives: only the cells TOUCHED by the batch
+    recompute their pairs; every other vector keeps its existing
+    ``old_topk`` row verbatim. With right-sized cells the update does
+    Σ|affected cell|² pair work instead of the full corpus's Σ|cell|²
+    — the :func:`dedup.minhash_lsh_pairs` ``new_col`` discipline
+    applied to the ANN table (incremental top-k maintenance à la the
+    interactive-session literature).
+
+    Correctness contract (what the registered query's oracle proves
+    cross-engine): with a FROZEN ``centroids`` table — assignments
+    never move, so an untouched cell's membership and therefore its
+    top-k are unchanged — the incremental result is row-identical to
+    :func:`knn_join` over old ∪ new with the same centroids. The
+    centroid set must be the same one ``old_topk`` was built with;
+    re-fitting centroids is a full rebuild by definition.
+
+    Plan shape: two broadcast assignment passes (old + new, linear),
+    ONE tiny distinct for the affected-cell set, the Arrow pair
+    kernel over affected-cell members only, and a broadcast anti-join
+    that keeps unaffected ``old_topk`` rows without shuffling them.
+
+    Output: <id_col>, nn_id, rank, cosine — same contract as
+    :func:`knn_join`.
+    """
+    a_old = _assign_to(df_old, centroids, vec_col, id_col)
+    a_new = _assign_to(df_new, centroids, vec_col, id_col)
+    affected = a_new.select("cid").distinct()
+    members = a_old.join(
+        F.broadcast(affected), "cid", "left_semi"
+    ).unionByName(a_new)
+    normed = members.selectExpr("vid", "cid", f"{_UNIT} AS vn")
+    id_type = dict(normed.dtypes)["vid"]
+    fresh = _knn_pairs_numpy(normed, k, id_type).selectExpr(
+        f"vid AS {bq(id_col)}", "nn_id", "rank", "cosine"
+    )
+    keep = (
+        old_topk.join(
+            a_old.selectExpr(f"vid AS {bq(id_col)}", "cid"), id_col
+        )
+        .join(F.broadcast(affected), "cid", "left_anti")
+        .drop("cid")
+    )
+    return keep.unionByName(fresh)
+
+
 def random_projection(
     df: DataFrame,
     vec_col: str = "embedding",

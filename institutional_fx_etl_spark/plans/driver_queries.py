@@ -10386,6 +10386,77 @@ def _rp_oracle(out_dim: int = 16, num_dims: int = 64) -> str:
     """
 
 
+@register(
+    "knn_incremental",
+    """
+    WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS vv
+               FROM embeddings),
+    cents AS (SELECT vid AS cid, vv AS cv FROM v
+              WHERE vid % 17 <> 0
+                AND vid < greatest(8, CAST(ceil(
+                  (SELECT count(*) FROM v WHERE vid % 17 <> 0) / 512.0)
+                  AS BIGINT))),
+    scored AS (
+      SELECT v.vid, v.vv, c.cid,
+             round(list_dot_product(v.vv, c.cv)
+                   / (sqrt(list_dot_product(v.vv, v.vv))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos
+      FROM v CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vid, vv, cid FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    normed AS (
+      SELECT vid, cid,
+             list_transform(vv, x -> x / sqrt(list_dot_product(vv, vv)))
+               AS vn
+      FROM assigned
+    ),
+    s AS (
+      SELECT a.vid, b.vid AS nn_id,
+             round(list_dot_product(a.vn, b.vn), 6) AS cosine
+      FROM normed a JOIN normed b
+        ON a.cid = b.cid AND a.vid <> b.vid
+    )
+    SELECT vid AS vec_id, nn_id,
+           CAST(row_number() OVER
+             (PARTITION BY vid ORDER BY cosine DESC, nn_id) AS INT)
+             AS rank,
+           cosine
+    FROM s QUALIFY rank <= 3
+    """,
+)
+def q_knn_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KNN-table maintenance: the corpus splits into an
+    existing part (vec_id % 17 <> 0, with its KNN table already
+    built) and an arriving batch (vec_id % 17 = 0); only the cells
+    the batch touches recompute — Σ|affected cell|² pair work instead
+    of Σ|cell|² (``operators/similarity.py::knn_join_incremental``).
+    The ORACLE is the from-scratch full-corpus KNN under the same
+    frozen centroids, so a hash match IS the incremental ≡ rebuild
+    proof, cross-engine."""
+    import math
+
+    from institutional_fx_etl_spark.operators.similarity import (
+        knn_join,
+        knn_join_incremental,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter("vec_id % 17 <> 0")
+    new = emb.filter("vec_id % 17 = 0")
+    n_cells = max(8, math.ceil(old.count() / 512.0))
+    centroids = old.filter(f"vec_id < {n_cells}").selectExpr(
+        "vec_id AS cid",
+        "transform(embedding, x -> cast(x as double)) AS cv",
+    )
+    old_topk = knn_join(old, k=3, centroids=centroids)
+    return knn_join_incremental(old, new, old_topk, centroids, k=3)
+
+
 @register("random_projection", _rp_oracle())
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss ±1 random projection of the embedding

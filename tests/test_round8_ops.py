@@ -237,3 +237,58 @@ def test_random_projection_hand(spark):
         h = int(hashlib.md5(f"plane{j}_0".encode()).hexdigest()[:8], 16)
         expect = 1.0 if h % 2 == 0 else -1.0
         assert got[j + 1] == expect
+
+
+def test_knn_incremental_equals_rebuild(spark):
+    """Incremental maintenance == from-scratch rebuild under frozen
+    centroids, on a fixture where the batch touches a strict subset
+    of cells (so the keep-path actually carries rows)."""
+    import hashlib
+
+    from institutional_fx_etl_spark.operators.similarity import (
+        knn_join,
+        knn_join_incremental,
+    )
+
+    def vec(seed, dim=8):
+        out = []
+        for j in range(dim):
+            h = int(
+                hashlib.md5(f"v{seed}_{j}".encode()).hexdigest()[:8], 16
+            )
+            out.append((h % 2001 - 1000) / 1000.0)
+        return out
+
+    # two well-separated centroid anchors
+    c0 = [10.0] + [0.0] * 7
+    c1 = [0.0] * 7 + [10.0]
+    old_rows = [(0, c0), (1, c1)] + [
+        (i, [a + b for a, b in zip((c0 if i % 2 == 0 else c1), vec(i))])
+        for i in range(2, 30)
+    ]
+    # batch lands ONLY near c1 → cell 0 must keep its old rows verbatim
+    new_rows = [
+        (100 + i, [a + b for a, b in zip(c1, vec(100 + i))])
+        for i in range(5)
+    ]
+    old = spark.createDataFrame(
+        old_rows, "vec_id long, embedding array<double>"
+    )
+    new = spark.createDataFrame(
+        new_rows, "vec_id long, embedding array<double>"
+    )
+    centroids = spark.createDataFrame(
+        [(0, c0), (1, c1)], "cid long, cv array<double>"
+    )
+    old_topk = knn_join(old, k=3, centroids=centroids)
+    inc = knn_join_incremental(old, new, old_topk, centroids, k=3)
+    full = knn_join(old.unionByName(new), k=3, centroids=centroids)
+    a = sorted(map(tuple, inc.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b
+    # the untouched cell really was carried, not recomputed trivially:
+    # batch ids all assigned to cell 1
+    from institutional_fx_etl_spark.operators.similarity import _assign_to
+
+    cells = {r["vid"]: r["cid"] for r in _assign_to(new, centroids).collect()}
+    assert set(cells.values()) == {1}
