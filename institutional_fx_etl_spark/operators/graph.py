@@ -118,24 +118,26 @@ def triangle_count(
     whose two triangle edges both point outward under the acyclic
     (degree, id) total order.
 
-    Two regimes on the materialized REAL edge count (the
+    The plan is the EDGE-ITERATOR ("compact-forward") in both regimes:
+    build the out-neighbor adjacency once (one groupBy; total payload
+    = m ids), join it onto both endpoints of the oriented edge list,
+    and count ``array_intersect(N⁺(x), N⁺(y))`` scan-side per edge —
+    no wedge row ever materializes. Only the adjacency join's
+    strategy switches on the materialized REAL edge count (the
     dedup_clusters broadcast policy):
 
-    - ≤ ``broadcast_max_edges``: EDGE-ITERATOR ("compact-forward") —
-      build the out-neighbor adjacency once (one groupBy; total
-      payload = m ids), broadcast it onto both endpoints of the
-      oriented edge list, and count ``array_intersect(N⁺(x), N⁺(y))``
-      scan-side per edge. No wedge row ever materializes (the wedge
-      formulation shuffled 41M skinny pair rows at sf0.1; this form
-      computes the same intersections inside the scan — 7.7 s →
-      3.2 s warm at sf0.1, census-identical). Per-row arrays are
-      bounded by max outdeg⁺ = O(√m).
-    - above the cap: the wedge two-join plan — ordered wedges
-      ``(x→p) ⋈ (x→q), p<q`` closed against the key-partitioned edge
-      set — whose state per task stays skinny-row-bounded when the
-      adjacency arrays would no longer broadcast. Both regimes are
-      machine-gated equal on a power-law graph
-      (``test_triangle_count_fallback_join_equals_broadcast``).
+    - ≤ ``broadcast_max_edges``: the adjacency BROADCASTS — the edge
+      stream is probed map-side and never shuffles (7.7 s → 3.2 s
+      warm at sf0.1 vs the former wedge two-join, census-identical).
+    - above the cap: the adjacency shuffles (2m ids — vs the wedge
+      plan's Σ C(outdeg⁺,2) pair rows, ~410M at the 10× probe where
+      this form is 3× faster: 60 s → 20 s, census-identical).
+
+    Per-row arrays are bounded by max outdeg⁺ = O(√m) under the
+    degree orientation; hot join keys repeat their array across
+    independent rows, so AQE skew-split applies cleanly. Both regimes
+    are machine-gated equal on a power-law graph
+    (``test_triangle_count_fallback_join_equals_broadcast``).
 
     Everything is integer arithmetic except the final clustering
     coefficient, one double division mirrored in the oracle.
@@ -186,42 +188,35 @@ def triangle_count(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # edge-iterator in BOTH regimes — only the adjacency join's
+    # strategy switches at the cap. The old above-cap fallback
+    # (ordered-wedge two-join) materialized Σ C(outdeg⁺,2) skinny
+    # pair rows; shuffling the adjacency instead moves 2m ids and
+    # runs the same intersections scan-side (60 s → 20 s at the 10×
+    # probe, census-identical). Per-row arrays stay bounded by max
+    # outdeg⁺ = O(√m) under the degree orientation; a hot join key
+    # repeats its array across independent rows, so AQE skew-split
+    # applies cleanly.
+    nbrs = oriented.groupBy("x").agg(F.collect_list("y").alias("ys"))
     if n_edges_val <= broadcast_max_edges:
-        # edge-iterator regime: adjacency broadcasts (≤ m ids total),
-        # intersections run scan-side — zero wedge materialization
-        nbrs = oriented.groupBy("x").agg(
-            F.collect_list("y").alias("ys")
-        )
-        tri = (
-            oriented.join(
-                F.broadcast(nbrs.selectExpr("x", "ys AS ysx")), "x"
-            )
-            .join(
-                F.broadcast(nbrs.selectExpr("x AS y", "ys AS ysy")),
-                "y",
-            )
-            .selectExpr("size(array_intersect(ysx, ysy)) AS t")
-            # COALESCE: a wedge-free graph leaves zero probe rows and
-            # SUM would be NULL where the wedge plan counted 0
-            .agg(
-                F.expr(
-                    "CAST(COALESCE(SUM(t), 0) AS BIGINT)"
-                    " AS n_triangles"
-                )
-            )
-        )
+        probe_x = F.broadcast(nbrs.selectExpr("x", "ys AS ysx"))
+        probe_y = F.broadcast(nbrs.selectExpr("x AS y", "ys AS ysy"))
     else:
-        # large-graph regime: skinny wedge rows + key-partitioned
-        # closing join (adjacency arrays would no longer broadcast)
-        wedge_pairs = (
-            oriented.selectExpr("x", "y AS p")
-            .join(oriented.selectExpr("x", "y AS q"), "x")
-            .filter("p < q")
-            .selectExpr("p AS a", "q AS b")
+        nbrs = nbrs.persist(StorageLevel.MEMORY_AND_DISK)
+        probe_x = nbrs.selectExpr("x", "ys AS ysx")
+        probe_y = nbrs.selectExpr("x AS y", "ys AS ysy")
+    tri = (
+        oriented.join(probe_x, "x")
+        .join(probe_y, "y")
+        .selectExpr("size(array_intersect(ysx, ysy)) AS t")
+        # COALESCE: a wedge-free graph leaves zero probe rows and
+        # SUM would be NULL where a count would give 0
+        .agg(
+            F.expr(
+                "CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n_triangles"
+            )
         )
-        tri = wedge_pairs.join(e, ["a", "b"]).agg(
-            F.count(F.lit(1)).alias("n_triangles")
-        )
+    )
     # the census is one row and the operator is already eager (the
     # broadcast decision materialized the edge count), so finish the
     # computation here and release the three cached sets instead of
@@ -238,8 +233,8 @@ def triangle_count(
         .collect()[0]
     )
     spark = edges.sparkSession
-    for cached in (oriented, deg, e):
-        cached.unpersist()
+    for cached in (nbrs, oriented, deg, e):
+        cached.unpersist()  # unpersist on a non-persisted DF is a no-op
     return spark.createDataFrame(
         [out],
         "n_edges long, n_wedges long, n_triangles long,"
