@@ -148,6 +148,7 @@ HEADLINE = [
     "dsir_weights",
     "random_projection",
     "knn_incremental",
+    "shuffle_shards",
 ]
 
 

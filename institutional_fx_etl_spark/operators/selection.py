@@ -127,6 +127,46 @@ def mixture_sampling(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a
+    shard and an in-shard position from one md5 draw — the "shuffle
+    the corpus once, then every epoch streams shards sequentially"
+    export layout a pretraining data loader consumes. Reproducible
+    (same salt ⇒ same order, any partitioning, any engine) and
+    stateless, unlike ``rand()``-based shuffles that change under
+    retry or re-planning.
+
+    Shard = draw mod ``n_shards`` (uniform); position = rank of the
+    draw within the shard (md5 ties broken by id — total order).
+    Plan: one scan expression + ONE ranking window PARTITIONED BY
+    shard — at scale pick n_shards ≳ cluster parallelism so no shard
+    serializes; rows carry only (id, draw), never payloads (the
+    writer joins payloads back or writes with
+    ``partitionBy(shard) sortBy(pos)``).
+
+    Output: <id_col>, shard (BIGINT), pos (BIGINT, 0-based).
+    """
+    u = (
+        f"CAST(conv(substr(md5(concat('{salt}',"
+        f" CAST({id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        df.selectExpr(id_col, f"{u} AS __draw")
+        .selectExpr(id_col, "__draw", f"__draw % {n_shards} AS shard")
+        .selectExpr(
+            id_col,
+            "shard",
+            "CAST(row_number() OVER (PARTITION BY shard"
+            f" ORDER BY __draw, {id_col}) - 1 AS BIGINT) AS pos",
+        )
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     target_expr: str,

@@ -10457,6 +10457,34 @@ def q_knn_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_incremental(old, new, old_topk, centroids, k=3)
 
 
+@register(
+    "shuffle_shards",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('shuf',
+               CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS draw
+      FROM documents)
+    SELECT doc_id, draw % 16 AS shard,
+           CAST(row_number() OVER (PARTITION BY draw % 16
+             ORDER BY draw, doc_id) - 1 AS BIGINT) AS pos
+    FROM d
+    """,
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: md5 draw → shard + in-
+    shard position (the export layout a pretraining loader streams) —
+    one scan expression plus ONE shard-partitioned ranking window;
+    reproducible under any partitioning, unlike rand() shuffles
+    (``operators/selection.py::shuffle_shards``)."""
+    from institutional_fx_etl_spark.operators.selection import (
+        shuffle_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(docs, id_col="doc_id", n_shards=16)
+
+
 @register("random_projection", _rp_oracle())
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss ±1 random projection of the embedding
@@ -10561,11 +10589,13 @@ _HEAD = [
     # (tuning pass, ask #6)
     "dedup_containment",
     "triangle_count",
-    # slot 51+: random_projection is new-in-round-8 but arrived after
-    # the window filled (new-query slots went to mixture_sampling /
-    # dsir_weights) — it is tail-gated + width-audited this round and
-    # heads the r9 window per policy rule 1 alongside tpch_q8 +
-    # semdedup. Those two also changed Spark-side this round
+    # slot 51+: random_projection + knn_incremental + shuffle_shards
+    # are new-in-round-8 but arrived after the window filled (the
+    # new-query slots went to
+    # mixture_sampling / dsir_weights) — all are tail-gated +
+    # width-audited this round and head the r9 window per policy
+    # rule 1 alongside tpch_q8 + semdedup. Those two changed
+    # Spark-side this round
     # (o_year/cid INT->BIGINT width mirrors — value-identical, widths
     # now exactly equal, bit-pattern re-verified at sf0.01 and width-
     # audited by tests/test_type_widths.py) but lose their slots to

@@ -292,3 +292,29 @@ def test_knn_incremental_equals_rebuild(spark):
 
     cells = {r["vid"]: r["cid"] for r in _assign_to(new, centroids).collect()}
     assert set(cells.values()) == {1}
+
+
+def test_shuffle_shards_invariants(spark):
+    """Every doc appears exactly once; positions are a gapless 0..m-1
+    sequence per shard; the assignment is identical across runs and
+    partitionings."""
+    from institutional_fx_etl_spark.operators.selection import (
+        shuffle_shards,
+    )
+
+    df = spark.range(200).selectExpr("id AS doc_id")
+    out = shuffle_shards(df, id_col="doc_id", n_shards=8).collect()
+    assert len(out) == 200
+    assert len({r["doc_id"] for r in out}) == 200
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    again = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_shards(
+            df.repartition(13), id_col="doc_id", n_shards=8
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in out}
