@@ -318,3 +318,75 @@ def test_shuffle_shards_invariants(spark):
         ).collect()
     }
     assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in out}
+
+
+def _dsir_reference(rows, buckets=64, salt="dsir"):
+    """Pure-Python mirror of dsir_weights' md5-bucket math — the
+    hypothesis property's independent oracle."""
+    import hashlib
+    import math
+
+    def bucket(w):
+        return (
+            int(hashlib.md5(f"{salt}{w}".encode()).hexdigest()[:8], 16)
+            % buckets
+        )
+
+    ct = [0] * buckets
+    cs = [0] * buckets
+    toks = {}
+    for doc_id, text, is_target in rows:
+        ws = [w for w in text.lower().split() if w]
+        toks[doc_id] = ws
+        for w in ws:
+            if is_target:
+                ct[bucket(w)] += 1
+            else:
+                cs[bucket(w)] += 1
+    tt, ts = sum(ct), sum(cs)
+    lr = [
+        math.floor(
+            (
+                math.log((ct[b] + 1.0) / (tt + float(buckets)))
+                - math.log((cs[b] + 1.0) / (ts + float(buckets)))
+            )
+            * 1e6
+            + 0.5
+        )
+        for b in range(buckets)
+    ]
+    out = {}
+    for doc_id, ws in toks.items():
+        if not ws:
+            continue
+        micro = sum(lr[bucket(w)] for w in ws)
+        out[doc_id] = (len(ws), micro)
+    return out
+
+
+def test_dsir_weights_matches_python_reference(spark):
+    """dsir_weights == the independent pure-Python implementation on
+    a mixed fixture (multi-token docs, shared vocab, whitespace runs,
+    empty doc)."""
+    from institutional_fx_etl_spark.operators.selection import (
+        dsir_weights,
+    )
+
+    rows = [
+        (1, "alpha beta gamma alpha", True),
+        (2, "beta beta  delta", True),
+        (3, "gamma delta epsilon", False),
+        (4, "alpha epsilon epsilon zeta", False),
+        (5, "zeta", False),
+        (6, "", True),
+        (7, "alpha ALPHA Alpha", True),  # case folding
+    ]
+    df = spark.createDataFrame(
+        [(i, t, tgt) for i, t, tgt in rows],
+        "doc_id long, text string, is_target boolean",
+    )
+    got = {
+        r["doc_id"]: (r["n_toks"], r["log_weight_micro"])
+        for r in dsir_weights(df, target_expr="is_target").collect()
+    }
+    assert got == _dsir_reference(rows)
