@@ -36,6 +36,18 @@ from institutional_fx_etl_spark.operators.text import (
 MINHASH_P = 2_147_483_647
 
 
+def _shuffle_partitions(df: DataFrame, default: int = 200) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, degrading to
+    ``default`` when the conf holds a non-numeric value (Databricks
+    sets it to ``'auto'`` — a bare ``int()`` would throw and take the
+    pair generators down with it; round-8 advice)."""
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions", str(default))
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return default
+
+
 def exact_dedup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -674,9 +686,7 @@ def containment_pairs(
     # round-7→8 bench regression (2.95 s → 1.9 s at sf0.1 with this
     # line). The extra exchange moves only the bounded (id, n)-array
     # group rows, never the pair fan-out or any text.
-    n_part = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    n_part = _shuffle_partitions(df)
     groups = groups.repartition(n_part)
     pairs = groups.selectExpr(
         "explode(flatten(transform(m, (x, i) ->"
@@ -774,9 +784,7 @@ def editdistance_pairs(
     # are exempt from AQE coalescing, and deriving BOTH join sides
     # from the one repartitioned frame keeps them co-partitioned — no
     # extra exchange.
-    n_part = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    n_part = _shuffle_partitions(df)
     bl = bl.repartition(n_part, "blk")
     a = bl.selectExpr("blk", "id AS id_a", "t AS ta", "ln AS la", "h AS ha")
     b = bl.selectExpr("blk", "id AS id_b", "t AS tb", "ln AS lb", "h AS hb")

@@ -245,6 +245,7 @@ def random_projection(
     id_col: str = "vec_id",
     out_dim: int = 16,
     table: int = 0,
+    num_dims: int = 64,
 ) -> DataFrame:
     """Johnson-Lindenstrauss random projection to ``out_dim``
     dimensions with deterministic md5-derived ±1 planes (Achlioptas
@@ -261,10 +262,22 @@ def random_projection(
     (round 6, sign-bit-normalized) — long form keeps the contract
     output array-free (the compare's column sort chokes on ndarray
     cells) and feeds coordinate-wise stats directly.
+
+    ``num_dims`` must equal the embedding width: the plane matrix is
+    materialized at that width, and a mismatch would otherwise let
+    ``zip_with`` NULL-pad every projection silently (round-8 advice)
+    — so the width is asserted scan-side and a wrong width fails the
+    job loudly instead of emitting all-NULL rows.
     """
-    planes = _plane_matrix_literal(out_dim, 64, table=table)
+    planes = _plane_matrix_literal(out_dim, num_dims, table=table)
+    checked = (
+        f"CASE WHEN size({_as_double(vec_col)}) = {num_dims}"
+        f" THEN {_as_double(vec_col)}"
+        f" ELSE raise_error(concat('random_projection: embedding width ',"
+        f" size({_as_double(vec_col)}), ' != num_dims {num_dims}')) END"
+    )
     projs = let1(
-        _as_double(vec_col),
+        checked,
         "__u",
         f"transform(sequence(1, {out_dim}), p ->"
         f" round(aggregate(zip_with(__u, element_at({planes}, p),"
@@ -1068,6 +1081,11 @@ def knn_join(
     # cell holds more than a handful of vectors; Arrow fixed cost is
     # already amortized at 500 rows). "sql" stays forceable — it is
     # the pure-JVM twin the equality gate checks the kernel against.
+    if pair_strategy not in ("auto", "numpy", "sql"):
+        raise ValueError(
+            f"pair_strategy must be 'auto', 'numpy' or 'sql', got "
+            f"{pair_strategy!r}"
+        )
     use_numpy = pair_strategy != "sql"
     if use_numpy:
         id_type = dict(normed.dtypes)["vid"]

@@ -66,8 +66,9 @@ NOTES = {
         "Edge-iterator regime (round 8, ≤ broadcast cap): the degree-"
         "ordered out-adjacency broadcasts onto both endpoints and "
         "array_intersect counts run scan-side — zero wedge rows. "
-        "Above the cap: ordered-wedge two-join with key-partitioned "
-        "closing probe."
+        "Above the cap: the SAME edge-iterator, with the out-adjacency "
+        "shuffled onto both endpoints instead of broadcast (see "
+        "operators/graph.py — the intersections still run scan-side)."
     ),
     "mixture_sampling": (
         "Corpus mixing as a scan decoration: ONE tiny per-source "
