@@ -746,6 +746,7 @@ def semdedup(
     min_cosine: float = 0.95,
     max_cell: int | None = None,
     centroids: DataFrame | None = None,
+    pair_strategy: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     corpus by nearest centroid, compare embeddings ONLY within a cell,
@@ -764,7 +765,20 @@ def semdedup(
     as ``dedup.minhash_lsh_pairs``). Assignment is one broadcast pass;
     the only corpus shuffle is the cell-keyed self-join. ``centroids``
     (cid, cv) overrides the deterministic first-N seeding (e.g.
-    :func:`kmeans_centroids` output)."""
+    :func:`kmeans_centroids` output).
+
+    ``pair_strategy`` mirrors :func:`knn_join` (round 9 — the same
+    Σ|cell|²·d interpreted-HOF dot was this operator's cost center):
+    ``auto``/``numpy`` runs the in-cell compare as one Arrow pass per
+    cell (:func:`_semdedup_drops_numpy` — fold-order-matched doubles,
+    exact-rounding fallback, so the drop set is bit-identical);
+    ``sql`` forces the pure-JVM cell self-join, which stays as the
+    equality gate's reference (tests/test_round9_ops.py)."""
+    if pair_strategy not in ("auto", "numpy", "sql"):
+        raise ValueError(
+            f"pair_strategy must be 'auto', 'numpy' or 'sql', got "
+            f"{pair_strategy!r}"
+        )
     assigned = (
         ivf_assign(df, vec_col, id_col, num_centroids)
         if centroids is None
@@ -781,16 +795,22 @@ def semdedup(
     else:
         compared = assigned
     normed = compared.selectExpr("vid", "cid", f"{_UNIT} AS vn")
-    a = normed.selectExpr("vid AS id_a", "vn AS va", "cid")
-    b = normed.selectExpr("vid AS id_b", "vn AS vb", "cid")
-    dup_of_smaller = (
-        a.join(b, on="cid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .selectExpr("id_b", f"round({_PAIR_DOT}, 6) AS cosine")
-        .filter(F.col("cosine") >= min_cosine)
-        .select("id_b")
-        .distinct()
-    )
+    if pair_strategy != "sql":
+        id_type = dict(compared.dtypes)["vid"]
+        dup_of_smaller = _semdedup_drops_numpy(
+            normed, min_cosine, id_type
+        ).withColumnRenamed("vid", "id_b")
+    else:
+        a = normed.selectExpr("vid AS id_a", "vn AS va", "cid")
+        b = normed.selectExpr("vid AS id_b", "vn AS vb", "cid")
+        dup_of_smaller = (
+            a.join(b, on="cid")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .selectExpr("id_b", f"round({_PAIR_DOT}, 6) AS cosine")
+            .filter(F.col("cosine") >= min_cosine)
+            .select("id_b")
+            .distinct()
+        )
     return (
         assigned.join(
             dup_of_smaller.withColumnRenamed("id_b", "vid").withColumn(
@@ -1107,6 +1127,56 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .selectExpr(f"vid AS {bq(id_col)}", "nn_id", "rank", "cosine")
     )
+
+
+def _semdedup_drops_numpy(
+    normed: DataFrame, min_cosine: float, id_type: str
+) -> DataFrame:
+    """Per-cell Arrow kernel for the semdedup drop set: emit every vid
+    that has a SMALLER-id cellmate with round6(cosine) ≥ threshold.
+
+    Same exactness discipline as :func:`_knn_pairs_numpy` — the (m, m)
+    cosine block accumulates with the dimension-ordered fold of
+    ``_PAIR_DOT`` over the SAME Spark-normalized ``vn`` vectors, 6-dp
+    half-up block rounding with the exact decimal fallback for
+    boundary-risky rows — so the drop decisions match the SQL cell
+    self-join bit-for-bit (equality-gated in tests/test_round9_ops.py).
+    Chunked in 1024-row blocks: memory stays O(chunk·m), and only
+    columns j < global row index are ever consulted (the id_a < id_b
+    triangle), so each chunk's block is (chunk, hi) not (chunk, m)."""
+    import numpy as np
+    import pandas as pd
+
+    from institutional_fx_etl_spark.functions import npexact as npe
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid").reset_index(drop=True)
+        m = len(pdf)
+        drops = []
+        if m >= 2:
+            X = np.array(pdf["vn"].tolist(), dtype=np.float64)
+            vids = pdf["vid"].to_numpy()
+            for lo in range(0, m, 1024):
+                hi = min(lo + 1024, m)
+                if hi <= 1:
+                    continue
+                # columns 0..hi-2 suffice: row g consults j < g only
+                cc = npe.fold_dot(X[lo:hi], X[:hi])
+                rc, risky = npe.round6_block(cc)
+                for r in range(hi - lo):
+                    g = lo + r
+                    if g == 0:
+                        continue
+                    if risky[r, :g].any():
+                        row = npe.exact_row_round(cc[r])[:g]
+                    else:
+                        row = rc[r, :g]
+                    if (row >= min_cosine).any():
+                        drops.append(vids[g])
+        return pd.DataFrame({"vid": drops})
+
+    schema = f"vid {id_type}"
+    return normed.groupBy("cid").applyInPandas(per_cell, schema=schema)
 
 
 def _knn_pairs_numpy(normed: DataFrame, k: int, id_type: str) -> DataFrame:

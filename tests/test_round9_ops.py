@@ -63,6 +63,49 @@ def test_knn_join_rejects_unknown_pair_strategy(spark):
         knn_join(df, pair_strategy="bogus")
 
 
+def test_semdedup_numpy_kernel_equals_sql(spark):
+    """The Arrow drop-set kernel must reproduce the SQL cell self-join
+    bit-for-bit — same fold-order doubles, same 6-dp half-up rounding,
+    same smaller-id-wins drop rule (round-9: semdedup joins knn_join
+    on the Arrow pair path; the SQL twin stays as the reference)."""
+    import random
+
+    from institutional_fx_etl_spark.operators.similarity import semdedup
+
+    rng = random.Random(9)
+    rows = []
+    for i in range(120):
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, base))
+        # plant exact + near duplicates so drops actually fire
+        if i % 7 == 0:
+            rows.append((1000 + i, list(base)))
+        if i % 11 == 0:
+            rows.append(
+                (2000 + i, [x + rng.uniform(-1e-4, 1e-4) for x in base])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(min_cosine=0.95, num_centroids=4)
+    got_sql = sorted(
+        tuple(r) for r in semdedup(df, pair_strategy="sql", **kw).collect()
+    )
+    got_np = sorted(
+        tuple(r) for r in semdedup(df, pair_strategy="numpy", **kw).collect()
+    )
+    assert got_np == got_sql
+    assert any(not keep for (_, _, keep) in got_sql)  # drops fired
+
+
+def test_semdedup_rejects_unknown_pair_strategy(spark):
+    from institutional_fx_etl_spark.operators.similarity import semdedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="pair_strategy"):
+        semdedup(df, pair_strategy="bogus")
+
+
 def test_shuffle_partitions_nonnumeric_fallback():
     """Databricks sets spark.sql.shuffle.partitions='auto'; the pair
     generators must degrade to the default, not ValueError."""
