@@ -1729,6 +1729,57 @@ def q_lsh_ann_pairs_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_ann_pairs_scaled",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    np AS (SELECT GREATEST(8, LEAST(24,
+               CAST(ceil(log2(count(*) / 1.0)) AS BIGINT))) AS p FROM v),
+    sig AS (
+      SELECT vec_id, vv,
+             CAST(list_sum(list_transform(range(0, (SELECT p FROM np)), j ->
+               CASE WHEN list_sum(list_transform(range(0, len(vv)), i ->
+                      vv[i+1] * (CASE WHEN CAST(concat('0x',
+                          substr(md5(concat('plane', j, '_', i)),1,8)) AS BIGINT)
+                          % 2 = 0 THEN 1.0 ELSE -1.0 END))) > 0
+                    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+      FROM v
+    ),
+    normed AS (
+      SELECT vec_id, bucket,
+             list_transform(vv, x -> x / sqrt(list_dot_product(vv, vv)))
+               AS vn
+      FROM sig
+    )
+    SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.vn, b.vn), 6) AS cosine
+    FROM normed a JOIN normed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.vn, b.vn), 6) >= 0.3
+    """,
+)
+def q_lsh_ann_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of lsh_ann_pairs (round-9 verdict ask #2):
+    the hyperplane count is DERIVED from the corpus size via
+    ``auto_planes(n)`` — the knob that keeps in-bucket verify work
+    Σ|bucket|² ≈ n·target linear in n — instead of the pinned 8 the
+    demo query certifies. The oracle re-derives the same count from
+    its own count(*) (GREATEST(8, LEAST(24, ceil(log2(n/target)))))
+    so the dynamic-plane path itself is hash-certified end to end.
+    ``target_bucket_rows=1`` keeps the derived count off the min-clamp
+    at test scales (9 planes at n=500, 11 at n=2000 — a real
+    divergence from the pinned query); production sizing uses the
+    default target of 8 rows/bucket, same formula."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        auto_planes,
+        lsh_ann_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = auto_planes(emb.count(), target_bucket_rows=1)
+    return lsh_ann_pairs(emb, min_cosine=0.3, num_planes=planes)
+
+
+@register(
     "text_token_count",
     """
     WITH t AS (
