@@ -31,23 +31,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def embedding_covariance(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    dim: int = 64,
-    scale: int = 1000,
+def _gram_partials(
+    df: DataFrame, vec_col: str, dim: int, scale: int
 ) -> DataFrame:
-    """Population covariance matrix of an ``array<float>`` column.
-
-    Each component fix-points to ``floor(x·scale + 0.5)`` int64 (the
-    float32→float64 widening is exact, so both engines quantize the
-    same), per-batch partials accumulate ``n``, ``Σq`` (d longs) and
-    the Gram matrix ``Σ qqᵀ`` (d² longs, exact integer matmul), and
-    ``cov[i,j] = (G[i,j]/n − (S[i]/n)·(S[j]/n)) / scale²``.
-
-    Output: upper triangle ``(i, j, cov)`` with ``i ≤ j`` — d(d+1)/2
-    rows regardless of corpus size.
-    """
+    """One ``mapInPandas`` pass emitting a mergeable ``(n, Σq, Σqqᵀ)``
+    partial per Arrow batch over fix-pointed int64 vectors — the
+    shared sufficient statistic for :func:`embedding_covariance` and
+    :func:`embedding_pca_power`."""
     import numpy as np
 
     def gram_partials(
@@ -72,9 +62,29 @@ def embedding_covariance(
     partials = df.select(vec_col).mapInPandas(
         gram_partials, schema="n long, s array<long>, g array<long>"
     )
-    # persist NOT needed: the three reductions below reuse one shuffle
+    # persist NOT needed: the reductions downstream reuse one shuffle
     # input each; the partials DF is tiny (#batches rows) either way
-    partials = partials.localCheckpoint(eager=False)
+    return partials.localCheckpoint(eager=False)
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Population covariance matrix of an ``array<float>`` column.
+
+    Each component fix-points to ``floor(x·scale + 0.5)`` int64 (the
+    float32→float64 widening is exact, so both engines quantize the
+    same), per-batch partials accumulate ``n``, ``Σq`` (d longs) and
+    the Gram matrix ``Σ qqᵀ`` (d² longs, exact integer matmul), and
+    ``cov[i,j] = (G[i,j]/n − (S[i]/n)·(S[j]/n)) / scale²``.
+
+    Output: upper triangle ``(i, j, cov)`` with ``i ≤ j`` — d(d+1)/2
+    rows regardless of corpus size.
+    """
+    partials = _gram_partials(df, vec_col, dim, scale)
     gsum = (
         partials.select(F.posexplode("g").alias("idx", "gv"))
         .groupBy("idx")
@@ -113,3 +123,93 @@ def embedding_covariance(
             f" / {sc2}, 6) + 0.0D AS cov",
         )
     )
+
+
+def embedding_pca_power(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+    iters: int = 3,
+) -> DataFrame:
+    """Top principal direction of the embedding corpus by FIXED-UNROLL
+    power iteration over the (un-normalized) covariance — the
+    whitening / decorrelation primitive downstream of
+    :func:`embedding_covariance`, kept cross-engine EXACT with the
+    same integer disciplines as pagerank_fixed and dsir_weights:
+
+    - the corpus is touched ONCE (the shared integer Gram partials);
+      everything after runs on the d² matrix rows;
+    - the iteration matrix is ``M = n·G − s·sᵀ`` (∝ covariance —
+      power iteration is scale-invariant), computed in DECIMAL(38,0)
+      and then micro-quantized to ``mq = floor((M/max|M|)·1e6 + 0.5)``.
+      Both operands of that one division are < 2⁵³, so BIGINT→DOUBLE
+      is exact on every engine and the quantized matrix is
+      bit-reproducible;
+    - each unrolled step is ``w = Σⱼ mq·v`` (pure int64 sums —
+      |w| ≤ d·10¹² < 2⁵³, so no float accumulation order exists) and
+      a re-scale ``v' = floor((w/max|w|)·1e6 + 0.5)`` whose operands
+      are again exactly-representable integers. Covariance is PSD so
+      the dominant-eigenvector sign is stable from the all-ones
+      start.
+
+    Output: i (BIGINT, 0-based coordinate), v (BIGINT micro-units of
+    the unit-∞-norm dominant eigenvector after ``iters`` steps).
+    """
+    partials = _gram_partials(df, vec_col, dim, scale)
+    gsum = (
+        partials.select(F.posexplode("g").alias("idx", "gv"))
+        .groupBy("idx")
+        .agg(F.sum("gv").alias("g"))
+        .selectExpr(
+            f"CAST(idx div {dim} AS BIGINT) AS i",
+            f"CAST(idx % {dim} AS BIGINT) AS j",
+            "g",
+        )
+    )
+    ssum = (
+        partials.select(F.posexplode("s").alias("pos", "sv"))
+        .groupBy("pos")
+        .agg(F.sum("sv").alias("s"))
+    )
+    nrow = partials.agg(F.sum("n").alias("n"))
+    m = (
+        gsum.join(F.broadcast(ssum.selectExpr("pos AS i", "s AS si")), "i")
+        .join(F.broadcast(ssum.selectExpr("pos AS j", "s AS sj")), "j")
+        .crossJoin(F.broadcast(nrow))
+        .selectExpr(
+            "i",
+            "j",
+            # DECIMAL(38,0): n·G and s·sᵀ individually overflow int64
+            # well below 100 TB corpora (G ~ n·scale², n·G ~ n²·scale²)
+            "CAST(n AS DECIMAL(38,0)) * g"
+            " - CAST(si AS DECIMAL(38,0)) * sj AS m",
+        )
+    )
+    mmax = m.agg(F.expr("MAX(ABS(m)) AS mmax"))
+    mq = (
+        m.crossJoin(F.broadcast(mmax))
+        .selectExpr(
+            "i",
+            "j",
+            "CAST(floor((CAST(m AS DOUBLE) / CAST(mmax AS DOUBLE))"
+            " * 1000000.0D + 0.5D) AS BIGINT) AS mq",
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = mq.selectExpr("i").distinct().selectExpr(
+        "i", "CAST(1000000 AS BIGINT) AS v"
+    )
+    for _ in range(iters):
+        w = (
+            mq.join(v.selectExpr("i AS j", "v"), "j")
+            .groupBy("i")
+            .agg(F.expr("SUM(mq * v) AS w"))
+        )
+        wmax = w.agg(F.expr("MAX(ABS(w)) AS wmax"))
+        v = w.crossJoin(F.broadcast(wmax)).selectExpr(
+            "i",
+            "CAST(floor((CAST(w AS DOUBLE) / CAST(wmax AS DOUBLE))"
+            " * 1000000.0D + 0.5D) AS BIGINT) AS v",
+        )
+    return v

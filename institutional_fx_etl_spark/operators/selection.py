@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from institutional_fx_etl_spark.functions.identifiers import bq
+
 #: 2^60 — md5's leading 15 hex chars as a uniform draw denominator
 _U60 = 1 << 60
 
@@ -252,5 +254,136 @@ def dsir_weights(
             "log_weight_micro",
             "CAST(log_weight_micro AS DOUBLE) / 1000000.0D"
             " AS log_weight",
+        )
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+    stages: int = 4,
+    n_shards: int = 8,
+    salt: str = "curr",
+) -> DataFrame:
+    """Curriculum export layout: every document gets a difficulty
+    STAGE (score-quantile bucket — curricula order training short→
+    long / easy→hard) plus a deterministic within-stage shuffle
+    (md5 draw → shard + position, the :func:`shuffle_shards`
+    layout), so a loader streams stage 1's shards, then stage 2's, …
+
+    Stage assignment is TIE-STABLE: it is computed per DISTINCT score
+    from the score histogram (stage of score s = ``1 + (docs_below(s)
+    · stages) div n`` — the NTILE boundary of s's first row), so
+    equal-difficulty documents never split across stages and the
+    result is independent of partitioning. The histogram is the only
+    driver-bounded piece (distinct scores, not documents); the corpus
+    itself takes one scan + ONE (stage, shard)-partitioned ranking
+    window over (id, draw) pairs — payloads never enter the window.
+    At scale grow ``n_shards`` ≳ cluster parallelism, exactly the
+    :func:`shuffle_shards` contract.
+
+    Output: <id_col>, score, stage (BIGINT 1-based), shard (BIGINT),
+    pos (BIGINT, 0-based within (stage, shard)).
+    """
+    from pyspark.sql import Window
+
+    sc = bq(score_col)
+    hist = df.groupBy(F.col(score_col).alias("score")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # cumulative docs BELOW each distinct score: a window over the
+    # bounded histogram (distinct scores), not the corpus
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    staged = (
+        hist.withColumn("below", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .crossJoin(F.broadcast(df.agg(F.count(F.lit(1)).alias("__n"))))
+        .selectExpr(
+            "score",
+            f"CAST(1 + (below * {stages}) div __n AS BIGINT) AS stage",
+        )
+    )
+    u = (
+        f"CAST(conv(substr(md5(concat('{salt}',"
+        f" CAST({bq(id_col)} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    d = df.selectExpr(
+        bq(id_col), f"{sc} AS score", f"{u} AS __draw"
+    ).withColumn("shard", F.expr(f"__draw % {n_shards}"))
+    return (
+        d.join(F.broadcast(staged), "score")
+        .selectExpr(
+            bq(id_col),
+            "score",
+            "stage",
+            "shard",
+            "CAST(row_number() OVER (PARTITION BY stage, shard"
+            f" ORDER BY __draw, {bq(id_col)}) - 1 AS BIGINT) AS pos",
+        )
+    )
+
+
+def token_budget_fit(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    group_col: str = "source",
+    budget_num: int = 1,
+    budget_den: int = 2,
+) -> DataFrame:
+    """Water-filling token-budget allocation: given per-source token
+    totals and a global budget (``total · budget_num/budget_den``),
+    find the unique cap ``c`` with ``Σ min(T_s, c) = B`` and allocate
+    ``min(T_s, c)`` to every source — the standard way a pretraining
+    mix caps over-represented sources while taking small sources
+    whole. Exact INTEGER arithmetic end to end: the floor-division
+    remainder is distributed +1 to the first sources in (T asc, name)
+    order, so ``Σ alloc = B`` exactly and the result is engine- and
+    partitioning-independent.
+
+    The corpus is touched by ONE aggregate (per-source totals); all
+    water-filling math runs on the bounded source dimension (windows
+    over #sources rows). Output: <group_col>, toks (BIGINT),
+    alloc (BIGINT).
+    """
+    from pyspark.sql import Window
+
+    s = df.groupBy(group_col).agg(
+        F.expr(f"CAST(SUM({bq(weight_col)}) AS BIGINT) AS toks")
+    )
+    wo = Window.orderBy("toks", group_col)
+    o = s.select(
+        group_col,
+        "toks",
+        F.row_number().over(wo).alias("rk"),
+        F.sum("toks").over(wo).alias("cum"),
+    )
+    tot = o.agg(
+        F.expr("SUM(toks) AS total"),
+        F.count(F.lit(1)).alias("m"),
+    ).selectExpr(f"total * {budget_num} div {budget_den} AS budget", "m")
+    # crossing rank: first k where capping everyone >= k at T_k meets
+    # the budget; guaranteed to exist for budget <= total
+    f = o.crossJoin(F.broadcast(tot)).withColumn(
+        "capped_here",
+        F.expr("(cum - toks) + (m - rk + 1) * toks >= budget"),
+    )
+    x = f.filter("capped_here").agg(
+        F.min("rk").alias("xk"),
+        F.expr("min_by(cum - toks, rk) AS cum_below"),
+        F.expr("min_by(budget, rk) AS budget"),
+        F.expr("min_by(m, rk) AS m"),
+    ).selectExpr(
+        "xk",
+        "(budget - cum_below) div (m - xk + 1) AS cap",
+        "(budget - cum_below) % (m - xk + 1) AS bonus",
+    )
+    return (
+        f.crossJoin(F.broadcast(x))
+        .selectExpr(
+            bq(group_col),
+            "toks",
+            "CAST(CASE WHEN rk < xk THEN toks"
+            " WHEN rk < xk + bonus THEN cap + 1"
+            " ELSE cap END AS BIGINT) AS alloc",
         )
     )

@@ -1032,3 +1032,56 @@ def bm25_score_sql(query_terms: list[str], k1: float = 1.2, b: float = 0.75) -> 
             f" / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))"
         )
     return " + ".join(terms)
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word n-grams whose FIRST corpus occurrence (min doc id)
+    is this document — the cheap "how much genuinely new text does
+    this doc add" signal used to down-weight boilerplate-heavy
+    sources when composing a pretraining mix (the corpus-level
+    complement of pairwise dedup: novelty ≈ 1 − containment in
+    everything before you).
+
+    Plan: one scan explodes each doc's DISTINCT hashed shingles
+    (md5-int — the shuffle carries 8-byte hashes, never text), one
+    groupBy(hash) finds each n-gram's first owner, one hash-keyed
+    join back (co-partitioned with the groupBy — no extra exchange)
+    and one per-doc aggregate. Docs with fewer than ``shingle_n``
+    tokens have no shingles and are excluded, mirroring the MinHash
+    family's domain.
+
+    Output: <id_col>, n_ngrams (BIGINT), n_novel (BIGINT),
+    novelty (DOUBLE, 6dp).
+    """
+    ic = bq(id_col)
+    ex = (
+        df.withColumn("__toks", tokens(text_col))
+        .filter(f"size(__toks) >= {shingle_n}")
+        .selectExpr(
+            ic, f"explode({shingle_hashes_expr('__toks', shingle_n)}) AS h"
+        )
+    )
+    own = ex.groupBy("h").agg(F.min(id_col).alias("first_doc"))
+    return (
+        ex.join(own, "h")
+        .groupBy(id_col)
+        .agg(
+            F.expr("CAST(count(1) AS BIGINT) AS n_ngrams"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN first_doc = {ic} THEN 1 ELSE 0 END)"
+                " AS BIGINT) AS n_novel"
+            ),
+        )
+        .selectExpr(
+            ic,
+            "n_ngrams",
+            "n_novel",
+            "round(CAST(n_novel AS DOUBLE) / n_ngrams, 6) AS novelty",
+        )
+    )

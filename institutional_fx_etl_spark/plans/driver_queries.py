@@ -10551,6 +10551,193 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(emb, out_dim=16)
 
 
+# ---------------------------------------------------------------------
+# Round-9 operators — curriculum/budget corpus composition, n-gram
+# novelty, and the fixed-unroll PCA power iteration
+# ---------------------------------------------------------------------
+
+
+@register(
+    "curriculum_order",
+    """
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    h AS (SELECT n_chars AS score, count(*) AS cnt
+          FROM documents GROUP BY 1),
+    c AS (SELECT score, COALESCE(SUM(cnt) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS below FROM h),
+    st AS (SELECT score, CAST(1 + (below * 4) // n.n AS BIGINT) AS stage
+           FROM c, n),
+    d AS (SELECT doc_id, n_chars AS score,
+            CAST(concat('0x', substr(md5(concat('curr',
+              CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS draw
+          FROM documents)
+    SELECT d.doc_id, d.score, st.stage, d.draw % 8 AS shard,
+           CAST(row_number() OVER (PARTITION BY st.stage, d.draw % 8
+             ORDER BY d.draw, d.doc_id) - 1 AS BIGINT) AS pos
+    FROM d JOIN st USING (score)
+    """,
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum export layout: difficulty stage = tie-stable score
+    quantile (from the bounded score histogram, never a global row
+    window), then the deterministic md5 shuffle-shards layout within
+    each stage (``operators/selection.py::curriculum_order``)."""
+    from institutional_fx_etl_spark.operators.selection import (
+        curriculum_order,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curriculum_order(docs, stages=4, n_shards=8)
+
+
+@register(
+    "token_budget_fit",
+    """
+    WITH s AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS toks
+               FROM documents GROUP BY source),
+    o AS (SELECT source, toks,
+            row_number() OVER (ORDER BY toks, source) AS rk,
+            SUM(toks) OVER (ORDER BY toks, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM s),
+    t AS (SELECT CAST(SUM(toks) AS BIGINT) * 1 // 2 AS budget,
+                 count(*) AS m FROM s),
+    f AS (SELECT o.*, t.budget, t.m,
+            ((cum - toks) + (m - rk + 1) * toks) >= t.budget
+              AS capped_here
+          FROM o, t),
+    x AS (SELECT MIN(rk) AS xk,
+                 arg_min(cum - toks, rk) AS cum_below,
+                 arg_min(budget, rk) AS budget,
+                 arg_min(m, rk) AS m
+          FROM f WHERE capped_here),
+    p AS (SELECT xk,
+                 (budget - cum_below) // (m - xk + 1) AS cap,
+                 (budget - cum_below) % (m - xk + 1) AS bonus FROM x)
+    SELECT f.source, f.toks,
+           CAST(CASE WHEN f.rk < p.xk THEN f.toks
+                     WHEN f.rk < p.xk + p.bonus THEN p.cap + 1
+                     ELSE p.cap END AS BIGINT) AS alloc
+    FROM f, p
+    """,
+)
+def q_token_budget_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation (budget = half the
+    corpus): exact integer cap + remainder distribution so
+    Σ alloc = budget exactly; corpus touched by ONE aggregate
+    (``operators/selection.py::token_budget_fit``)."""
+    from institutional_fx_etl_spark.operators.selection import (
+        token_budget_fit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_fit(docs, budget_num=1, budget_den=2)
+
+
+@register(
+    "ngram_novelty",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES.format(toks='toks')}) AS h
+      FROM t WHERE len(toks) >= 3
+    ),
+    own AS (SELECT h, MIN(doc_id) AS first_doc FROM e GROUP BY h)
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN own.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(SUM(CASE WHEN own.first_doc = e.doc_id
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS novelty
+    FROM e JOIN own USING (h)
+    GROUP BY e.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: fraction of a doc's distinct
+    3-gram shingles first seen (min doc id) in that doc — the
+    corpus-level "new text" signal; shuffles carry 8-byte hashes only
+    (``operators/text.py::ngram_novelty``)."""
+    from institutional_fx_etl_spark.operators.text import ngram_novelty
+
+    return ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "emb_pca_power",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5)
+                         AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    u AS (
+      SELECT vec_id, u.pos AS pos, u.x AS x
+      FROM q,
+      unnest(list_transform(range(1, len(qv)+1),
+             i -> struct_pack(pos := i - 1, x := qv[i]))) AS t(u)
+    ),
+    g AS (
+      SELECT a.pos AS i, b.pos AS j, SUM(a.x * b.x) AS g
+      FROM u a JOIN u b USING (vec_id)
+      GROUP BY a.pos, b.pos
+    ),
+    s AS (SELECT pos, SUM(x) AS s FROM u GROUP BY pos),
+    n AS (SELECT count(*) AS n FROM q),
+    m AS (
+      SELECT CAST(g.i AS BIGINT) AS i, CAST(g.j AS BIGINT) AS j,
+             CAST(n.n AS HUGEINT) * g.g
+               - CAST(si.s AS HUGEINT) * sj.s AS m
+      FROM g, n
+      JOIN s si ON si.pos = g.i
+      JOIN s sj ON sj.pos = g.j
+    ),
+    mm AS (SELECT MAX(ABS(m)) AS mmax FROM m),
+    mq AS (
+      SELECT i, j,
+             CAST(floor((CAST(m AS DOUBLE) / CAST(mmax AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS mq
+      FROM m, mm
+    ),
+    v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM mq),
+    w1 AS (SELECT mq.i, SUM(mq.mq * v0.v) AS w
+           FROM mq JOIN v0 ON mq.j = v0.i GROUP BY mq.i),
+    x1 AS (SELECT MAX(ABS(w)) AS wmax FROM w1),
+    v1 AS (SELECT i, CAST(floor((CAST(w AS DOUBLE) / CAST(wmax AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) AS v FROM w1, x1),
+    w2 AS (SELECT mq.i, SUM(mq.mq * v1.v) AS w
+           FROM mq JOIN v1 ON mq.j = v1.i GROUP BY mq.i),
+    x2 AS (SELECT MAX(ABS(w)) AS wmax FROM w2),
+    v2 AS (SELECT i, CAST(floor((CAST(w AS DOUBLE) / CAST(wmax AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) AS v FROM w2, x2),
+    w3 AS (SELECT mq.i, SUM(mq.mq * v2.v) AS w
+           FROM mq JOIN v2 ON mq.j = v2.i GROUP BY mq.i),
+    x3 AS (SELECT MAX(ABS(w)) AS wmax FROM w3),
+    v3 AS (SELECT i, CAST(floor((CAST(w AS DOUBLE) / CAST(wmax AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) AS v FROM w3, x3)
+    SELECT i, v FROM v3
+    """,
+)
+def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction by 3-step fixed-unroll power
+    iteration over the integer Gram statistics — corpus touched once,
+    every iterate micro-quantized so both engines walk identical
+    integers (``operators/embstats.py::embedding_pca_power``)."""
+    from institutional_fx_etl_spark.operators.embstats import (
+        embedding_pca_power,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_pca_power(emb, "embedding", dim=64, scale=1000, iters=3)
+
+
 # deferred: need their batch twins' REGISTRY entries (registered above)
 _register_streaming_cusum()
 _register_streaming_hll()

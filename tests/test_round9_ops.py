@@ -106,6 +106,124 @@ def test_semdedup_rejects_unknown_pair_strategy(spark):
         semdedup(df, pair_strategy="bogus")
 
 
+def test_token_budget_fit_invariants(spark):
+    """Σ alloc must equal the integer budget EXACTLY, no source may
+    exceed its own total, and small sources are taken whole."""
+    from institutional_fx_etl_spark.operators.selection import (
+        token_budget_fit,
+    )
+
+    rows = []
+    sizes = {"tiny": 3, "small": 10, "mid": 40, "big": 100, "huge": 400}
+    i = 0
+    for src, per_doc in sizes.items():
+        for _ in range(5):
+            rows.append((i, src, per_doc))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r["source"]: r for r in token_budget_fit(df).collect()}
+    total = sum(5 * v for v in sizes.values())
+    budget = total // 2
+    assert sum(r["alloc"] for r in out.values()) == budget
+    for src, r in out.items():
+        assert r["alloc"] <= r["toks"]
+    # tiny + small fit whole under the cap
+    assert out["tiny"]["alloc"] == out["tiny"]["toks"]
+    assert out["small"]["alloc"] == out["small"]["toks"]
+    # the largest source is capped
+    assert out["huge"]["alloc"] < out["huge"]["toks"]
+
+
+def test_curriculum_order_tie_stable_and_partition_independent(spark):
+    """Equal scores never split across stages; stages are monotone in
+    score; the full output is identical under a different input
+    partitioning (the md5-draw determinism contract)."""
+    from institutional_fx_etl_spark.operators.selection import (
+        curriculum_order,
+    )
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = curriculum_order(df, stages=4, n_shards=4).collect()
+    by_score = {}
+    for r in out:
+        by_score.setdefault(r["score"], set()).add(r["stage"])
+    for score, stages in by_score.items():
+        assert len(stages) == 1, f"score {score} split across {stages}"
+    ordered = sorted(by_score.items())
+    st = [next(iter(s)) for _, s in ordered]
+    assert st == sorted(st)
+    assert set(st) == {1, 2, 3, 4}
+    out2 = curriculum_order(
+        df.repartition(13), stages=4, n_shards=4
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # positions are gapless 0..k-1 within each (stage, shard)
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault((r["stage"], r["shard"]), []).append(r["pos"])
+    for bucket, poss in by_bucket.items():
+        assert sorted(poss) == list(range(len(poss)))
+
+
+def test_ngram_novelty_semantics(spark):
+    """First occurrence scores 1.0; an exact duplicate scores 0.0; a
+    half-overlapping doc scores the fraction of its new shingles."""
+    from institutional_fx_etl_spark.operators.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),      # exact dup of 1
+            (3, "alpha beta gamma epsilon"),    # shares 2 of 2... partial
+            (4, "zz yy xx ww vv"),              # all new
+            (5, "a b"),                         # too short: excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 0.0
+    assert out[4]["novelty"] == 1.0
+    # doc 3: shingles {alpha beta gamma, beta gamma epsilon} — first is
+    # doc 1's, second is new
+    assert out[3]["n_ngrams"] == 2 and out[3]["n_novel"] == 1
+    assert out[3]["novelty"] == 0.5
+
+
+def test_emb_pca_power_matches_numpy_direction(spark):
+    """The micro-quantized power iterate must align with numpy's true
+    dominant eigenvector of the sample covariance (|cos| > 0.99 on a
+    well-separated spectrum)."""
+    import numpy as np
+
+    from institutional_fx_etl_spark.operators.embstats import (
+        embedding_pca_power,
+    )
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 400
+    direction = rng.normal(size=d)
+    direction /= np.linalg.norm(direction)
+    X = rng.normal(scale=0.05, size=(n, d)) + np.outer(
+        rng.normal(scale=1.0, size=n), direction
+    )
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = embedding_pca_power(df, dim=d, scale=1000, iters=5).collect()
+    v = np.zeros(d)
+    for r in rows:
+        v[int(r["i"])] = float(r["v"])
+    v /= np.linalg.norm(v)
+    C = np.cov(X.T, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    top = evecs[:, -1]
+    assert abs(float(v @ top)) > 0.99
+
+
 def test_shuffle_partitions_nonnumeric_fallback():
     """Databricks sets spark.sql.shuffle.partitions='auto'; the pair
     generators must degrade to the default, not ValueError."""
