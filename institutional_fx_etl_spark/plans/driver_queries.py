@@ -10760,27 +10760,86 @@ _register_streaming_hll()
 # ---------------------------------------------------------------------
 
 _HEAD = [
-    # --- round-8 window (50) ------------------------------------------
-    # new this round (policy rule 1: first driver row needed) — the
-    # training-data selection family
+    # --- round-9 window (50) ------------------------------------------
+    # policy rule 1: first driver row needed — the 5 queries NEW this
+    # round, plus the 3 round-8 late arrivals the r8 window had no
+    # slots for (judge-certified by hand last round; this makes the
+    # driver record itself 220/220 lifetime — r8 verdict ask #1)
+    "lsh_ann_pairs_scaled",
+    "curriculum_order",
+    "token_budget_fit",
+    "ngram_novelty",
+    "emb_pca_power",
+    "knn_incremental",
+    "random_projection",
+    "shuffle_shards",
+    # code changed this round — fresh rows over the new plans:
+    # semdedup (Arrow drop-set kernel now default), knn_join
+    # (pair_strategy validation; also r6-old)
+    "semdedup",
+    "knn_join",
+    # lost its r8 slot to the two new-query arrivals (r8 window note)
+    "tpch_q8",
+    # flagship family — policy rule 3: stays in-window every round
+    "hybrid_pipeline",
+    "hybrid_pipeline_multisym",
+    "incremental_merge",
+    "validator_reconcile",
+    "streaming_gap_bridge",
+    # policy rule 2: the 34 stalest rows on the board (last driver
+    # row r4) rotate back in; the 2 r4 leftovers (skew_salted_join,
+    # doc_chunking) head the r10 window and are tail-gated in pytest
+    # meanwhile
+    "anti_join",
+    "combine_first",
+    "inner_reconcile",
+    "lag_pct_change",
+    "ffill",
+    "greatest_least_fix",
+    "audit_union",
+    "topk",
+    "rolling_stats",
+    "array_agg_functions",
+    "stats_agg",
+    "latest_record_dedup",
+    "train_test_split",
+    "session_window_agg",
+    "text_lang_id",
+    "multimodal_frames",
+    "range_join_banded",
+    "skew_salted_agg",
+    "exact_quantiles",
+    "text_repetition",
+    "tfidf_topterms",
+    "range_frame_window",
+    "asof_join_tolerance",
+    "rank_distributions",
+    "grouping_sets_agg",
+    "bitmap_prune_join",
+    "funnel_analysis",
+    "consecutive_streaks",
+    "streaming_sliding_window",
+    "streaming_stream_join",
+    "winnow_fingerprint",
+    "decontaminate_ngram",
+    "pii_redact",
+    "winnow_pairs",
+]
+_TAIL = [
+    # r8-green — freshest driver rows on the board (demotion tail per
+    # policy rule 4). The r5-r7 remainder plus the 2 r4 leftovers are
+    # NOT listed, so _reorder_registry places them between _HEAD and
+    # _TAIL — top of the pytest tail, first in line for the r10
+    # window (oldest rows first).
     "mixture_sampling",
     "dsir_weights",
-    # priority slots: the six round-7 hash-reds, re-certified after the
-    # integer-width mirror (DuckDB SUM->HUGEINT oracles CAST to BIGINT;
-    # emb_covariance -0.0 sign-bit normalized + i/j widened to BIGINT)
-    # — round-7 verdict ask #1
     "tpch_q9",
     "tpch_q12",
     "tpch_q15",
     "emb_covariance",
     "profile_table",
     "psi_drift",
-    # lsh_ann_pairs: re-probed at constant output this round (verdict
-    # ask #5) and explicitly named in ask #3
     "lsh_ann_pairs",
-    # the 34 never-driver-certified entries (verdict ask #3: rotate the
-    # slot-51+ block in) — statistical tests, sketches + streaming
-    # twins, linkage, the remaining dedup/eval family
     "anova_oneway",
     "ks_two_sample",
     "gini_by_group",
@@ -10815,82 +10874,8 @@ _HEAD = [
     "interarrival_stats",
     "streaming_hll",
     "sketch_stats",
-    # flagship family — last driver rows are r6; the union-of-two-
-    # windows invariant requires their r8 re-cert (policy rule 3)
-    "hybrid_pipeline",
-    "hybrid_pipeline_multisym",
-    "incremental_merge",
-    "validator_reconcile",
-    "streaming_gap_bridge",
-    # code changed this round — fresh rows over the new plans:
-    # dedup_containment (regression re-measure, ask #4), triangle_count
-    # (tuning pass, ask #6)
     "dedup_containment",
     "triangle_count",
-    # slot 51+: random_projection + knn_incremental + shuffle_shards
-    # are new-in-round-8 but arrived after the window filled (the
-    # new-query slots went to
-    # mixture_sampling / dsir_weights) — all are tail-gated +
-    # width-audited this round and head the r9 window per policy
-    # rule 1 alongside tpch_q8 + semdedup. Those two changed
-    # Spark-side this round
-    # (o_year/cid INT->BIGINT width mirrors — value-identical, widths
-    # now exactly equal, bit-pattern re-verified at sf0.01 and width-
-    # audited by tests/test_type_widths.py) but lose their slots to
-    # the two NEW queries; they head the r9 window. fuzzy/bloom/
-    # mannwhitney code also changed but already hold window slots via
-    # the never-certified block. Everything below is tail-gated every
-    # CI run by tests/test_contract_tail.py.
-]
-_TAIL = [
-    # r7-green — freshest driver rows on the board (demotion tail per
-    # policy rule 4: only queries with a green row from the
-    # immediately-previous round). The r4-r6 remainder is NOT listed,
-    # so _reorder_registry places it between _HEAD and _TAIL — top of
-    # the pytest tail, first in line for the r9 window (oldest rows).
-    # tpch_q8 / dedup_containment / triangle_count are r7-green too
-    # but sit in _HEAD for re-cert (code changed).
-    "ewma",
-    "candle_patterns",
-    "chisq_independence",
-    "bot_rate_profile",
-    "source_rollup",
-    "lsh_ann_pairs_multitable",
-    "dedup_editdistance",
-    "graph_bfs_hops",
-    "spearman_corr",
-    "benford_profile",
-    "rolling_distinct_users",
-    "cooccurrence_lift",
-    "tokenizer_coverage",
-    "k_anonymity",
-    "dedup_incremental",
-    "leakage_safe_split",
-    "tpch_q1",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "bigram_lm_score",
-    "bpe_merge_candidates",
-    "cdc_snapshot",
-    "event_transitions",
-    "linreg_per_group",
-    "mad_robust",
-    "pagerank_fixed",
-    "pq_adc_topk",
-    "quality_gopher",
-    "scd2_apply",
-    "streaming_session_window",
-    "twap_events",
-    "winsorize",
-    "hybrid_pipeline_chunked",
 ]
 
 
