@@ -36,6 +36,23 @@ def _swap_dataset(path: str, tmp: str) -> None:
     shutil.rmtree(old)
 
 
+def recover_dataset(path: str) -> bool:
+    """Crash recovery for :func:`_swap_dataset`: if no live table sits
+    at ``path`` but the pre-swap copy survives at ``<path>__old``,
+    rename it back — the one-rename recovery the swap guarantees at
+    every crash point (chaos-tested op by op in
+    tests/test_io_and_skew.py). Leftover ``__old`` copies alongside a
+    live table are harmless (the next swap clears them) and are left
+    for the operator to inspect. Returns True iff a live table exists
+    at ``path`` on exit."""
+    import os
+
+    old = path + "__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    return os.path.exists(path)
+
+
 def write_csv(df: DataFrame, path: str, sort_cols: list[str] | None = None) -> None:
     """CSV sink with header; optional global order for human-readable output.
 
