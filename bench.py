@@ -149,6 +149,12 @@ HEADLINE = [
     "random_projection",
     "knn_incremental",
     "shuffle_shards",
+    # round-9 ops
+    "lsh_ann_pairs_scaled",
+    "curriculum_order",
+    "token_budget_fit",
+    "ngram_novelty",
+    "emb_pca_power",
 ]
 
 

@@ -95,6 +95,31 @@ def scaled_trade_edges(spark, sf_dir: str, factor: int) -> DataFrame:
     return pairs.selectExpr("2 * c AS src", "2 * s + 1 AS dst")
 
 
+def scaled_documents(spark, sf_dir: str, factor: int) -> DataFrame:
+    """×factor perturbed document copies, ids offset by copy·10^7;
+    each copy appends a per-copy suffix token so copies are near- (not
+    exact-) duplicates and the shingle/length blocking structure stays
+    realistic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    if factor == 1:
+        return docs
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.expr(f"sequence(0, {factor - 1})")).alias("__c"),
+        )
+        .selectExpr(
+            "doc_id + __c * 10000000 AS doc_id",
+            "CASE WHEN __c = 0 THEN text"
+            " ELSE concat(text, ' copyvariant', CAST(__c AS STRING)) END"
+            " AS text",
+        )
+    )
+
+
 def main() -> None:
     factor = 10
     sf_dir = "/root/testdata/sf0.1"
@@ -149,6 +174,20 @@ def main() -> None:
         lambda f: lsh_ann_pairs(
             emb[f], min_cosine=0.3, num_planes=auto_planes(n_emb[f])
         ),
+    )
+    from institutional_fx_etl_spark.operators.dedup import (
+        containment_pairs,
+        editdistance_pairs,
+    )
+
+    docs = {f: scaled_documents(spark, sf_dir, f) for f in (1, factor)}
+    run(
+        "dedup_containment",
+        lambda f: containment_pairs(docs[f], threshold=0.2),
+    )
+    run(
+        "dedup_editdistance",
+        lambda f: editdistance_pairs(docs[f]),
     )
     run(
         "pagerank_fixed",

@@ -42,6 +42,12 @@ REPORT_QUERIES = [
     "triangle_count",
     "mixture_sampling",
     "dsir_weights",
+    "semdedup",
+    "lsh_ann_pairs_scaled",
+    "curriculum_order",
+    "token_budget_fit",
+    "ngram_novelty",
+    "emb_pca_power",
 ]
 
 SF = "/root/testdata/sf0.1"
@@ -74,6 +80,45 @@ NOTES = {
         "Corpus mixing as a scan decoration: ONE tiny per-source "
         "aggregate, rates broadcast back, md5 Bernoulli filter "
         "scan-side — the corpus itself never shuffles."
+    ),
+    "semdedup": (
+        "Round 9: the in-cell compare is the Arrow drop-set kernel "
+        "(FlatMapGroupsInPandas per cell, bit-identical to the SQL "
+        "self-join twin which stays forceable via "
+        "pair_strategy='sql') — the Σ|cell|²·d interpreted-HOF dot "
+        "was the operator's cost center, same as knn_join's round-8 "
+        "win. Cell assignment remains one broadcast/literal pass."
+    ),
+    "lsh_ann_pairs_scaled": (
+        "The production ANN shape: plane count DERIVED from corpus "
+        "size (auto_planes — Σ|bucket|² stays linear in n); one "
+        "bucket-keyed self-join on normalized vectors, no other "
+        "corpus shuffle. The pinned-planes demo query certifies the "
+        "constant-plane oracle; this one certifies the knob."
+    ),
+    "curriculum_order": (
+        "Stage thresholds come from the BOUNDED score histogram "
+        "(the single-partition window is over distinct scores, not "
+        "documents — same acceptance as ks_two_sample's offsets); "
+        "the corpus takes one scan plus one (stage, shard)-keyed "
+        "ranking window over (id, draw) pairs."
+    ),
+    "token_budget_fit": (
+        "ONE corpus aggregate (per-source totals); every "
+        "water-filling step — ranked cumsum, crossing rank, cap + "
+        "remainder — runs on the bounded source dimension, so the "
+        "single-partition windows hold #sources rows."
+    ),
+    "ngram_novelty": (
+        "Shuffles carry 8-byte shingle hashes only: explode → "
+        "groupBy(hash) first-owner → hash-keyed join back "
+        "(co-partitioned, no extra exchange) → per-doc aggregate."
+    ),
+    "emb_pca_power": (
+        "Corpus touched ONCE (integer Gram partials, one partial row "
+        "per Arrow batch); the three unrolled iterations join/agg the "
+        "d² matrix rows — data-size-independent. Iterates are "
+        "micro-quantized so both engines walk identical integers."
     ),
     "dsir_weights": (
         "One explode feeds the bucket-distribution aggregate "
