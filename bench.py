@@ -155,6 +155,9 @@ HEADLINE = [
     "token_budget_fit",
     "ngram_novelty",
     "emb_pca_power",
+    "dedup_nearest_text",
+    "dedup_minhash_error",
+    "ngram_novelty_incremental",
 ]
 
 

@@ -955,3 +955,112 @@ def dedup_canonical(
             ),
         )
     )
+
+
+def nearest_text_dupes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.2,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Per-document nearest near-duplicates: each doc's top-``k`` most
+    similar documents by EXACT shingle Jaccard, ranked among its
+    MinHash-LSH candidates — the triage view a dedup reviewer works
+    from ("what is this page a copy of?"), and the text-side analogue
+    of :func:`similarity.knn_join` (candidate generation bounded by
+    LSH buckets, never corpus²).
+
+    Plan: the :func:`minhash_lsh_pairs` pair relation (already
+    hot-bucket-capped and exact-verified) is symmetrized — ids only —
+    and ranked by ONE per-doc row_number window ordered (jaccard
+    desc, neighbor id asc). Output: <id_col>, nn_id, rank (INT),
+    jaccard.
+    """
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket=max_bucket,
+    )
+    both = pairs.selectExpr(
+        f"id_a AS {bq(id_col)}", "id_b AS nn_id", "jaccard"
+    ).unionByName(
+        pairs.selectExpr(f"id_b AS {bq(id_col)}", "id_a AS nn_id", "jaccard")
+    )
+    return (
+        both.selectExpr(
+            bq(id_col),
+            "nn_id",
+            "jaccard",
+            "CAST(row_number() OVER (PARTITION BY"
+            f" {bq(id_col)} ORDER BY jaccard DESC, nn_id) AS INT)"
+            " AS rank",
+        )
+        .filter(f"rank <= {k}")
+        .select(id_col, "nn_id", "rank", "jaccard")
+    )
+
+
+def minhash_estimate_error(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.2,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Sketch-quality eval for the MinHash family: on every surviving
+    LSH candidate pair, the SIGNATURE-estimated Jaccard (fraction of
+    the ``num_perm`` minhash components that agree — the estimator
+    whose concentration justifies banding) next to the exact
+    shingle-set Jaccard, plus the absolute error. The per-operator
+    analogue of ``dedup_recall_eval``: recall tells you what the
+    bands missed, this tells you how honest the sketch itself is
+    (gates the num_perm sizing decision).
+
+    The pair relation is the bounded LSH-candidate set; signatures
+    join back onto pairs only (narrow arrays of ``num_perm`` longs).
+    Output: id_a, id_b, jaccard, est_jaccard (6dp), abs_err (6dp).
+    """
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket=max_bucket,
+    )
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    sa = sigs.selectExpr(f"{bq(id_col)} AS id_a", "signature AS sig_a")
+    sb = sigs.selectExpr(f"{bq(id_col)} AS id_b", "signature AS sig_b")
+    agree = (
+        "aggregate(zip_with(sig_a, sig_b,"
+        " (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0,"
+        " (a, x) -> a + x)"
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "jaccard",
+            f"round(CAST({agree} AS DOUBLE) / {num_perm}, 6)"
+            " AS est_jaccard",
+            f"round(abs(round(CAST({agree} AS DOUBLE) / {num_perm}, 6)"
+            " - jaccard), 6) AS abs_err",
+        )
+    )

@@ -1085,3 +1085,68 @@ def ngram_novelty(
             "round(CAST(n_novel AS DOUBLE) / n_ngrams, 6) AS novelty",
         )
     )
+
+
+def ngram_novelty_incremental(
+    df: DataFrame,
+    new_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental :func:`ngram_novelty`: score ONLY the documents
+    where ``new_col`` is true against the prior corpus's first-owner
+    STATE plus the new batch itself — the merge-a-batch shape where
+    re-exploding the existing corpus per delivery would be the
+    dominant cost. At scale the ``(h, first_doc)`` state is a
+    precomputed relation loaded from storage (exactly the
+    ``minhash_lsh_pairs(new_col=...)`` / ``knn_join_incremental``
+    maintenance pattern); here it is derived from the old partition
+    so the contract oracle — the FULL run restricted to new ids —
+    proves incremental ≡ full by hash equality.
+
+    A new doc owns a shingle iff it is the minimum id across BOTH
+    populations: no old owner or a larger-id old owner (ids may
+    interleave), and it is the first among the new batch. Work is
+    one explode of the NEW docs plus one hash-keyed semi-state join;
+    the old corpus contributes only its bounded state relation.
+
+    Output: <id_col>, n_ngrams, n_novel, novelty — identical schema
+    and values to the full run's rows for the new ids.
+    """
+    ic = bq(id_col)
+    ex_all = (
+        df.withColumn("__toks", tokens(text_col))
+        .filter(f"size(__toks) >= {shingle_n}")
+        .selectExpr(
+            ic,
+            f"{bq(new_col)} AS __new",
+            f"explode({shingle_hashes_expr('__toks', shingle_n)}) AS h",
+        )
+    )
+    state = (
+        ex_all.filter("NOT __new")
+        .groupBy("h")
+        .agg(F.min(id_col).alias("old_first"))
+    )
+    exn = ex_all.filter("__new").select(id_col, "h")
+    new_first = exn.groupBy("h").agg(F.min(id_col).alias("new_first"))
+    return (
+        exn.join(new_first, "h")
+        .join(state, "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.expr("CAST(count(1) AS BIGINT) AS n_ngrams"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN new_first = {ic} AND"
+                f" (old_first IS NULL OR old_first > {ic})"
+                " THEN 1 ELSE 0 END) AS BIGINT) AS n_novel"
+            ),
+        )
+        .selectExpr(
+            ic,
+            "n_ngrams",
+            "n_novel",
+            "round(CAST(n_novel AS DOUBLE) / n_ngrams, 6) AS novelty",
+        )
+    )

@@ -10738,6 +10738,151 @@ def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_pca_power(emb, "embedding", dim=64, scale=1000, iters=3)
 
 
+#: the dedup_minhash_lsh oracle body, reused as a CTE prefix by the
+#: pair-consuming round-9 queries (nearest-dup ranking, sketch-error
+#: eval) — ONE source of truth for the banding/cap mirror, so a cap
+#: change cannot silently diverge the family
+_DUCK_LSH_PAIR_CTES = f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+    ),
+    t2 AS (
+      SELECT doc_id, {_DUCK_SHINGLES.format(toks='toks')} AS sh
+      FROM t WHERE len(toks) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id, sh,
+             list_transform(range(0, 16), i -> list_min(
+               list_transform(sh, h -> ((2*i+1)*h + (7*i+3)) % 2147483647))) AS sig
+      FROM t2
+    ),
+    banded AS (
+      SELECT doc_id, b.band_idx,
+             md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], ',')) AS band_sig
+      FROM sigs, (SELECT unnest(range(0, 4)) AS band_idx) b
+    ),
+    capped AS (
+      SELECT doc_id, band_idx, band_sig FROM (
+        SELECT *, count(*) OVER (PARTITION BY band_idx, band_sig) AS __n
+        FROM banded
+      ) WHERE __n <= 64
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM capped a JOIN capped c USING (band_idx, band_sig)
+      WHERE a.doc_id < c.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+      FROM cand
+      JOIN t2 sa ON sa.doc_id = cand.id_a
+      JOIN t2 sb ON sb.doc_id = cand.id_b
+      WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.2
+    )
+"""
+
+
+@register(
+    "dedup_nearest_text",
+    _DUCK_LSH_PAIR_CTES
+    + """
+    , sym AS (
+      SELECT id_a AS doc_id, id_b AS nn_id, jaccard FROM pairs
+      UNION ALL
+      SELECT id_b AS doc_id, id_a AS nn_id, jaccard FROM pairs
+    )
+    SELECT doc_id, nn_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY jaccard DESC, nn_id) AS INTEGER) AS rank,
+           jaccard
+    FROM sym QUALIFY rank <= 3
+    """,
+)
+def q_dedup_nearest_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 nearest near-duplicates by exact shingle
+    Jaccard among the LSH candidates — the text-side knn_join
+    (``operators/dedup.py::nearest_text_dupes``)."""
+    from institutional_fx_etl_spark.operators.dedup import (
+        nearest_text_dupes,
+    )
+
+    return nearest_text_dupes(
+        load_table(spark, sf_dir, "documents"), k=3, jaccard_threshold=0.2
+    )
+
+
+@register(
+    "dedup_minhash_error",
+    _DUCK_LSH_PAIR_CTES
+    + """
+    SELECT p.id_a, p.id_b, p.jaccard,
+           round(CAST(list_sum(list_transform(range(1, 17), i ->
+             CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+             AS DOUBLE) / 16, 6) AS est_jaccard,
+           round(abs(round(CAST(list_sum(list_transform(range(1, 17), i ->
+             CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+             AS DOUBLE) / 16, 6) - p.jaccard), 6) AS abs_err
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b
+    """,
+)
+def q_dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch honesty eval: signature-estimated vs exact Jaccard on
+    every surviving LSH candidate pair — the num_perm sizing gate
+    (``operators/dedup.py::minhash_estimate_error``)."""
+    from institutional_fx_etl_spark.operators.dedup import (
+        minhash_estimate_error,
+    )
+
+    return minhash_estimate_error(
+        load_table(spark, sf_dir, "documents"), jaccard_threshold=0.2
+    )
+
+
+@register(
+    "ngram_novelty_incremental",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES.format(toks='toks')}) AS h
+      FROM t WHERE len(toks) >= 3
+    ),
+    own AS (SELECT h, MIN(doc_id) AS first_doc FROM e GROUP BY h)
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN own.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(SUM(CASE WHEN own.first_doc = e.doc_id
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS novelty
+    FROM e JOIN own USING (h)
+    WHERE e.doc_id % 13 = 0
+    GROUP BY e.doc_id
+    """,
+)
+def q_ngram_novelty_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental novelty maintenance: new docs (id % 13 = 0) scored
+    against the old corpus's (h, first_doc) STATE + the new batch
+    itself — the oracle is the FULL run restricted to new ids, so the
+    driver hash match proves incremental ≡ full
+    (``operators/text.py::ngram_novelty_incremental``)."""
+    from institutional_fx_etl_spark.operators.text import (
+        ngram_novelty_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_new", F.expr("doc_id % 13 = 0")
+    )
+    return ngram_novelty_incremental(docs, "is_new")
+
+
 # deferred: need their batch twins' REGISTRY entries (registered above)
 _register_streaming_cusum()
 _register_streaming_hll()
@@ -10770,6 +10915,9 @@ _HEAD = [
     "token_budget_fit",
     "ngram_novelty",
     "emb_pca_power",
+    "dedup_nearest_text",
+    "dedup_minhash_error",
+    "ngram_novelty_incremental",
     "knn_incremental",
     "random_projection",
     "shuffle_shards",
@@ -10786,10 +10934,10 @@ _HEAD = [
     "incremental_merge",
     "validator_reconcile",
     "streaming_gap_bridge",
-    # policy rule 2: the 34 stalest rows on the board (last driver
-    # row r4) rotate back in; the 2 r4 leftovers (skew_salted_join,
-    # doc_chunking) head the r10 window and are tail-gated in pytest
-    # meanwhile
+    # policy rule 2: the 31 stalest rows on the board (last driver
+    # row r4) rotate back in; the 5 r4 leftovers (winnow_pairs,
+    # decontaminate_ngram, pii_redact, skew_salted_join, doc_chunking)
+    # head the r10 window and are tail-gated in pytest meanwhile
     "anti_join",
     "combine_first",
     "inner_reconcile",
@@ -10821,9 +10969,6 @@ _HEAD = [
     "streaming_sliding_window",
     "streaming_stream_join",
     "winnow_fingerprint",
-    "decontaminate_ngram",
-    "pii_redact",
-    "winnow_pairs",
 ]
 _TAIL = [
     # r8-green — freshest driver rows on the board (demotion tail per

@@ -224,6 +224,107 @@ def test_emb_pca_power_matches_numpy_direction(spark):
     assert abs(float(v @ top)) > 0.99
 
 
+def test_ngram_novelty_incremental_equals_full(spark):
+    """The incremental path scored against (old state + new batch)
+    must equal the FULL run restricted to new ids — under an id split
+    where old and new ids interleave (the larger-old-owner edge the
+    min-across-both rule must handle)."""
+    from institutional_fx_etl_spark.operators.text import (
+        ngram_novelty,
+        ngram_novelty_incremental,
+    )
+
+    words = ["w%d" % i for i in range(30)]
+    rows = []
+    for i in range(80):
+        txt = " ".join(words[(i * 3 + j) % 30] for j in range(8))
+        rows.append((i, txt))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # new = every 4th id → old ids both above and below new ids
+    tagged = df.withColumn("is_new", F.expr("doc_id % 4 = 1"))
+    inc = sorted(
+        tuple(r)
+        for r in ngram_novelty_incremental(tagged, "is_new").collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in ngram_novelty(df).filter("doc_id % 4 = 1").collect()
+    )
+    assert inc == full and len(inc) > 0
+
+
+def test_nearest_text_dupes_matches_bruteforce_rank(spark):
+    """On a corpus small enough that LSH candidates = all true pairs,
+    the per-doc ranking must equal the brute-force Jaccard ranking."""
+    from institutional_fx_etl_spark.operators.dedup import (
+        nearest_text_dupes,
+    )
+
+    from institutional_fx_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    base = " ".join("tok%d" % i for i in range(30))
+    docs = [
+        (1, base),
+        (2, base.replace("tok29", "changed")),
+        (3, base.replace("tok0", "altered")),
+        (5, base.replace("tok29", "changed other")),
+        (4, "completely different words entirely here now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k = 2
+    out = nearest_text_dupes(df, k=k, jaccard_threshold=0.01).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["nn_id"], r["jaccard"])
+        )
+    # expectation: rank the operator's own pair relation per doc —
+    # the test pins the SYMMETRIZE+RANK logic, not LSH recall
+    pairs = minhash_lsh_pairs(df, jaccard_threshold=0.01).collect()
+    assert len(pairs) >= 3  # the near-identical family did pair up
+    sym = {}
+    for p in pairs:
+        sym.setdefault(p["id_a"], []).append((p["id_b"], p["jaccard"]))
+        sym.setdefault(p["id_b"], []).append((p["id_a"], p["jaccard"]))
+    want = {}
+    for doc, lst in sym.items():
+        lst = sorted(lst, key=lambda t: (-t[1], t[0]))[:k]
+        want[doc] = [(i + 1, nn, j) for i, (nn, j) in enumerate(lst)]
+    assert {d: sorted(v) for d, v in got.items()} == {
+        d: sorted(v) for d, v in want.items()
+    }
+    assert 4 not in got  # the unrelated doc has no neighbors
+
+
+def test_minhash_estimate_error_bounds(spark):
+    """est_jaccard must be k/16 grid values in [0,1]; abs_err
+    consistent with |est − exact|; and for an exact duplicate the
+    estimate is exactly 1.0 (all minhashes agree)."""
+    from institutional_fx_etl_spark.operators.dedup import (
+        minhash_estimate_error,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = minhash_estimate_error(df, jaccard_threshold=0.01).collect()
+    assert rows
+    by_pair = {(r["id_a"], r["id_b"]): r for r in rows}
+    dup = by_pair[(1, 2)]
+    assert dup["jaccard"] == 1.0 and dup["est_jaccard"] == 1.0
+    assert dup["abs_err"] == 0.0
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        k16 = r["est_jaccard"] * 16
+        assert abs(k16 - round(k16)) < 1e-6
+        assert abs(r["abs_err"] - round(abs(r["est_jaccard"] - r["jaccard"]), 6)) < 1e-9
+
+
 def test_shuffle_partitions_nonnumeric_fallback():
     """Databricks sets spark.sql.shuffle.partitions='auto'; the pair
     generators must degrade to the default, not ValueError."""
