@@ -158,6 +158,9 @@ HEADLINE = [
     "dedup_nearest_text",
     "dedup_minhash_error",
     "ngram_novelty_incremental",
+    "lsh_multiprobe_pairs",
+    "emb_pca_project",
+    "streaming_mixture",
 ]
 
 

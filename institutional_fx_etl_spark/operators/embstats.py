@@ -213,3 +213,51 @@ def embedding_pca_power(
             " * 1000000.0D + 0.5D) AS BIGINT) AS v",
         )
     return v
+
+
+def embedding_pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    scale: int = 1000,
+    iters: int = 3,
+) -> DataFrame:
+    """Project every embedding onto the dominant principal direction
+    from :func:`embedding_pca_power` — the 1-D "prototypicality"
+    coordinate used for PCA-based outlier pruning and stratified
+    selection over an embedding corpus.
+
+    The eigenvector is a DRIVER-BOUNDED collect (d rows — the same
+    bounded transfer as the k-means centroid literals) embedded as a
+    literal, so the projection is a pure scan-side map: zero
+    shuffles over the corpus beyond the iteration's own Gram pass.
+    Each score is ``Σᵢ floor(xᵢ·scale + 0.5) · vᵢ`` — exact int64
+    (|proj| ≤ d·scale·10⁶ ≪ 2⁶³), so the output is engine- and
+    order-independent.
+
+    Output: <id_col>, proj_q (BIGINT, scale·micro units).
+    """
+    from institutional_fx_etl_spark.functions.identifiers import bq, let1
+
+    vrows = embedding_pca_power(df, vec_col, dim, scale, iters).collect()
+    coeff = [0] * dim
+    for r in vrows:
+        coeff[int(r["i"])] = int(r["v"])
+    vlit = "array(" + ", ".join(f"{c}L" for c in coeff) + ")"
+    q = (
+        f"transform({_as_double_expr(vec_col)},"
+        f" x -> CAST(floor(x * {float(scale)!r}D + 0.5D) AS BIGINT))"
+    )
+    proj = let1(
+        q,
+        "__q",
+        f"aggregate(zip_with(__q, {vlit}, (x, c) -> x * c), 0L,"
+        " (a, x) -> a + x)",
+    )
+    return df.selectExpr(bq(id_col), f"{proj} AS proj_q")
+
+
+def _as_double_expr(col: str) -> str:
+    """``array<float|double>`` column → ``array<double>`` SQL expr."""
+    return f"transform(`{col}`, x -> CAST(x AS DOUBLE))"

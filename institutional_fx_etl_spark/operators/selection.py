@@ -34,6 +34,47 @@ def _uniform_expr(col: str, salt: str) -> str:
     )
 
 
+def mixture_rates(
+    df: DataFrame, group_col: str = "source", budget_frac: float = 0.5
+) -> DataFrame:
+    """The per-source temperature rates of :func:`mixture_sampling`
+    (sqrt-share micro-weights, exact integer denominator, fixed
+    float association) as a standalone bounded relation — fit once
+    offline, then applied to a batch corpus or broadcast onto a
+    stream (the ``streaming_mixture`` twin). Extracted verbatim so
+    the batch operator's plan and oracle are unchanged.
+    Output: grp, n_docs, w_micro, rate."""
+    counts = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .selectExpr(
+            "grp",
+            "n_docs",
+            # integer micro-weights: the Σ below stays exact
+            "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5)"
+            " AS BIGINT) AS w_micro",
+        )
+    )
+    tot = counts.agg(
+        F.expr("CAST(SUM(n_docs) AS BIGINT) AS n_total"),
+        F.expr("CAST(SUM(w_micro) AS BIGINT) AS w_denom"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "grp",
+            "n_docs",
+            "w_micro",
+            # fixed left-to-right association, mirrored in the oracle:
+            # rate = min(1, B * w_micro / w_denom / n_s)
+            f"least(1.0D, CAST(floor({budget_frac!r}D *"
+            " CAST(n_total AS DOUBLE)) AS DOUBLE)"
+            " * CAST(w_micro AS DOUBLE) / CAST(w_denom AS DOUBLE)"
+            " / CAST(n_docs AS DOUBLE)) AS rate",
+        )
+    )
+
+
 def mixture_sampling(
     df: DataFrame,
     group_col: str = "source",
@@ -78,34 +119,7 @@ def mixture_sampling(
             "supported — pow(x, alpha) is not correctly rounded and "
             "breaks cross-engine determinism"
         )
-    counts = (
-        df.groupBy(F.col(group_col).alias("grp"))
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .selectExpr(
-            "grp",
-            "n_docs",
-            # integer micro-weights: the Σ below stays exact
-            "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5)"
-            " AS BIGINT) AS w_micro",
-        )
-    )
-    tot = counts.agg(
-        F.expr("CAST(SUM(n_docs) AS BIGINT) AS n_total"),
-        F.expr("CAST(SUM(w_micro) AS BIGINT) AS w_denom"),
-    )
-    rates = (
-        counts.crossJoin(F.broadcast(tot))
-        .selectExpr(
-            "grp",
-            "n_docs",
-            # fixed left-to-right association, mirrored in the oracle:
-            # rate = min(1, B * w_micro / w_denom / n_s)
-            f"least(1.0D, CAST(floor({budget_frac!r}D *"
-            " CAST(n_total AS DOUBLE)) AS DOUBLE)"
-            " * CAST(w_micro AS DOUBLE) / CAST(w_denom AS DOUBLE)"
-            " / CAST(n_docs AS DOUBLE)) AS rate",
-        )
-    )
+    rates = mixture_rates(df, group_col, budget_frac)
     u = _uniform_expr("__id", salt)
     sampled = (
         df.selectExpr(

@@ -1291,3 +1291,94 @@ def pq_adc_topk(
         .limit(k)
         .selectExpr("id", *code_cols, "round(__adc, 6) AS adc_dist")
     )
+
+
+def lsh_multiprobe_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    num_probes: int = 2,
+    min_cosine: float = 0.3,
+) -> DataFrame:
+    """Multi-probe LSH near-neighbor pairs (Lv et al., VLDB 2007):
+    besides its own bucket, every vector probes the buckets reached
+    by flipping its ``num_probes`` LOWEST-MARGIN hyperplane bits —
+    the planes its projection barely cleared, exactly where a true
+    neighbor most likely landed on the other side. Recall rises like
+    multi-table LSH's L>1 without building or storing extra tables:
+    the index side stays ONE bucket per vector; only the probe side
+    fans out (1 + num_probes rows per vector).
+
+    Candidates are (probe bucket of a) = (main bucket of b), ids
+    deduped unordered before the single exact-cosine verify — the
+    same narrow-shuffle discipline as :func:`lsh_ann_pairs`. Margins
+    are the raw projection folds (bit-identical across engines), so
+    the probe choice is deterministic and the oracle mirrors it.
+
+    Scale contract: candidate work is (1 + num_probes) · Σ|bucket|²
+    — the multiplier is a constant, and ``num_planes`` still must
+    grow with n (pass :func:`auto_planes`).
+
+    Output: bucket (the smallest matched index bucket), id_a < id_b,
+    cosine (6dp, ≥ ``min_cosine``).
+    """
+    planes = _plane_matrix_literal(num_planes, 64)
+    projs = (
+        f"transform(sequence(0, {num_planes - 1}), j ->"
+        f" aggregate(zip_with(__u, element_at({planes}, j+1),"
+        " (x, s) -> x*s), 0.0d, (a, x) -> a + x))"
+    )
+    bucket = (
+        f"aggregate(transform(sequence(0, {num_planes - 1}), j ->"
+        " CASE WHEN element_at(__pj, j+1) > 0 THEN shiftleft(1L, j)"
+        " ELSE 0L END), 0L, (a, x) -> a + x)"
+    )
+    flips = (
+        f"transform(slice(array_sort(transform(sequence(0, {num_planes - 1}),"
+        " j -> struct(abs(element_at(__pj, j+1)) AS m, j AS j))),"
+        f" 1, {num_probes}), s -> __b ^ shiftleft(1L, s.j))"
+    )
+    full = let1(
+        _as_double(vec_col),
+        "__u",
+        let1(
+            projs,
+            "__pj",
+            let1(
+                bucket,
+                "__b",
+                f"named_struct('bucket', __b, 'probes',"
+                f" concat(array(__b), {flips}))",
+            ),
+        ),
+    )
+    sigs = df.selectExpr(
+        bq(id_col), f"inline(array({full}))"
+    ).localCheckpoint(eager=False)
+    p = sigs.selectExpr(
+        f"{bq(id_col)} AS pid", "explode(probes) AS pb"
+    )
+    mn = sigs.selectExpr(f"{bq(id_col)} AS mid", "bucket AS pb")
+    cands = (
+        p.join(mn, "pb")
+        .filter("pid <> mid")
+        .selectExpr(
+            "least(pid, mid) AS id_a",
+            "greatest(pid, mid) AS id_b",
+            "pb",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.min("pb").alias("bucket"))
+    )
+    vunit = let1(_as_double(vec_col), "__u", _unit_expr("__u"))
+    va = df.selectExpr(f"{bq(id_col)} AS id_a", f"{vunit} AS va")
+    vb = df.selectExpr(f"{bq(id_col)} AS id_b", f"{vunit} AS vb")
+    return (
+        cands.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .selectExpr(
+            "bucket", "id_a", "id_b", f"round({_PAIR_DOT}, 6) AS cosine"
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -10883,6 +10883,183 @@ def q_ngram_novelty_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty_incremental(docs, "is_new")
 
 
+@register(
+    "lsh_multiprobe_pairs",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    pj AS (
+      SELECT vec_id, vv,
+             list_transform(range(0, 8), j ->
+               list_sum(list_transform(range(0, len(vv)), i ->
+                 vv[i+1] * (CASE WHEN CAST(concat('0x',
+                     substr(md5(concat('plane', j, '_', i)),1,8)) AS BIGINT)
+                     % 2 = 0 THEN 1.0 ELSE -1.0 END)))) AS pj
+      FROM v
+    ),
+    sig AS (
+      SELECT vec_id, vv, pj,
+             CAST(list_sum(list_transform(range(0, 8), j ->
+               CASE WHEN pj[j+1] > 0 THEN (1::BIGINT << j)
+                    ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+      FROM pj
+    ),
+    pr AS (
+      SELECT vec_id, bucket,
+             list_concat([bucket],
+               list_transform(
+                 list_sort(list_transform(range(0, 8),
+                   j -> [abs(pj[j+1]), CAST(j AS DOUBLE)]))[1:2],
+                 s -> xor(bucket, 1::BIGINT << CAST(s[2] AS BIGINT))))
+               AS probes
+      FROM sig
+    ),
+    probes AS (SELECT vec_id, unnest(probes) AS pb FROM pr),
+    cand AS (
+      SELECT least(p.vec_id, s.vec_id) AS id_a,
+             greatest(p.vec_id, s.vec_id) AS id_b,
+             MIN(s.bucket) AS bucket
+      FROM probes p JOIN sig s ON p.pb = s.bucket
+        AND p.vec_id <> s.vec_id
+      GROUP BY 1, 2
+    ),
+    normed AS (
+      SELECT vec_id,
+             list_transform(vv, x -> x / sqrt(list_dot_product(vv, vv)))
+               AS vn
+      FROM v
+    )
+    SELECT c.bucket AS bucket, c.id_a, c.id_b,
+           round(list_dot_product(a.vn, b.vn), 6) AS cosine
+    FROM cand c
+    JOIN normed a ON c.id_a = a.vec_id
+    JOIN normed b ON c.id_b = b.vec_id
+    WHERE round(list_dot_product(a.vn, b.vn), 6) >= 0.3
+    """,
+)
+def q_lsh_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. 2007): every vector also probes
+    the buckets across its 2 lowest-margin hyperplanes — multi-table
+    recall without extra tables; index side stays one bucket/vector
+    (``operators/similarity.py::lsh_multiprobe_pairs``; recall-gated
+    vs single-bucket in tests/test_round9_ops.py)."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        lsh_multiprobe_pairs,
+    )
+
+    return lsh_multiprobe_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        num_planes=8,
+        num_probes=2,
+        min_cosine=0.3,
+    )
+
+
+def _pca_project_oracle() -> str:
+    """The emb_pca_power oracle's CTE chain + one long-form projection
+    join: proj_q = Σᵢ qᵢ·vᵢ over exact integers."""
+    base = REGISTRY["emb_pca_power"][1]
+    # reuse everything up to the final select, then project u onto v3
+    cut = base.rindex("SELECT i, v FROM v3")
+    return (
+        base[:cut]
+        + """, px AS (
+      SELECT u.vec_id, CAST(SUM(u.x * v3.v) AS BIGINT) AS proj_q
+      FROM u JOIN v3 ON v3.i = u.pos
+      GROUP BY u.vec_id
+    )
+    SELECT vec_id, proj_q FROM px
+    """
+    )
+
+
+@register("emb_pca_project", _pca_project_oracle())
+def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every embedding's coordinate along the dominant principal
+    direction (PCA outlier/prototypicality score): the d-row
+    eigenvector collects driver-side and projects as a scan literal —
+    exact integer dot, zero corpus shuffles beyond the Gram pass
+    (``operators/embstats.py::embedding_pca_project``)."""
+    from institutional_fx_etl_spark.operators.embstats import (
+        embedding_pca_project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_pca_project(
+        emb, "embedding", dim=64, scale=1000, iters=3
+    )
+
+
+def _register_streaming_mixture() -> None:
+    """Streaming twin of mixture_sampling — rates fit OFFLINE on the
+    static corpus (the production shape: mixing rates are a training
+    config, not a per-batch estimate), the md5 Bernoulli filter and
+    per-source counting run on the STREAM, and the final audit must
+    equal the batch operator row-for-row (shared oracle)."""
+    oracle = REGISTRY["mixture_sampling"][1]
+
+    @register("streaming_mixture", oracle)
+    def q_streaming_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STREAMING corpus mixing: stream-static broadcast join onto
+        the offline rate table, scan-side deterministic draw filter,
+        bounded per-source count aggregate (complete mode — state is
+        #sources rows); batch-equality certified against the
+        mixture_sampling oracle."""
+        import tempfile
+
+        from institutional_fx_etl_spark.operators.selection import (
+            mixture_rates,
+            _uniform_expr,
+        )
+
+        _pin_session_confs(spark)
+        name = "streaming_mixture_result"
+        static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rates = mixture_rates(static, "source", budget_frac=0.5).select(
+            "grp", "n_docs", "rate"
+        )
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        u = _uniform_expr("__id", "mix")
+        sampled = (
+            stream.selectExpr("source AS grp", "doc_id AS __id")
+            .join(F.broadcast(rates.select("grp", "rate")), "grp")
+            .filter(f"{u} < rate")
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_sampled"))
+        )
+        q = (
+            sampled.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_mix_ck_"),
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        counts = spark.table(name)
+        return (
+            rates.join(F.broadcast(counts), "grp", "left")
+            .selectExpr(
+                "grp AS grp_name",
+                "n_docs",
+                "CAST(floor(rate * 1000000.0 + 0.5) AS BIGINT)"
+                " AS rate_ppm",
+                "CAST(COALESCE(n_sampled, 0) AS BIGINT) AS n_sampled",
+            )
+        )
+
+
+_register_streaming_mixture()
+
+
 # deferred: need their batch twins' REGISTRY entries (registered above)
 _register_streaming_cusum()
 _register_streaming_hll()
@@ -10918,6 +11095,9 @@ _HEAD = [
     "dedup_nearest_text",
     "dedup_minhash_error",
     "ngram_novelty_incremental",
+    "lsh_multiprobe_pairs",
+    "emb_pca_project",
+    "streaming_mixture",
     "knn_incremental",
     "random_projection",
     "shuffle_shards",
@@ -10934,8 +11114,9 @@ _HEAD = [
     "incremental_merge",
     "validator_reconcile",
     "streaming_gap_bridge",
-    # policy rule 2: the 31 stalest rows on the board (last driver
-    # row r4) rotate back in; the 5 r4 leftovers (winnow_pairs,
+    # policy rule 2: the 28 stalest rows on the board (last driver
+    # row r4) rotate back in; the 8 r4 leftovers (winnow_fingerprint,
+    # streaming_sliding_window, streaming_stream_join, winnow_pairs,
     # decontaminate_ngram, pii_redact, skew_salted_join, doc_chunking)
     # head the r10 window and are tail-gated in pytest meanwhile
     "anti_join",
@@ -10966,9 +11147,6 @@ _HEAD = [
     "bitmap_prune_join",
     "funnel_analysis",
     "consecutive_streaks",
-    "streaming_sliding_window",
-    "streaming_stream_join",
-    "winnow_fingerprint",
 ]
 _TAIL = [
     # r8-green — freshest driver rows on the board (demotion tail per

@@ -325,6 +325,55 @@ def test_minhash_estimate_error_bounds(spark):
         assert abs(r["abs_err"] - round(abs(r["est_jaccard"] - r["jaccard"]), 6)) < 1e-9
 
 
+def test_multiprobe_recall_dominates_single_bucket(spark):
+    """Multi-probe candidates are a SUPERSET of single-bucket pairs
+    (the main bucket is always probed), and recall vs brute-force
+    truth is strictly better or equal — on the real sf0.001 corpus."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        lsh_ann_pairs,
+        lsh_multiprobe_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_ann_pairs(emb, min_cosine=0.3).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_multiprobe_pairs(emb, min_cosine=0.3).collect()
+    }
+    assert single <= multi
+    # the 2 extra probes must actually buy pairs on this corpus
+    assert len(multi) > len(single)
+
+
+def test_pca_project_consistent_with_power_vector(spark):
+    """proj_q must equal the integer dot of the quantized vector with
+    the collected eigenvector — recomputed independently in Python."""
+    import numpy as np
+
+    from institutional_fx_etl_spark.operators.embstats import (
+        embedding_pca_power,
+        embedding_pca_project,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(50)
+    v = {int(r["i"]): int(r["v"]) for r in
+         embedding_pca_power(emb, dim=64, iters=3).collect()}
+    got = {
+        int(r["vec_id"]): int(r["proj_q"])
+        for r in embedding_pca_project(emb, dim=64, iters=3).collect()
+    }
+    rows = emb.collect()
+    for r in rows:
+        q = [int(np.floor(float(x) * 1000.0 + 0.5)) for x in r["embedding"]]
+        want = sum(q[i] * v[i] for i in range(64))
+        assert got[int(r["vec_id"])] == want
+
+
 def test_shuffle_partitions_nonnumeric_fallback():
     """Databricks sets spark.sql.shuffle.partitions='auto'; the pair
     generators must degrade to the default, not ValueError."""
