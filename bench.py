@@ -161,6 +161,8 @@ HEADLINE = [
     "lsh_multiprobe_pairs",
     "emb_pca_project",
     "streaming_mixture",
+    "ivfpq_topk",
+    "emb_pca_incremental",
 ]
 
 

@@ -157,6 +157,39 @@ def embedding_pca_power(
     the unit-∞-norm dominant eigenvector after ``iters`` steps).
     """
     partials = _gram_partials(df, vec_col, dim, scale)
+    return _pca_from_partials(partials, dim, iters)
+
+
+def embedding_pca_power_incremental(
+    df: DataFrame,
+    new_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+    iters: int = 3,
+) -> DataFrame:
+    """Incremental :func:`embedding_pca_power`: the old corpus
+    contributes its PERSISTED Gram partial state (a handful of
+    ``(n, Σq, Σqqᵀ)`` rows — at scale loaded from storage, never
+    rescanned) and only the NEW batch is scanned; the partials merge
+    by plain integer union-sum, so the result is EXACTLY the full
+    run's eigenvector (the registered oracle IS the full-run SQL —
+    the driver hash match proves incremental ≡ full, the
+    knn_incremental pattern). Update cost: one new-batch scan +
+    the O(d²) reduce."""
+    old = df.filter(f"NOT {new_col}")
+    new = df.filter(new_col)
+    partials = _gram_partials(old, vec_col, dim, scale).unionByName(
+        _gram_partials(new, vec_col, dim, scale)
+    )
+    return _pca_from_partials(partials, dim, iters)
+
+
+def _pca_from_partials(
+    partials: DataFrame, dim: int, iters: int
+) -> DataFrame:
+    """The fixed-unroll micro-quantized power iteration downstream of
+    the Gram partials (shared by the full and incremental paths)."""
     gsum = (
         partials.select(F.posexplode("g").alias("idx", "gv"))
         .groupBy("idx")

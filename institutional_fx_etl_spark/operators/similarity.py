@@ -1382,3 +1382,86 @@ def lsh_multiprobe_pairs(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query: list | None = None,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    codebook: list | None = None,
+) -> DataFrame:
+    """IVF-PQ search — the full billion-scale ANN index architecture
+    (Jégou et al., TPAMI 2011; the FAISS ``IVFPQ`` default): the
+    coarse IVF quantizer restricts the scan to the query's ``nprobe``
+    nearest cells, and inside those cells distance is the PQ
+    asymmetric-distance (ADC) lookup-table scan — so cost is
+    ``(nprobe/num_centroids) · n`` table lookups, with neither a full
+    corpus scan (IVF's win) nor per-row vector math (PQ's win).
+
+    Composition of the certified pieces: :func:`_assign_to` cell
+    assignment (id-seeded deterministic centroids), the
+    :func:`pq_adc_topk` LUT scan, a driver-frozen rational query.
+    The probe-cell choice ranks the BOUNDED centroid relation against
+    the query literal (cosine, 6dp, cid tiebreak) — no corpus
+    involvement. Output: id, cid (the cell each hit came from),
+    adc_dist (6dp), the k nearest by (unrounded adc, id).
+    """
+    cb = codebook if codebook is not None else _PQ_CODEBOOK
+    q = query if query is not None else _ADC_QUERY
+    m_sub, k_cent = len(cb), len(cb[0])
+    dims = len(cb[0][0])
+    v = df.selectExpr(f"{bq(id_col)} AS vid", f"{_as_double(vec_col)} AS vv")
+    centroids = v.filter(F.col("vid") < num_centroids).selectExpr(
+        "vid AS cid", "vv AS cv"
+    )
+    assigned = _assign_to(df, centroids, vec_col, id_col)
+    qlit = "array(" + ", ".join(f"{x!r}D" for x in q) + ")"
+    probe = (
+        centroids.selectExpr(
+            "cid",
+            f"round(aggregate(zip_with(cv, {qlit}, (x, y) -> x*y),"
+            " 0.0d, (a, x) -> a + x)"
+            " / (sqrt(aggregate(cv, 0.0d, (a, x) -> a + x*x))"
+            f" * sqrt(aggregate({qlit}, 0.0d, (a, x) -> a + x*x))), 6)"
+            " AS ccos",
+        )
+        .orderBy(F.desc("ccos"), F.asc("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    sub = assigned.join(F.broadcast(probe), "cid")
+    codes = pq_encode(
+        sub.selectExpr(f"vid AS {bq(id_col)}", f"vv AS {bq(vec_col)}"),
+        vec_col=vec_col,
+        id_col=id_col,
+        codebook=cb,
+    )
+    luts = [
+        [
+            sum((q[m * dims + d] - cb[m][c][d]) ** 2 for d in range(dims))
+            for c in range(k_cent)
+        ]
+        for m in range(m_sub)
+    ]
+    terms = [
+        "element_at(array("
+        + ", ".join(f"{val!r}D" for val in luts[m])
+        + f"), code_{m} + 1)"
+        for m in range(m_sub)
+    ]
+    adc = " + ".join(terms)
+    return (
+        codes.selectExpr("id", f"{adc} AS __adc")
+        .join(assigned.selectExpr("vid AS id", "cid"), "id")
+        .orderBy("__adc", "id")
+        .limit(k)
+        # BIGINT: the literal-HOF assignment emits cid as INT while the
+        # oracle's vec_id-seeded cid is BIGINT (width-sensitive hash)
+        .selectExpr(
+            "id", "CAST(cid AS BIGINT) AS cid", "round(__adc, 6) AS adc_dist"
+        )
+    )

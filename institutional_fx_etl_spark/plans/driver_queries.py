@@ -10989,6 +10989,133 @@ def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle(k: int = 10, nprobe: int = 2) -> str:
+    """DuckDB mirror of operators.similarity.ivfpq_topk: the ivf_topk
+    assignment CTEs (id-seeded centroids, rn=1 argmax), the query's
+    probe-cell ranking against the SAME frozen rational query literal,
+    the PQ code argmins, and the driver-computed ADC LUT literals
+    summed left-assoc, ordered by unrounded adc + id."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        _ADC_QUERY,
+        _PQ_CODEBOOK,
+    )
+
+    m_sub, k_cent = len(_PQ_CODEBOOK), len(_PQ_CODEBOOK[0])
+    dims = len(_PQ_CODEBOOK[0][0])
+    qlit = "[" + ", ".join(repr(x) for x in _ADC_QUERY) + "]"
+    code_exprs = []
+    for m in range(m_sub):
+        dists = []
+        for c in range(k_cent):
+            cbl = (
+                "["
+                + ", ".join(repr(v) for v in _PQ_CODEBOOK[m][c])
+                + "]"
+            )
+            dists.append(
+                f"list_sum(list_transform(range(1, {dims + 1}), i ->"
+                f" (vv[{m * dims} + i] - ({cbl})[i])"
+                f" * (vv[{m * dims} + i] - ({cbl})[i])))"
+            )
+        darr = "[" + ", ".join(dists) + "]"
+        code_exprs.append(
+            f"CAST(list_position({darr}, list_min({darr})) - 1"
+            f" AS INTEGER) AS code_{m}"
+        )
+    luts = [
+        [
+            sum(
+                (_ADC_QUERY[m * dims + d] - _PQ_CODEBOOK[m][c][d]) ** 2
+                for d in range(dims)
+            )
+            for c in range(k_cent)
+        ]
+        for m in range(m_sub)
+    ]
+    terms = [
+        "([" + ", ".join(repr(v) for v in luts[m]) + f"])[code_{m} + 1]"
+        for m in range(m_sub)
+    ]
+    adc = " + ".join(terms)
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    cents AS (SELECT vec_id AS cid, vv AS cv FROM v WHERE vec_id < 8),
+    scored AS (
+      SELECT v.vec_id AS vid, v.vv, c.cid,
+             round(list_dot_product(v.vv, c.cv)
+                   / (sqrt(list_dot_product(v.vv, v.vv))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos
+      FROM v CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vid, vv, cid FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT cid FROM (
+        SELECT cid,
+               round(list_dot_product(cv, {qlit})
+                     / (sqrt(list_dot_product(cv, cv))
+                        * sqrt(list_dot_product({qlit}, {qlit}))), 6)
+                 AS ccos
+        FROM cents
+      ) ORDER BY ccos DESC, cid LIMIT {nprobe}
+    ),
+    sub AS (
+      SELECT a.vid, a.vv, a.cid FROM assigned a JOIN probe USING (cid)
+    ),
+    enc AS (SELECT vid, cid, {", ".join(code_exprs)} FROM sub)
+    SELECT vid AS id, cid, CAST(round(adc, 6) AS DOUBLE) AS adc_dist
+    FROM (SELECT vid, cid, {adc} AS adc FROM enc)
+    ORDER BY adc, vid LIMIT {k}
+    """
+
+
+@register("ivfpq_topk", _ivfpq_oracle())
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ index architecture (FAISS IVFPQ): the query
+    probes its 2 nearest coarse cells, and only those cells' vectors
+    get the PQ ADC lookup-table scan — (nprobe/cells)·n lookups, no
+    full scan, no per-row vector math
+    (``operators/similarity.py::ivfpq_topk``)."""
+    from institutional_fx_etl_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, k=10, num_centroids=8, nprobe=2)
+
+
+def _register_emb_pca_incremental() -> None:
+    """Incremental PCA maintenance certified against the FULL run's
+    oracle: the Gram partial state merges by integer union-sum, so
+    incremental ≡ full exactly (the knn_incremental proof pattern)."""
+    oracle = REGISTRY["emb_pca_power"][1]
+
+    @register("emb_pca_incremental", oracle)
+    def q_emb_pca_incremental(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Merge-a-batch PCA: old vectors (id % 17 ≠ 0) contribute
+        their persisted Gram partial state, ONLY the new batch is
+        scanned, and the eigenvector must hash-match the full run
+        (shared oracle;
+        ``operators/embstats.py::embedding_pca_power_incremental``)."""
+        from institutional_fx_etl_spark.operators.embstats import (
+            embedding_pca_power_incremental,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").withColumn(
+            "is_new", F.expr("vec_id % 17 = 0")
+        )
+        return embedding_pca_power_incremental(
+            emb, "is_new", "embedding", dim=64, scale=1000, iters=3
+        )
+
+
+_register_emb_pca_incremental()
+
+
 def _register_streaming_mixture() -> None:
     """Streaming twin of mixture_sampling — rates fit OFFLINE on the
     static corpus (the production shape: mixing rates are a training
@@ -11098,6 +11225,8 @@ _HEAD = [
     "lsh_multiprobe_pairs",
     "emb_pca_project",
     "streaming_mixture",
+    "ivfpq_topk",
+    "emb_pca_incremental",
     "knn_incremental",
     "random_projection",
     "shuffle_shards",
@@ -11114,11 +11243,11 @@ _HEAD = [
     "incremental_merge",
     "validator_reconcile",
     "streaming_gap_bridge",
-    # policy rule 2: the 28 stalest rows on the board (last driver
-    # row r4) rotate back in; the 8 r4 leftovers (winnow_fingerprint,
-    # streaming_sliding_window, streaming_stream_join, winnow_pairs,
-    # decontaminate_ngram, pii_redact, skew_salted_join, doc_chunking)
-    # head the r10 window and are tail-gated in pytest meanwhile
+    # policy rule 2: the 25 stalest rows on the board (last driver
+    # row r4) rotate back in; the 11 r4 leftovers (funnel_analysis,
+    # consecutive_streaks, streaming windows/joins, winnow/pii/
+    # decontaminate, skew_salted_join, doc_chunking) head the r10
+    # window and are tail-gated in pytest meanwhile
     "anti_join",
     "combine_first",
     "inner_reconcile",
@@ -11145,8 +11274,6 @@ _HEAD = [
     "rank_distributions",
     "grouping_sets_agg",
     "bitmap_prune_join",
-    "funnel_analysis",
-    "consecutive_streaks",
 ]
 _TAIL = [
     # r8-green — freshest driver rows on the board (demotion tail per

@@ -374,6 +374,59 @@ def test_pca_project_consistent_with_power_vector(spark):
         assert got[int(r["vec_id"])] == want
 
 
+def test_ivfpq_is_adc_scan_restricted_to_probe_cells(spark):
+    """IVF-PQ's hits must (a) come only from the query's nprobe
+    nearest cells and (b) agree with the full pq_adc_topk ranking
+    restricted to those cells — the composition contract."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        _assign_to,
+        ivfpq_topk,
+        pq_adc_topk,
+    )
+    from pyspark.sql import functions as SF
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = ivfpq_topk(emb, k=10, num_centroids=8, nprobe=2).collect()
+    assert len(out) == 10
+    cells = {r["cid"] for r in out}
+    assert len(cells) <= 2
+    # full ADC scan restricted to the same cells gives the same ids
+    v = emb.selectExpr("vec_id AS vid",
+                       "transform(embedding, x -> CAST(x AS DOUBLE)) AS vv")
+    cents = v.filter("vid < 8").selectExpr("vid AS cid", "vv AS cv")
+    assigned = _assign_to(emb, cents)
+    keep = {r["vid"] for r in assigned.collect() if r["cid"] in cells}
+    full = pq_adc_topk(
+        emb.filter(SF.col("vec_id").isin([int(x) for x in keep])), k=10
+    ).collect()
+    assert [r["id"] for r in out] == [r["id"] for r in full]
+    got_adc = {r["id"]: r["adc_dist"] for r in out}
+    for r in full:
+        assert abs(got_adc[r["id"]] - r["adc_dist"]) < 1e-9
+
+
+def test_pca_incremental_equals_full(spark):
+    """Gram-partial state merge must reproduce the full eigenvector
+    EXACTLY under an arbitrary old/new split."""
+    from institutional_fx_etl_spark.operators.embstats import (
+        embedding_pca_power,
+        embedding_pca_power_incremental,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    tagged = emb.withColumn("is_new", F.expr("vec_id % 5 < 2"))
+    full = sorted(
+        tuple(r) for r in embedding_pca_power(emb, iters=4).collect()
+    )
+    inc = sorted(
+        tuple(r)
+        for r in embedding_pca_power_incremental(
+            tagged, "is_new", iters=4
+        ).collect()
+    )
+    assert inc == full
+
+
 def test_shuffle_partitions_nonnumeric_fallback():
     """Databricks sets spark.sql.shuffle.partitions='auto'; the pair
     generators must degrade to the default, not ValueError."""
