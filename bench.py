@@ -163,6 +163,9 @@ HEADLINE = [
     "streaming_mixture",
     "ivfpq_topk",
     "emb_pca_incremental",
+    "cross_source_overlap",
+    "lsh_tuning_report",
+    "dedup_survivorship",
 ]
 
 

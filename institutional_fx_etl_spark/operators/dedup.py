@@ -1064,3 +1064,119 @@ def minhash_estimate_error(
             " - jaccard), 6) AS abs_err",
         )
     )
+
+
+def lsh_tuning_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """LSH banding tuner: for every (bands, rows_per_band) split of
+    the ``num_perm`` MinHash family, the S-curve similarity threshold
+    ``(1/b)^(1/r)`` and the ACTUAL candidate volume the corpus would
+    generate under that split (Σ over buckets of C(m,2), hot cap
+    applied) — the numbers that pick b×r before committing to a
+    full dedup pass.
+
+    Thresholds use NESTED sqrt (r is always a power of two for a
+    16-perm family), because ``pow`` is not correctly rounded
+    cross-engine while ``sqrt`` is — the same determinism rule as
+    ``mixture_sampling``'s alpha=0.5 restriction. Candidate volume
+    comes straight from the bucket-size aggregate: no pair is ever
+    materialized, so the report costs ``#configs`` narrow groupBys
+    over the shared signature relation.
+
+    Output per config: bands (INT), rows_per_band (INT), s_threshold
+    (DOUBLE, 6dp), n_buckets (BIGINT, multi-member buckets under the
+    cap), n_candidates (BIGINT, Σ C(m,2)), n_hot_buckets (BIGINT,
+    buckets dropped by the cap).
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    sigs = sigs.select(id_col, "signature").persist()
+    outs = []
+    bands = num_perm
+    while bands >= 2:
+        rpb = num_perm // bands
+        # nested sqrt: r in {1, 2, 4, 8, ...}
+        expr = f"CAST(1.0D / {bands} AS DOUBLE)"
+        r = rpb
+        while r > 1:
+            assert r % 2 == 0, "rows_per_band must be a power of two"
+            expr = f"sqrt({expr})"
+            r //= 2
+        banded = sigs.selectExpr(
+            f"""explode(transform(sequence(0, {bands - 1}), b ->
+                  md5(concat(CAST(b AS STRING), '|', array_join(
+                    slice(signature, b*{rpb}+1, {rpb}), ','))))) AS bsig"""
+        )
+        buckets = banded.groupBy("bsig").agg(
+            F.count(F.lit(1)).alias("m")
+        )
+        outs.append(
+            buckets.agg(
+                F.expr(f"CAST({bands} AS INT) AS bands"),
+                F.expr(f"CAST({rpb} AS INT) AS rows_per_band"),
+                F.expr(f"round({expr}, 6) AS s_threshold"),
+                F.expr(
+                    f"CAST(SUM(CASE WHEN m BETWEEN 2 AND {max_bucket}"
+                    " THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets"
+                ),
+                F.expr(
+                    f"CAST(SUM(CASE WHEN m BETWEEN 2 AND {max_bucket}"
+                    " THEN m * (m - 1) div 2 ELSE 0 END) AS BIGINT)"
+                    " AS n_candidates"
+                ),
+                F.expr(
+                    f"CAST(SUM(CASE WHEN m > {max_bucket} THEN 1 ELSE 0"
+                    " END) AS BIGINT) AS n_hot_buckets"
+                ),
+            )
+        )
+        bands //= 2
+    report = outs[0]
+    for o in outs[1:]:
+        report = report.unionByName(o)
+    return report
+
+
+def survivorship_merge(
+    df: DataFrame,
+    clusters: DataFrame,
+    fields: list[str],
+    id_col: str = "doc_id",
+    cluster_col: str = "comp",
+) -> DataFrame:
+    """Golden-record survivorship over dedup clusters: for every
+    connected component, the per-field MAJORITY value (ties broken by
+    value ascending — deterministic under any partitioning) plus the
+    canonical member (min id) and member count — the step that turns
+    "these records are the same entity" into ONE merged record.
+
+    Each field costs one bounded (cluster, value) count aggregate and
+    one cluster-keyed rank window over those counts — never a window
+    over the corpus. Output: <cluster_col>, n_members (BIGINT),
+    keep_id, then one column per requested field.
+    """
+    from pyspark.sql import Window
+
+    j = df.join(clusters, id_col)
+    base = j.groupBy(cluster_col).agg(
+        F.expr("CAST(count(1) AS BIGINT) AS n_members"),
+        F.min(id_col).alias("keep_id"),
+    )
+    out = base
+    for f in fields:
+        cnt = j.groupBy(cluster_col, f).agg(F.count(F.lit(1)).alias("__c"))
+        w = Window.partitionBy(cluster_col).orderBy(
+            F.desc("__c"), F.asc(f)
+        )
+        win = (
+            cnt.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .select(cluster_col, f)
+        )
+        out = out.join(win, cluster_col)
+    return out

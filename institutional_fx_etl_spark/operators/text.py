@@ -1150,3 +1150,68 @@ def ngram_novelty_incremental(
             "round(CAST(n_novel AS DOUBLE) / n_ngrams, 6) AS novelty",
         )
     )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Source-pair n-gram containment matrix: for every pair of
+    sources, how much of each one's distinct shingle vocabulary the
+    other already covers — the corpus-composition diagnostic that
+    tells you which feeds are near-copies of each other (mirror
+    sites, syndicated wires) BEFORE you spend pairwise-dedup budget
+    on them.
+
+    Plan: one explode to DISTINCT (source, shingle-hash) rows — the
+    per-source vocabulary, 8-byte hashes only — one hash-keyed
+    self-join whose fan-out per shingle is bounded by the number of
+    sources carrying it (≤ #sources, a catalog-sized constant, never
+    corpus rows), one pair aggregate. Totals ride a second tiny
+    aggregate on the same vocabulary relation.
+
+    Output: src_a < src_b, shared (BIGINT), n_a, n_b,
+    containment_a = shared/n_a, containment_b = shared/n_b (6dp).
+    """
+    voc = (
+        df.withColumn("__toks", tokens(text_col))
+        .filter(f"size(__toks) >= {shingle_n}")
+        .selectExpr(
+            f"{bq(group_col)} AS src",
+            f"explode({shingle_hashes_expr('__toks', shingle_n)}) AS h",
+        )
+        .distinct()
+    )
+    totals = voc.groupBy("src").agg(
+        F.expr("CAST(count(1) AS BIGINT) AS n")
+    )
+    a = voc.selectExpr("src AS src_a", "h")
+    b = voc.selectExpr("src AS src_b", "h")
+    shared = (
+        a.join(b, "h")
+        .filter("src_a < src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.expr("CAST(count(1) AS BIGINT) AS shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(totals.selectExpr("src AS src_a", "n AS n_a")),
+            "src_a",
+        )
+        .join(
+            F.broadcast(totals.selectExpr("src AS src_b", "n AS n_b")),
+            "src_b",
+        )
+        .selectExpr(
+            "src_a",
+            "src_b",
+            "shared",
+            "n_a",
+            "n_b",
+            "round(CAST(shared AS DOUBLE) / n_a, 6) AS containment_a",
+            "round(CAST(shared AS DOUBLE) / n_b, 6) AS containment_b",
+        )
+    )

@@ -10989,6 +10989,165 @@ def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cross_source_overlap",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    v AS (
+      SELECT DISTINCT src, h FROM (
+        SELECT source AS src,
+               unnest({_DUCK_SHINGLES.format(toks='toks')}) AS h
+        FROM t WHERE len(toks) >= 3
+      )
+    ),
+    tot AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY src),
+    sh AS (
+      SELECT a.src AS src_a, b.src AS src_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM v a JOIN v b USING (h)
+      WHERE a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, shared, ta.n AS n_a, tb.n AS n_b,
+           round(CAST(shared AS DOUBLE) / ta.n, 6) AS containment_a,
+           round(CAST(shared AS DOUBLE) / tb.n, 6) AS containment_b
+    FROM sh
+    JOIN tot ta ON ta.src = sh.src_a
+    JOIN tot tb ON tb.src = sh.src_b
+    """,
+)
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair shingle containment matrix — which feeds are
+    near-copies of each other; per-shingle join fan is bounded by the
+    source catalog, shuffles carry 8-byte hashes
+    (``operators/text.py::cross_source_overlap``)."""
+    from institutional_fx_etl_spark.operators.text import (
+        cross_source_overlap,
+    )
+
+    return cross_source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+def _lsh_tuning_oracle(num_perm: int = 16, max_bucket: int = 64) -> str:
+    """DuckDB mirror of operators.dedup.lsh_tuning_report: the shared
+    signature CTEs + one bucket-size aggregate per (bands, rpb)
+    config; thresholds via the same nested-sqrt chain."""
+    parts = []
+    bands = num_perm
+    while bands >= 2:
+        rpb = num_perm // bands
+        thr = f"CAST(1.0 / {bands} AS DOUBLE)"
+        r = rpb
+        while r > 1:
+            thr = f"sqrt({thr})"
+            r //= 2
+        parts.append(
+            f"""
+    SELECT CAST({bands} AS INTEGER) AS bands,
+           CAST({rpb} AS INTEGER) AS rows_per_band,
+           round({thr}, 6) AS s_threshold,
+           CAST(SUM(CASE WHEN m BETWEEN 2 AND {max_bucket}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN m BETWEEN 2 AND {max_bucket}
+                THEN m*(m-1)//2 ELSE 0 END) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN m > {max_bucket} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hot_buckets
+    FROM (
+      SELECT bsig, count(*) AS m FROM (
+        SELECT md5(concat(CAST(b.band_idx AS VARCHAR), '|',
+               array_to_string(
+                 sig[b.band_idx*{rpb}+1 : b.band_idx*{rpb}+{rpb}], ',')))
+          AS bsig
+        FROM sigs, (SELECT unnest(range(0, {bands})) AS band_idx) b
+      ) GROUP BY bsig
+    )"""
+        )
+        bands //= 2
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    t2 AS (
+      SELECT doc_id, {_DUCK_SHINGLES.format(toks='toks')} AS sh
+      FROM t WHERE len(toks) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id,
+             list_transform(range(0, {num_perm}), i -> list_min(
+               list_transform(sh, h -> ((2*i+1)*h + (7*i+3)) % 2147483647)))
+               AS sig
+      FROM t2
+    )
+    {" UNION ALL ".join(parts)}
+    """
+
+
+@register("lsh_tuning_report", _lsh_tuning_oracle())
+def q_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding tuner: S-curve threshold (nested sqrt — pow is not
+    correctly rounded) + actual candidate volume per (bands, rpb)
+    split of the 16-perm family, straight from bucket-size aggregates
+    — no pair fan-out (``operators/dedup.py::lsh_tuning_report``)."""
+    from institutional_fx_etl_spark.operators.dedup import (
+        lsh_tuning_report,
+    )
+
+    return lsh_tuning_report(load_table(spark, sf_dir, "documents"))
+
+
+def _survivorship_oracle() -> str:
+    """The dedup_clusters recursive-closure oracle + field-majority
+    survivorship (row_number over per-cluster value counts, value-asc
+    tiebreak)."""
+    base = REGISTRY["dedup_clusters"][1]
+    cut = base.rindex(
+        "SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a"
+    )
+    return (
+        base[:cut]
+        + """, comp AS (
+      SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a
+    ),
+    j AS (SELECT c.comp, d.doc_id, d.lang, d.source
+          FROM comp c JOIN documents d USING (doc_id)),
+    base_agg AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_members,
+                 MIN(doc_id) AS keep_id FROM j GROUP BY comp),
+    wl AS (SELECT comp, lang FROM (
+      SELECT comp, lang, row_number() OVER (PARTITION BY comp
+        ORDER BY count(*) DESC, lang) AS rn
+      FROM j GROUP BY comp, lang) WHERE rn = 1),
+    ws AS (SELECT comp, source FROM (
+      SELECT comp, source, row_number() OVER (PARTITION BY comp
+        ORDER BY count(*) DESC, source) AS rn
+      FROM j GROUP BY comp, source) WHERE rn = 1)
+    SELECT b.comp, b.n_members, b.keep_id, wl.lang, ws.source
+    FROM base_agg b JOIN wl USING (comp) JOIN ws USING (comp)
+    """
+    )
+
+
+@register("dedup_survivorship", _survivorship_oracle())
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship: near-dup clusters (LSH pairs →
+    connected components) merged to one record per entity — per-field
+    majority with deterministic tiebreak, min-id canonical, member
+    count (``operators/dedup.py::survivorship_merge``)."""
+    from institutional_fx_etl_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+        survivorship_merge,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.2)
+    clusters = dedup_clusters(docs.select("doc_id"), pairs)
+    return survivorship_merge(docs, clusters, ["lang", "source"])
+
+
 def _ivfpq_oracle(k: int = 10, nprobe: int = 2) -> str:
     """DuckDB mirror of operators.similarity.ivfpq_topk: the ivf_topk
     assignment CTEs (id-seeded centroids, rn=1 argmax), the query's
@@ -11227,6 +11386,9 @@ _HEAD = [
     "streaming_mixture",
     "ivfpq_topk",
     "emb_pca_incremental",
+    "cross_source_overlap",
+    "lsh_tuning_report",
+    "dedup_survivorship",
     "knn_incremental",
     "random_projection",
     "shuffle_shards",
@@ -11243,11 +11405,10 @@ _HEAD = [
     "incremental_merge",
     "validator_reconcile",
     "streaming_gap_bridge",
-    # policy rule 2: the 25 stalest rows on the board (last driver
-    # row r4) rotate back in; the 11 r4 leftovers (funnel_analysis,
-    # consecutive_streaks, streaming windows/joins, winnow/pii/
-    # decontaminate, skew_salted_join, doc_chunking) head the r10
-    # window and are tail-gated in pytest meanwhile
+    # policy rule 2: the 22 stalest rows on the board (last driver
+    # row r4) rotate back in; the 14 r4 leftovers (rank_distributions
+    # through doc_chunking in registration order) head the r10 window
+    # and are tail-gated in pytest meanwhile
     "anti_join",
     "combine_first",
     "inner_reconcile",
@@ -11271,9 +11432,6 @@ _HEAD = [
     "tfidf_topterms",
     "range_frame_window",
     "asof_join_tolerance",
-    "rank_distributions",
-    "grouping_sets_agg",
-    "bitmap_prune_join",
 ]
 _TAIL = [
     # r8-green — freshest driver rows on the board (demotion tail per

@@ -427,6 +427,92 @@ def test_pca_incremental_equals_full(spark):
     assert inc == full
 
 
+def test_cross_source_overlap_containment_semantics(spark):
+    """A source whose vocabulary is a subset of another's must show
+    containment 1.0 on its side; shared never exceeds min(n_a, n_b)."""
+    from institutional_fx_etl_spark.operators.text import (
+        cross_source_overlap,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "small"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota", "big"),
+        (3, "totally unrelated words over here instead", "other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["src_a"], r["src_b"]): r for r in cross_source_overlap(df).collect()}
+    r = out[("big", "small")]
+    # 'small' has 3 shingles, all inside 'big' (prefix): containment_b = 1
+    assert r["n_b"] == 3 and r["shared"] == 3
+    assert r["containment_b"] == 1.0
+    assert r["containment_a"] < 1.0
+    for r in out.values():
+        assert r["shared"] <= min(r["n_a"], r["n_b"])
+    assert ("big", "other") not in out  # zero overlap emits no row
+
+
+def test_lsh_tuning_report_thresholds_and_monotonicity(spark):
+    """S-thresholds equal (1/b)^(1/r) (nested-sqrt exact), and more
+    rows per band is strictly more selective: candidate volume is
+    non-increasing from (16,1) to (2,8) on a real corpus."""
+    from institutional_fx_etl_spark.operators.dedup import (
+        lsh_tuning_report,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = {r["bands"]: r for r in lsh_tuning_report(docs).collect()}
+    assert set(rows) == {16, 8, 4, 2}
+    import math
+
+    for b, r in ((16, 1), (8, 2), (4, 4), (2, 8)):
+        x = 1.0 / b
+        k = r
+        while k > 1:
+            x = math.sqrt(x)
+            k //= 2
+        assert abs(rows[b]["s_threshold"] - round(x, 6)) < 1e-9
+        assert rows[b]["rows_per_band"] == r
+    cands = [rows[b]["n_candidates"] for b in (16, 8, 4, 2)]
+    assert cands == sorted(cands, reverse=True)
+    assert cands[0] > cands[-1]  # the knob actually moves on this corpus
+
+
+def test_survivorship_majority_and_tiebreak(spark):
+    """Majority value wins per field; exact ties break value-asc;
+    keep_id is the min member id; singletons pass through."""
+    from institutional_fx_etl_spark.operators.dedup import (
+        survivorship_merge,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "web"),
+            (2, "en", "wiki"),
+            (3, "fr", "wiki"),
+            (9, "de", "books"),
+        ],
+        "doc_id long, lang string, source string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "doc_id long, comp long"
+    )
+    out = {r["comp"]: r for r in
+           survivorship_merge(docs, clusters, ["lang", "source"]).collect()}
+    big = out[1]
+    assert big["n_members"] == 3 and big["keep_id"] == 1
+    assert big["lang"] == "en"          # 2-vs-1 majority
+    assert big["source"] == "wiki"      # 2-vs-1 majority
+    single = out[9]
+    assert single["n_members"] == 1 and single["lang"] == "de"
+    # tie case: two values with equal counts -> lexicographically first
+    docs2 = spark.createDataFrame(
+        [(1, "b"), (2, "a")], "doc_id long, lang string"
+    )
+    cl2 = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, comp long")
+    out2 = survivorship_merge(docs2, cl2, ["lang"]).collect()
+    assert out2[0]["lang"] == "a"
+
+
 def test_shuffle_partitions_nonnumeric_fallback():
     """Databricks sets spark.sql.shuffle.partitions='auto'; the pair
     generators must degrade to the default, not ValueError."""
