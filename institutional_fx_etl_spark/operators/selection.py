@@ -401,3 +401,212 @@ def token_budget_fit(
             " ELSE cap END AS BIGINT) AS alloc",
         )
     )
+
+
+def _probe_feats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int,
+    salt: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The probe family's (doc × hashed-bucket) presence matrix:
+    (__id, b, x=1) rows plus a bias row b=``buckets`` per doc, and the
+    doc spine — built once and lazily checkpointed so the multi-step
+    GD lineage re-reads the matrix, not the tokenizer."""
+    bucket = (
+        f"CAST(conv(substr(md5(concat('{salt}', w)), 1, 8), 16, 10)"
+        f" AS BIGINT) % {buckets}"
+    )
+    tok = (
+        df.selectExpr(
+            f"{id_col} AS __id",
+            f"explode(split(lower({text_col}), '\\\\s+')) AS w",
+        )
+        .filter("w <> ''")
+        .selectExpr("__id", f"{bucket} AS b")
+    )
+    xb = tok.distinct().selectExpr("__id", "b", "CAST(1 AS BIGINT) AS x")
+    docs = xb.select("__id").distinct()
+    bias = docs.selectExpr(
+        "__id", f"CAST({buckets} AS BIGINT) AS b", "CAST(1 AS BIGINT) AS x"
+    )
+    feats = xb.unionByName(bias).localCheckpoint(eager=False)
+    return feats, docs
+
+
+def linear_probe_gd(
+    df: DataFrame,
+    target_expr: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8,
+    steps: int = 3,
+    lr_shift: int = 4,
+    salt: str = "probe",
+) -> DataFrame:
+    """Train a LINEAR quality probe distributed: fixed-unroll batch
+    gradient descent for least-squares on hashed-unigram bucket
+    PRESENCE indicators (+ bias), labels from ``target_expr`` — the
+    fastText-style "train a cheap classifier on a labeled slice,
+    score the corpus" step of a pretraining data pipeline, expressed
+    so every engine reaches the SAME weights:
+
+    - features are 0/1 presence of each md5 token bucket (the dsir
+      bucket hash); labels are 0/10⁶ micro-units; w₀ = 0;
+    - each step's prediction ``p = Σ x·w`` and gradient
+      ``g_b = Σ x·(y − p)`` are pure int64 sums (no float order);
+    - the update ``w += floor(g / (n·2^lr_shift) + 0.5)`` casts both
+      int64 operands to DOUBLE (IEEE round-to-nearest, identical in
+      every engine) and divides once, so the rounding is the
+      deterministic pca/dsir discipline, with the learning rate a
+      power of two over n.
+
+    Presence (not count) features bound the Gram spectrum:
+    ``λmax ≤ buckets+1``, so any ``2^lr_shift > (buckets+1)/2``
+    (shift ≥ 3 for the default 8 buckets) makes the descent
+    contractive at EVERY corpus size — counts would diverge on
+    long documents and overflow the int64 residuals.
+
+    Per step: one broadcast of the (buckets+1)-row weight vector,
+    one id-keyed aggregate, one bucket-keyed aggregate — the corpus
+    feature matrix is built once and reused. Squared loss (not
+    logistic) is deliberate: ``exp`` is not correctly rounded
+    cross-engine, the :func:`mixture_sampling` alpha rule.
+
+    Output: b (BIGINT; ``buckets`` = bias), w_micro (BIGINT) — the
+    trained weights after ``steps`` unrolled steps.
+    """
+    if (1 << lr_shift) * 2 <= buckets + 1:
+        raise ValueError(
+            "lr_shift too small for bucket count: need"
+            f" 2^lr_shift > (buckets+1)/2, got 2^{lr_shift}"
+            f" vs {buckets + 1} features"
+        )
+    feats, docs = _probe_feats(df, text_col, id_col, buckets, salt)
+    y = (
+        df.selectExpr(
+            f"{id_col} AS __id",
+            f"CAST(CAST(({target_expr}) AS INT) * 1000000 AS BIGINT)"
+            " AS y_micro",
+        )
+        .join(docs, "__id")
+    )
+    nrow = docs.agg(F.expr("CAST(count(1) AS BIGINT) AS n"))
+    denom = f"(CAST(n AS DOUBLE) * {float(1 << lr_shift)!r}D)"
+    w = feats.select("b").distinct().selectExpr(
+        "b", "CAST(0 AS BIGINT) AS w"
+    )
+    for _ in range(steps):
+        p = (
+            feats.join(F.broadcast(w), "b")
+            .groupBy("__id")
+            .agg(F.expr("SUM(x * w) AS p"))
+        )
+        r = y.join(p, "__id").selectExpr("__id", "y_micro - p AS resid")
+        g = (
+            feats.join(r, "__id")
+            .groupBy("b")
+            .agg(F.expr("SUM(x * resid) AS g"))
+        )
+        w = (
+            w.join(g, "b", "left")
+            .crossJoin(F.broadcast(nrow))
+            .selectExpr(
+                "b",
+                "CAST(w + floor(CAST(COALESCE(g, 0) AS DOUBLE)"
+                f" / {denom} + 0.5D) AS BIGINT) AS w",
+            )
+        )
+    return w.selectExpr("b", "w AS w_micro")
+
+
+def linear_probe_score(
+    df: DataFrame,
+    target_expr: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8,
+    steps: int = 3,
+    lr_shift: int = 4,
+    salt: str = "probe",
+    top_ppm: int = 250_000,
+) -> DataFrame:
+    """Train the :func:`linear_probe_gd` quality probe, score EVERY
+    document, and keep the top ``top_ppm``/10⁶ fraction — the full
+    classifier-based data-selection loop (train on a labeled slice →
+    score the corpus → take the best tranche) as one deterministic
+    plan.
+
+    Selection is exact rank semantics — kept iff
+    ``rank by (score DESC, id ASC) ≤ k``, ``k = n·top_ppm div 10⁶`` —
+    but computed WITHOUT a global sort: a score histogram (one tiny
+    aggregate) decides every non-boundary document by its
+    strictly-better count alone; only the single boundary score group
+    ranks its ties by id (one window over that group). At 100 TB the
+    global-window alternative is a single-partition sort of the
+    corpus; this plan's driver-free equivalent touches per-score
+    counts plus one tie group.
+
+    Output: <id_col>, score_micro (BIGINT), kept (INT 0/1).
+    """
+    from pyspark.sql import Window
+
+    w = linear_probe_gd(
+        df, target_expr, text_col=text_col, id_col=id_col,
+        buckets=buckets, steps=steps, lr_shift=lr_shift, salt=salt,
+    ).selectExpr("b", "w_micro AS __w")
+    feats, _docs = _probe_feats(df, text_col, id_col, buckets, salt)
+    scored = (
+        feats.join(F.broadcast(w), "b")
+        .groupBy("__id")
+        .agg(F.expr("SUM(x * __w) AS score_micro"))
+    )
+    hist = scored.groupBy("score_micro").agg(
+        F.expr("CAST(count(1) AS BIGINT) AS c")
+    )
+    # histogram-level cumulative: rows = distinct scores, ids-free
+    better = F.coalesce(
+        F.sum("c").over(
+            Window.orderBy(F.desc("score_micro")).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ),
+        F.lit(0).cast("long"),
+    )
+    n = scored.agg(F.expr("CAST(count(1) AS BIGINT) AS n"))
+    hist = (
+        hist.withColumn("better", better)
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "score_micro",
+            "c",
+            "better",
+            f"CAST(n * {int(top_ppm)} AS BIGINT) div 1000000 AS k",
+        )
+    )
+    tagged = scored.join(hist, "score_micro")
+    full = tagged.filter("better + c <= k").selectExpr(
+        "score_micro", "__id", "CAST(1 AS INT) AS kept"
+    )
+    out_ = tagged.filter("better >= k").selectExpr(
+        "score_micro", "__id", "CAST(0 AS INT) AS kept"
+    )
+    tie_rank = F.row_number().over(
+        Window.partitionBy("score_micro").orderBy("__id")
+    )
+    boundary = (
+        tagged.filter("better < k AND better + c > k")
+        .withColumn("__r", tie_rank)
+        .selectExpr(
+            "score_micro",
+            "__id",
+            "CAST(CASE WHEN better + __r <= k THEN 1 ELSE 0 END AS INT)"
+            " AS kept",
+        )
+    )
+    return (
+        full.unionByName(out_)
+        .unionByName(boundary)
+        .selectExpr(f"__id AS {id_col}", "score_micro", "kept")
+    )

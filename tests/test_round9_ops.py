@@ -532,3 +532,124 @@ def test_shuffle_partitions_nonnumeric_fallback():
     assert _shuffle_partitions(fake("auto")) == 200
     assert _shuffle_partitions(fake(None)) == 200
     assert _shuffle_partitions(fake("64")) == 64
+
+
+def _probe_reference(rows, buckets=8, steps=3, lr_shift=4, salt="probe"):
+    """Pure-Python twin of linear_probe_gd's integer recurrence —
+    hashlib md5 == both engines' md5, float(int64) is IEEE
+    round-to-nearest everywhere, so the walk is bit-identical."""
+    import hashlib
+    import math
+
+    feats, ys = {}, {}
+    for doc_id, text, label in rows:
+        toks = [t for t in (text or "").lower().split() if t]
+        if not toks:
+            continue
+        bs = {
+            int(hashlib.md5((salt + t).encode()).hexdigest()[:8], 16)
+            % buckets
+            for t in toks
+        }
+        bs.add(buckets)  # bias
+        feats[doc_id] = bs
+        ys[doc_id] = int(bool(label)) * 1_000_000
+    n = len(feats)
+    present = sorted({b for bs in feats.values() for b in bs})
+    w = {b: 0 for b in present}
+    for _ in range(steps):
+        g = {b: 0 for b in present}
+        for doc_id, bs in feats.items():
+            resid = ys[doc_id] - sum(w[b] for b in bs)
+            for b in bs:
+                g[b] += resid
+        for b in present:
+            w[b] += math.floor(
+                float(g[b]) / (float(n) * float(1 << lr_shift)) + 0.5
+            )
+    return w
+
+
+def test_linear_probe_gd_matches_reference_and_partitioning(spark):
+    """The distributed 3-step GD walk lands on EXACTLY the reference
+    weights, independent of input partitioning, and the learned
+    weights separate the classes (docs whose tokens mark label=1 get
+    positive bucket weight)."""
+    from institutional_fx_etl_spark.operators.selection import (
+        linear_probe_gd,
+    )
+
+    rows = []
+    for i in range(120):
+        good = i % 3 == 0
+        text = (
+            "alpha beta gamma quality signal" if good
+            else "zz%d junk filler noise spam" % (i % 7)
+        )
+        rows.append((i, text + " common", good))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lab boolean")
+    ref = _probe_reference(rows)
+    out = {
+        r["b"]: r["w_micro"]
+        for r in linear_probe_gd(df, "lab", lr_shift=4).collect()
+    }
+    assert out == ref
+    out2 = {
+        r["b"]: r["w_micro"]
+        for r in linear_probe_gd(df.repartition(7), "lab", lr_shift=4)
+        .collect()
+    }
+    assert out2 == ref
+    # the probe learned something: scoring a good doc beats a junk doc
+    import hashlib
+
+    def score(text):
+        bs = {
+            int(hashlib.md5(("probe" + t).encode()).hexdigest()[:8], 16) % 8
+            for t in text.lower().split()
+        }
+        return sum(out.get(b, 0) for b in bs) + out.get(8, 0)
+
+    assert score("alpha beta gamma quality signal common") > score(
+        "zz1 junk filler noise spam common"
+    )
+
+
+def test_linear_probe_gd_lr_guard():
+    """2^lr_shift must exceed (buckets+1)/2 or the descent is not
+    contractive — the operator refuses the divergent configuration."""
+    from institutional_fx_etl_spark.operators.selection import (
+        linear_probe_gd,
+    )
+
+    with pytest.raises(ValueError, match="lr_shift"):
+        linear_probe_gd(None, "true", buckets=64, lr_shift=2)
+
+
+def test_linear_probe_score_exact_rank_and_ties(spark):
+    """kept must equal the brute-force rank rule
+    (score DESC, id ASC) <= n*top_ppm//1e6 — including the boundary
+    score group where ties are broken by id — and Σ kept == k."""
+    from institutional_fx_etl_spark.operators.selection import (
+        linear_probe_score,
+    )
+
+    rows = []
+    for i in range(90):
+        good = i % 3 == 0
+        # three identical texts per class → heavy score ties, so the
+        # boundary group is exercised
+        text = "alpha beta quality" if good else "junk filler spam"
+        rows.append((i, text, good))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lab boolean")
+    out = linear_probe_score(df, "lab", top_ppm=400_000).collect()
+    n = len(out)
+    k = n * 400_000 // 1_000_000
+    ranked = sorted(out, key=lambda r: (-r["score_micro"], r["doc_id"]))
+    expect = {r["doc_id"]: (1 if i < k else 0) for i, r in enumerate(ranked)}
+    got = {r["doc_id"]: r["kept"] for r in out}
+    assert got == expect
+    assert sum(got.values()) == k
+    # the boundary really did split a tie group (test is vacuous
+    # otherwise): the last kept doc's score equals the first dropped's
+    assert k < n and ranked[k - 1]["score_micro"] == ranked[k]["score_micro"]
