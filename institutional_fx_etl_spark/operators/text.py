@@ -1215,3 +1215,70 @@ def cross_source_overlap(
             "round(CAST(shared AS DOUBLE) / n_b, 6) AS containment_b",
         )
     )
+
+
+def dup_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Positional duplicated-span coverage: the fraction of each
+    document's TOKEN POSITIONS covered by at least one word n-gram
+    that occurs ≥ 2 times anywhere in the corpus (cross-doc or
+    intra-doc) — the ExactSubstr-style signal of "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al. 2022),
+    approximated at n-gram granularity so it stays a pure
+    shuffle-on-8-byte-hash plan. Unlike :func:`ngram_novelty` (set
+    semantics over DISTINCT shingles), this is positional: a doc that
+    repeats one boilerplate sentence fifty times scores ~100%
+    coverage here but high novelty there — coverage is what you trim
+    on, novelty is what you weight on.
+
+    Plan: one scan emits (id, shingle position, hash) — positions are
+    dense 0..size-n so ``n_tokens`` never travels; one groupBy(hash)
+    finds duplicated shingles (partial-agg count); one hash-keyed
+    join back restricted to dup hashes; each surviving start explodes
+    to its ``shingle_n`` covered positions (bounded ×n fan) and one
+    per-doc distinct-count merges overlapping spans exactly. Docs
+    shorter than ``shingle_n`` tokens are excluded (the MinHash
+    family's domain rule).
+
+    Output: <id_col>, n_tokens (BIGINT), n_dup_pos (BIGINT),
+    dup_coverage (DOUBLE, 6dp).
+    """
+    ic = bq(id_col)
+    ex = (
+        df.withColumn("__toks", tokens(text_col))
+        .filter(f"size(__toks) >= {shingle_n}")
+        .selectExpr(
+            ic,
+            "posexplode(transform("
+            f"{shingles_expr('__toks', shingle_n)},"
+            f" s -> {_token_hash('s')})) AS (pos, h)",
+        )
+    )
+    dup = ex.groupBy("h").agg(F.count(F.lit(1)).alias("__c")).filter(
+        "__c >= 2"
+    )
+    covered = (
+        ex.join(dup.select("h"), "h")
+        .selectExpr(ic, f"explode(sequence(pos, pos + {shingle_n - 1})) AS p")
+        .groupBy(id_col)
+        .agg(F.expr("CAST(count(DISTINCT p) AS BIGINT) AS n_dup_pos"))
+    )
+    lens = (
+        df.withColumn("__toks", tokens(text_col))
+        .filter(f"size(__toks) >= {shingle_n}")
+        .selectExpr(ic, "CAST(size(__toks) AS BIGINT) AS n_tokens")
+    )
+    return (
+        lens.join(covered, id_col, "left")
+        .selectExpr(
+            ic,
+            "n_tokens",
+            "CAST(COALESCE(n_dup_pos, 0) AS BIGINT) AS n_dup_pos",
+            "round(CAST(COALESCE(n_dup_pos, 0) AS DOUBLE) / n_tokens, 6)"
+            " AS dup_coverage",
+        )
+    )

@@ -11462,6 +11462,52 @@ def q_linear_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dup_span_coverage",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    tt AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 3
+    ),
+    ex AS (
+      SELECT doc_id, i - 1 AS pos,
+             CAST(concat('0x', substr(md5(concat_ws(' ', toks[i],
+                  toks[i+1], toks[i+2])), 1, 8)) AS BIGINT) AS h
+      FROM tt, unnest(range(1, n - 1)) AS r(i)
+    ),
+    dup AS (SELECT h FROM ex GROUP BY h HAVING count(*) >= 2),
+    cov AS (
+      SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS n_dup_pos
+      FROM (
+        SELECT e.doc_id, unnest(range(e.pos, e.pos + 3)) AS p
+        FROM ex e JOIN dup USING (h))
+      GROUP BY doc_id
+    )
+    SELECT tt.doc_id,
+           CAST(tt.n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(cov.n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+           round(CAST(COALESCE(cov.n_dup_pos, 0) AS DOUBLE) / tt.n, 6)
+             AS dup_coverage
+    FROM tt LEFT JOIN cov USING (doc_id)
+    """,
+)
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional duplicated-span coverage (ExactSubstr-style at
+    3-gram granularity): fraction of each doc's token positions
+    covered by a shingle occurring ≥2× in the corpus — what you TRIM
+    on, vs ngram_novelty's set-semantics weighting signal; shuffles
+    carry (id, int pos, 8-byte hash) only
+    (``operators/text.py::dup_span_coverage``)."""
+    from institutional_fx_etl_spark.operators.text import (
+        dup_span_coverage,
+    )
+
+    return dup_span_coverage(load_table(spark, sf_dir, "documents"))
+
+
 @register("linear_probe_score", _probe_score_oracle())
 def q_linear_probe_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full classifier-selection loop: train the linear probe,
@@ -11521,6 +11567,7 @@ _HEAD = [
     "dedup_survivorship",
     "linear_probe_gd",
     "linear_probe_score",
+    "dup_span_coverage",
     "knn_incremental",
     "random_projection",
     "shuffle_shards",
@@ -11561,10 +11608,10 @@ _HEAD = [
     "skew_salted_agg",
     "exact_quantiles",
     "text_repetition",
-    "tfidf_topterms",
-    # range_frame_window and asof_join_tolerance lost their slots to
-    # linear_probe_gd/_score (new this round, policy rule 1); both
-    # keep the pytest tail gate and head the r10 stale-rotation block
+    # tfidf_topterms, range_frame_window and asof_join_tolerance lost
+    # their slots to linear_probe_gd/_score and dup_span_coverage (new
+    # this round, policy rule 1); all three keep the pytest tail gate
+    # and head the r10 stale-rotation block
 ]
 _TAIL = [
     # r8-green — freshest driver rows on the board (demotion tail per

@@ -653,3 +653,36 @@ def test_linear_probe_score_exact_rank_and_ties(spark):
     # the boundary really did split a tie group (test is vacuous
     # otherwise): the last kept doc's score equals the first dropped's
     assert k < n and ranked[k - 1]["score_micro"] == ranked[k]["score_micro"]
+
+
+def test_dup_span_coverage_semantics(spark):
+    """Overlapping duplicated shingles merge to exact position
+    coverage; intra-doc repetition counts as duplication; a fully
+    unique doc scores 0; a doc that IS a repeated sentence scores
+    ~full coverage."""
+    from institutional_fx_etl_spark.operators.text import (
+        dup_span_coverage,
+    )
+
+    rows = [
+        # docs 1 and 2 share the 5-token prefix "a b c d e":
+        # dup 3-gram starts 0,1,2 cover positions 0..4 (merged), doc1
+        # has 8 tokens -> coverage 5/8
+        (1, "a b c d e x1 y1 z1"),
+        (2, "a b c d e x2 y2 z2"),
+        # all-unique doc -> 0
+        (3, "u1 u2 u3 u4 u5"),
+        # one sentence repeated twice INSIDE the doc: every 3-gram of
+        # "r s t r s t" window... starts: (r s t),(s t r),(t r s),
+        # (r s t) -> "r s t" dupes itself, covering 0..2 and 3..5;
+        # the middle shingles are unique -> but their positions are
+        # already covered; coverage = 6/6
+        (4, "r s t r s t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_span_coverage(df).collect()}
+    assert out[1]["n_dup_pos"] == 5 and out[1]["n_tokens"] == 8
+    assert out[1]["dup_coverage"] == 0.625
+    assert out[2]["n_dup_pos"] == 5
+    assert out[3]["n_dup_pos"] == 0 and out[3]["dup_coverage"] == 0.0
+    assert out[4]["n_dup_pos"] == 6 and out[4]["dup_coverage"] == 1.0
