@@ -1465,3 +1465,89 @@ def ivfpq_topk(
             "id", "CAST(cid AS BIGINT) AS cid", "round(__adc, 6) AS adc_dist"
         )
     )
+
+
+def kmeans_inertia(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Clustering-quality evaluation: per-cell inertia (Σ of each
+    member's squared L2 distance to its nearest centroid) — the
+    number you watch when sizing an IVF index or comparing centroid
+    seedings. Assignment = arg min over (d², cid); default centroids
+    are the deterministic vid < ``num_centroids`` seeding, so the
+    whole statistic is SQL-oracle-exact (pass
+    :func:`kmeans_centroids` output for the trained variant).
+
+    Determinism discipline: d² uses the norm identity
+    ``|v|² + |c|² − 2·v·c`` with the SAME fold and association in
+    Spark, DuckDB (``list_dot_product``) and the Python literal
+    pre-computation — the proven cosine-pairing trick — and each
+    vector's d² is micro-quantized to int64 BEFORE the Σ, so per-cell
+    inertia is an exact integer sum, immune to aggregation order.
+
+    Plan: centroid literal (bounded k-row collect, the
+    ``_scored_cells_expr`` transfer), ONE scan-side map over the
+    corpus, one cell-keyed aggregate — no corpus×k join relation, no
+    per-vid window.
+
+    Output: cid (BIGINT), n_vectors (BIGINT), inertia_micro (BIGINT),
+    mean_d2 (DOUBLE, 6dp).
+    """
+    v = df.selectExpr(
+        f"{bq(id_col)} AS vid", f"{_as_double(vec_col)} AS vv"
+    )
+    if centroids is None:
+        centroids = v.filter(F.col("vid") < num_centroids).selectExpr(
+            "vid AS cid", "vv AS cv"
+        )
+    rows = sorted(
+        _bounded_centroid_rows(centroids), key=lambda r: r["cid"]
+    )
+    lits = []
+    for r in rows:
+        cv = ", ".join(f"{float(x)!r}D" for x in r["cv"])
+        acc = 0.0  # |c|² via the same left fold as the SQL aggregate
+        for x in r["cv"]:
+            acc += float(x) * float(x)
+        lits.append(
+            f"named_struct('cid', CAST({int(r['cid'])} AS BIGINT),"
+            f" 'cv', array({cv}), 'nc2', {acc!r}D)"
+        )
+    cents = "array(" + ", ".join(lits) + ")"
+    dot = "aggregate(zip_with(vv, c.cv, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
+    scored = (
+        f"array_sort(transform({cents}, c -> named_struct('cid', c.cid,"
+        f" 'd2', __nv2 + c.nc2 - 2.0D*{dot})),"
+        " (l, r) -> CASE WHEN l.d2 < r.d2 THEN -1"
+        " WHEN l.d2 > r.d2 THEN 1"
+        " WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1"
+        " ELSE 0 END)"
+    )
+    best = let1(
+        "aggregate(vv, 0.0d, (a, x) -> a + x*x)",
+        "__nv2",
+        f"element_at({scored}, 1)",
+    )
+    assigned = v.selectExpr("vid", f"{best} AS __best").selectExpr(
+        "vid",
+        "__best.cid AS cid",
+        "CAST(floor(__best.d2 * 1000000.0D + 0.5D) AS BIGINT) AS d2_micro",
+    )
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.expr("CAST(count(1) AS BIGINT) AS n_vectors"),
+            F.expr("CAST(SUM(d2_micro) AS BIGINT) AS inertia_micro"),
+        )
+        .selectExpr(
+            "cid",
+            "n_vectors",
+            "inertia_micro",
+            "round(CAST(inertia_micro AS DOUBLE)"
+            " / CAST(n_vectors AS DOUBLE) / 1000000.0D, 6) AS mean_d2",
+        )
+    )

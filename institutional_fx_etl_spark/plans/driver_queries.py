@@ -11508,6 +11508,46 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_coverage(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "kmeans_inertia",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings),
+    c AS (SELECT CAST(vec_id AS BIGINT) AS cid, vv AS cv
+          FROM v WHERE vec_id < 8),
+    d AS (
+      SELECT v.vec_id AS vid, c.cid,
+             list_dot_product(v.vv, v.vv) + list_dot_product(c.cv, c.cv)
+               - 2.0*list_dot_product(v.vv, c.cv) AS d2
+      FROM v CROSS JOIN c),
+    a AS (
+      SELECT vid, cid,
+             CAST(floor(d2 * 1000000.0 + 0.5) AS BIGINT) AS d2_micro,
+             row_number() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+      FROM d)
+    SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(d2_micro) AS BIGINT) AS inertia_micro,
+           round(CAST(SUM(d2_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 1000000.0, 6) AS mean_d2
+    FROM a WHERE rn = 1 GROUP BY cid
+    """,
+)
+def q_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell clustering inertia over the deterministic vid<8
+    centroid seeding: scan-side arg-min against the centroid literal
+    (no corpus×k join), per-vector d² micro-quantized before the Σ so
+    the per-cell sum is exact integer arithmetic
+    (``operators/similarity.py::kmeans_inertia``)."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        kmeans_inertia,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_inertia(emb, "embedding", "vec_id", num_centroids=8)
+
+
 @register("linear_probe_score", _probe_score_oracle())
 def q_linear_probe_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full classifier-selection loop: train the linear probe,
@@ -11568,6 +11608,7 @@ _HEAD = [
     "linear_probe_gd",
     "linear_probe_score",
     "dup_span_coverage",
+    "kmeans_inertia",
     "knn_incremental",
     "random_projection",
     "shuffle_shards",
@@ -11607,11 +11648,11 @@ _HEAD = [
     "range_join_banded",
     "skew_salted_agg",
     "exact_quantiles",
-    "text_repetition",
-    # tfidf_topterms, range_frame_window and asof_join_tolerance lost
-    # their slots to linear_probe_gd/_score and dup_span_coverage (new
-    # this round, policy rule 1); all three keep the pytest tail gate
-    # and head the r10 stale-rotation block
+    # text_repetition, tfidf_topterms, range_frame_window and
+    # asof_join_tolerance lost their slots to the four queries NEW
+    # this round (policy rule 1: linear_probe_gd/_score,
+    # dup_span_coverage, kmeans_inertia); all four keep the pytest
+    # tail gate and head the r10 stale-rotation block
 ]
 _TAIL = [
     # r8-green — freshest driver rows on the board (demotion tail per

@@ -686,3 +686,34 @@ def test_dup_span_coverage_semantics(spark):
     assert out[2]["n_dup_pos"] == 5
     assert out[3]["n_dup_pos"] == 0 and out[3]["dup_coverage"] == 0.0
     assert out[4]["n_dup_pos"] == 6 and out[4]["dup_coverage"] == 1.0
+
+
+def test_kmeans_inertia_matches_numpy_and_improves_with_training(spark):
+    """Total inertia equals the brute-force numpy assignment (to
+    micro precision), centroid members score d²=0, and kmeans-trained
+    centroids never do worse than the stride seeding."""
+    import numpy as np
+
+    from institutional_fx_etl_spark.operators.similarity import (
+        kmeans_centroids,
+        kmeans_inertia,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(200, 8).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_inertia(df, num_centroids=4).collect()
+    got_total = sum(r["inertia_micro"] for r in out)
+    cents = vecs[:4]
+    d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    ref_total = int(
+        sum(np.floor(d2.min(axis=1) * 1e6 + 0.5).astype(np.int64))
+    )
+    # folds differ between numpy and the SQL identity in last ulps —
+    # allow 1 micro per vector
+    assert abs(got_total - ref_total) <= 200
+    assert sum(r["n_vectors"] for r in out) == 200
+    trained = kmeans_centroids(df, num_centroids=4, seed=7)
+    out_t = kmeans_inertia(df, num_centroids=4, centroids=trained).collect()
+    assert sum(r["inertia_micro"] for r in out_t) <= got_total
