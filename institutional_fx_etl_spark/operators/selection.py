@@ -610,3 +610,88 @@ def linear_probe_score(
         .unionByName(boundary)
         .selectExpr(f"__id AS {id_col}", "score_micro", "kept")
     )
+
+
+def quota_sample_exact(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    budget_ppm: int = 250_000,
+    salt: str = "quota",
+) -> DataFrame:
+    """EXACT-count stratified sampling: keep precisely
+    ``K = N·budget_ppm div 10⁶`` documents, allocated across groups by
+    largest-remainder (Hamilton) apportionment — Σ of the per-group
+    takes equals K exactly, unlike the Bernoulli
+    ``stratified_sample``/``mixture_sampling`` family whose realized
+    counts are binomial around the target. This is the op you need
+    when the downstream contract is "exactly K documents, source
+    shares as proportional as integers allow".
+
+    All allocation math is integer-exact: ``base_g = K·n_g div N``,
+    remainders ranked (DESC, group ASC) hand out the ``K − Σ base``
+    leftovers. Within a group, members are ranked by an md5 draw
+    (id tiebreak) — reproducible at any partitioning, no rand().
+
+    Plan: one tiny group-count aggregate (+ group-level window on that
+    source-cardinality relation), broadcast of the quota table, and
+    ONE ranking window partitioned by group over (id, draw) rows —
+    payloads never shuffle. Group skew = the shuffle_shards caveat:
+    a single group's rank serializes that group, so at 100 TB keep
+    groups ≪ corpus (sources/domains do) or pre-split hot groups.
+
+    Output: <id_col>, grp, rk (BIGINT, 1-based in-group rank) for the
+    K kept documents only.
+    """
+    from pyspark.sql import Window
+
+    g = df.groupBy(F.expr(f"{group_col}").alias("grp")).agg(
+        F.expr("CAST(count(1) AS BIGINT) AS n")
+    )
+    tot = g.agg(F.expr("CAST(SUM(n) AS BIGINT) AS nn"))
+    alloc = (
+        g.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "grp",
+            "n",
+            "nn",
+            f"CAST(nn * {int(budget_ppm)} AS BIGINT) div 1000000 AS K",
+        )
+        .selectExpr(
+            "grp", "n", "K",
+            "(K * n) div nn AS base",
+            "(K * n) % nn AS rem",
+        )
+    )
+    leftover = alloc.groupBy("K").agg(
+        F.expr("CAST(K - SUM(base) AS BIGINT) AS L")
+    )
+    bonus_rank = F.row_number().over(
+        Window.orderBy(F.desc("rem"), F.asc("grp"))
+    )
+    quota = (
+        alloc.crossJoin(F.broadcast(leftover.select("L")))
+        .withColumn("__br", bonus_rank)
+        .selectExpr(
+            "grp",
+            "CAST(base + CASE WHEN __br <= L THEN 1 ELSE 0 END"
+            " AS BIGINT) AS k_g",
+        )
+    )
+    draw = (
+        f"CAST(conv(substr(md5(concat('{salt}',"
+        f" CAST({id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    ranked = df.selectExpr(
+        id_col, f"{group_col} AS grp", f"{draw} AS __draw"
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy("__draw", id_col)
+        ).cast("long"),
+    )
+    return (
+        ranked.join(F.broadcast(quota), "grp")
+        .filter("rk <= k_g")
+        .selectExpr(id_col, "grp", "rk")
+    )

@@ -11548,6 +11548,58 @@ def q_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_inertia(emb, "embedding", "vec_id", num_centroids=8)
 
 
+@register(
+    "quota_sample_exact",
+    """
+    WITH g AS (
+      SELECT source AS grp, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM g),
+    alloc AS (
+      SELECT grp, n, nn,
+             CAST(nn * 250000 // 1000000 AS BIGINT) AS K
+      FROM g CROSS JOIN t),
+    alloc2 AS (
+      SELECT grp, n, K,
+             (K * n) // nn AS base, (K * n) % nn AS rem
+      FROM alloc),
+    lo AS (SELECT CAST(K - SUM(base) AS BIGINT) AS L
+           FROM alloc2 GROUP BY K),
+    quota AS (
+      SELECT grp,
+             CAST(base + CASE WHEN row_number()
+                    OVER (ORDER BY rem DESC, grp ASC) <= lo.L
+                  THEN 1 ELSE 0 END AS BIGINT) AS k_g
+      FROM alloc2 CROSS JOIN lo),
+    d AS (
+      SELECT doc_id, source AS grp,
+             CAST(concat('0x', substr(md5(concat('quota',
+                  CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS draw
+      FROM documents),
+    r AS (
+      SELECT doc_id, grp,
+             CAST(row_number() OVER (PARTITION BY grp
+                  ORDER BY draw, doc_id) AS BIGINT) AS rk
+      FROM d)
+    SELECT r.doc_id, r.grp, r.rk
+    FROM r JOIN quota USING (grp) WHERE r.rk <= quota.k_g
+    """,
+)
+def q_quota_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified take: precisely N·25% documents,
+    largest-remainder apportionment across sources, md5-ranked within
+    group — the deterministic twin of Bernoulli stratified sampling
+    whose Σ is binomial (``operators/selection.py::quota_sample_exact``)."""
+    from institutional_fx_etl_spark.operators.selection import (
+        quota_sample_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quota_sample_exact(
+        docs, group_col="source", id_col="doc_id", budget_ppm=250_000,
+    )
+
+
 @register("linear_probe_score", _probe_score_oracle())
 def q_linear_probe_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full classifier-selection loop: train the linear probe,
@@ -11609,6 +11661,7 @@ _HEAD = [
     "linear_probe_score",
     "dup_span_coverage",
     "kmeans_inertia",
+    "quota_sample_exact",
     "knn_incremental",
     "random_projection",
     "shuffle_shards",
@@ -11647,12 +11700,12 @@ _HEAD = [
     "multimodal_frames",
     "range_join_banded",
     "skew_salted_agg",
-    "exact_quantiles",
-    # text_repetition, tfidf_topterms, range_frame_window and
-    # asof_join_tolerance lost their slots to the four queries NEW
-    # this round (policy rule 1: linear_probe_gd/_score,
-    # dup_span_coverage, kmeans_inertia); all four keep the pytest
-    # tail gate and head the r10 stale-rotation block
+    # exact_quantiles, text_repetition, tfidf_topterms,
+    # range_frame_window and asof_join_tolerance lost their slots to
+    # the five queries NEW this round (policy rule 1:
+    # linear_probe_gd/_score, dup_span_coverage, kmeans_inertia,
+    # quota_sample_exact); all five keep the pytest tail gate and
+    # head the r10 stale-rotation block
 ]
 _TAIL = [
     # r8-green — freshest driver rows on the board (demotion tail per

@@ -717,3 +717,39 @@ def test_kmeans_inertia_matches_numpy_and_improves_with_training(spark):
     trained = kmeans_centroids(df, num_centroids=4, seed=7)
     out_t = kmeans_inertia(df, num_centroids=4, centroids=trained).collect()
     assert sum(r["inertia_micro"] for r in out_t) <= got_total
+
+
+def test_quota_sample_exact_invariants(spark):
+    """Σ kept == K exactly; per-group takes differ from exact
+    proportionality by < 1 (largest-remainder property); output is
+    identical under a different input partitioning."""
+    from institutional_fx_etl_spark.operators.selection import (
+        quota_sample_exact,
+    )
+
+    rows = []
+    i = 0
+    for src, n in [("a", 7), ("b", 13), ("c", 29), ("d", 51)]:
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = quota_sample_exact(df, budget_ppm=300_000).collect()
+    n_total = 100
+    k = n_total * 300_000 // 1_000_000
+    assert len(out) == k
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r)
+    for src, n in [("a", 7), ("b", 13), ("c", 29), ("d", 51)]:
+        take = len(by_grp.get(src, []))
+        ideal = k * n / n_total
+        assert ideal - 1 < take < ideal + 1
+        # ranks are 1..take with no gaps
+        assert sorted(r["rk"] for r in by_grp.get(src, [])) == list(
+            range(1, take + 1)
+        )
+    out2 = quota_sample_exact(df.repartition(11), budget_ppm=300_000).collect()
+    assert sorted((r["doc_id"], r["grp"], r["rk"]) for r in out2) == sorted(
+        (r["doc_id"], r["grp"], r["rk"]) for r in out
+    )
