@@ -470,9 +470,13 @@ def linear_probe_gd(
 
     Per step: one broadcast of the (buckets+1)-row weight vector,
     one id-keyed aggregate, one bucket-keyed aggregate — the corpus
-    feature matrix is built once and reused. Squared loss (not
-    logistic) is deliberate: ``exp`` is not correctly rounded
-    cross-engine, the :func:`mixture_sampling` alpha rule.
+    feature matrix is built once and reused, and the weight vector is
+    MATERIALIZED to the driver between steps (buckets+1 rows — the
+    bounded parameter-vector transfer every distributed trainer
+    makes; leaving it lazy re-executes the whole prior-step DAG once
+    per downstream reference). Squared loss (not logistic) is
+    deliberate: ``exp`` is not correctly rounded cross-engine, the
+    :func:`mixture_sampling` alpha rule.
 
     Output: b (BIGINT; ``buckets`` = bias), w_micro (BIGINT) — the
     trained weights after ``steps`` unrolled steps.
@@ -484,6 +488,24 @@ def linear_probe_gd(
             f" vs {buckets + 1} features"
         )
     feats, docs = _probe_feats(df, text_col, id_col, buckets, salt)
+    return _probe_gd_weights(
+        df, feats, docs, target_expr, id_col, lr_shift, steps
+    ).selectExpr("b", "w AS w_micro")
+
+
+def _probe_gd_weights(
+    df: DataFrame,
+    feats: DataFrame,
+    docs: DataFrame,
+    target_expr: str,
+    id_col: str,
+    lr_shift: int,
+    steps: int,
+) -> DataFrame:
+    """The GD loop of :func:`linear_probe_gd` over a prebuilt feature
+    matrix — shared with :func:`linear_probe_score` so train+score
+    builds the matrix once. Returns (b, w)."""
+    spark = df.sparkSession
     y = (
         df.selectExpr(
             f"{id_col} AS __id",
@@ -492,8 +514,8 @@ def linear_probe_gd(
         )
         .join(docs, "__id")
     )
-    nrow = docs.agg(F.expr("CAST(count(1) AS BIGINT) AS n"))
-    denom = f"(CAST(n AS DOUBLE) * {float(1 << lr_shift)!r}D)"
+    n = docs.count()
+    denom = float(n) * float(1 << lr_shift)
     w = feats.select("b").distinct().selectExpr(
         "b", "CAST(0 AS BIGINT) AS w"
     )
@@ -509,16 +531,17 @@ def linear_probe_gd(
             .groupBy("b")
             .agg(F.expr("SUM(x * resid) AS g"))
         )
-        w = (
-            w.join(g, "b", "left")
-            .crossJoin(F.broadcast(nrow))
-            .selectExpr(
-                "b",
-                "CAST(w + floor(CAST(COALESCE(g, 0) AS DOUBLE)"
-                f" / {denom} + 0.5D) AS BIGINT) AS w",
-            )
+        stepped = w.join(g, "b", "left").selectExpr(
+            "b",
+            "CAST(w + floor(CAST(COALESCE(g, 0) AS DOUBLE)"
+            f" / {denom!r}D + 0.5D) AS BIGINT) AS w",
         )
-    return w.selectExpr("b", "w AS w_micro")
+        # parameter-vector sync: buckets+1 rows to the driver, then a
+        # fresh local relation — keeps each step ONE pass over feats
+        # instead of re-running every earlier step per reference
+        rows = [(r2["b"], r2["w"]) for r2 in stepped.collect()]
+        w = spark.createDataFrame(rows, "b bigint, w bigint")
+    return w
 
 
 def linear_probe_score(
@@ -552,15 +575,23 @@ def linear_probe_score(
     """
     from pyspark.sql import Window
 
-    w = linear_probe_gd(
-        df, target_expr, text_col=text_col, id_col=id_col,
-        buckets=buckets, steps=steps, lr_shift=lr_shift, salt=salt,
-    ).selectExpr("b", "w_micro AS __w")
-    feats, _docs = _probe_feats(df, text_col, id_col, buckets, salt)
+    if (1 << lr_shift) * 2 <= buckets + 1:
+        raise ValueError(
+            "lr_shift too small for bucket count: need"
+            f" 2^lr_shift > (buckets+1)/2, got 2^{lr_shift}"
+            f" vs {buckets + 1} features"
+        )
+    feats, docs = _probe_feats(df, text_col, id_col, buckets, salt)
+    w = _probe_gd_weights(
+        df, feats, docs, target_expr, id_col, lr_shift, steps
+    ).selectExpr("b", "w AS __w")
     scored = (
         feats.join(F.broadcast(w), "b")
         .groupBy("__id")
         .agg(F.expr("SUM(x * __w) AS score_micro"))
+        # three consumers (histogram, n, tag join) — pin the narrow
+        # (id, score) relation so scoring runs once
+        .localCheckpoint(eager=False)
     )
     hist = scored.groupBy("score_micro").agg(
         F.expr("CAST(count(1) AS BIGINT) AS c")

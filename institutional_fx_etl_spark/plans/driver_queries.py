@@ -11346,9 +11346,62 @@ def _register_streaming_mixture() -> None:
 _register_streaming_mixture()
 
 
+def _register_streaming_dedup() -> None:
+    """Streaming exact-dedup: the (content-hash → keep_id, n_dups)
+    table maintained as a complete-mode streaming aggregation — the
+    ingestion-side "have we seen this document before" filter. Shares
+    the batch dedup_exact oracle: min/count are ingestion-order-free,
+    so the streamed table equals the batch groupBy bit-for-bit. State
+    is one 3-column row per DISTINCT document (hash, min, count) —
+    inherent to exact dedup; production bounds it with
+    dropDuplicatesWithinWatermark or the RocksDB store, both noted in
+    streaming/stateful.py."""
+    oracle = REGISTRY["dedup_exact"][1]
+
+    @register("streaming_dedup_table", oracle)
+    def q_streaming_dedup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STREAMING exact-dedup table maintenance through the state
+        store, static readout, certified against the batch
+        dedup_exact oracle (``operators/dedup.py::exact_dedup_groups``
+        is the batch twin)."""
+        import tempfile
+
+        name = "streaming_dedup_groups"
+        static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        groups = (
+            stream.selectExpr("md5(text) AS text_hash", "doc_id")
+            .groupBy("text_hash")
+            .agg(
+                F.expr("MIN(doc_id) AS keep_id"),
+                F.expr("COUNT(1) AS n_dups"),
+            )
+        )
+        q = (
+            groups.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_dedup_ck_"),
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name).select("text_hash", "keep_id", "n_dups")
+
+
 # deferred: need their batch twins' REGISTRY entries (registered above)
 _register_streaming_cusum()
 _register_streaming_hll()
+_register_streaming_dedup()
 
 
 def _probe_gd_ctes(
@@ -11662,6 +11715,7 @@ _HEAD = [
     "dup_span_coverage",
     "kmeans_inertia",
     "quota_sample_exact",
+    "streaming_dedup_table",
     "knn_incremental",
     "random_projection",
     "shuffle_shards",
@@ -11699,13 +11753,12 @@ _HEAD = [
     "text_lang_id",
     "multimodal_frames",
     "range_join_banded",
-    "skew_salted_agg",
-    # exact_quantiles, text_repetition, tfidf_topterms,
-    # range_frame_window and asof_join_tolerance lost their slots to
-    # the five queries NEW this round (policy rule 1:
+    # skew_salted_agg, exact_quantiles, text_repetition,
+    # tfidf_topterms, range_frame_window and asof_join_tolerance lost
+    # their slots to the six queries NEW this round (policy rule 1:
     # linear_probe_gd/_score, dup_span_coverage, kmeans_inertia,
-    # quota_sample_exact); all five keep the pytest tail gate and
-    # head the r10 stale-rotation block
+    # quota_sample_exact, streaming_dedup_table); all six keep the pytest
+    # tail gate and head the r10 stale-rotation block
 ]
 _TAIL = [
     # r8-green — freshest driver rows on the board (demotion tail per

@@ -198,6 +198,41 @@ def main() -> None:
         lambda f: triangle_count(scaled_copurchase_edges(spark, sf_dir, f)),
     )
 
+    # round-9 additions: the new selection/eval family. All are
+    # designed linear-in-n (scan maps + narrow aggregates); the probe
+    # guards that no hidden quadratic term crept in.
+    from institutional_fx_etl_spark.operators.selection import (
+        linear_probe_score,
+        quota_sample_exact,
+    )
+    from institutional_fx_etl_spark.operators.similarity import (
+        kmeans_inertia,
+    )
+    from institutional_fx_etl_spark.operators.text import dup_span_coverage
+
+    run(
+        "dup_span_coverage",
+        lambda f: dup_span_coverage(docs[f]),
+    )
+    run(
+        "linear_probe_score",
+        # deterministic label derived from the id so the ×10 corpus
+        # keeps a fixed class balance
+        lambda f: linear_probe_score(docs[f], "doc_id % 3 = 0"),
+    )
+    run(
+        "quota_sample_exact",
+        lambda f: quota_sample_exact(
+            docs[f].selectExpr(
+                "doc_id", "CAST(doc_id % 7 AS STRING) AS source"
+            ),
+        ),
+    )
+    run(
+        "kmeans_inertia",
+        lambda f: kmeans_inertia(emb[f], num_centroids=8),
+    )
+
     artifact = {"factor": factor, "sf_dir": sf_dir, "results": out}
     with open("BENCH_scale.json", "w") as fh:
         json.dump(artifact, fh, indent=1)
