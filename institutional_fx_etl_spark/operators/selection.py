@@ -726,3 +726,61 @@ def quota_sample_exact(
         .filter("rk <= k_g")
         .selectExpr(id_col, "grp", "rk")
     )
+
+
+def domain_reweight_mw(
+    df: DataFrame,
+    loss_expr: str,
+    group_col: str = "source",
+    steps: int = 3,
+    eta_shift: int = 2,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, simplified):
+    multiplicative-weights updates that shift mixture mass toward
+    high-loss domains — the "reweight the pretraining mix by how hard
+    each domain is" step — in EXACT integer arithmetic so every
+    engine lands on identical weights.
+
+    ``loss_expr`` is a per-document 0/1 (or [0,1]) hardness signal
+    (a probe misclassification flag, a quality deficit). Per domain:
+    ``loss_d = Σ loss · 10⁶ div n_d`` (integer micro). Updates, from
+    uniform ``w⁰ = 10⁶`` micro:
+
+        w ← w + (w · loss_d) div 2^eta_shift·10⁶   (grow on hard)
+        w ← w · 10⁶ div Σ w                         (renormalize)
+
+    — multiplication before division keeps every intermediate an
+    int64 (w ≤ 10⁶, loss ≤ 10⁶, domains ≤ 10⁶ ⇒ products < 2⁶³), and
+    integer division is exact by definition. η = 2^-eta_shift.
+
+    Plan: ONE corpus aggregate (count + loss sum per domain); the MW
+    loop runs on the domain-cardinality relation (tiny — broadcast
+    territory), corpus never reshuffles. Output: grp, n_docs,
+    loss_micro, w_micro (the final normalized mixture weight).
+    """
+    g = df.groupBy(F.expr(group_col).alias("grp")).agg(
+        F.expr("CAST(count(1) AS BIGINT) AS n_docs"),
+        F.expr(
+            f"CAST(SUM(CAST(({loss_expr}) AS INT)) AS BIGINT) AS n_loss"
+        ),
+    )
+    w = g.selectExpr(
+        "grp",
+        "n_docs",
+        "(n_loss * 1000000) div n_docs AS loss_micro",
+        "CAST(1000000 AS BIGINT) AS w",
+    )
+    for _ in range(steps):
+        grown = w.selectExpr(
+            "grp",
+            "n_docs",
+            "loss_micro",
+            f"w + (w * loss_micro) div {(1 << eta_shift) * 1_000_000}"
+            " AS w",
+        )
+        tot = grown.agg(F.expr("CAST(SUM(w) AS BIGINT) AS tw"))
+        w = grown.crossJoin(F.broadcast(tot)).selectExpr(
+            "grp", "n_docs", "loss_micro",
+            "(w * 1000000) div tw AS w",
+        )
+    return w.selectExpr("grp", "n_docs", "loss_micro", "w AS w_micro")

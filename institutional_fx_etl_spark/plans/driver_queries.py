@@ -11653,6 +11653,51 @@ def q_quota_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mw_oracle(steps: int = 3, eta_shift: int = 2) -> str:
+    """DuckDB twin of ``selection.py::domain_reweight_mw`` — the MW
+    loop unrolled as CTEs; every op is int64 multiply-then-//, so the
+    walk is exact in both engines."""
+    denom = (1 << eta_shift) * 1_000_000
+    sql = """
+    WITH g AS (
+      SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST((COALESCE(lang <> 'en', true)) AS INT))
+                  AS BIGINT) AS n_loss
+      FROM documents GROUP BY source),
+    w0 AS (
+      SELECT grp, n_docs, (n_loss * 1000000) // n_docs AS loss_micro,
+             CAST(1000000 AS BIGINT) AS w
+      FROM g)"""
+    for s in range(1, steps + 1):
+        sql += f""",
+    g{s} AS (SELECT grp, n_docs, loss_micro,
+               w + (w * loss_micro) // {denom} AS w FROM w{s - 1}),
+    t{s} AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM g{s}),
+    w{s} AS (SELECT grp, n_docs, loss_micro, (w * 1000000) // tw AS w
+           FROM g{s} CROSS JOIN t{s})"""
+    return sql + f"""
+    SELECT grp, n_docs, loss_micro, w AS w_micro FROM w{steps}
+    """
+
+
+@register("domain_reweight_mw", _mw_oracle())
+def q_domain_reweight_mw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style multiplicative-weights domain reweighting against
+    a non-English hardness signal: one corpus aggregate, then a
+    3-step integer MW loop on the source-cardinality relation — the
+    corpus never reshuffles
+    (``operators/selection.py::domain_reweight_mw``)."""
+    from institutional_fx_etl_spark.operators.selection import (
+        domain_reweight_mw,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_reweight_mw(
+        docs, loss_expr="COALESCE(lang <> 'en', true)",
+        group_col="source", steps=3, eta_shift=2,
+    )
+
+
 @register("linear_probe_score", _probe_score_oracle())
 def q_linear_probe_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full classifier-selection loop: train the linear probe,
@@ -11716,6 +11761,7 @@ _HEAD = [
     "kmeans_inertia",
     "quota_sample_exact",
     "streaming_dedup_table",
+    "domain_reweight_mw",
     "knn_incremental",
     "random_projection",
     "shuffle_shards",
@@ -11752,13 +11798,13 @@ _HEAD = [
     "session_window_agg",
     "text_lang_id",
     "multimodal_frames",
-    "range_join_banded",
-    # skew_salted_agg, exact_quantiles, text_repetition,
-    # tfidf_topterms, range_frame_window and asof_join_tolerance lost
-    # their slots to the six queries NEW this round (policy rule 1:
-    # linear_probe_gd/_score, dup_span_coverage, kmeans_inertia,
-    # quota_sample_exact, streaming_dedup_table); all six keep the pytest
-    # tail gate and head the r10 stale-rotation block
+    # range_join_banded, skew_salted_agg, exact_quantiles,
+    # text_repetition, tfidf_topterms, range_frame_window and
+    # asof_join_tolerance lost their slots to the seven queries NEW
+    # this round (policy rule 1: linear_probe_gd/_score,
+    # dup_span_coverage, kmeans_inertia, quota_sample_exact,
+    # streaming_dedup_table, domain_reweight_mw); all seven keep the
+    # pytest tail gate and head the r10 stale-rotation block
 ]
 _TAIL = [
     # r8-green — freshest driver rows on the board (demotion tail per

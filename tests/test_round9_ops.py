@@ -753,3 +753,37 @@ def test_quota_sample_exact_invariants(spark):
     assert sorted((r["doc_id"], r["grp"], r["rk"]) for r in out2) == sorted(
         (r["doc_id"], r["grp"], r["rk"]) for r in out
     )
+
+
+def test_domain_reweight_mw_matches_reference(spark):
+    """The integer MW walk matches a pure-Python reference; weight
+    mass moves toward the high-loss domain and Σ w stays ~1e6."""
+    from institutional_fx_etl_spark.operators.selection import (
+        domain_reweight_mw,
+    )
+
+    rows = []
+    i = 0
+    for src, n, n_bad in [("clean", 50, 5), ("noisy", 30, 24), ("mid", 20, 10)]:
+        for j in range(n):
+            rows.append((i, src, j < n_bad))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, bad boolean")
+    out = {
+        r["grp"]: r
+        for r in domain_reweight_mw(df, "bad", steps=3, eta_shift=2).collect()
+    }
+
+    # pure-Python twin of the integer recurrence
+    doms = {"clean": (50, 5), "noisy": (30, 24), "mid": (20, 10)}
+    w = {g: 1_000_000 for g in doms}
+    loss = {g: (bad * 1_000_000) // n for g, (n, bad) in doms.items()}
+    for _ in range(3):
+        grown = {g: w[g] + (w[g] * loss[g]) // 4_000_000 for g in doms}
+        tw = sum(grown.values())
+        w = {g: (grown[g] * 1_000_000) // tw for g in doms}
+    for g in doms:
+        assert out[g]["w_micro"] == w[g]
+        assert out[g]["loss_micro"] == loss[g]
+    assert out["noisy"]["w_micro"] > out["mid"]["w_micro"] > out["clean"]["w_micro"]
+    assert abs(sum(r["w_micro"] for r in out.values()) - 1_000_000) <= 3
