@@ -166,6 +166,13 @@ HEADLINE = [
     "cross_source_overlap",
     "lsh_tuning_report",
     "dedup_survivorship",
+    "linear_probe_gd",
+    "linear_probe_score",
+    "dup_span_coverage",
+    "kmeans_inertia",
+    "quota_sample_exact",
+    "domain_reweight_mw",
+    "embedding_decontaminate",
 ]
 
 
