@@ -81,3 +81,60 @@ def test_gap_bridge_state_survives_restart(spark, tmp_path):
     assert [{c: r[c] for c in cols} for r in got] == [
         {c: r[c] for c in cols} for r in exp
     ]
+
+
+def test_dedup_table_state_survives_restart(spark, tmp_path):
+    """The streaming exact-dedup table (complete-mode hash → min id,
+    count) must recover its state across a full stop + restart: a
+    duplicate of a PRE-restart document arriving after the restart
+    must still merge into the original group (keep_id = the old min,
+    n_dups incremented), exactly as an uninterrupted run would."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "docs_in")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    doc_schema = "doc_id long, text string"
+
+    def run_once():
+        stream = spark.readStream.schema(doc_schema).parquet(src)
+        q = (
+            stream.selectExpr("md5(text) AS text_hash", "doc_id")
+            .groupBy("text_hash")
+            .agg(
+                F.expr("MIN(doc_id) AS keep_id"),
+                F.expr("COUNT(1) AS n_dups"),
+            )
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("dedup_restart_t")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {
+            r["text_hash"]: (r["keep_id"], r["n_dups"])
+            for r in spark.table("dedup_restart_t").collect()
+        }
+
+    # phase 1: two distinct docs
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], doc_schema
+    ).write.parquet(src)
+    t1 = run_once()
+    assert len(t1) == 2
+
+    # phase 2 AFTER restart: a dup of doc 1 (higher id) + a new doc
+    spark.createDataFrame(
+        [(7, "alpha beta"), (8, "epsilon")], doc_schema
+    ).write.parquet(src, mode="append")
+    t2 = run_once()
+    assert len(t2) == 3
+    import hashlib
+
+    h1 = hashlib.md5(b"alpha beta").hexdigest()
+    assert t2[h1] == (1, 2)  # old min survives the outage, count grew
+    h2 = hashlib.md5(b"gamma delta").hexdigest()
+    assert t2[h2] == (2, 1)
