@@ -48,12 +48,36 @@ REPORT_QUERIES = [
     "token_budget_fit",
     "ngram_novelty",
     "emb_pca_power",
+    "linear_probe_score",
+    "dup_span_coverage",
+    "quota_sample_exact",
+    "embedding_decontaminate",
 ]
 
 SF = "/root/testdata/sf0.1"
 
 #: per-section caveats rendered under the operator counts
 NOTES = {
+    "linear_probe_score": (
+        "Train + score + exact top-take: the GD steps sync a "
+        "(buckets+1)-row parameter vector through the driver (the "
+        "bounded transfer every distributed trainer makes); selection "
+        "rank comes from a score HISTOGRAM plus one boundary-tie "
+        "window — the corpus is never globally sorted. The lone "
+        "single-partition window in this plan runs on the histogram "
+        "(distinct scores), not the corpus."
+    ),
+    "quota_sample_exact": (
+        "Largest-remainder quotas computed on the source-cardinality "
+        "relation (its ordering window is group-level, bounded); the "
+        "corpus sees one group-partitioned rank window over (id, "
+        "draw) rows — payloads never shuffle."
+    ),
+    "embedding_decontaminate": (
+        "Both tables assign to ONE shared centroid set, so the "
+        "cross-table compare joins on the cell id — Σ|train_cell|·"
+        "|test_cell|, never |train|·|test|."
+    ),
     "dedup_containment": (
         "Grouped candidate stage: NO join anywhere — one exchange to "
         "shingle groups (df cap in the same aggregate), a cheap "

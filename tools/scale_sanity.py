@@ -465,6 +465,36 @@ def _corpus_scale(spark, argv) -> None:
             "embedding_covariance",
             lambda: embedding_covariance(vecs, "embedding", dim=64, scale=1000),
         )
+        # round-9 family at the same 1M-doc grain
+        from institutional_fx_etl_spark.operators.selection import (
+            domain_reweight_mw,
+            linear_probe_score,
+            quota_sample_exact,
+        )
+        from institutional_fx_etl_spark.operators.similarity import (
+            kmeans_inertia,
+        )
+        from institutional_fx_etl_spark.operators.text import (
+            dup_span_coverage,
+        )
+
+        timed("dup_span_coverage", lambda: dup_span_coverage(docs))
+        timed(
+            "linear_probe_score",
+            lambda: linear_probe_score(docs, "doc_id % 3 = 0"),
+        )
+        srcd = docs.selectExpr("doc_id", "CAST(kind AS STRING) AS source")
+        timed("quota_sample_exact", lambda: quota_sample_exact(srcd))
+        timed(
+            "domain_reweight_mw",
+            lambda: domain_reweight_mw(
+                srcd.selectExpr("*", "doc_id % 5 = 0 AS hard"), "hard"
+            ),
+        )
+        timed(
+            "kmeans_inertia",
+            lambda: kmeans_inertia(vecs, num_centroids=64),
+        )
     from pyspark.storagelevel import StorageLevel
 
     # persist the verified pairs so the CC wall measures the
