@@ -1467,6 +1467,57 @@ def ivfpq_topk(
     )
 
 
+def _inertia_numpy(v: DataFrame, rows: list) -> DataFrame:
+    """Arrow-batched (vid, cid, d2_micro) assignment for
+    :func:`kmeans_inertia`, bit-identical to the literal-HOF scan:
+    d² = nv² + nc² − 2·dot with dimension-ordered folds
+    (``npexact.fold_dot``/``fold_sqnorm``; nc² is the same scalar
+    left fold as the literal), elementwise ``(a+b)-(2·c)`` in the
+    HOF's association, first-min argmin over cid-ascending columns
+    (== the (d2 asc, cid asc) sort), and the identical
+    ``floor(d2·1e6 + 0.5)`` quantization. ``rows`` must be
+    cid-sorted."""
+    import numpy as np
+    import pandas as pd
+
+    from institutional_fx_etl_spark.functions import npexact as npe
+
+    cids = np.array([int(r["cid"]) for r in rows], dtype=np.int64)
+    C = np.array(
+        [[float(x) for x in r["cv"]] for r in rows], dtype=np.float64
+    )
+    nc2 = np.empty(len(rows), dtype=np.float64)
+    for i, r in enumerate(rows):
+        acc = 0.0
+        for x in r["cv"]:
+            acc += float(x) * float(x)
+        nc2[i] = acc
+    vid_type = dict(v.dtypes)["vid"]
+    schema = f"vid {vid_type}, cid bigint, d2_micro bigint"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["vv"].tolist(), dtype=np.float64)
+            d2 = (npe.fold_sqnorm(X)[:, None] + nc2[None, :]) - (
+                2.0 * npe.fold_dot(X, C)
+            )
+            win = d2.argmin(axis=1)
+            best = d2[np.arange(len(d2)), win]
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"],
+                    "cid": cids[win],
+                    "d2_micro": np.floor(best * 1e6 + 0.5).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+    return v.mapInPandas(score, schema=schema)
+
+
 def kmeans_inertia(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -1492,7 +1543,13 @@ def kmeans_inertia(
     Plan: centroid literal (bounded k-row collect, the
     ``_scored_cells_expr`` transfer), ONE scan-side map over the
     corpus, one cell-keyed aggregate — no corpus×k join relation, no
-    per-vid window.
+    per-vid window. Above :data:`MAX_HOF_CENTROIDS` the scan map runs
+    as the Arrow kernel (:func:`_inertia_numpy` — the
+    ``_assign_numpy`` regime: the k·d interpreted-HOF dispatches per
+    row are the cost term; 64 centroids × 1M docs measured 27.7 s HOF
+    vs the vectorized pass), computing bit-identical doubles
+    (dimension-ordered folds), so the oracle hash is regime-free
+    (equality machine-gated in tests/test_round9_ops.py).
 
     Output: cid (BIGINT), n_vectors (BIGINT), inertia_micro (BIGINT),
     mean_d2 (DOUBLE, 6dp).
@@ -1507,36 +1564,43 @@ def kmeans_inertia(
     rows = sorted(
         _bounded_centroid_rows(centroids), key=lambda r: r["cid"]
     )
-    lits = []
-    for r in rows:
-        cv = ", ".join(f"{float(x)!r}D" for x in r["cv"])
-        acc = 0.0  # |c|² via the same left fold as the SQL aggregate
-        for x in r["cv"]:
-            acc += float(x) * float(x)
-        lits.append(
-            f"named_struct('cid', CAST({int(r['cid'])} AS BIGINT),"
-            f" 'cv', array({cv}), 'nc2', {acc!r}D)"
+    if len(rows) > MAX_HOF_CENTROIDS:
+        assigned = _inertia_numpy(v, rows)
+    else:
+        lits = []
+        for r in rows:
+            cv = ", ".join(f"{float(x)!r}D" for x in r["cv"])
+            acc = 0.0  # |c|² via the same left fold as the SQL aggregate
+            for x in r["cv"]:
+                acc += float(x) * float(x)
+            lits.append(
+                f"named_struct('cid', CAST({int(r['cid'])} AS BIGINT),"
+                f" 'cv', array({cv}), 'nc2', {acc!r}D)"
+            )
+        cents = "array(" + ", ".join(lits) + ")"
+        dot = (
+            "aggregate(zip_with(vv, c.cv, (x, y) -> x*y), 0.0d,"
+            " (a, x) -> a + x)"
         )
-    cents = "array(" + ", ".join(lits) + ")"
-    dot = "aggregate(zip_with(vv, c.cv, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
-    scored = (
-        f"array_sort(transform({cents}, c -> named_struct('cid', c.cid,"
-        f" 'd2', __nv2 + c.nc2 - 2.0D*{dot})),"
-        " (l, r) -> CASE WHEN l.d2 < r.d2 THEN -1"
-        " WHEN l.d2 > r.d2 THEN 1"
-        " WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1"
-        " ELSE 0 END)"
-    )
-    best = let1(
-        "aggregate(vv, 0.0d, (a, x) -> a + x*x)",
-        "__nv2",
-        f"element_at({scored}, 1)",
-    )
-    assigned = v.selectExpr("vid", f"{best} AS __best").selectExpr(
-        "vid",
-        "__best.cid AS cid",
-        "CAST(floor(__best.d2 * 1000000.0D + 0.5D) AS BIGINT) AS d2_micro",
-    )
+        scored = (
+            f"array_sort(transform({cents}, c -> named_struct('cid',"
+            f" c.cid, 'd2', __nv2 + c.nc2 - 2.0D*{dot})),"
+            " (l, r) -> CASE WHEN l.d2 < r.d2 THEN -1"
+            " WHEN l.d2 > r.d2 THEN 1"
+            " WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1"
+            " ELSE 0 END)"
+        )
+        best = let1(
+            "aggregate(vv, 0.0d, (a, x) -> a + x*x)",
+            "__nv2",
+            f"element_at({scored}, 1)",
+        )
+        assigned = v.selectExpr("vid", f"{best} AS __best").selectExpr(
+            "vid",
+            "__best.cid AS cid",
+            "CAST(floor(__best.d2 * 1000000.0D + 0.5D) AS BIGINT)"
+            " AS d2_micro",
+        )
     return (
         assigned.groupBy("cid")
         .agg(

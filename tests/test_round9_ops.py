@@ -824,3 +824,35 @@ def test_embedding_decontaminate_semantics(spark):
     want = round(float(u(leak) @ u(train_vecs[25])), 6)
     assert abs(out[1000]["max_cosine"] - want) <= 1e-6
     assert 1001 not in out
+
+
+def test_kmeans_inertia_numpy_regime_equals_hof(spark):
+    """Above MAX_HOF_CENTROIDS the inertia scan runs as the Arrow
+    kernel — per-cell results must be IDENTICAL to the literal-HOF
+    path on the same corpus (the _assign_numpy equality discipline)."""
+    import numpy as np
+
+    from institutional_fx_etl_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(300, 12).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # 24 centroids > MAX_HOF_CENTROIDS=16 -> numpy regime
+    out_np = {
+        r["cid"]: (r["n_vectors"], r["inertia_micro"], r["mean_d2"])
+        for r in sim.kmeans_inertia(df, num_centroids=24).collect()
+    }
+    # force the HOF path by monkey-lowering nothing: call the literal
+    # branch via a raised threshold
+    orig = sim.MAX_HOF_CENTROIDS
+    sim.MAX_HOF_CENTROIDS = 1000
+    try:
+        out_hof = {
+            r["cid"]: (r["n_vectors"], r["inertia_micro"], r["mean_d2"])
+            for r in sim.kmeans_inertia(df, num_centroids=24).collect()
+        }
+    finally:
+        sim.MAX_HOF_CENTROIDS = orig
+    assert out_np == out_hof
+    assert len(out_np) == 24
