@@ -856,3 +856,62 @@ def test_kmeans_inertia_numpy_regime_equals_hof(spark):
         sim.MAX_HOF_CENTROIDS = orig
     assert out_np == out_hof
     assert len(out_np) == 24
+
+
+def test_quota_sample_exact_random_property(spark):
+    """Seeded random group sizes × budgets: Σ kept == K exactly and
+    every per-group take is within 1 of exact proportionality."""
+    import random
+
+    from institutional_fx_etl_spark.operators.selection import (
+        quota_sample_exact,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        sizes = {f"s{j}": rng.randint(1, 40) for j in range(rng.randint(2, 9))}
+        ppm = rng.choice([100_000, 333_333, 500_000, 777_000])
+        rows, i = [], 0
+        for src, n in sizes.items():
+            for _ in range(n):
+                rows.append((i, src))
+                i += 1
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = quota_sample_exact(df, budget_ppm=ppm).collect()
+        n_total = sum(sizes.values())
+        k = n_total * ppm // 1_000_000
+        assert len(out) == k, (trial, sizes, ppm)
+        takes = {}
+        for r in out:
+            takes[r["grp"]] = takes.get(r["grp"], 0) + 1
+        for src, n in sizes.items():
+            ideal = k * n / n_total
+            assert ideal - 1 < takes.get(src, 0) < ideal + 1, (
+                trial, src, sizes, ppm,
+            )
+
+
+def test_dup_span_coverage_full_duplication_property(spark):
+    """Duplicating every document makes EVERY shingle corpus-dup, so
+    every doc's coverage must be exactly 1.0; and coverage is always
+    within [0, 1]."""
+    import random
+
+    from institutional_fx_etl_spark.operators.text import (
+        dup_span_coverage,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{j}" for j in range(50)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = dup_span_coverage(df).collect()
+    assert all(0.0 <= r["dup_coverage"] <= 1.0 for r in base)
+    dup_rows = rows + [(i + 1000, t) for i, t in rows]
+    df2 = spark.createDataFrame(dup_rows, "doc_id long, text string")
+    out = dup_span_coverage(df2).collect()
+    assert len(out) == 120
+    assert all(r["dup_coverage"] == 1.0 for r in out)
