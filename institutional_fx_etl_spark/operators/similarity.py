@@ -1625,6 +1625,7 @@ def embedding_decontaminate(
     id_col: str = "vec_id",
     num_centroids: int = 8,
     centroids: DataFrame | None = None,
+    pair_strategy: str = "auto",
 ) -> DataFrame:
     """Embedding-level eval-set decontamination: flag every TEST
     vector whose cosine to ANY train vector reaches ``min_cosine`` —
@@ -1641,10 +1642,22 @@ def embedding_decontaminate(
     boundary, the standard IVF trade (raise num_centroids' nprobe
     twin :func:`ivf_topk` for the search-grade variant).
 
+    ``pair_strategy`` mirrors :func:`semdedup`/:func:`knn_join`:
+    ``auto``/``numpy`` runs the cross-table compare as one Arrow pass
+    per cell (:func:`_decontaminate_numpy` — fold-order-matched
+    doubles, exact-rounding fallback, so the flagged set is
+    bit-identical); ``sql`` forces the pure-JVM cell join, the
+    equality gate's reference.
+
     Output (contaminated rows only): test_id, n_matches (BIGINT),
     max_cosine (DOUBLE, 6dp), match_id (argmax train id, min-id
     tiebreak).
     """
+    if pair_strategy not in ("auto", "numpy", "sql"):
+        raise ValueError(
+            f"pair_strategy must be 'auto', 'numpy' or 'sql', got "
+            f"{pair_strategy!r}"
+        )
     v = train.selectExpr(
         f"{bq(id_col)} AS vid", f"{_as_double(vec_col)} AS vv"
     )
@@ -1658,6 +1671,9 @@ def embedding_decontaminate(
     tb = _assign_to(test, centroids, vec_col, id_col).selectExpr(
         "cid", "vid AS test_id", f"{_UNIT} AS vb"
     )
+    if pair_strategy != "sql":
+        id_type = dict(ta.dtypes)["train_id"]
+        return _decontaminate_numpy(ta, tb, min_cosine, id_type)
     scored = (
         ta.join(tb, "cid")
         .selectExpr(
@@ -1673,3 +1689,66 @@ def embedding_decontaminate(
             " AS match_id"
         ),
     )
+
+
+def _decontaminate_numpy(
+    ta: DataFrame, tb: DataFrame, min_cosine: float, id_type: str
+) -> DataFrame:
+    """Per-cell Arrow kernel for :func:`embedding_decontaminate`: the
+    (tests, trains) cosine block per cell, accumulated with the
+    dimension-ordered ``_PAIR_DOT`` fold over the SAME Spark-normalized
+    unit vectors, 6-dp half-up block rounding with the exact decimal
+    fallback — per-test (count ≥ t, max, first-max train id over
+    id-ascending columns) matches the SQL cell join + min_by aggregate
+    bit-for-bit (equality-gated in tests/test_round9_ops.py). A test
+    vector lives in exactly ONE cell, so per-cell emission IS the
+    final grain — no cross-cell merge. Chunked in 1024 test rows:
+    memory O(chunk·m_train)."""
+    import numpy as np
+    import pandas as pd
+
+    from institutional_fx_etl_spark.functions import npexact as npe
+
+    a = ta.selectExpr("cid", "train_id AS id", "va AS u", "1 AS side")
+    b = tb.selectExpr("cid", "test_id AS id", "vb AS u", "2 AS side")
+    both = a.unionByName(b)
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        tr = pdf[pdf["side"] == 1].sort_values("id")
+        te = pdf[pdf["side"] == 2].sort_values("id")
+        out = {"test_id": [], "n_matches": [], "max_cosine": [],
+               "match_id": []}
+        if len(tr) and len(te):
+            T = np.array(tr["u"].tolist(), dtype=np.float64)
+            tids = tr["id"].to_numpy()
+            Q = np.array(te["u"].tolist(), dtype=np.float64)
+            qids = te["id"].to_numpy()
+            for lo in range(0, len(Q), 1024):
+                hi = min(lo + 1024, len(Q))
+                cc = npe.fold_dot(Q[lo:hi], T)
+                rc, risky = npe.round6_block(cc)
+                for r in range(hi - lo):
+                    row = (
+                        npe.exact_row_round(cc[r])
+                        if risky[r].any()
+                        else rc[r]
+                    )
+                    mask = row >= min_cosine
+                    n = int(mask.sum())
+                    if n == 0:
+                        continue
+                    mx = row[mask].max()
+                    # first max over id-ascending columns == the
+                    # (-cosine, train_id) min_by tiebreak
+                    arg = int(np.argmax(np.where(mask, row, -np.inf)))
+                    out["test_id"].append(qids[lo + r])
+                    out["n_matches"].append(n)
+                    out["max_cosine"].append(float(mx))
+                    out["match_id"].append(tids[arg])
+        return pd.DataFrame(out)
+
+    schema = (
+        f"test_id {id_type}, n_matches bigint, max_cosine double,"
+        f" match_id {id_type}"
+    )
+    return both.groupBy("cid").applyInPandas(per_cell, schema=schema)

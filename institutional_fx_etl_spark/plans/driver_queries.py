@@ -11689,7 +11689,9 @@ def _mw_oracle(steps: int = 3, eta_shift: int = 2) -> str:
                FROM embeddings),
     tr AS (SELECT * FROM v WHERE vec_id % 10 <> 0),
     te AS (SELECT * FROM v WHERE vec_id % 10 = 0),
-    cents AS (SELECT vec_id AS cid, vv AS cv FROM tr WHERE vec_id < 8),
+    cents AS (SELECT vec_id AS cid, vv AS cv FROM tr
+              WHERE vec_id < greatest(8, CAST(ceil(
+                (SELECT count(*) FROM tr) / 512.0) AS BIGINT))),
     sa AS (
       SELECT tr.vec_id AS id, c.cid, tr.vv,
              round(list_dot_product(tr.vv, c.cv)
@@ -11745,8 +11747,12 @@ def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     train = emb.filter("vec_id % 10 <> 0")
     test = emb.filter("vec_id % 10 = 0")
+    # cells scale with the train side (the lsh_ann_pairs_scaled
+    # lesson: a pinned blocking parameter is quadratic creep) —
+    # mirrored in the oracle's greatest(8, ceil(n/512)) cents rule
     return embedding_decontaminate(
-        train, test, min_cosine=0.35, num_centroids=8,
+        train, test, min_cosine=0.35,
+        num_centroids=_auto_cells(train.count()),
     )
 
 

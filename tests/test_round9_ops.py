@@ -915,3 +915,43 @@ def test_dup_span_coverage_full_duplication_property(spark):
     out = dup_span_coverage(df2).collect()
     assert len(out) == 120
     assert all(r["dup_coverage"] == 1.0 for r in out)
+
+
+def test_embedding_decontaminate_numpy_equals_sql(spark):
+    """The Arrow cross-table kernel (default) must match the JVM cell
+    join bit-for-bit on a random corpus — counts, max cosines and
+    argmax train ids."""
+    import numpy as np
+
+    from institutional_fx_etl_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    rng = np.random.RandomState(17)
+    vecs = rng.randn(400, 16).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    train = df.filter("vec_id % 5 <> 0")
+    test = df.filter("vec_id % 5 = 0")
+
+    def snap(strategy):
+        return sorted(
+            (r["test_id"], r["n_matches"], r["max_cosine"], r["match_id"])
+            for r in embedding_decontaminate(
+                train, test, min_cosine=0.3, num_centroids=6,
+                pair_strategy=strategy,
+            ).collect()
+        )
+
+    got_np, got_sql = snap("numpy"), snap("sql")
+    assert got_np == got_sql
+    assert len(got_np) > 0
+
+
+def test_embedding_decontaminate_rejects_unknown_strategy():
+    from institutional_fx_etl_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    with pytest.raises(ValueError, match="pair_strategy"):
+        embedding_decontaminate(None, None, pair_strategy="fast")

@@ -232,6 +232,22 @@ def main() -> None:
         "kmeans_inertia",
         lambda f: kmeans_inertia(emb[f], num_centroids=8),
     )
+    from institutional_fx_etl_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    run(
+        "embedding_decontaminate",
+        # cells scale with the train side (pinned cells = quadratic
+        # creep, the lsh_ann_pairs lesson; first probe measured 36.6×
+        # at 8 pinned cells vs data ×10)
+        lambda f: embedding_decontaminate(
+            emb[f].filter("vec_id % 10 <> 0"),
+            emb[f].filter("vec_id % 10 = 0"),
+            min_cosine=0.35,
+            num_centroids=_auto_cells(n_emb[f] * 9 // 10),
+        ),
+    )
 
     artifact = {"factor": factor, "sf_dir": sf_dir, "results": out}
     with open("BENCH_scale.json", "w") as fh:
