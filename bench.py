@@ -173,6 +173,7 @@ HEADLINE = [
     "quota_sample_exact",
     "domain_reweight_mw",
     "embedding_decontaminate",
+    "token_quota_take",
 ]
 
 

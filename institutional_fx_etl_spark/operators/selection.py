@@ -784,3 +784,62 @@ def domain_reweight_mw(
             "(w * 1000000) div tw AS w",
         )
     return w.selectExpr("grp", "n_docs", "loss_micro", "w AS w_micro")
+
+
+def token_quota_take(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    budget_num: int = 1,
+    budget_den: int = 2,
+    salt: str = "tq",
+) -> DataFrame:
+    """The executable half of :func:`token_budget_fit`: materialize
+    WHICH documents fill each source's token allocation. Per source,
+    documents are ordered by an md5 draw (id tiebreak) and the
+    maximal PREFIX whose running token sum fits the allocation is
+    kept — the "stream the shuffled source until its budget is spent"
+    rule a data loader applies, deterministic at any partitioning
+    (a knapsack would pack tighter but is order-dependent; the prefix
+    rule is reproducible and single-pass).
+
+    Plan: the water-filling aggregate (ONE corpus pass, math on the
+    source dimension), a broadcast of the quota table, and ONE
+    running-sum window partitioned by source over (id, weight, draw)
+    rows — payloads never shuffle, the shuffle_shards skew caveat
+    applies to hot sources.
+
+    Output (kept docs only): <id_col>, grp, w (BIGINT),
+    cum_w (BIGINT running total within the source's take).
+    """
+    from pyspark.sql import Window
+
+    alloc = token_budget_fit(
+        df, weight_col, group_col, budget_num, budget_den
+    ).selectExpr(f"{group_col} AS grp", "alloc")
+    draw = (
+        f"CAST(conv(substr(md5(concat('{salt}',"
+        f" CAST({id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    ranked = df.selectExpr(
+        id_col,
+        f"{group_col} AS grp",
+        f"CAST({bq(weight_col)} AS BIGINT) AS w",
+        f"{draw} AS __draw",
+    )
+    cum = (
+        F.sum("w")
+        .over(
+            Window.partitionBy("grp")
+            .orderBy("__draw", id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long")
+    )
+    return (
+        ranked.withColumn("cum_w", cum)
+        .join(F.broadcast(alloc), "grp")
+        .filter("cum_w <= alloc")
+        .selectExpr(id_col, "grp", "w", "cum_w")
+    )

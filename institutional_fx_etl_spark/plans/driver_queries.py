@@ -10591,9 +10591,10 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_order(docs, stages=4, n_shards=8)
 
 
-@register(
-    "token_budget_fit",
-    """
+#: the water-filling allocation as a reusable CTE prefix (ends in an
+#: `alloc` CTE) — ONE source of truth shared by token_budget_fit and
+#: token_quota_take, so a cap-rule change cannot silently diverge them
+_DUCK_WATERFILL_CTES = """
     WITH s AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS toks
                FROM documents GROUP BY source),
     o AS (SELECT source, toks,
@@ -10614,12 +10615,20 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM f WHERE capped_here),
     p AS (SELECT xk,
                  (budget - cum_below) // (m - xk + 1) AS cap,
-                 (budget - cum_below) % (m - xk + 1) AS bonus FROM x)
-    SELECT f.source, f.toks,
-           CAST(CASE WHEN f.rk < p.xk THEN f.toks
-                     WHEN f.rk < p.xk + p.bonus THEN p.cap + 1
-                     ELSE p.cap END AS BIGINT) AS alloc
-    FROM f, p
+                 (budget - cum_below) % (m - xk + 1) AS bonus FROM x),
+    alloc AS (
+      SELECT f.source, f.toks,
+             CAST(CASE WHEN f.rk < p.xk THEN f.toks
+                       WHEN f.rk < p.xk + p.bonus THEN p.cap + 1
+                       ELSE p.cap END AS BIGINT) AS alloc
+      FROM f, p)
+""".strip()
+
+
+@register(
+    "token_budget_fit",
+    _DUCK_WATERFILL_CTES + """
+    SELECT source, toks, alloc FROM alloc
     """,
 )
 def q_token_budget_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10633,6 +10642,36 @@ def q_token_budget_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return token_budget_fit(docs, budget_num=1, budget_den=2)
+
+
+@register(
+    "token_quota_take",
+    _DUCK_WATERFILL_CTES + """,
+    d AS (SELECT doc_id, source AS grp, CAST(n_chars AS BIGINT) AS w,
+            CAST(concat('0x', substr(md5(concat('tq',
+                 CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS draw
+          FROM documents),
+    r AS (SELECT doc_id, grp, w,
+            SUM(w) OVER (PARTITION BY grp ORDER BY draw, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+          FROM d)
+    SELECT r.doc_id, r.grp, r.w, CAST(r.cum_w AS BIGINT) AS cum_w
+    FROM r JOIN alloc a ON a.source = r.grp
+    WHERE r.cum_w <= a.alloc
+    """,
+)
+def q_token_quota_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executable half of token_budget_fit: per source, the
+    md5-ordered document PREFIX whose running token sum fits the
+    water-filled allocation — one corpus aggregate + one
+    source-partitioned running-sum window, quota table broadcast
+    (``operators/selection.py::token_quota_take``)."""
+    from institutional_fx_etl_spark.operators.selection import (
+        token_quota_take,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_quota_take(docs, budget_num=1, budget_den=2)
 
 
 @register(
@@ -11839,6 +11878,7 @@ _HEAD = [
     "streaming_dedup_table",
     "domain_reweight_mw",
     "embedding_decontaminate",
+    "token_quota_take",
     "knn_incremental",
     "random_projection",
     "shuffle_shards",
@@ -11873,15 +11913,14 @@ _HEAD = [
     "latest_record_dedup",
     "train_test_split",
     "session_window_agg",
-    "text_lang_id",
-    # multimodal_frames, range_join_banded, skew_salted_agg,
+    # text_lang_id, multimodal_frames, range_join_banded, skew_salted_agg,
     # exact_quantiles, text_repetition, tfidf_topterms,
     # range_frame_window and asof_join_tolerance lost their slots to
-    # the eight queries NEW this round (policy rule 1:
+    # the nine queries NEW this round (policy rule 1:
     # linear_probe_gd/_score, dup_span_coverage, kmeans_inertia,
     # quota_sample_exact, streaming_dedup_table, domain_reweight_mw,
-    # embedding_decontaminate); all eight keep the pytest tail gate
-    # and head the r10 stale-rotation block
+    # embedding_decontaminate, token_quota_take); all nine keep the
+    # pytest tail gate and head the r10 stale-rotation block
 ]
 _TAIL = [
     # r8-green — freshest driver rows on the board (demotion tail per

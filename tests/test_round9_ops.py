@@ -955,3 +955,50 @@ def test_embedding_decontaminate_rejects_unknown_strategy():
 
     with pytest.raises(ValueError, match="pair_strategy"):
         embedding_decontaminate(None, None, pair_strategy="fast")
+
+
+def test_token_quota_take_prefix_semantics(spark):
+    """Each source's take is the maximal md5-ordered PREFIX fitting
+    its water-filled allocation: Σ w per group <= alloc, adding the
+    next doc in order would overflow, and the result is
+    partition-independent."""
+    import hashlib
+
+    from institutional_fx_etl_spark.operators.selection import (
+        token_budget_fit,
+        token_quota_take,
+    )
+
+    rows = []
+    i = 0
+    for src, n, per in [("a", 20, 10), ("b", 10, 50), ("c", 5, 200)]:
+        for _ in range(n):
+            rows.append((i, src, per))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    alloc = {
+        r["source"]: r["alloc"] for r in token_budget_fit(df).collect()
+    }
+    out = token_quota_take(df).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["grp"], []).append(r)
+    weights = {"a": 10, "b": 50, "c": 200}
+    for src, rs in by.items():
+        got = sum(r["w"] for r in rs)
+        assert got <= alloc[src]
+        # prefix-maximality: one more doc would overflow (or the
+        # source is taken whole)
+        n_src = {"a": 20, "b": 10, "c": 5}[src]
+        assert len(rs) == n_src or got + weights[src] > alloc[src]
+        # the kept set IS the md5-order prefix
+        def draw(d):
+            return int(
+                hashlib.md5(b"tq" + str(d).encode()).hexdigest()[:15], 16
+            )
+        ids_in_src = [r[0] for r in rows if r[1] == src]
+        order = sorted(ids_in_src, key=lambda d: (draw(d), d))
+        kept = sorted(r["doc_id"] for r in rs)
+        assert kept == sorted(order[: len(rs)])
+    out2 = token_quota_take(df.repartition(13)).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
