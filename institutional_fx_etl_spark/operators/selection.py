@@ -435,6 +435,112 @@ def _probe_feats(
     return feats, docs
 
 
+#: the mask-statistic GD path collects one row per DISTINCT bucket
+#: mask (≤ 2^buckets) — cap the exponent so the collect stays bounded
+MAX_MASK_BUCKETS = 12
+
+
+def _probe_masks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int,
+    salt: str,
+) -> DataFrame:
+    """Per-document bucket bitmask (bias bit ``buckets`` always set):
+    one tokenize pass + one groupBy(id). Docs with no tokens are
+    excluded — the probe family's domain rule."""
+    bucket = (
+        f"CAST(conv(substr(md5(concat('{salt}', w)), 1, 8), 16, 10)"
+        f" AS BIGINT) % {buckets}"
+    )
+    tok = (
+        df.selectExpr(
+            f"{id_col} AS __id",
+            f"explode(split(lower({text_col}), '\\\\s+')) AS w",
+        )
+        .filter("w <> ''")
+        .selectExpr("__id", f"{bucket} AS b")
+        .distinct()
+    )
+    return tok.groupBy("__id").agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)))"
+            f" | shiftleft(CAST(1 AS BIGINT), {buckets}) AS mask"
+        )
+    )
+
+
+def _probe_mask_stats(
+    df: DataFrame,
+    target_expr: str,
+    text_col: str,
+    id_col: str,
+    buckets: int,
+    salt: str,
+) -> DataFrame:
+    """The probe family's SUFFICIENT STATISTIC: with presence
+    features, a document is fully described by its bucket BITMASK, so
+    (mask → n docs, Σ y_micro) — at most 2^buckets rows — carries
+    everything the least-squares gradient needs:
+
+        p(mask)  = Σ_{b ∈ mask} w_b            (bias bit always set)
+        g_b      = Σ_{mask ∋ b} (Y(mask) − n(mask)·p(mask))
+
+    One tokenize pass + one groupBy(id) to build masks + one
+    groupBy(mask) — the corpus is touched ONCE for the whole training
+    run, vs once per GD step for the explicit feature matrix.
+    Output: mask (BIGINT, bit ``buckets`` = bias), n (BIGINT),
+    y_sum (BIGINT Σ of 0/10⁶ labels)."""
+    masks = _probe_masks(df, text_col, id_col, buckets, salt)
+    y = df.selectExpr(
+        f"{id_col} AS __id",
+        f"CAST(CAST(({target_expr}) AS INT) * 1000000 AS BIGINT)"
+        " AS y_micro",
+    )
+    return (
+        masks.join(y, "__id")
+        .groupBy("mask")
+        .agg(
+            F.expr("CAST(count(1) AS BIGINT) AS n"),
+            F.expr("CAST(SUM(y_micro) AS BIGINT) AS y_sum"),
+        )
+    )
+
+
+def _mask_gd_weights(
+    stats: list, buckets: int, lr_shift: int, steps: int
+) -> dict:
+    """The GD recurrence over collected mask statistics — pure int64
+    Python, identical numbers to the distributed loop (the float cast
+    + one division per (step, bucket) mirrors `_probe_gd_weights`'s
+    ``CAST(g AS DOUBLE) / (n·2^shift)`` exactly). Returns {b: w}."""
+    import math
+
+    n_total = sum(n for _, n, _ in stats)
+    denom = float(n_total) * float(1 << lr_shift)
+    present = set()
+    for mask, _, _ in stats:
+        for b in range(buckets + 1):
+            if mask >> b & 1:
+                present.add(b)
+    w = {b: 0 for b in sorted(present)}
+    for _ in range(steps):
+        g = {b: 0 for b in w}
+        for mask, n, y_sum in stats:
+            p = 0
+            for b in w:
+                if mask >> b & 1:
+                    p += w[b]
+            resid_sum = y_sum - n * p
+            for b in w:
+                if mask >> b & 1:
+                    g[b] += resid_sum
+        for b in w:
+            w[b] += math.floor(float(g[b]) / denom + 0.5)
+    return w
+
+
 def linear_probe_gd(
     df: DataFrame,
     target_expr: str,
@@ -468,15 +574,20 @@ def linear_probe_gd(
     contractive at EVERY corpus size — counts would diverge on
     long documents and overflow the int64 residuals.
 
-    Per step: one broadcast of the (buckets+1)-row weight vector,
-    one id-keyed aggregate, one bucket-keyed aggregate — the corpus
-    feature matrix is built once and reused, and the weight vector is
-    MATERIALIZED to the driver between steps (buckets+1 rows — the
-    bounded parameter-vector transfer every distributed trainer
-    makes; leaving it lazy re-executes the whole prior-step DAG once
-    per downstream reference). Squared loss (not logistic) is
-    deliberate: ``exp`` is not correctly rounded cross-engine, the
-    :func:`mixture_sampling` alpha rule.
+    Plan (``buckets ≤ MAX_MASK_BUCKETS``, the default regime): the
+    corpus is touched ONCE — one tokenize pass into per-doc bucket
+    BITMASKS and one groupBy(mask) sufficient statistic
+    (:func:`_probe_mask_stats`, ≤ 2^buckets rows) — and the whole GD
+    loop runs on that bounded relation driver-side
+    (:func:`_mask_gd_weights`), emitting identical int64 weights.
+    Above the cap (mask space too wide to collect), the distributed
+    twin :func:`_probe_gd_weights` runs instead: per step one
+    broadcast of the (buckets+1)-row weight vector, one id-keyed and
+    one bucket-keyed aggregate over the explicit feature matrix, with
+    the weight vector materialized between steps. The two regimes are
+    equality-gated in tests/test_round9_ops.py. Squared loss (not
+    logistic) is deliberate: ``exp`` is not correctly rounded
+    cross-engine, the :func:`mixture_sampling` alpha rule.
 
     Output: b (BIGINT; ``buckets`` = bias), w_micro (BIGINT) — the
     trained weights after ``steps`` unrolled steps.
@@ -486,6 +597,17 @@ def linear_probe_gd(
             "lr_shift too small for bucket count: need"
             f" 2^lr_shift > (buckets+1)/2, got 2^{lr_shift}"
             f" vs {buckets + 1} features"
+        )
+    if buckets <= MAX_MASK_BUCKETS:
+        stats = [
+            (r["mask"], r["n"], r["y_sum"])
+            for r in _probe_mask_stats(
+                df, target_expr, text_col, id_col, buckets, salt
+            ).collect()
+        ]
+        w = _mask_gd_weights(stats, buckets, lr_shift, steps)
+        return df.sparkSession.createDataFrame(
+            sorted(w.items()), "b bigint, w_micro bigint"
         )
     feats, docs = _probe_feats(df, text_col, id_col, buckets, salt)
     return _probe_gd_weights(
@@ -581,18 +703,52 @@ def linear_probe_score(
             f" 2^lr_shift > (buckets+1)/2, got 2^{lr_shift}"
             f" vs {buckets + 1} features"
         )
-    feats, docs = _probe_feats(df, text_col, id_col, buckets, salt)
-    w = _probe_gd_weights(
-        df, feats, docs, target_expr, id_col, lr_shift, steps
-    ).selectExpr("b", "w AS __w")
-    scored = (
-        feats.join(F.broadcast(w), "b")
-        .groupBy("__id")
-        .agg(F.expr("SUM(x * __w) AS score_micro"))
-        # three consumers (histogram, n, tag join) — pin the narrow
-        # (id, score) relation so scoring runs once
-        .localCheckpoint(eager=False)
-    )
+    if buckets <= MAX_MASK_BUCKETS:
+        # mask regime (linear_probe_gd's default): ONE corpus pass
+        # into (id, mask) — pinned, then shared by the training
+        # statistic AND the scoring join; the sufficient statistic
+        # trains the weights driver-side, per-MASK scores come back
+        # as a tiny broadcast lookup — no feature-matrix shuffle
+        masks = _probe_masks(
+            df, text_col, id_col, buckets, salt
+        ).localCheckpoint(eager=False)
+        y = df.selectExpr(
+            f"{id_col} AS __id",
+            f"CAST(CAST(({target_expr}) AS INT) * 1000000 AS BIGINT)"
+            " AS y_micro",
+        )
+        stats = [
+            (r["mask"], r["n"], r["y_sum"])
+            for r in masks.join(y, "__id")
+            .groupBy("mask")
+            .agg(
+                F.expr("CAST(count(1) AS BIGINT) AS n"),
+                F.expr("CAST(SUM(y_micro) AS BIGINT) AS y_sum"),
+            )
+            .collect()
+        ]
+        wd = _mask_gd_weights(stats, buckets, lr_shift, steps)
+        mask_scores = [
+            (m, sum(wv for b, wv in wd.items() if m >> b & 1))
+            for m, _, _ in stats
+        ]
+        lookup = df.sparkSession.createDataFrame(
+            mask_scores, "mask bigint, score_micro bigint"
+        )
+        scored = masks.join(F.broadcast(lookup), "mask").select(
+            "__id", "score_micro"
+        )
+    else:
+        feats, docs = _probe_feats(df, text_col, id_col, buckets, salt)
+        w = _probe_gd_weights(
+            df, feats, docs, target_expr, id_col, lr_shift, steps
+        ).selectExpr("b", "w AS __w")
+        scored = feats.join(F.broadcast(w), "b").groupBy("__id").agg(
+            F.expr("SUM(x * __w) AS score_micro")
+        )
+    # three consumers (histogram, n, tag join) — pin the narrow
+    # (id, score) relation so scoring runs once
+    scored = scored.localCheckpoint(eager=False)
     hist = scored.groupBy("score_micro").agg(
         F.expr("CAST(count(1) AS BIGINT) AS c")
     )

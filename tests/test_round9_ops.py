@@ -1002,3 +1002,40 @@ def test_token_quota_take_prefix_semantics(spark):
         assert kept == sorted(order[: len(rs)])
     out2 = token_quota_take(df.repartition(13)).collect()
     assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+
+
+def test_probe_mask_regime_equals_distributed(spark):
+    """The mask-sufficient-statistic GD (default regime) must land on
+    EXACTLY the distributed feature-matrix loop's weights and kept
+    set — the same int64 walk through a different plan."""
+    from institutional_fx_etl_spark.operators import selection as sel
+
+    rows = []
+    for i in range(150):
+        good = i % 3 == 0
+        text = (
+            "alpha beta gamma quality signal" if good
+            else "zz%d junk filler noise spam" % (i % 7)
+        )
+        rows.append((i, text + " common", good))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lab boolean")
+
+    def snap():
+        w = {
+            r["b"]: r["w_micro"]
+            for r in sel.linear_probe_gd(df, "lab").collect()
+        }
+        kept = sorted(
+            (r["doc_id"], r["score_micro"], r["kept"])
+            for r in sel.linear_probe_score(df, "lab").collect()
+        )
+        return w, kept
+
+    got_mask = snap()
+    orig = sel.MAX_MASK_BUCKETS
+    sel.MAX_MASK_BUCKETS = -1  # force the distributed twin
+    try:
+        got_dist = snap()
+    finally:
+        sel.MAX_MASK_BUCKETS = orig
+    assert got_mask == got_dist
