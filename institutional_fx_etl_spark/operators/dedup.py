@@ -1095,7 +1095,12 @@ def lsh_tuning_report(
     buckets dropped by the cap).
     """
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
-    sigs = sigs.select(id_col, "signature").persist()
+    # localCheckpoint (lazy) instead of persist: the signature relation
+    # is shared by every (b, r) config's aggregate, but a bare persist
+    # would outlive the call and pin a corpus-sized cache in the
+    # session forever (r9 ADVICE); checkpoint blocks are released by
+    # the ContextCleaner once the report's RDD is unreachable.
+    sigs = sigs.select(id_col, "signature").localCheckpoint(eager=False)
     outs = []
     bands = num_perm
     while bands >= 2:
@@ -1151,9 +1156,12 @@ def survivorship_merge(
 ) -> DataFrame:
     """Golden-record survivorship over dedup clusters: for every
     connected component, the per-field MAJORITY value (ties broken by
-    value ascending — deterministic under any partitioning) plus the
-    canonical member (min id) and member count — the step that turns
-    "these records are the same entity" into ONE merged record.
+    value ascending, NULLS LAST — deterministic under any partitioning
+    AND any engine: Spark's plain ASC is NULLS FIRST while ANSI/DuckDB
+    default to NULLS LAST, so the NULL position is pinned explicitly
+    on both sides) plus the canonical member (min id) and member
+    count — the step that turns "these records are the same entity"
+    into ONE merged record.
 
     Each field costs one bounded (cluster, value) count aggregate and
     one cluster-keyed rank window over those counts — never a window
@@ -1171,7 +1179,7 @@ def survivorship_merge(
     for f in fields:
         cnt = j.groupBy(cluster_col, f).agg(F.count(F.lit(1)).alias("__c"))
         w = Window.partitionBy(cluster_col).orderBy(
-            F.desc("__c"), F.asc(f)
+            F.desc("__c"), F.asc_nulls_last(f)
         )
         win = (
             cnt.withColumn("__rn", F.row_number().over(w))

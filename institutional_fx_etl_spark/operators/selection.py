@@ -358,8 +358,19 @@ def token_budget_fit(
     water-filling math runs on the bounded source dimension (windows
     over #sources rows). Output: <group_col>, toks (BIGINT),
     alloc (BIGINT).
+
+    ``budget_num/budget_den`` must lie in (0, 1]: a budget above the
+    corpus total has no crossing rank (the capped_here filter would
+    match nothing and every alloc would silently go NULL — r9 ADVICE)
+    and a non-positive denominator is meaningless; both raise.
     """
     from pyspark.sql import Window
+
+    if budget_den <= 0 or budget_num <= 0 or budget_num > budget_den:
+        raise ValueError(
+            "token_budget_fit: budget_num/budget_den must be in"
+            f" (0, 1], got {budget_num}/{budget_den}"
+        )
 
     s = df.groupBy(group_col).agg(
         F.expr(f"CAST(SUM({bq(weight_col)}) AS BIGINT) AS toks")
@@ -495,7 +506,8 @@ def _probe_mask_stats(
     masks = _probe_masks(df, text_col, id_col, buckets, salt)
     y = df.selectExpr(
         f"{id_col} AS __id",
-        f"CAST(CAST(({target_expr}) AS INT) * 1000000 AS BIGINT)"
+        f"CAST(COALESCE(CAST(({target_expr}) AS INT), 0) * 1000000"
+            " AS BIGINT)"
         " AS y_micro",
     )
     return (
@@ -559,7 +571,10 @@ def linear_probe_gd(
     so every engine reaches the SAME weights:
 
     - features are 0/1 presence of each md5 token bucket (the dsir
-      bucket hash); labels are 0/10⁶ micro-units; w₀ = 0;
+      bucket hash); labels are 0/10⁶ micro-units — a NULL
+      ``target_expr`` counts as label 0 (COALESCE'd in BOTH regimes,
+      so the mask sufficient-statistic and the distributed loop see
+      identical gradients on nullable targets — r9 ADVICE); w₀ = 0;
     - each step's prediction ``p = Σ x·w`` and gradient
       ``g_b = Σ x·(y − p)`` are pure int64 sums (no float order);
     - the update ``w += floor(g / (n·2^lr_shift) + 0.5)`` casts both
@@ -631,7 +646,8 @@ def _probe_gd_weights(
     y = (
         df.selectExpr(
             f"{id_col} AS __id",
-            f"CAST(CAST(({target_expr}) AS INT) * 1000000 AS BIGINT)"
+            f"CAST(COALESCE(CAST(({target_expr}) AS INT), 0) * 1000000"
+            " AS BIGINT)"
             " AS y_micro",
         )
         .join(docs, "__id")
@@ -714,7 +730,8 @@ def linear_probe_score(
         ).localCheckpoint(eager=False)
         y = df.selectExpr(
             f"{id_col} AS __id",
-            f"CAST(CAST(({target_expr}) AS INT) * 1000000 AS BIGINT)"
+            f"CAST(COALESCE(CAST(({target_expr}) AS INT), 0) * 1000000"
+            " AS BIGINT)"
             " AS y_micro",
         )
         stats = [
@@ -897,10 +914,14 @@ def domain_reweight_mw(
     each domain is" step — in EXACT integer arithmetic so every
     engine lands on identical weights.
 
-    ``loss_expr`` is a per-document 0/1 (or [0,1]) hardness signal
-    (a probe misclassification flag, a quality deficit). Per domain:
-    ``loss_d = Σ loss · 10⁶ div n_d`` (integer micro). Updates, from
-    uniform ``w⁰ = 10⁶`` micro:
+    ``loss_expr`` is a per-document [0,1] hardness signal (a probe
+    misclassification flag, a quality deficit). Each document's loss
+    is half-up micro-rounded BEFORE summing — ``floor(loss·10⁶+0.5)``
+    — so fractional signals (e.g. 0.7) carry their mass instead of
+    truncating to 0 (r9 ADVICE fix); a 0/1 boolean signal sums to
+    identical totals either way. Per domain:
+    ``loss_d = Σ round(loss·10⁶) div n_d`` (integer micro). Updates,
+    from uniform ``w⁰ = 10⁶`` micro:
 
         w ← w + (w · loss_d) div 2^eta_shift·10⁶   (grow on hard)
         w ← w · 10⁶ div Σ w                         (renormalize)
@@ -917,13 +938,16 @@ def domain_reweight_mw(
     g = df.groupBy(F.expr(group_col).alias("grp")).agg(
         F.expr("CAST(count(1) AS BIGINT) AS n_docs"),
         F.expr(
-            f"CAST(SUM(CAST(({loss_expr}) AS INT)) AS BIGINT) AS n_loss"
+            "CAST(SUM(CAST(floor(CAST(({0}) AS DOUBLE) * 1000000"
+            " + 0.5) AS BIGINT)) AS BIGINT) AS n_loss_micro".format(
+                loss_expr
+            )
         ),
     )
     w = g.selectExpr(
         "grp",
         "n_docs",
-        "(n_loss * 1000000) div n_docs AS loss_micro",
+        "n_loss_micro div n_docs AS loss_micro",
         "CAST(1000000 AS BIGINT) AS w",
     )
     for _ in range(steps):

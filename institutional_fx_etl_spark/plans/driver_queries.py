@@ -11157,11 +11157,11 @@ def _survivorship_oracle() -> str:
                  MIN(doc_id) AS keep_id FROM j GROUP BY comp),
     wl AS (SELECT comp, lang FROM (
       SELECT comp, lang, row_number() OVER (PARTITION BY comp
-        ORDER BY count(*) DESC, lang) AS rn
+        ORDER BY count(*) DESC, lang ASC NULLS LAST) AS rn
       FROM j GROUP BY comp, lang) WHERE rn = 1),
     ws AS (SELECT comp, source FROM (
       SELECT comp, source, row_number() OVER (PARTITION BY comp
-        ORDER BY count(*) DESC, source) AS rn
+        ORDER BY count(*) DESC, source ASC NULLS LAST) AS rn
       FROM j GROUP BY comp, source) WHERE rn = 1)
     SELECT b.comp, b.n_members, b.keep_id, wl.lang, ws.source
     FROM base_agg b JOIN wl USING (comp) JOIN ws USING (comp)
@@ -11700,11 +11700,12 @@ def _mw_oracle(steps: int = 3, eta_shift: int = 2) -> str:
     sql = """
     WITH g AS (
       SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(SUM(CAST((COALESCE(lang <> 'en', true)) AS INT))
-                  AS BIGINT) AS n_loss
+             CAST(SUM(CAST(floor(CAST((COALESCE(lang <> 'en', true))
+                  AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS n_loss_micro
       FROM documents GROUP BY source),
     w0 AS (
-      SELECT grp, n_docs, (n_loss * 1000000) // n_docs AS loss_micro,
+      SELECT grp, n_docs, n_loss_micro // n_docs AS loss_micro,
              CAST(1000000 AS BIGINT) AS w
       FROM g)"""
     for s in range(1, steps + 1):

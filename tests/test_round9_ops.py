@@ -511,6 +511,16 @@ def test_survivorship_majority_and_tiebreak(spark):
     cl2 = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, comp long")
     out2 = survivorship_merge(docs2, cl2, ["lang"]).collect()
     assert out2[0]["lang"] == "a"
+    # tied-NULL case (r9 ADVICE): a majority-count tie between NULL
+    # and a real value must elect the REAL value on every engine —
+    # Spark's plain ASC is NULLS FIRST, ANSI/DuckDB's is NULLS LAST,
+    # so the operator pins NULLS LAST explicitly.
+    docs3 = spark.createDataFrame(
+        [(1, None), (2, "zz")], "doc_id long, lang string"
+    )
+    cl3 = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, comp long")
+    out3 = survivorship_merge(docs3, cl3, ["lang"]).collect()
+    assert out3[0]["lang"] == "zz"
 
 
 def test_shuffle_partitions_nonnumeric_fallback():
@@ -1039,3 +1049,84 @@ def test_probe_mask_regime_equals_distributed(spark):
     finally:
         sel.MAX_MASK_BUCKETS = orig
     assert got_mask == got_dist
+
+
+def test_domain_reweight_mw_fractional_loss(spark):
+    """r9 ADVICE: a fractional [0,1] hardness signal must carry its
+    mass (micro-rounded before summing), not truncate to 0 through an
+    INT cast — 0.7 loss on every doc must beat 0.2 loss."""
+    from institutional_fx_etl_spark.operators.selection import (
+        domain_reweight_mw,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "hard" if i < 20 else "easy"))
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {
+        r["grp"]: r
+        for r in domain_reweight_mw(
+            df, "CASE WHEN source = 'hard' THEN 0.7 ELSE 0.2 END"
+        ).collect()
+    }
+    assert out["hard"]["loss_micro"] == 700_000
+    assert out["easy"]["loss_micro"] == 200_000
+    assert out["hard"]["w_micro"] > out["easy"]["w_micro"]
+
+
+def test_token_budget_fit_rejects_bad_budget(spark):
+    """r9 ADVICE: budget > total (num/den > 1) or den <= 0 must raise
+    a clear ValueError instead of emitting NULL allocs."""
+    import pytest
+
+    from institutional_fx_etl_spark.operators.selection import (
+        token_budget_fit,
+        token_quota_take,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "doc_id long, source string, n_chars long"
+    )
+    for num, den in [(3, 2), (1, 0), (0, 2), (-1, 2), (1, -2)]:
+        with pytest.raises(ValueError, match="budget"):
+            token_budget_fit(df, budget_num=num, budget_den=den)
+        with pytest.raises(ValueError, match="budget"):
+            token_quota_take(df, budget_num=num, budget_den=den)
+    # the full-corpus edge (num == den) is legal: everyone allocated whole
+    out = {r["source"]: r["alloc"]
+           for r in token_budget_fit(df, budget_num=1, budget_den=1).collect()}
+    assert out == {"a": 10, "b": 20}
+
+
+def test_probe_gd_null_labels_regimes_agree(spark):
+    """r9 ADVICE: NULL target labels count as 0 in BOTH GD regimes —
+    the doc stays in n and contributes y=0, mask == distributed."""
+    from institutional_fx_etl_spark.operators import selection as sel
+
+    rows = []
+    for i in range(90):
+        lab = None if i % 5 == 0 else i % 3 == 0
+        text = "alpha beta good" if i % 3 == 0 else "zz%d junk" % (i % 7)
+        rows.append((i, text + " common", lab))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lab boolean")
+
+    def weights():
+        return {
+            r["b"]: r["w_micro"]
+            for r in sel.linear_probe_gd(df, "lab").collect()
+        }
+
+    got_mask = weights()
+    orig = sel.MAX_MASK_BUCKETS
+    sel.MAX_MASK_BUCKETS = -1
+    try:
+        got_dist = weights()
+    finally:
+        sel.MAX_MASK_BUCKETS = orig
+    assert got_mask == got_dist
+    # and the NULL-coalesced run equals an explicitly-coalesced target
+    got_explicit = {
+        r["b"]: r["w_micro"]
+        for r in sel.linear_probe_gd(df, "COALESCE(lab, false)").collect()
+    }
+    assert got_mask == got_explicit
