@@ -141,14 +141,22 @@ def test_sketch_accuracy_vs_exact(spark):
     """HLL++ distinct counts and t-digest quantiles (the mergeable
     bounded-memory path) must land within tight bounds of the exact
     answers on the driver testdata."""
-    from institutional_fx_etl_spark.plans.driver_queries import REGISTRY
+    from institutional_fx_etl_spark.plans.driver_queries import (
+        REGISTRY,
+        sketch_stats_raw,
+    )
     from institutional_fx_etl_spark.sources.readers import load_table
 
     sf_dir = "/root/testdata/sf0.001"
     got = {
-        r.event_type: r
-        for r in REGISTRY["sketch_stats"][0](spark, sf_dir).collect()
+        r.event_type: r for r in sketch_stats_raw(spark, sf_dir).collect()
     }
+    # the registered contract wraps the same bounds as in-query
+    # verdicts (r9 verdict ask #4) — every flag must be TRUE
+    contract = REGISTRY["sketch_stats"][0](spark, sf_dir).collect()
+    assert contract and all(
+        r.users_ok and r.p50_ok and r.p99_ok for r in contract
+    )
     ev = load_table(spark, sf_dir, "events")
     # rank-error gate, not value-error: the t-digest returns an ACTUAL
     # data value whose rank is within the sketch's rank tolerance —
