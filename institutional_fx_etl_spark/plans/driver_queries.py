@@ -11897,130 +11897,165 @@ def q_linear_probe_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 _HEAD = [
-    # --- round-9 window (50) ------------------------------------------
-    # policy rule 1: first driver row needed — the 5 queries NEW this
-    # round, plus the 3 round-8 late arrivals the r8 window had no
-    # slots for (judge-certified by hand last round; this makes the
-    # driver record itself 220/220 lifetime — r8 verdict ask #1)
-    "lsh_ann_pairs_scaled",
-    "curriculum_order",
-    "token_budget_fit",
-    "ngram_novelty",
-    "emb_pca_power",
-    "dedup_nearest_text",
-    "dedup_minhash_error",
-    "ngram_novelty_incremental",
-    "lsh_multiprobe_pairs",
-    "emb_pca_project",
-    "streaming_mixture",
-    "ivfpq_topk",
-    "emb_pca_incremental",
-    "cross_source_overlap",
-    "lsh_tuning_report",
+    # --- round-10 window (50) -----------------------------------------
+    # policy rule 1, part A: sketch_stats gained a REAL oracle this
+    # round (in-query accuracy verdicts, r9 verdict ask #4) — its
+    # first driver row that can hash-match heads the window
+    "sketch_stats",
+    # policy rule 1, part B: code changed this round (r9 ADVICE fixes
+    # — NULLS LAST survivorship tiebreak, micro-rounded MW loss,
+    # budget-domain guard, localCheckpoint share, COALESCE'd GD
+    # labels) — fresh rows over the new plans
     "dedup_survivorship",
+    "domain_reweight_mw",
+    "token_budget_fit",
+    "token_quota_take",
     "linear_probe_gd",
     "linear_probe_score",
-    "dup_span_coverage",
-    "kmeans_inertia",
-    "quota_sample_exact",
-    "streaming_dedup_table",
-    "domain_reweight_mw",
-    "embedding_decontaminate",
-    "token_quota_take",
-    "knn_incremental",
-    "random_projection",
-    "shuffle_shards",
-    # code changed this round — fresh rows over the new plans:
-    # semdedup (Arrow drop-set kernel now default), knn_join
-    # (pair_strategy validation; also r6-old)
-    "semdedup",
-    "knn_join",
-    # lost its r8 slot to the two new-query arrivals (r8 window note)
-    "tpch_q8",
+    "lsh_tuning_report",
     # flagship family — policy rule 3: stays in-window every round
     "hybrid_pipeline",
     "hybrid_pipeline_multisym",
     "incremental_merge",
     "validator_reconcile",
     "streaming_gap_bridge",
-    # policy rule 2: the 22 stalest rows on the board (last driver
-    # row r4) rotate back in; the 14 r4 leftovers (rank_distributions
-    # through doc_chunking in registration order) head the r10 window
-    # and are tail-gated in pytest meanwhile
-    "anti_join",
-    "combine_first",
-    "inner_reconcile",
-    "lag_pct_change",
-    "ffill",
-    "greatest_least_fix",
-    "audit_union",
-    "topk",
-    "rolling_stats",
-    "array_agg_functions",
-    "stats_agg",
-    "latest_record_dedup",
-    "train_test_split",
-    "session_window_agg",
-    # text_lang_id, multimodal_frames, range_join_banded, skew_salted_agg,
-    # exact_quantiles, text_repetition, tfidf_topterms,
-    # range_frame_window and asof_join_tolerance lost their slots to
-    # the nine queries NEW this round (policy rule 1:
-    # linear_probe_gd/_score, dup_span_coverage, kmeans_inertia,
-    # quota_sample_exact, streaming_dedup_table, domain_reweight_mw,
-    # embedding_decontaminate, token_quota_take); all nine keep the
-    # pytest tail gate and head the r10 stale-rotation block
+    # policy rule 2: ALL 22 remaining r4-certified rows — the stalest
+    # block on the board (incl. the 9 that lost their r9 slots) — in
+    # registration order; after this window no row's driver
+    # certification predates round 5
+    "text_lang_id",
+    "multimodal_frames",
+    "range_join_banded",
+    "skew_salted_agg",
+    "exact_quantiles",
+    "text_repetition",
+    "tfidf_topterms",
+    "range_frame_window",
+    "asof_join_tolerance",
+    "rank_distributions",
+    "grouping_sets_agg",
+    "bitmap_prune_join",
+    "funnel_analysis",
+    "consecutive_streaks",
+    "streaming_sliding_window",
+    "streaming_stream_join",
+    "winnow_fingerprint",
+    "decontaminate_ngram",
+    "pii_redact",
+    "winnow_pairs",
+    "skew_salted_join",
+    "doc_chunking",
+    # r9 verdict ask #1: the round-5-certified §2 head block — the
+    # named stale rotation (driver record must never go >3 rounds
+    # stale)
+    "scan_project",
+    "tumbling_ohlc",
+    "global_median",
+    "time_spine",
+    "rolling_median_centered",
+    "align_left_join",
+    "weekday_filter",
+    "filter_nullsafe",
+    # remaining slots: next-stalest r5 rows (core dedup/ANN + the
+    # corpus flagship). New round-10 queries take these slots as
+    # they land (policy rule 1) — displaced rows rejoin the r5-r7
+    # middle block (pytest tail gate) and head r11.
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "corpus_pipeline",
+    "multimodal_decode",
+    "ivf_topk",
+    "ann_topk",
+    "asof_join",
 ]
 _TAIL = [
-    # r8-green — freshest driver rows on the board (demotion tail per
-    # policy rule 4). The r5-r7 remainder plus the 2 r4 leftovers are
-    # NOT listed, so _reorder_registry places them between _HEAD and
-    # _TAIL — top of the pytest tail, first in line for the r10
-    # window (oldest rows first).
-    "mixture_sampling",
+    # r8/r9-green — freshest driver rows on the board (demotion tail
+    # per policy rule 4). The r5-r7 remainder is NOT listed, so
+    # _reorder_registry places it between _HEAD and _TAIL — top of
+    # the pytest tail, first in line for the r11 window (oldest
+    # first: r5 rows, then r6, then r7).
+    "ann_recall_eval",
+    "anova_oneway",
+    "assoc_rules",
+    "bloom_membership",
+    "bm25_rank",
+    "countmin_estimate",
+    "cramers_v",
+    "crosscorr_lags",
+    "cusum_changepoint",
+    "decay_score",
+    "dedup_canonical",
+    "dedup_containment",
+    "dedup_ensemble_pairs",
+    "dedup_recall_eval",
+    "dedup_sorted_neighborhood",
+    "diff_in_diff",
     "dsir_weights",
-    "tpch_q9",
+    "emb_covariance",
+    "fuzzy_lookup_join",
+    "gini_by_group",
+    "graph_sssp_weighted",
+    "hll_estimate",
+    "interarrival_stats",
+    "key_skew_profile",
+    "ks_two_sample",
+    "lsh_ann_pairs",
+    "mannwhitney_u",
+    "mixture_sampling",
+    "pareto_topshare",
+    "profile_table",
+    "proportion_ztest",
+    "psi_drift",
+    "quantile_sketch",
+    "referential_integrity",
+    "streaming_countmin",
+    "streaming_cusum",
+    "streaming_hll",
+    "streaming_quantile_sketch",
     "tpch_q12",
     "tpch_q15",
-    "emb_covariance",
-    "profile_table",
-    "psi_drift",
-    "lsh_ann_pairs",
-    "anova_oneway",
-    "ks_two_sample",
-    "gini_by_group",
-    "crosscorr_lags",
-    "key_skew_profile",
-    "zorder_layout",
-    "bm25_rank",
-    "dedup_sorted_neighborhood",
-    "weighted_median",
-    "cusum_changepoint",
-    "assoc_rules",
-    "mannwhitney_u",
-    "graph_sssp_weighted",
-    "ann_recall_eval",
-    "referential_integrity",
-    "cramers_v",
-    "countmin_estimate",
-    "proportion_ztest",
-    "pareto_topshare",
-    "dedup_ensemble_pairs",
-    "streaming_cusum",
-    "dedup_canonical",
-    "hll_estimate",
-    "fuzzy_lookup_join",
-    "decay_score",
-    "streaming_countmin",
-    "dedup_recall_eval",
-    "diff_in_diff",
-    "quantile_sketch",
-    "streaming_quantile_sketch",
-    "bloom_membership",
-    "interarrival_stats",
-    "streaming_hll",
-    "sketch_stats",
-    "dedup_containment",
+    "tpch_q9",
     "triangle_count",
+    "weighted_median",
+    "zorder_layout",
+    "anti_join",
+    "array_agg_functions",
+    "audit_union",
+    "combine_first",
+    "cross_source_overlap",
+    "curriculum_order",
+    "dedup_minhash_error",
+    "dedup_nearest_text",
+    "dup_span_coverage",
+    "emb_pca_incremental",
+    "emb_pca_power",
+    "emb_pca_project",
+    "embedding_decontaminate",
+    "ffill",
+    "greatest_least_fix",
+    "inner_reconcile",
+    "ivfpq_topk",
+    "kmeans_inertia",
+    "knn_incremental",
+    "knn_join",
+    "lag_pct_change",
+    "latest_record_dedup",
+    "lsh_ann_pairs_scaled",
+    "lsh_multiprobe_pairs",
+    "ngram_novelty",
+    "ngram_novelty_incremental",
+    "quota_sample_exact",
+    "random_projection",
+    "rolling_stats",
+    "semdedup",
+    "session_window_agg",
+    "shuffle_shards",
+    "stats_agg",
+    "streaming_dedup_table",
+    "streaming_mixture",
+    "topk",
+    "tpch_q8",
+    "train_test_split",
 ]
 
 
