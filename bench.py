@@ -174,6 +174,9 @@ HEADLINE = [
     "domain_reweight_mw",
     "embedding_decontaminate",
     "token_quota_take",
+    # round-10 ops
+    "ivf_incremental",
+    "sketch_stats",
 ]
 
 
@@ -202,6 +205,18 @@ def main() -> None:
 
     registry = driver_queries.REGISTRY
     names = [n for n in HEADLINE if n in registry]
+
+    # empty-plan floor (r9 verdict ask #6): the cost of scheduling ONE
+    # trivial job through the same action shape as the timed region —
+    # the per-query harness constant that dominates sub-second walls
+    # at sf0.1 and vanishes at scale. Reported as floor_sec so verdicts
+    # can read engine work (sec - floor) separately from the constant.
+    floor = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        floor = min(floor, time.perf_counter() - t0)
+    floor = round(floor, 3)
 
     # warmup run per query (same sf): whole-stage codegen + JIT compile
     # outside the timed region; then best-of-3 timed passes (min damps
@@ -234,6 +249,7 @@ def main() -> None:
             "rows": rows,
             "rows_per_sec": round(rows / best) if best > 0 else 0,
             "shuffle_mb": round(shuffle / 1e6, 2),
+            "engine_sec": round(max(0.0, best - floor), 3),
         }
 
     total = round(sum(timings.values()), 3)
@@ -242,6 +258,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,  # insertion order == HEADLINE == flagships first
+        "floor_sec": floor,
+        "engine_total_sec": round(
+            sum(d["engine_sec"] for d in detail.values()), 3
+        ),
         "detail": detail,
         "sf": sf,
     }

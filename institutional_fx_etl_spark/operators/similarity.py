@@ -507,6 +507,88 @@ def ivf_topk(
     )
 
 
+def ivf_topk_incremental(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 8,
+    nprobe: int = 1,
+    centroids: DataFrame | None = None,
+    old_index: DataFrame | None = None,
+) -> DataFrame:
+    """Append-only IVF ingest (r9 verdict ask #8 — the one shape the
+    batch ANN family lacked): a batch of new embeddings joins an
+    EXISTING IVF index without touching the old corpus. The quantizer
+    is frozen (``centroids`` — default: id-seeded from the OLD corpus,
+    the index's original seeding; re-fitting centroids is a rebuild by
+    definition, exactly :func:`knn_join_incremental`'s rule), so the
+    standing index relation ``old_index`` (vid, vv, cid — e.g. the
+    persisted output of a prior :func:`_assign_to`) stays valid
+    verbatim and per-batch work is ONE linear assignment scan over the
+    new batch plus the union. Search over the merged index probes the
+    query's ``nprobe`` nearest cells exactly like :func:`ivf_topk`.
+
+    Correctness contract (what the registered query's oracle proves
+    cross-engine): with frozen centroids, assignment is a pure per-row
+    map, so assign(old) ∪ assign(new) ≡ assign(old ∪ new) and the
+    incremental search is ROW-IDENTICAL to a from-scratch
+    :func:`ivf_topk` over the union with the same centroids —
+    the driver hash match IS the incremental ≡ rebuild proof.
+
+    ``old_index=None`` recomputes the old assignment from ``df_old``
+    (keeps the operator pure for the contract query); a real ingest
+    pipeline passes the persisted index and pays only the new-batch
+    scan. Output: q_id, vec_id, rank, cosine — same as
+    :func:`ivf_topk`. Query ids may come from either batch.
+    """
+    v_old = df_old.selectExpr(
+        f"{bq(id_col)} AS vid", f"{_as_double(vec_col)} AS vv"
+    )
+    if centroids is None:
+        centroids = v_old.filter(F.col("vid") < num_centroids).selectExpr(
+            "vid AS cid", "vv AS cv"
+        )
+    a_old = (
+        old_index
+        if old_index is not None
+        else _assign_to(df_old, centroids, vec_col, id_col)
+    )
+    a_new = _assign_to(df_new, centroids, vec_col, id_col)
+    index = a_old.unionByName(a_new)
+    assigned = index.selectExpr("vid", f"{_UNIT} AS va", "cid")
+    # query rows rank the bounded centroid set scan-side (ivf_topk's
+    # probe stage) — drawn from the union so a NEW vector can query
+    # the merged index in the same batch it arrives
+    cells = _scored_cells_expr(centroids)
+    v_all = v_old.unionByName(
+        df_new.selectExpr(
+            f"{bq(id_col)} AS vid", f"{_as_double(vec_col)} AS vv"
+        )
+    )
+    q_cells = (
+        v_all.filter(F.col("vid").isin(query_ids))
+        .selectExpr("vid", "vv", f"{cells} AS __cells")
+        .selectExpr(
+            "vid AS q_id",
+            f"{_UNIT} AS vb",
+            f"explode(transform(slice(__cells, 1, {nprobe}),"
+            " c -> c.cid)) AS cid",
+        )
+    )
+    scored = assigned.join(F.broadcast(q_cells), on="cid").selectExpr(
+        "q_id", "vid AS vec_id", f"round({_PAIR_DOT}, 6) AS cosine"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

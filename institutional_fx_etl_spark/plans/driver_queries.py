@@ -11880,6 +11880,76 @@ def q_linear_probe_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ivf_incremental",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    cents AS (SELECT vec_id AS cid, vv AS cv FROM v
+              WHERE vec_id % 13 <> 0 AND vec_id < 9),
+    scored AS (
+      SELECT v.vec_id AS vid, v.vv, c.cid,
+             round(list_dot_product(v.vv, c.cv)
+                   / (sqrt(list_dot_product(v.vv, v.vv))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos
+      FROM v CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vid,
+             list_transform(vv, x -> x / sqrt(list_dot_product(vv, vv)))
+               AS vn,
+             cid FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    q AS (
+      SELECT vid AS q_id,
+             list_transform(vv, x -> x / sqrt(list_dot_product(vv, vv)))
+               AS qn,
+             cid FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn
+        FROM scored WHERE vid IN (1, 2, 13)) WHERE rn <= 2
+    ),
+    s AS (
+      SELECT q.q_id, a.vid AS vec_id,
+             round(list_dot_product(a.vn, q.qn), 6) AS cosine
+      FROM assigned a JOIN q ON a.cid = q.cid
+    )
+    SELECT q_id, vec_id,
+           CAST(row_number() OVER
+             (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INTEGER)
+             AS rank,
+           cosine
+    FROM s QUALIFY rank <= 5
+    """,
+)
+def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only IVF ingest: the corpus splits into a standing index
+    (vec_id % 13 <> 0) and an arriving batch (vec_id % 13 = 0); the
+    quantizer stays frozen on the OLD corpus's id-seeded centroids, so
+    only the batch is assigned and the merged index answers queries —
+    including one FROM the new batch (vec_id 13)
+    (``operators/similarity.py::ivf_topk_incremental``). The ORACLE is
+    the from-scratch IVF over the union under the same centroids, so
+    a hash match IS the incremental ≡ rebuild proof, cross-engine —
+    the ``knn_incremental`` discipline applied to the IVF index."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        ivf_topk_incremental,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter("vec_id % 13 <> 0")
+    new = emb.filter("vec_id % 13 = 0")
+    centroids = old.filter("vec_id < 9").selectExpr(
+        "vec_id AS cid",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS cv",
+    )
+    return ivf_topk_incremental(
+        old, new, query_ids=[1, 2, 13], k=5, nprobe=2, centroids=centroids
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -11902,6 +11972,9 @@ _HEAD = [
     # round (in-query accuracy verdicts, r9 verdict ask #4) — its
     # first driver row that can hash-match heads the window
     "sketch_stats",
+    # policy rule 1, part A2: NEW operator this round — append-only
+    # IVF ingest (r9 verdict ask #8), oracle = from-scratch rebuild
+    "ivf_incremental",
     # policy rule 1, part B: code changed this round (r9 ADVICE fixes
     # — NULLS LAST survivorship tiebreak, micro-rounded MW loss,
     # budget-domain guard, localCheckpoint share, COALESCE'd GD
@@ -11966,7 +12039,6 @@ _HEAD = [
     "multimodal_decode",
     "ivf_topk",
     "ann_topk",
-    "asof_join",
 ]
 _TAIL = [
     # r8/r9-green — freshest driver rows on the board (demotion tail

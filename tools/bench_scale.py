@@ -16,7 +16,21 @@ For a linear-in-n operator the 10× wall should land well under 10×
 (fixed overhead amortizes); a super-linear wall ratio >> 10 flags
 quadratic creep. Results → BENCH_scale.json.
 
-Usage: python tools/bench_scale.py [--factor=10] [sf_dir]
+Round 10 (r9 verdict asks #2/#5): every probe also records the
+OUTPUT-normalized view — ``rows_ratio`` (output rows at ×F over ×1)
+and ``wall_per_output_row_us`` — so an output-bound result like
+lsh_ann_pairs (wall ×7 on output ×42) reads as the sub-linear result
+it is, and ``tests/test_bench_scale_contract.py`` fails loudly when a
+committed probe's wall ratio exceeds ``max(3, rows_ratio)``. And a
+``--skew=100`` mode runs the three scale-critical LLM ops
+(minhash_lsh_pairs, semdedup, ivfpq_topk) at 100× under a REALISTIC
+Zipfian-duplicate / hot-cluster generator — the regime where the
+hot-bucket cap and the cell cap earn their keep — recording each
+cap's hit-rate next to the wall.
+
+Usage: python tools/bench_scale.py [--factor=10] [--skew=100] [sf_dir]
+  (--skew runs ONLY the skewed 100× section, merging into the
+   existing BENCH_scale.json)
 """
 
 from __future__ import annotations
@@ -120,14 +134,224 @@ def scaled_documents(spark, sf_dir: str, factor: int) -> DataFrame:
     )
 
 
+def skewed_documents(spark, sf_dir: str, factor: int) -> DataFrame:
+    """×factor document copies under a ZIPFIAN-DUPLICATE skew: 5% of
+    all (doc, copy) slots collapse onto THREE boilerplate texts (the
+    shared-footer / licence-block cohort every web crawl has — at
+    ×100 on sf0.1 that is ~8k exact copies PER boilerplate, a hot LSH
+    bucket two orders of magnitude over ``max_bucket``), the rest are
+    per-copy near-duplicates. Deterministic (hash-gated), scan-side."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    boiler = (
+        "CASE abs(hash(doc_id, __c)) % 3"
+        " WHEN 0 THEN 'all rights reserved this content is provided"
+        " as is without warranty of any kind express or implied'"
+        " WHEN 1 THEN 'cookie policy we use cookies to improve your"
+        " experience by continuing you agree to our terms of service'"
+        " ELSE 'subscribe to our newsletter for the latest updates"
+        " delivered straight to your inbox every single week' END"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.expr(f"sequence(0, {factor - 1})")).alias("__c"),
+        )
+        .selectExpr(
+            "doc_id + __c * 10000000 AS doc_id",
+            f"CASE WHEN abs(hash(doc_id, __c, 42)) % 100 < 5"
+            f" THEN {boiler}"
+            " WHEN __c = 0 THEN text"
+            " ELSE concat(text, ' copyvariant', CAST(__c AS STRING)) END"
+            " AS text",
+        )
+    )
+
+
+def skewed_embeddings(spark, sf_dir: str, factor: int) -> DataFrame:
+    """×factor embedding copies under HOT-CLUSTER skew: 80% of all
+    rows collapse to a tiny neighborhood of four hot directions (the
+    near-duplicate mass a crawl's template pages produce), 20% keep
+    the perturbed original — so the id-seeded cells go massively
+    uneven and the ``max_cell`` policy is what's actually measured."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    hot = (
+        "transform(embedding, (x, j) -> CAST("
+        " CASE abs(hash(vec_id, __c)) % 4"
+        "  WHEN 0 THEN 0.8 + (abs(hash(vec_id, __c, j)) % 101) / 1000.0"
+        "  WHEN 1 THEN -0.7 + (abs(hash(vec_id, __c, j)) % 101) / 1000.0"
+        "  WHEN 2 THEN CASE WHEN j % 2 = 0 THEN 0.9 ELSE -0.9 END"
+        "   + (abs(hash(vec_id, __c, j)) % 101) / 1000.0"
+        "  ELSE CASE WHEN j % 3 = 0 THEN 1.0 ELSE 0.1 END"
+        "   + (abs(hash(vec_id, __c, j)) % 101) / 1000.0"
+        " END AS FLOAT))"
+    )
+    cold = (
+        "transform(embedding, (x, j) -> CAST(x + (abs(hash(vec_id,"
+        " __c, j)) % 2001 - 1000) / 10000.0 AS FLOAT))"
+    )
+    return (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.explode(F.expr(f"sequence(0, {factor - 1})")).alias("__c"),
+        )
+        .selectExpr(
+            "vec_id + __c * 10000000 AS vec_id",
+            f"CASE WHEN abs(hash(vec_id, __c, 7)) % 10 < 8"
+            f" THEN {hot} ELSE {cold} END AS embedding",
+        )
+    )
+
+
+def _normalize(walls: dict, factor: int) -> None:
+    """Attach the output-normalized view (r9 verdict ask #5): wall
+    ratio alone misreads output-bound probes — lsh_ann_pairs' ×7 wall
+    on ×42 output rows IS sub-linear work per pair."""
+    rows_f, rows_1 = walls[f"rows_x{factor}"], walls["rows_x1"]
+    walls["wall_ratio"] = round(
+        walls[f"x{factor}"] / max(walls["x1"], 1e-9), 1
+    )
+    walls["rows_ratio"] = round(rows_f / max(rows_1, 1), 1)
+    walls["wall_per_output_row_us"] = round(
+        walls[f"x{factor}"] * 1e6 / max(rows_f, 1), 1
+    )
+
+
+def run_skewed(spark, sf_dir: str, factor: int) -> dict:
+    """The three scale-critical LLM ops at ×factor under realistic
+    skew (r9 verdict ask #2), each with its cap hit-rate recorded —
+    the 100-TB claim rests on the caps absorbing exactly this shape."""
+    from institutional_fx_etl_spark.operators.dedup import (
+        lsh_tuning_report,
+        minhash_lsh_pairs,
+    )
+    from institutional_fx_etl_spark.operators.similarity import (
+        ivfpq_topk,
+        semdedup,
+    )
+    from institutional_fx_etl_spark.plans.driver_queries import _auto_cells
+
+    out: dict[str, dict] = {}
+
+    docs = {f: skewed_documents(spark, sf_dir, f) for f in (1, factor)}
+    walls: dict = {}
+    for f in (1, factor):
+        t0 = time.perf_counter()
+        n = minhash_lsh_pairs(docs[f], jaccard_threshold=0.5).count()
+        walls[f"x{f}"] = round(time.perf_counter() - t0, 2)
+        walls[f"rows_x{f}"] = n
+    _normalize(walls, factor)
+    # cap hit-rate from the certified tuning report (bands=4 is the
+    # operator's banding): buckets dropped by max_bucket vs kept
+    tuning = {
+        r["bands"]: r for r in lsh_tuning_report(docs[factor]).collect()
+    }
+    cfg = tuning[4]
+    walls["cap"] = {
+        "max_bucket": 64,
+        "n_hot_buckets_dropped": cfg["n_buckets"] and cfg["n_hot_buckets"],
+        "n_buckets_kept": cfg["n_buckets"],
+        "candidates_after_cap": cfg["n_candidates"],
+        "note": "each boilerplate cohort lands ~8k docs per band"
+        " bucket; the cap drops those buckets inside the discovering"
+        " aggregate, so candidate volume stays #buckets*cap^2-bounded",
+    }
+    out["minhash_lsh_pairs_skew"] = walls
+    print(f"[skew:minhash_lsh_pairs] {walls}", flush=True)
+
+    emb = {f: skewed_embeddings(spark, sf_dir, f) for f in (1, factor)}
+    n_emb = {f: emb[f].count() for f in (1, factor)}
+    max_cell = 512
+    walls = {}
+    sd_out = {}
+    for f in (1, factor):
+        t0 = time.perf_counter()
+        sd = semdedup(
+            emb[f],
+            min_cosine=0.9,
+            num_centroids=_auto_cells(n_emb[f]),
+            max_cell=max_cell,
+        )
+        sd.persist()
+        n = sd.count()
+        walls[f"x{f}"] = round(time.perf_counter() - t0, 2)
+        walls[f"rows_x{f}"] = n
+        sd_out[f] = sd
+    _normalize(walls, factor)
+    # cap hit-rate straight from the output: cells whose member count
+    # exceeds max_cell skipped the in-cell compare (all kept)
+    cells = (
+        sd_out[factor]
+        .groupBy("cid")
+        .count()
+        .selectExpr(
+            "count(1) AS n_cells",
+            f"SUM(CASE WHEN count > {max_cell} THEN 1 ELSE 0 END)"
+            " AS n_capped",
+            "max(count) AS max_cell_size",
+        )
+        .collect()[0]
+    )
+    walls["cap"] = {
+        "max_cell": max_cell,
+        "n_cells": cells["n_cells"],
+        "n_cells_capped": cells["n_capped"],
+        "max_cell_size": cells["max_cell_size"],
+        "note": "80% of the corpus collapses onto 4 hot directions;"
+        " capped cells skip the pairwise compare (recall traded for"
+        " the #cells*max_cell^2 bound)",
+    }
+    for f in (1, factor):
+        sd_out[f].unpersist()
+    out["semdedup_skew"] = walls
+    print(f"[skew:semdedup] {walls}", flush=True)
+
+    walls = {}
+    for f in (1, factor):
+        t0 = time.perf_counter()
+        n = ivfpq_topk(emb[f], k=10, num_centroids=8, nprobe=2).count()
+        walls[f"x{f}"] = round(time.perf_counter() - t0, 2)
+        walls[f"rows_x{f}"] = n
+    _normalize(walls, factor)
+    walls["cap"] = {
+        "note": "no cap fires: top-k output is k rows at any n; the"
+        " ADC scan visits nprobe/num_centroids of the corpus (hot"
+        " cells make the probed fraction larger than 2/8 under this"
+        " skew, which the wall reflects honestly)",
+    }
+    out["ivfpq_topk_skew"] = walls
+    print(f"[skew:ivfpq_topk] {walls}", flush=True)
+    return out
+
+
 def main() -> None:
     factor = 10
+    skew = 0
     sf_dir = "/root/testdata/sf0.1"
     for a in sys.argv[1:]:
         if a.startswith("--factor="):
             factor = int(a.split("=", 1)[1])
+        elif a.startswith("--skew="):
+            skew = int(a.split("=", 1)[1])
         else:
             sf_dir = a
+
+    if skew:
+        spark = get_spark(app_name="bench_scale_skew")
+        skew_out = run_skewed(spark, sf_dir, skew)
+        try:
+            artifact = json.load(open("BENCH_scale.json"))
+        except FileNotFoundError:
+            artifact = {"factor": factor, "sf_dir": sf_dir, "results": {}}
+        artifact["skew_factor"] = skew
+        artifact["skew_results"] = skew_out
+        with open("BENCH_scale.json", "w") as fh:
+            json.dump(artifact, fh, indent=1)
+        print(json.dumps({"bench_scale_skew": skew_out}))
+        return
 
     from institutional_fx_etl_spark.operators.graph import (
         pagerank_fixed,
@@ -150,7 +374,7 @@ def main() -> None:
             n = fn(f).count()
             walls[f"x{f}"] = round(time.perf_counter() - t0, 2)
             walls[f"rows_x{f}"] = n
-        walls["wall_ratio"] = round(walls[f"x{factor}"] / max(walls["x1"], 1e-9), 1)
+        _normalize(walls, factor)
         out[name] = walls
         print(f"[scale:{name}] {walls}", flush=True)
 
@@ -250,6 +474,13 @@ def main() -> None:
     )
 
     artifact = {"factor": factor, "sf_dir": sf_dir, "results": out}
+    try:  # keep an existing skewed-100× section across 10× reruns
+        prior = json.load(open("BENCH_scale.json"))
+        for k in ("skew_factor", "skew_results"):
+            if k in prior:
+                artifact[k] = prior[k]
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
     with open("BENCH_scale.json", "w") as fh:
         json.dump(artifact, fh, indent=1)
     print(json.dumps({"bench_scale": out}))
