@@ -736,6 +736,16 @@ def pq_encode(
     map stage). Output: ``(id, code_0..code_{M-1}, recon_err)`` where
     ``recon_err`` is the total squared quantization error (rounded to
     6; ties in the argmin break on the lowest centroid id).
+
+    Round 10: every subspace's K-fold distance array is LET-BOUND and
+    the row's codes + error emit through ONE ``inline`` generator —
+    the original per-column form re-evaluated each ``darr`` (K
+    d-element folds) three times per subspace (argmin, min, error
+    sum) with the subvector slice inlined into every fold, the exact
+    CollapseProject trap ``let1`` documents. Same expressions, same
+    fold order ⇒ bit-identical codes/error (oracle hashes unmoved);
+    ~3× less per-row work — measured on the 100×-skew IVF-PQ probe
+    where this map IS the wall.
     """
     cb = codebook if codebook is not None else _PQ_CODEBOOK
     m_sub = len(cb)
@@ -745,29 +755,37 @@ def pq_encode(
     def lit(vals: list[float]) -> str:
         return "array(" + ", ".join(f"{v!r}D" for v in vals) + ")"
 
-    exprs = [f"{bq(id_col)} AS id"]
+    # innermost body: the output struct over the bound __d{m} arrays
+    code_fields = []
     err_terms = []
     for m in range(m_sub):
+        code_fields.append(
+            f"'code_{m}', cast(array_position(__d{m},"
+            f" array_min(__d{m})) - 1 as int)"
+        )
+        err_terms.append(f"array_min(__d{m})")
+    body = (
+        "named_struct("
+        + ", ".join(code_fields)
+        + f", 'recon_err', round({' + '.join(err_terms)}, 6))"
+    )
+    # wrap inside-out: bind __d{m} (the K distance folds over the
+    # let-bound subvector __s{m}) for every subspace
+    for m in reversed(range(m_sub)):
+        dists = [
+            f"aggregate(zip_with(__s{m}, {lit(cb[m][k])},"
+            " (x, y) -> (x-y)*(x-y)), 0.0D, (a, x) -> a + x)"
+            for k in range(k_cent)
+        ]
+        darr = "array(" + ", ".join(dists) + ")"
         sub = (
             f"transform(slice({bq(vec_col)}, {m * dims + 1}, {dims}),"
             " x -> cast(x as double))"
         )
-        dists = []
-        for k in range(k_cent):
-            dists.append(
-                f"aggregate(zip_with({sub}, {lit(cb[m][k])},"
-                " (x, y) -> (x-y)*(x-y)), 0.0D, (a, x) -> a + x)"
-            )
-        darr = "array(" + ", ".join(dists) + ")"
-        # argmin with lowest-index tiebreak: array_position finds the
-        # FIRST element equal to the minimum (1-based → 0-based code)
-        exprs.append(
-            f"cast(array_position({darr}, array_min({darr})) - 1 as int)"
-            f" AS code_{m}"
-        )
-        err_terms.append(f"array_min({darr})")
-    exprs.append(f"round({' + '.join(err_terms)}, 6) AS recon_err")
-    return df.selectExpr(*exprs)
+        body = let1(sub, f"__s{m}", let1(darr, f"__d{m}", body))
+    return df.selectExpr(
+        f"{bq(id_col)} AS id", f"inline(array({body}))"
+    )
 
 
 def embedding_centroids(

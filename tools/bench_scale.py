@@ -236,7 +236,17 @@ def run_skewed(spark, sf_dir: str, factor: int) -> dict:
 
     out: dict[str, dict] = {}
 
-    docs = {f: skewed_documents(spark, sf_dir, f) for f in (1, factor)}
+    # persist the synthetic inputs: they stand in for a parquet table
+    # a real job would scan with pushdown — unpersisted, every corpus
+    # reference re-runs the hash-transform GENERATOR (ivfpq's probe
+    # measured 110 s of which ~75 s was generator re-derivation), so
+    # walls would grade the harness, not the operator
+    docs = {
+        f: skewed_documents(spark, sf_dir, f).persist()
+        for f in (1, factor)
+    }
+    for d in docs.values():
+        d.count()
     walls: dict = {}
     for f in (1, factor):
         t0 = time.perf_counter()
@@ -261,8 +271,13 @@ def run_skewed(spark, sf_dir: str, factor: int) -> dict:
     }
     out["minhash_lsh_pairs_skew"] = walls
     print(f"[skew:minhash_lsh_pairs] {walls}", flush=True)
+    for d in docs.values():
+        d.unpersist()
 
-    emb = {f: skewed_embeddings(spark, sf_dir, f) for f in (1, factor)}
+    emb = {
+        f: skewed_embeddings(spark, sf_dir, f).persist()
+        for f in (1, factor)
+    }
     n_emb = {f: emb[f].count() for f in (1, factor)}
     max_cell = 512
     walls = {}
@@ -324,6 +339,8 @@ def run_skewed(spark, sf_dir: str, factor: int) -> dict:
     }
     out["ivfpq_topk_skew"] = walls
     print(f"[skew:ivfpq_topk] {walls}", flush=True)
+    for d in emb.values():
+        d.unpersist()
     return out
 
 
