@@ -177,6 +177,16 @@ HEADLINE = [
     # round-10 ops
     "ivf_incremental",
     "sketch_stats",
+    "boilerplate_purge",
+    "perplexity_buckets",
+    "kfold_assign",
+    "record_linkage_fs",
+    "bitext_margin",
+    "hard_negatives",
+    "corpus_diversity",
+    "zipf_token_fit",
+    "probe_calibration",
+    "streaming_ivf_assign",
 ]
 
 

@@ -1188,3 +1188,111 @@ def survivorship_merge(
         )
         out = out.join(win, cluster_col)
     return out
+
+
+def record_linkage_fs(
+    df: DataFrame,
+    id_col: str,
+    block_expr: str,
+    fields: list[tuple[str, str, float]],
+    top_n: int = 200,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (1969; the Splink /
+    Dedupe.io scoring model): candidate pairs from a blocking key get a
+    log-likelihood match score summed over field-agreement weights
+    ``agree → log2(m/u)``, ``disagree → log2((1−m)/(1−u))``, where
+    ``m`` is the assumed match-agreement probability per field and
+    ``u`` — the chance two RANDOM records agree — is estimated from
+    the data itself as Σ count(v)² / n² over the field's value
+    histogram (the exact random-pair agreement probability).
+
+    Determinism: u is the single division of two exact integers
+    (Σc² as BIGINT over n²), weights micro-quantize to 1e-6 BIGINTs
+    before the per-pair sum, so the score is integer arithmetic until
+    one final division — no float summation-order drift cross-engine.
+
+    Scale shape: per-field value histograms are vocabulary-bounded
+    hash aggregates; the 1-row weight relation broadcasts; candidates
+    come from a block-keyed self-join (never all-pairs) with the
+    standard hot-block cap ``max_block`` (the LSH bucket-cap
+    discipline — a degenerate blocking value would otherwise go
+    quadratic); top_n keeps the output bounded via a total-order
+    rank. Output: id_a, id_b, one agree_<name> flag per field, score.
+
+    ``fields`` entries are ``(name, sql_expr, m_prob)``.
+    """
+    if not fields:
+        raise ValueError("record_linkage_fs needs at least one field")
+    if not all(0.0 < m < 1.0 for _, _, m in fields):
+        raise ValueError("every m_prob must be in (0, 1)")
+    e = df.selectExpr(
+        f"{bq(id_col)} AS __id",
+        f"({block_expr}) AS __blk",
+        *[f"({expr}) AS __f{i}" for i, (_, expr, _) in enumerate(fields)],
+    )
+    # one 1-row weight relation: n and per-field Σc² cross-joined, the
+    # micro-int agree/disagree weights computed from exact rationals
+    stats = e.agg(F.count(F.lit(1)).alias("__n"))
+    for i in range(len(fields)):
+        sq = (
+            e.groupBy(f"__f{i}")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(F.sum(F.expr("__c * __c")).alias(f"__sq{i}"))
+        )
+        stats = stats.crossJoin(sq)
+    wexprs = []
+    for i, (_, _, m) in enumerate(fields):
+        # u = sq/n²; log2(m/u) = log2(m·n²/sq); 1−u = (n²−sq)/n²
+        wexprs.append(
+            f"CAST(round(log2(CAST({m!r} AS DOUBLE) * __n * __n / __sq{i})"
+            f" * 1e6, 0) AS BIGINT) AS __wa{i}"
+        )
+        wexprs.append(
+            f"CAST(round(log2(CAST({1.0 - m!r} AS DOUBLE) * __n * __n /"
+            f" (__n * __n - __sq{i})) * 1e6, 0) AS BIGINT) AS __wd{i}"
+        )
+    weights = stats.selectExpr(*wexprs)
+    a = e.selectExpr(
+        "__blk", "__id AS id_a",
+        *[f"__f{i} AS __a{i}" for i in range(len(fields))],
+    )
+    b = e.selectExpr(
+        "__blk", "__id AS id_b",
+        *[f"__f{i} AS __b{i}" for i in range(len(fields))],
+    )
+    if max_block is not None:
+        small = (
+            e.groupBy("__blk")
+            .agg(F.count(F.lit(1)).alias("__bc"))
+            .filter(F.col("__bc") <= max_block)
+            .select("__blk")
+        )
+        a = a.join(small, "__blk", "left_semi")
+        b = b.join(small, "__blk", "left_semi")
+    pairs = (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .crossJoin(F.broadcast(weights))
+    )
+    agree = [
+        f"CAST(__a{i} <=> __b{i} AS INT) AS agree_{name}"
+        for i, (name, _, _) in enumerate(fields)
+    ]
+    micro = " + ".join(
+        f"(CASE WHEN __a{i} <=> __b{i} THEN __wa{i} ELSE __wd{i} END)"
+        for i in range(len(fields))
+    )
+    scored = pairs.selectExpr(
+        "id_a", "id_b", *agree, f"({micro}) AS __micro"
+    )
+    return (
+        scored.orderBy(F.desc("__micro"), "id_a", "id_b")
+        .limit(int(top_n))
+        .selectExpr(
+            "id_a",
+            "id_b",
+            *[f"agree_{name}" for name, _, _ in fields],
+            "CAST(__micro AS DOUBLE) / 1e6 AS score",
+        )
+    )

@@ -1023,3 +1023,131 @@ def token_quota_take(
         .filter("cum_w <= alloc")
         .selectExpr(id_col, "grp", "w", "cum_w")
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    stratum_expr: str = "source",
+) -> DataFrame:
+    """Deterministic STRATIFIED k-fold assignment (the evaluation-split
+    primitive behind cross-validated data ablations): within every
+    stratum, documents are ordered by the md5 of their id and dealt
+    round-robin into ``k`` folds, so per-stratum fold sizes differ by
+    at most one — exact balance, not hash-mod-k's binomial wobble —
+    and the assignment is reproducible from the id alone.
+
+    The per-stratum rank is computed WITHOUT a per-stratum global
+    sort: the first two hex chars of the md5 key split each stratum
+    into 256 sub-buckets whose lexicographic order IS the md5 order
+    (the bucket is a prefix of the sort key), so a tiny
+    (stratum × 256) count relation yields each bucket's global offset
+    and the only row-level window is a row_number inside
+    (stratum, bucket) — 256-way parallel, no hot partition when one
+    stratum is the whole corpus.
+
+    Output: id, stratum, fold (0-based).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    base = df.selectExpr(
+        bq(id_col),
+        f"({stratum_expr}) AS stratum",
+        f"md5(CAST({bq(id_col)} AS STRING)) AS __h",
+    ).withColumn("__b", F.expr("substr(__h, 1, 2)"))
+    offsets = (
+        base.groupBy("stratum", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__c").over(
+                    Window.partitionBy("stratum")
+                    .orderBy("__b")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("stratum", "__b", "__off")
+    )
+    wb = Window.partitionBy("stratum", "__b").orderBy("__h", id_col)
+    return (
+        base.withColumn("__rn", F.row_number().over(wb))
+        .join(F.broadcast(offsets), ["stratum", "__b"])
+        .selectExpr(
+            bq(id_col),
+            "stratum",
+            f"CAST((__off + __rn - 1) % {int(k)} AS INT) AS fold",
+        )
+    )
+
+
+def probe_calibration(
+    df: DataFrame,
+    target_expr: str,
+    eval_expr: str | None = None,
+    n_bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **probe_kwargs,
+) -> DataFrame:
+    """Reliability diagram for the linear quality probe: train with
+    :func:`linear_probe_score`'s pipeline on ``target_expr``, score
+    every document, then bin the scores into ``n_bins`` equal-width
+    bins over the OBSERVED score range and report each bin's size,
+    mean score and positive rate against ``eval_expr`` (defaults to
+    the training target — self-calibration). A well-calibrated probe
+    shows positive rate rising monotonically with the bin's mean
+    score; the flat or non-monotone profile is the classic
+    selection-model red flag.
+
+    Binning is exact integer arithmetic: scores are the probe's int64
+    micro-scores, the min/max come from one 2-value aggregate
+    (broadcast), and the bin index is
+    ``(score − min)·n_bins div (max − min + 1)`` — integer division
+    of non-negative ints, identical cross-engine, no float boundary.
+    All per-bin stats are integer sums until one final division each.
+
+    Output: bin (0-based), n_docs, n_pos, pos_rate, mean_score_micro.
+    """
+    scores = linear_probe_score(
+        df, target_expr, text_col=text_col, id_col=id_col, **probe_kwargs
+    ).select(id_col, "score_micro")
+    y = df.selectExpr(
+        bq(id_col),
+        f"CAST(COALESCE(({eval_expr or target_expr}), false) AS INT) AS __y",
+    )
+    lab = scores.join(y, id_col)
+    mm = lab.agg(
+        F.min("score_micro").alias("__mn"), F.max("score_micro").alias("__mx")
+    )
+    binned = lab.crossJoin(F.broadcast(mm)).selectExpr(
+        f"CAST((score_micro - __mn) * {int(n_bins)}"
+        " div (__mx - __mn + 1) AS INT) AS bin",
+        "score_micro",
+        "__y",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__y").cast("bigint").alias("n_pos"),
+            F.expr(
+                "round(CAST(SUM(__y) AS DOUBLE) / count(1), 6) AS pos_rate"
+            ),
+            F.expr(
+                "CAST(SUM(score_micro) AS BIGINT) AS __ssum"
+            ),
+        )
+        .selectExpr(
+            "bin",
+            "n_docs",
+            "n_pos",
+            "pos_rate",
+            "round(CAST(__ssum AS DOUBLE) / n_docs, 6) AS mean_score_micro",
+        )
+    )

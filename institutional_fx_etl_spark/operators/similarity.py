@@ -1852,3 +1852,144 @@ def _decontaminate_numpy(
         f" match_id {id_type}"
     )
     return both.groupBy("cid").applyInPandas(per_cell, schema=schema)
+
+
+def bitext_margin(
+    df: DataFrame,
+    side_expr: str = "vid % 2 = 0",
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019 — the
+    LASER/CCMatrix bitext-mining criterion): the corpus splits into a
+    source side A (``side_expr`` over the id, e.g. one language's
+    vectors) and a target side B; a candidate pair's raw cosine is
+    normalized by the mean similarity of each endpoint's k nearest
+    cross-side neighbors — ``margin(a,b) = cos(a,b) / ((fwd_k(a) +
+    bwd_k(b)) / 2)`` — which cancels hubness (a vector that is close
+    to EVERYTHING scores no pair highly). Emitted: each source
+    vector's best target by margin.
+
+    Candidates are IVF-cell-bounded exactly like :func:`knn_join`
+    (shared centroids over BOTH sides, Σ|cell_A|·|cell_B| pairs —
+    never |A|·|B|), so the same num_centroids ≈ n/512 sizing keeps the
+    pair stage linear in the corpus. The pair relation persists once
+    and feeds the forward top-k, the backward top-k and the margin
+    join.
+
+    Determinism: per-pair cosines round to 6 dp then micro-quantize to
+    BIGINT; forward/backward means stay exact integer sums with
+    explicit counts, and the margin is ONE division of exact integers
+    — ``2·cos·ka·kb / (Σfwd·kb + Σbwd·ka)`` — rounded to 6.
+
+    Output: src_id, tgt_id, cosine, margin.
+    """
+    assigned = (
+        ivf_assign(df, vec_col, id_col, num_centroids)
+        if centroids is None
+        else _assign_to(df, centroids, vec_col, id_col)
+    )
+    from pyspark import StorageLevel
+
+    normed = assigned.selectExpr("vid", "cid", f"{_UNIT} AS vn")
+    a = normed.filter(side_expr).selectExpr("cid", "vid AS src", "vn AS va")
+    b = normed.filter(f"NOT ({side_expr})").selectExpr(
+        "cid", "vid AS tgt", "vn AS vb"
+    )
+    pairs = (
+        a.join(b, "cid")
+        .selectExpr("src", "tgt", f"round({_PAIR_DOT}, 6) AS cosine")
+        .selectExpr(
+            "src",
+            "tgt",
+            "cosine",
+            "CAST(round(cosine * 1e6, 0) AS BIGINT) AS __cm",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wf = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("tgt"))
+    fwd = pairs.withColumn("__fr", F.row_number().over(wf)).filter(
+        F.col("__fr") <= k
+    )
+    fstat = fwd.groupBy("src").agg(
+        F.sum("__cm").alias("__fs"), F.count(F.lit(1)).alias("__ka")
+    )
+    wb = Window.partitionBy("tgt").orderBy(F.desc("cosine"), F.asc("src"))
+    bstat = (
+        pairs.withColumn("__br", F.row_number().over(wb))
+        .filter(F.col("__br") <= k)
+        .groupBy("tgt")
+        .agg(F.sum("__cm").alias("__bs"), F.count(F.lit(1)).alias("__kb"))
+    )
+    cand = (
+        fwd.join(fstat, "src")
+        .join(bstat, "tgt")
+        .filter("__fs * __kb + __bs * __ka > 0")
+        .selectExpr(
+            "src",
+            "tgt",
+            "cosine",
+            "round(CAST(2 * __cm * __ka * __kb AS DOUBLE)"
+            " / (__fs * __kb + __bs * __ka), 6) AS margin",
+        )
+    )
+    wm = Window.partitionBy("src").orderBy(F.desc("margin"), F.asc("tgt"))
+    return (
+        cand.withColumn("__mr", F.row_number().over(wm))
+        .filter(F.col("__mr") == 1)
+        .selectExpr("src AS src_id", "tgt AS tgt_id", "cosine", "margin")
+    )
+
+
+def hard_negatives(
+    df: DataFrame,
+    label_col: str = "label",
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch /
+    ANN-negative recipe of DPR, Karpukhin et al. 2020): for EVERY
+    vector, its ``k`` most cosine-similar cellmates whose label
+    DIFFERS — the near-miss examples a contrastive loss learns most
+    from. Same IVF-cell bounding as :func:`knn_join` (Σ|cell|² pairs,
+    never corpus²); the label-mismatch predicate applies INSIDE the
+    cell join, before the rank window, so ranks are over negatives
+    only. NULL labels never match anything (null-safe inequality), so
+    unlabeled vectors still mine negatives from labeled cellmates.
+
+    Output: vec_id, neg_id, rank, cosine (desc, neg_id-asc tiebreak).
+    """
+    assigned = (
+        ivf_assign(df, vec_col, id_col, num_centroids)
+        if centroids is None
+        else _assign_to(df, centroids, vec_col, id_col)
+    )
+    labels = df.selectExpr(
+        f"{bq(id_col)} AS vid", f"{bq(label_col)} AS __lbl"
+    )
+    from pyspark import StorageLevel
+
+    normed = (
+        assigned.join(labels, "vid")
+        .selectExpr("vid", "cid", "__lbl", f"{_UNIT} AS vn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = normed.selectExpr("cid", "vid", "vn AS va", "__lbl AS la")
+    b = normed.selectExpr("cid", "vid AS neg_id", "vn AS vb", "__lbl AS lb")
+    scored = (
+        a.join(b, "cid")
+        .filter("NOT (la <=> lb)")
+        .selectExpr("vid", "neg_id", f"round({_PAIR_DOT}, 6) AS cosine")
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("cosine"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .selectExpr(f"vid AS {bq(id_col)}", "neg_id", "rank", "cosine")
+    )

@@ -1282,3 +1282,300 @@ def dup_span_coverage(
             " AS dup_coverage",
         )
     )
+
+
+def boilerplate_purge(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segment_tokens: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """C4-style boilerplate removal at fixed segment grain (Raffel et
+    al. 2020, §2.2 drop any line occurring on ≥3 pages; this corpus is
+    newline-free, so the "line" is the non-overlapping
+    ``segment_tokens``-token window): a segment whose text occurs in
+    at least ``min_df`` DISTINCT documents is boilerplate and EVERY
+    occurrence of it is purged — unlike :func:`segment_dedup`, which
+    keeps the first copy, a navigation bar's first page is as much
+    junk as its millionth.
+
+    Plan shape (the 100 TB story): scan-side segment explode; the doc
+    frequency is ONE digest-keyed aggregate over DISTINCT
+    (digest, doc) pairs — the partial aggregate collapses a document's
+    internal repeats before the exchange, so a hot boilerplate digest
+    arrives as one row per doc and reduces on a single bounded key;
+    verdicts join back on the 32-byte digest (the segment text itself
+    never re-shuffles); one per-doc regroup bounded by the document's
+    own segment count reassembles the kept text. No UDF, no all-pairs.
+
+    Output: id, clean_text (kept segments in order), n_segments,
+    n_purged.
+    """
+    toks = "__toks"
+    segs = (
+        f"transform(sequence(0, greatest(size({toks}) - 1, 0),"
+        f" {segment_tokens}), s -> named_struct('start', s, 'seg',"
+        f" array_join(slice({toks}, s + 1, {segment_tokens}), ' ')))"
+    )
+    seg_rows = (
+        df.withColumn(toks, tokens(text_col))
+        .selectExpr(bq(id_col), f"explode({segs}) AS __s")
+        .selectExpr(
+            bq(id_col),
+            "cast(__s.start as int) AS start",
+            "__s.seg AS seg",
+            "md5(__s.seg) AS __h",
+        )
+    )
+    dfreq = (
+        seg_rows.select("__h", id_col)
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    return (
+        seg_rows.join(dfreq, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("__df") >= min_df).cast("int")).alias("n_purged"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__df") < min_df,
+                        F.struct(F.col("start"), F.col("seg")),
+                    )
+                )
+            ).alias("__kept"),
+        )
+        .selectExpr(
+            bq(id_col),
+            "array_join(transform(__kept, s -> s.seg), ' ') AS clean_text",
+            "cast(n_segments as int) AS n_segments",
+            "cast(n_purged as int) AS n_purged",
+        )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_expr: str = "lang",
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, §4.3: score every document with a language model, split each
+    language's distribution into head / middle / tail terciles — the
+    standard curriculum/quality partition for web-scale corpora).
+    The LM is the corpus-fit bigram model of :func:`bigram_lm_score`;
+    "head" is the best-scoring (least perplex) third.
+
+    Rank WITHOUT a per-language global sort (the
+    ``linear_probe_score`` discipline): documents group to
+    (lang, score) — scores are 6-dp-rounded, so grouping is exact —
+    and a window over that BOUNDED per-language score histogram
+    assigns each distinct score its count of strictly-better docs;
+    the only per-document window is row_number inside a
+    (lang, score) tie group ordered by id. A hot language never
+    becomes one sort partition: the heavy window keys are
+    (lang, score) pairs.
+
+    Bucket boundaries are pure integer comparisons
+    (``(rank-1)*3 < n`` …), identical cross-engine. Output: doc_id,
+    lang, avg_log2_prob, perplexity, lang_rank, bucket.
+    """
+    scored = bigram_lm_score(df, text_col, id_col)
+    j = scored.join(
+        df.selectExpr(bq(id_col), f"({lang_expr}) AS lang"), id_col
+    )
+    g = j.groupBy("lang", "avg_log2_prob").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wlang = Window.partitionBy("lang")
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("avg_log2_prob"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = g.select(
+        "lang",
+        "avg_log2_prob",
+        F.coalesce(F.sum("__c").over(wcum), F.lit(0)).alias("__better"),
+        F.sum("__c").over(wlang).alias("__n"),
+    )
+    wtie = Window.partitionBy("lang", "avg_log2_prob").orderBy(id_col)
+    return (
+        j.join(cum, ["lang", "avg_log2_prob"])
+        .withColumn("__rn", F.row_number().over(wtie))
+        .selectExpr(
+            bq(id_col),
+            "lang",
+            "avg_log2_prob",
+            "perplexity",
+            "CAST(__better + __rn AS INT) AS lang_rank",
+            "CASE WHEN (__better + __rn - 1) * 3 < __n THEN 'head' "
+            "WHEN (__better + __rn - 1) * 3 < 2 * __n THEN 'middle' "
+            "ELSE 'tail' END AS bucket",
+        )
+    )
+
+
+def corpus_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    sample_per_group: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-group corpus diversity as MEAN PAIRWISE JACCARD over a
+    deterministic md5 sample (the self-BLEU-style redundancy signal:
+    a source whose sampled documents overlap heavily is producing
+    near-clones, a diverse one scores ~0). Unlike the dedup family —
+    which only surfaces pairs ABOVE a threshold — the mean here must
+    include the zero-overlap pairs, so the pair skeleton comes from a
+    bounded ``sample_per_group``² self-join of SAMPLED ids per group
+    and the shared-shingle counts left-join onto it.
+
+    Scale shape: the md5-rank sample is one per-group window over
+    (group, md5) — at most ``sample_per_group`` docs per group
+    survive, so every later stage is bounded by groups·m² pairs and
+    groups·m shingle sets, independent of corpus size; the only
+    corpus-sized work is the scan + the sampling window.
+
+    Jaccard per pair micro-quantizes via integer division
+    (``shared·10⁶ div union`` — exact, identical cross-engine), so
+    the group mean is one division of exact integers. Output: group,
+    n_sampled, n_pairs, mean_jaccard.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        df.selectExpr(
+            f"{bq(id_col)} AS __id",
+            f"{bq(group_col)} AS grp",
+            f"md5(CAST({bq(id_col)} AS STRING)) AS __h",
+            f"{bq(text_col)} AS __txt",
+        )
+        .withColumn("__toks", tokens("__txt"))
+        # shingling needs >= n tokens; eligibility precedes sampling so
+        # the sample is a deterministic function of the eligible set
+        .filter(f"size(__toks) >= {shingle_n}")
+    )
+    w = Window.partitionBy("grp").orderBy("__h", "__id")
+    sampled = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= sample_per_group)
+        .selectExpr(
+            "grp", "__id", f"{shingle_hashes_expr('__toks', shingle_n)} AS __sh"
+        )
+        .selectExpr("grp", "__id", "__sh", "size(__sh) AS n_sh")
+    )
+    from pyspark import StorageLevel
+
+    sampled = sampled.persist(StorageLevel.MEMORY_AND_DISK)
+    ids = sampled.select("grp", "__id", "n_sh")
+    skel = (
+        ids.selectExpr("grp", "__id AS id_a", "n_sh AS n_a")
+        .join(ids.selectExpr("grp", "__id AS id_b", "n_sh AS n_b"), "grp")
+        .filter("id_a < id_b")
+    )
+    ex = sampled.selectExpr("grp", "__id", "explode(__sh) AS h")
+    shared = (
+        ex.selectExpr("grp", "__id AS id_a", "h")
+        .join(ex.selectExpr("grp", "__id AS id_b", "h"), ["grp", "h"])
+        .filter("id_a < id_b")
+        .groupBy("grp", "id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jacc = (
+        skel.join(shared, ["grp", "id_a", "id_b"], "left")
+        .selectExpr(
+            "grp",
+            "COALESCE(shared, 0) AS sh",
+            "n_a + n_b - COALESCE(shared, 0) AS un",
+        )
+        .selectExpr(
+            "grp",
+            "CASE WHEN un = 0 THEN 0 ELSE CAST(sh AS BIGINT) * 1000000"
+            " div un END AS jm",
+        )
+    )
+    return jacc.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr(
+            "round(CAST(SUM(jm) AS DOUBLE) / count(1) / 1e6, 6)"
+        ).alias("mean_jaccard"),
+    ).join(
+        sampled.groupBy("grp").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled")
+        ),
+        "grp",
+    ).select("grp", "n_sampled", "n_pairs", "mean_jaccard")
+
+
+def zipf_token_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_r: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token histogram: OLS of
+    ln(frequency) on ln(rank) across the ``top_r`` most frequent
+    tokens — the standard corpus-health profile (natural text slopes
+    ≈ −1; templated/boilerplate corpora flatten, token-salad
+    steepens).
+
+    The regression is EXACT integer arithmetic until three final
+    divisions: x = ln(rank) and y = ln(freq) micro-quantize to 1e-6
+    BIGINTs (ln of an integer argument — both engines evaluate libm
+    ln on identical inputs), the five OLS sums accumulate as
+    DECIMAL(38,0) (nΣxy-grade products overflow int64 at r=1000;
+    decimal128 keeps them exact and sum-order-free), and slope /
+    intercept / r² are rounded from single divisions of those exact
+    sums. The token histogram is one vocabulary-bounded aggregate;
+    the top-r head is taken with ``orderBy().limit()`` — Catalyst
+    plans it as TakeOrderedAndProject (per-partition top-k + merge,
+    NEVER a global sort of a web-scale vocabulary) — and the rank
+    window runs over those r rows only.
+
+    Output: 1 row — n_tokens_ranked, slope, intercept, r2.
+    """
+    from pyspark.sql import Window
+
+    hist = (
+        df.withColumn("__t", F.explode(tokens(text_col)))
+        .filter("__t <> ''")
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = hist.orderBy(F.desc("freq"), F.asc("__t")).limit(int(top_r))
+    w = Window.orderBy(F.desc("freq"), F.asc("__t"))
+    head = (
+        top.withColumn("rank", F.row_number().over(w))
+        .selectExpr(
+            "CAST(round(ln(rank) * 1e6, 0) AS DECIMAL(38,0)) AS x",
+            "CAST(round(ln(freq) * 1e6, 0) AS DECIMAL(38,0)) AS y",
+        )
+    )
+    sums = head.agg(
+        F.expr("CAST(count(1) AS DECIMAL(38,0)) AS n"),
+        F.expr("CAST(SUM(x) AS DECIMAL(38,0)) AS sx"),
+        F.expr("CAST(SUM(y) AS DECIMAL(38,0)) AS sy"),
+        F.expr("CAST(SUM(x*x) AS DECIMAL(38,0)) AS sxx"),
+        F.expr("CAST(SUM(y*y) AS DECIMAL(38,0)) AS syy"),
+        F.expr("CAST(SUM(x*y) AS DECIMAL(38,0)) AS sxy"),
+    )
+    return sums.selectExpr(
+        "CAST(n AS BIGINT) AS n_tokens_ranked",
+        # slope = (nΣxy − ΣxΣy) / (nΣxx − Σx²); micro scaling cancels
+        "round(CAST(n*sxy - sx*sy AS DOUBLE)"
+        " / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope",
+        # intercept = (Σy − slope·Σx)/n, in ln units (y was ×1e6)
+        "round((CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE)"
+        " / CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " / CAST(n AS DOUBLE) / 1e6, 6) AS intercept",
+        "round(POWER(CAST(n*sxy - sx*sy AS DOUBLE), 2)"
+        " / (CAST(n*sxx - sx*sx AS DOUBLE)"
+        " * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2",
+    )

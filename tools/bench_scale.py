@@ -490,6 +490,105 @@ def main() -> None:
         ),
     )
 
+    # round-10 additions: the wave-1/2 training-data ops. Documents
+    # reuse the perturbed-copy generator; record_linkage gets ×factor
+    # DISJOINT blocking keys (more data ⇒ more blocks — the operator's
+    # stated scale assumption; within-block growth is what max_block
+    # caps) so the probe measures the linear regime.
+    from institutional_fx_etl_spark.operators.dedup import (
+        record_linkage_fs,
+    )
+    from institutional_fx_etl_spark.operators.selection import kfold_assign
+    from institutional_fx_etl_spark.operators.similarity import (
+        bitext_margin,
+        hard_negatives,
+    )
+    from institutional_fx_etl_spark.operators.text import (
+        boilerplate_purge,
+        corpus_diversity,
+        perplexity_buckets,
+        zipf_token_fit,
+    )
+
+    run("boilerplate_purge", lambda f: boilerplate_purge(docs[f]))
+    run(
+        "perplexity_buckets",
+        lambda f: perplexity_buckets(
+            docs[f], lang_expr="CAST(doc_id % 5 AS STRING)"
+        ),
+    )
+    run(
+        "kfold_assign",
+        lambda f: kfold_assign(
+            docs[f], k=5, stratum_expr="CAST(doc_id % 7 AS STRING)"
+        ),
+    )
+    run("zipf_token_fit", lambda f: zipf_token_fit(docs[f]))
+    run(
+        "corpus_diversity",
+        # groups scale with the corpus (a source catalog grows with
+        # data); per-group sample stays bounded
+        lambda f: corpus_diversity(
+            docs[f].selectExpr(
+                "doc_id", "text",
+                f"CAST(doc_id % {20 * f} AS STRING) AS source",
+            )
+        ),
+    )
+    run(
+        "bitext_margin",
+        lambda f: bitext_margin(
+            emb[f], side_expr="vid % 2 = 0", k=4,
+            num_centroids=_auto_cells(n_emb[f]),
+        ),
+    )
+    run(
+        "hard_negatives",
+        lambda f: hard_negatives(
+            emb[f].selectExpr(
+                "vec_id", "embedding", "CAST(vec_id % 5 AS INT) AS label"
+            ),
+            k=3,
+            num_centroids=_auto_cells(n_emb[f]),
+        ),
+    )
+
+    def scaled_customers(f: int) -> DataFrame:
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment",
+        )
+        if f == 1:
+            return cust
+        return cust.select(
+            "*", F.explode(F.expr(f"sequence(0, {f - 1})")).alias("__c")
+        ).selectExpr(
+            "c_custkey + __c * 10000000 AS c_custkey",
+            "c_name",
+            "c_nationkey + __c * 25 AS c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        )
+
+    run(
+        "record_linkage_fs",
+        lambda f: record_linkage_fs(
+            scaled_customers(f),
+            id_col="c_custkey",
+            block_expr="c_nationkey",
+            fields=[
+                ("seg", "c_mktsegment", 0.9375),
+                ("bal", "CAST(floor(c_acctbal / 1000.0) AS INT)", 0.875),
+                ("nsx", "right(c_name, 2)", 0.75),
+            ],
+            # the review queue scales with the corpus: work here is
+            # candidate-bound (10× blocks), not output-bound, so a
+            # pinned top-N would misread the linear regime as a wall
+            # blowup on a 1× output
+            top_n=200 * f,
+        ),
+    )
+
     artifact = {"factor": factor, "sf_dir": sf_dir, "results": out}
     try:  # keep an existing skewed-100× section across 10× reruns
         prior = json.load(open("BENCH_scale.json"))
