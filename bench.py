@@ -187,6 +187,8 @@ HEADLINE = [
     "zipf_token_fit",
     "probe_calibration",
     "streaming_ivf_assign",
+    "dedup_weights",
+    "contamination_audit",
 ]
 
 

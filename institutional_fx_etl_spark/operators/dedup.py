@@ -1296,3 +1296,32 @@ def record_linkage_fs(
             "CAST(__micro AS DOUBLE) / 1e6 AS score",
         )
     )
+
+
+def dedup_weights(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    **cluster_kwargs,
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, weight
+    every document by the inverse of its duplicate-cluster size
+    (training-mixture ablations — e.g. the FineWeb/Dolma soft-dedup
+    variants — keep all copies but make each CLUSTER, not each copy,
+    contribute one unit of training mass). Composes
+    :func:`dedup_clusters`' connected components with one
+    component-sized count aggregate; singletons weigh 1.0.
+
+    The weight is ``round(1/|cluster|, 6)`` — one double division of
+    exact integers per row, identical cross-engine. Output: id,
+    cluster_size, weight.
+    """
+    clus = dedup_clusters(ids, pairs, id_col=id_col, **cluster_kwargs)
+    sizes = clus.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return clus.join(sizes, "comp").selectExpr(
+        bq(id_col),
+        "cluster_size",
+        "round(CAST(1 AS DOUBLE) / cluster_size, 6) AS weight",
+    )

@@ -1952,6 +1952,7 @@ def hard_negatives(
     id_col: str = "vec_id",
     num_centroids: int = 8,
     centroids: DataFrame | None = None,
+    pair_strategy: str = "auto",
 ) -> DataFrame:
     """Hard-negative mining for contrastive training (the in-batch /
     ANN-negative recipe of DPR, Karpukhin et al. 2020): for EVERY
@@ -1980,6 +1981,21 @@ def hard_negatives(
         .selectExpr("vid", "cid", "__lbl", f"{_UNIT} AS vn")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # pair stage — the knn_join two-regime discipline: the Arrow
+    # kernel computes the per-cell (m, m) cosine block vectorized and
+    # masks same-label columns before the stable top-k (4.1 s -> SQL
+    # twin was the round-10 bench's slowest query at sf0.1); "sql" is
+    # the pure-JVM twin the equality gate checks the kernel against.
+    if pair_strategy not in ("auto", "numpy", "sql"):
+        raise ValueError(
+            f"pair_strategy must be 'auto', 'numpy' or 'sql', got "
+            f"{pair_strategy!r}"
+        )
+    if pair_strategy != "sql":
+        id_type = dict(normed.dtypes)["vid"]
+        return _hard_neg_pairs_numpy(normed, k, id_type).selectExpr(
+            f"vid AS {bq(id_col)}", "neg_id", "rank", "cosine"
+        )
     a = normed.selectExpr("cid", "vid", "vn AS va", "__lbl AS la")
     b = normed.selectExpr("cid", "vid AS neg_id", "vn AS vb", "__lbl AS lb")
     scored = (
@@ -1993,3 +2009,69 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .selectExpr(f"vid AS {bq(id_col)}", "neg_id", "rank", "cosine")
     )
+
+
+def _hard_neg_pairs_numpy(
+    normed: DataFrame, k: int, id_type: str
+) -> DataFrame:
+    """Per-cell Arrow kernel for :func:`hard_negatives`: identical
+    exactness discipline to :func:`_knn_pairs_numpy` (dimension-ordered
+    fold, 6-dp half-up block rounding, exact decimal fallback for
+    boundary-risky rows), with SAME-LABEL columns masked to -inf
+    before the stable top-k — the null-safe label-equality mask
+    (NULL <=> NULL is a match, NULL <=> value is not) reproduces the
+    SQL twin's ``NOT (la <=> lb)`` predicate exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from institutional_fx_etl_spark.functions import npexact as npe
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid").reset_index(drop=True)
+        m = len(pdf)
+        out = {"vid": [], "neg_id": [], "rank": [], "cosine": []}
+        if m >= 2:
+            X = np.array(pdf["vn"].tolist(), dtype=np.float64)
+            vids = pdf["vid"].to_numpy()
+            lab = pdf["__lbl"].to_numpy(dtype=object)
+            isna = np.array([v is None or v != v for v in lab], dtype=bool)
+            filled = np.array(
+                [0 if (v is None or v != v) else v for v in lab]
+            )
+            # same[i, j] == the SQL la <=> lb (null-safe equality)
+            same = (
+                (filled[:, None] == filled[None, :])
+                & ~isna[:, None]
+                & ~isna[None, :]
+            ) | (isna[:, None] & isna[None, :])
+            for lo in range(0, m, 1024):
+                hi = min(lo + 1024, m)
+                cc = npe.fold_dot(X[lo:hi], X)
+                rc, risky = npe.round6_block(cc)
+                blk_same = same[lo:hi]
+                risky = risky & ~blk_same
+                rc = np.where(blk_same, -np.inf, rc)
+                order = np.argsort(-rc, axis=1, kind="stable")
+                bad = set(np.nonzero(risky.any(axis=1))[0].tolist())
+                for r in range(hi - lo):
+                    if r in bad:
+                        er = npe.exact_row_round(cc[r])
+                        er[blk_same[r]] = -np.inf
+                        idx = np.argsort(-er, kind="stable")
+                        vals = er
+                    else:
+                        idx = order[r]
+                        vals = rc[r]
+                    emitted = 0
+                    for j in idx:
+                        if emitted >= k or vals[j] == -np.inf:
+                            break
+                        emitted += 1
+                        out["vid"].append(vids[lo + r])
+                        out["neg_id"].append(vids[j])
+                        out["rank"].append(emitted)
+                        out["cosine"].append(float(vals[j]))
+        return pd.DataFrame(out)
+
+    schema = f"vid {id_type}, neg_id {id_type}, rank int, cosine double"
+    return normed.groupBy("cid").applyInPandas(per_cell, schema=schema)

@@ -72,3 +72,59 @@ def build_training_corpus(
             .alias("shard_id"),
         )
     )
+
+
+def contamination_audit(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    eval_pred: str = "doc_id % 10 = 0",
+    emb_eval_pred: str = "vec_id % 10 = 0",
+    min_cosine: float = 0.35,
+    num_centroids: int | None = None,
+    ngram_n: int = 5,
+) -> DataFrame:
+    """Composite eval-contamination audit — ONE row per held-out
+    document carrying BOTH leakage verdicts a pretraining release
+    checks: the lexical one (shares any word ``ngram_n``-gram with the
+    training corpus — ``decontaminate_against``) and the semantic one
+    (a training embedding within ``min_cosine`` —
+    ``embedding_decontaminate``, which catches paraphrases the n-gram
+    rule can't see). ``contaminated`` is the union verdict; the
+    per-signal columns say WHY, which is what an audit reader acts on.
+
+    Both legs keep their own scale shapes (gram broadcast + one hash
+    aggregate; auto-celled cross-table cosine); the audit itself adds
+    one eval-sized left join. Output: eval_id, ngram_matched,
+    ngram_hit, emb_matches, emb_max_cosine, contaminated.
+    """
+    from institutional_fx_etl_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+    from institutional_fx_etl_spark.operators.text import (
+        decontaminate_against,
+    )
+    from institutional_fx_etl_spark.plans.driver_queries import _auto_cells
+
+    ev_docs = docs.filter(eval_pred)
+    corpus_docs = docs.filter(f"NOT ({eval_pred})")
+    train = embeddings.filter(f"NOT ({emb_eval_pred})")
+    test = embeddings.filter(emb_eval_pred)
+    ng = decontaminate_against(ev_docs, corpus_docs, n=ngram_n)
+    emb = embedding_decontaminate(
+        train,
+        test,
+        min_cosine=min_cosine,
+        num_centroids=num_centroids or _auto_cells(train.count()),
+    )
+    return (
+        ng.join(emb, ng["doc_id"] == emb["test_id"], "left")
+        .selectExpr(
+            "doc_id AS eval_id",
+            "CAST(n_matched AS INT) AS ngram_matched",
+            "CAST(n_matched > 0 AS INT) AS ngram_hit",
+            "CAST(COALESCE(n_matches, 0) AS BIGINT) AS emb_matches",
+            "max_cosine AS emb_max_cosine",
+            "CAST(n_matched > 0 OR test_id IS NOT NULL AS INT)"
+            " AS contaminated",
+        )
+    )

@@ -501,3 +501,88 @@ def test_probe_calibration_partitions_the_corpus(spark):
         assert 0 <= r["bin"] <= 9
         assert 0 <= r["n_pos"] <= r["n_docs"]
         assert r["pos_rate"] == round(r["n_pos"] / r["n_docs"], 6)
+
+
+def test_hard_negatives_kernel_equals_sql_twin(spark):
+    """Regime equality gate: the Arrow label-masked kernel must match
+    the pure-JVM cell self-join bit-for-bit, including NULL labels."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = _toy_embeddings(spark, n=50, d=8).selectExpr(
+        "vec_id",
+        "embedding",
+        "CASE WHEN vec_id % 5 = 4 THEN NULL"
+        " ELSE CAST(vec_id % 3 AS INT) END AS label",
+    )
+    kw = dict(k=3, num_centroids=4)
+    got = sorted(map(tuple, hard_negatives(
+        emb, pair_strategy="numpy", **kw
+    ).collect()))
+    ref = sorted(map(tuple, hard_negatives(
+        emb, pair_strategy="sql", **kw
+    ).collect()))
+    assert got == ref and got
+
+
+# ---------------------------------------------------------------------
+# round-10 wave-3 operators
+# ---------------------------------------------------------------------
+
+
+def test_dedup_weights_cluster_mass_is_one(spark):
+    """Each near-dup cluster contributes ~1 unit of mass: weights are
+    1/|cluster| and singletons weigh exactly 1.0."""
+    from institutional_fx_etl_spark.operators.dedup import dedup_weights
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(6)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r for r in dedup_weights(ids, pairs).collect()}
+    assert len(out) == 6
+    for i in (0, 1, 2):
+        assert out[i]["cluster_size"] == 3
+        assert out[i]["weight"] == round(1 / 3, 6)
+    assert out[3]["cluster_size"] == 1 and out[3]["weight"] == 1.0
+    for i in (4, 5):
+        assert out[i]["cluster_size"] == 2 and out[i]["weight"] == 0.5
+
+
+def test_contamination_audit_union_verdict(spark):
+    """The union flag fires iff either leg fires; per-signal columns
+    carry the reason."""
+    from institutional_fx_etl_spark.plans.corpus import contamination_audit
+
+    # eval ids: 0, 10, 20. Doc 10 lexically copies corpus doc 3;
+    # embedding 20 semantically equals training embedding 7.
+    docs = spark.createDataFrame(
+        [
+            (0, "zero unique text with many distinct tokens here ok"),
+            (10, "alpha beta gamma delta epsilon zeta common run"),
+            (20, "totally fresh words nothing shared at all here"),
+            (3, "alpha beta gamma delta epsilon zeta common run"),
+            (7, "irrelevant corpus text filling space for realism"),
+        ],
+        "doc_id long, text string",
+    )
+    import random
+
+    rng = random.Random(3)
+    base = {i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(30)}
+    base[20] = base[7]  # semantic twin
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in base.items()],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["eval_id"]: r for r in contamination_audit(
+        docs, emb, min_cosine=0.99, num_centroids=2
+    ).collect()}
+    assert out[10]["ngram_hit"] == 1 and out[10]["contaminated"] == 1
+    assert out[20]["ngram_hit"] == 0
+    assert out[20]["emb_matches"] >= 1 and out[20]["contaminated"] == 1
+    assert out[0]["contaminated"] == 0
+    assert out[0]["emb_max_cosine"] is None
