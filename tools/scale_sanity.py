@@ -495,6 +495,57 @@ def _corpus_scale(spark, argv) -> None:
             "kmeans_inertia",
             lambda: kmeans_inertia(vecs, num_centroids=64),
         )
+        # round-10 family at the same 1M-doc grain
+        from institutional_fx_etl_spark.operators.selection import (
+            kfold_assign,
+        )
+        from institutional_fx_etl_spark.operators.similarity import (
+            hard_negatives,
+        )
+        from institutional_fx_etl_spark.operators.text import (
+            boilerplate_purge,
+            corpus_diversity,
+            perplexity_buckets,
+            zipf_token_fit,
+        )
+        from institutional_fx_etl_spark.plans.driver_queries import (
+            _auto_cells,
+        )
+
+        timed("boilerplate_purge", lambda: boilerplate_purge(docs))
+        timed(
+            "perplexity_buckets",
+            lambda: perplexity_buckets(
+                docs, lang_expr="CAST(doc_id % 5 AS STRING)"
+            ),
+        )
+        timed(
+            "kfold_assign",
+            lambda: kfold_assign(
+                docs, k=5, stratum_expr="CAST(kind AS STRING)"
+            ),
+        )
+        timed("zipf_token_fit", lambda: zipf_token_fit(docs))
+        timed(
+            "corpus_diversity",
+            lambda: corpus_diversity(
+                docs.selectExpr(
+                    "doc_id", "text",
+                    "CAST(doc_id % 1000 AS STRING) AS source",
+                )
+            ),
+        )
+        timed(
+            "hard_negatives",
+            lambda: hard_negatives(
+                vecs.selectExpr(
+                    "vec_id", "embedding",
+                    "CAST(vec_id % 5 AS INT) AS label",
+                ),
+                k=3,
+                num_centroids=_auto_cells(n_docs),
+            ),
+        )
     from pyspark.storagelevel import StorageLevel
 
     # persist the verified pairs so the CC wall measures the
