@@ -21,7 +21,9 @@ OUTPUT-normalized view — ``rows_ratio`` (output rows at ×F over ×1)
 and ``wall_per_output_row_us`` — so an output-bound result like
 lsh_ann_pairs (wall ×7 on output ×42) reads as the sub-linear result
 it is, and ``tests/test_bench_scale_contract.py`` fails loudly when a
-committed probe's wall ratio exceeds ``max(3, rows_ratio)``. And a
+committed probe's wall ratio exceeds ``max(3, rows_ratio,
+input_ratio)`` (input_ratio applies only to the declared INPUT_BOUND
+scalar-aggregate probes). And a
 ``--skew=100`` mode runs the three scale-critical LLM ops
 (minhash_lsh_pairs, semdedup, ivfpq_topk) at 100× under a REALISTIC
 Zipfian-duplicate / hot-cluster generator — the regime where the
@@ -206,7 +208,15 @@ def skewed_embeddings(spark, sf_dir: str, factor: int) -> DataFrame:
     )
 
 
-def _normalize(walls: dict, factor: int) -> None:
+#: probes whose OUTPUT is a scalar/fixed-size aggregate while their
+#: WORK is provably linear in the scaled input (disjoint-copy graphs,
+#: full-corpus scans): the output-normalized bound misreads them — a
+#: count can't grow with the data — so the gate bounds their wall by
+#: the INPUT ratio instead (still fails loudly on super-linear creep).
+INPUT_BOUND = {"triangle_count", "kmeans_inertia", "zipf_token_fit"}
+
+
+def _normalize(walls: dict, factor: int, name: str | None = None) -> None:
     """Attach the output-normalized view (r9 verdict ask #5): wall
     ratio alone misreads output-bound probes — lsh_ann_pairs' ×7 wall
     on ×42 output rows IS sub-linear work per pair."""
@@ -218,6 +228,8 @@ def _normalize(walls: dict, factor: int) -> None:
     walls["wall_per_output_row_us"] = round(
         walls[f"x{factor}"] * 1e6 / max(rows_f, 1), 1
     )
+    if name in INPUT_BOUND:
+        walls["input_ratio"] = float(factor)
 
 
 def run_skewed(spark, sf_dir: str, factor: int) -> dict:
@@ -391,7 +403,7 @@ def main() -> None:
             n = fn(f).count()
             walls[f"x{f}"] = round(time.perf_counter() - t0, 2)
             walls[f"rows_x{f}"] = n
-        _normalize(walls, factor)
+        _normalize(walls, factor, name)
         out[name] = walls
         print(f"[scale:{name}] {walls}", flush=True)
 
