@@ -1862,6 +1862,8 @@ def bitext_margin(
     id_col: str = "vec_id",
     num_centroids: int = 8,
     centroids: DataFrame | None = None,
+    max_cell: int | None = None,
+    pair_strategy: str = "auto",
 ) -> DataFrame:
     """Margin-based parallel-pair mining (Artetxe & Schwenk 2019 — the
     LASER/CCMatrix bitext-mining criterion): the corpus splits into a
@@ -1876,7 +1878,8 @@ def bitext_margin(
     Candidates are IVF-cell-bounded exactly like :func:`knn_join`
     (shared centroids over BOTH sides, Σ|cell_A|·|cell_B| pairs —
     never |A|·|B|), so the same num_centroids ≈ n/512 sizing keeps the
-    pair stage linear in the corpus. The pair relation persists once
+    pair stage linear in the corpus; ``max_cell`` is the standard
+    hot-cell cap for skewed (template-heavy) embedding corpora. The pair relation persists once
     and feeds the forward top-k, the backward top-k and the margin
     join.
 
@@ -1892,9 +1895,36 @@ def bitext_margin(
         if centroids is None
         else _assign_to(df, centroids, vec_col, id_col)
     )
+    if max_cell is not None:
+        small = (
+            assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_cell)
+            .select("cid")
+        )
+        assigned = assigned.join(small, "cid", "left_semi")
     from pyspark import StorageLevel
 
     normed = assigned.selectExpr("vid", "cid", f"{_UNIT} AS vn")
+    # pair stage — two regimes with identical results (the knn_join
+    # discipline): the Arrow kernel computes the whole margin pipeline
+    # CELL-LOCALLY (fwd/bwd top-k, integer margin arithmetic, best per
+    # source) and emits only |A| rows — no pair relation ever
+    # materializes; "sql" is the pure-JVM twin the equality gate
+    # checks the kernel against.
+    if pair_strategy not in ("auto", "numpy", "sql"):
+        raise ValueError(
+            f"pair_strategy must be 'auto', 'numpy' or 'sql', got "
+            f"{pair_strategy!r}"
+        )
+    if pair_strategy != "sql":
+        id_type = dict(normed.dtypes)["vid"]
+        sided = normed.selectExpr(
+            "vid", "cid", "vn", f"({side_expr}) AS __side"
+        )
+        return _bitext_margin_numpy(sided, k, id_type).selectExpr(
+            "src_id", "tgt_id", "cosine", "margin"
+        )
     a = normed.filter(side_expr).selectExpr("cid", "vid AS src", "vn AS va")
     b = normed.filter(f"NOT ({side_expr})").selectExpr(
         "cid", "vid AS tgt", "vn AS vb"
@@ -1944,6 +1974,74 @@ def bitext_margin(
     )
 
 
+def _bitext_margin_numpy(
+    sided: DataFrame, k: int, id_type: str
+) -> DataFrame:
+    """Per-cell Arrow kernel for :func:`bitext_margin`: the ENTIRE
+    margin computation is cell-local, so the kernel runs it in one
+    pass — (|A|, |B|) cosine block with the dimension-ordered fold and
+    exact 6-dp rounding (risky rows re-round through the decimal
+    path), micro-int quantization, forward/backward top-k sums as
+    exact int64, the ``2·cm·ka·kb / (Σf·kb + Σb·ka)`` margin as one
+    correctly-rounded double division (all operands < 2^53), and the
+    per-source argmax with the (margin desc, tgt asc) tiebreak.
+    Emits |A| rows per cell — the Σ|A|·|B| pair relation of the SQL
+    twin never materializes. Equality with the twin is machine-gated
+    in tests/test_round10_ops.py."""
+    import numpy as np
+    import pandas as pd
+
+    from institutional_fx_etl_spark.functions import npexact as npe
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {"src_id": [], "tgt_id": [], "cosine": [], "margin": []}
+        av = pdf[pdf["__side"]].sort_values("vid")
+        bv = pdf[~pdf["__side"]].sort_values("vid")
+        ma, mb = len(av), len(bv)
+        if ma and mb:
+            XA = np.array(av["vn"].tolist(), dtype=np.float64)
+            XB = np.array(bv["vn"].tolist(), dtype=np.float64)
+            a_ids = av["vid"].to_numpy()
+            b_ids = bv["vid"].to_numpy()
+            cc = npe.fold_dot(XA, XB)
+            rc, risky = npe.round6_block(cc)
+            for r in np.nonzero(risky.any(axis=1))[0]:
+                rc[r] = npe.exact_row_round(cc[r])
+            cm = np.rint(rc * 1e6).astype(np.int64)
+            ka, kb = min(k, mb), min(k, ma)
+            # forward top-k per source row (cosine desc, tgt asc ==
+            # ascending col index under stable sort)
+            fidx = np.argsort(-rc, axis=1, kind="stable")[:, :ka]
+            fs = np.take_along_axis(cm, fidx, axis=1).sum(axis=1)
+            # backward top-k per target column
+            bidx = np.argsort(-rc, axis=0, kind="stable")[:kb, :]
+            bs = np.take_along_axis(cm, bidx, axis=0).sum(axis=0)
+            for r in range(ma):
+                num = 2 * cm[r, fidx[r]].astype(object) * ka * kb
+                den = int(fs[r]) * kb + bs[fidx[r]].astype(object) * ka
+                best = None
+                for pos in range(ka):
+                    d = int(den[pos])
+                    if d <= 0:
+                        continue
+                    marg = npe.round6_exact(int(num[pos]) / d)
+                    j = int(fidx[r, pos])
+                    cand = (-marg, int(b_ids[j]), float(rc[r, j]))
+                    if best is None or cand < best:
+                        best = cand
+                if best is not None:
+                    out["src_id"].append(int(a_ids[r]))
+                    out["tgt_id"].append(best[1])
+                    out["cosine"].append(best[2])
+                    out["margin"].append(-best[0])
+        return pd.DataFrame(out)
+
+    schema = (
+        f"src_id {id_type}, tgt_id {id_type}, cosine double, margin double"
+    )
+    return sided.groupBy("cid").applyInPandas(per_cell, schema=schema)
+
+
 def hard_negatives(
     df: DataFrame,
     label_col: str = "label",
@@ -1953,6 +2051,7 @@ def hard_negatives(
     num_centroids: int = 8,
     centroids: DataFrame | None = None,
     pair_strategy: str = "auto",
+    max_cell: int | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training (the in-batch /
     ANN-negative recipe of DPR, Karpukhin et al. 2020): for EVERY
@@ -1963,6 +2062,8 @@ def hard_negatives(
     cell join, before the rank window, so ranks are over negatives
     only. NULL labels never match anything (null-safe inequality), so
     unlabeled vectors still mine negatives from labeled cellmates.
+    ``max_cell`` is the standard hot-cell cap (semdedup/knn_join
+    discipline) for skewed corpora.
 
     Output: vec_id, neg_id, rank, cosine (desc, neg_id-asc tiebreak).
     """
@@ -1971,6 +2072,14 @@ def hard_negatives(
         if centroids is None
         else _assign_to(df, centroids, vec_col, id_col)
     )
+    if max_cell is not None:
+        small = (
+            assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_cell)
+            .select("cid")
+        )
+        assigned = assigned.join(small, "cid", "left_semi")
     labels = df.selectExpr(
         f"{bq(id_col)} AS vid", f"{bq(label_col)} AS __lbl"
     )

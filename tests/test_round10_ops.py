@@ -586,3 +586,47 @@ def test_contamination_audit_union_verdict(spark):
     assert out[20]["emb_matches"] >= 1 and out[20]["contaminated"] == 1
     assert out[0]["contaminated"] == 0
     assert out[0]["emb_max_cosine"] is None
+
+
+def test_ann_hot_cell_caps(spark):
+    """max_cell drops oversized cells from both new ANN ops (the
+    semdedup/knn_join hot-cell discipline): one giant cell -> empty
+    output; generous cap -> normal output."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        bitext_margin,
+        hard_negatives,
+    )
+
+    emb = _toy_embeddings(spark, n=30, d=6)
+    lab = emb.selectExpr(
+        "vec_id", "embedding", "CAST(vec_id % 2 AS INT) AS label"
+    )
+    # num_centroids=1 -> every vector lands in ONE cell of 30
+    assert hard_negatives(
+        lab, k=2, num_centroids=1, max_cell=10
+    ).count() == 0
+    assert hard_negatives(lab, k=2, num_centroids=1, max_cell=64).count() > 0
+    assert bitext_margin(
+        emb, side_expr="vid % 2 = 0", k=2, num_centroids=1, max_cell=10
+    ).count() == 0
+    assert bitext_margin(
+        emb, side_expr="vid % 2 = 0", k=2, num_centroids=1, max_cell=64
+    ).count() > 0
+
+
+def test_bitext_margin_kernel_equals_sql_twin(spark):
+    """Regime equality gate: the all-in-one Arrow margin kernel must
+    match the pure-JVM pair pipeline bit-for-bit across cells."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        bitext_margin,
+    )
+
+    emb = _toy_embeddings(spark, n=60, d=8)
+    kw = dict(side_expr="vid % 2 = 0", k=4, num_centroids=4)
+    got = sorted(map(tuple, bitext_margin(
+        emb, pair_strategy="numpy", **kw
+    ).collect()))
+    ref = sorted(map(tuple, bitext_margin(
+        emb, pair_strategy="sql", **kw
+    ).collect()))
+    assert got == ref and got

@@ -351,6 +351,55 @@ def run_skewed(spark, sf_dir: str, factor: int) -> dict:
     }
     out["ivfpq_topk_skew"] = walls
     print(f"[skew:ivfpq_topk] {walls}", flush=True)
+
+    # round-10 addition: hard_negatives under the same hot-cluster
+    # skew — the label-masked Arrow kernel behind the max_cell cap
+    from institutional_fx_etl_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    walls = {}
+    hn_out = {}
+    for f in (1, factor):
+        lab = emb[f].selectExpr(
+            "vec_id", "embedding", "CAST(vec_id % 5 AS INT) AS label"
+        )
+        t0 = time.perf_counter()
+        hn = hard_negatives(
+            lab, k=3, num_centroids=_auto_cells(n_emb[f]),
+            max_cell=max_cell,
+        )
+        hn.persist()
+        n = hn.count()
+        walls[f"x{f}"] = round(time.perf_counter() - t0, 2)
+        walls[f"rows_x{f}"] = n
+        hn_out[f] = hn
+    _normalize(walls, factor)
+    hn_cells = (
+        hn_out[factor]
+        .groupBy("vec_id")
+        .count()
+        .agg(
+            F.expr("count(1) AS n_queries_served"),
+        )
+        .collect()[0]
+    )
+    walls["cap"] = {
+        "max_cell": max_cell,
+        "n_queries_served": hn_cells["n_queries_served"],
+        "served_frac": round(
+            hn_cells["n_queries_served"] / n_emb[factor], 3
+        ),
+        "note": "80% of rows collapse onto 4 hot directions; their"
+        " cells exceed max_cell and skip mining (recall traded for"
+        " the #cells*max_cell^2 bound) — served_frac is the honest"
+        " coverage under this skew",
+    }
+    for f in (1, factor):
+        hn_out[f].unpersist()
+    out["hard_negatives_skew"] = walls
+    print(f"[skew:hard_negatives] {walls}", flush=True)
+
     for d in emb.values():
         d.unpersist()
     return out
