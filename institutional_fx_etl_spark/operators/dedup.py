@@ -1220,7 +1220,12 @@ def record_linkage_fs(
     quadratic); top_n keeps the output bounded via a total-order
     rank. Output: id_a, id_b, one agree_<name> flag per field, score.
 
-    ``fields`` entries are ``(name, sql_expr, m_prob)``.
+    ``fields`` entries are ``(name, sql_expr, m_prob)``. A field that
+    is CONSTANT across the table has u = 1: its agree weight is
+    log2(m) (a correct no-information penalty) and its disagree
+    weight divides by zero — harmless because a constant field can
+    never disagree, so that branch is unreachable; still, constant
+    fields carry no signal and callers should drop them.
     """
     if not fields:
         raise ValueError("record_linkage_fs needs at least one field")

@@ -1312,6 +1312,10 @@ def boilerplate_purge(
     Output: id, clean_text (kept segments in order), n_segments,
     n_purged.
     """
+    if min_df < 2:
+        # df >= 1 holds for every segment (its own doc), so min_df < 2
+        # silently purges the whole corpus — always a caller bug
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
     toks = "__toks"
     segs = (
         f"transform(sequence(0, greatest(size({toks}) - 1, 0),"

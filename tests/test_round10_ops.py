@@ -630,3 +630,12 @@ def test_bitext_margin_kernel_equals_sql_twin(spark):
         emb, pair_strategy="sql", **kw
     ).collect()))
     assert got == ref and got
+
+
+def test_boilerplate_purge_rejects_degenerate_min_df(spark):
+    import pytest
+
+    from institutional_fx_etl_spark.operators.text import boilerplate_purge
+
+    with pytest.raises(ValueError, match="min_df"):
+        boilerplate_purge(_docs(spark, [(1, "a b", "en", "s")]), min_df=1)

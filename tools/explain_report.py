@@ -52,6 +52,13 @@ REPORT_QUERIES = [
     "dup_span_coverage",
     "quota_sample_exact",
     "embedding_decontaminate",
+    # round-10 family
+    "boilerplate_purge",
+    "perplexity_buckets",
+    "kfold_assign",
+    "record_linkage_fs",
+    "bitext_margin",
+    "hard_negatives",
 ]
 
 SF = "/root/testdata/sf0.1"
@@ -235,6 +242,48 @@ NOTES = {
         "(reference semantics, same caveat as hybrid_pipeline); "
         "per-key series pass partition_cols and the windows run "
         "per key."
+    ),
+    "boilerplate_purge": (
+        "Doc frequency is ONE hash aggregate over DISTINCT "
+        "(digest, doc) pairs — partial aggregation collapses a "
+        "document's internal repeats before the exchange, so a hot "
+        "boilerplate digest reduces as one row per doc; verdicts "
+        "join back on the 32-byte digest and the per-doc regroup is "
+        "bounded by each document's own segment count."
+    ),
+    "perplexity_buckets": (
+        "No per-language global sort: ranks come from a "
+        "(lang, score) histogram window (bounded by distinct scores "
+        "per language) plus a row_number inside each tie group — the "
+        "heavy window keys are (lang, score) pairs, never a whole "
+        "language."
+    ),
+    "kfold_assign": (
+        "The only row-level window partitions by (stratum, md5 "
+        "2-hex-prefix) — 256-way parallel even when one stratum is "
+        "the whole corpus; global md5-order ranks reassemble from "
+        "the tiny (stratum x 256) offset relation broadcast."
+    ),
+    "record_linkage_fs": (
+        "Candidate pairs come from the block-keyed self-join (never "
+        "all-pairs; max_block caps degenerate keys); u-probability "
+        "weights are a 1-row broadcast; top-N is "
+        "TakeOrderedAndProject, not a global sort."
+    ),
+    "bitext_margin": (
+        "Default regime is the all-in-one per-cell Arrow kernel "
+        "(ArrowEvalPython/FlatMapGroupsInPandas over cid): the "
+        "sum|A|x|B| pair relation never materializes — the kernel "
+        "emits |A| best-margin rows per cell. The 'sql' twin (pair "
+        "join + two rank windows + margin join) is the equality "
+        "gate's reference."
+    ),
+    "hard_negatives": (
+        "Label-masked per-cell Arrow kernel (same discipline as "
+        "knn_join's): same-label columns drop to -inf before the "
+        "stable top-k, so ranks are over negatives only; cells come "
+        "from the scan-side centroid assignment and max_cell caps "
+        "hot cells."
     ),
 }
 
