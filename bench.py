@@ -189,6 +189,7 @@ HEADLINE = [
     "streaming_ivf_assign",
     "dedup_weights",
     "contamination_audit",
+    "boilerplate_incremental",
 ]
 
 

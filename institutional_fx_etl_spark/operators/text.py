@@ -1583,3 +1583,114 @@ def zipf_token_fit(
         " / (CAST(n*sxx - sx*sx AS DOUBLE)"
         " * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2",
     )
+
+
+def boilerplate_purge_incremental(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    old_result: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segment_tokens: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Append-only incremental :func:`boilerplate_purge`: when a batch
+    of new documents arrives, doc frequencies only ever INCREASE, so a
+    segment's verdict can flip exactly one way (clean → boilerplate).
+    Only three slices need work: (1) the new batch itself, (2) old
+    documents containing a digest whose df CROSSED ``min_df`` because
+    of the batch, (3) everything else keeps its standing ``old_result``
+    row untouched — at scale that is the entire corpus minus a sliver,
+    and the reassembly regroup (the operator's heavy stage) never
+    re-runs for it.
+
+    The standing state a production pipeline would persist is
+    (digest → df) plus the per-doc results; here ``old_result``
+    defaults to recomputing :func:`boilerplate_purge` over
+    ``old_docs`` so the equality contract is self-contained. Output
+    is bit-identical to the full recompute over old ∪ new (the
+    ``ivf_incremental`` / ``knn_incremental`` proof discipline —
+    the registered oracle IS the full-run SQL).
+    """
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    if old_result is None:
+        old_result = boilerplate_purge(
+            old_docs, text_col, id_col, segment_tokens, min_df
+        )
+    toks = "__toks"
+    segs = (
+        f"transform(sequence(0, greatest(size({toks}) - 1, 0),"
+        f" {segment_tokens}), s -> named_struct('start', s, 'seg',"
+        f" array_join(slice({toks}, s + 1, {segment_tokens}), ' ')))"
+    )
+
+    def seg_rows(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn(toks, tokens(text_col))
+            .selectExpr(bq(id_col), f"explode({segs}) AS __s")
+            .selectExpr(
+                bq(id_col),
+                "cast(__s.start as int) AS start",
+                "__s.seg AS seg",
+                "md5(__s.seg) AS __h",
+            )
+        )
+
+    old_rows = seg_rows(old_docs)
+    new_rows = seg_rows(new_docs)
+    df_old = (
+        old_rows.select("__h", id_col)
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__dfo"))
+    )
+    df_new = (
+        new_rows.select("__h", id_col)
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__dfn"))
+    )
+    merged = df_old.join(df_new, "__h", "outer").selectExpr(
+        "__h",
+        "COALESCE(__dfo, 0) AS __dfo",
+        "COALESCE(__dfo, 0) + COALESCE(__dfn, 0) AS __df",
+    )
+    # digests whose verdict flipped: clean under the old corpus,
+    # boilerplate under old+new — the only ones that can change an
+    # OLD document's row
+    flipped = merged.filter(
+        f"__dfo < {min_df} AND __df >= {min_df}"
+    ).select("__h")
+    affected_old = (
+        old_rows.join(flipped, "__h", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    redo_rows = old_rows.join(
+        affected_old, id_col, "left_semi"
+    ).unionByName(new_rows)
+    redone = (
+        redo_rows.join(merged.select("__h", "__df"), "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("__df") >= min_df).cast("int")).alias("n_purged"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__df") < min_df,
+                        F.struct(F.col("start"), F.col("seg")),
+                    )
+                )
+            ).alias("__kept"),
+        )
+        .selectExpr(
+            bq(id_col),
+            "array_join(transform(__kept, s -> s.seg), ' ') AS clean_text",
+            "cast(n_segments as int) AS n_segments",
+            "cast(n_purged as int) AS n_purged",
+        )
+    )
+    untouched = old_result.join(affected_old, id_col, "left_anti")
+    return untouched.unionByName(redone)

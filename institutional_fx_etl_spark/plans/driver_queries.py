@@ -12615,6 +12615,39 @@ def q_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_audit(docs, emb)
 
 
+def _register_boilerplate_incremental() -> None:
+    """Incremental ≡ full proof for the append-only boilerplate purge:
+    the oracle is the FULL-RUN SQL over the whole documents table, so
+    a hash match certifies that the incremental path (new batch + the
+    sliver of old docs whose digests crossed min_df) reproduces the
+    rebuild bit-for-bit — the ivf_incremental discipline."""
+    oracle = REGISTRY["boilerplate_purge"][1]
+
+    @register("boilerplate_incremental", oracle)
+    def q_boilerplate_incremental(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Append-only incremental boilerplate purge: docs with
+        id ≡ 0 mod 7 arrive as the new batch against the standing
+        corpus; only the batch and boundary-crossing old docs
+        recompute (``operators/text.py::boilerplate_purge_incremental``
+        — oracle = full recompute over the union)."""
+        from institutional_fx_etl_spark.operators.text import (
+            boilerplate_purge_incremental,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        return boilerplate_purge_incremental(
+            docs.filter("doc_id % 7 <> 0"),
+            docs.filter("doc_id % 7 = 0"),
+            segment_tokens=8,
+            min_df=2,
+        )
+
+
+_register_boilerplate_incremental()
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the

@@ -639,3 +639,33 @@ def test_boilerplate_purge_rejects_degenerate_min_df(spark):
 
     with pytest.raises(ValueError, match="min_df"):
         boilerplate_purge(_docs(spark, [(1, "a b", "en", "s")]), min_df=1)
+
+
+def test_boilerplate_incremental_equals_full(spark):
+    """Append-only incremental purge is row-identical to the full
+    recompute over old ∪ new — including the case where the batch
+    pushes an OLD segment over min_df (verdict flip on old docs)."""
+    from institutional_fx_etl_spark.operators.text import (
+        boilerplate_purge,
+        boilerplate_purge_incremental,
+    )
+
+    nav = "home about contact us"
+    old = [
+        (1, f"{nav} alpha beta gamma delta", "en", "a"),  # nav df=1 (clean)
+        (2, "unique one two three four five six seven", "en", "a"),
+    ]
+    new = [
+        (3, f"{nav} epsilon zeta eta theta", "en", "b"),  # nav df -> 2: FLIP
+        (4, "fresh words only nothing shared here at all", "en", "b"),
+    ]
+    inc = sorted(map(tuple, boilerplate_purge_incremental(
+        _docs(spark, old), _docs(spark, new), segment_tokens=4, min_df=2
+    ).collect()))
+    full = sorted(map(tuple, boilerplate_purge(
+        _docs(spark, old + new), segment_tokens=4, min_df=2
+    ).collect()))
+    assert inc == full and len(inc) == 4
+    # doc 1's nav segment must have been purged by the flip
+    doc1 = dict((r[0], r) for r in inc)[1]
+    assert "home" not in doc1[1]
