@@ -190,6 +190,7 @@ HEADLINE = [
     "dedup_weights",
     "contamination_audit",
     "boilerplate_incremental",
+    "tokenizer_fertility",
 ]
 
 

@@ -1694,3 +1694,52 @@ def boilerplate_purge_incremental(
     )
     untouched = old_result.join(affected_old, id_col, "left_anti")
     return untouched.unionByName(redone)
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_expr: str = "lang",
+) -> DataFrame:
+    """Per-language tokenizer fertility — BPE-grain tokens per
+    whitespace word (the standard multilingual tokenizer-efficiency
+    audit: a language whose fertility is 2× another's pays 2× the
+    context budget for the same content, the signal behind
+    vocabulary-rebalancing decisions). Also reports the
+    chars-per-token compression ratio at the language grain.
+
+    One scan computes per-doc word / BPE-token / char counts with the
+    shared :data:`BPE_PRETOKEN_RE` pretokenizer (pure
+    ``regexp_extract_all`` — no UDF), then ONE language-keyed hash
+    aggregate of exact BIGINT sums; both ratios are single divisions
+    of those exact integers, rounded to 6.
+
+    Output: lang, n_docs, n_words, n_bpe_tokens, fertility,
+    chars_per_token.
+    """
+    pat = BPE_PRETOKEN_RE.replace("'", chr(92) + "'")
+    toks = f"regexp_extract_all({bq(text_col)}, '{pat}', 0)"
+    nonws = f"filter({toks}, t -> trim(t) != '')"
+    words = f"filter(split(lower({bq(text_col)}), '\\\\s+'), t -> t != '')"
+    per_doc = df.selectExpr(
+        f"({lang_expr}) AS lang",
+        f"cast(size({words}) as bigint) AS __w",
+        f"cast(size({nonws}) as bigint) AS __b",
+        f"cast(length({bq(text_col)}) as bigint) AS __c",
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__w").cast("bigint").alias("n_words"),
+        F.sum("__b").cast("bigint").alias("n_bpe_tokens"),
+        F.expr(
+            "round(CASE WHEN CAST(SUM(__b) AS BIGINT) > 0 AND"
+            " CAST(SUM(__w) AS BIGINT) > 0 THEN"
+            " CAST(CAST(SUM(__b) AS BIGINT) AS DOUBLE)"
+            " / CAST(SUM(__w) AS BIGINT) END, 6) AS fertility"
+        ),
+        F.expr(
+            "round(CASE WHEN CAST(SUM(__b) AS BIGINT) > 0 THEN"
+            " CAST(CAST(SUM(__c) AS BIGINT) AS DOUBLE)"
+            " / CAST(SUM(__b) AS BIGINT) END, 6) AS chars_per_token"
+        ),
+    )

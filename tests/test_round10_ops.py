@@ -669,3 +669,26 @@ def test_boilerplate_incremental_equals_full(spark):
     # doc 1's nav segment must have been purged by the flip
     doc1 = dict((r[0], r) for r in inc)[1]
     assert "home" not in doc1[1]
+
+
+def test_tokenizer_fertility_ratios(spark):
+    """Fertility counts BPE-grain pieces per whitespace word:
+    punctuation-heavy text scores higher fertility than plain words,
+    and the sums are exact."""
+    from institutional_fx_etl_spark.operators.text import (
+        tokenizer_fertility,
+    )
+
+    rows = [
+        (1, "plain words only here", "en", "s"),        # 4 words, 4 pieces
+        (2, "it's a test, really!", "fr", "s"),         # punctuation splits
+    ]
+    out = {r["lang"]: r for r in tokenizer_fertility(
+        _docs(spark, rows)
+    ).collect()}
+    assert out["en"]["n_words"] == 4 and out["en"]["fertility"] == 1.0
+    fr = out["fr"]
+    assert fr["n_bpe_tokens"] > fr["n_words"]
+    assert fr["fertility"] == round(
+        fr["n_bpe_tokens"] / fr["n_words"], 6
+    )
