@@ -191,6 +191,7 @@ HEADLINE = [
     "contamination_audit",
     "boilerplate_incremental",
     "tokenizer_fertility",
+    "streaming_lm_score",
 ]
 
 

@@ -12648,6 +12648,125 @@ def _register_boilerplate_incremental() -> None:
 _register_boilerplate_incremental()
 
 
+def _register_streaming_lm_score() -> None:
+    """Ingest-time LM quality scoring: the bigram model FITS on the
+    standing corpus (two vocabulary-bounded batch aggregates), every
+    ARRIVING document joins its bigrams to the static count tables
+    (stream-static join — stateless) and reduces to one score row.
+    Per-bigram log-probs micro-quantize to BIGINT before the stream
+    aggregate, so the per-doc sum is INGESTION-ORDER-FREE — stricter
+    determinism than the batch op's double sum, which is why this
+    query carries its own integer-sum oracle instead of sharing
+    ``bigram_lm_score``'s."""
+    oracle = r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ),
+    doc_bi AS (
+      SELECT doc_id,
+             concat_ws(' ', toks[i], toks[i+1]) AS bg,
+             toks[i] AS w1
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    cb AS (SELECT bg, count(*) AS cb FROM doc_bi GROUP BY bg),
+    cu AS (SELECT w1, count(*) AS cu FROM doc_bi GROUP BY w1),
+    lp AS (
+      SELECT d.doc_id,
+             CAST(round(log2(CAST(cb.cb AS DOUBLE)
+                             / CAST(cu.cu AS DOUBLE)) * 1e6, 0)
+               AS BIGINT) AS lpm
+      FROM doc_bi d JOIN cb USING (bg) JOIN cu USING (w1)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(CAST(SUM(lpm) AS BIGINT) AS DOUBLE)
+                 / count(*) / 1e6, 6) AS avg_log2_prob
+    FROM lp GROUP BY doc_id
+    """
+
+    @register("streaming_lm_score", oracle)
+    def q_streaming_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STREAMING per-document bigram-LM scoring against the
+        corpus-fit model: stream-static bigram join + complete-mode
+        per-doc integer aggregate, certified against the batch
+        integer-sum oracle (``operators/text.py::bigram_lm_score`` is
+        the double-sum batch twin)."""
+        import tempfile
+
+        from institutional_fx_etl_spark.operators.text import (
+            shingles_expr,
+        )
+
+        _pin_session_confs(spark)
+        name = "streaming_lm_score_result"
+        static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+        def doc_bigrams(df: DataFrame) -> DataFrame:
+            return (
+                df.withColumn(
+                    "__toks", F.split(F.lower(F.col("text")), r"\s+")
+                )
+                .filter("size(__toks) >= 2")
+                .selectExpr(
+                    "doc_id",
+                    f"explode({shingles_expr('__toks', 2)}) AS bg",
+                )
+                .selectExpr(
+                    "doc_id", "bg", "substring_index(bg, ' ', 1) AS w1"
+                )
+            )
+
+        model = doc_bigrams(static)
+        cb = model.groupBy("bg").agg(
+            F.count(F.lit(1)).alias("cb"), F.expr("max(w1) AS w1")
+        )
+        cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
+        ref = cb.join(cu, "w1").select("bg", "cb", "cu")
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        scored = (
+            doc_bigrams(stream)
+            .join(ref, "bg")
+            .selectExpr(
+                "doc_id",
+                "CAST(round(log2(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE))"
+                " * 1e6, 0) AS BIGINT) AS lpm",
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                F.sum("lpm").cast("bigint").alias("__s"),
+            )
+        )
+        q = (
+            scored.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_lm_ck_"),
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name).selectExpr(
+            "doc_id",
+            "n_bigrams",
+            "round(CAST(__s AS DOUBLE) / n_bigrams / 1e6, 6)"
+            " AS avg_log2_prob",
+        )
+
+
+_register_streaming_lm_score()
+
+
 @register(
     "tokenizer_fertility",
     r"""

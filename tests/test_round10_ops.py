@@ -692,3 +692,67 @@ def test_tokenizer_fertility_ratios(spark):
     assert fr["fertility"] == round(
         fr["n_bpe_tokens"] / fr["n_words"], 6
     )
+
+
+def test_streaming_lm_score_equals_batch_integer_twin(spark, tmp_path):
+    """The streamed per-doc LM score equals a batch computation of the
+    same integer-sum formula — ingestion-order-free by construction."""
+    from institutional_fx_etl_spark.plans import driver_queries as dq
+
+    import pyspark.sql.functions as F
+
+    rows = [
+        (i, " ".join(["tok%d" % ((i * 3 + j) % 6) for j in range(5)]),
+         "en", "s")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    sf_dir = str(tmp_path)
+    # single FILE named documents.parquet (the driver-testdata layout
+    # the pathGlobFilter stream reader expects), not a directory
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(df.toPandas()),
+        f"{sf_dir}/documents.parquet",
+    )
+    out = {r["doc_id"]: r for r in dq.REGISTRY["streaming_lm_score"][0](
+        spark, sf_dir
+    ).collect()}
+    assert len(out) == 30
+    # batch twin with the same micro-int arithmetic
+    from institutional_fx_etl_spark.operators.text import shingles_expr
+
+    bi = (
+        df.withColumn("__toks", F.split(F.lower(F.col("text")), r"\s+"))
+        .filter("size(__toks) >= 2")
+        .selectExpr("doc_id", f"explode({shingles_expr('__toks', 2)}) AS bg")
+        .selectExpr("doc_id", "bg", "substring_index(bg, ' ', 1) AS w1")
+    )
+    cb = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"),
+                              F.expr("max(w1) AS w1"))
+    cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    batch = {
+        r["doc_id"]: r
+        for r in bi.join(cb.select("bg", "cb"), "bg")
+        .join(cu.join(cb.select("bg", "w1"), "w1").select("bg", "cu")
+              .distinct(), "bg")
+        .selectExpr(
+            "doc_id",
+            "CAST(round(log2(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE))"
+            " * 1e6, 0) AS BIGINT) AS lpm",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("round(CAST(CAST(SUM(lpm) AS BIGINT) AS DOUBLE)"
+                   " / count(1) / 1e6, 6) AS avg"),
+        )
+        .collect()
+    }
+    for i, r in out.items():
+        assert r["n_bigrams"] == batch[i]["n"]
+        assert r["avg_log2_prob"] == batch[i]["avg"]
