@@ -192,6 +192,7 @@ HEADLINE = [
     "boilerplate_incremental",
     "tokenizer_fertility",
     "streaming_lm_score",
+    "quantile_align",
 ]
 
 

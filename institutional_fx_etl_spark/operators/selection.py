@@ -1151,3 +1151,58 @@ def probe_calibration(
             "round(CAST(__ssum AS DOUBLE) / n_docs, 6) AS mean_score_micro",
         )
     )
+
+
+def quantile_align(
+    df: DataFrame,
+    score_expr: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-group quantile normalization of a quality score: every
+    document gets its exact within-group percentile rank, so a single
+    global threshold ("keep the top 30%") applies uniformly across
+    sources whose raw score DISTRIBUTIONS differ — the calibration
+    step before mixing heterogeneous feeds (a web crawl's length
+    distribution is not a forum dump's).
+
+    Rank without a per-group global sort (the ``perplexity_buckets``
+    discipline): one (group, score) histogram aggregate, a window
+    over that BOUNDED relation for the strictly-less count, and a
+    row_number inside each (group, score) tie group ordered by id.
+    ``pct_rank`` is the single exact division rank/n rounded to 6.
+
+    Output: id, group, score, grp_rank, pct_rank.
+    """
+    from pyspark.sql import Window
+
+    base = df.selectExpr(
+        bq(id_col),
+        f"({group_col}) AS grp",
+        f"CAST(({score_expr}) AS BIGINT) AS score",
+    )
+    g = base.groupBy("grp", "score").agg(F.count(F.lit(1)).alias("__c"))
+    wgrp = Window.partitionBy("grp")
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = g.select(
+        "grp",
+        "score",
+        F.coalesce(F.sum("__c").over(wcum), F.lit(0)).alias("__lt"),
+        F.sum("__c").over(wgrp).alias("__n"),
+    )
+    wtie = Window.partitionBy("grp", "score").orderBy(id_col)
+    return (
+        base.join(cum, ["grp", "score"])
+        .withColumn("__rn", F.row_number().over(wtie))
+        .selectExpr(
+            bq(id_col),
+            "grp",
+            "score",
+            "CAST(__lt + __rn AS BIGINT) AS grp_rank",
+            "round(CAST(__lt + __rn AS DOUBLE) / __n, 6) AS pct_rank",
+        )
+    )

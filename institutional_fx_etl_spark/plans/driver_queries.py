@@ -12648,6 +12648,41 @@ def _register_boilerplate_incremental() -> None:
 _register_boilerplate_incremental()
 
 
+@register(
+    "quantile_align",
+    """
+    WITH b AS (
+      SELECT doc_id, COALESCE(source, '') AS grp,
+             CAST(n_chars AS BIGINT) AS score
+      FROM documents
+    )
+    SELECT doc_id, grp, score,
+           CAST(row_number() OVER
+             (PARTITION BY grp ORDER BY score, doc_id) AS BIGINT)
+             AS grp_rank,
+           round(CAST(row_number() OVER
+             (PARTITION BY grp ORDER BY score, doc_id) AS DOUBLE)
+             / (count(*) OVER (PARTITION BY grp)), 6) AS pct_rank
+    FROM b
+    """,
+)
+def q_quantile_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization: exact within-source
+    percentile rank of the length score, computed from a
+    (source, score) histogram + tie-group window — a single global
+    'top X%' threshold then applies uniformly across heterogeneous
+    feeds (``operators/selection.py::quantile_align``)."""
+    from institutional_fx_etl_spark.operators.selection import (
+        quantile_align,
+    )
+
+    return quantile_align(
+        load_table(spark, sf_dir, "documents"),
+        score_expr="n_chars",
+        group_col="coalesce(source, '')",
+    )
+
+
 def _register_streaming_lm_score() -> None:
     """Ingest-time LM quality scoring: the bigram model FITS on the
     standing corpus (two vocabulary-bounded batch aggregates), every

@@ -756,3 +756,31 @@ def test_streaming_lm_score_equals_batch_integer_twin(spark, tmp_path):
     for i, r in out.items():
         assert r["n_bigrams"] == batch[i]["n"]
         assert r["avg_log2_prob"] == batch[i]["avg"]
+
+
+def test_quantile_align_uniform_threshold(spark):
+    """Percentile ranks are exact within each group: a global
+    'top 50%' cut takes half of EVERY group regardless of raw score
+    scale, and ranks are a permutation of 1..n per group."""
+    from institutional_fx_etl_spark.operators.selection import (
+        quantile_align,
+    )
+
+    rows = [(i, "t", "en", "small") for i in range(10)]
+    rows += [(100 + i, "t", "en", "big") for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).selectExpr("doc_id", "text", "lang", "source",
+                 "doc_id * 7 % 100 AS n_chars")
+    out = quantile_align(df).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r)
+    for grp, rs in by_grp.items():
+        n = len(rs)
+        assert sorted(r["grp_rank"] for r in rs) == list(range(1, n + 1))
+        kept = [r for r in rs if r["pct_rank"] <= 0.5]
+        assert len(kept) == n // 2
+        # rank order respects score order
+        srt = sorted(rs, key=lambda r: (r["score"], r["doc_id"]))
+        assert [r["grp_rank"] for r in srt] == list(range(1, n + 1))
