@@ -1231,11 +1231,15 @@ def record_linkage_fs(
         raise ValueError("record_linkage_fs needs at least one field")
     if not all(0.0 < m < 1.0 for _, _, m in fields):
         raise ValueError("every m_prob must be in (0, 1)")
+    from pyspark import StorageLevel
+
+    # e feeds the n count, one histogram per field, and both pair
+    # sides — persist the narrow projection so the source scans once
     e = df.selectExpr(
         f"{bq(id_col)} AS __id",
         f"({block_expr}) AS __blk",
         *[f"({expr}) AS __f{i}" for i, (_, expr, _) in enumerate(fields)],
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # one 1-row weight relation: n and per-field Σc² cross-joined, the
     # micro-int agree/disagree weights computed from exact rationals
     stats = e.agg(F.count(F.lit(1)).alias("__n"))

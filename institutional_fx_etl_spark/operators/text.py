@@ -1322,6 +1322,10 @@ def boilerplate_purge(
         f" {segment_tokens}), s -> named_struct('start', s, 'seg',"
         f" array_join(slice({toks}, s + 1, {segment_tokens}), ' ')))"
     )
+    from pyspark import StorageLevel
+
+    # seg_rows feeds BOTH the doc-frequency aggregate and the verdict
+    # join; persist so the explode+md5 pass over the corpus runs once
     seg_rows = (
         df.withColumn(toks, tokens(text_col))
         .selectExpr(bq(id_col), f"explode({segs}) AS __s")
@@ -1331,7 +1335,7 @@ def boilerplate_purge(
             "__s.seg AS seg",
             "md5(__s.seg) AS __h",
         )
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = (
         seg_rows.select("__h", id_col)
         .distinct()
@@ -1389,10 +1393,15 @@ def perplexity_buckets(
     (``(rank-1)*3 < n`` …), identical cross-engine. Output: doc_id,
     lang, avg_log2_prob, perplexity, lang_rank, bucket.
     """
+    from pyspark import StorageLevel
+
     scored = bigram_lm_score(df, text_col, id_col)
+    # j carries the whole bigram-LM pipeline and feeds BOTH the
+    # (lang, score) histogram and the final rank join — persist so the
+    # model fit runs once, not twice
     j = scored.join(
         df.selectExpr(bq(id_col), f"({lang_expr}) AS lang"), id_col
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     g = j.groupBy("lang", "avg_log2_prob").agg(
         F.count(F.lit(1)).alias("__c")
     )
@@ -1637,8 +1646,13 @@ def boilerplate_purge_incremental(
             )
         )
 
-    old_rows = seg_rows(old_docs)
-    new_rows = seg_rows(new_docs)
+    from pyspark import StorageLevel
+
+    # old_rows feeds the df table, the affected-doc probe and the redo
+    # slice; new_rows feeds its df table and the redo union — persist
+    # so each corpus explodes once
+    old_rows = seg_rows(old_docs).persist(StorageLevel.MEMORY_AND_DISK)
+    new_rows = seg_rows(new_docs).persist(StorageLevel.MEMORY_AND_DISK)
     df_old = (
         old_rows.select("__h", id_col)
         .distinct()
