@@ -1226,6 +1226,13 @@ def record_linkage_fs(
     weight divides by zero — harmless because a constant field can
     never disagree, so that branch is unreachable; still, constant
     fields carry no signal and callers should drop them.
+
+    Cache lifetime: the narrow field projection is persisted because
+    it feeds the n count, one histogram per field and both pair
+    sides; the returned DataFrame is lazy, so the CALLER owns the
+    cache (``spark.catalog.clearCache()`` between repeated calls in a
+    long-lived session — the ``dedup_clusters`` discipline, round-10
+    ADVICE #4).
     """
     if not fields:
         raise ValueError("record_linkage_fs needs at least one field")

@@ -1047,6 +1047,10 @@ def kfold_assign(
     (stratum, bucket) — 256-way parallel, no hot partition when one
     stratum is the whole corpus.
 
+    NULL strata are first-class: documents whose ``stratum_expr``
+    evaluates to NULL form their own stratum (null-safe rejoin) and
+    get folds like any other — they are never silently dropped.
+
     Output: id, stratum, fold (0-based).
     """
     if k < 2:
@@ -1075,9 +1079,23 @@ def kfold_assign(
         .select("stratum", "__b", "__off")
     )
     wb = Window.partitionBy("stratum", "__b").orderBy("__h", id_col)
+    # null-safe stratum rejoin (round-10 ADVICE #2): a NULL stratum is
+    # a real stratum (groupBy/window already treat it as one group) —
+    # an equi-join here would silently drop those documents
+    ranked = base.withColumn("__rn", F.row_number().over(wb)).alias("__kf_b")
+    off = F.broadcast(offsets).alias("__kf_o")
     return (
-        base.withColumn("__rn", F.row_number().over(wb))
-        .join(F.broadcast(offsets), ["stratum", "__b"])
+        ranked.join(
+            off,
+            F.col("__kf_b.stratum").eqNullSafe(F.col("__kf_o.stratum"))
+            & (F.col("__kf_b.__b") == F.col("__kf_o.__b")),
+        )
+        .select(
+            F.col(f"__kf_b.{id_col}").alias(id_col),
+            F.col("__kf_b.stratum").alias("stratum"),
+            F.col("__kf_b.__rn").alias("__rn"),
+            F.col("__kf_o.__off").alias("__off"),
+        )
         .selectExpr(
             bq(id_col),
             "stratum",
@@ -1172,6 +1190,13 @@ def quantile_align(
     row_number inside each (group, score) tie group ordered by id.
     ``pct_rank`` is the single exact division rank/n rounded to 6.
 
+    NULL keys are first-class (round-10 ADVICE #2): a NULL group is
+    its own group and a NULL score ranks lowest within its group
+    (Spark ASC NULLS FIRST) — the histogram rejoin uses null-safe
+    (``<=>``) keys, so every input document appears in the output
+    exactly once. SQL mirrors must use ``IS NOT DISTINCT FROM`` join
+    keys and ``NULLS FIRST`` cumulative ordering to match.
+
     Output: id, group, score, grp_rank, pct_rank.
     """
     from pyspark.sql import Window
@@ -1195,8 +1220,20 @@ def quantile_align(
         F.sum("__c").over(wgrp).alias("__n"),
     )
     wtie = Window.partitionBy("grp", "score").orderBy(id_col)
+    b, c = base.alias("__qa_b"), cum.alias("__qa_c")
     return (
-        base.join(cum, ["grp", "score"])
+        b.join(
+            c,
+            F.col("__qa_b.grp").eqNullSafe(F.col("__qa_c.grp"))
+            & F.col("__qa_b.score").eqNullSafe(F.col("__qa_c.score")),
+        )
+        .select(
+            F.col(f"__qa_b.{id_col}").alias(id_col),
+            F.col("__qa_b.grp").alias("grp"),
+            F.col("__qa_b.score").alias("score"),
+            F.col("__qa_c.__lt").alias("__lt"),
+            F.col("__qa_c.__n").alias("__n"),
+        )
         .withColumn("__rn", F.row_number().over(wtie))
         .selectExpr(
             bq(id_col),

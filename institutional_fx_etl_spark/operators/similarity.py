@@ -1889,6 +1889,12 @@ def bitext_margin(
     — ``2·cos·ka·kb / (Σfwd·kb + Σbwd·ka)`` — rounded to 6.
 
     Output: src_id, tgt_id, cosine, margin.
+
+    Cache lifetime (SQL pair strategy): the candidate-pair relation
+    is persisted because the forward and backward top-k windows both
+    read it; the returned DataFrame is lazy, so the CALLER owns the
+    cache (``spark.catalog.clearCache()`` between repeated calls — the
+    ``dedup_clusters`` discipline, round-10 ADVICE #4).
     """
     assigned = (
         ivf_assign(df, vec_col, id_col, num_centroids)
@@ -2066,6 +2072,12 @@ def hard_negatives(
     discipline) for skewed corpora.
 
     Output: vec_id, neg_id, rank, cosine (desc, neg_id-asc tiebreak).
+
+    Cache lifetime: the normalized-vector relation is persisted
+    because both pair sides read it; the returned DataFrame is lazy,
+    so the CALLER owns the cache (``spark.catalog.clearCache()``
+    between repeated calls — the ``dedup_clusters`` discipline,
+    round-10 ADVICE #4).
     """
     assigned = (
         ivf_assign(df, vec_col, id_col, num_centroids)

@@ -326,6 +326,72 @@ def decontaminate_against(
     )
 
 
+def decontaminate_eval_broadcast(
+    eval_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """:func:`decontaminate_against` with the JOIN DIRECTION flipped
+    for the audit use-case where the PER-DOC report is wanted for the
+    SMALL (eval) side and the streamed side is the TRAINING corpus.
+
+    ``decontaminate_against(corpus, benchmark)`` broadcasts the
+    *benchmark*'s distinct gram set — correct when the benchmark is
+    eval-suite-sized. ``contamination_audit`` needs the same
+    ``(eval_id, n_matched)`` output but against a corpus that is ~90%
+    of the data: broadcasting the corpus-side gram relation would OOM
+    the driver at any real scale (round-10 ADVICE #1). Here the EVAL
+    ``(doc_id, gram)`` pairs — eval-suite-sized by construction — are
+    the broadcast side; the training-corpus gram stream is scanned
+    once, matches collapse map-side via partial aggregation, and
+    ``count(DISTINCT gram)`` per eval doc reproduces
+    ``decontaminate_against``'s n_matched exactly (its corpus side is
+    per-doc-distinct too). Eval docs with zero hits are restored by a
+    final left join against the eval id relation (small-small).
+
+    Output schema and semantics are IDENTICAL to
+    ``decontaminate_against(eval_docs, corpus)``: one row per eval
+    doc, ``n_matched`` distinct shared word n-grams, ``contaminated``
+    flag. Equality is pytest-gated (test_round11_ops.py).
+    """
+    grams = (
+        f"array_distinct(CASE WHEN size(__toks) >= {n}"
+        f" THEN {shingles_expr('__toks', n)} ELSE array() END)"
+    )
+    ev_pairs = (
+        eval_docs.withColumn("__toks", tokens(text_col))
+        .selectExpr(f"`{id_col}`", f"explode({grams}) AS g")
+        .distinct()
+    )
+    corpus_grams = (
+        corpus.withColumn("__toks", tokens(text_col))
+        # per-doc distinct is enough here (array_distinct above); the
+        # cross-corpus duplicates collapse in the aggregate below
+        .selectExpr(f"explode({grams}) AS g")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(ev_pairs), "g", "inner")
+        # two-level exact distinct count: the (doc, gram) distinct is
+        # a partial/final hash aggregate (map-side combine), then the
+        # per-doc count is eval-sized
+        .select(id_col, "g")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("__n"))
+    )
+    return (
+        eval_docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__n"), F.lit(0)).alias("n_matched"),
+            (F.coalesce(F.col("__n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 #: public-pattern PII regexes (kept intentionally simple and
 #: RE2/Java-compatible so an external engine applies them identically)
 PII_PATTERNS = {
@@ -1309,6 +1375,22 @@ def boilerplate_purge(
     never re-shuffles); one per-doc regroup bounded by the document's
     own segment count reassembles the kept text. No UDF, no all-pairs.
 
+    Tokenless documents (empty/whitespace-only text) contribute NO
+    segments — in particular the degenerate '' segment is filtered
+    BEFORE the doc-frequency aggregate, so a corpus with ≥ ``min_df``
+    empty documents cannot count '' as boilerplate and inflate
+    n_segments/n_purged (round-10 ADVICE #3). They still appear in the
+    output (one row per input document) with n_segments = 0,
+    n_purged = 0, clean_text = ''.
+
+    Cache lifetime: the segment relation is persisted
+    (MEMORY_AND_DISK) because it feeds both the doc-frequency
+    aggregate and the verdict join; the returned DataFrame is lazy, so
+    the CALLER owns the cache — unpersist via
+    ``spark.catalog.clearCache()`` (or re-create the session) between
+    repeated invocations in a long-lived session, as with
+    ``dedup_clusters``'s documented discipline.
+
     Output: id, clean_text (kept segments in order), n_segments,
     n_purged.
     """
@@ -1325,7 +1407,9 @@ def boilerplate_purge(
     from pyspark import StorageLevel
 
     # seg_rows feeds BOTH the doc-frequency aggregate and the verdict
-    # join; persist so the explode+md5 pass over the corpus runs once
+    # join; persist so the explode+md5 pass over the corpus runs once.
+    # seg <> '' drops the degenerate empty segment a tokenless doc
+    # emits (sequence(0, greatest(size-1, 0), k) yields [0] at size 0)
     seg_rows = (
         df.withColumn(toks, tokens(text_col))
         .selectExpr(bq(id_col), f"explode({segs}) AS __s")
@@ -1335,6 +1419,7 @@ def boilerplate_purge(
             "__s.seg AS seg",
             "md5(__s.seg) AS __h",
         )
+        .where("trim(seg) <> ''")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = (
         seg_rows.select("__h", id_col)
@@ -1342,12 +1427,12 @@ def boilerplate_purge(
         .groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__df"))
     )
-    return (
+    agg = (
         seg_rows.join(dfreq, "__h")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_segments"),
-            F.sum((F.col("__df") >= min_df).cast("int")).alias("n_purged"),
+            F.count(F.lit(1)).alias("__ns"),
+            F.sum((F.col("__df") >= min_df).cast("int")).alias("__np"),
             F.array_sort(
                 F.collect_list(
                     F.when(
@@ -1357,11 +1442,18 @@ def boilerplate_purge(
                 )
             ).alias("__kept"),
         )
+    )
+    # one row per INPUT document: tokenless docs (no surviving
+    # segments) come back with zero counts and empty clean_text
+    return (
+        df.select(bq(id_col))
+        .join(agg, id_col, "left")
         .selectExpr(
             bq(id_col),
-            "array_join(transform(__kept, s -> s.seg), ' ') AS clean_text",
-            "cast(n_segments as int) AS n_segments",
-            "cast(n_purged as int) AS n_purged",
+            "COALESCE(array_join(transform(__kept, s -> s.seg), ' '), '')"
+            " AS clean_text",
+            "cast(COALESCE(__ns, 0) as int) AS n_segments",
+            "cast(COALESCE(__np, 0) as int) AS n_purged",
         )
     )
 
@@ -1418,8 +1510,27 @@ def perplexity_buckets(
         F.sum("__c").over(wlang).alias("__n"),
     )
     wtie = Window.partitionBy("lang", "avg_log2_prob").orderBy(id_col)
+    # null-safe rejoin (round-10 ADVICE #2): a NULL lang is its own
+    # language bucket and a NULL score (empty doc under a degenerate
+    # model) ranks inside it — an equi-join would drop those docs from
+    # the "one row per document" output
+    jb, cb = j.alias("__pb_j"), cum.alias("__pb_c")
     return (
-        j.join(cum, ["lang", "avg_log2_prob"])
+        jb.join(
+            cb,
+            F.col("__pb_j.lang").eqNullSafe(F.col("__pb_c.lang"))
+            & F.col("__pb_j.avg_log2_prob").eqNullSafe(
+                F.col("__pb_c.avg_log2_prob")
+            ),
+        )
+        .select(
+            F.col(f"__pb_j.{id_col}").alias(id_col),
+            F.col("__pb_j.lang").alias("lang"),
+            F.col("__pb_j.avg_log2_prob").alias("avg_log2_prob"),
+            F.col("__pb_j.perplexity").alias("perplexity"),
+            F.col("__pb_c.__better").alias("__better"),
+            F.col("__pb_c.__n").alias("__n"),
+        )
         .withColumn("__rn", F.row_number().over(wtie))
         .selectExpr(
             bq(id_col),
@@ -1635,6 +1746,8 @@ def boilerplate_purge_incremental(
     )
 
     def seg_rows(df: DataFrame) -> DataFrame:
+        # seg <> '' mirrors boilerplate_purge: tokenless docs emit no
+        # segments (they are restored with zero counts below)
         return (
             df.withColumn(toks, tokens(text_col))
             .selectExpr(bq(id_col), f"explode({segs}) AS __s")
@@ -1644,6 +1757,7 @@ def boilerplate_purge_incremental(
                 "__s.seg AS seg",
                 "md5(__s.seg) AS __h",
             )
+            .where("trim(seg) <> ''")
         )
 
     from pyspark import StorageLevel
@@ -1684,12 +1798,12 @@ def boilerplate_purge_incremental(
     redo_rows = old_rows.join(
         affected_old, id_col, "left_semi"
     ).unionByName(new_rows)
-    redone = (
+    redone_agg = (
         redo_rows.join(merged.select("__h", "__df"), "__h")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_segments"),
-            F.sum((F.col("__df") >= min_df).cast("int")).alias("n_purged"),
+            F.count(F.lit(1)).alias("__ns"),
+            F.sum((F.col("__df") >= min_df).cast("int")).alias("__np"),
             F.array_sort(
                 F.collect_list(
                     F.when(
@@ -1699,11 +1813,19 @@ def boilerplate_purge_incremental(
                 )
             ).alias("__kept"),
         )
+    )
+    # one row per redo doc — a tokenless NEW doc has no segment rows
+    # but still owes its zero-count output row (affected_old ids all
+    # have segments by construction: they matched a flipped digest)
+    redo_ids = new_docs.select(bq(id_col)).unionByName(affected_old)
+    redone = (
+        redo_ids.join(redone_agg, id_col, "left")
         .selectExpr(
             bq(id_col),
-            "array_join(transform(__kept, s -> s.seg), ' ') AS clean_text",
-            "cast(n_segments as int) AS n_segments",
-            "cast(n_purged as int) AS n_purged",
+            "COALESCE(array_join(transform(__kept, s -> s.seg), ' '), '')"
+            " AS clean_text",
+            "cast(COALESCE(__ns, 0) as int) AS n_segments",
+            "cast(COALESCE(__np, 0) as int) AS n_purged",
         )
     )
     untouched = old_result.join(affected_old, id_col, "left_anti")

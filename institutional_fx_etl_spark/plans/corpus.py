@@ -92,16 +92,21 @@ def contamination_audit(
     rule can't see). ``contaminated`` is the union verdict; the
     per-signal columns say WHY, which is what an audit reader acts on.
 
-    Both legs keep their own scale shapes (gram broadcast + one hash
-    aggregate; auto-celled cross-table cosine); the audit itself adds
-    one eval-sized left join. Output: eval_id, ngram_matched,
-    ngram_hit, emb_matches, emb_max_cosine, contaminated.
+    Both legs keep their own scale shapes: the lexical leg broadcasts
+    the EVAL-side (doc_id, gram) pairs — eval-suite-sized — and
+    streams the training-corpus grams once
+    (``decontaminate_eval_broadcast``; the naive
+    ``decontaminate_against(ev, corpus)`` call would broadcast a
+    corpus-sized gram set, round-10 ADVICE #1); the semantic leg is
+    the auto-celled cross-table cosine. The audit itself adds one
+    eval-sized left join. Output: eval_id, ngram_matched, ngram_hit,
+    emb_matches, emb_max_cosine, contaminated.
     """
     from institutional_fx_etl_spark.operators.similarity import (
         embedding_decontaminate,
     )
     from institutional_fx_etl_spark.operators.text import (
-        decontaminate_against,
+        decontaminate_eval_broadcast,
     )
     from institutional_fx_etl_spark.plans.driver_queries import _auto_cells
 
@@ -109,7 +114,11 @@ def contamination_audit(
     corpus_docs = docs.filter(f"NOT ({eval_pred})")
     train = embeddings.filter(f"NOT ({emb_eval_pred})")
     test = embeddings.filter(emb_eval_pred)
-    ng = decontaminate_against(ev_docs, corpus_docs, n=ngram_n)
+    # round-10 ADVICE #1: the per-doc report side here is the EVAL set
+    # (small) and the scanned side is the TRAINING corpus (~90% of
+    # docs) — the flipped-broadcast variant keeps the broadcast
+    # eval-suite-sized instead of shipping a corpus-sized gram set
+    ng = decontaminate_eval_broadcast(ev_docs, corpus_docs, n=ngram_n)
     emb = embedding_decontaminate(
         train,
         test,

@@ -11952,24 +11952,35 @@ def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "boilerplate_purge",
+    # seg <> '' mirrors the operator's tokenless-doc rule (round-10
+    # ADVICE #3): empty documents contribute no segments and are
+    # restored with zero counts by the final LEFT JOIN
     r"""
     WITH t AS (
       SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
       FROM documents
     ),
-    seg AS (
+    seg0 AS (
       SELECT doc_id, CAST(s AS INT) AS start,
              array_to_string(list_slice(toks, s + 1, s + 8), ' ') AS seg
       FROM t, unnest(range(0, greatest(len(toks), 1), 8)) AS u(s)
     ),
-    d AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg)
-    SELECT doc_id,
-           COALESCE(string_agg(CASE WHEN df < 2 THEN s.seg END, ' '
-                               ORDER BY start), '') AS clean_text,
-           CAST(count(*) AS INT) AS n_segments,
-           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS INT)
-             AS n_purged
-    FROM seg s JOIN d USING (seg) GROUP BY doc_id
+    seg AS (SELECT * FROM seg0 WHERE trim(seg) <> ''),
+    d AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg),
+    agg AS (
+      SELECT doc_id,
+             COALESCE(string_agg(CASE WHEN df < 2 THEN s.seg END, ' '
+                                 ORDER BY start), '') AS clean_text,
+             CAST(count(*) AS INT) AS n_segments,
+             CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS INT)
+               AS n_purged
+      FROM seg s JOIN d USING (seg) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(COALESCE(a.n_segments, 0) AS INT) AS n_segments,
+           CAST(COALESCE(a.n_purged, 0) AS INT) AS n_purged
+    FROM t LEFT JOIN agg a USING (doc_id)
     """,
 )
 def q_boilerplate_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12861,178 +12872,134 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 _HEAD = [
-    # --- round-10 window (50) -----------------------------------------
-    # policy rule 1, part A: sketch_stats gained a REAL oracle this
-    # round (in-query accuracy verdicts, r9 verdict ask #4) — its
-    # first driver row that can hash-match heads the window
-    "sketch_stats",
-    # policy rule 1, part A2: NEW operators this round — append-only
-    # IVF ingest (r9 verdict ask #8), oracle = from-scratch rebuild,
-    # plus the round-10 wave-1 training-data ops
-    "ivf_incremental",
-    "boilerplate_purge",
-    "perplexity_buckets",
-    "kfold_assign",
-    "record_linkage_fs",
+    # --- round-11 window (50) -----------------------------------------
+    # Composed per the round-10 verdict's explicit asks #1 and #3:
+    #   * the 6 round-10 ops added after the r10 driver window froze
+    #     (judge-certified at sf0.01 but never driver-sampled) come
+    #     first — the driver record is the contract of record;
+    #   * then the stalest 44 rows by last_certified_round (computed
+    #     from the in-repo CORRECTNESS_r*.json ledger by
+    #     tools/cert_history.py): all 32 remaining r5 rows, then the
+    #     12 oldest r6 rows, in registration order within each round.
+    # The flagship-every-round rule (r2 policy rule 3) is superseded
+    # THIS round by the verdict's "6 + stalest 44" directive — the
+    # flagship family is r10-certified (freshest on the board) and
+    # holds the demotion tail per rule 4, so the two-round union
+    # invariant still covers it. tests/test_cert_freshness.py now
+    # machine-enforces the staleness invariant that used to be
+    # hand-curated here.
+    "dedup_weights",
+    "contamination_audit",
+    "boilerplate_incremental",
+    "quantile_align",
+    "streaming_lm_score",
+    "tokenizer_fertility",
+    # stalest 44: the full remaining r5-certified block (32) ...
+    "groupby_agg",
+    "asof_join",
+    "json_extract",
+    "sessionize",
+    "value_histogram",
+    "datetime_functions",
+    "string_functions",
+    "topk_per_group",
+    "stratified_sample",
+    "unpivot",
+    "cube_agg",
+    "set_ops",
+    "pivot_agg",
+    "rollup_agg",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_topk",
+    "ivf_topk",
+    "ivf_topk_kmeans",
+    "pq_encode",
+    "text_token_count",
+    "text_quality",
+    "text_fingerprint",
+    "multimodal_decode",
+    "streaming_tumbling_ohlc",
+    "streaming_dedup",
+    "ngram_topk",
+    "corpus_pipeline",
+    "dedup_stats",
+    "corpus_filter_report",
+    "sketch_stats_exact",
+    # ... and the 12 oldest r6-certified rows
+    "dedup_clusters",
+    "embedding_near_dup",
+    "hybrid_pipeline_audit",
+    "pipeline_clean_fixture",
+    "pipeline_clean_fixture_fused",
+    "incremental_merge_multisym",
+    "candle_resample",
+    "doc_packing",
+    "text_entropy",
+    "emb_centroids",
+    "equidepth_histogram",
+    "linear_interpolate",
+]
+_TAIL = [
+    # r10-green — the freshest driver rows on the board (demotion
+    # tail per policy rule 4: only entries with a green row from the
+    # immediately previous round may hold the tail, so the union of
+    # any two consecutive windows covers the whole registry). The
+    # r6-r9 remainder is NOT listed, so _reorder_registry places it
+    # between _HEAD and _TAIL — top of the pytest tail gate, first
+    # in line for the r12 window (oldest first; see
+    # tools/cert_history.py for the machine-readable ledger).
+    "align_left_join",
+    "asof_join_tolerance",
     "bitext_margin",
-    "hard_negatives",
+    "bitmap_prune_join",
+    "boilerplate_purge",
+    "consecutive_streaks",
     "corpus_diversity",
-    "zipf_token_fit",
-    "probe_calibration",
-    "streaming_ivf_assign",
-    # policy rule 1, part B: code changed this round (r9 ADVICE fixes).
-    # Only the two whose REGISTERED plans materially changed re-certify
-    # here (NULLS LAST survivorship tiebreak; micro-rounded MW loss).
-    # The other five advice touches (budget validation guard,
-    # localCheckpoint share, COALESCE'd GD labels) leave the contract
-    # plans bit-identical for the registered inputs — they hold their
-    # green r9 rows, are pytest-tail-gated, and were re-swept vanilla
-    # at sf0.01 this round (probe_calibration also transitively
-    # re-certifies the full linear_probe_score chain).
+    "decontaminate_ngram",
+    "dedup_exact",
     "dedup_survivorship",
+    "doc_chunking",
     "domain_reweight_mw",
-    # flagship family — policy rule 3: stays in-window every round
+    "exact_quantiles",
+    "filter_nullsafe",
+    "funnel_analysis",
+    "global_median",
+    "grouping_sets_agg",
+    "hard_negatives",
     "hybrid_pipeline",
     "hybrid_pipeline_multisym",
     "incremental_merge",
-    "validator_reconcile",
-    "streaming_gap_bridge",
-    # policy rule 2: ALL 22 remaining r4-certified rows — the stalest
-    # block on the board (incl. the 9 that lost their r9 slots) — in
-    # registration order; after this window no row's driver
-    # certification predates round 5
-    "text_lang_id",
+    "ivf_incremental",
+    "kfold_assign",
     "multimodal_frames",
-    "range_join_banded",
-    "skew_salted_agg",
-    "exact_quantiles",
-    "text_repetition",
-    "tfidf_topterms",
+    "perplexity_buckets",
+    "pii_redact",
+    "probe_calibration",
     "range_frame_window",
-    "asof_join_tolerance",
+    "range_join_banded",
     "rank_distributions",
-    "grouping_sets_agg",
-    "bitmap_prune_join",
-    "funnel_analysis",
-    "consecutive_streaks",
+    "record_linkage_fs",
+    "rolling_median_centered",
+    "scan_project",
+    "sketch_stats",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "streaming_gap_bridge",
+    "streaming_ivf_assign",
     "streaming_sliding_window",
     "streaming_stream_join",
-    "winnow_fingerprint",
-    "decontaminate_ngram",
-    "pii_redact",
-    "winnow_pairs",
-    "skew_salted_join",
-    "doc_chunking",
-    # r9 verdict ask #1: the round-5-certified §2 head block — the
-    # named stale rotation (driver record must never go >3 rounds
-    # stale)
-    "scan_project",
-    "tumbling_ohlc",
-    "global_median",
+    "text_lang_id",
+    "text_repetition",
+    "tfidf_topterms",
     "time_spine",
-    "rolling_median_centered",
-    "align_left_join",
+    "tumbling_ohlc",
+    "validator_reconcile",
     "weekday_filter",
-    "filter_nullsafe",
-    # remaining slot: next-stalest r5 row. The other five flex slots
-    # went to this round's wave-1 ops (policy rule 1); the displaced
-    # rows (dedup_minhash_lsh, corpus_pipeline, multimodal_decode,
-    # ivf_topk, ann_topk — all independently judge-re-certified in
-    # the r9 session) rejoin the r5-r7 middle block (pytest tail
-    # gate) and head the r11 window. The round-10 wave-3 ops
-    # (dedup_weights, contamination_audit) OVERFLOW the saturated
-    # window: they are vanilla-swept at 3 SFs this round, pytest
-    # tail-gated, and head the r11 window with the displaced rows.
-    "dedup_exact",
-]
-_TAIL = [
-    # r8/r9-green — freshest driver rows on the board (demotion tail
-    # per policy rule 4). The r5-r7 remainder is NOT listed, so
-    # _reorder_registry places it between _HEAD and _TAIL — top of
-    # the pytest tail, first in line for the r11 window (oldest
-    # first: r5 rows, then r6, then r7).
-    "ann_recall_eval",
-    "anova_oneway",
-    "assoc_rules",
-    "bloom_membership",
-    "bm25_rank",
-    "countmin_estimate",
-    "cramers_v",
-    "crosscorr_lags",
-    "cusum_changepoint",
-    "decay_score",
-    "dedup_canonical",
-    "dedup_containment",
-    "dedup_ensemble_pairs",
-    "dedup_recall_eval",
-    "dedup_sorted_neighborhood",
-    "diff_in_diff",
-    "dsir_weights",
-    "emb_covariance",
-    "fuzzy_lookup_join",
-    "gini_by_group",
-    "graph_sssp_weighted",
-    "hll_estimate",
-    "interarrival_stats",
-    "key_skew_profile",
-    "ks_two_sample",
-    "lsh_ann_pairs",
-    "mannwhitney_u",
-    "mixture_sampling",
-    "pareto_topshare",
-    "profile_table",
-    "proportion_ztest",
-    "psi_drift",
-    "quantile_sketch",
-    "referential_integrity",
-    "streaming_countmin",
-    "streaming_cusum",
-    "streaming_hll",
-    "streaming_quantile_sketch",
-    "tpch_q12",
-    "tpch_q15",
-    "tpch_q9",
-    "triangle_count",
-    "weighted_median",
-    "zorder_layout",
-    "anti_join",
-    "array_agg_functions",
-    "audit_union",
-    "combine_first",
-    "cross_source_overlap",
-    "curriculum_order",
-    "dedup_minhash_error",
-    "dedup_nearest_text",
-    "dup_span_coverage",
-    "emb_pca_incremental",
-    "emb_pca_power",
-    "emb_pca_project",
-    "embedding_decontaminate",
-    "ffill",
-    "greatest_least_fix",
-    "inner_reconcile",
-    "ivfpq_topk",
-    "kmeans_inertia",
-    "knn_incremental",
-    "knn_join",
-    "lag_pct_change",
-    "latest_record_dedup",
-    "lsh_ann_pairs_scaled",
-    "lsh_multiprobe_pairs",
-    "ngram_novelty",
-    "ngram_novelty_incremental",
-    "quota_sample_exact",
-    "random_projection",
-    "rolling_stats",
-    "semdedup",
-    "session_window_agg",
-    "shuffle_shards",
-    "stats_agg",
-    "streaming_dedup_table",
-    "streaming_mixture",
-    "topk",
-    "tpch_q8",
-    "train_test_split",
+    "winnow_fingerprint",
+    "winnow_pairs",
+    "zipf_token_fit",
 ]
 
 

@@ -1,0 +1,86 @@
+"""Machine-enforced driver-certification freshness (r10 verdict ask #3).
+
+The driver's correctness gate samples the FIRST 50 registry entries per
+round at sf0.01; the pytest tail gate re-checks everything else, but
+only at sf0.001 — scale-sensitive regressions (bucket caps, engine
+crossovers) can hide below the tail gate's corpus size. The rotation of
+the 50-slot window used to be hand-curated comments in
+``plans/driver_queries.py``; this test turns the invariant into code so
+staleness creates automatic rotation pressure.
+
+Invariant: for every registered query, EITHER it sits in the upcoming
+window (``REGISTRY`` entries [0:50] — it will be re-certified this
+round), OR its latest green driver row is at most ``MAX_STALE`` rounds
+behind the latest recorded round.
+
+Why ``MAX_STALE = 5`` and not the verdict's suggested 4: the bound is
+arithmetically forced. 257 registered queries through a 50-slot window
+need ceil(257/50) = 6 rounds per full rotation, so the best achievable
+worst-case gap between consecutive certifications of the same query is
+5 rounds — a ≤4 invariant would need 257/5 ≈ 51.4 certifications per
+round, more than the driver samples. 5 is therefore the TIGHTEST
+enforceable threshold, and this test enforces it exactly (any slack
+would have to come from shrinking the registry, which would delete
+coverage). The window-exemption term is what makes the invariant
+plannable: the test is evaluated against the committed _HEAD for the
+round about to run.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+from cert_history import WINDOW, ledger  # noqa: E402
+
+MAX_STALE = 5
+
+
+def test_every_query_fresh_or_in_window():
+    led, latest = ledger()
+    assert latest >= 10, "certification history missing from repo"
+    stale = {
+        name: row
+        for name, row in led.items()
+        if not row["in_window"] and row["staleness"] > MAX_STALE
+    }
+    assert not stale, (
+        f"{len(stale)} queries are >{MAX_STALE} rounds driver-stale and "
+        f"not slated for the upcoming window — rotate them into _HEAD "
+        f"in plans/driver_queries.py: "
+        f"{sorted((n, r['last_round']) for n, r in stale.items())}"
+    )
+
+
+def test_window_is_exactly_driver_sized():
+    led, _ = ledger()
+    assert sum(1 for r in led.values() if r["in_window"]) == WINDOW
+
+
+def test_never_certified_queries_head_the_window():
+    """A query with NO green driver row ever must be first in line."""
+    led, _ = ledger()
+    never = [n for n, r in led.items() if r["last_round"] is None]
+    assert all(led[n]["in_window"] for n in never), (
+        f"never-driver-certified queries missing from the window: "
+        f"{[n for n in never if not led[n]['in_window']]}"
+    )
+
+
+def test_window_prioritizes_the_stalest():
+    """No out-of-window query may be staler than the stalest *certified*
+    in-window query (never-certified entries aside, the window must be
+    exactly the staleness frontier)."""
+    led, _ = ledger()
+    in_w = [r["staleness"] for r in led.values()
+            if r["in_window"] and r["last_round"] is not None]
+    out_w = [r["staleness"] for r in led.values() if not r["in_window"]]
+    if in_w and out_w:
+        assert max(out_w) <= max(in_w) + 0, (
+            "an out-of-window query is staler than everything in the "
+            "window — the rotation is not picking the stalest first"
+        )

@@ -1,0 +1,165 @@
+"""Round-11 fixes: the four round-10 ADVICE findings.
+
+1. ``contamination_audit`` lexical leg broadcasts the EVAL side
+   (``decontaminate_eval_broadcast``) — equality with the benchmark-
+   broadcast operator and plan-side broadcast direction.
+2/3/4. NULL group keys are first-class in ``quantile_align``,
+   ``kfold_assign`` and ``perplexity_buckets`` (null-safe rejoins —
+   no silent row drops).
+5. ``boilerplate_purge`` (+ incremental): tokenless docs emit no ''
+   segment, can't inflate doc frequency, and still get their zero-
+   count output row.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from institutional_fx_etl_spark.operators.selection import (
+    kfold_assign,
+    quantile_align,
+)
+from institutional_fx_etl_spark.operators.text import (
+    boilerplate_purge,
+    boilerplate_purge_incremental,
+    decontaminate_against,
+    decontaminate_eval_broadcast,
+    perplexity_buckets,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# --------------------------------------------------------------- #1
+def test_eval_broadcast_equals_benchmark_broadcast(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "an entirely different sentence with no overlap at all"),
+            (3, "the quick brown fox jumps over the lazy dog again"),
+        ],
+    )
+    ev = _docs(
+        spark,
+        [
+            (100, "the quick brown fox jumps over the lazy dog sometimes"),
+            (101, "completely novel eval text nothing shared here ever"),
+            (102, ""),  # tokenless eval doc: zero matches, still a row
+        ],
+    )
+    a = decontaminate_against(ev, corpus, n=5).orderBy("doc_id").collect()
+    b = decontaminate_eval_broadcast(ev, corpus, n=5).orderBy(
+        "doc_id"
+    ).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    got = {r["doc_id"]: r["n_matched"] for r in b}
+    assert got[100] > 0 and got[101] == 0 and got[102] == 0
+
+
+def test_eval_broadcast_broadcasts_the_eval_side(spark):
+    corpus = _docs(spark, [(1, "a b c d e f g h")])
+    ev = _docs(spark, [(9, "a b c d e f g h")])
+    plan = decontaminate_eval_broadcast(ev, corpus)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # exactly the hint's broadcast: the eval (doc_id, gram) pairs
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+# ------------------------------------------------------------ #2/3/4
+def test_quantile_align_keeps_null_group_and_score(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "web", 10),
+            (2, "web", 20),
+            (3, None, 30),
+            (4, None, 40),
+            (5, "web", None),
+        ],
+        "doc_id bigint, source string, n_chars int",
+    )
+    out = quantile_align(df).collect()
+    assert len(out) == 5, "NULL-keyed documents must not be dropped"
+    by_id = {r["doc_id"]: r for r in out}
+    # NULL group is its own group of 2
+    assert by_id[3]["grp_rank"] == 1 and by_id[4]["grp_rank"] == 2
+    # NULL score ranks lowest inside its group (ASC NULLS FIRST)
+    assert by_id[5]["grp_rank"] == 1 and by_id[1]["grp_rank"] == 2
+
+
+def test_kfold_assign_keeps_null_stratum(spark):
+    df = spark.createDataFrame(
+        [(i, "s" if i % 2 else None) for i in range(20)],
+        "doc_id bigint, source string",
+    )
+    out = kfold_assign(df, k=3, stratum_expr="source").collect()
+    assert len(out) == 20
+    null_rows = [r for r in out if r["stratum"] is None]
+    assert len(null_rows) == 10
+    # folds inside the NULL stratum stay balanced (±1)
+    from collections import Counter
+
+    c = Counter(r["fold"] for r in null_rows)
+    assert max(c.values()) - min(c.values()) <= 1
+
+
+def test_perplexity_buckets_keeps_null_lang(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a", "en"),
+            (2, "a a a a a", "en"),
+            (3, "b b a a b", None),
+            (4, "a b b b a", None),
+            (5, "b a b a b", None),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    out = perplexity_buckets(df).collect()
+    assert len(out) == 5, "NULL-lang documents must not be dropped"
+    nulls = [r for r in out if r["lang"] is None]
+    assert sorted(r["lang_rank"] for r in nulls) == [1, 2, 3]
+    assert {r["bucket"] for r in nulls} == {"head", "middle", "tail"}
+
+
+# --------------------------------------------------------------- #5
+def test_boilerplate_purge_ignores_empty_docs(spark):
+    # three empty docs would previously make '' a df=3 "boilerplate"
+    # segment; n_segments counted it too
+    df = _docs(
+        spark,
+        [
+            (1, ""),
+            (2, "   "),
+            (3, ""),
+            (4, "one two three four five six seven eight"),
+            (5, "unique nine ten eleven twelve thirteen fourteen fifteen"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in boilerplate_purge(df).collect()}
+    assert len(out) == 5, "one row per input document"
+    for d in (1, 2, 3):
+        assert out[d]["n_segments"] == 0
+        assert out[d]["n_purged"] == 0
+        assert out[d]["clean_text"] == ""
+    assert out[4]["n_segments"] == 1 and out[4]["n_purged"] == 0
+    assert out[5]["n_segments"] == 1
+
+
+def test_boilerplate_incremental_equals_full_with_empty_docs(spark):
+    rows = [
+        (1, ""),
+        (2, "shared boiler plate text one two three eight"),
+        (3, "shared boiler plate text one two three eight"),
+        (4, "fresh words only here nothing shared at all"),
+        (5, ""),
+        (6, "shared boiler plate text one two three eight"),
+    ]
+    df = _docs(spark, rows)
+    old = df.filter("doc_id <= 3")
+    new = df.filter("doc_id > 3")  # includes an empty NEW doc (5)
+    inc = boilerplate_purge_incremental(old, new).orderBy("doc_id")
+    full = boilerplate_purge(df).orderBy("doc_id")
+    assert [r.asDict() for r in inc.collect()] == [
+        r.asDict() for r in full.collect()
+    ]
