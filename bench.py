@@ -214,13 +214,88 @@ def _total_shuffle_write_bytes(spark) -> int:
         return 0
 
 
+def _fresh_session_mode(top_n: int, sf_dir: str) -> None:
+    """``--fresh-top N``: re-measure the N slowest queries of the
+    committed ``BENCH_local.json`` each in its OWN subprocess (new
+    JVM, new SparkSession, nothing else planned in the session) and
+    print one JSON line {query: {cold_sec, warm_sec}}.
+
+    Purpose (r10 verdict ask #2): the default artifact times 150+
+    plans through ONE long-lived session, so per-query walls carry
+    session-age effects (status-store growth, codegen-cache pressure,
+    GC debt from prior plans). The fresh-session walls are the
+    uncontaminated per-query numbers a single-job cluster run would
+    see: cold = first pass (includes Catalyst planning + codegen),
+    warm = best of 2 subsequent passes.
+    """
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    art = os.path.join(here, "BENCH_local.json")
+    with open(art) as f:
+        prev = json.load(f)
+    names = [
+        n for n, _ in sorted(
+            prev["queries"].items(), key=lambda kv: -kv[1]
+        )[:top_n]
+    ]
+    out: dict[str, dict] = {}
+    for name in names:
+        code = (
+            "import json,time,sys; sys.path.insert(0, %r);"
+            "from institutional_fx_etl_spark import get_spark;"
+            "from institutional_fx_etl_spark.plans import driver_queries as dq;"
+            "s=get_spark(app_name='bench-fresh');"
+            "fn=dq.REGISTRY[%r][0];"
+            "t0=time.perf_counter();"
+            "fn(s,%r).write.format('noop').mode('overwrite').save();"
+            "cold=time.perf_counter()-t0; warm=float('inf')\n"
+            "for _ in range(2):\n"
+            "    t0=time.perf_counter();"
+            "fn(s,%r).write.format('noop').mode('overwrite').save();"
+            "warm=min(warm,time.perf_counter()-t0)\n"
+            "print(json.dumps({'cold_sec':round(cold,3),"
+            "'warm_sec':round(warm,3)}))"
+        ) % (here, name, sf_dir, sf_dir)
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True
+        )
+        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
+        try:
+            out[name] = json.loads(line)
+        except json.JSONDecodeError:
+            out[name] = {"error": r.stderr.strip()[-400:]}
+    print(json.dumps({"metric": "fresh_session_walls", "queries": out}))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    args = sys.argv[1:]
+    if "--fresh-top" in args:
+        _fresh_session_mode(
+            int(args[args.index("--fresh-top") + 1]), sf_dir
+        )
+        return
+    # --only a,b,c : time just the named queries (control experiments —
+    # e.g. replaying an earlier round's exact subset); --out PATH
+    # redirects the artifact so control runs never clobber the
+    # committed BENCH_local.json
+    only: list[str] | None = None
+    if "--only" in args:
+        only = args[args.index("--only") + 1].split(",")
+    out_path = (
+        args[args.index("--out") + 1] if "--out" in args else None
+    )
+
     spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "true"})
 
     registry = driver_queries.REGISTRY
     names = [n for n in HEADLINE if n in registry]
+    if only is not None:
+        chosen = set(only)
+        names = [n for n in names if n in chosen]
 
     # empty-plan floor (r9 verdict ask #6): the cost of scheduling ONE
     # trivial job through the same action shape as the timed region —
@@ -284,7 +359,9 @@ def main() -> None:
     # full artifact to disk FIRST: the round-4 driver captured only a
     # truncated tail of stdout and lost the flagship timings — the
     # committed file is the durable round-over-round record
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json")
+    out = out_path or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
         f.write("\n")

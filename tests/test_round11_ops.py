@@ -163,3 +163,88 @@ def test_boilerplate_incremental_equals_full_with_empty_docs(spark):
     assert [r.asDict() for r in inc.collect()] == [
         r.asDict() for r in full.collect()
     ]
+
+
+# ---------------------------------------------------- verdict ask #4
+def test_thousand_day_backfill_distributed_dayset(spark, tmp_path):
+    """A 1000-day backfill batch must take the DISTRIBUTED day-set
+    path (no 1000-literal IN-list in any plan) and still converge to
+    the exact from-scratch state. Days > max_inlist_days (default
+    256), so both the affected-day and refresh-day filters become
+    broadcast semi-joins; equality is checked via count + order-free
+    row hash (the spine spans ~1.4M rows - too big to collect)."""
+    from datetime import datetime, timedelta
+
+    from institutional_fx_etl_spark.plans.incremental import (
+        IncrementalHybridPipeline,
+    )
+    from institutional_fx_etl_spark.plans.pipeline import HybridMergerSpark
+
+    t0 = datetime(2020, 1, 6)  # Monday
+
+    def ticks(day_range):
+        rows = []
+        for d in day_range:
+            base = t0 + timedelta(days=d)
+            if base.weekday() >= 5:  # skip weekends (F2 drops them)
+                continue
+            for m in (600, 601):  # two minutes per day, 10:00-10:01
+                mid = 1.0 + (d % 64) / 16 + m / 4096
+                rows.append(
+                    (
+                        base + timedelta(minutes=m),
+                        mid + 0.125,
+                        mid - 0.125,
+                    )
+                )
+        return spark.createDataFrame(
+            rows, "datetime timestamp, ask double, bid double"
+        )
+
+    def m1(day_range):
+        rows = []
+        for d in day_range:
+            base = t0 + timedelta(days=d)
+            if base.weekday() >= 5:
+                continue
+            v = 1.0 + (d % 32) / 16
+            rows.append(
+                (base + timedelta(minutes=599), v, v + 0.25, v - 0.25,
+                 v + 0.125, 7.0, None)
+            )
+        return spark.createDataFrame(
+            rows,
+            "datetime timestamp, open double, high double, low double,"
+            " close double, volume double, spread double",
+        )
+
+    all_m1 = m1(range(0, 1002))
+    recent = ticks(range(1000, 1002))
+    backfill = ticks(range(0, 1000))
+
+    inc = IncrementalHybridPipeline(
+        spark,
+        str(tmp_path / "state1000"),
+        spike_threshold=1e9,
+        consensus_threshold=1e9,
+    )
+    inc.update(all_m1, recent)
+    inc.update(all_m1, backfill)  # 1000-day backfill
+    assert inc._last_update_inlist == {
+        "days_affected": False,
+        "refresh": False,
+    }, "1000-day batch must NOT inline literal day lists"
+
+    eng = HybridMergerSpark(spike_threshold=1e9, consensus_threshold=1e9)
+    full, _ = eng.run(all_m1, recent.unionByName(backfill))
+
+    def sig(df):
+        cols = sorted(df.columns)
+        return (
+            df.selectExpr(
+                "count(1) AS n",
+                f"sum(xxhash64({', '.join(cols)})) AS h",
+            ).collect()[0].asDict()
+        )
+
+    assert sig(inc.read_final()) == sig(full)
