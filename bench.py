@@ -193,6 +193,11 @@ HEADLINE = [
     "tokenizer_fertility",
     "streaming_lm_score",
     "quantile_align",
+    # round-11 ops
+    "stupid_backoff_lm",
+    "mmr_select",
+    "label_prop_communities",
+    "l_diversity",
 ]
 
 

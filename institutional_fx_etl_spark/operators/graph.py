@@ -365,3 +365,64 @@ def sssp_weighted(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
     return dist
+
+
+def label_prop_communities(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan et al.
+    2007) — the canonical near-linear community detector: every node
+    starts labeled with itself; each round every node adopts the most
+    frequent label among its NEIGHBORS (self excluded — the pure
+    synchronous variant), ties broken toward the SMALLEST label so
+    each round is a deterministic function of the previous labeling
+    and the oracle can unroll the identical rounds as CTEs. A fixed
+    ``iterations`` (part of the contract, like ``pagerank_fixed``)
+    keeps the plan a static DAG — no convergence loop, no
+    checkpoint at small k.
+
+    Plan shape per round: one hash join of the (undirected,
+    both-direction) edge list against the current O(V) labeling, one
+    (node, label) count aggregate, one per-node argmax window — all
+    shuffles on the node key; edges persist once (ids only). At
+    scale this is the same edge-partitioned propagation as the CC
+    loop and PageRank.
+
+    Output: node, label (the community id after the last round),
+    n_members (that community's size).
+    """
+    from pyspark.storagelevel import StorageLevel
+    from pyspark.sql import Window
+
+    und = edges.selectExpr(
+        f"{src_col} AS a", f"{dst_col} AS b"
+    )
+    e = (
+        und.unionByName(und.selectExpr("b AS a", "a AS b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = e.selectExpr("a AS node").distinct().selectExpr(
+        "node", "node AS lbl"
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.desc("__c"), F.asc("lbl")
+    )
+    for _ in range(iterations):
+        labels = (
+            e.join(labels.selectExpr("node AS b", "lbl"), "b")
+            .groupBy(F.col("a").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .withColumn("__rk", F.row_number().over(w))
+            .filter("__rk = 1")
+            .select("node", "lbl")
+        )
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return labels.join(sizes, "lbl").select(
+        "node", F.col("lbl").alias("label"), "n_members"
+    )

@@ -141,6 +141,52 @@ def k_anonymity(
         " * 1e6 + 0.5D) / 1e6 AS at_risk_share",
     )
 
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity risk profile (Machanavajjhala et al. 2007 — the
+    audit k-anonymity misses: a group can be large yet carry ONE
+    sensitive value, so membership alone discloses it): group by the
+    quasi-identifier, count DISTINCT sensitive values per group, and
+    report in ONE row how many groups (and rows) sit below ``l``
+    distinct values.
+
+    Same two chained map-side-combinable aggregations as
+    :func:`k_anonymity`; the distinct count adds the standard
+    two-level expand-and-collapse — shuffle volume stays one row per
+    (quasi group, sensitive value), never wide.
+
+    Output: n_rows, n_groups, l_min (the dataset's effective l),
+    groups_below_l, rows_below_l, at_risk_share (6 dp).
+    """
+    sizes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("__g"),
+        F.countDistinct(sensitive_col).alias("__l"),
+    )
+    return sizes.agg(
+        F.sum("__g").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("__l").alias("l_min"),
+        F.sum(F.expr(f"CASE WHEN __l < {l} THEN 1 ELSE 0 END")).alias(
+            "groups_below_l"
+        ),
+        F.sum(F.expr(f"CASE WHEN __l < {l} THEN __g ELSE 0 END")).alias(
+            "rows_below_l"
+        ),
+    ).selectExpr(
+        "n_rows",
+        "n_groups",
+        "l_min",
+        "groups_below_l",
+        "rows_below_l",
+        "floor(CAST(rows_below_l AS DOUBLE) / CAST(n_rows AS DOUBLE)"
+        " * 1e6 + 0.5D) / 1e6 AS at_risk_share",
+    )
+
+
 CHISQ_TERM = (
     "(CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)"
     " / CAST(n AS DOUBLE))"

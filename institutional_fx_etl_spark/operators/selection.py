@@ -1243,3 +1243,131 @@ def quantile_align(
             "round(CAST(__lt + __rn AS DOUBLE) / __n, 6) AS pct_rank",
         )
     )
+
+
+def mmr_select(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 8,
+    shortlist: int = 128,
+    lam_tenths: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein
+    1998): pick ``k`` items that balance RELEVANCE to a query vector
+    against REDUNDANCY with what is already picked —
+    ``argmax λ·sim(d, q) − (1−λ)·max_{s∈S} sim(d, s)`` per step. The
+    standard recipe for building diverse eval/demo sets from an
+    embedding corpus (pure top-k returns k near-duplicates of the
+    best hit; MMR spends the budget on coverage).
+
+    Two-regime shape (the ``dedup_clusters`` discipline): the
+    DISTRIBUTED stages do all corpus-scale work — the relevance
+    top-``shortlist`` prune (``cosine_topk``: two-level window, no
+    hot partition) and the shortlist's pairwise cosine matrix (an
+    O(shortlist²) self-join, ≤ 65k rows at the 256 cap) — and the
+    driver runs only the inherently SEQUENTIAL k-step argmax over
+    the collected INTEGER matrix. Every number that crosses the
+    boundary is a micro-quantized BIGINT (cosines round to 6dp then
+    ×1e6 — the ``bitext_margin`` convention), so the greedy loop is
+    pure integer arithmetic with (score desc, id asc) tie-break —
+    bit-reproducible, and the oracle unrolls the same k steps as
+    CTEs over the same micro-ints (the ``emb_pca_power``
+    discipline). The final output re-joins the k selected ids
+    against the distributed shortlist relation, so values come from
+    the cluster, not the driver.
+
+    score = (λ₁₀·rel_m − (10−λ₁₀)·maxsim_m) — an exact ×1e7-scaled
+    integer (λ = lam_tenths/10); step 1 maximizes relevance alone
+    (empty-set redundancy = 0).
+
+    Output: rank (1-based INT), id, rel_cosine, mmr_score.
+    """
+    from institutional_fx_etl_spark.operators.similarity import (
+        cosine_topk,
+        with_norm,
+    )
+
+    if not 1 <= int(lam_tenths) <= 9:
+        raise ValueError(f"lam_tenths must be in 1..9, got {lam_tenths}")
+    if not 1 <= k <= shortlist:
+        raise ValueError(f"need 1 <= k <= shortlist, got {k}/{shortlist}")
+    if shortlist > 256:
+        # the driver collects the shortlist² sim matrix — keep it
+        # bounded (256² = 65,536 micro-int rows, the documented cap)
+        raise ValueError(f"shortlist is capped at 256, got {shortlist}")
+    lam = int(lam_tenths)
+
+    qdf = emb.filter(F.col(id_col) == F.lit(int(query_id)))
+    short = cosine_topk(
+        emb, qdf, k=shortlist, vec_col=vec_col, id_col=id_col
+    ).selectExpr(
+        "vec_id",
+        "CAST(round(cosine * 1e6, 0) AS BIGINT) AS rel_m",
+    )
+    from pyspark import StorageLevel
+
+    short = short.persist(StorageLevel.MEMORY_AND_DISK)
+
+    sv = (
+        with_norm(emb, vec_col)
+        .join(F.broadcast(short.select("vec_id")), id_col, "left_semi")
+        .selectExpr(
+            f"{bq(id_col)} AS vid",
+            f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vv",
+            "__norm AS nv",
+        )
+    )
+    a = sv.selectExpr("vid AS ida", "vv AS va", "nv AS na")
+    b = sv.selectExpr("vid AS idb", "vv AS vb", "nv AS nb")
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x*y), 0.0d, (a, x) -> a + x)"
+    sims_rows = (
+        a.crossJoin(b)
+        .filter("ida < idb")
+        .selectExpr(
+            "ida",
+            "idb",
+            f"CAST(round(round({dot} / (na * nb), 6) * 1e6, 0) AS BIGINT)"
+            " AS sim_m",
+        )
+        .collect()
+    )
+    cand = [(r["vec_id"], r["rel_m"]) for r in short.collect()]
+    sims: dict[tuple, int] = {}
+    for r in sims_rows:
+        sims[(r["ida"], r["idb"])] = r["sim_m"]
+        sims[(r["idb"], r["ida"])] = r["sim_m"]
+
+    selected: list[tuple] = []  # (rank, vid, score_m10)
+    chosen: set = set()
+    for step in range(1, k + 1):
+        best = None
+        for vid, rel_m in cand:
+            if vid in chosen:
+                continue
+            ms = (
+                max(sims.get((vid, s), 0) for _, s, _ in selected)
+                if selected
+                else 0
+            )
+            sc = lam * rel_m - (10 - lam) * ms
+            if best is None or sc > best[2] or (sc == best[2] and vid < best[1]):
+                best = (step, vid, sc)
+        selected.append(best)
+        chosen.add(best[1])
+
+    spark = emb.sparkSession
+    picks = spark.createDataFrame(
+        selected, "rank int, vec_id bigint, score_m10 bigint"
+    )
+    return (
+        F.broadcast(picks)
+        .join(short, "vec_id")
+        .selectExpr(
+            "rank",
+            f"vec_id AS {bq(id_col)}",
+            "CAST(rel_m AS DOUBLE) / 1000000.0D AS rel_cosine",
+            "CAST(score_m10 AS DOUBLE) / 10000000.0D AS mmr_score",
+        )
+    )

@@ -851,6 +851,155 @@ def bigram_lm_score(
     )
 
 
+def stupid_backoff_lm(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha_tenths: int = 4,
+) -> DataFrame:
+    """Trigram stupid-backoff scoring (Brants et al. 2007, §3 — the
+    web-scale LM recipe: unnormalized score
+    ``S(w3|w1 w2) = C(w1w2w3)/C(w1w2)`` when the trigram was seen,
+    else ``α·C(w2w3)/C(w2)``, else ``α²·C(w3)/N``, with α = 0.4;
+    "stupid" because no discounting/normalization — at corpus scale
+    the backoff chain is what matters, and it needs only raw count
+    tables). Counts fit on ``train``; every ``score`` document with
+    ≥3 tokens gets its mean log2 S over trigram positions plus the
+    per-level hit counts (the OOV-pressure diagnostic). A token
+    unseen even as a unigram scores the deterministic floor ``α³/N``
+    (never log2(0)).
+
+    Plan shape (the 100 TB story): the train corpus tokenizes ONCE
+    (persisted narrow (doc, toks) frame), then three vocabulary-
+    bounded hash aggregates build the trigram/bigram/unigram tables
+    and one 1-row total; the scoring stream explodes to trigram
+    positions and shuffles on n-gram STRING keys through left joins
+    against the count tables (never broadcastable at web scale — the
+    position stream moves once per grain), then one per-doc
+    aggregate. No UDF anywhere.
+
+    Determinism: every S is a product of an exact power of α (a
+    dyadic-exact CASE branch constant CAST to DOUBLE) and ONE
+    division of two exact BIGINT counts; the per-doc mean rounds to
+    6dp (the ``bigram_lm_score`` discipline — the oracle mirrors the
+    association token for token).
+
+    Output: id, n_positions, n_tri, n_bi_backoff, n_uni_backoff,
+    n_floor, avg_log2_s, score_ppl (2^-avg — unnormalized
+    "perplexity" under S).
+    """
+    from pyspark import StorageLevel
+
+    a = int(alpha_tenths)  # α numerator over 10 (default 4 → α = 0.4)
+    if not 1 <= a <= 9:
+        # the branch constants are built as decimal literals 0.a /
+        # 0.(a²) / 0.(a³); a ≥ 10 would silently shift the scale
+        raise ValueError(f"alpha_tenths must be in 1..9, got {alpha_tenths}")
+    toked = (
+        train.withColumn("__toks", tokens(text_col))
+        .selectExpr("__toks")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    t3 = (
+        toked.filter("size(__toks) >= 3")
+        .selectExpr(f"explode({shingles_expr('__toks', 3)}) AS g")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    t2 = (
+        toked.filter("size(__toks) >= 2")
+        .selectExpr(f"explode({shingles_expr('__toks', 2)}) AS g")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    t1 = (
+        toked.selectExpr("explode(__toks) AS g")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    total = toked.selectExpr("explode(__toks) AS g").agg(
+        F.count(F.lit(1)).alias("__N")
+    )
+    pos = (
+        score.withColumn("__toks", tokens(text_col))
+        .filter("size(__toks) >= 3")
+        .selectExpr(
+            bq(id_col),
+            f"explode({shingles_expr('__toks', 3)}) AS g3",
+        )
+        .selectExpr(
+            bq(id_col),
+            "g3",
+            # context bigram (w1 w2), backoff bigram (w2 w3), w2, w3
+            "substring_index(g3, ' ', 2) AS gc",
+            "substring_index(g3, ' ', -2) AS gb",
+            "substring_index(substring_index(g3, ' ', 2), ' ', -1) AS w2",
+            "substring_index(g3, ' ', -1) AS w3",
+        )
+    )
+    j = (
+        pos.join(t3.withColumnRenamed("g", "g3"), "g3", "left")
+        .join(
+            t2.selectExpr("g AS gc", "c2 AS c2ctx"), "gc", "left"
+        )
+        .join(t2.selectExpr("g AS gb", "c2 AS c2b"), "gb", "left")
+        .join(t1.selectExpr("g AS w2", "c1 AS c1w2"), "w2", "left")
+        .join(t1.selectExpr("g AS w3", "c1 AS c1w3"), "w3", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    lp = (
+        "CASE"
+        " WHEN coalesce(c3, 0) > 0 THEN"
+        "  log2(CAST(c3 AS DOUBLE) / CAST(c2ctx AS DOUBLE))"
+        " WHEN coalesce(c2b, 0) > 0 THEN"
+        f"  log2(CAST(0.{a} AS DOUBLE)"
+        "   * (CAST(c2b AS DOUBLE) / CAST(c1w2 AS DOUBLE)))"
+        " WHEN coalesce(c1w3, 0) > 0 THEN"
+        f"  log2(CAST(0.{a * a:02d} AS DOUBLE)"
+        "   * (CAST(c1w3 AS DOUBLE) / CAST(__N AS DOUBLE)))"
+        f" ELSE log2(CAST(0.{a * a * a:03d} AS DOUBLE)"
+        "   / CAST(__N AS DOUBLE)) END"
+    )
+    lvl = (
+        "CASE WHEN coalesce(c3, 0) > 0 THEN 0"
+        " WHEN coalesce(c2b, 0) > 0 THEN 1"
+        " WHEN coalesce(c1w3, 0) > 0 THEN 2 ELSE 3 END"
+    )
+    return (
+        j.selectExpr(bq(id_col), f"{lp} AS __lp", f"{lvl} AS __lvl")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_positions"),
+            F.sum((F.col("__lvl") == 0).cast("int"))
+            .cast("bigint")
+            .alias("n_tri"),
+            F.sum((F.col("__lvl") == 1).cast("int"))
+            .cast("bigint")
+            .alias("n_bi_backoff"),
+            F.sum((F.col("__lvl") == 2).cast("int"))
+            .cast("bigint")
+            .alias("n_uni_backoff"),
+            F.sum((F.col("__lvl") == 3).cast("int"))
+            .cast("bigint")
+            .alias("n_floor"),
+            F.round(F.sum("__lp") / F.count(F.lit(1)), 6).alias(
+                "avg_log2_s"
+            ),
+        )
+        .selectExpr(
+            bq(id_col),
+            "n_positions",
+            "n_tri",
+            "n_bi_backoff",
+            "n_uni_backoff",
+            "n_floor",
+            "avg_log2_s",
+            "round(power(2.0, -avg_log2_s), 6) AS score_ppl",
+        )
+    )
+
+
 def bpe_merge_candidates(
     df: DataFrame,
     text_col: str = "text",

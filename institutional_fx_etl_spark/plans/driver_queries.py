@@ -12855,6 +12855,283 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stupid_backoff_lm",
+    r"""
+    WITH tr AS (
+      SELECT string_split_regex(lower(text), '\s+') AS toks
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    t3 AS (
+      SELECT concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS g,
+             count(*) AS c3
+      FROM tr, unnest(range(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 3 GROUP BY g
+    ),
+    t2 AS (
+      SELECT concat_ws(' ', toks[i], toks[i+1]) AS g, count(*) AS c2
+      FROM tr, unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2 GROUP BY g
+    ),
+    t1 AS (
+      SELECT toks[i] AS g, count(*) AS c1
+      FROM tr, unnest(range(1, len(toks) + 1)) AS u(i) GROUP BY g
+    ),
+    tot AS (
+      SELECT count(*) AS n
+      FROM tr, unnest(range(1, len(toks) + 1)) AS u(i)
+    ),
+    ev AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    pos AS (
+      SELECT doc_id,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS g3,
+             concat_ws(' ', toks[i], toks[i+1]) AS gc,
+             concat_ws(' ', toks[i+1], toks[i+2]) AS gb,
+             toks[i+1] AS w2, toks[i+2] AS w3
+      FROM ev, unnest(range(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 3
+    ),
+    j AS (
+      SELECT p.doc_id,
+        CASE
+          WHEN COALESCE(a.c3, 0) > 0 THEN
+            log2(CAST(a.c3 AS DOUBLE) / CAST(bc.c2 AS DOUBLE))
+          WHEN COALESCE(bb.c2, 0) > 0 THEN
+            log2(CAST(0.4 AS DOUBLE)
+                 * (CAST(bb.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE)))
+          WHEN COALESCE(u3.c1, 0) > 0 THEN
+            log2(CAST(0.16 AS DOUBLE)
+                 * (CAST(u3.c1 AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+          ELSE log2(CAST(0.064 AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        END AS lp,
+        CASE WHEN COALESCE(a.c3, 0) > 0 THEN 0
+             WHEN COALESCE(bb.c2, 0) > 0 THEN 1
+             WHEN COALESCE(u3.c1, 0) > 0 THEN 2 ELSE 3 END AS lvl
+      FROM pos p
+      LEFT JOIN t3 a ON p.g3 = a.g
+      LEFT JOIN t2 bc ON p.gc = bc.g
+      LEFT JOIN t2 bb ON p.gb = bb.g
+      LEFT JOIN t1 u2 ON p.w2 = u2.g
+      LEFT JOIN t1 u3 ON p.w3 = u3.g
+      CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_positions,
+        CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_tri,
+        CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_bi_backoff,
+        CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_uni_backoff,
+        CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_floor,
+        round(SUM(lp) / count(*), 6) AS avg_log2_s
+      FROM j GROUP BY doc_id
+    )
+    SELECT doc_id, n_positions, n_tri, n_bi_backoff, n_uni_backoff,
+           n_floor, avg_log2_s,
+           round(power(2.0, -avg_log2_s), 6) AS score_ppl
+    FROM agg
+    """,
+)
+def q_stupid_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff LM scoring (Brants et al. 2007): fit
+    raw trigram/bigram/unigram count tables on the held-in corpus
+    (doc_id % 5 <> 0), score the held-out fifth by mean log2 S with
+    α=0.4 backoff and per-level hit counts — the web-scale LM quality
+    signal one rung above ``bigram_lm_score``
+    (``operators/text.py::stupid_backoff_lm``)."""
+    from institutional_fx_etl_spark.operators.text import stupid_backoff_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stupid_backoff_lm(
+        docs.filter("doc_id % 5 <> 0"), docs.filter("doc_id % 5 = 0")
+    )
+
+
+def _register_mmr_select() -> None:
+    """MMR oracle: the same greedy k-step argmax the operator's
+    bounded driver loop runs, unrolled as CTEs over the identical
+    micro-int relevance/similarity relations (the ``emb_pca_power``
+    iterative-oracle discipline) — every step is an integer-score
+    ORDER BY ... LIMIT 1 with the (score desc, id asc) tie-break."""
+    k, short_n, lam = 5, 64, 5
+    parts = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv"
+        " FROM embeddings)",
+        "n AS (SELECT vec_id, vv, sqrt(list_dot_product(vv, vv)) AS nv"
+        " FROM v)",
+        "q AS (SELECT vv AS qv, nv AS nq FROM n WHERE vec_id = 0)",
+        "rel AS (SELECT vec_id,"
+        " CAST(round(round(list_dot_product(vv, qv) / (nv * nq), 6)"
+        " * 1e6, 0) AS BIGINT) AS rel_m,"
+        " round(list_dot_product(vv, qv) / (nv * nq), 6) AS cosine"
+        " FROM n CROSS JOIN q)",
+        "short AS (SELECT vec_id, rel_m FROM ("
+        "  SELECT vec_id, rel_m, row_number() OVER"
+        "    (ORDER BY cosine DESC, vec_id) AS rk FROM rel)"
+        f" WHERE rk <= {short_n})",
+        "sn AS (SELECT n.vec_id, n.vv, n.nv FROM n JOIN short"
+        " USING (vec_id))",
+        "sims AS (SELECT a.vec_id AS ida, b.vec_id AS idb,"
+        " CAST(round(round(list_dot_product(a.vv, b.vv)"
+        " / (a.nv * b.nv), 6) * 1e6, 0) AS BIGINT) AS sim_m"
+        " FROM sn a JOIN sn b ON a.vec_id <> b.vec_id)",
+        f"sel1 AS (SELECT 1 AS rank, vec_id, {lam} * rel_m AS score_m10"
+        " FROM short ORDER BY rel_m DESC, vec_id LIMIT 1)",
+        "selall1 AS (SELECT * FROM sel1)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"sel{i} AS (SELECT {i} AS rank, vec_id, sc AS score_m10"
+            " FROM ("
+            f"  SELECT c.vec_id, {lam} * c.rel_m - {10 - lam} * ms.ms AS sc"
+            "   FROM short c JOIN ("
+            "     SELECT s.ida AS vec_id, max(s.sim_m) AS ms FROM sims s"
+            f"     JOIN selall{i - 1} p ON s.idb = p.vec_id"
+            "     GROUP BY s.ida) ms USING (vec_id)"
+            f"  WHERE c.vec_id NOT IN (SELECT vec_id FROM selall{i - 1})"
+            "   ORDER BY sc DESC, c.vec_id LIMIT 1))"
+        )
+        parts.append(
+            f"selall{i} AS (SELECT * FROM selall{i - 1}"
+            f" UNION ALL SELECT * FROM sel{i})"
+        )
+    oracle = (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT rank, vec_id,"
+        " CAST(rel_m AS DOUBLE) / 1000000.0 AS rel_cosine,"
+        " CAST(score_m10 AS DOUBLE) / 10000000.0 AS mmr_score"
+        f" FROM selall{k} JOIN short USING (vec_id)"
+    )
+
+    @register("mmr_select", oracle)
+    def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Maximal-marginal-relevance selection (λ=0.5): 5 diverse
+        picks from the 64-strongest matches to query vector 0 —
+        distributed relevance prune + pairwise sim matrix, bounded
+        integer greedy on the driver
+        (``operators/selection.py::mmr_select``)."""
+        from institutional_fx_etl_spark.operators.selection import mmr_select
+
+        return mmr_select(
+            load_table(spark, sf_dir, "embeddings"),
+            query_id=0,
+            k=5,
+            shortlist=64,
+            lam_tenths=5,
+        )
+
+
+_register_mmr_select()
+
+
+def _register_label_prop() -> None:
+    """3 synchronous label-propagation rounds, unrolled as CTEs —
+    each round is mode-of-neighbor-labels with (count desc, label
+    asc) tie-break, a deterministic function of the previous round."""
+    rounds = []
+    prev = "l0"
+    for i in (1, 2, 3):
+        rounds.append(
+            f"l{i} AS (SELECT node, lbl FROM ("
+            "  SELECT e.a AS node, l.lbl, count(*) AS c,"
+            "    row_number() OVER (PARTITION BY e.a"
+            "      ORDER BY count(*) DESC, l.lbl) AS rk"
+            f"  FROM e JOIN {prev} l ON e.b = l.node"
+            "  GROUP BY e.a, l.lbl) WHERE rk = 1)"
+        )
+        prev = f"l{i}"
+    oracle = (
+        """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e0 AS (
+      SELECT DISTINCT i1.p AS a, i2.p AS b
+      FROM items i1 JOIN items i2 ON i1.o = i2.o AND i1.p < i2.p
+    ),
+    e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e),
+    """
+        + ",\n    ".join(rounds)
+        + """,
+    sizes AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+              FROM l3 GROUP BY lbl)
+    SELECT node, l3.lbl AS label, n_members
+    FROM l3 JOIN sizes USING (lbl)
+    """
+    )
+
+    @register("label_prop_communities", oracle)
+    def q_label_prop_communities(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Synchronous label propagation (3 fixed rounds, min-label
+        tie-break) over the co-order part graph — the community
+        detector next to pagerank/triangles/CC in the graph family
+        (``operators/graph.py::label_prop_communities``)."""
+        from institutional_fx_etl_spark.operators.graph import (
+            label_prop_communities,
+        )
+
+        items = (
+            load_table(spark, sf_dir, "lineitem")
+            .selectExpr("l_orderkey AS o", "l_partkey AS p")
+            .distinct()
+        )
+        i2 = items.selectExpr("o", "p AS p2")
+        edges = (
+            items.join(i2, "o")
+            .filter("p < p2")
+            .selectExpr("p AS src", "p2 AS dst")
+            .distinct()
+        )
+        return label_prop_communities(edges)
+
+
+_register_label_prop()
+
+
+@register(
+    "l_diversity",
+    """
+    WITH g AS (
+      SELECT lang, n_chars // 100 AS len_bucket,
+             count(*) AS gs, count(DISTINCT source) AS gl
+      FROM documents GROUP BY 1, 2),
+    a AS (
+      SELECT CAST(sum(gs) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(min(gl) AS BIGINT) AS l_min,
+             CAST(sum(CASE WHEN gl < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_below_l,
+             CAST(sum(CASE WHEN gl < 3 THEN gs ELSE 0 END) AS BIGINT)
+               AS rows_below_l
+      FROM g)
+    SELECT n_rows, n_groups, l_min, groups_below_l, rows_below_l,
+           floor(CAST(rows_below_l AS DOUBLE) / CAST(n_rows AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS at_risk_share
+    FROM a
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity profile under the (lang, length-bucket) quasi-
+    identifier with ``source`` as the sensitive attribute — the
+    disclosure audit k-anonymity misses (a large group with one
+    sensitive value still discloses it)
+    (``operators/profiling.py::l_diversity``)."""
+    from institutional_fx_etl_spark.operators.profiling import l_diversity
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "lang", "n_chars div 100 AS len_bucket", "source"
+    )
+    return l_diversity(docs, ["lang", "len_bucket"], "source", l=3)
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the

