@@ -198,6 +198,8 @@ HEADLINE = [
     "mmr_select",
     "label_prop_communities",
     "l_diversity",
+    "heaps_law_fit",
+    "graph_modularity",
 ]
 
 

@@ -2028,3 +2028,95 @@ def tokenizer_fertility(
             " / CAST(SUM(__b) AS BIGINT) END, 6) AS chars_per_token"
         ),
     )
+
+
+def heaps_law_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoints: int = 16,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth — V(N) = k·N^β over corpus
+    prefixes in ``id_col`` order (Heaps 1978; natural text sits around
+    β ≈ 0.4-0.6: a flat curve means the corpus stopped contributing
+    new vocabulary — the diminishing-returns signal for data
+    acquisition; a steep one means token-salad/noise).
+
+    Prefixes are ``checkpoints`` equal-width id slices (pure integer
+    bucket arithmetic off one (min, max) aggregate — no global sort,
+    no row_number over the corpus). One token-stream pass feeds BOTH
+    curves: cumulative token count N_c per checkpoint, and vocabulary
+    V_c as the rollup of each token's FIRST checkpoint (a
+    vocabulary-bounded min aggregate — the "when was this word first
+    seen" relation). The OLS of ln V on ln N follows the
+    ``zipf_token_fit`` discipline exactly: ln of integer args
+    micro-quantized to BIGINT, DECIMAL(38,0) sums, single final
+    divisions.
+
+    Output: 1 row — n_points, beta (slope), ln_k (intercept, ln
+    units), r2, tokens_total, vocab_total.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    c = int(checkpoints)
+    mm = df.agg(
+        F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx")
+    )
+    stream = (
+        df.crossJoin(F.broadcast(mm))
+        .withColumn("__t", F.explode(tokens(text_col)))
+        .filter("__t <> ''")
+        .selectExpr(
+            f"CAST(((`{id_col}` - __mn) * {c}) div (__mx - __mn + 1)"
+            " AS INT) + 1 AS c",
+            "__t",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    per_c = stream.groupBy("c").agg(F.count(F.lit(1)).alias("__nt"))
+    news = (
+        stream.groupBy("__t")
+        .agg(F.min("c").alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("__nv"))
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        per_c.join(news, "c", "full_outer")
+        .select(
+            "c",
+            F.sum(F.coalesce("__nt", F.lit(0))).over(w).alias("n_cum"),
+            F.sum(F.coalesce("__nv", F.lit(0))).over(w).alias("v_cum"),
+        )
+        .filter("n_cum > 0 AND v_cum > 0")
+        .selectExpr(
+            "CAST(round(ln(n_cum) * 1e6, 0) AS DECIMAL(38,0)) AS x",
+            "CAST(round(ln(v_cum) * 1e6, 0) AS DECIMAL(38,0)) AS y",
+            "n_cum",
+            "v_cum",
+        )
+    )
+    sums = pts.agg(
+        F.expr("CAST(count(1) AS DECIMAL(38,0)) AS n"),
+        F.expr("CAST(SUM(x) AS DECIMAL(38,0)) AS sx"),
+        F.expr("CAST(SUM(y) AS DECIMAL(38,0)) AS sy"),
+        F.expr("CAST(SUM(x*x) AS DECIMAL(38,0)) AS sxx"),
+        F.expr("CAST(SUM(y*y) AS DECIMAL(38,0)) AS syy"),
+        F.expr("CAST(SUM(x*y) AS DECIMAL(38,0)) AS sxy"),
+        F.expr("CAST(MAX(n_cum) AS BIGINT) AS tokens_total"),
+        F.expr("CAST(MAX(v_cum) AS BIGINT) AS vocab_total"),
+    )
+    return sums.selectExpr(
+        "CAST(n AS BIGINT) AS n_points",
+        "round(CAST(n*sxy - sx*sy AS DOUBLE)"
+        " / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS beta",
+        "round((CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE)"
+        " / CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " / CAST(n AS DOUBLE) / 1e6, 6) AS ln_k",
+        "round(POWER(CAST(n*sxy - sx*sy AS DOUBLE), 2)"
+        " / (CAST(n*sxx - sx*sx AS DOUBLE)"
+        "    * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2",
+        "tokens_total",
+        "vocab_total",
+    )

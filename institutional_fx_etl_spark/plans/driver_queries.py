@@ -13096,6 +13096,153 @@ def _register_label_prop() -> None:
 _register_label_prop()
 
 
+def _register_graph_modularity() -> None:
+    """Composite oracle: the label_prop_communities CTE chain supplies
+    the partition; modularity follows as exact hugeint arithmetic
+    (the dedup_stats wrap-an-existing-oracle pattern)."""
+    lp = REGISTRY["label_prop_communities"][1]
+    oracle = (
+        "WITH lp AS (" + lp + "),\n"
+        """items2 AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    ee AS (
+      SELECT DISTINCT i1.p AS a, i2.p AS b
+      FROM items2 i1 JOIN items2 i2 ON i1.o = i2.o AND i1.p < i2.p
+    ),
+    la AS (SELECT node AS n, label AS l FROM lp),
+    deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT a AS n FROM ee UNION ALL SELECT b AS n FROM ee)
+      GROUP BY n
+    ),
+    mc AS (
+      SELECT x.l AS l, count(*) AS mc
+      FROM ee JOIN la x ON ee.a = x.n JOIN la y ON ee.b = y.n
+      WHERE x.l = y.l GROUP BY x.l
+    ),
+    dc AS (
+      SELECT l, SUM(d) AS dcs FROM deg JOIN la ON deg.n = la.n
+      GROUP BY l
+    ),
+    per_l AS (
+      SELECT dc.l, CAST(COALESCE(mc.mc, 0) AS HUGEINT) AS mc,
+             CAST(dc.dcs AS HUGEINT) AS dcs
+      FROM dc LEFT JOIN mc ON dc.l = mc.l
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_communities,
+             SUM(mc) AS smc, SUM(dcs*dcs) AS sdc2
+      FROM per_l
+    ),
+    cnt AS (
+      SELECT CAST(count(*) AS HUGEINT) AS m,
+             (SELECT CAST(count(*) AS BIGINT) FROM la) AS n_nodes
+      FROM ee
+    )
+    SELECT n_communities, n_nodes,
+           CAST(m AS BIGINT) AS n_edges,
+           CAST(smc AS BIGINT) AS internal_edges,
+           round(CAST(4*m*smc - sdc2 AS DOUBLE)
+                 / CAST(4*m*m AS DOUBLE), 6) AS modularity
+    FROM tot, cnt
+    """
+    )
+
+    @register("graph_modularity", oracle)
+    def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Newman modularity of the 3-round label-propagation
+        partition over the co-order part graph — fit + goodness-of-
+        fit as one auditable number; exact decimal128 arithmetic to a
+        single division (``operators/graph.py::graph_modularity``)."""
+        from institutional_fx_etl_spark.operators.graph import (
+            graph_modularity,
+            label_prop_communities,
+        )
+
+        items = (
+            load_table(spark, sf_dir, "lineitem")
+            .selectExpr("l_orderkey AS o", "l_partkey AS p")
+            .distinct()
+        )
+        i2 = items.selectExpr("o", "p AS p2")
+        edges = (
+            items.join(i2, "o")
+            .filter("p < p2")
+            .selectExpr("p AS src", "p2 AS dst")
+            .distinct()
+        )
+        labels = label_prop_communities(edges).select("node", "label")
+        return graph_modularity(edges, labels)
+
+
+_register_graph_modularity()
+
+
+@register(
+    "heaps_law_fit",
+    r"""
+    WITH mm AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+                FROM documents),
+    stream AS (
+      SELECT CAST(((doc_id - mn) * 16) // (mx - mn + 1) AS INT) + 1 AS c,
+             t AS tok
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\s+')) AS t
+            FROM documents) CROSS JOIN mm
+      WHERE t <> ''
+    ),
+    per_c AS (SELECT c, count(*) AS nt FROM stream GROUP BY c),
+    news AS (
+      SELECT c, count(*) AS nv FROM (
+        SELECT tok, min(c) AS c FROM stream GROUP BY tok) GROUP BY c
+    ),
+    pts0 AS (
+      SELECT COALESCE(p.c, n.c) AS c,
+             SUM(COALESCE(nt, 0)) OVER (ORDER BY COALESCE(p.c, n.c)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_cum,
+             SUM(COALESCE(nv, 0)) OVER (ORDER BY COALESCE(p.c, n.c)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS v_cum
+      FROM per_c p FULL OUTER JOIN news n ON p.c = n.c
+    ),
+    pts AS (
+      SELECT CAST(round(ln(n_cum) * 1e6, 0) AS HUGEINT) AS x,
+             CAST(round(ln(v_cum) * 1e6, 0) AS HUGEINT) AS y,
+             n_cum, v_cum
+      FROM pts0 WHERE n_cum > 0 AND v_cum > 0
+    ),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy,
+             CAST(MAX(n_cum) AS BIGINT) AS tokens_total,
+             CAST(MAX(v_cum) AS BIGINT) AS vocab_total
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS beta,
+           round((CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE)
+                  / CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1e6, 6) AS ln_k,
+           round(POWER(CAST(n*sxy - sx*sy AS DOUBLE), 2)
+                 / (CAST(n*sxx - sx*sx AS DOUBLE)
+                    * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2,
+           tokens_total, vocab_total
+    FROM s
+    """,
+)
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (ln V ~ ln N over 16 id-slice
+    prefixes): one token-stream pass feeds both the cumulative token
+    curve and the first-seen vocabulary rollup; exact hugeint/
+    decimal128 OLS (``operators/text.py::heaps_law_fit``)."""
+    from institutional_fx_etl_spark.operators.text import heaps_law_fit
+
+    return heaps_law_fit(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "l_diversity",
     """

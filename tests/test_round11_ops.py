@@ -353,3 +353,43 @@ def test_l_diversity_flags_single_valued_groups(spark):
     assert r["n_groups"] == 2 and r["l_min"] == 1
     assert r["groups_below_l"] == 1 and r["rows_below_l"] == 3
     assert r["at_risk_share"] == 0.5
+
+
+def test_heaps_law_fit_monotone_growth(spark):
+    # vocabulary that grows sublinearly: doc i contributes i distinct
+    # new words plus repeats of word "the"
+    rows = []
+    for i in range(1, 33):
+        words = ["the"] * 8 + [f"w{i}_{j}" for j in range(i)]
+        rows.append((i, " ".join(words)))
+    df = _docs(spark, rows)
+    from institutional_fx_etl_spark.operators.text import heaps_law_fit
+
+    r = heaps_law_fit(df, checkpoints=8).collect()[0]
+    assert r["n_points"] == 8
+    assert 0.0 < r["beta"] <= 1.5
+    assert r["vocab_total"] == 1 + sum(range(1, 33))
+    assert r["tokens_total"] == sum(8 + i for i in range(1, 33))
+    assert r["r2"] > 0.9
+
+
+def test_graph_modularity_two_cliques_vs_random(spark):
+    from institutional_fx_etl_spark.operators.graph import (
+        graph_modularity,
+        label_prop_communities,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "src bigint, dst bigint",
+    )
+    labels = label_prop_communities(edges).select("node", "label")
+    r = graph_modularity(edges, labels).collect()[0]
+    # two perfect cliques: Q = 1 - 1/k with k communities -> 0.5
+    assert r["n_communities"] == 2 and r["n_edges"] == 6
+    assert r["internal_edges"] == 6
+    assert abs(r["modularity"] - 0.5) < 1e-9
+    # everything in ONE community: Q = 0 by definition
+    one = labels.selectExpr("node", "CAST(1 AS BIGINT) AS label")
+    r1 = graph_modularity(edges, one).collect()[0]
+    assert abs(r1["modularity"]) < 1e-9
