@@ -200,6 +200,8 @@ HEADLINE = [
     "l_diversity",
     "heaps_law_fit",
     "graph_modularity",
+    "kcenter_select",
+    "kl_source_divergence",
 ]
 
 

@@ -1371,3 +1371,95 @@ def mmr_select(
             "CAST(score_m10 AS DOUBLE) / 10000000.0D AS mmr_score",
         )
     )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 5,
+    seed_id: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; the farthest-
+    point heuristic behind coreset/active-learning picks): start from
+    ``seed_id``, then k−1 times add the point FARTHEST from the
+    current selection (max over points of min cosine-distance to any
+    selected point). Where :func:`mmr_select` balances relevance and
+    diversity over a capped shortlist, k-center is pure coverage over
+    the WHOLE corpus — its 2-approximation guarantee is the reason
+    it's the default coreset baseline.
+
+    Scale shape — stronger than the shortlist regime: each of the k−1
+    steps is ONE distributed scan (min-distance to ≤ k broadcast
+    centers, computed inline) ending in a 1-row argmax
+    (``max_by``-style struct max with the (distance desc, id asc)
+    tie-break); only that single winner row reaches the driver per
+    step. Nothing is ever collected beyond k rows, so the operator
+    holds at any corpus size; cost is k scans (k is small by
+    definition of a coreset seed set).
+
+    Distances are micro-quantized BIGINTs (cosine rounds to 6dp then
+    ×1e6 — the ``mmr_select`` convention), so every argmax compares
+    exact integers and the oracle can unroll the same k−1 scans as
+    CTEs. d(x, y) = 1e6 − cos_micro(x, y); min over selected; max
+    over corpus.
+
+    Output: rank (1-based INT), id, dist_micro (BIGINT — distance to
+    the selection at pick time; 0 for the seed).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from institutional_fx_etl_spark.operators.similarity import with_norm
+
+    base = (
+        with_norm(emb, vec_col)
+        .selectExpr(
+            f"{bq(id_col)} AS vid",
+            f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vv",
+            "__norm AS nv",
+        )
+    )
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+
+    spark = emb.sparkSession
+    picked: list[tuple] = [(1, int(seed_id), 0)]
+    for step in range(2, k + 1):
+        centers = base.filter(
+            F.col("vid").isin([p[1] for p in picked])
+        ).selectExpr("vid AS cid", "vv AS cv", "nv AS nc")
+        dot = (
+            "aggregate(zip_with(vv, cv, (x, y) -> x*y), 0.0d,"
+            " (a, x) -> a + x)"
+        )
+        # min distance to the (<= k-row, broadcast) selection, then a
+        # 1-row global argmax via struct max — no sort, no window
+        winner = (
+            base.join(
+                F.broadcast(centers),
+                F.col("vid") != F.col("cid"),
+            )
+            .selectExpr(
+                "vid",
+                "1000000 - CAST(round(round("
+                f"{dot} / (nv * nc), 6) * 1e6, 0) AS BIGINT) AS dm",
+            )
+            .groupBy("vid")
+            .agg(F.min("dm").alias("dmin"))
+            .filter(~F.col("vid").isin([p[1] for p in picked]))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("dmin"),
+                        (-F.col("vid")).alias("negid"),
+                    )
+                ).alias("w")
+            )
+            .selectExpr("w.dmin AS dmin", "-w.negid AS vid")
+            .collect()[0]
+        )
+        picked.append((step, winner["vid"], winner["dmin"]))
+    return spark.createDataFrame(
+        picked, f"rank int, {id_col} bigint, dist_micro bigint"
+    )

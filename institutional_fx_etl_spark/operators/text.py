@@ -2120,3 +2120,94 @@ def heaps_law_fit(
         "tokens_total",
         "vocab_total",
     )
+
+
+def ngram_kl_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group token-distribution divergence: KL(P_group ||
+    P_corpus) in bits, add-one smoothed over the corpus vocabulary —
+    the token-level domain-shift audit (psi_drift is feature-level;
+    this ranks which SOURCES' language differs most from the mixture,
+    the signal behind per-domain LM-filter thresholds à la CCNet).
+
+    Exactness at scale (the distributed-float-sum problem): the sum
+    over the vocabulary is decomposed into (a) PRESENT words — each
+    per-word term is one fixed-shape double expression, micro-
+    quantized to a 1e-12-grain BIGINT and summed EXACTLY — and (b)
+    the ABSENT remainder, which collapses in closed form to scalar
+    arithmetic over three exact integers (global log-count sum T,
+    the group's present log-count sum S2, and the absent word count
+    V − Vs): Σ_absent = a·(V−Vs)·log2((Ng+V)/(Ns+V)) − a·(T−S2),
+    a = 1/(Ns+V). No vocabulary-order-dependent float accumulation
+    survives; the oracle mirrors every expression token for token.
+
+    Plan: one corpus tokenize pass → (group, word) counts; everything
+    after is vocabulary-bounded (global rollup FROM the group counts,
+    never a second stream pass — the ``bigram_lm_score`` trick).
+
+    Output: one row per group — grp, n_tokens, vocab_present,
+    kl_bits (6 dp).
+    """
+    from pyspark import StorageLevel
+
+    sw = (
+        df.selectExpr(f"({group_col}) AS s", f"lower(`{text_col}`) AS __x")
+        .withColumn("w", F.explode(F.split(F.col("__x"), r"\s+")))
+        .filter("w <> ''")
+        .groupBy("s", "w")
+        .agg(F.count(F.lit(1)).alias("cs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    g = sw.groupBy("w").agg(F.sum("cs").alias("cg"))
+    gs = g.agg(
+        F.expr("CAST(SUM(cg) AS BIGINT) AS ng"),
+        F.expr("CAST(count(1) AS BIGINT) AS v"),
+        F.expr(
+            "CAST(SUM(CAST(round(log2(cg + 1) * 1e6, 0) AS BIGINT))"
+            " AS BIGINT) AS t6"
+        ),
+    )
+    ss = sw.groupBy("s").agg(
+        F.expr("CAST(SUM(cs) AS BIGINT) AS ns"),
+        F.expr("CAST(count(1) AS BIGINT) AS vs"),
+    )
+    term = (
+        "(CAST(cs + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE))"
+        " * log2((CAST(cs + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE))"
+        " / (CAST(cg + 1 AS DOUBLE) / CAST(ng + v AS DOUBLE)))"
+    )
+    present = (
+        sw.join(g, "w")
+        .join(F.broadcast(ss), "s")
+        .crossJoin(F.broadcast(gs))
+        .selectExpr(
+            "s",
+            f"CAST(round(({term}) * 1e12, 0) AS BIGINT) AS __t12",
+            "CAST(round(log2(cg + 1) * 1e6, 0) AS BIGINT) AS __l6",
+        )
+        .groupBy("s")
+        .agg(
+            F.expr("CAST(SUM(__t12) AS BIGINT) AS s1"),
+            F.expr("CAST(SUM(__l6) AS BIGINT) AS s2"),
+        )
+    )
+    kl = (
+        "round(CAST(s1 AS DOUBLE) / 1e12"
+        " + (CAST(v - vs AS DOUBLE) / CAST(ns + v AS DOUBLE))"
+        "   * log2(CAST(ng + v AS DOUBLE) / CAST(ns + v AS DOUBLE))"
+        " - (CAST(t6 - s2 AS DOUBLE) / 1e6) / CAST(ns + v AS DOUBLE)"
+        ", 6)"
+    )
+    return (
+        ss.join(present, "s")
+        .crossJoin(F.broadcast(gs))
+        .selectExpr(
+            "s AS grp",
+            "ns AS n_tokens",
+            "vs AS vocab_present",
+            f"{kl} AS kl_bits",
+        )
+    )

@@ -13096,6 +13096,122 @@ def _register_label_prop() -> None:
 _register_label_prop()
 
 
+@register(
+    "kl_source_divergence",
+    r"""
+    WITH sw AS (
+      SELECT source AS s, t AS w, count(*) AS cs FROM (
+        SELECT source,
+               unnest(string_split_regex(lower(text), '\s+')) AS t
+        FROM documents)
+      WHERE t <> '' GROUP BY source, t
+    ),
+    g AS (SELECT w, SUM(cs) AS cg FROM sw GROUP BY w),
+    gs AS (
+      SELECT CAST(SUM(cg) AS BIGINT) AS ng,
+             CAST(count(*) AS BIGINT) AS v,
+             CAST(SUM(CAST(round(log2(cg + 1) * 1e6, 0) AS BIGINT))
+               AS BIGINT) AS t6
+      FROM g
+    ),
+    ss AS (
+      SELECT s, CAST(SUM(cs) AS BIGINT) AS ns,
+             CAST(count(*) AS BIGINT) AS vs
+      FROM sw GROUP BY s
+    ),
+    present AS (
+      SELECT sw.s,
+        CAST(SUM(CAST(round(
+          ((CAST(cs + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE))
+           * log2((CAST(cs + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE))
+                  / (CAST(cg + 1 AS DOUBLE) / CAST(ng + v AS DOUBLE))))
+          * 1e12, 0) AS BIGINT)) AS BIGINT) AS s1,
+        CAST(SUM(CAST(round(log2(cg + 1) * 1e6, 0) AS BIGINT))
+          AS BIGINT) AS s2
+      FROM sw JOIN g USING (w) JOIN ss ON sw.s = ss.s CROSS JOIN gs
+      GROUP BY sw.s
+    )
+    SELECT ss.s AS grp, ns AS n_tokens, vs AS vocab_present,
+           round(CAST(s1 AS DOUBLE) / 1e12
+             + (CAST(v - vs AS DOUBLE) / CAST(ns + v AS DOUBLE))
+               * log2(CAST(ng + v AS DOUBLE) / CAST(ns + v AS DOUBLE))
+             - (CAST(t6 - s2 AS DOUBLE) / 1e6) / CAST(ns + v AS DOUBLE)
+           , 6) AS kl_bits
+    FROM ss JOIN present ON ss.s = present.s CROSS JOIN gs
+    """,
+)
+def q_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL(P_source || P_corpus) in bits, add-one smoothed
+    over the corpus vocabulary: exact micro-int sums for every
+    vocabulary-sized accumulation, closed-form absent-word remainder
+    (``operators/text.py::ngram_kl_divergence``)."""
+    from institutional_fx_etl_spark.operators.text import (
+        ngram_kl_divergence,
+    )
+
+    return ngram_kl_divergence(load_table(spark, sf_dir, "documents"))
+
+
+def _register_kcenter_select() -> None:
+    """Greedy k-center oracle: the operator's k−1 distributed scans
+    unrolled as CTEs — each step an (argmax of min-micro-distance,
+    id-asc tie-break) ORDER BY ... LIMIT 1 over the same integer
+    relations (the ``mmr_select`` unroll discipline)."""
+    k, seed = 6, 0
+    dm = (
+        "1000000 - CAST(round(round(list_dot_product(x.vv, c.vv)"
+        " / (x.nv * c.nv), 6) * 1e6, 0) AS BIGINT)"
+    )
+    parts = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv"
+        " FROM embeddings)",
+        "n AS (SELECT vec_id, vv, sqrt(list_dot_product(vv, vv)) AS nv"
+        " FROM v)",
+        f"p1 AS (SELECT 1 AS rank, CAST({seed} AS BIGINT) AS vec_id,"
+        " CAST(0 AS BIGINT) AS dist_micro)",
+        "sel1 AS (SELECT vec_id FROM p1)",
+    ]
+    for i in range(2, k + 1):
+        prev = f"sel{i - 1}"
+        parts.append(
+            f"d{i} AS (SELECT x.vec_id, min({dm}) AS dmin"
+            f" FROM n x JOIN n c ON c.vec_id IN (SELECT vec_id FROM {prev})"
+            "  AND x.vec_id <> c.vec_id"
+            f" WHERE x.vec_id NOT IN (SELECT vec_id FROM {prev})"
+            " GROUP BY x.vec_id)"
+        )
+        parts.append(
+            f"p{i} AS (SELECT {i} AS rank, vec_id, dmin AS dist_micro"
+            f" FROM d{i} ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"sel{i} AS (SELECT vec_id FROM {prev}"
+            f" UNION ALL SELECT vec_id FROM p{i})"
+        )
+    oracle = (
+        "WITH " + ",\n".join(parts) + "\n"
+        + " UNION ALL ".join(f"SELECT * FROM p{i}" for i in range(1, k + 1))
+    )
+
+    @register("kcenter_select", oracle)
+    def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Greedy k-center coreset picks (Gonzalez farthest-point, 6
+        centers from seed 0): each step one distributed min-distance
+        scan ending in a 1-row integer argmax — pure-coverage
+        selection next to mmr_select's relevance/diversity balance
+        (``operators/selection.py::kcenter_select``)."""
+        from institutional_fx_etl_spark.operators.selection import (
+            kcenter_select,
+        )
+
+        return kcenter_select(
+            load_table(spark, sf_dir, "embeddings"), k=6, seed_id=0
+        )
+
+
+_register_kcenter_select()
+
+
 def _register_graph_modularity() -> None:
     """Composite oracle: the label_prop_communities CTE chain supplies
     the partition; modularity follows as exact hugeint arithmetic

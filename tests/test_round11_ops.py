@@ -393,3 +393,53 @@ def test_graph_modularity_two_cliques_vs_random(spark):
     one = labels.selectExpr("node", "CAST(1 AS BIGINT) AS label")
     r1 = graph_modularity(edges, one).collect()[0]
     assert abs(r1["modularity"]) < 1e-9
+
+
+def test_kcenter_picks_farthest_first(spark):
+    # seed at (1,0); farthest point is (-1,0) (cosine distance 2),
+    # then (0,1) / (0,-1) split the remaining coverage
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [-1.0, 0.0]),
+        (3, [0.0, 1.0]),
+        (4, [0.0, -1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    from institutional_fx_etl_spark.operators.selection import kcenter_select
+
+    out = kcenter_select(emb, k=3, seed_id=0).orderBy("rank").collect()
+    assert [r["vec_id"] for r in out][:2] == [0, 2]
+    assert out[1]["dist_micro"] == 2_000_000  # cos = -1 -> 1e6 - (-1e6)
+    # third pick: one of the orthogonal pair (dist 1e6), min id breaks
+    # the tie
+    assert out[2]["vec_id"] == 3 and out[2]["dist_micro"] == 1_000_000
+
+
+def test_kl_divergence_zero_for_identical_distributions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"), (2, "a b c", "s1"),
+            (3, "a b c", "s2"), (4, "a b c", "s2"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    from institutional_fx_etl_spark.operators.text import ngram_kl_divergence
+
+    out = {r["grp"]: r for r in ngram_kl_divergence(df).collect()}
+    # both sources match the corpus distribution exactly -> KL ~ 0
+    # (add-one smoothing over identical supports keeps it tiny)
+    for s in ("s1", "s2"):
+        assert abs(out[s]["kl_bits"]) < 0.01
+        assert out[s]["vocab_present"] == 3
+
+
+def test_kl_divergence_ranks_the_shifted_source_higher(spark):
+    rows = [(i, "common words shared here", "base") for i in range(8)]
+    rows += [(100 + i, "utterly different vocabulary entirely", "shift")
+             for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    from institutional_fx_etl_spark.operators.text import ngram_kl_divergence
+
+    out = {r["grp"]: r for r in ngram_kl_divergence(df).collect()}
+    assert out["shift"]["kl_bits"] > out["base"]["kl_bits"] > 0
