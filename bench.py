@@ -202,6 +202,7 @@ HEADLINE = [
     "graph_modularity",
     "kcenter_select",
     "kl_source_divergence",
+    "semdedup_incremental",
 ]
 
 

@@ -2196,3 +2196,124 @@ def _hard_neg_pairs_numpy(
 
     schema = f"vid {id_type}, neg_id {id_type}, rank int, cosine double"
     return normed.groupBy("cid").applyInPandas(per_cell, schema=schema)
+
+
+def semdedup_incremental(
+    old: DataFrame,
+    new: DataFrame,
+    old_result: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 8,
+    min_cosine: float = 0.95,
+    max_cell: int | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Append-only incremental :func:`semdedup`: when a batch of new
+    embeddings arrives (ids strictly above the standing corpus — the
+    append-only id contract every ``*_incremental`` op here shares),
+    the drop rule "a SMALLER id in my cell is within ``min_cosine``"
+    means an old vector's verdict can only change through the
+    ``max_cell`` cap, never through a comparison (new ids are larger
+    than everything old). So the update touches exactly:
+
+    1. NEW vectors — compared against the members of their own cell
+       only (old ∪ smaller-id new), under the frozen quantizer;
+    2. old rows of cells the batch pushes OVER ``max_cell`` — the cap
+       skips the in-cell compare for such cells, so every member
+       flips to keep=true (cheap verdict rewrite, no compare);
+    3. everything else keeps its standing ``old_result`` row — at
+       scale that is the corpus minus the batch's cells.
+
+    The quantizer is FROZEN (the ``ivf_incremental`` discipline):
+    ``centroids`` defaults to the ``num_centroids`` smallest-id
+    vectors of ``old``, which equals the full-run seeding exactly
+    when those ids are the corpus' smallest overall — true under the
+    append-only contract. Output is bit-identical to
+    ``semdedup(old ∪ new)`` with the same centroids (the registered
+    oracle IS the full-run SQL; equality also pytest-gated).
+    """
+    v_old = old.selectExpr(
+        f"{bq(id_col)} AS vid", f"{_as_double(vec_col)} AS vv"
+    )
+    if centroids is None:
+        centroids = (
+            v_old.orderBy("vid")
+            .limit(int(num_centroids))
+            .selectExpr("vid AS cid", "vv AS cv")
+        )
+    if old_result is None:
+        old_result = semdedup(
+            old,
+            vec_col,
+            id_col,
+            num_centroids,
+            min_cosine,
+            max_cell,
+            centroids=centroids,
+        )
+    from pyspark import StorageLevel
+
+    a_old = _assign_to(old, centroids, vec_col, id_col)
+    a_new = _assign_to(new, centroids, vec_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    new_cells = a_new.select("cid").distinct()
+    # only the batch's cells ever need old rows again — one semi-join
+    # prunes the standing corpus to the affected slice
+    old_aff = a_old.join(F.broadcast(new_cells), "cid", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if max_cell is not None:
+        n_old = old_aff.groupBy("cid").agg(F.count(F.lit(1)).alias("__no"))
+        n_new = a_new.groupBy("cid").agg(F.count(F.lit(1)).alias("__nn"))
+        sizes = (
+            n_new.join(n_old, "cid", "left")
+            .selectExpr("cid", "coalesce(__no, 0) + __nn AS __nt")
+        )
+        overcap = sizes.filter(f"__nt > {int(max_cell)}").select("cid")
+        undercap = sizes.filter(f"__nt <= {int(max_cell)}").select("cid")
+    else:
+        overcap = new_cells.limit(0)
+        undercap = new_cells
+    mem = (
+        old_aff.unionByName(a_new)
+        .join(F.broadcast(undercap), "cid", "left_semi")
+        .selectExpr("vid", "cid", f"{_UNIT} AS vn")
+    )
+    newm = a_new.join(F.broadcast(undercap), "cid", "left_semi").selectExpr(
+        "vid AS id_b", "cid", f"{_UNIT} AS vb"
+    )
+    dropped = (
+        mem.selectExpr("vid AS id_a", "cid", "vn AS va")
+        .join(newm, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .selectExpr("id_b", f"round({_PAIR_DOT}, 6) AS cosine")
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_b")
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    new_under = (
+        a_new.join(F.broadcast(undercap), "cid", "left_semi")
+        .join(dropped.withColumnRenamed("id_b", "vid"), "vid", "left")
+        .selectExpr(
+            f"vid AS {bq(id_col)}",
+            "cid",
+            "coalesce(NOT __drop, true) AS keep",
+        )
+    )
+    new_over = a_new.join(F.broadcast(overcap), "cid", "left_semi").selectExpr(
+        f"vid AS {bq(id_col)}", "cid", "true AS keep"
+    )
+    # old rows in newly-over-cap cells flip to keep=true (cells already
+    # over cap before were all-keep already — the rewrite is idempotent)
+    old_flip = old_result.join(
+        F.broadcast(overcap), "cid", "left_semi"
+    ).selectExpr(bq(id_col), "cid", "true AS keep")
+    untouched = old_result.join(F.broadcast(overcap), "cid", "left_anti")
+    return (
+        untouched.unionByName(old_flip)
+        .unionByName(new_under)
+        .unionByName(new_over)
+    )

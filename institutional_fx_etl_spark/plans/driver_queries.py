@@ -13152,6 +13152,42 @@ def q_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_kl_divergence(load_table(spark, sf_dir, "documents"))
 
 
+def _register_semdedup_incremental() -> None:
+    """Incremental ≡ full proof for append-only SemDeDup: the oracle
+    is the FULL-RUN semdedup SQL over the whole embeddings table, so
+    a hash match certifies the incremental path (new batch compared
+    in its own cells + cap-flip rewrite) reproduces the rebuild
+    bit-for-bit — the ivf_incremental / boilerplate_incremental
+    discipline."""
+    oracle = REGISTRY["semdedup"][1]
+
+    @register("semdedup_incremental", oracle)
+    def q_semdedup_incremental(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Append-only incremental SemDeDup: high-id vectors
+        (vec_id ≥ 64 with vec_id % 9 = 8) arrive as the new batch
+        against the standing corpus; only the batch's cells compare
+        (frozen first-N quantizer — new ids stay above every seed)
+        (``operators/similarity.py::semdedup_incremental``)."""
+        from institutional_fx_etl_spark.operators.similarity import (
+            semdedup_incremental,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        pred = "vec_id >= 64 AND vec_id % 9 = 8"
+        out = semdedup_incremental(
+            emb.filter(f"NOT ({pred})"),
+            emb.filter(pred),
+            min_cosine=0.9,
+            num_centroids=_auto_cells(emb.count()),
+        )
+        return out.withColumn("cid", F.col("cid").cast("bigint"))
+
+
+_register_semdedup_incremental()
+
+
 def _register_kcenter_select() -> None:
     """Greedy k-center oracle: the operator's k−1 distributed scans
     unrolled as CTEs — each step an (argmax of min-micro-distance,

@@ -443,3 +443,65 @@ def test_kl_divergence_ranks_the_shifted_source_higher(spark):
 
     out = {r["grp"]: r for r in ngram_kl_divergence(df).collect()}
     assert out["shift"]["kl_bits"] > out["base"]["kl_bits"] > 0
+
+
+def test_semdedup_incremental_cap_flip_equals_full(spark):
+    """The max_cell path: the new batch pushes one cell over the cap,
+    so its old members' verdicts FLIP to keep=true - the incremental
+    rewrite must still equal the full rebuild bit-for-bit."""
+    import math
+
+    from institutional_fx_etl_spark.operators.similarity import (
+        semdedup,
+        semdedup_incremental,
+    )
+
+    def vec(angle_millis):
+        a = angle_millis / 1000.0
+        return [math.cos(a), math.sin(a)]
+
+    # cell seeds: ids 0 (angle 0) and 1 (angle ~pi/2). Old: 4 tight
+    # near-dups around seed 0 (cap 6 holds: with cell size 5 <= 6 the
+    # compare runs and ids 3,4,5 drop). New: 3 more vectors land in
+    # the same cell -> size 8 > cap -> whole cell flips to keep.
+    old_rows = [(0, vec(0)), (1, vec(1571))] + [
+        (i, vec(i)) for i in (3, 4, 5, 6)
+    ]
+    new_rows = [(100, vec(7)), (101, vec(8)), (102, vec(1570))]
+    old = spark.createDataFrame(
+        old_rows, "vec_id bigint, embedding array<float>"
+    )
+    new = spark.createDataFrame(
+        new_rows, "vec_id bigint, embedding array<float>"
+    )
+    both = old.unionByName(new)
+    for cap in (6, None):
+        inc = semdedup_incremental(
+            old, new, num_centroids=2, min_cosine=0.95, max_cell=cap
+        )
+        full = semdedup(
+            both, num_centroids=2, min_cosine=0.95, max_cell=cap
+        )
+        got = sorted(
+            (r["vec_id"], r["cid"], r["keep"]) for r in inc.collect()
+        )
+        exp = sorted(
+            (r["vec_id"], r["cid"], r["keep"]) for r in full.collect()
+        )
+        assert got == exp, f"cap={cap}: {got} != {exp}"
+    # sanity: under cap=6 the big cell flipped all-keep
+    capped = dict(
+        (r["vec_id"], r["keep"])
+        for r in semdedup_incremental(
+            old, new, num_centroids=2, min_cosine=0.95, max_cell=6
+        ).collect()
+    )
+    assert all(capped[i] for i in (3, 4, 5, 6, 100, 101))
+    # and WITHOUT the cap the near-dups drop
+    uncapped = dict(
+        (r["vec_id"], r["keep"])
+        for r in semdedup_incremental(
+            old, new, num_centroids=2, min_cosine=0.95
+        ).collect()
+    )
+    assert not uncapped[100] and not uncapped[101]
