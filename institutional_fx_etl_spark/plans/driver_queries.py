@@ -13152,6 +13152,60 @@ def q_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_kl_divergence(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_prefix_filter",
+    r"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\s+')) AS t
+        FROM documents)
+      WHERE t <> ''
+    ),
+    freq AS (SELECT t, count(*) AS f FROM dt GROUP BY t),
+    docs AS (
+      SELECT doc_id, list(dt.t ORDER BY f, dt.t) AS toks,
+             count(*) AS n
+      FROM dt JOIN freq USING (t) GROUP BY doc_id
+    ),
+    pd AS (
+      SELECT doc_id, toks, n,
+             list_slice(toks, 1, n
+               - CAST(ceil(n * 700000 / 1000000.0) AS INT) + 1) AS prefix
+      FROM docs
+    ),
+    pre AS (SELECT doc_id, unnest(prefix) AS t FROM pd),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pre a JOIN pre b ON a.t = b.t AND a.doc_id < b.doc_id
+    ),
+    v AS (
+      SELECT id_a, id_b,
+             round(CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+                   / (x.n + y.n
+                      - len(list_intersect(x.toks, y.toks))), 6)
+               AS jaccard
+      FROM cand JOIN pd x ON cand.id_a = x.doc_id
+                JOIN pd y ON cand.id_b = y.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.7
+    """,
+)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filter set-similarity join (Jaccard ≥ 0.7):
+    rarity-ordered token sets, first n−⌈τn⌉+1 tokens as the prefix,
+    candidates from shared prefix tokens — COMPLETE by the pigeonhole
+    bound, unlike probabilistic MinHash banding; exact-Jaccard verify
+    (``operators/dedup.py::prefix_filter_pairs``)."""
+    from institutional_fx_etl_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    return prefix_filter_pairs(
+        load_table(spark, sf_dir, "documents"), jaccard_threshold=0.7
+    )
+
+
 def _register_semdedup_incremental() -> None:
     """Incremental ≡ full proof for append-only SemDeDup: the oracle
     is the FULL-RUN semdedup SQL over the whole embeddings table, so

@@ -505,3 +505,39 @@ def test_semdedup_incremental_cap_flip_equals_full(spark):
         ).collect()
     )
     assert not uncapped[100] and not uncapped[101]
+
+
+def test_prefix_filter_complete_vs_brute_force(spark):
+    """Completeness is the operator's contract: every pair with
+    Jaccard >= tau must appear (compare against brute-force all-pairs
+    on a small corpus)."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),     # J(1,2) = 4/6 = 0.667
+        (3, "alpha beta gamma delta epsilon"),  # J(1,3) = 1.0
+        (4, "one two three four five"),
+        (5, "one two three four six"),          # J(4,5) = 4/6
+        (6, "totally unrelated words here now"),
+    ]
+    df = _docs(spark, rows)
+    from institutional_fx_etl_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_pairs(df, jaccard_threshold=0.6).collect()
+    }
+    # brute force truth
+    toks = {i: set(t.split()) for i, t in rows}
+    exp = {}
+    ids = sorted(toks)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                jac = len(toks[i] & toks[j]) / len(toks[i] | toks[j])
+                if jac >= 0.6:
+                    exp[(i, j)] = round(jac, 6)
+    assert got == exp
+    assert (1, 3) in got and got[(1, 3)] == 1.0
+    assert (1, 2) in got  # 0.667 >= 0.6 must NOT be missed

@@ -650,7 +650,84 @@ def main() -> None:
         ),
     )
 
-    artifact = {"factor": factor, "sf_dir": sf_dir, "results": out}
+    # round-11 additions: the new selection/graph/text ops. kcenter is
+    # k distributed scans (linear ×k); label_prop is 3 join+agg rounds
+    # (linear in edges); KL is one tokenize pass + vocab-bounded tail;
+    # the incremental-SemDeDup probe measures the REAL claim — update
+    # cost tracks the batch's cells, not the corpus — by timing the
+    # incremental path against the full rebuild on the same ×factor
+    # corpus (old = ids below the batch cut, new = the rest).
+    from institutional_fx_etl_spark.operators.graph import (
+        label_prop_communities,
+    )
+    from institutional_fx_etl_spark.operators.selection import (
+        kcenter_select,
+    )
+    from institutional_fx_etl_spark.operators.similarity import (
+        semdedup_incremental,
+    )
+    from institutional_fx_etl_spark.operators.text import (
+        ngram_kl_divergence,
+    )
+
+    run("kcenter_select", lambda f: kcenter_select(emb[f], k=6, seed_id=0))
+    run(
+        "kl_source_divergence",
+        lambda f: ngram_kl_divergence(
+            docs[f].selectExpr(
+                "doc_id", "text",
+                f"CAST(doc_id % {20 * f} AS STRING) AS source",
+            )
+        ),
+    )
+    run(
+        "label_prop_communities",
+        lambda f: label_prop_communities(
+            scaled_copurchase_edges(spark, sf_dir, f)
+        ),
+    )
+
+    # incremental-vs-rebuild at ×factor (not a run() probe: the
+    # comparison is update wall ÷ rebuild wall on the SAME corpus)
+    walls = {}
+    for f in (1, factor):
+        corpus = emb[f].persist()
+        n = corpus.count()
+        old = corpus.filter("vec_id % 9 <> 8 OR vec_id < 64").persist()
+        new = corpus.filter("vec_id % 9 = 8 AND vec_id >= 64").persist()
+        cells = _auto_cells(n)
+        t0 = time.perf_counter()
+        semdedup(old.unionByName(new), min_cosine=0.9, num_centroids=cells).count()
+        rebuild = time.perf_counter() - t0
+        from institutional_fx_etl_spark.operators.similarity import semdedup as _sd
+
+        standing = _sd(old, min_cosine=0.9, num_centroids=cells)
+        standing = standing.persist()
+        standing.count()  # the standing state a real pipeline holds
+        t0 = time.perf_counter()
+        semdedup_incremental(
+            old, new, old_result=standing, min_cosine=0.9,
+            num_centroids=cells,
+        ).count()
+        update = time.perf_counter() - t0
+        walls[f"rebuild_x{f}"] = round(rebuild, 2)
+        walls[f"update_x{f}"] = round(update, 2)
+        walls[f"update_over_rebuild_x{f}"] = round(
+            update / max(rebuild, 1e-9), 2
+        )
+        for d in (corpus, old, new, standing):
+            d.unpersist()
+    print(f"[scale:semdedup_incremental] {walls}", flush=True)
+
+    # incremental probe lives OUTSIDE results: its contract is
+    # update ≪ rebuild, not the ×factor wall-vs-output bound the
+    # normalized probes carry (test_bench_scale_contract.py)
+    artifact = {
+        "factor": factor,
+        "sf_dir": sf_dir,
+        "results": out,
+        "incremental_results": {"semdedup_incremental_vs_rebuild": walls},
+    }
     try:  # keep an existing skewed-100× section across 10× reruns
         prior = json.load(open("BENCH_scale.json"))
         for k in ("skew_factor", "skew_results"):
