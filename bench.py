@@ -204,6 +204,7 @@ HEADLINE = [
     "kl_source_divergence",
     "semdedup_incremental",
     "dedup_prefix_filter",
+    "streaming_decontaminate",
 ]
 
 

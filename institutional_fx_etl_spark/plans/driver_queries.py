@@ -13206,6 +13206,86 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_streaming_decontaminate() -> None:
+    """Streaming twin of decontaminate_ngram: the eval-suite gram set
+    is STATIC (eval suites change rarely; the relation is
+    benchmark-sized and broadcasts), documents stream through a
+    stream-static left join + complete-mode per-doc integer count —
+    ingestion-order-free by construction (each doc's grams ride one
+    input row), so the BATCH oracle certifies the stream bit-for-bit
+    (the streaming_lm_score discipline)."""
+    oracle = REGISTRY["decontaminate_ngram"][1]
+
+    @register("streaming_decontaminate", oracle)
+    def q_streaming_decontaminate(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Ingest-time eval-leakage gate: streamed corpus docs
+        (doc_id ≥ 25) against the static benchmark 5-gram set
+        (doc_id < 25); per-doc distinct-gram match count under
+        complete-mode aggregation, hash-certified against the batch
+        decontaminate_against oracle."""
+        import tempfile
+
+        from institutional_fx_etl_spark.operators.text import (
+            shingles_expr,
+        )
+
+        _pin_session_confs(spark)
+        name = "streaming_decontaminate_result"
+        static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        grams5 = (
+            "array_distinct(CASE WHEN size(__toks) >= 5"
+            f" THEN {shingles_expr('__toks', 5)} ELSE array() END)"
+        )
+        bench = (
+            static.filter("doc_id < 25")
+            .withColumn("__toks", F.split(F.lower(F.col("text")), r"\s+"))
+            .selectExpr(f"explode({grams5}) AS g")
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        scored = (
+            stream.filter("doc_id >= 25")
+            .withColumn("__toks", F.split(F.lower(F.col("text")), r"\s+"))
+            .selectExpr("doc_id", f"explode_outer({grams5}) AS g")
+            .join(F.broadcast(bench), "g", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                .cast("int")
+                .alias("n_matched")
+            )
+        )
+        q = (
+            scored.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="stream_decon_ck_"),
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name).selectExpr(
+            "doc_id",
+            "n_matched",
+            "n_matched > 0 AS contaminated",
+        )
+
+
+_register_streaming_decontaminate()
+
+
 def _register_semdedup_incremental() -> None:
     """Incremental ≡ full proof for append-only SemDeDup: the oracle
     is the FULL-RUN semdedup SQL over the whole embeddings table, so
