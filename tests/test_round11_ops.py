@@ -541,3 +541,44 @@ def test_prefix_filter_complete_vs_brute_force(spark):
     assert got == exp
     assert (1, 3) in got and got[(1, 3)] == 1.0
     assert (1, 2) in got  # 0.667 >= 0.6 must NOT be missed
+
+
+def test_merge_fused_checkpoint_policies_identical(spark):
+    """The round-11 `checkpoints` knob (auto|last|none) must not
+    change a single byte of output - it only moves stage-boundary
+    materialization."""
+    from datetime import datetime, timedelta
+
+    from institutional_fx_etl_spark.plans.pipeline import HybridMergerSpark
+    from institutional_fx_etl_spark.plans.pipeline_fused import merge_fused
+
+    t0 = datetime(2024, 1, 1)
+    ticks = spark.createDataFrame(
+        [
+            (t0 + timedelta(minutes=m, seconds=s), 1.0 + (m % 16) / 16 + 0.125, 1.0 + (m % 16) / 16 - 0.125)
+            for m in range(0, 600, 3)
+            for s in (5, 40)
+        ],
+        "datetime timestamp, ask double, bid double",
+    )
+    m1 = spark.createDataFrame(
+        [
+            (t0 + timedelta(minutes=m), 1.5, 1.75, 1.25, 1.5, 7.0, None)
+            for m in range(100, 300, 2)
+        ],
+        "datetime timestamp, open double, high double, low double,"
+        " close double, volume double, spread double",
+    )
+    eng = HybridMergerSpark(spike_threshold=1e9, consensus_threshold=50.0)
+    rc = eng.resample_ticks(ticks)
+    outs = {}
+    for policy in ("auto", "last", "none"):
+        final, _ = merge_fused(
+            m1, rc, spike_threshold=1e9, consensus_threshold=50.0,
+            chunk_seconds=3600, checkpoints=policy,
+        )
+        outs[policy] = sorted(
+            tuple(r) for r in final.collect()
+        )
+    assert outs["auto"] == outs["last"] == outs["none"]
+    assert len(outs["auto"]) > 0
