@@ -1349,6 +1349,7 @@ def prefix_filter_pairs(
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.5,
     max_bucket: int | None = None,
+    shingle_n: int | None = 3,
 ) -> DataFrame:
     """Exact set-similarity join via prefix filtering (the PPJoin
     family, Xiao et al. 2008): order each document's DISTINCT token
@@ -1378,15 +1379,32 @@ def prefix_filter_pairs(
         raise ValueError(f"jaccard_threshold in (0,1], got {jaccard_threshold}")
     from pyspark import StorageLevel
 
-    # per-doc DISTINCT token relation — feeds the frequency table, the
-    # prefix construction and the verify sets; one tokenize pass
-    dt = (
-        df.withColumn("__t", F.explode(tokens(text_col)))
-        .filter("__t <> ''")
-        .selectExpr(bq(id_col), "__t")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # per-doc DISTINCT element relation — feeds the frequency table,
+    # the prefix construction and the verify sets; one tokenize pass.
+    # ``shingle_n`` picks the set universe: hashed word n-gram
+    # shingles (sequence-sensitive — the near-dup semantic; default)
+    # or raw unigram tokens (shingle_n=None — bag-of-words grain,
+    # much denser on template-heavy corpora)
+    if shingle_n is None:
+        dt = (
+            df.withColumn("__t", F.explode(tokens(text_col)))
+            .filter("__t <> ''")
+            .selectExpr(bq(id_col), "__t")
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        dt = (
+            df.withColumn("__toks", tokens(text_col))
+            .filter(f"size(__toks) >= {int(shingle_n)}")
+            .selectExpr(
+                bq(id_col),
+                # shingle_hashes_expr is per-doc-distinct already
+                f"explode({shingle_hashes_expr('__toks', int(shingle_n))})"
+                " AS __t",
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     freq = dt.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
     # τ as an exact rational: threshold quantizes to ppm so the prefix
     # length ⌈τ·n⌉ is integer arithmetic, identical cross-engine

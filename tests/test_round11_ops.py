@@ -526,7 +526,9 @@ def test_prefix_filter_complete_vs_brute_force(spark):
 
     got = {
         (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in prefix_filter_pairs(df, jaccard_threshold=0.6).collect()
+        for r in prefix_filter_pairs(
+            df, jaccard_threshold=0.6, shingle_n=None
+        ).collect()
     }
     # brute force truth
     toks = {i: set(t.split()) for i, t in rows}
@@ -582,3 +584,26 @@ def test_merge_fused_checkpoint_policies_identical(spark):
         )
     assert outs["auto"] == outs["last"] == outs["none"]
     assert len(outs["auto"]) > 0
+
+
+def test_prefix_filter_shingle_grain_finds_exact_dup(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # exact dup
+            (3, "alpha beta gamma other words here"),    # shares 1 shingle
+            (4, "nothing in common at all friend"),
+        ],
+    )
+    from institutional_fx_etl_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_pairs(
+            df, jaccard_threshold=0.5, shingle_n=3
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}
