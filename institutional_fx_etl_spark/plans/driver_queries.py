@@ -13458,17 +13458,23 @@ def _register_graph_modularity() -> None:
             label_prop_communities,
         )
 
+        from pyspark import StorageLevel
+
         items = (
             load_table(spark, sf_dir, "lineitem")
             .selectExpr("l_orderkey AS o", "l_partkey AS p")
             .distinct()
         )
         i2 = items.selectExpr("o", "p AS p2")
+        # ONE materialized edge relation feeds both the detector and
+        # the scorer (each persists its own derived view; without
+        # this the lineitem self-join scan runs twice)
         edges = (
             items.join(i2, "o")
             .filter("p < p2")
             .selectExpr("p AS src", "p2 AS dst")
             .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         labels = label_prop_communities(edges).select("node", "label")
         return graph_modularity(edges, labels)
