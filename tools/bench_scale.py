@@ -286,6 +286,46 @@ def run_skewed(spark, sf_dir: str, factor: int) -> dict:
     for d in docs.values():
         d.unpersist()
 
+    # round-11: prefix_filter_pairs under the same Zipfian-boilerplate
+    # skew — the three hot boilerplate texts share EVERY shingle, so
+    # every one of their shingles becomes a hot prefix bucket; without
+    # the cap, candidate generation is the boilerplate cohort squared
+    # (~8k² per text at ×100). The probe runs the CAPPED operator
+    # (max_bucket=64, the MinHash policy) and records the cap
+    # hit-rate; completeness is traded exactly like minhash's cap —
+    # the exact-hash dedup pass owns the true-duplicate cohort.
+    from institutional_fx_etl_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    docs2 = {
+        f: skewed_documents(spark, sf_dir, f).persist()
+        for f in (1, factor)
+    }
+    for d in docs2.values():
+        d.count()
+    walls = {}
+    for f in (1, factor):
+        t0 = time.perf_counter()
+        n = prefix_filter_pairs(
+            docs2[f], jaccard_threshold=0.5, shingle_n=3, max_bucket=64
+        ).count()
+        walls[f"x{f}"] = round(time.perf_counter() - t0, 2)
+        walls[f"rows_x{f}"] = n
+    _normalize(walls, factor)
+    walls["cap"] = {
+        "max_bucket": 64,
+        "note": "the 3 boilerplate cohorts share every shingle —"
+        " their prefix buckets exceed the cap and drop inside the"
+        " discovering aggregate (the minhash_lsh_pairs policy);"
+        " candidate volume stays #buckets*cap^2-bounded and the"
+        " exact-hash dedup pass owns the boilerplate cohort",
+    }
+    out["prefix_filter_skew"] = walls
+    print(f"[skew:prefix_filter] {walls}", flush=True)
+    for d in docs2.values():
+        d.unpersist()
+
     emb = {
         f: skewed_embeddings(spark, sf_dir, f).persist()
         for f in (1, factor)
