@@ -955,3 +955,49 @@ def test_decay_score_property(spark, rows):
     ) / 1_000_000
     assert got["decayed_score"] == want
     assert got["n_events"] == len(rows)
+
+
+# ---------------------------------------------------------------- r11
+# prefix-filter completeness (the operator's load-bearing guarantee):
+# on EVERY random corpus, every pair with token-set Jaccard >= tau
+# must be present with the exact score — candidates come from shared
+# rare-prefix tokens only, so a missed pair would mean the pigeonhole
+# bound was applied wrong
+word = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta", "theta"]
+)
+doc_text = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(doc_text, min_size=2, max_size=8),
+    tau=st.sampled_from([0.34, 0.5, 0.75]),
+)
+def test_prefix_filter_complete_on_random_corpora(spark, texts, tau):
+    from institutional_fx_etl_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_pairs(
+            df, jaccard_threshold=tau, shingle_n=None
+        ).collect()
+    }
+    sets = {i: set(t.split()) for i, t in enumerate(texts)}
+    exp = {}
+    for i in sets:
+        for j in sets:
+            if i < j:
+                jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+                if round(jac, 6) >= tau:
+                    exp[(i, j)] = round(jac, 6)
+    assert got == exp
