@@ -607,3 +607,37 @@ def test_prefix_filter_shingle_grain_finds_exact_dup(spark):
         ).collect()
     }
     assert got == {(1, 2): 1.0}
+
+
+def test_selection_ops_invariant_under_repartition(spark):
+    """Distributed determinism: mmr_select and kcenter_select must
+    produce identical picks regardless of the input's physical
+    partitioning (micro-int argmaxes with total-order tie-breaks may
+    not leak any partition-order dependence)."""
+    import math
+
+    rows = [
+        (i, [math.cos(i / 7.0), math.sin(i / 7.0)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    from institutional_fx_etl_spark.operators.selection import (
+        kcenter_select,
+        mmr_select,
+    )
+
+    def run(df):
+        m = sorted(
+            tuple(r)
+            for r in mmr_select(
+                df, query_id=0, k=4, shortlist=16, lam_tenths=4
+            ).collect()
+        )
+        k = sorted(
+            tuple(r) for r in kcenter_select(df, k=4, seed_id=0).collect()
+        )
+        return m, k
+
+    base = run(emb)
+    assert base == run(emb.repartition(17))
+    assert base == run(emb.repartition(1))
+    assert base == run(emb.repartitionByRange(5, "vec_id"))
