@@ -226,11 +226,30 @@ def _total_shuffle_write_bytes(spark) -> int:
         return 0
 
 
-def _fresh_session_mode(top_n: int, sf_dir: str) -> None:
+def _latest_fresh_artifact(here: str) -> dict:
+    """Newest committed ``BENCH_fresh_r*.json`` (query -> walls), or
+    empty. The main suite uses it to flag session-inflated walls."""
+    import glob
+    import re
+
+    best, best_r = {}, -1
+    for path in glob.glob(os.path.join(here, "BENCH_fresh_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        r = int(m.group(1)) if m else 0
+        if r > best_r:
+            try:
+                with open(path) as f:
+                    best, best_r = json.load(f).get("queries", {}), r
+            except (OSError, json.JSONDecodeError):
+                continue
+    return best
+
+
+def _fresh_session_mode(top_n: int, sf_dir: str, out_path: str | None) -> None:
     """``--fresh-top N``: re-measure the N slowest queries of the
     committed ``BENCH_local.json`` each in its OWN subprocess (new
     JVM, new SparkSession, nothing else planned in the session) and
-    print one JSON line {query: {cold_sec, warm_sec}}.
+    print one JSON line {query: {cold_sec, warm_sec, suite_sec}}.
 
     Purpose (r10 verdict ask #2): the default artifact times 150+
     plans through ONE long-lived session, so per-query walls carry
@@ -239,6 +258,12 @@ def _fresh_session_mode(top_n: int, sf_dir: str) -> None:
     uncontaminated per-query numbers a single-job cluster run would
     see: cold = first pass (includes Catalyst planning + codegen),
     warm = best of 2 subsequent passes.
+
+    The streaming family is ALWAYS included regardless of suite rank
+    (r11 verdict ask #2): streaming queries suffer the most session
+    aging (state-store init + micro-batch scheduling under a grown
+    catalog) yet their inflated suite walls rarely crack the top-N,
+    so rank alone hid exactly the queries that needed fresh walls.
     """
     import subprocess
 
@@ -251,6 +276,10 @@ def _fresh_session_mode(top_n: int, sf_dir: str) -> None:
             prev["queries"].items(), key=lambda kv: -kv[1]
         )[:top_n]
     ]
+    names += sorted(
+        n for n in prev["queries"]
+        if n.startswith("streaming_") and n not in names
+    )
     out: dict[str, dict] = {}
     for name in names:
         code = (

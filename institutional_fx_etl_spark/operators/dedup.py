@@ -1367,11 +1367,18 @@ def prefix_filter_pairs(
     document's own distinct-token count; candidate generation groups
     by PREFIX TOKEN — rare by construction, which is the whole point
     (the hottest tokens never enter a prefix unless a doc is nearly
-    all stop-words). ``max_bucket`` optionally caps degenerate
-    prefix-token buckets like the MinHash hot-bucket cap — but OFF by
-    default, because completeness is this operator's contract;
-    turning it on trades the guarantee for a hard fan-out bound (the
-    drop is recorded per pair-generation bucket, not silently).
+    all stop-words). ``max_bucket`` bounds degenerate prefix-token
+    buckets WITHOUT giving up completeness (r11 verdict task #3):
+    over-cap buckets ESCALATE — their members collapse into exact
+    token-set cohorts (boilerplate templates, in practice), one
+    representative per cohort re-enters pair generation uncapped,
+    and verified representative pairs expand back over cohort
+    members with the identical jaccard. Candidate generation is thus
+    bounded by #buckets·max(cap, D)² where D is the number of
+    DISTINCT token sets in a hot bucket — tiny on the template-heavy
+    corpora that create hot buckets in the first place. Nothing is
+    dropped under the cap; results are identical with it on or off
+    (property-gated against brute force).
 
     Output: id_a < id_b, jaccard (6 dp, ≥ threshold).
     """
@@ -1429,34 +1436,104 @@ def prefix_filter_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pre = docs.selectExpr(bq(id_col), "explode(prefix) AS __t")
-    if max_bucket is not None:
-        groups = (
-            pre.groupBy("__t")
-            .agg(F.collect_list(F.col(id_col)).alias("m"))
-            .filter(f"size(m) BETWEEN 2 AND {int(max_bucket)}")
+
+    def _pairs_from(g: DataFrame) -> DataFrame:
+        return (
+            g.selectExpr("array_sort(m) AS m")
+            .selectExpr(
+                "explode(flatten(transform(m, (x, i) ->"
+                " transform(slice(m, i + 2, size(m) - i - 1), y ->"
+                " struct(x AS id_a, y AS id_b))))) AS p"
+            )
+            .select("p.*")
+            .distinct()
         )
-    else:
-        groups = (
-            pre.groupBy("__t")
-            .agg(F.collect_list(F.col(id_col)).alias("m"))
+
+    allg = pre.groupBy("__t").agg(
+        F.collect_list(F.col(id_col)).alias("m")
+    )
+    cm = None
+    within = None
+    if max_bucket is not None:
+        allg = allg.persist(StorageLevel.MEMORY_AND_DISK)
+        candidates = _pairs_from(
+            allg.filter(f"size(m) BETWEEN 2 AND {int(max_bucket)}")
+        )
+        # --- hot-bucket ESCALATION (r11 verdict task #3) -------------
+        # An over-cap prefix-token bucket is, in practice, a
+        # boilerplate cohort: documents sharing (nearly) every
+        # shingle. Instead of DROPPING its candidates (which broke
+        # the completeness contract under skew), collapse the
+        # bucket's members into exact token-SET cohorts, let one
+        # REPRESENTATIVE per cohort re-enter pair generation with no
+        # cap, and expand every verified representative pair back
+        # over the cohort members (identical sets ⇒ identical
+        # jaccard). Completeness: a qualifying pair whose every
+        # shared prefix token is over-cap has both ends escalated,
+        # and their representatives share that token, so the rep
+        # pass finds it; within-cohort pairs are jaccard 1.0 by
+        # construction. Bound: the rep pass sees D reps per bucket
+        # (D = distinct token sets — #templates on boilerplate
+        # corpora), so pair generation stays #buckets·max(cap, D)².
+        over_toks = allg.filter(f"size(m) > {int(max_bucket)}").select(
+            "__t"
+        )
+        over_ids = (
+            allg.filter(f"size(m) > {int(max_bucket)}")
+            .selectExpr(f"explode(m) AS {bq(id_col)}")
+            .distinct()
+        )
+        cohorts = (
+            docs.join(over_ids, id_col, "left_semi")
+            .groupBy("toks")
+            .agg(
+                F.expr(
+                    f"array_sort(collect_list({bq(id_col)})) AS ids"
+                )
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cm = cohorts.filter("size(ids) >= 2").selectExpr(
+            "ids[0] AS __rep", "explode(ids) AS __member"
+        )
+        rep_of = (
+            docs.join(over_ids, id_col, "left_semi")
+            .selectExpr(f"{bq(id_col)} AS __member")
+            .join(cm, "__member", "left")
+            .selectExpr(
+                f"__member AS {bq(id_col)}",
+                "coalesce(__rep, __member) AS __rep",
+            )
+        )
+        rep_groups = (
+            pre.join(over_toks, "__t", "left_semi")
+            .join(rep_of, id_col)
+            .select("__t", "__rep")
+            .distinct()
+            .groupBy("__t")
+            .agg(F.collect_list("__rep").alias("m"))
             .filter("size(m) >= 2")
         )
-    candidates = (
-        groups.selectExpr("array_sort(m) AS m")
-        .selectExpr(
-            "explode(flatten(transform(m, (x, i) ->"
-            " transform(slice(m, i + 2, size(m) - i - 1), y ->"
+        candidates = candidates.unionByName(
+            _pairs_from(rep_groups)
+        ).distinct()
+        within = cohorts.filter("size(ids) >= 2").selectExpr(
+            "explode(flatten(transform(ids, (x, i) ->"
+            " transform(slice(ids, i + 2, size(ids) - i - 1), y ->"
             " struct(x AS id_a, y AS id_b))))) AS p"
+        ).selectExpr(
+            "p.id_a AS id_a",
+            "p.id_b AS id_b",
+            "CAST(1.0 AS DOUBLE) AS jaccard",
         )
-        .select("p.*")
-        .distinct()
-    )
+    else:
+        candidates = _pairs_from(allg.filter("size(m) >= 2"))
     sets = docs.selectExpr(bq(id_col), "toks", "n")
     jac = (
         "round(CAST(size(array_intersect(ta, tb)) AS DOUBLE)"
         " / (na + nb - size(array_intersect(ta, tb))), 6)"
     )
-    return (
+    verified = (
         candidates.join(
             sets.selectExpr(
                 f"{bq(id_col)} AS id_a", "toks AS ta", "n AS na"
@@ -1472,4 +1549,35 @@ def prefix_filter_pairs(
         .selectExpr("id_a", "id_b", f"{jac} AS jaccard")
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+    if cm is None:
+        return verified
+    # expand verified pairs over exact-set cohorts: if either end
+    # represents a cohort, every member inherits the pair with the
+    # SAME jaccard (identical token sets). Pairs with no cohort end
+    # pass through via the left-join coalesce; duplicates found by
+    # both the capped and the rep pass collapse in the distinct
+    # (identical 6-dp jaccard by construction).
+    return (
+        verified.join(
+            cm.selectExpr("__rep AS id_a", "__member AS __ma"),
+            "id_a",
+            "left",
+        )
+        .join(
+            cm.selectExpr("__rep AS id_b", "__member AS __mb"),
+            "id_b",
+            "left",
+        )
+        .selectExpr(
+            "coalesce(__ma, id_a) AS x",
+            "coalesce(__mb, id_b) AS y",
+            "jaccard",
+        )
+        .filter("x <> y")
+        .selectExpr(
+            "least(x, y) AS id_a", "greatest(x, y) AS id_b", "jaccard"
+        )
+        .unionByName(within)
+        .distinct()
     )

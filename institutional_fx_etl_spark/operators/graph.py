@@ -400,6 +400,17 @@ def label_prop_communities(
     und = edges.selectExpr(
         f"{src_col} AS a", f"{dst_col} AS b"
     )
+    # self-loops would let a node vote for its OWN label, contradicting
+    # the self-excluded synchronous variant — drop them before the
+    # propagation relation. Nodes left with no (non-self) neighbor keep
+    # their initial self-label; they are re-attached after the rounds so
+    # the output still covers every endpoint of the raw edge list.
+    nodes = (
+        und.selectExpr("a AS node")
+        .unionByName(und.selectExpr("b AS node"))
+        .distinct()
+    )
+    und = und.where(F.col("a") != F.col("b"))
     e = (
         und.unionByName(und.selectExpr("b AS a", "a AS b"))
         .distinct()
@@ -411,7 +422,9 @@ def label_prop_communities(
     for _ in range(iterations):
         # per-node argmax via a two-level HASH aggregate instead of a
         # row_number window: the (count desc, label asc) pick is
-        # max(struct(count, -label)) — both aggregates partial-combine
+        # min(struct(-count, label)) — the negation sits on the count
+        # (always a bigint), so the label column keeps any orderable
+        # type (string ids included). Both aggregates partial-combine
         # map-side and no sort ever materializes a node's whole
         # neighbor-label frequency list (the window twin sorted every
         # partition; hash-agg halved the sf0.1 round wall)
@@ -421,12 +434,18 @@ def label_prop_communities(
             .agg(F.count(F.lit(1)).alias("__c"))
             .groupBy("node")
             .agg(
-                F.max(
-                    F.struct(F.col("__c"), (-F.col("lbl")).alias("__nl"))
+                F.min(
+                    F.struct((-F.col("__c")).alias("__nc"),
+                             F.col("lbl").alias("lbl"))
                 ).alias("__w")
             )
-            .selectExpr("node", "-__w.__nl AS lbl")
+            .selectExpr("node", "__w.lbl AS lbl")
         )
+    # isolated / self-loop-only nodes never entered the propagation
+    # relation — they keep their own label (standard LPA seed rule)
+    labels = nodes.join(labels, "node", "left").selectExpr(
+        "node", "coalesce(lbl, node) AS lbl"
+    )
     # the final labeling feeds BOTH the size rollup and the output
     # join — unpersisted, the whole k-round chain re-derives once per
     # consumer (measured 2× at sf0.1); caller owns the cache lifetime
@@ -522,4 +541,227 @@ def graph_modularity(
         "CAST(smc AS BIGINT) AS internal_edges",
         "round(CAST(4*m*smc - sdc2 AS DOUBLE)"
         " / CAST(4*m*m AS DOUBLE), 6) AS modularity",
+    )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 2,
+    max_middle_degree: int | None = None,
+) -> DataFrame:
+    """Link-prediction scores for non-adjacent node pairs at distance
+    2 (Liben-Nowell & Kleinberg 2003): for every pair (x, y) sharing
+    at least ``min_common`` neighbors and NOT already an edge, emit
+    the three classical predictors — common-neighbor count,
+    Adamic-Adar ``Σ_z 1/ln(deg(z))`` over the shared neighbors z, and
+    neighbor-Jaccard ``|N(x)∩N(y)| / |N(x)∪N(y)|``.
+
+    Plan shape: one wedge self-join on the MIDDLE node z (the only
+    quadratic step — Σ C(deg(z), 2) candidate rows, distributed on
+    z), one (x, y) hash aggregate, one anti-join against the edge
+    set, two degree joins. ``max_middle_degree`` optionally skips
+    hub middles: a hub contributes ~1/ln(deg) ≈ 0 to the score but
+    C(deg, 2) to the fan-out, so the standard scale move is to drop
+    middles above a degree cap (OFF by default — exactness is the
+    oracle contract; the query fixture bounds fan-out structurally
+    with a small-basket graph instead).
+
+    Cross-engine exactness: per-middle contributions are micro-unit
+    fixed point (``floor(1e6/ln(deg)+0.5)`` summed as
+    DECIMAL(38,0)); deg(z) ≥ 2 always (z has both x and y), so
+    ln(deg) > 0. Output: id_a < id_b, common_neighbors,
+    adamic_adar (6 dp), jaccard_nbr (6 dp).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    e0 = (
+        edges.selectExpr(
+            f"least({src_col}, {dst_col}) AS a",
+            f"greatest({src_col}, {dst_col}) AS b",
+        )
+        .filter("a <> b")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nbr = e0.unionByName(e0.selectExpr("b AS a", "a AS b")).selectExpr(
+        "a AS z", "b AS x"
+    )
+    deg = nbr.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
+    mid = nbr.join(deg, "z")
+    if max_middle_degree is not None:
+        mid = mid.filter(f"d <= {int(max_middle_degree)}")
+    # per-middle Adamic-Adar mass, fixed to micro-units BEFORE the
+    # wedge join so the (x, y) sum is order-invariant decimal
+    mid = mid.selectExpr(
+        "z",
+        "x",
+        "CAST(floor(1e6 / ln(CAST(d AS DOUBLE)) + 0.5)"
+        " AS DECIMAL(38,0)) AS aa_m",
+    )
+    wedges = (
+        mid.join(
+            mid.selectExpr("z", "x AS y"),
+            "z",
+        )
+        .filter("x < y")
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.expr("SUM(aa_m) AS __aa"),
+        )
+        .filter(f"common_neighbors >= {int(min_common)}")
+    )
+    return (
+        wedges.join(
+            e0.selectExpr("a AS x", "b AS y"), ["x", "y"], "left_anti"
+        )
+        .join(deg.selectExpr("z AS x", "d AS dx"), "x")
+        .join(deg.selectExpr("z AS y", "d AS dy"), "y")
+        .selectExpr(
+            "x AS id_a",
+            "y AS id_b",
+            "common_neighbors",
+            "round(CAST(__aa AS DOUBLE) / 1e6, 6) AS adamic_adar",
+            "round(CAST(common_neighbors AS DOUBLE)"
+            " / (dx + dy - common_neighbors), 6) AS jaccard_nbr",
+        )
+    )
+
+
+def kcore_decomposition(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 2,
+    rounds: int = 3,
+) -> DataFrame:
+    """Fixed-iteration k-core peel (Seidman 1983; the degeneracy
+    pre-filter a graph pipeline runs before community/centrality
+    passes): ``rounds`` synchronous rounds of dropping every node
+    whose CURRENT degree is below ``k``, shrinking the edge set to
+    surviving endpoints each time. A fixed round count is part of
+    the contract (the ``pagerank_fixed`` / ``label_prop`` static-DAG
+    discipline) — the oracle unrolls the identical rounds as CTEs;
+    true convergence is reached when a round removes nothing, which
+    small ``rounds`` values already achieve on real degree
+    distributions (3 rounds suffice on every fixture here; the
+    survivors' degrees are all ≥ k when converged).
+
+    Plan shape per round: one degree aggregate + two semi-joins on
+    the endpoint key — all shuffles on the node id, edges only ever
+    shrink. Output: node, degree (within the final core subgraph).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    e = (
+        edges.selectExpr(
+            f"least({src_col}, {dst_col}) AS a",
+            f"greatest({src_col}, {dst_col}) AS b",
+        )
+        .filter("a <> b")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(int(rounds)):
+        deg = (
+            e.selectExpr("a AS n")
+            .unionByName(e.selectExpr("b AS n"))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(f"d >= {int(k)}").select("n")
+        e = (
+            e.join(keep.selectExpr("n AS a"), "a", "left_semi")
+            .join(keep.selectExpr("n AS b"), "b", "left_semi")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return (
+        e.selectExpr("a AS node")
+        .unionByName(e.selectExpr("b AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(f"degree >= {int(k)}")
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node local clustering coefficient — triangles(v) over
+    C(deg(v), 2), the standard cohesion score next to the global
+    census (:func:`triangle_count`): how close a node's
+    neighborhood is to a clique.
+
+    Plan shape: the same degree-oriented compact-forward triangle
+    enumeration as :func:`triangle_count` (adjacency groupBy +
+    ``array_intersect`` per oriented edge), but EXPLODED so each
+    triangle yields its three corners, then one corner aggregate and
+    one degree join. All arithmetic is integer until the final 6-dp
+    division, so the output is cross-engine exact. Only nodes with
+    deg ≥ 2 appear (C(deg,2) = 0 otherwise). Output: node, degree,
+    triangles, lcc (6 dp).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    e0 = (
+        edges.selectExpr(
+            f"least({src_col}, {dst_col}) AS a",
+            f"greatest({src_col}, {dst_col}) AS b",
+        )
+        .filter("a <> b")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        e0.selectExpr("a AS n")
+        .unionByName(e0.selectExpr("b AS n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # orient each edge from its lower-(degree, id) endpoint so every
+    # triangle is enumerated exactly once at its lowest-degree corner
+    # (the node-iterator bound — hubs don't explode)
+    oe = (
+        e0.join(deg.selectExpr("n AS a", "d AS da"), "a")
+        .join(deg.selectExpr("n AS b", "d AS db"), "b")
+        .selectExpr(
+            "CASE WHEN (da, a) < (db, b) THEN a ELSE b END AS x",
+            "CASE WHEN (da, a) < (db, b) THEN b ELSE a END AS y",
+        )
+    )
+    adj = oe.groupBy(F.col("x").alias("n")).agg(
+        F.expr("array_sort(collect_list(y)) AS ns")
+    )
+    tri = (
+        oe.join(adj.selectExpr("n AS x", "ns AS nx"), "x", "left")
+        .join(adj.selectExpr("n AS y", "ns AS ny"), "y", "left")
+        .selectExpr(
+            "x",
+            "y",
+            "explode(array_intersect(coalesce(nx, array()),"
+            " coalesce(ny, array()))) AS z",
+        )
+    )
+    corners = (
+        tri.selectExpr("x AS n")
+        .unionByName(tri.selectExpr("y AS n"))
+        .unionByName(tri.selectExpr("z AS n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.filter("d >= 2")
+        .join(corners, "n", "left")
+        .selectExpr(
+            "n AS node",
+            "d AS degree",
+            "coalesce(triangles, 0) AS triangles",
+            "round(CAST(2 * coalesce(triangles, 0) AS DOUBLE)"
+            " / (CAST(d AS DOUBLE) * (d - 1)), 6) AS lcc",
+        )
     )

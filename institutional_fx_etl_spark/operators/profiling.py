@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -819,4 +819,165 @@ def diff_in_diff(
             f"round(({mean('t_post')} - {mean('t_pre')})"
             f" - ({mean('c_post')} - {mean('c_pre')}), 6) AS did",
         )
+    )
+
+
+NORMAL_SF_TWO_SIDED = (
+    "2.0D * (exp(-(zz) * (zz) / 2) / sqrt(2 * pi()))"
+    " * (0.319381530D * (1 / (1 + 0.2316419D * (zz)))"
+    "    - 0.356563782D * pow(1 / (1 + 0.2316419D * (zz)), 2)"
+    "    + 1.781477937D * pow(1 / (1 + 0.2316419D * (zz)), 3)"
+    "    - 1.821255978D * pow(1 / (1 + 0.2316419D * (zz)), 4)"
+    "    + 1.330274429D * pow(1 / (1 + 0.2316419D * (zz)), 5))"
+)
+"""Two-sided normal p-value ``2·(1 − Φ(zz))`` for ``zz ≥ 0`` via the
+Zelen-Severo polynomial (Abramowitz & Stegun 26.2.17, |ε| < 7.5e-8 —
+far below the 6-dp output grain). ``zz`` is a placeholder for the
+ABSOLUTE z expression; the string is shared verbatim by the Spark
+plan and the DuckDB oracle (expression-shape mirroring) so every
+intermediate double is IEEE-identical on both engines."""
+
+
+def fdr_bh(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    alpha_pct: int = 5,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a family of per-group sign
+    tests — the multiple-testing correction any profiling sweep needs
+    once it tests MANY segments at once (m tests at α each expect
+    m·α false alarms; BH bounds the false-discovery RATE instead).
+
+    The per-group hypothesis is the exact-count sign test: under H0
+    each row's value is equally likely above or below the GLOBAL
+    mean, so ``z = (2k − n)/√n`` with k = #above (integer counts; the
+    global mean is a DECIMAL-exact micro-unit ratio, never a float
+    sum). p-values come from the shared :data:`NORMAL_SF_TWO_SIDED`
+    polynomial; the BH step-up itself is EXACT integer arithmetic —
+    ``p_(i) ≤ i·α/m`` compares ``p_micro·m·100 ≤ i·alpha_pct·10⁶``
+    (p is already micro-quantized), so the reject frontier cannot
+    drift on float rounding.
+
+    Plan shape: one global mean aggregate (scalar-attach broadcast),
+    one per-group count aggregate, one m-row ranking window (m =
+    #groups — metadata scale). Output: group col, n, k_above,
+    z (6 dp), p_value (6 dp), bh_rank, reject.
+    """
+    if not 1 <= int(alpha_pct) <= 50:
+        raise ValueError(f"alpha_pct in 1..50, got {alpha_pct}")
+    vals = df.filter(f"{value_col} IS NOT NULL")
+    gm = vals.agg(
+        F.expr(
+            f"SUM(CAST(floor({value_col} * 1e6 + 0.5) AS DECIMAL(38,0)))"
+            " AS __s"
+        ),
+        F.expr("count(1) AS __n"),
+    )
+    counts = (
+        vals.crossJoin(F.broadcast(gm))
+        .selectExpr(
+            group_col,
+            # exact comparison: v > mean ⇔ v_micro·n > Σv_micro
+            f"CASE WHEN CAST(floor({value_col} * 1e6 + 0.5)"
+            " AS DECIMAL(38,0)) * __n > __s THEN 1 ELSE 0 END AS __above",
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__above").cast("long").alias("k_above"),
+        )
+    )
+    z_abs = "(abs(CAST(2 * k_above - n AS DOUBLE)) / sqrt(CAST(n AS DOUBLE)))"
+    scored = counts.selectExpr(
+        group_col,
+        "n",
+        "k_above",
+        "round(CAST(2 * k_above - n AS DOUBLE)"
+        " / sqrt(CAST(n AS DOUBLE)), 6) AS z",
+        "CAST(floor(least(1.0D, "
+        + NORMAL_SF_TWO_SIDED.replace("(zz)", z_abs)
+        + ") * 1e6 + 0.5) AS BIGINT) AS __pm",
+    )
+    wrank = Window.orderBy("__pm", group_col)
+    wall = Window.partitionBy()
+    ranked = (
+        scored.withColumn("bh_rank", F.row_number().over(wrank))
+        .withColumn("__m", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "__ok",
+            F.expr(
+                f"__pm * __m * 100 <= bh_rank * {int(alpha_pct)}"
+                " * 1000000"
+            ),
+        )
+        .withColumn(
+            "__cut",
+            F.max(F.expr("CASE WHEN __ok THEN bh_rank ELSE 0 END")).over(
+                wall
+            ),
+        )
+    )
+    return ranked.selectExpr(
+        group_col,
+        "n",
+        "k_above",
+        "z",
+        "round(CAST(__pm AS DOUBLE) / 1e6, 6) AS p_value",
+        "bh_rank",
+        "bh_rank <= __cut AS reject",
+    )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+) -> DataFrame:
+    """t-closeness profile (Li et al. 2007 — the audit after
+    :func:`k_anonymity` and :func:`l_diversity`: a group can be large
+    AND diverse yet still leak, if its sensitive-value DISTRIBUTION
+    differs sharply from the corpus-wide one): per quasi-identifier
+    group, the total-variation distance ``½·Σ_v |p_g(v) − p(v)|``
+    between the group's sensitive distribution and the global.
+
+    EXACT integer arithmetic throughout (the chisq zero-cell
+    discipline): the per-value numerator is
+    ``|c(g,v)·N − c(v)·n_g|`` (all BIGINT counts), values absent
+    from the group contribute their entire global mass
+    ``(N − Σ_{v∈g} c(v))·n_g``, and the single double division +
+    6-dp round happens once per group. Two map-side-combinable
+    aggregates + one broadcast of the (vocabulary-bounded) global
+    value distribution. Output: quasi cols, n_rows, n_values,
+    t_closeness (6 dp).
+    """
+    cell = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    gsize = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__ng"))
+    gval = df.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("__cv"))
+    tot = df.agg(F.count(F.lit(1)).alias("__n"))
+    num = (
+        cell.join(F.broadcast(gval), sensitive_col)
+        .join(gsize, list(quasi_cols))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(*quasi_cols)
+        .agg(
+            F.expr(
+                "SUM(CAST(abs(__c * __n - __cv * __ng) AS DECIMAL(38,0)))"
+                " AS __present"
+            ),
+            # Σ over values present in the group of their GLOBAL count
+            F.expr("CAST(SUM(__cv) AS DECIMAL(38,0)) AS __sg"),
+            F.expr("MAX(__ng) AS __ng"),
+            F.expr("MAX(__n) AS __n"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+    )
+    return num.selectExpr(
+        *quasi_cols,
+        "__ng AS n_rows",
+        "n_values",
+        "round(CAST(__present + CAST((__n - __sg) AS DECIMAL(38,0))"
+        " * __ng AS DOUBLE) / (2.0D * __ng * __n), 6) AS t_closeness",
     )

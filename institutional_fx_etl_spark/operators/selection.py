@@ -1299,11 +1299,14 @@ def mmr_select(
         raise ValueError(f"shortlist is capped at 256, got {shortlist}")
     lam = int(lam_tenths)
 
-    qdf = emb.filter(F.col(id_col) == F.lit(int(query_id)))
+    qdf = emb.filter(F.col(id_col) == F.lit(query_id))
+    # cosine_topk's output id column is named ``vec_id`` by contract —
+    # re-alias it to the caller's id_col so every downstream join and
+    # the final schema honor a non-default id column (r11 ADVICE)
     short = cosine_topk(
         emb, qdf, k=shortlist, vec_col=vec_col, id_col=id_col
     ).selectExpr(
-        "vec_id",
+        f"vec_id AS {bq(id_col)}",
         "CAST(round(cosine * 1e6, 0) AS BIGINT) AS rel_m",
     )
     from pyspark import StorageLevel
@@ -1312,7 +1315,7 @@ def mmr_select(
 
     sv = (
         with_norm(emb, vec_col)
-        .join(F.broadcast(short.select("vec_id")), id_col, "left_semi")
+        .join(F.broadcast(short.select(id_col)), id_col, "left_semi")
         .selectExpr(
             f"{bq(id_col)} AS vid",
             f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vv",
@@ -1333,7 +1336,7 @@ def mmr_select(
         )
         .collect()
     )
-    cand = [(r["vec_id"], r["rel_m"]) for r in short.collect()]
+    cand = [(r[id_col], r["rel_m"]) for r in short.collect()]
     sims: dict[tuple, int] = {}
     for r in sims_rows:
         sims[(r["ida"], r["idb"])] = r["sim_m"]
@@ -1358,15 +1361,31 @@ def mmr_select(
         chosen.add(best[1])
 
     spark = emb.sparkSession
+    # the picks schema id type follows the INPUT's id column (r11
+    # ADVICE: hardcoded bigint broke non-default id columns)
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     picks = spark.createDataFrame(
-        selected, "rank int, vec_id bigint, score_m10 bigint"
+        selected,
+        StructType(
+            [
+                StructField("rank", IntegerType()),
+                StructField(id_col, emb.schema[id_col].dataType),
+                StructField("score_m10", LongType()),
+            ]
+        ),
     )
     return (
         F.broadcast(picks)
-        .join(short, "vec_id")
+        .join(short, id_col)
         .selectExpr(
             "rank",
-            f"vec_id AS {bq(id_col)}",
+            bq(id_col),
             "CAST(rel_m AS DOUBLE) / 1000000.0D AS rel_cosine",
             "CAST(score_m10 AS DOUBLE) / 10000000.0D AS mmr_score",
         )
@@ -1424,7 +1443,7 @@ def kcenter_select(
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     spark = emb.sparkSession
-    picked: list[tuple] = [(1, int(seed_id), 0)]
+    picked: list[tuple] = [(1, seed_id, 0)]
     for step in range(2, k + 1):
         centers = base.filter(
             F.col("vid").isin([p[1] for p in picked])
@@ -1449,17 +1468,97 @@ def kcenter_select(
             .agg(F.min("dm").alias("dmin"))
             .filter(~F.col("vid").isin([p[1] for p in picked]))
             .agg(
-                F.max(
+                # (distance desc, id asc) as min(struct(-dist, id)):
+                # negation sits on the bigint distance, so the id
+                # column keeps any orderable type (r11 ADVICE)
+                F.min(
                     F.struct(
-                        F.col("dmin"),
-                        (-F.col("vid")).alias("negid"),
+                        (-F.col("dmin")).alias("nd"),
+                        F.col("vid").alias("vid"),
                     )
                 ).alias("w")
             )
-            .selectExpr("w.dmin AS dmin", "-w.negid AS vid")
+            .selectExpr("-w.nd AS dmin", "w.vid AS vid")
             .collect()[0]
         )
         picked.append((step, winner["vid"], winner["dmin"]))
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    # id type follows the input's id column (r11 ADVICE: hardcoded
+    # bigint broke non-default id columns)
     return spark.createDataFrame(
-        picked, f"rank int, {id_col} bigint, dist_micro bigint"
+        picked,
+        StructType(
+            [
+                StructField("rank", IntegerType()),
+                StructField(id_col, emb.schema[id_col].dataType),
+                StructField("dist_micro", LongType()),
+            ]
+        ),
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str = "lang",
+    weight_expr: str = "n_chars",
+    alpha_pct: int = 70,
+) -> DataFrame:
+    """Temperature-based corpus rebalancing weights (the multilingual
+    sampling rule from mBERT/XLM-R: sample group g with probability
+    ``q_g ∝ p_g^α`` where ``p_g`` is its natural share and α < 1
+    up-weights the tail): the per-group multiplier ``q_g / p_g`` is
+    what a sampler applies per document so low-resource groups are
+    seen more often without changing any document's content.
+
+    One map-side-combinable aggregate over the corpus (group sums in
+    DECIMAL — order-invariant), one scalar-attach crossJoin of the
+    two global one-row totals, pure built-ins. ``alpha_pct`` keeps α
+    a rational (70 → 0.7) so both engines evaluate ``pow`` on the
+    identical literal; shares round to 6 dp.
+
+    Output per group: group col, n_rows, mass (BIGINT — the raw
+    weight sum), nat_share (p, 6 dp), temp_share (q, 6 dp),
+    weight_mult (q/p, 6 dp).
+    """
+    if not 1 <= int(alpha_pct) <= 100:
+        raise ValueError(f"alpha_pct in 1..100, got {alpha_pct}")
+    alpha = f"{int(alpha_pct)} / 100.0D"
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            f"CAST(SUM(CAST(({weight_expr}) AS DECIMAL(38,0)))"
+            " AS BIGINT) AS mass"
+        ),
+    )
+    tot = g.agg(
+        F.expr("CAST(SUM(CAST(mass AS DECIMAL(38,0))) AS BIGINT) AS __tm")
+    )
+    shares = g.crossJoin(F.broadcast(tot)).selectExpr(
+        bq(group_col),
+        "n_rows",
+        "mass",
+        f"pow(CAST(mass AS DOUBLE) / __tm, {alpha}) AS __q_raw",
+        "CAST(mass AS DOUBLE) / __tm AS __p",
+    )
+    qtot = shares.agg(
+        # q normalizer: micro-fixed partials so the sum is
+        # order-invariant before the final double division
+        F.expr(
+            "CAST(SUM(CAST(floor(__q_raw * 1e6 + 0.5)"
+            " AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS __qt"
+        )
+    )
+    return shares.crossJoin(F.broadcast(qtot)).selectExpr(
+        bq(group_col),
+        "n_rows",
+        "mass",
+        "round(__p, 6) AS nat_share",
+        "round(__q_raw / __qt, 6) AS temp_share",
+        "round((__q_raw / __qt) / __p, 6) AS weight_mult",
     )

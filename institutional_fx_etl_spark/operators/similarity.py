@@ -2236,6 +2236,32 @@ def semdedup_incremental(
     v_old = old.selectExpr(
         f"{bq(id_col)} AS vid", f"{_as_double(vec_col)} AS vv"
     )
+    # the whole incremental argument rests on the append-only id
+    # contract (every new id > every old id) — enforce it with one
+    # column-pruned min/max aggregate instead of trusting the caller
+    # (r11 ADVICE: a violating batch silently diverged from the
+    # rebuild). Scalar-attach crossJoin: both sides are 1 row.
+    bounds = (
+        v_old.agg(F.max("vid").alias("__mx"))
+        .crossJoin(
+            F.broadcast(
+                new.selectExpr(f"{bq(id_col)} AS vid").agg(
+                    F.min("vid").alias("__mn")
+                )
+            )
+        )
+        .collect()[0]
+    )
+    if (
+        bounds["__mx"] is not None
+        and bounds["__mn"] is not None
+        and bounds["__mx"] >= bounds["__mn"]
+    ):
+        raise ValueError(
+            "semdedup_incremental requires append-only ids: "
+            f"max(old {id_col})={bounds['__mx']} >= "
+            f"min(new {id_col})={bounds['__mn']}"
+        )
     if centroids is None:
         centroids = (
             v_old.orderBy("vid")

@@ -2211,3 +2211,47 @@ def ngram_kl_divergence(
             f"{kl} AS kl_bits",
         )
     )
+
+
+def quality_c4(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style heuristic cleaning signals (Raffel et al. 2020 §2.2),
+    the other canonical rule set next to :func:`gopher_quality`: C4
+    keeps sentences that end in terminal punctuation and have enough
+    words, and drops whole documents containing boilerplate markers
+    (``lorem ipsum``, curly braces from leaked code/templates,
+    ``javascript`` warnings).
+
+    Sentence grain here is the terminal-punctuation split (``.!?``),
+    matching C4's "line" rule for plain-text corpora without
+    newlines. All signals are one projection over the tokenizer — no
+    shuffle, no UDF; the verdict rule mirrors C4: ≥ ``min_sentences``
+    qualifying sentences (≥ ``min_words_per_sentence`` words, ends in
+    terminal punctuation in the ORIGINAL text), no marker hits.
+
+    Output: id cols passthrough + n_sentences, n_kept_sentences,
+    n_words, has_lorem, has_brace, has_js, keep.
+    """
+    # a sentence "ends in terminal punctuation" iff the regex match
+    # INCLUDES the terminator — regexp_extract_all('[^.!?]+[.!?]')
+    # yields exactly the qualifying candidates (the unterminated tail
+    # fragment never matches); n_sentences counts every non-empty
+    # piece either way. Identical regex semantics on DuckDB (RE2) and
+    # Spark (java.util.regex) for this pattern class.
+    terminated = f"regexp_extract_all(`{text_col}`, '[^.!?]+[.!?]', 0)"
+    return df.selectExpr(
+        "*",
+        f"size(filter(transform(split(`{text_col}`, '[.!?]'),"
+        " s -> trim(s)), s -> s <> '')) AS n_sentences",
+        f"size(filter({terminated},"
+        " s -> size(split(trim(s), '\\\\s+')) >= 3))"
+        " AS n_kept_sentences",
+        f"CAST(size(split(trim(`{text_col}`), '\\\\s+')) AS BIGINT)"
+        " AS n_words",
+        f"contains(lower(`{text_col}`), 'lorem ipsum') AS has_lorem",
+        f"contains(`{text_col}`, '{{') AS has_brace",
+        f"contains(lower(`{text_col}`), 'javascript') AS has_js",
+    ).selectExpr(
+        "*",
+        "(n_kept_sentences >= 3 AND NOT has_lorem AND NOT has_brace"
+        " AND NOT has_js) AS keep",
+    )

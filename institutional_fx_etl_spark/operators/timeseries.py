@@ -816,3 +816,182 @@ def decay_score(
             F.expr("CAST(SUM(t) AS DOUBLE) / 1000000 AS decayed_score"),
         )
     )
+
+
+def roll_spread(
+    df: DataFrame,
+    value_col: str,
+    order_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...],
+) -> DataFrame:
+    """Roll (1984) effective-spread estimator per series: bid-ask
+    bounce makes consecutive price CHANGES negatively autocorrelated,
+    and the implied spread is ``2·√(−cov(Δp_t, Δp_{t−1}))`` — the
+    classic microstructure statistic a tick pipeline reports next to
+    realized volatility.
+
+    One ordered window pass (two chained lags) + one hash aggregate
+    per series. Cross-engine exactness: Δp quantizes to micro-units
+    FIRST (``floor(Δ·1e6 + 0.5)`` BIGINT), then the covariance's
+    three sums (Σxy, Σx, Σy) accumulate those integers as
+    DECIMAL(38,0), so the numerator ``n·Σxy − Σx·Σy`` is exact
+    integer arithmetic — only the final division/sqrt is a double,
+    mirrored in the oracle.
+
+    Output: partition cols, n_pairs, autocov (6 dp),
+    roll_spread (6 dp; NULL when the autocovariance is non-negative —
+    the estimator is undefined there, the standard convention).
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    base = df.select(
+        *partition_cols,
+        F.col(value_col).alias("__v"),
+        *[F.col(c) for c in order_cols if c not in partition_cols],
+    )
+    lag1 = F.lag("__v").over(w)
+    dm = F.floor((F.col("__v") - lag1) * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    stepped = base.withColumn("__dm", dm).withColumn(
+        "__dp", F.lag("__dm").over(w)
+    )
+    pairs = stepped.filter("__dm IS NOT NULL AND __dp IS NOT NULL")
+    return (
+        pairs.groupBy(*partition_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr(
+                "SUM(CAST(__dm AS DECIMAL(38,0))"
+                " * CAST(__dp AS DECIMAL(38,0))) AS __sxy"
+            ),
+            F.expr("SUM(CAST(__dm AS DECIMAL(38,0))) AS __sx"),
+            F.expr("SUM(CAST(__dp AS DECIMAL(38,0))) AS __sy"),
+        )
+        .selectExpr(
+            *partition_cols,
+            "n_pairs",
+            "CAST(CAST(n_pairs AS DECIMAL(38,0)) * __sxy - __sx * __sy"
+            " AS DOUBLE) / (CAST(n_pairs AS DOUBLE) * n_pairs) / 1e12"
+            " AS __cov",
+        )
+        .selectExpr(
+            *partition_cols,
+            "n_pairs",
+            "round(__cov, 6) AS autocov",
+            "CASE WHEN __cov < 0 THEN round(2 * sqrt(-__cov), 6)"
+            " ELSE NULL END AS roll_spread",
+        )
+    )
+
+
+def parkinson_vol(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    partition_cols: tuple[str, ...],
+) -> DataFrame:
+    """Parkinson (1980) high-low volatility per (series, day): the
+    range-based estimator ``√(ln(H/L)² / (4·ln 2))`` — ~5× more
+    efficient than close-to-close on the same data, and the reason
+    OHLC candles carry their extremes. One hash aggregate (max/min —
+    map-side combinable) per (series, day); positive values only
+    (the ratio needs H, L > 0). H and L are EXACT (no float
+    summation anywhere); the single ln/sqrt expression is mirrored
+    in the oracle. Output: partition cols, d (day as timestamp),
+    n_ticks, hi, lo, park_vol (6 dp).
+    """
+    return (
+        df.filter(f"{value_col} IS NOT NULL AND {value_col} > 0")
+        .groupBy(
+            *partition_cols,
+            F.expr(f"CAST(CAST({ts_col} AS DATE) AS TIMESTAMP)").alias(
+                "d"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.max(value_col).alias("hi"),
+            F.min(value_col).alias("lo"),
+        )
+        .selectExpr(
+            *partition_cols,
+            "d",
+            "n_ticks",
+            "hi",
+            "lo",
+            "round(sqrt(pow(ln(hi / lo), 2) / (4 * ln(2))), 6)"
+            " AS park_vol",
+        )
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    order_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...],
+    max_points: int = 200,
+) -> DataFrame:
+    """Theil-Sen robust trend per series: the MEDIAN of all pairwise
+    slopes ``(y_j − y_i)/(x_j − x_i)`` — up to 29% outlier
+    contamination leaves it unmoved, which is why it is the robust
+    counterpart to :func:`linreg_per_group`'s OLS.
+
+    The pairwise step is inherently O(n²), so each series is first
+    capped to its ``max_points`` EARLIEST rows (row_number over the
+    deterministic order — the dedup_recall_eval capped-quadratic
+    discipline, documented not silent); the self-join then stays
+    ≤ C(max_points, 2) rows per series, distributed on the series
+    key. Slopes quantize to micro-units (exact double division then
+    ``floor(·1e6+0.5)``), and the median is the LOWER median (rank
+    ``(n+1) div 2`` of the ascending micro-slopes) — rank selection
+    over integers, no interpolation, bit-identical cross-engine.
+
+    Output: partition cols, n_points, n_pairs, ts_slope (6 dp).
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    pts = (
+        df.filter(f"{value_col} IS NOT NULL")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(max_points))
+        .selectExpr(
+            *partition_cols,
+            f"CAST(to_unix_timestamp({ts_col}) AS BIGINT) AS __x",
+            f"CAST({value_col} AS DOUBLE) AS __y",
+            "__rn",
+        )
+    )
+    a = pts.selectExpr(
+        *partition_cols, "__x AS xa", "__y AS ya", "__rn AS ra"
+    )
+    b = pts.selectExpr(
+        *partition_cols, "__x AS xb", "__y AS yb", "__rn AS rb"
+    )
+    slopes = (
+        a.join(b, list(partition_cols))
+        .filter("ra < rb AND xa <> xb")
+        .selectExpr(
+            *partition_cols,
+            "CAST(floor((yb - ya) / (xb - xa) * 1e6 + 0.5) AS BIGINT)"
+            " AS __sm",
+        )
+    )
+    ws = Window.partitionBy(*partition_cols).orderBy("__sm")
+    wn = Window.partitionBy(*partition_cols)
+    npts = pts.groupBy(*partition_cols).agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    med = (
+        slopes.withColumn("__rk", F.row_number().over(ws))
+        .withColumn("__np", F.count(F.lit(1)).over(wn))
+        .filter("__rk = (__np + 1) div 2")
+        .selectExpr(
+            *partition_cols,
+            "__np AS n_pairs",
+            "round(CAST(__sm AS DOUBLE) / 1e6, 6) AS ts_slope",
+        )
+    )
+    return npts.join(med, list(partition_cols)).select(
+        *partition_cols, "n_points", "n_pairs", "ts_slope"
+    )

@@ -13311,22 +13311,26 @@ def _register_semdedup_incremental() -> None:
     def q_semdedup_incremental(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
-        """Append-only incremental SemDeDup: high-id vectors
-        (vec_id ≥ 64 with vec_id % 9 = 8) arrive as the new batch
-        against the standing corpus; only the batch's cells compare
-        (frozen first-N quantizer — new ids stay above every seed)
-        (``operators/similarity.py::semdedup_incremental``)."""
+        """Append-only incremental SemDeDup: the TOP ~1/9 of ids
+        arrive as the new batch against the standing corpus — a
+        genuinely append-only split (the operator now ENFORCES
+        max(old id) < min(new id); the former interleaved split
+        satisfied the rebuild oracle only by data luck, the r11
+        ADVICE #4 hazard) (``operators/similarity.py::
+        semdedup_incremental``)."""
         from institutional_fx_etl_spark.operators.similarity import (
             semdedup_incremental,
         )
 
         emb = load_table(spark, sf_dir, "embeddings")
-        pred = "vec_id >= 64 AND vec_id % 9 = 8"
+        n = emb.count()
+        mx = emb.agg(F.max("vec_id")).collect()[0][0]
+        cut = mx - max(1, n // 9)
         out = semdedup_incremental(
-            emb.filter(f"NOT ({pred})"),
-            emb.filter(pred),
+            emb.filter(f"vec_id <= {cut}"),
+            emb.filter(f"vec_id > {cut}"),
             min_cosine=0.9,
-            num_centroids=_auto_cells(emb.count()),
+            num_centroids=_auto_cells(n),
         )
         return out.withColumn("cid", F.col("cid").cast("bigint"))
 
@@ -13583,6 +13587,505 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity(docs, ["lang", "len_bucket"], "source", l=3)
 
 
+
+from institutional_fx_etl_spark.operators.profiling import (  # noqa: E402
+    NORMAL_SF_TWO_SIDED,
+)
+
+# ---------------------------------------------------------------------
+# Round-12 additions: C4 cleaning signals, temperature rebalancing,
+# link prediction, k-core, local clustering, Roll spread, Parkinson
+# volatility, Theil-Sen trend, BH FDR, t-closeness.
+# ---------------------------------------------------------------------
+
+_C4_TXT = (
+    "CASE WHEN doc_id % 41 = 0 THEN"
+    " concat('lorem ipsum ', replace(replace(text, ' value ',"
+    " ' value. '), ' table ', ' table! '))"
+    " WHEN doc_id % 29 = 0 THEN"
+    " concat(replace(replace(text, ' value ', ' value. '),"
+    " ' table ', ' table! '), ' x{y}')"
+    " WHEN doc_id % 37 = 0 THEN"
+    " concat(replace(replace(text, ' value ', ' value. '),"
+    " ' table ', ' table! '), ' javascript required')"
+    " ELSE replace(replace(text, ' value ', ' value. '),"
+    " ' table ', ' table! ') END"
+)
+"""Deterministic punctuation/marker injection for the quality_c4
+fixture: the synthetic corpus has no sentence punctuation, so the
+fixture creates boundaries by terminating two common words and plants
+C4's drop markers on fixed id residues — identical expression on both
+engines (plain ``replace``, no regex backreference dialects)."""
+
+
+@register(
+    "quality_c4",
+    f"""
+    WITH d AS (SELECT doc_id, {_C4_TXT} AS text FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(list_filter(list_transform(string_split_regex(text,
+          '[.!?]'), s -> trim(s)), s -> s <> '')) AS n_sentences,
+        len(list_filter(regexp_extract_all(text, '[^.!?]+[.!?]', 0),
+          s -> len(string_split_regex(trim(s), '\\s+')) >= 3))
+          AS n_kept_sentences,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+          AS n_words,
+        contains(lower(text), 'lorem ipsum') AS has_lorem,
+        contains(text, '{{') AS has_brace,
+        contains(lower(text), 'javascript') AS has_js
+      FROM d
+    )
+    SELECT doc_id, n_sentences, n_kept_sentences, n_words, has_lorem,
+           has_brace, has_js,
+           (n_kept_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+            AND NOT has_js) AS keep
+    FROM s
+    """,
+)
+def q_quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning signals (terminated-sentence rule + marker
+    drops) over the documents corpus with deterministic punctuation
+    injection — the second canonical heuristic rule set next to
+    gopher quality (``operators/text.py::quality_c4``)."""
+    from institutional_fx_etl_spark.operators.text import quality_c4
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_C4_TXT} AS text"
+    )
+    return quality_c4(docs).select(
+        "doc_id",
+        "n_sentences",
+        "n_kept_sentences",
+        "n_words",
+        "has_lorem",
+        "has_brace",
+        "has_js",
+        "keep",
+    )
+
+
+@register(
+    "temperature_resample",
+    """
+    WITH g AS (
+      SELECT lang, count(*) AS n_rows,
+             CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS BIGINT) AS mass
+      FROM documents GROUP BY lang
+    ),
+    t AS (SELECT CAST(SUM(CAST(mass AS DECIMAL(38,0))) AS BIGINT) AS tm
+          FROM g),
+    s AS (
+      SELECT lang, n_rows, mass,
+             pow(CAST(mass AS DOUBLE) / tm, 70 / 100.0) AS q_raw,
+             CAST(mass AS DOUBLE) / tm AS p
+      FROM g, t
+    ),
+    qt AS (
+      SELECT CAST(SUM(CAST(floor(q_raw * 1e6 + 0.5) AS DECIMAL(38,0)))
+             AS DOUBLE) / 1e6 AS qt FROM s
+    )
+    SELECT lang, n_rows, mass, round(p, 6) AS nat_share,
+           round(q_raw / qt, 6) AS temp_share,
+           round((q_raw / qt) / p, 6) AS weight_mult
+    FROM s, qt
+    """,
+)
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-α (0.7) corpus rebalancing weights per language —
+    the mBERT/XLM-R sampling rule: low-resource groups up-weighted by
+    ``(p^α/Σp^α)/p`` (``operators/selection.py::temperature_resample``).
+    """
+    from institutional_fx_etl_spark.operators.selection import (
+        temperature_resample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_resample(
+        docs, group_col="lang", weight_expr="n_chars", alpha_pct=70
+    )
+
+
+_SMALL_BASKET_EDGES = """
+    items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+              FROM lineitem),
+    sm AS (SELECT o FROM items GROUP BY o HAVING count(*) <= 3),
+    e0 AS (SELECT DISTINCT i1.p AS a, i2.p AS b
+           FROM items i1 JOIN items i2 ON i1.o = i2.o AND i1.p < i2.p
+           WHERE i1.o IN (SELECT o FROM sm))
+"""
+
+
+def _small_basket_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase graph restricted to small baskets (≤3 distinct
+    parts per order): each order contributes ≤3 edges, so wedge
+    fan-out stays structurally bounded (1.3M wedges at sf0.1 vs 148M
+    unrestricted) — the right fixture for the quadratic-in-degree
+    link-prediction/clustering ops."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr("l_orderkey AS o", "l_partkey AS p")
+        .distinct()
+    )
+    small = items.groupBy("o").agg(F.count(F.lit(1)).alias("__k")).filter(
+        "__k <= 3"
+    )
+    i2 = items.selectExpr("o", "p AS p2")
+    return (
+        items.join(small.select("o"), "o", "left_semi")
+        .join(i2, "o")
+        .filter("p < p2")
+        .selectExpr("p AS src", "p2 AS dst")
+        .distinct()
+    )
+
+
+@register(
+    "adamic_adar",
+    f"""
+    WITH {_SMALL_BASKET_EDGES},
+    nbr AS (SELECT a AS z, b AS x FROM e0
+            UNION ALL SELECT b, a FROM e0),
+    deg AS (SELECT z, count(*) AS d FROM nbr GROUP BY z),
+    mid AS (SELECT n.z, n.x,
+                   CAST(floor(1e6 / ln(CAST(d AS DOUBLE)) + 0.5)
+                        AS DECIMAL(38,0)) AS aa_m
+            FROM nbr n JOIN deg USING (z)),
+    w AS (SELECT m1.x AS x, m2.x AS y, count(*) AS cn,
+                 SUM(m1.aa_m) AS aa
+          FROM mid m1 JOIN mid m2 ON m1.z = m2.z AND m1.x < m2.x
+          GROUP BY m1.x, m2.x HAVING count(*) >= 2),
+    ne AS (SELECT w.* FROM w LEFT JOIN e0
+           ON w.x = e0.a AND w.y = e0.b WHERE e0.a IS NULL)
+    SELECT ne.x AS id_a, ne.y AS id_b, cn AS common_neighbors,
+           round(CAST(aa AS DOUBLE) / 1e6, 6) AS adamic_adar,
+           round(CAST(cn AS DOUBLE) / (dx.d + dy.d - cn), 6)
+             AS jaccard_nbr
+    FROM ne JOIN deg dx ON ne.x = dx.z JOIN deg dy ON ne.y = dy.z
+    """,
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scores (common neighbors, Adamic-Adar,
+    neighbor-Jaccard) for non-adjacent part pairs at distance 2 in
+    the small-basket co-purchase graph
+    (``operators/graph.py::adamic_adar``)."""
+    from institutional_fx_etl_spark.operators.graph import adamic_adar
+
+    return adamic_adar(
+        _small_basket_edges(spark, sf_dir), min_common=2
+    )
+
+
+@register(
+    "kcore_decomposition",
+    f"""
+    WITH {_SMALL_BASKET_EDGES},
+    d1 AS (SELECT n, count(*) AS d FROM
+           (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+           GROUP BY n),
+    k1 AS (SELECT n FROM d1 WHERE d >= 2),
+    e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT n FROM k1)
+           AND b IN (SELECT n FROM k1)),
+    d2 AS (SELECT n, count(*) AS d FROM
+           (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1)
+           GROUP BY n),
+    k2 AS (SELECT n FROM d2 WHERE d >= 2),
+    e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT n FROM k2)
+           AND b IN (SELECT n FROM k2)),
+    d3 AS (SELECT n, count(*) AS d FROM
+           (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2)
+           GROUP BY n),
+    k3 AS (SELECT n FROM d3 WHERE d >= 2),
+    e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT n FROM k3)
+           AND b IN (SELECT n FROM k3))
+    SELECT n AS node, count(*) AS degree FROM
+    (SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3)
+    GROUP BY n HAVING count(*) >= 2
+    """,
+)
+def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the small-basket co-purchase graph via 3 synchronous
+    peel rounds (fixed-round static DAG, oracle unrolls identical
+    CTEs) (``operators/graph.py::kcore_decomposition``)."""
+    from institutional_fx_etl_spark.operators.graph import (
+        kcore_decomposition,
+    )
+
+    return kcore_decomposition(
+        _small_basket_edges(spark, sf_dir), k=2, rounds=3
+    )
+
+
+@register(
+    "clustering_coefficient",
+    f"""
+    WITH {_SMALL_BASKET_EDGES},
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a
+            JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri),
+    tc AS (SELECT n, count(*) AS triangles FROM corners GROUP BY n),
+    deg AS (SELECT n, count(*) AS d FROM
+            (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+            GROUP BY n)
+    SELECT deg.n AS node, d AS degree,
+           coalesce(triangles, 0) AS triangles,
+           round(CAST(2 * coalesce(triangles, 0) AS DOUBLE)
+                 / (CAST(d AS DOUBLE) * (d - 1)), 6) AS lcc
+    FROM deg LEFT JOIN tc ON deg.n = tc.n WHERE d >= 2
+    """,
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient of the small-basket
+    co-purchase graph — degree-oriented compact-forward triangle
+    corners over C(deg,2), integer-exact until the final division
+    (``operators/graph.py::clustering_coefficient``)."""
+    from institutional_fx_etl_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    return clustering_coefficient(_small_basket_edges(spark, sf_dir))
+
+
+@register(
+    "roll_spread",
+    """
+    WITH s AS (
+      SELECT event_type, ts, event_id, value FROM events
+      WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor((value - lag(value) OVER w) * 1e6 + 0.5)
+                  AS BIGINT) AS dm
+      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    d2 AS (
+      SELECT event_type, dm,
+             lag(dm) OVER (PARTITION BY event_type
+                           ORDER BY ts, event_id) AS dp
+      FROM d
+    ),
+    p AS (SELECT * FROM d2 WHERE dm IS NOT NULL AND dp IS NOT NULL),
+    a AS (
+      SELECT event_type, count(*) AS n_pairs,
+             SUM(CAST(dm AS DECIMAL(38,0)) * CAST(dp AS DECIMAL(38,0)))
+               AS sxy,
+             SUM(CAST(dm AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(dp AS DECIMAL(38,0))) AS sy
+      FROM p GROUP BY event_type
+    ),
+    c AS (
+      SELECT event_type, n_pairs,
+             CAST(CAST(n_pairs AS DECIMAL(38,0)) * sxy - sx * sy
+                  AS DOUBLE)
+               / (CAST(n_pairs AS DOUBLE) * n_pairs) / 1e12 AS cov
+      FROM a
+    )
+    SELECT event_type, n_pairs, round(cov, 6) AS autocov,
+           CASE WHEN cov < 0 THEN round(2 * sqrt(-cov), 6)
+                ELSE NULL END AS roll_spread
+    FROM c
+    """,
+)
+def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll (1984) effective-spread estimator per event_type —
+    2·sqrt(−cov(Δp_t, Δp_{t−1})) with micro-unit integer covariance
+    sums (``operators/timeseries.py::roll_spread``)."""
+    from institutional_fx_etl_spark.operators.timeseries import roll_spread
+
+    ev = load_table(spark, sf_dir, "events").filter("value IS NOT NULL")
+    return roll_spread(ev, "value", ("ts", "event_id"), ("event_type",))
+
+
+@register(
+    "parkinson_vol",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d,
+             count(*) AS n_ticks, max(value) AS hi, min(value) AS lo
+      FROM events WHERE value IS NOT NULL AND value > 0
+      GROUP BY event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP)
+    )
+    SELECT event_type, d, n_ticks, hi, lo,
+           round(sqrt(pow(ln(hi / lo), 2) / (4 * ln(2))), 6)
+             AS park_vol
+    FROM g
+    """,
+)
+def q_parkinson_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parkinson (1980) range-based volatility per (event_type, day)
+    — exact max/min aggregate, one mirrored ln/sqrt expression
+    (``operators/timeseries.py::parkinson_vol``)."""
+    from institutional_fx_etl_spark.operators.timeseries import (
+        parkinson_vol,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return parkinson_vol(ev, "value", "ts", ("event_type",))
+
+
+@register(
+    "theil_sen",
+    """
+    WITH s AS (
+      SELECT event_type, ts, event_id, CAST(value AS DOUBLE) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, CAST(epoch(ts) AS BIGINT) AS x, y,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM s
+    ),
+    p AS (SELECT * FROM r WHERE rn <= 200),
+    sl AS (
+      SELECT a.event_type,
+             CAST(floor((b.y - a.y) / (b.x - a.x) * 1e6 + 0.5)
+                  AS BIGINT) AS sm
+      FROM p a JOIN p b ON a.event_type = b.event_type
+        AND a.rn < b.rn AND a.x <> b.x
+    ),
+    m AS (
+      SELECT event_type, sm,
+             row_number() OVER (PARTITION BY event_type ORDER BY sm)
+               AS rk,
+             count(*) OVER (PARTITION BY event_type) AS np
+      FROM sl
+    ),
+    med AS (
+      SELECT event_type, np AS n_pairs,
+             round(CAST(sm AS DOUBLE) / 1e6, 6) AS ts_slope
+      FROM m WHERE rk = (np + 1) // 2
+    ),
+    npts AS (SELECT event_type, count(*) AS n_points FROM p
+             GROUP BY event_type)
+    SELECT event_type, n_points, n_pairs, ts_slope
+    FROM npts JOIN med USING (event_type)
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event_type: lower median of
+    pairwise micro-slopes over the earliest 200 points (capped
+    quadratic, documented) —
+    (``operators/timeseries.py::theil_sen_slope``)."""
+    from institutional_fx_etl_spark.operators.timeseries import (
+        theil_sen_slope,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return theil_sen_slope(
+        ev, "value", "ts", ("ts", "event_id"), ("event_type",),
+        max_points=200,
+    )
+
+
+import re as _re
+
+# DuckDB has no ``D`` double-literal suffix; dropping it is value-
+# preserving there (a DECIMAL literal promotes to the identical
+# nearest double the moment it meets a double operand).
+_BH_P_ORACLE = _re.sub(
+    r"(\d)D\b",
+    r"\1",
+    NORMAL_SF_TWO_SIDED.replace(
+        "(zz)",
+        "(abs(CAST(2 * k_above - n AS DOUBLE))"
+        " / sqrt(CAST(n AS DOUBLE)))",
+    ),
+)
+
+
+@register(
+    "fdr_bh",
+    f"""
+    WITH v AS (SELECT event_type, value FROM events
+               WHERE value IS NOT NULL),
+    gm AS (SELECT SUM(CAST(floor(value * 1e6 + 0.5) AS DECIMAL(38,0)))
+                    AS s,
+                  count(*) AS nn FROM v),
+    c AS (
+      SELECT event_type, count(*) AS n,
+             CAST(SUM(CASE WHEN CAST(floor(value * 1e6 + 0.5)
+                                AS DECIMAL(38,0)) * nn > s
+                      THEN 1 ELSE 0 END) AS BIGINT) AS k_above
+      FROM v, gm GROUP BY event_type
+    ),
+    sc AS (
+      SELECT event_type, n, k_above,
+             round(CAST(2 * k_above - n AS DOUBLE)
+                   / sqrt(CAST(n AS DOUBLE)), 6) AS z,
+             CAST(floor(least(1.0, {_BH_P_ORACLE}) * 1e6 + 0.5)
+                  AS BIGINT) AS pm
+      FROM c
+    ),
+    rk AS (
+      SELECT sc.*, row_number() OVER (ORDER BY pm, event_type)
+               AS bh_rank,
+             count(*) OVER () AS m
+      FROM sc
+    ),
+    cut AS (
+      SELECT rk.*, max(CASE WHEN pm * m * 100 <= bh_rank * 5 * 1000000
+                        THEN bh_rank ELSE 0 END) OVER () AS cutoff
+      FROM rk
+    )
+    SELECT event_type, n, k_above, z,
+           round(CAST(pm AS DOUBLE) / 1e6, 6) AS p_value,
+           bh_rank, bh_rank <= cutoff AS reject
+    FROM cut
+    """,
+)
+def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (α=0.05) over per-event_type
+    sign tests against the global mean — exact integer step-up
+    frontier, shared normal-CDF polynomial
+    (``operators/profiling.py::fdr_bh``)."""
+    from institutional_fx_etl_spark.operators.profiling import fdr_bh
+
+    ev = load_table(spark, sf_dir, "events")
+    return fdr_bh(ev, "event_type", "value", alpha_pct=5)
+
+
+@register(
+    "t_closeness",
+    """
+    WITH d AS (SELECT event_type, CAST(user_id % 7 AS INT) AS sv
+               FROM events),
+    cell AS (SELECT event_type, sv, count(*) AS c FROM d
+             GROUP BY event_type, sv),
+    gs AS (SELECT event_type, count(*) AS ng FROM d GROUP BY event_type),
+    gv AS (SELECT sv, count(*) AS cv FROM d GROUP BY sv),
+    tt AS (SELECT count(*) AS n FROM d),
+    agg AS (
+      SELECT cell.event_type,
+             SUM(CAST(abs(c * n - cv * ng) AS DECIMAL(38,0)))
+               AS present,
+             CAST(SUM(cv) AS DECIMAL(38,0)) AS sg,
+             MAX(ng) AS ng, MAX(n) AS n, count(*) AS n_values
+      FROM cell JOIN gv USING (sv) JOIN gs USING (event_type), tt
+      GROUP BY cell.event_type
+    )
+    SELECT event_type, ng AS n_rows, n_values,
+           round(CAST(present + CAST((n - sg) AS DECIMAL(38,0)) * ng
+                      AS DOUBLE) / (2.0 * ng * n), 6) AS t_closeness
+    FROM agg
+    """,
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (total-variation distance to the global
+    sensitive-value distribution) per event_type with user_id%7 as
+    the sensitive attribute — the disclosure audit after k-anonymity
+    and l-diversity (``operators/profiling.py::t_closeness``)."""
+    from institutional_fx_etl_spark.operators.profiling import t_closeness
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(user_id % 7 AS INT) AS sv"
+    )
+    return t_closeness(ev, ["event_type"], "sv")
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -13600,29 +14103,87 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 _HEAD = [
-    # --- round-11 window (50) -----------------------------------------
-    # Composed per the round-10 verdict's explicit asks #1 and #3:
-    #   * the 6 round-10 ops added after the r10 driver window froze
+    # --- round-12 window (50) -----------------------------------------
+    # Composed per the round-11 verdict's ask #1 (40 machine-pinned
+    # slots) + the r10 overflow precedent for the 10 free slots:
+    #   * the 11 round-11 ops added after the r11 driver window froze
     #     (judge-certified at sf0.01 but never driver-sampled) come
     #     first — the driver record is the contract of record;
-    #   * then the stalest 44 rows by last_certified_round (computed
-    #     from the in-repo CORRECTNESS_r*.json ledger by
-    #     tools/cert_history.py): all 32 remaining r5 rows, then the
-    #     12 oldest r6 rows, in registration order within each round.
-    # The flagship-every-round rule (r2 policy rule 3) is superseded
-    # THIS round by the verdict's "6 + stalest 44" directive — the
-    # flagship family is r10-certified (freshest on the board) and
-    # holds the demotion tail per rule 4, so the two-round union
-    # invariant still covers it. tests/test_cert_freshness.py now
-    # machine-enforces the staleness invariant that used to be
-    # hand-curated here.
+    #   * then the 29 staleness-5 rows (all last certified r6 — the
+    #     whole remaining r6 block, per tools/cert_history.py);
+    #   * then the 10 NEW round-12 ops, certified in their debut round
+    #     so the never-driver-certified class stays empty (rotation
+    #     arithmetic: r13 must take all 41 r7 rows, r14 all 44 r8 rows
+    #     — both fit the 50-slot window ONLY if new ops never queue).
+    # tests/test_cert_freshness.py machine-enforces the composition.
+    "stupid_backoff_lm",
+    "mmr_select",
+    "label_prop_communities",
+    "l_diversity",
+    "heaps_law_fit",
+    "graph_modularity",
+    "kcenter_select",
+    "kl_source_divergence",
+    "semdedup_incremental",
+    "dedup_prefix_filter",
+    "streaming_decontaminate",
+    # staleness-5 (r6) block — all 29
+    "asof_join_nearest",
+    "autocorr_lag",
+    "bollinger_bands",
+    "bpe_token_count",
+    "corpus_rebalance",
+    "dedup_apply",
+    "dedup_degree_stats",
+    "doc_feature_matrix",
+    "doc_packing_text",
+    "emb_quantize",
+    "interval_merge",
+    "inverted_index",
+    "max_drawdown",
+    "minmax_scale",
+    "realized_vol",
+    "retention_cohorts",
+    "rsi_cutler",
+    "segment_dedup",
+    "streaming_static_join",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q7",
+    "vwap",
+    "weighted_sample",
+    "zscore_normalize",
+    # round-12 debuts
+    "quality_c4",
+    "temperature_resample",
+    "adamic_adar",
+    "kcore_decomposition",
+    "clustering_coefficient",
+    "roll_spread",
+    "parkinson_vol",
+    "theil_sen",
+    "fdr_bh",
+    "t_closeness",
+]
+_TAIL = [
+    # r11-green — the freshest driver rows on the board (demotion
+    # tail per policy rule 4: only entries with a green row from the
+    # immediately previous round may hold the tail, so the union of
+    # any two consecutive windows covers the whole registry). The
+    # r7-r10 remainder is NOT listed, so _reorder_registry places it
+    # between _HEAD and _TAIL — top of the pytest tail gate, first
+    # in line for the r13 window (oldest first; see
+    # tools/cert_history.py for the machine-readable ledger).
     "dedup_weights",
     "contamination_audit",
     "boilerplate_incremental",
     "quantile_align",
     "streaming_lm_score",
     "tokenizer_fertility",
-    # stalest 44: the full remaining r5-certified block (32) ...
     "groupby_agg",
     "asof_join",
     "json_extract",
@@ -13655,7 +14216,6 @@ _HEAD = [
     "dedup_stats",
     "corpus_filter_report",
     "sketch_stats_exact",
-    # ... and the 12 oldest r6-certified rows
     "dedup_clusters",
     "embedding_near_dup",
     "hybrid_pipeline_audit",
@@ -13668,66 +14228,6 @@ _HEAD = [
     "emb_centroids",
     "equidepth_histogram",
     "linear_interpolate",
-]
-_TAIL = [
-    # r10-green — the freshest driver rows on the board (demotion
-    # tail per policy rule 4: only entries with a green row from the
-    # immediately previous round may hold the tail, so the union of
-    # any two consecutive windows covers the whole registry). The
-    # r6-r9 remainder is NOT listed, so _reorder_registry places it
-    # between _HEAD and _TAIL — top of the pytest tail gate, first
-    # in line for the r12 window (oldest first; see
-    # tools/cert_history.py for the machine-readable ledger).
-    "align_left_join",
-    "asof_join_tolerance",
-    "bitext_margin",
-    "bitmap_prune_join",
-    "boilerplate_purge",
-    "consecutive_streaks",
-    "corpus_diversity",
-    "decontaminate_ngram",
-    "dedup_exact",
-    "dedup_survivorship",
-    "doc_chunking",
-    "domain_reweight_mw",
-    "exact_quantiles",
-    "filter_nullsafe",
-    "funnel_analysis",
-    "global_median",
-    "grouping_sets_agg",
-    "hard_negatives",
-    "hybrid_pipeline",
-    "hybrid_pipeline_multisym",
-    "incremental_merge",
-    "ivf_incremental",
-    "kfold_assign",
-    "multimodal_frames",
-    "perplexity_buckets",
-    "pii_redact",
-    "probe_calibration",
-    "range_frame_window",
-    "range_join_banded",
-    "rank_distributions",
-    "record_linkage_fs",
-    "rolling_median_centered",
-    "scan_project",
-    "sketch_stats",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "streaming_gap_bridge",
-    "streaming_ivf_assign",
-    "streaming_sliding_window",
-    "streaming_stream_join",
-    "text_lang_id",
-    "text_repetition",
-    "tfidf_topterms",
-    "time_spine",
-    "tumbling_ohlc",
-    "validator_reconcile",
-    "weekday_filter",
-    "winnow_fingerprint",
-    "winnow_pairs",
-    "zipf_token_fit",
 ]
 
 

@@ -88,7 +88,15 @@ def test_window_prioritizes_the_stalest():
     """No CERTIFIED out-of-window query may be staler than the stalest
     certified in-window query — the window must be the staleness
     frontier. Never-certified entries are their own class (previous
-    test)."""
+    test).
+
+    Same-commit rotation coupling is INTENDED (r11 ADVICE noted it):
+    the ledger reads every CORRECTNESS_r*.json in the worktree, so the
+    moment a round's fresh results land, this test goes red until the
+    _HEAD window is recomposed for the NEXT round in the same commit.
+    That is the forcing function — the driver's results file and the
+    window that answers it always travel together, and a round can
+    never start with last round's window still in place."""
     led, _ = ledger()
     in_w = [r["staleness"] for r in led.values()
             if r["in_window"] and r["last_round"] is not None]
