@@ -205,6 +205,17 @@ HEADLINE = [
     "semdedup_incremental",
     "dedup_prefix_filter",
     "streaming_decontaminate",
+    # round-12 ops
+    "quality_c4",
+    "temperature_resample",
+    "adamic_adar",
+    "kcore_decomposition",
+    "clustering_coefficient",
+    "roll_spread",
+    "parkinson_vol",
+    "theil_sen",
+    "fdr_bh",
+    "t_closeness",
 ]
 
 
@@ -306,7 +317,19 @@ def _fresh_session_mode(top_n: int, sf_dir: str, out_path: str | None) -> None:
             out[name] = json.loads(line)
         except json.JSONDecodeError:
             out[name] = {"error": r.stderr.strip()[-400:]}
-    print(json.dumps({"metric": "fresh_session_walls", "queries": out}))
+        suite = prev["queries"].get(name)
+        if suite is not None and "warm_sec" in out[name]:
+            out[name]["suite_sec"] = suite
+            if out[name]["warm_sec"] > 0:
+                out[name]["suite_over_warm"] = round(
+                    suite / out[name]["warm_sec"], 2
+                )
+    result = {"metric": "fresh_session_walls", "queries": out}
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
+    print(json.dumps(result))
 
 
 def main() -> None:
@@ -316,7 +339,9 @@ def main() -> None:
     args = sys.argv[1:]
     if "--fresh-top" in args:
         _fresh_session_mode(
-            int(args[args.index("--fresh-top") + 1]), sf_dir
+            int(args[args.index("--fresh-top") + 1]),
+            sf_dir,
+            args[args.index("--out") + 1] if "--out" in args else None,
         )
         return
     # --only a,b,c : time just the named queries (control experiments —
@@ -384,6 +409,19 @@ def main() -> None:
             "engine_sec": round(max(0.0, best - floor), 3),
         }
 
+    # session-inflation annotation (r11 verdict ask #2): any query
+    # whose in-suite wall exceeds its latest fresh-session warm wall
+    # by >1.5x is flagged with the fresh number, so the committed
+    # artifact never silently overstates a late-running query
+    fresh = _latest_fresh_artifact(os.path.dirname(os.path.abspath(__file__)))
+    inflated: list[str] = []
+    for name, d in detail.items():
+        warm = fresh.get(name, {}).get("warm_sec")
+        if warm and warm > 0 and d["sec"] > 1.5 * warm:
+            d["fresh_warm_sec"] = warm
+            d["session_inflation"] = round(d["sec"] / warm, 2)
+            inflated.append(name)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total_wall",
@@ -394,6 +432,7 @@ def main() -> None:
         "engine_total_sec": round(
             sum(d["engine_sec"] for d in detail.values()), 3
         ),
+        "session_inflated": inflated,
         "detail": detail,
         "sf": sf,
     }

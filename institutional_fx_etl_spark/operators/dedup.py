@@ -1343,55 +1343,24 @@ def dedup_weights(
     )
 
 
-def prefix_filter_pairs(
+def _prefix_docs(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    jaccard_threshold: float = 0.5,
-    max_bucket: int | None = None,
-    shingle_n: int | None = 3,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold: float,
+    shingle_n: int | None,
 ) -> DataFrame:
-    """Exact set-similarity join via prefix filtering (the PPJoin
-    family, Xiao et al. 2008): order each document's DISTINCT token
-    set by global rarity (frequency asc, token asc — the canonical
-    ordering), keep only the first ``n − ⌈τ·n⌉ + 1`` tokens as the
-    PREFIX, and generate candidates from shared prefix tokens. Two
-    sets with Jaccard ≥ τ MUST share a prefix token (pigeonhole on
-    the overlap bound), so unlike MinHash-LSH this candidate set is
-    COMPLETE — the exact-verify stage loses nothing; the price is
-    candidates driven by token-frequency shape instead of a tunable
-    band/row budget.
+    """Shared PPJoin prefix relation: one row per doc with its
+    rarity-sorted distinct element array (``toks``), its size ``n``
+    and its ``n − ⌈τ·n⌉ + 1``-element ``prefix``. Persisted — both
+    the pair join and the cap report consume it repeatedly.
 
-    Plan shape at 100 TB: one vocabulary-bounded frequency aggregate;
-    per-doc prefix construction is a groupBy-collect bounded by the
-    document's own distinct-token count; candidate generation groups
-    by PREFIX TOKEN — rare by construction, which is the whole point
-    (the hottest tokens never enter a prefix unless a doc is nearly
-    all stop-words). ``max_bucket`` bounds degenerate prefix-token
-    buckets WITHOUT giving up completeness (r11 verdict task #3):
-    over-cap buckets ESCALATE — their members collapse into exact
-    token-set cohorts (boilerplate templates, in practice), one
-    representative per cohort re-enters pair generation uncapped,
-    and verified representative pairs expand back over cohort
-    members with the identical jaccard. Candidate generation is thus
-    bounded by #buckets·max(cap, D)² where D is the number of
-    DISTINCT token sets in a hot bucket — tiny on the template-heavy
-    corpora that create hot buckets in the first place. Nothing is
-    dropped under the cap; results are identical with it on or off
-    (property-gated against brute force).
-
-    Output: id_a < id_b, jaccard (6 dp, ≥ threshold).
-    """
-    if not 0.0 < jaccard_threshold <= 1.0:
-        raise ValueError(f"jaccard_threshold in (0,1], got {jaccard_threshold}")
+    ``shingle_n`` picks the set universe: hashed word n-gram shingles
+    (sequence-sensitive — the near-dup semantic; default) or raw
+    unigram tokens (``shingle_n=None`` — bag-of-words grain, much
+    denser on template-heavy corpora)."""
     from pyspark import StorageLevel
 
-    # per-doc DISTINCT element relation — feeds the frequency table,
-    # the prefix construction and the verify sets; one tokenize pass.
-    # ``shingle_n`` picks the set universe: hashed word n-gram
-    # shingles (sequence-sensitive — the near-dup semantic; default)
-    # or raw unigram tokens (shingle_n=None — bag-of-words grain,
-    # much denser on template-heavy corpora)
     if shingle_n is None:
         dt = (
             df.withColumn("__t", F.explode(tokens(text_col)))
@@ -1416,7 +1385,7 @@ def prefix_filter_pairs(
     # τ as an exact rational: threshold quantizes to ppm so the prefix
     # length ⌈τ·n⌉ is integer arithmetic, identical cross-engine
     tau_ppm = int(round(jaccard_threshold * 1_000_000))
-    docs = (
+    return (
         dt.join(freq, "__t")
         .groupBy(id_col)
         .agg(
@@ -1435,7 +1404,151 @@ def prefix_filter_pairs(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+
+def prefix_filter_cap_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 64,
+    shingle_n: int | None = 3,
+) -> DataFrame:
+    """Drop accounting for :func:`prefix_filter_pairs` under a
+    ``max_bucket`` cap (never a silent drop — the
+    ``lsh_tuning_report`` policy): recomputes the SAME collapsed
+    prefix-bucket relation the capped join uses and reports, in one
+    row, what the cap kept vs dropped.
+
+    Output: n_buckets (≥2 members, post-collapse), n_buckets_kept,
+    n_hot_buckets_dropped, candidates_kept, candidates_dropped
+    (Σ C(D,2) over dropped buckets — the REAL candidate pairs the
+    capped run will not verify), n_exact_cohorts, n_collapsed_docs.
+    """
+    docs = _prefix_docs(df, text_col, id_col, jaccard_threshold, shingle_n)
     pre = docs.selectExpr(bq(id_col), "explode(prefix) AS __t")
+    sizes = pre.groupBy("__t").agg(F.count(F.lit(1)).alias("__s"))
+    over_toks = sizes.filter(f"__s > {int(max_bucket)}").select("__t")
+    over_ids = (
+        pre.join(F.broadcast(over_toks), "__t", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    cohorts = docs.join(over_ids, id_col, "left_semi").groupBy("toks").agg(
+        F.expr(f"array_sort(collect_list({bq(id_col)})) AS ids")
+    )
+    cm = cohorts.filter("size(ids) >= 2").selectExpr(
+        "ids[0] AS __rep", "explode(ids) AS __member"
+    )
+    rep_of = (
+        docs.join(over_ids, id_col, "left_semi")
+        .selectExpr(f"{bq(id_col)} AS __member")
+        .join(cm, "__member", "left")
+        .selectExpr(
+            f"__member AS {bq(id_col)}",
+            "coalesce(__rep, __member) AS __rid",
+        )
+    )
+    pre2 = (
+        pre.join(rep_of, id_col, "left")
+        .selectExpr(f"coalesce(__rid, {bq(id_col)}) AS {bq(id_col)}", "__t")
+        .distinct()
+    )
+    bucket_sizes = pre2.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__d")
+    )
+    cohort_stats = cohorts.filter("size(ids) >= 2").agg(
+        F.count(F.lit(1)).alias("n_exact_cohorts"),
+        F.expr("CAST(coalesce(SUM(size(ids)), 0) AS BIGINT)"
+               " AS n_collapsed_docs"),
+    )
+    return (
+        bucket_sizes.filter("__d >= 2")
+        .agg(
+            F.expr("CAST(count(1) AS BIGINT) AS n_buckets"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN __d <= {int(max_bucket)} THEN 1"
+                " ELSE 0 END) AS BIGINT) AS n_buckets_kept"
+            ),
+            F.expr(
+                f"CAST(SUM(CASE WHEN __d > {int(max_bucket)} THEN 1"
+                " ELSE 0 END) AS BIGINT) AS n_hot_buckets_dropped"
+            ),
+            F.expr(
+                f"CAST(SUM(CASE WHEN __d <= {int(max_bucket)}"
+                " THEN __d * (__d - 1) div 2 ELSE 0 END) AS BIGINT)"
+                " AS candidates_kept"
+            ),
+            F.expr(
+                f"CAST(SUM(CASE WHEN __d > {int(max_bucket)}"
+                " THEN __d * (__d - 1) div 2 ELSE 0 END) AS BIGINT)"
+                " AS candidates_dropped"
+            ),
+        )
+        .crossJoin(F.broadcast(cohort_stats))
+    )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    max_bucket: int | None = None,
+    shingle_n: int | None = 3,
+) -> DataFrame:
+    """Exact set-similarity join via prefix filtering (the PPJoin
+    family, Xiao et al. 2008): order each document's DISTINCT token
+    set by global rarity (frequency asc, token asc — the canonical
+    ordering), keep only the first ``n − ⌈τ·n⌉ + 1`` tokens as the
+    PREFIX, and generate candidates from shared prefix tokens. Two
+    sets with Jaccard ≥ τ MUST share a prefix token (pigeonhole on
+    the overlap bound), so unlike MinHash-LSH this candidate set is
+    COMPLETE — the exact-verify stage loses nothing; the price is
+    candidates driven by token-frequency shape instead of a tunable
+    band/row budget.
+
+    Plan shape at 100 TB: one vocabulary-bounded frequency aggregate;
+    per-doc prefix construction is a groupBy-collect bounded by the
+    document's own distinct-token count; candidate generation groups
+    by PREFIX TOKEN — rare by construction, which is the whole point
+    (the hottest tokens never enter a prefix unless a doc is nearly
+    all stop-words). With ``max_bucket=None`` (the default) the
+    operator is unconditionally COMPLETE.
+
+    ``max_bucket`` bounds degenerate prefix-token buckets via
+    DEDUP-COLLAPSE ESCALATION (r11 verdict task #3): every doc
+    appearing in an over-cap bucket collapses to its exact token-SET
+    cohort representative (boilerplate templates, in practice), pair
+    generation runs over the collapsed id relation, and the result
+    expands back — verified representative pairs fan out over cohort
+    members with the identical jaccard, and within-cohort pairs
+    (jaccard 1.0 by construction) stream from a distributed cohort
+    self-join. The three output legs are DISJOINT by construction
+    (members never pair-generate directly, cohorts are disjoint, rep
+    pairs are ordered-unique), so no result-scale dedup pass exists —
+    the only distinct runs at candidate (representative) grain.
+
+    Completeness under the cap extends EXACTLY as far as the skew is
+    duplication-driven: a bucket that is still over-cap AFTER the
+    collapse holds > ``max_bucket`` genuinely DISTINCT token sets,
+    and its candidate mass (D² real candidate pairs) is dropped with
+    first-class accounting — :func:`prefix_filter_cap_report` returns
+    the kept/dropped bucket and candidate counts for exactly the same
+    inputs (the ``lsh_tuning_report`` policy; never a silent drop).
+    Capped == uncapped whenever hot buckets come from exact
+    duplication (property-gated); for unconditional completeness
+    leave the cap off and pay the D² candidates the contract owes
+    the verify stage.
+
+    Output: id_a < id_b, jaccard (6 dp, ≥ threshold).
+    """
+    if not 0.0 < jaccard_threshold <= 1.0:
+        raise ValueError(f"jaccard_threshold in (0,1], got {jaccard_threshold}")
+
+    docs = _prefix_docs(df, text_col, id_col, jaccard_threshold, shingle_n)
+    pre = docs.selectExpr(bq(id_col), "explode(prefix) AS __t")
+    from pyspark import StorageLevel
 
     def _pairs_from(g: DataFrame) -> DataFrame:
         return (
@@ -1449,38 +1562,27 @@ def prefix_filter_pairs(
             .distinct()
         )
 
-    allg = pre.groupBy("__t").agg(
-        F.collect_list(F.col(id_col)).alias("m")
-    )
     cm = None
     within = None
     if max_bucket is not None:
-        allg = allg.persist(StorageLevel.MEMORY_AND_DISK)
-        candidates = _pairs_from(
-            allg.filter(f"size(m) BETWEEN 2 AND {int(max_bucket)}")
-        )
-        # --- hot-bucket ESCALATION (r11 verdict task #3) -------------
+        # --- dedup-collapse ESCALATION (r11 verdict task #3) ---------
         # An over-cap prefix-token bucket is, in practice, a
         # boilerplate cohort: documents sharing (nearly) every
         # shingle. Instead of DROPPING its candidates (which broke
-        # the completeness contract under skew), collapse the
-        # bucket's members into exact token-SET cohorts, let one
-        # REPRESENTATIVE per cohort re-enter pair generation with no
-        # cap, and expand every verified representative pair back
-        # over the cohort members (identical sets ⇒ identical
-        # jaccard). Completeness: a qualifying pair whose every
-        # shared prefix token is over-cap has both ends escalated,
-        # and their representatives share that token, so the rep
-        # pass finds it; within-cohort pairs are jaccard 1.0 by
-        # construction. Bound: the rep pass sees D reps per bucket
-        # (D = distinct token sets — #templates on boilerplate
-        # corpora), so pair generation stays #buckets·max(cap, D)².
-        over_toks = allg.filter(f"size(m) > {int(max_bucket)}").select(
-            "__t"
-        )
+        # the completeness contract under skew), every doc touching
+        # an over-cap bucket collapses to its exact token-SET cohort
+        # representative BEFORE generation, one uncapped generation
+        # pass runs over the collapsed relation, and the output
+        # expands back over cohort members. Completeness: identical
+        # sets ⇒ identical jaccard, so (A, B) qualifies iff
+        # (rep(A), rep(B)) does, and the collapsed relation keeps
+        # every shared prefix token. Disjoint legs ⇒ UNION ALL, no
+        # result-scale distinct (the x100 skew probe's former wall).
+        sizes = pre.groupBy("__t").agg(F.count(F.lit(1)).alias("__s"))
+        over_toks = sizes.filter(f"__s > {int(max_bucket)}").select("__t")
         over_ids = (
-            allg.filter(f"size(m) > {int(max_bucket)}")
-            .selectExpr(f"explode(m) AS {bq(id_col)}")
+            pre.join(F.broadcast(over_toks), "__t", "left_semi")
+            .select(id_col)
             .distinct()
         )
         cohorts = (
@@ -1495,39 +1597,51 @@ def prefix_filter_pairs(
         )
         cm = cohorts.filter("size(ids) >= 2").selectExpr(
             "ids[0] AS __rep", "explode(ids) AS __member"
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # member -> representative over ALL escalated docs (singleton
+        # cohorts map to themselves)
         rep_of = (
             docs.join(over_ids, id_col, "left_semi")
             .selectExpr(f"{bq(id_col)} AS __member")
             .join(cm, "__member", "left")
             .selectExpr(
                 f"__member AS {bq(id_col)}",
-                "coalesce(__rep, __member) AS __rep",
+                "coalesce(__rep, __member) AS __rid",
             )
         )
-        rep_groups = (
-            pre.join(over_toks, "__t", "left_semi")
-            .join(rep_of, id_col)
-            .select("__t", "__rep")
+        pre2 = (
+            pre.join(rep_of, id_col, "left")
+            .selectExpr(
+                f"coalesce(__rid, {bq(id_col)}) AS {bq(id_col)}", "__t"
+            )
             .distinct()
-            .groupBy("__t")
-            .agg(F.collect_list("__rep").alias("m"))
-            .filter("size(m) >= 2")
         )
-        candidates = candidates.unionByName(
-            _pairs_from(rep_groups)
-        ).distinct()
-        within = cohorts.filter("size(ids) >= 2").selectExpr(
-            "explode(flatten(transform(ids, (x, i) ->"
-            " transform(slice(ids, i + 2, size(ids) - i - 1), y ->"
-            " struct(x AS id_a, y AS id_b))))) AS p"
-        ).selectExpr(
-            "p.id_a AS id_a",
-            "p.id_b AS id_b",
-            "CAST(1.0 AS DOUBLE) AS jaccard",
+        # residual cap at the COLLAPSED grain: a bucket still over-cap
+        # here holds > max_bucket DISTINCT token sets — its D² real
+        # candidates drop, counted by prefix_filter_cap_report
+        groups = (
+            pre2.groupBy("__t")
+            .agg(F.collect_list(F.col(id_col)).alias("m"))
+            .filter(f"size(m) BETWEEN 2 AND {int(max_bucket)}")
+        )
+        candidates = _pairs_from(groups)
+        # within-cohort pairs (jaccard 1.0): a distributed cohort
+        # self-join — never a per-row array product, so an 8k-member
+        # boilerplate cohort streams its C(8k,2) pairs across tasks
+        # (AQE skew-split applies to the hot rep key)
+        within = (
+            cm.selectExpr("__rep", "__member AS id_a")
+            .join(cm.selectExpr("__rep", "__member AS id_b"), "__rep")
+            .filter("id_a < id_b")
+            .selectExpr("id_a", "id_b", "CAST(1.0 AS DOUBLE) AS jaccard")
         )
     else:
-        candidates = _pairs_from(allg.filter("size(m) >= 2"))
+        groups = (
+            pre.groupBy("__t")
+            .agg(F.collect_list(F.col(id_col)).alias("m"))
+            .filter("size(m) >= 2")
+        )
+        candidates = _pairs_from(groups)
     sets = docs.selectExpr(bq(id_col), "toks", "n")
     jac = (
         "round(CAST(size(array_intersect(ta, tb)) AS DOUBLE)"
@@ -1555,9 +1669,11 @@ def prefix_filter_pairs(
     # expand verified pairs over exact-set cohorts: if either end
     # represents a cohort, every member inherits the pair with the
     # SAME jaccard (identical token sets). Pairs with no cohort end
-    # pass through via the left-join coalesce; duplicates found by
-    # both the capped and the rep pass collapse in the distinct
-    # (identical 6-dp jaccard by construction).
+    # pass through via the left-join coalesce. The legs are disjoint
+    # by construction — members never pair-generate directly (only
+    # reps do), cohorts are disjoint sets, and candidate rep pairs
+    # are ordered-unique — so this is UNION ALL, never a
+    # result-scale distinct.
     return (
         verified.join(
             cm.selectExpr("__rep AS id_a", "__member AS __ma"),
@@ -1579,5 +1695,4 @@ def prefix_filter_pairs(
             "least(x, y) AS id_a", "greatest(x, y) AS id_b", "jaccard"
         )
         .unionByName(within)
-        .distinct()
     )

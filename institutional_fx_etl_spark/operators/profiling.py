@@ -924,7 +924,9 @@ def fdr_bh(
         "k_above",
         "z",
         "round(CAST(__pm AS DOUBLE) / 1e6, 6) AS p_value",
-        "bh_rank",
+        # BIGINT to match DuckDB's row_number width (the driver hash
+        # is width-sensitive — tests/test_type_widths.py)
+        "CAST(bh_rank AS BIGINT) AS bh_rank",
         "bh_rank <= __cut AS reject",
     )
 

@@ -2240,11 +2240,11 @@ def quality_c4(df: DataFrame, text_col: str = "text") -> DataFrame:
     terminated = f"regexp_extract_all(`{text_col}`, '[^.!?]+[.!?]', 0)"
     return df.selectExpr(
         "*",
-        f"size(filter(transform(split(`{text_col}`, '[.!?]'),"
-        " s -> trim(s)), s -> s <> '')) AS n_sentences",
-        f"size(filter({terminated},"
+        f"CAST(size(filter(transform(split(`{text_col}`, '[.!?]'),"
+        " s -> trim(s)), s -> s <> '')) AS BIGINT) AS n_sentences",
+        f"CAST(size(filter({terminated},"
         " s -> size(split(trim(s), '\\\\s+')) >= 3))"
-        " AS n_kept_sentences",
+        " AS BIGINT) AS n_kept_sentences",
         f"CAST(size(split(trim(`{text_col}`), '\\\\s+')) AS BIGINT)"
         " AS n_words",
         f"contains(lower(`{text_col}`), 'lorem ipsum') AS has_lorem",

@@ -14102,6 +14102,49 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf0.001 in pytest.
 # ---------------------------------------------------------------------
 
+#: Core reference-parity tier (r11 verdict task #7): the SURVEY.md §2
+#: operator surface + the flagship pipeline family, as registry
+#: queries. These re-certify EVERY round regardless of window
+#: composition: in-window entries get the driver row, out-of-window
+#: entries get an sf0.01 oracle check in pytest
+#: (tests/test_core_tier.py) — strictly stronger than the sf0.001
+#: tail gate, so reference parity can never go stale as the LLM
+#: surface grows around it.
+CORE_TIER = [
+    "scan_project",
+    "tumbling_ohlc",
+    "candle_resample",
+    "global_median",
+    "time_spine",
+    "weekday_filter",
+    "filter_nullsafe",
+    "greatest_least_fix",
+    "lag_pct_change",
+    "ffill",
+    "rolling_median_centered",
+    "linear_interpolate",
+    "align_left_join",
+    "anti_join",
+    "combine_first",
+    "inner_reconcile",
+    "audit_union",
+    "topk",
+    "set_ops",
+    "validator_reconcile",
+    "hybrid_pipeline",
+    "hybrid_pipeline_audit",
+    "hybrid_pipeline_chunked",
+    "hybrid_pipeline_multisym",
+    "pipeline_clean_fixture",
+    "pipeline_clean_fixture_fused",
+    "incremental_merge",
+    "incremental_merge_multisym",
+    "streaming_tumbling_ohlc",
+    "streaming_dedup",
+    "streaming_gap_bridge",
+    "multimodal_decode",
+]
+
 _HEAD = [
     # --- round-12 window (50) -----------------------------------------
     # Composed per the round-11 verdict's ask #1 (40 machine-pinned

@@ -1001,3 +1001,34 @@ def test_prefix_filter_complete_on_random_corpora(spark, texts, tau):
                 if round(jac, 6) >= tau:
                     exp[(i, j)] = round(jac, 6)
     assert got == exp
+    # the max_bucket dedup-collapse escalation contract (r11 verdict
+    # task #3): when hot buckets are DUPLICATION-driven, capped ==
+    # uncapped exactly. Triple every doc (exact copies — every bucket
+    # is pushed over a cap sized to the distinct-set count, so the
+    # collapse+expansion path carries the whole result), recompute
+    # brute force over the duplicated corpus, and require exact
+    # equality including duplicate-free output rows (the
+    # disjoint-legs UNION ALL claim).
+    dup_texts = {i: t for i, t in enumerate(texts)}
+    dup_texts.update({i + 1000: t for i, t in enumerate(texts)})
+    dup_texts.update({i + 2000: t for i, t in enumerate(texts)})
+    ddf_in = spark.createDataFrame(
+        sorted(dup_texts.items()), "doc_id bigint, text string"
+    )
+    cap = max(2, len({t for t in texts}))
+    capped_rows = prefix_filter_pairs(
+        ddf_in, jaccard_threshold=tau, shingle_n=None, max_bucket=cap
+    ).collect()
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in capped_rows
+    }
+    dsets = {i: set(t.split()) for i, t in dup_texts.items()}
+    dexp = {}
+    for i in dsets:
+        for j in dsets:
+            if i < j:
+                jac = len(dsets[i] & dsets[j]) / len(dsets[i] | dsets[j])
+                if round(jac, 6) >= tau:
+                    dexp[(i, j)] = round(jac, 6)
+    assert capped == dexp
+    assert len(capped_rows) == len(dexp)

@@ -286,15 +286,20 @@ def run_skewed(spark, sf_dir: str, factor: int) -> dict:
     for d in docs.values():
         d.unpersist()
 
-    # round-11: prefix_filter_pairs under the same Zipfian-boilerplate
+    # round-12: prefix_filter_pairs under the same Zipfian-boilerplate
     # skew — the three hot boilerplate texts share EVERY shingle, so
-    # every one of their shingles becomes a hot prefix bucket; without
-    # the cap, candidate generation is the boilerplate cohort squared
-    # (~8k² per text at ×100). The probe runs the CAPPED operator
-    # (max_bucket=64, the MinHash policy) and records the cap
-    # hit-rate; completeness is traded exactly like minhash's cap —
-    # the exact-hash dedup pass owns the true-duplicate cohort.
+    # every one of their shingles becomes a hot prefix bucket. Since
+    # r12 the cap ESCALATES through dedup-collapse: hot-bucket docs
+    # collapse to exact token-set cohort representatives before
+    # generation, verified rep pairs expand back, and within-cohort
+    # pairs stream from a distributed self-join — so rows_x100 now
+    # INCLUDES the boilerplate cohorts' C(n,2) identity pairs (the
+    # duplication-driven part of the skew is complete under the cap).
+    # The near-duplicate 'copyvariant' cohorts are DISTINCT sets, so
+    # their post-collapse buckets still exceed the cap and drop —
+    # counted by prefix_filter_cap_report (never silent).
     from institutional_fx_etl_spark.operators.dedup import (
+        prefix_filter_cap_report,
         prefix_filter_pairs,
     )
 
@@ -313,13 +318,24 @@ def run_skewed(spark, sf_dir: str, factor: int) -> dict:
         walls[f"x{f}"] = round(time.perf_counter() - t0, 2)
         walls[f"rows_x{f}"] = n
     _normalize(walls, factor)
+    rep = prefix_filter_cap_report(
+        docs2[factor], jaccard_threshold=0.5, shingle_n=3, max_bucket=64
+    ).collect()[0]
     walls["cap"] = {
         "max_bucket": 64,
-        "note": "the 3 boilerplate cohorts share every shingle —"
-        " their prefix buckets exceed the cap and drop inside the"
-        " discovering aggregate (the minhash_lsh_pairs policy);"
-        " candidate volume stays #buckets*cap^2-bounded and the"
-        " exact-hash dedup pass owns the boilerplate cohort",
+        "n_buckets_kept": rep["n_buckets_kept"],
+        "n_hot_buckets_dropped": rep["n_hot_buckets_dropped"],
+        "candidates_kept": rep["candidates_kept"],
+        "candidates_dropped": rep["candidates_dropped"],
+        "n_exact_cohorts": rep["n_exact_cohorts"],
+        "n_collapsed_docs": rep["n_collapsed_docs"],
+        "note": "r12 escalation: exact-duplicate cohorts collapse to"
+        " representatives before generation and expand back, so the"
+        " duplication-driven skew (the boilerplate cohorts) is"
+        " COMPLETE under the cap (capped==uncapped property-gated);"
+        " residual over-cap buckets hold >64 genuinely DISTINCT"
+        " 'copyvariant' near-dup sets whose D^2 candidates drop with"
+        " the accounting above",
     }
     out["prefix_filter_skew"] = walls
     print(f"[skew:prefix_filter] {walls}", flush=True)
@@ -445,6 +461,81 @@ def run_skewed(spark, sf_dir: str, factor: int) -> dict:
     return out
 
 
+
+
+def run_breadth(spark, factor: int) -> dict:
+    """Multi-symbol BREADTH probe (r11 verdict task #4): the 100 TB
+    shape of the flagship pipeline is ~10^4 symbols x partition_cols,
+    not one deep history. Run ``HybridMergerSpark(partition_cols=
+    ('symbol',))`` at S and S*factor symbols with CONSTANT per-symbol
+    rows — the embarrassingly-parallel claim
+    (``plans/pipeline.py::HybridMergerSpark``) says wall tracks
+    ~input, because every shuffle/window/spine keys on the symbol."""
+    from institutional_fx_etl_spark.operators.ohlc import ticks_to_candles
+    from institutional_fx_etl_spark.plans.pipeline import HybridMergerSpark
+
+    base_epoch = 1_262_304_000  # 2010-01-01 UTC
+    minutes = 720
+    per_sym_ticks = 2_000
+
+    def tick_stream(n_symbols: int, salt: int) -> DataFrame:
+        n = n_symbols * per_sym_ticks
+        return (
+            spark.range(n)
+            .select(
+                F.concat(
+                    F.lit("S"), (F.col("id") % n_symbols).cast("string")
+                ).alias("symbol"),
+                F.timestamp_seconds(
+                    F.lit(base_epoch).cast("long")
+                    + (F.abs(F.hash(F.col("id") + salt)) % (minutes * 60))
+                ).alias("datetime"),
+                (
+                    1.30
+                    + (F.abs(F.hash(F.col("id") + salt + 13)) % 10_000
+                       - 5_000)
+                    / 1_000_000.0
+                ).alias("mid"),
+            )
+            .select(
+                "symbol",
+                "datetime",
+                (F.col("mid") + 0.0001).alias("ask"),
+                (F.col("mid") - 0.0001).alias("bid"),
+            )
+        )
+
+    walls: dict = {}
+    s0 = 10
+    for f in (1, factor):
+        n_sym = s0 * f
+        ticks = tick_stream(n_sym, salt=0)
+        m1 = ticks_to_candles(
+            tick_stream(n_sym, salt=101), partition_cols=("symbol",)
+        ).withColumn("spread", F.lit(None).cast("double"))
+        eng = HybridMergerSpark(
+            spike_threshold=1e9,
+            consensus_threshold=50.0,
+            partition_cols=("symbol",),
+        )
+        t0 = time.perf_counter()
+        final, _ = eng.run(m1, ticks)
+        n_rows = final.count()
+        walls[f"x{f}"] = round(time.perf_counter() - t0, 2)
+        walls[f"rows_x{f}"] = n_rows
+        walls[f"symbols_x{f}"] = n_sym
+    _normalize(walls, factor)
+    walls["input_ratio"] = float(factor)
+    walls["note"] = (
+        "constant per-symbol rows (2k ticks / 720 min spine), symbols"
+        f" {s0} -> {s0 * factor}; every exchange keys on symbol so the"
+        " wall should track input, not symbols^2 — the embarrassingly-"
+        "parallel breadth claim of partition_cols"
+    )
+    print(f"[breadth:hybrid_pipeline_multisym] {walls}", flush=True)
+    return walls
+
+
 def main() -> None:
     factor = 10
     skew = 0
@@ -456,6 +547,24 @@ def main() -> None:
             skew = int(a.split("=", 1)[1])
         else:
             sf_dir = a
+
+    breadth = 0
+    for a in sys.argv[1:]:
+        if a.startswith("--breadth="):
+            breadth = int(a.split("=", 1)[1])
+    if breadth:
+        spark = get_spark(app_name="bench_scale_breadth")
+        b_out = run_breadth(spark, breadth)
+        try:
+            artifact = json.load(open("BENCH_scale.json"))
+        except FileNotFoundError:
+            artifact = {"factor": factor, "sf_dir": sf_dir, "results": {}}
+        artifact["breadth_factor"] = breadth
+        artifact["breadth_results"] = {"hybrid_pipeline_multisym": b_out}
+        with open("BENCH_scale.json", "w") as fh:
+            json.dump(artifact, fh, indent=1)
+        print(json.dumps({"bench_scale_breadth": b_out}))
+        return
 
     if skew:
         spark = get_spark(app_name="bench_scale_skew")
