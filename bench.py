@@ -216,6 +216,8 @@ HEADLINE = [
     "theil_sen",
     "fdr_bh",
     "t_closeness",
+    "matryoshka_recall",
+    "bootstrap_ci_mean",
 ]
 
 

@@ -636,6 +636,7 @@ def kcore_decomposition(
     dst_col: str = "dst",
     k: int = 2,
     rounds: int = 3,
+    broadcast_max_nodes: int = 5_000_000,
 ) -> DataFrame:
     """Fixed-iteration k-core peel (Seidman 1983; the degeneracy
     pre-filter a graph pipeline runs before community/centrality
@@ -650,8 +651,20 @@ def kcore_decomposition(
     survivors' degrees are all ≥ k when converged).
 
     Plan shape per round: one degree aggregate + two semi-joins on
-    the endpoint key — all shuffles on the node id, edges only ever
-    shrink. Output: node, degree (within the final core subgraph).
+    the endpoint key, with LINEAGE TRUNCATION at every round: each
+    round references the previous edge set FIVE times (two degree
+    legs, the probe side, two survivor joins), so an unrolled lazy
+    plan grows ~5^rounds — at rounds=3 Catalyst was optimizing a
+    ~100k-node tree (19.6 s of pure planning at sf0.1 for ~1 s of
+    execution). ``localCheckpoint(eager=True)`` on the per-round
+    survivor list and edge set keeps every round's plan constant-
+    size (the fused-engine discipline). The survivor list is
+    ids-only and MEASURED (the ``triangle_count`` materialized-count
+    policy): at or under ``broadcast_max_nodes`` it BROADCASTS, so
+    both semi-joins probe the edge set map-side and the edge
+    relation never re-shuffles; above the cap the joins shuffle on
+    the node id and edges only ever shrink. Output: node, degree
+    (within the final core subgraph).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -662,7 +675,7 @@ def kcore_decomposition(
         )
         .filter("a <> b")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     for _ in range(int(rounds)):
         deg = (
@@ -671,11 +684,20 @@ def kcore_decomposition(
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        keep = deg.filter(f"d >= {int(k)}").select("n")
+        keep = deg.filter(f"d >= {int(k)}").select("n").localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+        kj = (
+            F.broadcast(keep)
+            if keep.count() <= int(broadcast_max_nodes)
+            else keep
+        )
         e = (
-            e.join(keep.selectExpr("n AS a"), "a", "left_semi")
-            .join(keep.selectExpr("n AS b"), "b", "left_semi")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            e.join(kj.selectExpr("n AS a"), "a", "left_semi")
+            .join(kj.selectExpr("n AS b"), "b", "left_semi")
+            .localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
         )
     return (
         e.selectExpr("a AS node")

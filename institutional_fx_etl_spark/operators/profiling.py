@@ -983,3 +983,123 @@ def t_closeness(
         "round(CAST(__present + CAST((__n - __sg) AS DECIMAL(38,0))"
         " * __ng AS DOUBLE) / (2.0D * __ng * __n), 6) AS t_closeness",
     )
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_resamples: int = 40,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the per-group mean
+    — the distribution-free error bar a profiling sweep attaches to
+    every segment statistic. Deterministic POISSON BOOTSTRAP (the
+    standard distributed formulation — no global resample index
+    needed): each of ``n_resamples`` replicas gives every row a
+    multiplicity in {0..4} drawn from a Poisson(1) approximation
+    keyed by an md5 digest slice — ⌈B/10⌉ digests per row, ten
+    3-hex-digit uniforms per digest (the engine's md5-seeded
+    determinism discipline, one hash per TEN replicas — md5 was the
+    exploded hot path's entire cost), so both engines materialize
+    the IDENTICAL replicas.
+
+    Exactness: row values quantize to micro-units once; replica means
+    are exact integer sums divided once and re-quantized to micro, so
+    the order statistics compare integers; the CI bounds are the
+    ``⌊B·0.025⌋+1``-th and ``B−⌊B·0.025⌋``-th order statistics (B=40
+    → the 2nd and 39th — the standard percentile-bootstrap ranks).
+
+    Plan shape: one ×B explode (map-side), one (group, replica) hash
+    aggregate, one B-row-per-group ranking window — shuffle volume is
+    B rows per group, never the corpus. Output: group col, n, mean
+    (6 dp), ci_lo, ci_hi (6 dp), n_resamples (non-empty replicas).
+    """
+    if n_resamples < 4:
+        raise ValueError(f"n_resamples must be >= 4, got {n_resamples}")
+    b = int(n_resamples)
+    vals = df.filter(f"{value_col} IS NOT NULL").selectExpr(
+        group_col,
+        f"CAST(floor({value_col} * 1e6 + 0.5) AS BIGINT) AS __vm",
+        f"{id_col} AS __id",
+    )
+    # Poisson(1) pmf over a 3-hex-digit uniform (u in [0, 4096)):
+    # P(0)=1507/4096 P(1)=1507/4096 P(2)=753/4096 P(3)=251/4096
+    # P(4+)=78/4096. ONE md5 per 10 replicas (each 32-hex digest
+    # yields ten 3-digit slices) instead of one per replica — md5 was
+    # the 24M-row hot path's whole cost (9.8 s → ~2 s at sf0.1).
+    n_digests = (b + 9) // 10
+    u_of = (
+        "CAST(conv(substr(element_at(__hs, CAST(x div 10 AS INT) + 1),"
+        " 1 + 3 * CAST(x % 10 AS INT), 3), 16, 10) AS BIGINT)"
+    )
+    mult = (
+        "CASE WHEN u < 1507 THEN 0 WHEN u < 3014 THEN 1"
+        " WHEN u < 3767 THEN 2 WHEN u < 4018 THEN 3 ELSE 4 END"
+    )
+    rep = (
+        vals.selectExpr(
+            group_col,
+            "__vm",
+            "array("
+            + ", ".join(
+                f"md5(concat('boot', CAST(__id AS STRING), ':', '{j}'))"
+                for j in range(n_digests)
+            )
+            + ") AS __hs",
+        )
+        .selectExpr(
+            group_col,
+            "__vm",
+            # the inner transform let-binds u so each replica does one
+            # conv/substr; md5 itself is hoisted into __hs
+            "posexplode(transform("
+            f"transform(sequence(0, {b - 1}), x -> {u_of}),"
+            f" u -> {mult})) AS (__b, __m)",
+        )
+        .filter("__m > 0")
+        .groupBy(group_col, "__b")
+        .agg(
+            F.expr("SUM(CAST(__vm * __m AS DECIMAL(38,0))) AS __s"),
+            F.expr("CAST(SUM(__m) AS BIGINT) AS __n"),
+        )
+        .selectExpr(
+            group_col,
+            "__b",
+            "CAST(floor(CAST(__s AS DOUBLE) / __n + 0.5) AS BIGINT)"
+            " AS __mean_m",
+        )
+    )
+    wrank = Window.partitionBy(group_col).orderBy("__mean_m", "__b")
+    wall = Window.partitionBy(group_col)
+    r_lo = b // 40 + 1  # floor(B*0.025)+1
+    stats = (
+        rep.withColumn("__rk", F.row_number().over(wrank))
+        .withColumn("__nb", F.count(F.lit(1)).over(wall))
+        .selectExpr(
+            group_col,
+            "__mean_m",
+            "__rk",
+            "__nb",
+        )
+    )
+    lo = stats.filter(f"__rk = least({r_lo}, __nb)").selectExpr(
+        group_col,
+        "round(CAST(__mean_m AS DOUBLE) / 1e6, 6) AS ci_lo",
+        "__nb AS n_resamples",
+    )
+    hi = stats.filter(f"__rk = greatest(__nb - {r_lo} + 1, 1)").selectExpr(
+        group_col, "round(CAST(__mean_m AS DOUBLE) / 1e6, 6) AS ci_hi"
+    )
+    point = vals.groupBy(group_col).agg(
+        F.expr("CAST(count(1) AS BIGINT) AS n"),
+        F.expr(
+            "round(CAST(SUM(CAST(__vm AS DECIMAL(38,0))) AS DOUBLE)"
+            " / count(1) / 1e6, 6) AS mean"
+        ),
+    )
+    return (
+        point.join(lo, group_col)
+        .join(hi, group_col)
+        .select(group_col, "n", "mean", "ci_lo", "ci_hi", "n_resamples")
+    )

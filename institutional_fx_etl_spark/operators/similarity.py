@@ -2343,3 +2343,55 @@ def semdedup_incremental(
         .unionByName(new_under)
         .unionByName(new_over)
     )
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    queries: DataFrame,
+    trunc_dim: int = 16,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka truncation diagnostic (Kusupati et al. 2022): MRL
+    embeddings promise that the FIRST ``trunc_dim`` coordinates are
+    themselves a usable embedding — the retrieval question is how
+    much of the full-dimension top-k the truncated vectors recover.
+    Per query: recall@k of truncated-cosine top-k against
+    full-cosine top-k (both exact brute force — the ANN baseline
+    discipline; rank ties broken (cosine desc, id asc) on 6-dp
+    values, so both rankings are reproducible cross-engine).
+
+    Plan shape: two :func:`cosine_topk` passes (each the two-level
+    pruned window — no hot partition) + one (q_id, vec_id) inner
+    join at k·|queries| grain + one per-query count — the expensive
+    legs are the scans, both embarrassingly parallel. Output per
+    query: q_id, n_overlap, recall (6 dp).
+    """
+    if trunc_dim < 1:
+        raise ValueError(f"trunc_dim must be >= 1, got {trunc_dim}")
+    full = cosine_topk(emb, queries, k=k, vec_col=vec_col, id_col=id_col)
+    t_emb = emb.selectExpr(
+        bq(id_col), f"slice(`{vec_col}`, 1, {int(trunc_dim)}) AS __tv"
+    )
+    t_q = queries.selectExpr(
+        bq(id_col), f"slice(`{vec_col}`, 1, {int(trunc_dim)}) AS __tv"
+    )
+    trunc = cosine_topk(t_emb, t_q, k=k, vec_col="__tv", id_col=id_col)
+    hits = (
+        full.select("q_id", "vec_id")
+        .join(trunc.select("q_id", "vec_id"), ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        full.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .selectExpr(
+            "q_id",
+            "coalesce(n_overlap, 0) AS n_overlap",
+            f"round(CAST(coalesce(n_overlap, 0) AS DOUBLE) / {int(k)}, 6)"
+            " AS recall",
+        )
+    )

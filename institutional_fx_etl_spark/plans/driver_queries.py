@@ -14086,6 +14086,127 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t_closeness(ev, ["event_type"], "sv")
 
 
+@register(
+    "matryoshka_recall",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+               FROM embeddings),
+    n AS (SELECT vec_id, vv, sqrt(list_dot_product(vv, vv)) AS nv
+          FROM v),
+    q AS (SELECT vec_id AS q_id, vv AS qv, nv AS nq FROM n
+          WHERE vec_id < 8),
+    s AS (SELECT q_id, n.vec_id,
+                 round(list_dot_product(vv, qv) / (nv * nq), 6)
+                   AS cosine
+          FROM n CROSS JOIN q),
+    rf AS (SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, vec_id) AS rk FROM s),
+    tf AS (SELECT q_id, vec_id FROM rf WHERE rk <= 10),
+    tv AS (SELECT vec_id, vv[1:16] AS tvv FROM v),
+    tn AS (SELECT vec_id, tvv,
+                  sqrt(list_dot_product(tvv, tvv)) AS ntv FROM tv),
+    tq AS (SELECT vec_id AS q_id, tvv AS qv, ntv AS nq FROM tn
+           WHERE vec_id < 8),
+    ts AS (SELECT q_id, tn.vec_id,
+                  round(list_dot_product(tvv, qv) / (ntv * nq), 6)
+                    AS cosine
+           FROM tn CROSS JOIN tq),
+    tr AS (SELECT q_id, vec_id,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, vec_id) AS rk FROM ts),
+    tt AS (SELECT q_id, vec_id FROM tr WHERE rk <= 10),
+    h AS (SELECT q_id, count(*) AS n_overlap
+          FROM tf JOIN tt USING (q_id, vec_id) GROUP BY q_id)
+    SELECT qq.q_id, coalesce(n_overlap, 0) AS n_overlap,
+           round(CAST(coalesce(n_overlap, 0) AS DOUBLE) / 10, 6)
+             AS recall
+    FROM (SELECT DISTINCT q_id FROM tf) qq LEFT JOIN h USING (q_id)
+    """,
+)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation diagnostic: recall@10 of 16-dim-prefix
+    cosine top-k against full 64-dim top-k for 8 query vectors —
+    both rankings exact brute force
+    (``operators/similarity.py::matryoshka_recall``)."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return matryoshka_recall(
+        emb, emb.filter("vec_id < 8"), trunc_dim=16, k=10
+    )
+
+
+@register(
+    "bootstrap_ci_mean",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm,
+             event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    rep AS (
+      SELECT event_type, vm, t.b,
+             CAST(concat('0x', substr(md5(concat('boot',
+               CAST(event_id AS STRING), ':',
+               CAST(t.b // 10 AS STRING))),
+               1 + 3 * (t.b % 10), 3)) AS BIGINT) AS u
+      FROM v CROSS JOIN range(40) t(b)
+    ),
+    mm AS (
+      SELECT event_type, vm, b,
+             CASE WHEN u < 1507 THEN 0 WHEN u < 3014 THEN 1
+                  WHEN u < 3767 THEN 2 WHEN u < 4018 THEN 3
+                  ELSE 4 END AS m
+      FROM rep
+    ),
+    agg AS (
+      SELECT event_type, b,
+             CAST(floor(CAST(SUM(CAST(vm * m AS DECIMAL(38,0)))
+                  AS DOUBLE) / CAST(SUM(m) AS BIGINT) + 0.5)
+                  AS BIGINT) AS mean_m
+      FROM mm WHERE m > 0 GROUP BY event_type, b
+    ),
+    rk AS (
+      SELECT event_type, mean_m,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY mean_m, b) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS nb
+      FROM agg
+    ),
+    lo AS (SELECT event_type,
+                  round(CAST(mean_m AS DOUBLE) / 1e6, 6) AS ci_lo,
+                  nb AS n_resamples
+           FROM rk WHERE rk = least(2, nb)),
+    hi AS (SELECT event_type,
+                  round(CAST(mean_m AS DOUBLE) / 1e6, 6) AS ci_hi
+           FROM rk WHERE rk = greatest(nb - 1, 1)),
+    point AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     round(CAST(SUM(CAST(vm AS DECIMAL(38,0)))
+                           AS DOUBLE) / count(*) / 1e6, 6) AS mean
+              FROM v GROUP BY event_type)
+    SELECT event_type, n, mean, ci_lo, ci_hi, n_resamples
+    FROM point JOIN lo USING (event_type) JOIN hi USING (event_type)
+    """,
+)
+def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap 95% CI for the per-event_type
+    mean (B=40 md5-seeded replicas, 2nd/39th order statistics) —
+    the distribution-free error bar for segment statistics
+    (``operators/profiling.py::bootstrap_ci_mean``)."""
+    from institutional_fx_etl_spark.operators.profiling import (
+        bootstrap_ci_mean,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return bootstrap_ci_mean(
+        ev, "event_type", "value", "event_id", n_resamples=40
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the

@@ -293,3 +293,43 @@ def test_temperature_resample_upweights_tail(spark):
     assert out["small"]["weight_mult"] > 1.0 > out["big"]["weight_mult"]
     s = out["big"]["temp_share"] + out["small"]["temp_share"]
     assert abs(s - 1.0) < 1e-4
+
+
+# ----------------------------------------------------- new: similarity/stats
+def test_matryoshka_recall_identity_when_full_dim(spark):
+    from institutional_fx_etl_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), float(i % 7), 1.0])
+         for i in range(30)],
+        "vec_id bigint, embedding array<float>",
+    )
+    # truncation to the FULL dimension must recover the full top-k
+    out = matryoshka_recall(
+        emb, emb.filter("vec_id < 2"), trunc_dim=4, k=5
+    ).collect()
+    assert {r["recall"] for r in out} == {1.0}
+    # a 1-dim prefix loses information: recall is defined and <= 1
+    out1 = matryoshka_recall(
+        emb, emb.filter("vec_id < 2"), trunc_dim=1, k=5
+    ).collect()
+    assert all(0.0 <= r["recall"] <= 1.0 for r in out1)
+
+
+def test_bootstrap_ci_brackets_the_mean(spark):
+    from institutional_fx_etl_spark.operators.profiling import (
+        bootstrap_ci_mean,
+    )
+
+    rows = [("g", i, 10.0 + (i % 7)) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, id bigint, v double")
+    out = bootstrap_ci_mean(df, "g", "v", "id", n_resamples=40).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 400 and r["n_resamples"] == 40
+    assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+    # replicate determinism: identical inputs give identical CI
+    again = bootstrap_ci_mean(df, "g", "v", "id", n_resamples=40).collect()[0]
+    assert (again["ci_lo"], again["ci_hi"]) == (r["ci_lo"], r["ci_hi"])
