@@ -1023,6 +1023,16 @@ def bootstrap_ci_mean(
         f"CAST(floor({value_col} * 1e6 + 0.5) AS BIGINT) AS __vm",
         f"{id_col} AS __id",
     )
+    # re-spread BEFORE the ×B fan-out (the repo's amplification
+    # discipline): the replica explode multiplies every input row by
+    # B and all of that work runs inside the scan's own stage — a
+    # small single-file scan otherwise serializes the entire
+    # resampling onto one task (measured 4.3 s single-task vs ~0.6 s
+    # spread at sf0.1; the one narrow-row shuffle costs 1/B-th of the
+    # work it parallelizes)
+    rep_src = vals.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     # Poisson(1) pmf over a 3-hex-digit uniform (u in [0, 4096)):
     # P(0)=1507/4096 P(1)=1507/4096 P(2)=753/4096 P(3)=251/4096
     # P(4+)=78/4096. ONE md5 per 10 replicas (each 32-hex digest
@@ -1038,7 +1048,7 @@ def bootstrap_ci_mean(
         " WHEN u < 3767 THEN 2 WHEN u < 4018 THEN 3 ELSE 4 END"
     )
     rep = (
-        vals.selectExpr(
+        rep_src.selectExpr(
             group_col,
             "__vm",
             "array("
