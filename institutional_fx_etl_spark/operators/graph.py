@@ -593,13 +593,16 @@ def adamic_adar(
     if max_middle_degree is not None:
         mid = mid.filter(f"d <= {int(max_middle_degree)}")
     # per-middle Adamic-Adar mass, fixed to micro-units BEFORE the
-    # wedge join so the (x, y) sum is order-invariant decimal
+    # wedge join so the (x, y) sum is order-invariant decimal.
+    # Lineage-truncated (the kcore/clustering lesson): both sides of
+    # the wedge self-join and the candidate anti/degree joins nest
+    # this relation, and each nesting re-plans the edge + degree tree
     mid = mid.selectExpr(
         "z",
         "x",
         "CAST(floor(1e6 / ln(CAST(d AS DOUBLE)) + 0.5)"
         " AS DECIMAL(38,0)) AS aa_m",
-    )
+    ).localCheckpoint(eager=False)
     wedges = (
         mid.join(
             mid.selectExpr("z", "x AS y"),
@@ -748,6 +751,12 @@ def clustering_coefficient(
     # orient each edge from its lower-(degree, id) endpoint so every
     # triangle is enumerated exactly once at its lowest-degree corner
     # (the node-iterator bound — hubs don't explode)
+    # lineage truncation (the kcore_decomposition lesson): the corner
+    # union references the triangle relation THREE times and each
+    # triangle leg nests the oriented-edge tree (probe + two
+    # adjacency joins), so the lazy plan multiplies to ~4k nodes —
+    # checkpointing the oriented edges keeps every downstream
+    # reference a leaf scan
     oe = (
         e0.join(deg.selectExpr("n AS a", "d AS da"), "a")
         .join(deg.selectExpr("n AS b", "d AS db"), "b")
@@ -755,6 +764,7 @@ def clustering_coefficient(
             "CASE WHEN (da, a) < (db, b) THEN a ELSE b END AS x",
             "CASE WHEN (da, a) < (db, b) THEN b ELSE a END AS y",
         )
+        .localCheckpoint(eager=False)
     )
     adj = oe.groupBy(F.col("x").alias("n")).agg(
         F.expr("array_sort(collect_list(y)) AS ns")
