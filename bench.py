@@ -218,6 +218,7 @@ HEADLINE = [
     "t_closeness",
     "matryoshka_recall",
     "bootstrap_ci_mean",
+    "herfindahl_concentration",
 ]
 
 

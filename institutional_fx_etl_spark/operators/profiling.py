@@ -1113,3 +1113,45 @@ def bootstrap_ci_mean(
         .join(hi, group_col)
         .select(group_col, "n", "mean", "ci_lo", "ci_hi", "n_resamples")
     )
+
+
+def herfindahl_concentration(
+    df: DataFrame,
+    group_col: str,
+    member_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration of ``member_col`` within
+    each ``group_col`` — the one-number answer to "is this slice of
+    the corpus dominated by a single source?" that a mixture pipeline
+    checks before trusting per-group statistics. HHI = Σ_s share_s²
+    (1/k for k equal members, → 1.0 under monopoly); the reciprocal
+    is the EFFECTIVE member count (Laakso-Taagepera).
+
+    EXACT integer arithmetic: shares are rationals c_s/n, so
+    HHI = Σ c_s² / n² — two chained map-side-combinable aggregates
+    over integer counts (the k_anonymity shape), one double division
+    + 6-dp round per group at the end. Output: group col, n_rows,
+    n_members, hhi (6 dp), effective_members (6 dp).
+    """
+    cell = df.groupBy(group_col, member_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        cell.groupBy(group_col)
+        .agg(
+            F.expr("CAST(SUM(__c) AS BIGINT) AS n_rows"),
+            F.expr("CAST(count(1) AS BIGINT) AS n_members"),
+            F.expr(
+                "SUM(CAST(__c AS DECIMAL(38,0)) * __c) AS __ss"
+            ),
+        )
+        .selectExpr(
+            group_col,
+            "n_rows",
+            "n_members",
+            "round(CAST(__ss AS DOUBLE)"
+            " / (CAST(n_rows AS DOUBLE) * n_rows), 6) AS hhi",
+            "round(CAST(n_rows AS DOUBLE) * n_rows"
+            " / CAST(__ss AS DOUBLE), 6) AS effective_members",
+        )
+    )

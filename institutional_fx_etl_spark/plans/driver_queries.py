@@ -14207,6 +14207,42 @@ def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "herfindahl_concentration",
+    """
+    WITH cell AS (
+      SELECT lang, source, count(*) AS c FROM documents
+      GROUP BY lang, source
+    ),
+    g AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_members,
+             SUM(CAST(c AS DECIMAL(38,0)) * c) AS ss
+      FROM cell GROUP BY lang
+    )
+    SELECT lang, n_rows, n_members,
+           round(CAST(ss AS DOUBLE)
+                 / (CAST(n_rows AS DOUBLE) * n_rows), 6) AS hhi,
+           round(CAST(n_rows AS DOUBLE) * n_rows
+                 / CAST(ss AS DOUBLE), 6) AS effective_members
+    FROM g
+    """,
+)
+def q_herfindahl_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl-Hirschman source concentration per language — is a
+    language slice dominated by one source? Exact integer share
+    arithmetic, two chained aggregates
+    (``operators/profiling.py::herfindahl_concentration``)."""
+    from institutional_fx_etl_spark.operators.profiling import (
+        herfindahl_concentration,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return herfindahl_concentration(docs, "lang", "source")
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the

@@ -333,3 +333,19 @@ def test_bootstrap_ci_brackets_the_mean(spark):
     # replicate determinism: identical inputs give identical CI
     again = bootstrap_ci_mean(df, "g", "v", "id", n_resamples=40).collect()[0]
     assert (again["ci_lo"], again["ci_hi"]) == (r["ci_lo"], r["ci_hi"])
+
+
+def test_herfindahl_monopoly_vs_uniform(spark):
+    from institutional_fx_etl_spark.operators.profiling import (
+        herfindahl_concentration,
+    )
+
+    rows = [("mono", "s1")] * 10
+    rows += [("uni", f"s{i % 4}") for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, src string")
+    out = {r["g"]: r for r in
+           herfindahl_concentration(df, "g", "src").collect()}
+    assert out["mono"]["hhi"] == 1.0
+    assert out["mono"]["effective_members"] == 1.0
+    assert out["uni"]["hhi"] == 0.25 and out["uni"]["n_members"] == 4
+    assert out["uni"]["effective_members"] == 4.0
