@@ -1406,6 +1406,70 @@ def _prefix_docs(
     )
 
 
+def _collapse_overcap(
+    docs: DataFrame,
+    pre: DataFrame,
+    id_col: str,
+    max_bucket: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The dedup-collapse escalation relation, factored ONCE (r12
+    ADVICE: :func:`prefix_filter_pairs` and
+    :func:`prefix_filter_cap_report` each carried a copy whose
+    accounting was only correct while the two stayed in lockstep).
+
+    Every doc appearing in an over-cap prefix-token bucket collapses
+    to its exact token-SET cohort representative; the returned
+    ``pre2`` is the collapsed (id, prefix-token) relation, ``cohorts``
+    the (toks, ids) cohort table and ``cm`` the (rep, member)
+    expansion map for multi-member cohorts.
+
+    Persist lifetime is CALLER-OWNED: ``cohorts``/``cm`` (and the
+    ``docs`` relation from :func:`_prefix_docs`) stay persisted until
+    the SparkSession clears them — both public consumers return lazy
+    DataFrames, so nothing inside this module can safely unpersist.
+    Running pairs + report on the SAME inputs shares cache entries
+    (Spark's cache manager matches canonicalized plans), so the pair
+    never double-computes the collapse.
+    """
+    from pyspark import StorageLevel
+
+    sizes = pre.groupBy("__t").agg(F.count(F.lit(1)).alias("__s"))
+    over_toks = sizes.filter(f"__s > {int(max_bucket)}").select("__t")
+    over_ids = (
+        pre.join(F.broadcast(over_toks), "__t", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    cohorts = (
+        docs.join(over_ids, id_col, "left_semi")
+        .groupBy("toks")
+        .agg(F.expr(f"array_sort(collect_list({bq(id_col)})) AS ids"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cm = cohorts.filter("size(ids) >= 2").selectExpr(
+        "ids[0] AS __rep", "explode(ids) AS __member"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # member -> representative over ALL escalated docs (singleton
+    # cohorts map to themselves)
+    rep_of = (
+        docs.join(over_ids, id_col, "left_semi")
+        .selectExpr(f"{bq(id_col)} AS __member")
+        .join(cm, "__member", "left")
+        .selectExpr(
+            f"__member AS {bq(id_col)}",
+            "coalesce(__rep, __member) AS __rid",
+        )
+    )
+    pre2 = (
+        pre.join(rep_of, id_col, "left")
+        .selectExpr(
+            f"coalesce(__rid, {bq(id_col)}) AS {bq(id_col)}", "__t"
+        )
+        .distinct()
+    )
+    return pre2, cohorts, cm
+
+
 def prefix_filter_cap_report(
     df: DataFrame,
     text_col: str = "text",
@@ -1427,33 +1491,7 @@ def prefix_filter_cap_report(
     """
     docs = _prefix_docs(df, text_col, id_col, jaccard_threshold, shingle_n)
     pre = docs.selectExpr(bq(id_col), "explode(prefix) AS __t")
-    sizes = pre.groupBy("__t").agg(F.count(F.lit(1)).alias("__s"))
-    over_toks = sizes.filter(f"__s > {int(max_bucket)}").select("__t")
-    over_ids = (
-        pre.join(F.broadcast(over_toks), "__t", "left_semi")
-        .select(id_col)
-        .distinct()
-    )
-    cohorts = docs.join(over_ids, id_col, "left_semi").groupBy("toks").agg(
-        F.expr(f"array_sort(collect_list({bq(id_col)})) AS ids")
-    )
-    cm = cohorts.filter("size(ids) >= 2").selectExpr(
-        "ids[0] AS __rep", "explode(ids) AS __member"
-    )
-    rep_of = (
-        docs.join(over_ids, id_col, "left_semi")
-        .selectExpr(f"{bq(id_col)} AS __member")
-        .join(cm, "__member", "left")
-        .selectExpr(
-            f"__member AS {bq(id_col)}",
-            "coalesce(__rep, __member) AS __rid",
-        )
-    )
-    pre2 = (
-        pre.join(rep_of, id_col, "left")
-        .selectExpr(f"coalesce(__rid, {bq(id_col)}) AS {bq(id_col)}", "__t")
-        .distinct()
-    )
+    pre2, cohorts, _cm = _collapse_overcap(docs, pre, id_col, max_bucket)
     bucket_sizes = pre2.groupBy("__t").agg(
         F.count(F.lit(1)).alias("__d")
     )
@@ -1548,7 +1586,6 @@ def prefix_filter_pairs(
 
     docs = _prefix_docs(df, text_col, id_col, jaccard_threshold, shingle_n)
     pre = docs.selectExpr(bq(id_col), "explode(prefix) AS __t")
-    from pyspark import StorageLevel
 
     def _pairs_from(g: DataFrame) -> DataFrame:
         return (
@@ -1577,44 +1614,12 @@ def prefix_filter_pairs(
         # sets ⇒ identical jaccard, so (A, B) qualifies iff
         # (rep(A), rep(B)) does, and the collapsed relation keeps
         # every shared prefix token. Disjoint legs ⇒ UNION ALL, no
-        # result-scale distinct (the x100 skew probe's former wall).
-        sizes = pre.groupBy("__t").agg(F.count(F.lit(1)).alias("__s"))
-        over_toks = sizes.filter(f"__s > {int(max_bucket)}").select("__t")
-        over_ids = (
-            pre.join(F.broadcast(over_toks), "__t", "left_semi")
-            .select(id_col)
-            .distinct()
-        )
-        cohorts = (
-            docs.join(over_ids, id_col, "left_semi")
-            .groupBy("toks")
-            .agg(
-                F.expr(
-                    f"array_sort(collect_list({bq(id_col)})) AS ids"
-                )
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        cm = cohorts.filter("size(ids) >= 2").selectExpr(
-            "ids[0] AS __rep", "explode(ids) AS __member"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        # member -> representative over ALL escalated docs (singleton
-        # cohorts map to themselves)
-        rep_of = (
-            docs.join(over_ids, id_col, "left_semi")
-            .selectExpr(f"{bq(id_col)} AS __member")
-            .join(cm, "__member", "left")
-            .selectExpr(
-                f"__member AS {bq(id_col)}",
-                "coalesce(__rep, __member) AS __rid",
-            )
-        )
-        pre2 = (
-            pre.join(rep_of, id_col, "left")
-            .selectExpr(
-                f"coalesce(__rid, {bq(id_col)}) AS {bq(id_col)}", "__t"
-            )
-            .distinct()
+        # result-scale distinct (the x100 skew probe's former
+        # wall). The collapse relation is factored into
+        # _collapse_overcap — shared verbatim with the cap report,
+        # so the accounting can never drift out of lockstep.
+        pre2, _cohorts, cm = _collapse_overcap(
+            docs, pre, id_col, int(max_bucket)
         )
         # residual cap at the COLLAPSED grain: a bucket still over-cap
         # here holds > max_bucket DISTINCT token sets — its D² real

@@ -965,9 +965,13 @@ def t_closeness(
         .crossJoin(F.broadcast(tot))
         .groupBy(*quasi_cols)
         .agg(
+            # CAST the factors to DECIMAL(38,0) BEFORE multiplying (the
+            # herfindahl discipline): c·N approaches N², so a raw
+            # BIGINT product overflows int64 past ~3e9 rows — exactly
+            # the corpus size the 100 TB claim is about (r12 ADVICE).
             F.expr(
-                "SUM(CAST(abs(__c * __n - __cv * __ng) AS DECIMAL(38,0)))"
-                " AS __present"
+                "SUM(abs(CAST(__c AS DECIMAL(38,0)) * __n"
+                " - CAST(__cv AS DECIMAL(38,0)) * __ng)) AS __present"
             ),
             # Σ over values present in the group of their GLOBAL count
             F.expr("CAST(SUM(__cv) AS DECIMAL(38,0)) AS __sg"),
@@ -1009,6 +1013,10 @@ def bootstrap_ci_mean(
     the order statistics compare integers; the CI bounds are the
     ``⌊B·0.025⌋+1``-th and ``B−⌊B·0.025⌋``-th order statistics (B=40
     → the 2nd and 39th — the standard percentile-bootstrap ranks).
+    Groups where fewer than ``2·(⌊B·0.025⌋+1)`` replicas survive
+    (every replica dropped all rows bar a handful) report NULL
+    bounds — the ranks would cross, and an inverted interval is
+    worse than an absent one.
 
     Plan shape: one ×B explode (map-side), one (group, replica) hash
     aggregate, one B-row-per-group ranking window — shuffle volume is
@@ -1093,13 +1101,20 @@ def bootstrap_ci_mean(
             "__nb",
         )
     )
+    # Degenerate-replica clamp (r12 ADVICE): with fewer than 2·r_lo
+    # surviving replicas the lo/hi ranks cross (nb=2, r_lo=2 → lo rank
+    # 2 > hi rank 1), so both bounds are NULL — a group too thin to
+    # bootstrap reports "no interval", never an inverted one.
     lo = stats.filter(f"__rk = least({r_lo}, __nb)").selectExpr(
         group_col,
-        "round(CAST(__mean_m AS DOUBLE) / 1e6, 6) AS ci_lo",
+        f"CASE WHEN __nb >= {2 * r_lo} THEN"
+        " round(CAST(__mean_m AS DOUBLE) / 1e6, 6) END AS ci_lo",
         "__nb AS n_resamples",
     )
     hi = stats.filter(f"__rk = greatest(__nb - {r_lo} + 1, 1)").selectExpr(
-        group_col, "round(CAST(__mean_m AS DOUBLE) / 1e6, 6) AS ci_hi"
+        group_col,
+        f"CASE WHEN __nb >= {2 * r_lo} THEN"
+        " round(CAST(__mean_m AS DOUBLE) / 1e6, 6) END AS ci_hi",
     )
     point = vals.groupBy(group_col).agg(
         F.expr("CAST(count(1) AS BIGINT) AS n"),

@@ -948,6 +948,12 @@ def theil_sen_slope(
     ``(n+1) div 2`` of the ascending micro-slopes) — rank selection
     over integers, no interpolation, bit-identical cross-engine.
 
+    A series whose capped points admit NO valid pair (a single
+    point, or every point sharing one timestamp) still surfaces —
+    ``n_pairs = 0`` and a NULL ``ts_slope`` (r12 ADVICE: the silent
+    inner-join row drop is gone; the caller sees the degenerate
+    series instead of losing it).
+
     Output: partition cols, n_points, n_pairs, ts_slope (6 dp).
     """
     w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
@@ -992,6 +998,9 @@ def theil_sen_slope(
             "round(CAST(__sm AS DOUBLE) / 1e6, 6) AS ts_slope",
         )
     )
-    return npts.join(med, list(partition_cols)).select(
-        *partition_cols, "n_points", "n_pairs", "ts_slope"
+    return npts.join(med, list(partition_cols), "left").selectExpr(
+        *partition_cols,
+        "n_points",
+        "CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs",
+        "ts_slope",
     )

@@ -13961,8 +13961,9 @@ def q_parkinson_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     npts AS (SELECT event_type, count(*) AS n_points FROM p
              GROUP BY event_type)
-    SELECT event_type, n_points, n_pairs, ts_slope
-    FROM npts JOIN med USING (event_type)
+    SELECT event_type, n_points,
+           CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs, ts_slope
+    FROM npts LEFT JOIN med USING (event_type)
     """,
 )
 def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14060,7 +14061,8 @@ def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tt AS (SELECT count(*) AS n FROM d),
     agg AS (
       SELECT cell.event_type,
-             SUM(CAST(abs(c * n - cv * ng) AS DECIMAL(38,0)))
+             SUM(abs(CAST(c AS DECIMAL(38,0)) * n
+                     - CAST(cv AS DECIMAL(38,0)) * ng))
                AS present,
              CAST(SUM(cv) AS DECIMAL(38,0)) AS sg,
              MAX(ng) AS ng, MAX(n) AS n, count(*) AS n_values
@@ -14139,9 +14141,13 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bootstrap_ci_mean",
-    """
+def _bootstrap_ci_oracle(b: int = 40) -> str:
+    """DuckDB mirror of ``bootstrap_ci_mean`` with the CI ranks derived
+    from the SAME ``⌊B·0.025⌋+1`` formula the operator uses (r12
+    ADVICE: the previous literal ranks were only valid at B=40), plus
+    the matching <2·r_lo NULL-bounds clamp."""
+    r_lo = b // 40 + 1
+    return f"""
     WITH v AS (
       SELECT event_type,
              CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm,
@@ -14154,7 +14160,7 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(event_id AS STRING), ':',
                CAST(t.b // 10 AS STRING))),
                1 + 3 * (t.b % 10), 3)) AS BIGINT) AS u
-      FROM v CROSS JOIN range(40) t(b)
+      FROM v CROSS JOIN range({b}) t(b)
     ),
     mm AS (
       SELECT event_type, vm, b,
@@ -14178,19 +14184,26 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM agg
     ),
     lo AS (SELECT event_type,
-                  round(CAST(mean_m AS DOUBLE) / 1e6, 6) AS ci_lo,
+                  CASE WHEN nb >= {2 * r_lo} THEN
+                    round(CAST(mean_m AS DOUBLE) / 1e6, 6) END AS ci_lo,
                   nb AS n_resamples
-           FROM rk WHERE rk = least(2, nb)),
+           FROM rk WHERE rk = least({r_lo}, nb)),
     hi AS (SELECT event_type,
-                  round(CAST(mean_m AS DOUBLE) / 1e6, 6) AS ci_hi
-           FROM rk WHERE rk = greatest(nb - 1, 1)),
+                  CASE WHEN nb >= {2 * r_lo} THEN
+                    round(CAST(mean_m AS DOUBLE) / 1e6, 6) END AS ci_hi
+           FROM rk WHERE rk = greatest(nb - {r_lo} + 1, 1)),
     point AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                      round(CAST(SUM(CAST(vm AS DECIMAL(38,0)))
                            AS DOUBLE) / count(*) / 1e6, 6) AS mean
               FROM v GROUP BY event_type)
     SELECT event_type, n, mean, ci_lo, ci_hi, n_resamples
     FROM point JOIN lo USING (event_type) JOIN hi USING (event_type)
-    """,
+    """
+
+
+@register(
+    "bootstrap_ci_mean",
+    _bootstrap_ci_oracle(40),
 )
 def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Poisson-bootstrap 95% CI for the per-event_type
