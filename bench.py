@@ -219,6 +219,13 @@ HEADLINE = [
     "matryoshka_recall",
     "bootstrap_ci_mean",
     "herfindahl_concentration",
+    # round-13 ops
+    "garman_klass_vol",
+    "var_cvar",
+    "kendall_tau",
+    "ccnet_perplexity_bucket",
+    "dp_count_laplace",
+    "ivfpq_probe_report",
 ]
 
 

@@ -1504,23 +1504,28 @@ def prefix_filter_cap_report(
         bucket_sizes.filter("__d >= 2")
         .agg(
             F.expr("CAST(count(1) AS BIGINT) AS n_buckets"),
+            # coalesce: with every post-collapse bucket at size 1
+            # (a corpus whose only over-cap pressure was duplication)
+            # the >=2 relation is EMPTY and bare SUMs would report
+            # NULL instead of 0 (round-13 edge found by test)
             F.expr(
-                f"CAST(SUM(CASE WHEN __d <= {int(max_bucket)} THEN 1"
-                " ELSE 0 END) AS BIGINT) AS n_buckets_kept"
+                f"CAST(coalesce(SUM(CASE WHEN __d <= {int(max_bucket)}"
+                " THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_buckets_kept"
             ),
             F.expr(
-                f"CAST(SUM(CASE WHEN __d > {int(max_bucket)} THEN 1"
-                " ELSE 0 END) AS BIGINT) AS n_hot_buckets_dropped"
+                f"CAST(coalesce(SUM(CASE WHEN __d > {int(max_bucket)}"
+                " THEN 1 ELSE 0 END), 0) AS BIGINT)"
+                " AS n_hot_buckets_dropped"
             ),
             F.expr(
-                f"CAST(SUM(CASE WHEN __d <= {int(max_bucket)}"
-                " THEN __d * (__d - 1) div 2 ELSE 0 END) AS BIGINT)"
-                " AS candidates_kept"
+                f"CAST(coalesce(SUM(CASE WHEN __d <= {int(max_bucket)}"
+                " THEN __d * (__d - 1) div 2 ELSE 0 END), 0)"
+                " AS BIGINT) AS candidates_kept"
             ),
             F.expr(
-                f"CAST(SUM(CASE WHEN __d > {int(max_bucket)}"
-                " THEN __d * (__d - 1) div 2 ELSE 0 END) AS BIGINT)"
-                " AS candidates_dropped"
+                f"CAST(coalesce(SUM(CASE WHEN __d > {int(max_bucket)}"
+                " THEN __d * (__d - 1) div 2 ELSE 0 END), 0)"
+                " AS BIGINT) AS candidates_dropped"
             ),
         )
         .crossJoin(F.broadcast(cohort_stats))

@@ -1170,3 +1170,66 @@ def herfindahl_concentration(
             " / CAST(__ss AS DOUBLE), 6) AS effective_members",
         )
     )
+
+
+def dp_count_laplace(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed_tag: str = "dp",
+) -> DataFrame:
+    """ε-differentially-private group counts via the Laplace
+    mechanism (Dwork et al., TCC 2006 — the canonical DP release: a
+    COUNT query has L1 sensitivity 1, so adding Laplace(1/ε) noise to
+    each group's count gives ε-DP) — what a profiling sweep publishes
+    when the segment counts themselves are sensitive.
+
+    DETERMINISTIC noise (the engine's md5-seeded discipline — the
+    bootstrap/weighted_sample pattern): each group's noise draw seeds
+    from ``md5(seed_tag | group values)``, the first 15 hex digits
+    become a 60-bit integer, ``u = (h + 0.5)/2^60 ∈ (0,1)`` (the
+    half-up offset keeps u strictly interior, so the inverse CDF
+    never sees ln(0)), and the Laplace inverse CDF
+    ``b·ln(2u)`` / ``−b·ln(2−2u)`` is one branch + one ln per group
+    — both engines materialize the IDENTICAL release. The noise
+    scale ``b = 1/ε`` is embedded as a repr'd double literal so
+    neither engine re-derives it.
+
+    Determinism is a TESTING property here, not a privacy one: a
+    public seed means the release is exactly reproducible (and the
+    noise is not secret); a production deployment would swap the seed
+    for a private RNG and keep every other line. ``n_true`` is
+    emitted for calibration audits against the oracle — drop it (and
+    the seed) when actually releasing.
+
+    One hash aggregate + map-side noise expression; nothing global.
+    Output: group cols, n_true, epsilon, dp_count (6 dp).
+    """
+    from institutional_fx_etl_spark.functions.identifiers import bq
+
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    b = 1.0 / float(epsilon)
+    seed = ", ".join(["'" + seed_tag + "'"] + [bq(c) for c in group_cols])
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.expr("CAST(count(1) AS BIGINT) AS n_true"))
+        .selectExpr(
+            *[bq(c) for c in group_cols],
+            "n_true",
+            f"CAST({float(epsilon)!r} AS DOUBLE) AS epsilon",
+            f"(CAST(conv(substr(md5(concat_ws('|', {seed})), 1, 15),"
+            " 16, 10) AS BIGINT) + 0.5)"
+            " / 1152921504606846976.0 AS __u",
+        )
+        .selectExpr(
+            *[bq(c) for c in group_cols],
+            "n_true",
+            "epsilon",
+            # `+ 0.0D` folds IEEE -0.0 (a count the noise pushes to
+            # exactly zero keeps its sign bit otherwise)
+            f"round(n_true + (CASE WHEN __u < 0.5 THEN"
+            f" {b!r} * ln(2 * __u) ELSE"
+            f" -{b!r} * ln(2 - 2 * __u) END), 6) + 0.0D AS dp_count",
+        )
+    )

@@ -1493,6 +1493,7 @@ def ivfpq_topk(
     num_centroids: int = 8,
     nprobe: int = 2,
     codebook: list | None = None,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """IVF-PQ search — the full billion-scale ANN index architecture
     (Jégou et al., TPAMI 2011; the FAISS ``IVFPQ`` default): the
@@ -1509,6 +1510,16 @@ def ivfpq_topk(
     the query literal (cosine, 6dp, cid tiebreak) — no corpus
     involvement. Output: id, cid (the cell each hit came from),
     adc_dist (6dp), the k nearest by (unrounded adc, id).
+
+    ``max_cell`` is the family's standard hot-cell cap (r12 verdict
+    task #5 — under direction skew a hot cell makes the probed
+    fraction of the corpus grow with the skew, 28.2× wall for
+    constant output in the x100 probe): a probed cell whose
+    population exceeds the cap is SKIPPED by the ADC scan, exactly
+    the semdedup/knn_join discipline, and the skipped mass is
+    first-class accounted by :func:`ivfpq_probe_report` on the same
+    inputs (never a silent drop). Default None — unconditionally
+    complete over the probed cells.
     """
     cb = codebook if codebook is not None else _PQ_CODEBOOK
     q = query if query is not None else _ADC_QUERY
@@ -1533,6 +1544,14 @@ def ivfpq_topk(
         .limit(nprobe)
         .select("cid")
     )
+    if max_cell is not None:
+        small = (
+            assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= int(max_cell))
+            .select("cid")
+        )
+        probe = probe.join(F.broadcast(small), "cid", "left_semi")
     sub = assigned.join(F.broadcast(probe), "cid")
     codes = pq_encode(
         sub.selectExpr(f"vid AS {bq(id_col)}", f"vv AS {bq(vec_col)}"),
@@ -1563,6 +1582,93 @@ def ivfpq_topk(
         # oracle's vec_id-seeded cid is BIGINT (width-sensitive hash)
         .selectExpr(
             "id", "CAST(cid AS BIGINT) AS cid", "round(__adc, 6) AS adc_dist"
+        )
+    )
+
+
+def ivfpq_probe_report(
+    df: DataFrame,
+    query: list | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """Probed-fraction accounting for :func:`ivfpq_topk` (r12 verdict
+    task #5 — the one ANN family member whose skew exposure had
+    neither a cap nor a visible cost): for the SAME corpus, query and
+    probe parameters, one row reporting how much of the corpus the
+    ADC scan will actually touch, so a skew-driven blowup
+    (hot cells absorbing the distribution) is measured, not
+    discovered in the wall clock.
+
+    With ``max_cell`` set, also accounts what the capped scan SKIPS
+    (probed cells over the cap — the :func:`prefix_filter_cap_report`
+    policy: a bounded operator always ships its drop ledger).
+
+    Cost: the same cell-assignment scan ivfpq_topk already pays plus
+    one centroid-bounded aggregate — never the ADC work itself.
+    Output: n_corpus, n_cells (populated), n_cells_probed,
+    n_probed_rows, probed_fraction (6 dp), max_probed_cell,
+    n_probed_over_cap, rows_skipped_by_cap.
+    """
+    q = query if query is not None else _ADC_QUERY
+    cap = int(max_cell) if max_cell is not None else None
+    v = df.selectExpr(f"{bq(id_col)} AS vid", f"{_as_double(vec_col)} AS vv")
+    centroids = v.filter(F.col("vid") < num_centroids).selectExpr(
+        "vid AS cid", "vv AS cv"
+    )
+    assigned = _assign_to(df, centroids, vec_col, id_col)
+    qlit = "array(" + ", ".join(f"{x!r}D" for x in q) + ")"
+    probe = (
+        centroids.selectExpr(
+            "cid",
+            f"round(aggregate(zip_with(cv, {qlit}, (x, y) -> x*y),"
+            " 0.0d, (a, x) -> a + x)"
+            " / (sqrt(aggregate(cv, 0.0d, (a, x) -> a + x*x))"
+            f" * sqrt(aggregate({qlit}, 0.0d, (a, x) -> a + x*x))), 6)"
+            " AS ccos",
+        )
+        .orderBy(F.desc("ccos"), F.asc("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("__n"))
+    tot = assigned.agg(
+        F.expr("CAST(count(1) AS BIGINT) AS n_corpus"),
+        F.expr("CAST(count(DISTINCT cid) AS BIGINT) AS n_cells"),
+    )
+    over = (
+        f"CASE WHEN __n > {cap} THEN" if cap is not None else
+        "CASE WHEN FALSE THEN"
+    )
+    return (
+        sizes.join(F.broadcast(probe), "cid")
+        .agg(
+            F.expr("CAST(count(1) AS BIGINT) AS n_cells_probed"),
+            F.expr("CAST(SUM(__n) AS BIGINT) AS n_probed_rows"),
+            F.expr("CAST(MAX(__n) AS BIGINT) AS max_probed_cell"),
+            F.expr(
+                f"CAST(SUM({over} 1 ELSE 0 END) AS BIGINT)"
+                " AS n_probed_over_cap"
+            ),
+            F.expr(
+                f"CAST(SUM({over} __n ELSE 0 END) AS BIGINT)"
+                " AS rows_skipped_by_cap"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "n_corpus",
+            "n_cells",
+            "n_cells_probed",
+            "n_probed_rows",
+            "round(CAST(n_probed_rows AS DOUBLE) / n_corpus, 6)"
+            " AS probed_fraction",
+            "max_probed_cell",
+            "n_probed_over_cap",
+            "rows_skipped_by_cap",
         )
     )
 

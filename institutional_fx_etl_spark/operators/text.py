@@ -2255,3 +2255,64 @@ def quality_c4(df: DataFrame, text_col: str = "text") -> DataFrame:
         "(n_kept_sentences >= 3 AND NOT has_lorem AND NOT has_brace"
         " AND NOT has_js) AS keep",
     )
+
+
+def ccnet_perplexity_bucket(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 —
+    the web-corpus curation recipe behind CCNet/LLaMA data: score
+    every document with a corpus-fit LM and split the corpus into
+    head/middle/tail perplexity TERCILES; downstream mixtures then
+    sample head-heavy): composes :func:`bigram_lm_score` and assigns
+    each scored document its tercile by THRESHOLD, the way CCNet
+    applies its cutoffs.
+
+    The tercile cuts are exact order statistics of the (rounded)
+    perplexity distribution computed WITHOUT a global sort: one
+    value-distinct aggregate, a cumulative count over the distinct
+    values (a relation bounded by value cardinality, not corpus
+    rows), and the two cut values are the smallest perplexities whose
+    cumulative count reaches ⌈n/3⌉ and ⌈2n/3⌉ (pure integer
+    predicates — ``3·cum ≥ n``); assignment is then a broadcast
+    scalar compare, map-side. Ties at a cut share a bucket by value —
+    threshold semantics, deterministic cross-engine.
+
+    Documents with <2 tokens have no bigram and inherit the LM's
+    exclusion (documented there). Output: id, n_bigrams, perplexity,
+    ppl_bucket ('head' < cut1 ≤ 'middle' ≤ cut2 < 'tail').
+    """
+    scored = bigram_lm_score(df, text_col, id_col)
+    dist = scored.groupBy("perplexity").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wc = (
+        Window.orderBy("perplexity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dist.withColumn("__cum", F.sum("__c").over(wc))
+    tot = scored.agg(F.expr("CAST(count(1) AS BIGINT) AS __n"))
+    cuts = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.expr(
+                "min(CASE WHEN __cum * 3 >= __n THEN perplexity END)"
+                " AS __v1"
+            ),
+            F.expr(
+                "min(CASE WHEN __cum * 3 >= 2 * __n THEN perplexity"
+                " END) AS __v2"
+            ),
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .selectExpr(
+            id_col,
+            "n_bigrams",
+            "perplexity",
+            "CASE WHEN perplexity <= __v1 THEN 'head'"
+            " WHEN perplexity <= __v2 THEN 'middle'"
+            " ELSE 'tail' END AS ppl_bucket",
+        )
+    )

@@ -1004,3 +1004,227 @@ def theil_sen_slope(
         "CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs",
         "ts_slope",
     )
+
+
+def garman_klass_vol(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    order_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...],
+) -> DataFrame:
+    """Garman-Klass (1980) range-based volatility per (series, day) —
+    the OHLC estimator one rung above :func:`parkinson_vol`: it uses
+    all four candle prices, ``σ² = ½·ln(hi/lo)² − (2ln2−1)·ln(c/o)²``,
+    for ~7.4× the efficiency of close-to-close variance. The
+    expression is non-negative by construction (``hi ≥ max(o,c)``,
+    ``lo ≤ min(o,c)`` force the range term to dominate), so the final
+    sqrt never sees a negative operand.
+
+    One hash aggregate per (series, day): open/close are
+    ``min_by``/``max_by`` on the composite order key (the repo's
+    deterministic ordered-pick discipline — the oracle mirrors with
+    ``first/last(... ORDER BY ...)``), hi/lo are plain max/min. The
+    single ln/sqrt expression is mirrored token-for-token in the
+    oracle, constants written as ``(2 * ln(2) - 1)`` on both engines.
+
+    Output: partition cols, day (timestamp), n_ticks, o, hi, lo, c,
+    gk_vol (6 dp).
+    """
+    okey = "struct(" + ", ".join(order_cols) + ")"
+    return (
+        df.filter(f"{value_col} IS NOT NULL AND {value_col} > 0")
+        .groupBy(
+            *partition_cols,
+            F.expr(f"CAST(CAST({ts_col} AS DATE) AS TIMESTAMP)").alias(
+                "d"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.expr(f"min_by({value_col}, {okey}) AS o"),
+            F.expr(f"max({value_col}) AS hi"),
+            F.expr(f"min({value_col}) AS lo"),
+            F.expr(f"max_by({value_col}, {okey}) AS c"),
+        )
+        .selectExpr(
+            *partition_cols,
+            "d",
+            "n_ticks",
+            "o",
+            "hi",
+            "lo",
+            "c",
+            "round(sqrt(0.5 * pow(ln(hi / lo), 2)"
+            " - (2 * ln(2) - 1) * pow(ln(c / o), 2)), 6) AS gk_vol",
+        )
+    )
+
+
+def var_cvar(
+    df: DataFrame,
+    value_col: str,
+    order_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...],
+    alpha_pct: int = 5,
+) -> DataFrame:
+    """Historical Value-at-Risk and Conditional VaR (expected
+    shortfall) of the per-tick price moves, per series — the risk
+    tail summary a desk attaches to every symbol. VaR(α) is the
+    α-quantile loss; CVaR is the mean loss AT OR BEYOND it
+    (coherent where VaR alone is not, per Artzner et al. 1999).
+
+    Exact integer order statistics (the :func:`roll_spread`
+    discipline): moves quantize to micro-units via the lag diff, the
+    tail rank is ``k = ⌈n·α/100⌉`` in pure integer arithmetic, the
+    ascending (move, order-key) rank is a row_number with a total-
+    order tiebreak, VaR is the NEGATED move at rank k and CVaR the
+    negated DECIMAL-exact mean of ranks 1..k — one double division
+    per series at the end, 6-dp round. Per-series windows + one hash
+    aggregate; nothing global.
+
+    Output: partition cols, n_returns, k_tail, var_loss, cvar_loss.
+    """
+    if not 0 < alpha_pct < 100:
+        raise ValueError(f"alpha_pct in (0,100), got {alpha_pct}")
+    d = (
+        df.filter(f"{value_col} IS NOT NULL")
+        .withColumn(
+            "__dm",
+            F.expr(
+                f"CAST(floor(({value_col} - lag({value_col}) OVER"
+                f" (PARTITION BY {', '.join(partition_cols)}"
+                f" ORDER BY {', '.join(order_cols)}))"
+                " * 1e6 + 0.5) AS BIGINT)"
+            ),
+        )
+        .filter("__dm IS NOT NULL")
+    )
+    wr = Window.partitionBy(*partition_cols).orderBy("__dm", *order_cols)
+    wn = Window.partitionBy(*partition_cols)
+    ranked = (
+        d.withColumn("__rk", F.row_number().over(wr))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "__k", F.expr(f"(__n * {int(alpha_pct)} + 99) div 100")
+        )
+    )
+    return (
+        ranked.groupBy(*partition_cols)
+        .agg(
+            F.expr("CAST(max(__n) AS BIGINT) AS n_returns"),
+            F.expr("CAST(max(__k) AS BIGINT) AS k_tail"),
+            F.expr(
+                "max(CASE WHEN __rk = __k THEN __dm END) AS __var_m"
+            ),
+            F.expr(
+                "SUM(CASE WHEN __rk <= __k THEN"
+                " CAST(__dm AS DECIMAL(38,0)) ELSE CAST(0 AS"
+                " DECIMAL(38,0)) END) AS __tail_sum"
+            ),
+        )
+        .selectExpr(
+            *partition_cols,
+            "n_returns",
+            "k_tail",
+            # `+ 0.0D` folds IEEE -0.0 to +0.0 (a zero move at the
+            # VaR rank negates to -0.0; the driver hash is sign-bit-
+            # sensitive)
+            "round(-CAST(__var_m AS DOUBLE) / 1e6, 6) + 0.0D"
+            " AS var_loss",
+            "round(-(CAST(__tail_sum AS DOUBLE) / k_tail) / 1e6, 6)"
+            " + 0.0D AS cvar_loss",
+        )
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    order_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...],
+    max_points: int = 200,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation between time and value per
+    series — the concordance twin of :func:`spearman_corr` (τ is the
+    probability a random pair moves together minus the probability it
+    moves apart; the tie-corrected τ-b is the standard form on data
+    with repeated values).
+
+    Same capped-quadratic discipline as :func:`theil_sen_slope`
+    (documented, never silent): each series contributes its
+    ``max_points`` EARLIEST rows, the C(n,2) pair join distributes on
+    the series key, and every count (concordant, discordant, x-ties,
+    y-ties) is exact integer; τ-b divides once per series —
+    ``(C − D) / sqrt((n0 − tx)·(n0 − ty))`` — with NULL when either
+    factor is zero (a constant x or y admits no ranking signal).
+
+    Output: partition cols, n_points, n_pairs, concordant,
+    discordant, tau_b (6 dp).
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    pts = (
+        df.filter(f"{value_col} IS NOT NULL")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(max_points))
+        .selectExpr(
+            *partition_cols,
+            f"CAST(to_unix_timestamp({ts_col}) AS BIGINT) AS __x",
+            f"CAST(floor({value_col} * 1e6 + 0.5) AS BIGINT) AS __y",
+            "__rn",
+        )
+    )
+    a = pts.selectExpr(
+        *partition_cols, "__x AS xa", "__y AS ya", "__rn AS ra"
+    )
+    b = pts.selectExpr(
+        *partition_cols, "__x AS xb", "__y AS yb", "__rn AS rb"
+    )
+    pairs = (
+        a.join(b, list(partition_cols))
+        .filter("ra < rb")
+        .selectExpr(
+            *partition_cols,
+            "CAST(sign(xb - xa) AS BIGINT) AS sx",
+            "CAST(sign(yb - ya) AS BIGINT) AS sy",
+        )
+    )
+    npts = pts.groupBy(*partition_cols).agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    stats = pairs.groupBy(*partition_cols).agg(
+        F.expr("CAST(count(1) AS BIGINT) AS n_pairs"),
+        F.expr(
+            "CAST(SUM(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS concordant"
+        ),
+        F.expr(
+            "CAST(SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS discordant"
+        ),
+        F.expr(
+            "CAST(SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS __tx"
+        ),
+        F.expr(
+            "CAST(SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS __ty"
+        ),
+    )
+    return (
+        npts.join(stats, list(partition_cols), "left")
+        .selectExpr(
+            *partition_cols,
+            "n_points",
+            "CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs",
+            "CAST(coalesce(concordant, 0) AS BIGINT) AS concordant",
+            "CAST(coalesce(discordant, 0) AS BIGINT) AS discordant",
+            "CASE WHEN coalesce(n_pairs, 0) - coalesce(__tx, 0) > 0"
+            " AND coalesce(n_pairs, 0) - coalesce(__ty, 0) > 0 THEN"
+            " round((concordant - discordant)"
+            " / sqrt(CAST(n_pairs - __tx AS DOUBLE)"
+            " * CAST(n_pairs - __ty AS DOUBLE)), 6) + 0.0D"
+            " END AS tau_b",
+        )
+    )

@@ -14256,6 +14256,314 @@ def q_herfindahl_concentration(
     return herfindahl_concentration(docs, "lang", "source")
 
 
+
+@register(
+    "garman_klass_vol",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d,
+             count(*) AS n_ticks,
+             first(value ORDER BY ts, event_id) AS o,
+             max(value) AS hi, min(value) AS lo,
+             last(value ORDER BY ts, event_id) AS c
+      FROM events WHERE value IS NOT NULL AND value > 0
+      GROUP BY event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP)
+    )
+    SELECT event_type, d, n_ticks, o, hi, lo, c,
+           round(sqrt(0.5 * pow(ln(hi / lo), 2)
+                 - (2 * ln(2) - 1) * pow(ln(c / o), 2)), 6) AS gk_vol
+    FROM g
+    """,
+)
+def q_garman_klass_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Garman-Klass OHLC range volatility per (event_type, day) —
+    min_by/max_by ordered open/close picks plus one mirrored
+    ln/sqrt expression, ~7.4x the efficiency of close-to-close
+    variance (``operators/timeseries.py::garman_klass_vol``)."""
+    from institutional_fx_etl_spark.operators.timeseries import (
+        garman_klass_vol,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return garman_klass_vol(
+        ev, "value", "ts", ("ts", "event_id"), ("event_type",)
+    )
+
+
+@register(
+    "var_cvar",
+    """
+    WITH s AS (
+      SELECT event_type, ts, event_id, value FROM events
+      WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor((value - lag(value) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id))
+               * 1e6 + 0.5) AS BIGINT) AS dm
+      FROM s
+    ),
+    p AS (SELECT * FROM d WHERE dm IS NOT NULL),
+    r AS (
+      SELECT event_type, dm,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY dm, ts, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM p
+    ),
+    k AS (SELECT *, (n * 5 + 99) // 100 AS kt FROM r),
+    a AS (
+      SELECT event_type,
+             CAST(max(n) AS BIGINT) AS n_returns,
+             CAST(max(kt) AS BIGINT) AS k_tail,
+             max(CASE WHEN rk = kt THEN dm END) AS var_m,
+             SUM(CASE WHEN rk <= kt THEN CAST(dm AS DECIMAL(38,0))
+                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS tail_sum
+      FROM k GROUP BY event_type
+    )
+    SELECT event_type, n_returns, k_tail,
+           round(-CAST(var_m AS DOUBLE) / 1e6, 6) + 0.0 AS var_loss,
+           round(-(CAST(tail_sum AS DOUBLE) / k_tail) / 1e6, 6)
+             + 0.0 AS cvar_loss
+    FROM a
+    """,
+)
+def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical VaR(5%) + CVaR (expected shortfall) of per-tick
+    micro-moves per event_type — exact integer order statistics,
+    DECIMAL-exact tail mean
+    (``operators/timeseries.py::var_cvar``)."""
+    from institutional_fx_etl_spark.operators.timeseries import var_cvar
+
+    ev = load_table(spark, sf_dir, "events")
+    return var_cvar(
+        ev, "value", ("ts", "event_id"), ("event_type",), alpha_pct=5
+    )
+
+
+@register(
+    "kendall_tau",
+    """
+    WITH s AS (
+      SELECT event_type, ts, event_id, value FROM events
+      WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, CAST(epoch(ts) AS BIGINT) AS x,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM s
+    ),
+    p AS (SELECT * FROM r WHERE rn <= 200),
+    pr AS (
+      SELECT a.event_type,
+             CAST(sign(b.x - a.x) AS BIGINT) AS sx,
+             CAST(sign(b.y - a.y) AS BIGINT) AS sy
+      FROM p a JOIN p b ON a.event_type = b.event_type
+        AND a.rn < b.rn
+    ),
+    st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS concordant,
+             CAST(SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS discordant,
+             CAST(SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tx,
+             CAST(SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ty
+      FROM pr GROUP BY event_type
+    ),
+    np AS (SELECT event_type, count(*) AS n_points FROM p
+           GROUP BY event_type)
+    SELECT event_type, n_points,
+           CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(concordant, 0) AS BIGINT) AS concordant,
+           CAST(coalesce(discordant, 0) AS BIGINT) AS discordant,
+           CASE WHEN coalesce(n_pairs, 0) - coalesce(tx, 0) > 0
+                 AND coalesce(n_pairs, 0) - coalesce(ty, 0) > 0 THEN
+             round((concordant - discordant)
+                   / sqrt(CAST(n_pairs - tx AS DOUBLE)
+                          * CAST(n_pairs - ty AS DOUBLE)), 6) + 0.0
+           END AS tau_b
+    FROM np LEFT JOIN st USING (event_type)
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (tie-corrected) between time and value per
+    event_type over the earliest 200 points — exact integer
+    concordance counts, capped quadratic like theil_sen
+    (``operators/timeseries.py::kendall_tau``)."""
+    from institutional_fx_etl_spark.operators.timeseries import (
+        kendall_tau,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return kendall_tau(
+        ev, "value", "ts", ("ts", "event_id"), ("event_type",),
+        max_points=200,
+    )
+
+
+@register(
+    "dp_count_laplace",
+    """
+    WITH g AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_true
+      FROM documents GROUP BY lang, source
+    ),
+    u AS (
+      SELECT lang, source, n_true,
+             (CAST(concat('0x', substr(md5(concat_ws('|', 'dp',
+                lang, source)), 1, 15)) AS BIGINT) + 0.5)
+             / 1152921504606846976.0 AS uu
+      FROM g
+    )
+    SELECT lang, source, n_true, CAST(1.0 AS DOUBLE) AS epsilon,
+           round(n_true + (CASE WHEN uu < 0.5 THEN 1.0 * ln(2 * uu)
+                 ELSE -1.0 * ln(2 - 2 * uu) END), 6) + 0.0
+             AS dp_count
+    FROM u
+    """,
+)
+def q_dp_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epsilon-DP (lang, source) document counts via the Laplace
+    mechanism with md5-seeded deterministic noise (testing-grade
+    reproducibility, documented) —
+    (``operators/profiling.py::dp_count_laplace``)."""
+    from institutional_fx_etl_spark.operators.profiling import (
+        dp_count_laplace,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dp_count_laplace(docs, ["lang", "source"], epsilon=1.0)
+
+
+def _register_ccnet_bucket() -> None:
+    """ccnet_perplexity_bucket composes the registered bigram LM
+    oracle as a CTE (the dedup_weights composite-oracle pattern) and
+    adds the integer-predicate tercile cuts on top."""
+    lm = REGISTRY["bigram_lm_score"][1]
+    oracle = f"""
+    WITH scored AS ({lm}),
+    dist AS (SELECT perplexity, count(*) AS c FROM scored
+             GROUP BY perplexity),
+    cum AS (SELECT perplexity,
+                   SUM(c) OVER (ORDER BY perplexity) AS cum
+            FROM dist),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+    cuts AS (
+      SELECT min(CASE WHEN cum * 3 >= n THEN perplexity END) AS v1,
+             min(CASE WHEN cum * 3 >= 2 * n THEN perplexity END) AS v2
+      FROM cum, tot
+    )
+    SELECT doc_id, n_bigrams, perplexity,
+           CASE WHEN perplexity <= v1 THEN 'head'
+                WHEN perplexity <= v2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM scored, cuts
+    """
+
+    @register("ccnet_perplexity_bucket", oracle)
+    def q_ccnet_perplexity_bucket(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """CCNet-style head/middle/tail perplexity terciles over the
+        corpus-fit bigram LM — threshold cuts from exact order
+        statistics without a global sort
+        (``operators/text.py::ccnet_perplexity_bucket``)."""
+        from institutional_fx_etl_spark.operators.text import (
+            ccnet_perplexity_bucket,
+        )
+
+        return ccnet_perplexity_bucket(
+            load_table(spark, sf_dir, "documents")
+        )
+
+
+_register_ccnet_bucket()
+
+
+def _ivfpq_probe_report_oracle(
+    nprobe: int = 2, max_cell: int = 512
+) -> str:
+    """DuckDB mirror of ``ivfpq_probe_report``: the ivfpq assignment
+    + probe CTEs, then pure integer cell accounting."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        _ADC_QUERY,
+    )
+
+    qlit = "[" + ", ".join(repr(x) for x in _ADC_QUERY) + "]"
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+               FROM embeddings),
+    cents AS (SELECT vec_id AS cid, vv AS cv FROM v WHERE vec_id < 8),
+    scored AS (
+      SELECT v.vec_id AS vid, c.cid,
+             round(list_dot_product(v.vv, c.cv)
+                   / (sqrt(list_dot_product(v.vv, v.vv))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos
+      FROM v CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vid, cid FROM (
+        SELECT *, row_number() OVER
+          (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT cid FROM (
+        SELECT cid,
+               round(list_dot_product(cv, {qlit})
+                     / (sqrt(list_dot_product(cv, cv))
+                        * sqrt(list_dot_product({qlit}, {qlit}))), 6)
+                 AS ccos
+        FROM cents
+      ) ORDER BY ccos DESC, cid LIMIT {nprobe}
+    ),
+    sizes AS (SELECT cid, count(*) AS n FROM assigned GROUP BY cid),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+                   CAST(count(DISTINCT cid) AS BIGINT) AS n_cells
+            FROM assigned),
+    pr AS (SELECT s.cid, s.n FROM sizes s JOIN probe USING (cid)),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cells_probed,
+             CAST(SUM(n) AS BIGINT) AS n_probed_rows,
+             CAST(MAX(n) AS BIGINT) AS max_probed_cell,
+             CAST(SUM(CASE WHEN n > {max_cell} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_probed_over_cap,
+             CAST(SUM(CASE WHEN n > {max_cell} THEN n ELSE 0 END)
+                  AS BIGINT) AS rows_skipped_by_cap
+      FROM pr
+    )
+    SELECT n_corpus, n_cells, n_cells_probed, n_probed_rows,
+           round(CAST(n_probed_rows AS DOUBLE) / n_corpus, 6)
+             AS probed_fraction,
+           max_probed_cell, n_probed_over_cap, rows_skipped_by_cap
+    FROM a, tot
+    """
+
+
+@register("ivfpq_probe_report", _ivfpq_probe_report_oracle())
+def q_ivfpq_probe_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probed-fraction + hot-cell cap accounting for the IVF-PQ scan
+    (r12 verdict task #5): how much of the corpus the ADC stage
+    touches for this query, and what a max_cell=512 cap would skip —
+    the skew cost made visible before the wall clock finds it
+    (``operators/similarity.py::ivfpq_probe_report``)."""
+    from institutional_fx_etl_spark.operators.similarity import (
+        ivfpq_probe_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_probe_report(
+        emb, num_centroids=8, nprobe=2, max_cell=512
+    )
+
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -14316,19 +14624,83 @@ CORE_TIER = [
 ]
 
 _HEAD = [
-    # --- round-12 window (50) -----------------------------------------
-    # Composed per the round-11 verdict's ask #1 (40 machine-pinned
-    # slots) + the r10 overflow precedent for the 10 free slots:
-    #   * the 11 round-11 ops added after the r11 driver window froze
+    # --- round-13 window (50) -----------------------------------------
+    # Composed per the round-12 verdict's ask #1 (44 machine-pinned
+    # slots) + the in-window-debut rule for the 6 free slots:
+    #   * the 3 round-12 ops added after the r12 window froze
     #     (judge-certified at sf0.01 but never driver-sampled) come
     #     first — the driver record is the contract of record;
-    #   * then the 29 staleness-5 rows (all last certified r6 — the
-    #     whole remaining r6 block, per tools/cert_history.py);
-    #   * then the 10 NEW round-12 ops, certified in their debut round
-    #     so the never-driver-certified class stays empty (rotation
-    #     arithmetic: r13 must take all 41 r7 rows, r14 all 44 r8 rows
-    #     — both fit the 50-slot window ONLY if new ops never queue).
+    #   * then the 41 staleness-5 rows (all last certified r7 — the
+    #     whole remaining r7 block, per tools/cert_history.py);
+    #   * then the 6 NEW round-13 ops, certified in their debut round
+    #     (capacity policy: new ops ONLY debut in-window, and only as
+    #     many as the round has slack — see ROADMAP "window capacity"
+    #     and the feasibility gate in tests/test_cert_freshness.py;
+    #     r14 demand is 44, r15 43, r16-r18 exactly 50, so registry
+    #     growth pauses after r15 until a cohort retires).
     # tests/test_cert_freshness.py machine-enforces the composition.
+    "matryoshka_recall",
+    "bootstrap_ci_mean",
+    "herfindahl_concentration",
+    # staleness-5 (r7) block — all 41
+    "benford_profile",
+    "bigram_lm_score",
+    "bot_rate_profile",
+    "bpe_merge_candidates",
+    "candle_patterns",
+    "cdc_snapshot",
+    "chisq_independence",
+    "cooccurrence_lift",
+    "dedup_editdistance",
+    "dedup_incremental",
+    "event_transitions",
+    "ewma",
+    "graph_bfs_hops",
+    "hybrid_pipeline_chunked",
+    "k_anonymity",
+    "leakage_safe_split",
+    "linreg_per_group",
+    "lsh_ann_pairs_multitable",
+    "mad_robust",
+    "pagerank_fixed",
+    "pq_adc_topk",
+    "quality_gopher",
+    "rolling_distinct_users",
+    "scd2_apply",
+    "source_rollup",
+    "spearman_corr",
+    "streaming_session_window",
+    "tokenizer_coverage",
+    "tpch_q1",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q4",
+    "tpch_q6",
+    "twap_events",
+    "winsorize",
+    # round-13 debuts
+    "garman_klass_vol",
+    "var_cvar",
+    "kendall_tau",
+    "dp_count_laplace",
+    "ccnet_perplexity_bucket",
+    "ivfpq_probe_report",
+]
+_TAIL = [
+    # r12-green — the freshest driver rows on the board (demotion
+    # tail per policy rule 4: only entries with a green row from the
+    # immediately previous round may hold the tail, so the union of
+    # any two consecutive windows covers the whole registry). The
+    # r8-r11 remainder is NOT listed, so _reorder_registry places it
+    # between _HEAD and _TAIL — top of the pytest tail gate, first
+    # in line for the r14 window (oldest first; see
+    # tools/cert_history.py for the machine-readable ledger).
     "stupid_backoff_lm",
     "mmr_select",
     "label_prop_communities",
@@ -14340,7 +14712,6 @@ _HEAD = [
     "semdedup_incremental",
     "dedup_prefix_filter",
     "streaming_decontaminate",
-    # staleness-5 (r6) block — all 29
     "asof_join_nearest",
     "autocorr_lag",
     "bollinger_bands",
@@ -14370,7 +14741,6 @@ _HEAD = [
     "vwap",
     "weighted_sample",
     "zscore_normalize",
-    # round-12 debuts
     "quality_c4",
     "temperature_resample",
     "adamic_adar",
@@ -14381,66 +14751,6 @@ _HEAD = [
     "theil_sen",
     "fdr_bh",
     "t_closeness",
-]
-_TAIL = [
-    # r11-green — the freshest driver rows on the board (demotion
-    # tail per policy rule 4: only entries with a green row from the
-    # immediately previous round may hold the tail, so the union of
-    # any two consecutive windows covers the whole registry). The
-    # r7-r10 remainder is NOT listed, so _reorder_registry places it
-    # between _HEAD and _TAIL — top of the pytest tail gate, first
-    # in line for the r13 window (oldest first; see
-    # tools/cert_history.py for the machine-readable ledger).
-    "dedup_weights",
-    "contamination_audit",
-    "boilerplate_incremental",
-    "quantile_align",
-    "streaming_lm_score",
-    "tokenizer_fertility",
-    "groupby_agg",
-    "asof_join",
-    "json_extract",
-    "sessionize",
-    "value_histogram",
-    "datetime_functions",
-    "string_functions",
-    "topk_per_group",
-    "stratified_sample",
-    "unpivot",
-    "cube_agg",
-    "set_ops",
-    "pivot_agg",
-    "rollup_agg",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "ann_topk",
-    "ivf_topk",
-    "ivf_topk_kmeans",
-    "pq_encode",
-    "text_token_count",
-    "text_quality",
-    "text_fingerprint",
-    "multimodal_decode",
-    "streaming_tumbling_ohlc",
-    "streaming_dedup",
-    "ngram_topk",
-    "corpus_pipeline",
-    "dedup_stats",
-    "corpus_filter_report",
-    "sketch_stats_exact",
-    "dedup_clusters",
-    "embedding_near_dup",
-    "hybrid_pipeline_audit",
-    "pipeline_clean_fixture",
-    "pipeline_clean_fixture_fused",
-    "incremental_merge_multisym",
-    "candle_resample",
-    "doc_packing",
-    "text_entropy",
-    "emb_centroids",
-    "equidepth_histogram",
-    "linear_interpolate",
 ]
 
 

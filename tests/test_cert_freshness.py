@@ -107,3 +107,51 @@ def test_window_prioritizes_the_stalest():
             "an out-of-window query is staler than everything in the "
             "window — the rotation is not picking the stalest first"
         )
+
+
+# --- window-capacity policy (r12 verdict ask #2) ----------------------
+# A 50-slot window re-certifying every query within MAX_STALE=5 rounds
+# supports at most WINDOW*(MAX_STALE+1) = 300 registry entries at
+# steady state. POLICY (ROADMAP "window capacity"): (a) hard ceiling
+# 300; (b) new ops debut IN-WINDOW only (never parked post-window), and
+# only as many as the round has slack after the forced cohort; (c) when
+# the forced cohort is short of 50, the slack goes to new debuts first,
+# then the stalest staleness-(MAX_STALE-1) rows to smooth future
+# cohorts. These two tests make saturation fail ONE ROUND EARLY — at
+# window-composition time, not at a future round's impossible
+# composition.
+
+
+def test_registry_fits_rotation_capacity():
+    led, _ = ledger()
+    cap = WINDOW * (MAX_STALE + 1)
+    assert len(led) <= cap, (
+        f"registry has {len(led)} queries; the {WINDOW}-slot/"
+        f"MAX_STALE={MAX_STALE} rotation supports at most {cap} — "
+        "retire queries into a pytest-certified tier or re-prove the "
+        "rotation arithmetic before growing further"
+    )
+
+
+def test_next_round_demand_fits_window():
+    """Project ONE round ahead: after the upcoming window certifies,
+    every query now at staleness MAX_STALE-1 and out-of-window will
+    sit at the MAX_STALE ceiling and MUST head the next window
+    (together with any never-certified query still waiting). If that
+    forced cohort alone exceeds the window, next round's composition
+    is infeasible no matter what — fail now, while there is still a
+    round of slack to rebalance in."""
+    led, _ = ledger()
+    forced_next = [
+        n
+        for n, r in led.items()
+        if not r["in_window"]
+        and (
+            r["last_round"] is None
+            or r["staleness"] == MAX_STALE - 1
+        )
+    ]
+    assert len(forced_next) <= WINDOW, (
+        f"{len(forced_next)} queries are pinned for the NEXT round's "
+        f"window (> {WINDOW} slots): {sorted(forced_next)[:10]}..."
+    )
