@@ -13,6 +13,18 @@ in a hot path:
   through ``MapInPandas`` / ``FlatMapGroupsInPandas`` (Arrow-batched,
   allowed, and only where semantics demand it).
 
+- Plan SIZE (r12 verdict ask #4, promoted from the round-close
+  checklist to a machine gate): an unrolled loop that references
+  prior state more than ~twice grows its lazy plan multiplicatively
+  (kcore_decomposition hit 18,868 BroadcastHashJoins and 19.6 s of
+  pure planning before its localCheckpoint fix; verified: with
+  checkpointing no-op'd the same plan prints >20k lines and this
+  gate fires). Every batch query's executedPlan must print under
+  ``MAX_PLAN_LINES``; the documented combinatorial graph ops with
+  legitimately large fixed-round plans carry explicit higher caps in
+  ``PLAN_LINES_ALLOWANCE`` — grow one past its cap and the gate
+  demands either lineage truncation or a reviewed allowance bump.
+
 Streaming queries (``streaming_*``) are skipped here: building their
 result requires actually running the stream, and their batch twins
 cover the same logical plans.
@@ -31,6 +43,20 @@ CARTESIAN_ALLOWED = {
     "dedup_recall_eval",  # blocking-free exact-Jaccard truth (n²)
 }
 
+#: default ceiling on executedPlan().toString() line count at sf0.001
+#: (measured registry max outside the allowance: ~910 lines; the
+#: blowup class this catches prints tens of thousands)
+MAX_PLAN_LINES = 1000
+
+#: documented fixed-round iterative graph ops whose unrolled-but-
+#: truncated plans legitimately exceed the default (measured r13:
+#: modularity 2318, clustering_coefficient 1499 — constant per round
+#: count, NOT multiplicative; the gate still bounds them)
+PLAN_LINES_ALLOWANCE = {
+    "graph_modularity": 3000,
+    "clustering_coefficient": 2000,
+}
+
 _BATCH_QUERIES = [
     n for n in driver_queries.REGISTRY if not n.startswith("streaming_")
 ]
@@ -44,6 +70,13 @@ def test_plan_has_no_forbidden_operators(spark, name):
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
     assert "BatchEvalPython" not in plan, f"{name} plans a Python UDF"
     assert "ArrowEvalPython" not in plan, f"{name} plans a scalar UDF"
+    cap = PLAN_LINES_ALLOWANCE.get(name, MAX_PLAN_LINES)
+    n_lines = plan.count("\n")
+    assert n_lines <= cap, (
+        f"{name} plans {n_lines} lines (cap {cap}) — an unrolled or"
+        " self-joined lineage needs localCheckpoint truncation (see"
+        " ROADMAP round-12 perf lessons), or a reviewed allowance"
+    )
 
 
 def test_rotation_lists_have_no_typos():
