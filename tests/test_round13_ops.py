@@ -375,3 +375,71 @@ def test_cap_report_reconciles_with_capped_pairs(spark):
     assert rep["n_exact_cohorts"] >= 1
     assert rep["n_collapsed_docs"] >= 12
     assert rep["candidates_dropped"] == 0
+
+
+# ------------------------------------------- brute-force references
+def test_var_cvar_matches_python_reference_random(spark):
+    """Deterministic pseudo-random series vs a pure-Python oracle:
+    the exact integer order-statistic path must agree with the naive
+    sort at every alpha."""
+    import math as m
+    from datetime import datetime as DT, timedelta
+
+    vals = [((i * 37 + 11) % 97 - 48) / 9.7 for i in range(60)]
+    rows = [
+        ("r", DT(2024, 1, 1) + timedelta(seconds=i), i, 100.0 + v)
+        for i, v in enumerate(vals)
+    ]
+    for alpha in (1, 5, 25, 50, 99):
+        row = var_cvar(
+            _ticks(spark, rows), "v", ("ts", "tid"), ("sym",),
+            alpha_pct=alpha,
+        ).collect()[0]
+        # micro-exact moves, matching the operator's quantization
+        prev = [100.0 + v for v in vals]
+        dm = [
+            m.floor((prev[i + 1] - prev[i]) * 1e6 + 0.5)
+            for i in range(len(prev) - 1)
+        ]
+        dm_sorted = sorted(dm)
+        n = len(dm)
+        k = -(-n * alpha // 100)  # ceil
+        want_var = -dm_sorted[k - 1] / 1e6
+        want_cvar = -(sum(dm_sorted[:k]) / k) / 1e6
+        assert row["n_returns"] == n and row["k_tail"] == k
+        assert row["var_loss"] == pytest.approx(want_var, abs=1e-6)
+        assert row["cvar_loss"] == pytest.approx(want_cvar, abs=1e-6)
+
+
+def test_kendall_tau_matches_python_reference_random(spark):
+    import math as m
+    from datetime import datetime as DT, timedelta
+
+    # ties in both x (repeated timestamps) and y (quantized values)
+    xs = [i // 3 for i in range(24)]  # repeated seconds
+    ys = [((i * 29 + 7) % 11) / 2.0 for i in range(24)]
+    rows = [
+        ("k", DT(2024, 1, 1) + timedelta(seconds=xs[i]), i, ys[i])
+        for i in range(24)
+    ]
+    row = kendall_tau(
+        _ticks(spark, rows), "v", "ts", ("ts", "tid"), ("sym",)
+    ).collect()[0]
+    ymicro = [m.floor(y * 1e6 + 0.5) for y in ys]
+    C = D = tx = ty = 0
+    for i in range(24):
+        for j in range(i + 1, 24):
+            dx = xs[j] - xs[i]
+            dy = ymicro[j] - ymicro[i]
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy > 0:
+                C += 1
+            elif dx * dy < 0 and dx != 0 and dy != 0:
+                D += 1
+    n0 = 24 * 23 // 2
+    want = (C - D) / m.sqrt((n0 - tx) * (n0 - ty))
+    assert row["concordant"] == C and row["discordant"] == D
+    assert row["tau_b"] == pytest.approx(want, abs=1e-6)
