@@ -14624,44 +14624,106 @@ CORE_TIER = [
 ]
 
 _HEAD = [
-    # --- round-13 window (50) -----------------------------------------
-    # Composed per the round-12 verdict's ask #1 (44 machine-pinned
-    # slots) + the in-window-debut rule for the 6 free slots:
-    #   * the 3 round-12 ops added after the r12 window froze
-    #     (judge-certified at sf0.01 but never driver-sampled) come
-    #     first — the driver record is the contract of record;
-    #   * then the 41 staleness-5 rows (all last certified r7 — the
-    #     whole remaining r7 block, per tools/cert_history.py);
-    #   * then the 6 NEW round-13 ops, certified in their debut round
-    #     (capacity policy: new ops ONLY debut in-window, and only as
-    #     many as the round has slack — see ROADMAP "window capacity"
-    #     and the feasibility gate in tests/test_cert_freshness.py;
-    #     r14 demand is 44, r15 43, r16-r18 exactly 50, so registry
-    #     growth pauses after r15 until a cohort retires).
+    # --- round-14 window (50) -----------------------------------------
+    # Composed per the r13 verdict's ask #1: the forced cohort is the
+    # 44 staleness-5 rows (the whole r8 block, per
+    # tools/cert_history.py), then the round's 6 slack slots go to
+    # NEW round-14 ops per the capacity policy (new ops ONLY debut
+    # in-window, and only as many as the round has slack — see
+    # ROADMAP "window capacity" and the feasibility gates in
+    # tests/test_cert_freshness.py).
     # tests/test_cert_freshness.py machine-enforces the composition.
-    "matryoshka_recall",
-    "bootstrap_ci_mean",
-    "herfindahl_concentration",
-    # staleness-5 (r7) block — all 41
+    # staleness-5 (r8) block — all 44
+    "ann_recall_eval",
+    "anova_oneway",
+    "assoc_rules",
+    "bloom_membership",
+    "bm25_rank",
+    "countmin_estimate",
+    "cramers_v",
+    "crosscorr_lags",
+    "cusum_changepoint",
+    "decay_score",
+    "dedup_canonical",
+    "dedup_containment",
+    "dedup_ensemble_pairs",
+    "dedup_recall_eval",
+    "dedup_sorted_neighborhood",
+    "diff_in_diff",
+    "dsir_weights",
+    "emb_covariance",
+    "fuzzy_lookup_join",
+    "gini_by_group",
+    "graph_sssp_weighted",
+    "hll_estimate",
+    "interarrival_stats",
+    "key_skew_profile",
+    "ks_two_sample",
+    "lsh_ann_pairs",
+    "mannwhitney_u",
+    "mixture_sampling",
+    "pareto_topshare",
+    "profile_table",
+    "proportion_ztest",
+    "psi_drift",
+    "quantile_sketch",
+    "referential_integrity",
+    "streaming_countmin",
+    "streaming_cusum",
+    "streaming_hll",
+    "streaming_quantile_sketch",
+    "tpch_q12",
+    "tpch_q15",
+    "tpch_q9",
+    "triangle_count",
+    "weighted_median",
+    "zorder_layout",
+    # round-14 slack (6 slots): debuts land here as they are
+    # implemented this round; until then the slots smooth the r15
+    # cohort with the stalest staleness-4 rows (policy rule (c)).
+    "array_agg_functions",
+    "cross_source_overlap",
+    "curriculum_order",
+    "dedup_minhash_error",
+    "dedup_nearest_text",
+    "dup_span_coverage",
+]
+_TAIL = [
+    # r13-green — the freshest driver rows on the board (demotion
+    # tail per policy rule 4: only entries with a green row from the
+    # immediately previous round may hold the tail, so the union of
+    # any two consecutive windows covers the whole registry). The
+    # r9-r12 remainder is NOT listed, so _reorder_registry places it
+    # between _HEAD and _TAIL — top of the pytest tail gate, first
+    # in line for the r15 window (oldest first; see
+    # tools/cert_history.py for the machine-readable ledger).
     "benford_profile",
     "bigram_lm_score",
+    "bootstrap_ci_mean",
     "bot_rate_profile",
     "bpe_merge_candidates",
     "candle_patterns",
+    "ccnet_perplexity_bucket",
     "cdc_snapshot",
     "chisq_independence",
     "cooccurrence_lift",
     "dedup_editdistance",
     "dedup_incremental",
+    "dp_count_laplace",
     "event_transitions",
     "ewma",
+    "garman_klass_vol",
     "graph_bfs_hops",
+    "herfindahl_concentration",
     "hybrid_pipeline_chunked",
+    "ivfpq_probe_report",
     "k_anonymity",
+    "kendall_tau",
     "leakage_safe_split",
     "linreg_per_group",
     "lsh_ann_pairs_multitable",
     "mad_robust",
+    "matryoshka_recall",
     "pagerank_fixed",
     "pq_adc_topk",
     "quality_gopher",
@@ -14683,74 +14745,8 @@ _HEAD = [
     "tpch_q4",
     "tpch_q6",
     "twap_events",
-    "winsorize",
-    # round-13 debuts
-    "garman_klass_vol",
     "var_cvar",
-    "kendall_tau",
-    "dp_count_laplace",
-    "ccnet_perplexity_bucket",
-    "ivfpq_probe_report",
-]
-_TAIL = [
-    # r12-green — the freshest driver rows on the board (demotion
-    # tail per policy rule 4: only entries with a green row from the
-    # immediately previous round may hold the tail, so the union of
-    # any two consecutive windows covers the whole registry). The
-    # r8-r11 remainder is NOT listed, so _reorder_registry places it
-    # between _HEAD and _TAIL — top of the pytest tail gate, first
-    # in line for the r14 window (oldest first; see
-    # tools/cert_history.py for the machine-readable ledger).
-    "stupid_backoff_lm",
-    "mmr_select",
-    "label_prop_communities",
-    "l_diversity",
-    "heaps_law_fit",
-    "graph_modularity",
-    "kcenter_select",
-    "kl_source_divergence",
-    "semdedup_incremental",
-    "dedup_prefix_filter",
-    "streaming_decontaminate",
-    "asof_join_nearest",
-    "autocorr_lag",
-    "bollinger_bands",
-    "bpe_token_count",
-    "corpus_rebalance",
-    "dedup_apply",
-    "dedup_degree_stats",
-    "doc_feature_matrix",
-    "doc_packing_text",
-    "emb_quantize",
-    "interval_merge",
-    "inverted_index",
-    "max_drawdown",
-    "minmax_scale",
-    "realized_vol",
-    "retention_cohorts",
-    "rsi_cutler",
-    "segment_dedup",
-    "streaming_static_join",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q7",
-    "vwap",
-    "weighted_sample",
-    "zscore_normalize",
-    "quality_c4",
-    "temperature_resample",
-    "adamic_adar",
-    "kcore_decomposition",
-    "clustering_coefficient",
-    "roll_spread",
-    "parkinson_vol",
-    "theil_sen",
-    "fdr_bh",
-    "t_closeness",
+    "winsorize",
 ]
 
 
