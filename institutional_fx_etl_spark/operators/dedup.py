@@ -1349,6 +1349,7 @@ def _prefix_docs(
     id_col: str,
     jaccard_threshold: float,
     shingle_n: int | None,
+    owned: list | None = None,
 ) -> DataFrame:
     """Shared PPJoin prefix relation: one row per doc with its
     rarity-sorted distinct element array (``toks``), its size ``n``
@@ -1381,11 +1382,13 @@ def _prefix_docs(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+    if owned is not None:
+        owned.append(dt)
     freq = dt.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
     # τ as an exact rational: threshold quantizes to ppm so the prefix
     # length ⌈τ·n⌉ is integer arithmetic, identical cross-engine
     tau_ppm = int(round(jaccard_threshold * 1_000_000))
-    return (
+    docs = (
         dt.join(freq, "__t")
         .groupBy(id_col)
         .agg(
@@ -1404,6 +1407,9 @@ def _prefix_docs(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if owned is not None:
+        owned.append(docs)
+    return docs
 
 
 def _collapse_overcap(
@@ -1411,6 +1417,7 @@ def _collapse_overcap(
     pre: DataFrame,
     id_col: str,
     max_bucket: int,
+    owned: list | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The dedup-collapse escalation relation, factored ONCE (r12
     ADVICE: :func:`prefix_filter_pairs` and
@@ -1425,11 +1432,15 @@ def _collapse_overcap(
 
     Persist lifetime is CALLER-OWNED: ``cohorts``/``cm`` (and the
     ``docs`` relation from :func:`_prefix_docs`) stay persisted until
-    the SparkSession clears them — both public consumers return lazy
-    DataFrames, so nothing inside this module can safely unpersist.
-    Running pairs + report on the SAME inputs shares cache entries
-    (Spark's cache manager matches canonicalized plans), so the pair
-    never double-computes the collapse.
+    the SparkSession clears them — the PAIRS consumer returns a lazy
+    DataFrame, so nothing inside this module can safely unpersist
+    there. Pass ``owned`` (a list) to collect the persisted handles:
+    the one-row :func:`prefix_filter_cap_report` eagerly materializes
+    its result and unpersists everything it registered (r13 ADVICE —
+    report-only callers were accumulating MEMORY_AND_DISK entries for
+    the session lifetime). Running pairs + report on the SAME inputs
+    shares cache entries (Spark's cache manager matches canonicalized
+    plans), so the pair never double-computes the collapse.
     """
     from pyspark import StorageLevel
 
@@ -1449,6 +1460,8 @@ def _collapse_overcap(
     cm = cohorts.filter("size(ids) >= 2").selectExpr(
         "ids[0] AS __rep", "explode(ids) AS __member"
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if owned is not None:
+        owned.extend((cohorts, cm))
     # member -> representative over ALL escalated docs (singleton
     # cohorts map to themselves)
     rep_of = (
@@ -1488,10 +1501,20 @@ def prefix_filter_cap_report(
     n_hot_buckets_dropped, candidates_kept, candidates_dropped
     (Σ C(D,2) over dropped buckets — the REAL candidate pairs the
     capped run will not verify), n_exact_cohorts, n_collapsed_docs.
+
+    The report is ONE ROW by construction, so unlike the lazy pairs
+    path it materializes eagerly and unpersists every cache handle it
+    registered (r13 ADVICE: report-only callers were leaking
+    MEMORY_AND_DISK entries for the session lifetime).
     """
-    docs = _prefix_docs(df, text_col, id_col, jaccard_threshold, shingle_n)
+    owned: list[DataFrame] = []
+    docs = _prefix_docs(
+        df, text_col, id_col, jaccard_threshold, shingle_n, owned=owned
+    )
     pre = docs.selectExpr(bq(id_col), "explode(prefix) AS __t")
-    pre2, cohorts, _cm = _collapse_overcap(docs, pre, id_col, max_bucket)
+    pre2, cohorts, _cm = _collapse_overcap(
+        docs, pre, id_col, max_bucket, owned=owned
+    )
     bucket_sizes = pre2.groupBy("__t").agg(
         F.count(F.lit(1)).alias("__d")
     )
@@ -1500,7 +1523,7 @@ def prefix_filter_cap_report(
         F.expr("CAST(coalesce(SUM(size(ids)), 0) AS BIGINT)"
                " AS n_collapsed_docs"),
     )
-    return (
+    report = (
         bucket_sizes.filter("__d >= 2")
         .agg(
             F.expr("CAST(count(1) AS BIGINT) AS n_buckets"),
@@ -1530,6 +1553,10 @@ def prefix_filter_cap_report(
         )
         .crossJoin(F.broadcast(cohort_stats))
     )
+    rows = report.collect()  # bounded: one row by construction
+    for handle in owned:
+        handle.unpersist()
+    return df.sparkSession.createDataFrame(rows, schema=report.schema)
 
 
 def prefix_filter_pairs(

@@ -1186,7 +1186,10 @@ def dp_count_laplace(
 
     DETERMINISTIC noise (the engine's md5-seeded discipline — the
     bootstrap/weighted_sample pattern): each group's noise draw seeds
-    from ``md5(seed_tag | group values)``, the first 15 hex digits
+    from ``md5(seed_tag | md5(v) per group value)`` — hashing each
+    component BEFORE joining makes the seed injective over the group
+    tuple (r13 ADVICE: raw '|' joins let ('a|b','c') and ('a','b|c')
+    collide and draw identical noise), the first 15 hex digits
     become a 60-bit integer, ``u = (h + 0.5)/2^60 ∈ (0,1)`` (the
     half-up offset keeps u strictly interior, so the inverse CDF
     never sees ln(0)), and the Laplace inverse CDF
@@ -1210,7 +1213,10 @@ def dp_count_laplace(
     if epsilon <= 0:
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
     b = 1.0 / float(epsilon)
-    seed = ", ".join(["'" + seed_tag + "'"] + [bq(c) for c in group_cols])
+    seed = ", ".join(
+        ["'" + seed_tag + "'"]
+        + [f"md5(CAST({bq(c)} AS STRING))" for c in group_cols]
+    )
     return (
         df.groupBy(*group_cols)
         .agg(F.expr("CAST(count(1) AS BIGINT) AS n_true"))

