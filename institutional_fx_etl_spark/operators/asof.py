@@ -80,6 +80,126 @@ def asof_join(
     )
 
 
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "datetime",
+    partition_cols: tuple[str, ...] = (),
+    right_cols: tuple[str, ...] | None = None,
+    tolerance_s: float | None = None,
+    direction: str = "backward",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """pandas ``merge_asof(direction=..., tolerance=...)`` semantics
+    (the r13 verdict's W2 as-of ask): attach the closest right row in
+    the requested ``direction`` — ``'backward'`` (≤ left ts),
+    ``'forward'`` (≥ left ts) or ``'nearest'`` — but only when the
+    time gap is within ``tolerance_s`` seconds (inclusive; ``None``
+    = unbounded, degenerating to :func:`asof_join` /
+    :func:`asof_join_nearest`). Out-of-tolerance rows keep the left
+    side with NULL right columns, exactly like ``merge_asof``.
+
+    Same union + running-last technique as the siblings — the
+    tolerance is a SCAN-SIDE mask applied after the fill (the closest
+    row on a side is by definition the only candidate on that side,
+    so masking it is equivalent to never matching), never a range
+    join: one shuffle per direction over |L|+|R| rows regardless of
+    tolerance width, where a range-join plan would blow up with the
+    tolerance window at 100 TB. Equal-timestamp right rows resolve by
+    payload order (max payload — the round-5 asof determinism rule).
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest',"
+            f" got {direction!r}"
+        )
+    if right_cols is None:
+        right_cols = tuple(
+            c for c in right.columns if c != ts_col and c not in partition_cols
+        )
+
+    r_payload = F.struct(
+        F.col(ts_col).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
+    r_type = right.select(r_payload.alias("p")).schema["p"].dataType
+    l_type = left.select(F.struct(*left.columns).alias("l")).schema["l"].dataType
+    l_tagged = left.select(
+        *partition_cols,
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left_row"),
+        F.lit(None).cast(r_type).alias("__right_row"),
+    )
+    r_tagged = right.select(
+        *partition_cols,
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_type).alias("__left_row"),
+        r_payload.alias("__right_row"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+
+    def _epoch(c):
+        # TIMESTAMP_NTZ refuses a direct numeric cast — hop through
+        # cast("timestamp") (UTC session: same instant)
+        return c.cast("timestamp").cast("double")
+
+    filled = u
+    if direction in ("backward", "nearest"):
+        back = (
+            Window.partitionBy(*partition_cols)
+            .orderBy(F.asc("__ts"), F.asc("__side"), F.asc("__right_row"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = filled.withColumn(
+            "__prev", F.last("__right_row", ignorenulls=True).over(back)
+        )
+    if direction in ("forward", "nearest"):
+        fwd = (
+            Window.partitionBy(*partition_cols)
+            .orderBy(F.desc("__ts"), F.asc("__side"), F.asc("__right_row"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = filled.withColumn(
+            "__next", F.last("__right_row", ignorenulls=True).over(fwd)
+        )
+
+    out = filled.filter(F.col("__side") == 1)
+    tol = None if tolerance_s is None else float(tolerance_s)
+    if direction in ("backward", "nearest"):
+        d_prev = _epoch(F.col("__ts")) - _epoch(F.col("__prev.__rts"))
+        prev_ok = F.col("__prev").isNotNull()
+        if tol is not None:
+            prev_ok = prev_ok & (d_prev <= F.lit(tol))
+        out = out.withColumn(
+            "__prev_t", F.when(prev_ok, F.col("__prev"))
+        )
+    if direction in ("forward", "nearest"):
+        d_next = _epoch(F.col("__next.__rts")) - _epoch(F.col("__ts"))
+        next_ok = F.col("__next").isNotNull()
+        if tol is not None:
+            next_ok = next_ok & (d_next <= F.lit(tol))
+        out = out.withColumn(
+            "__next_t", F.when(next_ok, F.col("__next"))
+        )
+
+    if direction == "backward":
+        pick = F.col("__prev_t")
+    elif direction == "forward":
+        pick = F.col("__next_t")
+    else:
+        pick = (
+            F.when(F.col("__prev_t").isNull(), F.col("__next_t"))
+            .when(F.col("__next_t").isNull(), F.col("__prev_t"))
+            .when(d_prev <= d_next, F.col("__prev_t"))
+            .otherwise(F.col("__next_t"))
+        )
+    return out.withColumn("__pick", pick).select(
+        *[F.col(f"__left_row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__pick.{c}").alias(c + suffix) for c in right_cols],
+    )
+
+
 def asof_join_nearest(
     left: DataFrame,
     right: DataFrame,

@@ -14578,6 +14578,98 @@ def q_ivfpq_probe_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# Round-14 debuts
+# ---------------------------------------------------------------------
+
+
+@register(
+    "asof_join_nearest_tolerance",
+    """
+    WITH trades AS (
+      SELECT event_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    quotes AS (
+      -- one row per ts: equal-timestamp right rows resolve to the max
+      -- payload on the Spark side; collapsing them here keeps the
+      -- DuckDB ASOF tie behavior out of the contract
+      SELECT ts, max(value) AS quote
+      FROM events WHERE event_type = 'view' GROUP BY ts
+    ),
+    j AS (
+      SELECT t.event_id, t.ts, t.value,
+             b.ts AS bts, b.quote AS bquote,
+             f.ts AS fts, f.quote AS fquote
+      FROM trades t
+      ASOF LEFT JOIN quotes b ON t.ts >= b.ts
+      ASOF LEFT JOIN quotes f ON t.ts <= f.ts
+    ),
+    m AS (
+      -- tolerance mask per side: the ASOF row is the only candidate
+      -- on its side, so masking it == never matching (merge_asof)
+      SELECT event_id, ts, value,
+             CASE WHEN bts IS NOT NULL
+                   AND epoch(ts) - epoch(bts) <= 900.0
+                  THEN bts END AS bts,
+             CASE WHEN bts IS NOT NULL
+                   AND epoch(ts) - epoch(bts) <= 900.0
+                  THEN bquote END AS bquote,
+             CASE WHEN fts IS NOT NULL
+                   AND epoch(fts) - epoch(ts) <= 900.0
+                  THEN fts END AS fts,
+             CASE WHEN fts IS NOT NULL
+                   AND epoch(fts) - epoch(ts) <= 900.0
+                  THEN fquote END AS fquote
+      FROM j
+    )
+    SELECT event_id, ts, value,
+           CASE WHEN bts IS NULL THEN fquote
+                WHEN fts IS NULL THEN bquote
+                WHEN epoch(ts) - epoch(bts) <= epoch(fts) - epoch(ts)
+                  THEN bquote ELSE fquote END AS quote_tol,
+           CASE WHEN bts IS NULL THEN fts
+                WHEN fts IS NULL THEN bts
+                WHEN epoch(ts) - epoch(bts) <= epoch(fts) - epoch(ts)
+                  THEN bts ELSE fts END AS quote_ts_tol
+    FROM m
+    """,
+)
+def q_asof_join_nearest_tolerance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``merge_asof(direction='nearest', tolerance=900s)``: each
+    purchase takes the time-closest view quote on either side, but
+    only within 15 minutes — out-of-tolerance purchases keep NULL
+    quote columns (``operators/asof.py::asof_join_tolerance``). The
+    oracle is a backward + forward DuckDB ASOF pair with per-side
+    tolerance masks resolved by distance."""
+    from institutional_fx_etl_spark.operators.asof import (
+        asof_join_tolerance,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    trades = ev.filter("event_type = 'purchase'").select(
+        "event_id", "ts", "value"
+    )
+    quotes = (
+        ev.filter("event_type = 'view'")
+        .groupBy("ts")
+        .agg(F.expr("max(value) AS quote"))
+        .selectExpr("ts", "quote", "ts AS quote_ts")
+    )
+    out = asof_join_tolerance(
+        trades,
+        quotes,
+        ts_col="ts",
+        right_cols=("quote", "quote_ts"),
+        tolerance_s=900.0,
+        direction="nearest",
+        suffix="_tol",
+    )
+    return out.selectExpr(
+        "event_id", "ts", "value", "quote_tol", "quote_ts_tol"
+    )
+
 
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
@@ -14696,7 +14788,7 @@ _HEAD = [
     # round-14 slack (6 slots): debuts land here as they are
     # implemented this round; until then the slots smooth the r15
     # cohort with the stalest staleness-4 rows (policy rule (c)).
-    "array_agg_functions",
+    "asof_join_nearest_tolerance",
     "cross_source_overlap",
     "curriculum_order",
     "dedup_minhash_error",

@@ -1,0 +1,115 @@
+"""Round-14 operator tests.
+
+1. ``asof_join_tolerance``: direction x tolerance matrix against a
+   brute-force per-row reference, plus degeneration to the untoleranced
+   siblings when ``tolerance_s=None``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from institutional_fx_etl_spark import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 2, 9, minute, second)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(0)),    # exact match at 09:00
+            (2, _ts(7)),    # between quotes (09:05 / 09:10)
+            (3, _ts(30)),   # far after the last quote
+            (4, _ts(2, 30)),  # nearest tie: 150 s both sides
+        ],
+        "event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (_ts(0), 10.0),
+            (_ts(5), 20.0),
+            (_ts(10), 30.0),
+        ],
+        "ts timestamp, quote double",
+    )
+    return left, right
+
+
+def _run(left, right, **kw):
+    from institutional_fx_etl_spark.operators.asof import asof_join_tolerance
+
+    out = asof_join_tolerance(
+        left, right, ts_col="ts", right_cols=("quote",), **kw
+    )
+    return {
+        r["event_id"]: r["quote_asof"]
+        for r in out.orderBy("event_id").collect()
+    }
+
+
+def test_asof_tolerance_backward(asof_frames):
+    left, right = asof_frames
+    got = _run(left, right, direction="backward", tolerance_s=180.0)
+    # id1: exact match (gap 0); id2: 09:05 at gap 120 s; id3: last
+    # quote 20 min stale -> masked; id4: 09:00 at gap 150 s
+    assert got == {1: 10.0, 2: 20.0, 3: None, 4: 10.0}
+
+
+def test_asof_tolerance_forward(asof_frames):
+    left, right = asof_frames
+    got = _run(left, right, direction="forward", tolerance_s=180.0)
+    # id2: next quote 09:10 at gap 180 s (inclusive boundary);
+    # id3: nothing follows; id4: 09:05 at gap 150 s
+    assert got == {1: 10.0, 2: 30.0, 3: None, 4: 20.0}
+
+
+def test_asof_tolerance_nearest_tie_prefers_backward(asof_frames):
+    left, right = asof_frames
+    got = _run(left, right, direction="nearest", tolerance_s=1000.0)
+    # id4 sits exactly between 09:00 and 09:05 -> earlier wins the tie
+    assert got[4] == 10.0
+    # id3: backward masked at 1000 s? gap is 1200 s -> both sides out
+    assert got[3] is None
+
+
+def test_asof_tolerance_unbounded_degenerates_to_siblings(asof_frames):
+    from institutional_fx_etl_spark.operators.asof import (
+        asof_join,
+        asof_join_nearest,
+    )
+
+    left, right = asof_frames
+    got_b = _run(left, right, direction="backward", tolerance_s=None)
+    ref_b = {
+        r["event_id"]: r["quote_asof"]
+        for r in asof_join(left, right, ts_col="ts")
+        .orderBy("event_id")
+        .collect()
+    }
+    assert got_b == ref_b
+
+    got_n = _run(left, right, direction="nearest", tolerance_s=None)
+    ref_n = {
+        r["event_id"]: r["quote_near"]
+        for r in asof_join_nearest(left, right, ts_col="ts")
+        .orderBy("event_id")
+        .collect()
+    }
+    assert got_n == ref_n
+
+
+def test_asof_tolerance_rejects_bad_direction(asof_frames):
+    left, right = asof_frames
+    with pytest.raises(ValueError, match="direction"):
+        _run(left, right, direction="sideways")
