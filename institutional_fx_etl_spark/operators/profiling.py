@@ -263,6 +263,80 @@ def chisq_independence(
         F.expr(f"{CHISQ_AGG} AS chi2"),
     )
 
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic with the
+    Welch–Satterthwaite degrees of freedom (Welch, Biometrika 1947)
+    — the pairwise follow-up to :func:`anova_oneway` when the
+    equal-variance assumption doesn't hold. The statistic and dof are
+    closed-form, so the operator releases both and leaves the CDF
+    lookup to the caller (no special functions in either engine).
+
+    Exactness (the anova discipline): values fix-point to micro-units
+    scan-side, per-group moment sums (Σx, Σx²) accumulate as
+    DECIMAL(38,0) — order-independent on any partitioning — and the
+    final t/dof arithmetic is mirrored-double with pinned
+    association. One hash aggregate over the data; nothing global.
+
+    Output (one row): n_a, n_b, mean_a, mean_b, var_a, var_b,
+    t_stat, dof (round 6).
+    """
+    x = df.filter(
+        f"{value_col} IS NOT NULL"
+        f" AND {group_col} IN ('{group_a}', '{group_b}')"
+    ).selectExpr(
+        f"CASE WHEN {group_col} = '{group_a}' THEN 0 ELSE 1 END AS g",
+        f"CAST(floor({value_col} * 1e6 + 0.5) AS DECIMAL(18,0)) AS v",
+    )
+    grp = x.groupBy("g").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_g"),
+        F.expr("SUM(v) AS s_g"),
+        F.expr("SUM(v * v) AS q_g"),
+    )
+    # mean = (s/1e6)/n ; var = (q/1e12 - n*mean^2)/(n-1) — expression
+    # TEXT mirrored verbatim in the oracle (float association matters)
+    stats = grp.selectExpr(
+        "g",
+        "n_g",
+        "(CAST(s_g AS DOUBLE) / 1e6) / CAST(n_g AS DOUBLE) AS m_g",
+        "(CAST(q_g AS DOUBLE) / 1e12"
+        " - CAST(n_g AS DOUBLE)"
+        "   * (((CAST(s_g AS DOUBLE) / 1e6) / CAST(n_g AS DOUBLE))"
+        "      * ((CAST(s_g AS DOUBLE) / 1e6) / CAST(n_g AS DOUBLE))))"
+        " / CAST(n_g - 1 AS DOUBLE) AS v_g",
+    )
+    wide = stats.groupBy().agg(
+        F.expr("MAX(CASE WHEN g = 0 THEN n_g END) AS n_a"),
+        F.expr("MAX(CASE WHEN g = 1 THEN n_g END) AS n_b"),
+        F.expr("MAX(CASE WHEN g = 0 THEN m_g END) AS m_a"),
+        F.expr("MAX(CASE WHEN g = 1 THEN m_g END) AS m_b"),
+        F.expr("MAX(CASE WHEN g = 0 THEN v_g END) AS v_a"),
+        F.expr("MAX(CASE WHEN g = 1 THEN v_g END) AS v_b"),
+    )
+    return wide.selectExpr(
+        "n_a",
+        "n_b",
+        "round(m_a, 6) AS mean_a",
+        "round(m_b, 6) AS mean_b",
+        "round(v_a, 6) AS var_a",
+        "round(v_b, 6) AS var_b",
+        "round((m_a - m_b)"
+        " / sqrt(v_a / CAST(n_a AS DOUBLE)"
+        "        + v_b / CAST(n_b AS DOUBLE)), 6) + 0.0D AS t_stat",
+        "round(((v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))"
+        "  * (v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)))"
+        " / ((v_a / CAST(n_a AS DOUBLE)) * (v_a / CAST(n_a AS DOUBLE))"
+        "     / CAST(n_a - 1 AS DOUBLE)"
+        "    + (v_b / CAST(n_b AS DOUBLE)) * (v_b / CAST(n_b AS DOUBLE))"
+        "      / CAST(n_b - 1 AS DOUBLE)), 6) AS dof",
+    )
+
+
 def anova_oneway(
     df: DataFrame, value_col: str, group_col: str
 ) -> DataFrame:

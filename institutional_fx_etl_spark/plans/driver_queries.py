@@ -14671,6 +14671,72 @@ def q_asof_join_nearest_tolerance(
     )
 
 
+@register(
+    "welch_ttest",
+    """
+    WITH x AS (
+      SELECT CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS g,
+             CAST(floor(value * 1e6 + 0.5) AS DECIMAL(18,0)) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')
+    ),
+    grp AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+             SUM(v) AS s_g, SUM(v * v) AS q_g
+      FROM x GROUP BY 1
+    ),
+    stats AS (
+      SELECT g, n_g,
+             (CAST(s_g AS DOUBLE) / 1e6) / CAST(n_g AS DOUBLE) AS m_g,
+             (CAST(q_g AS DOUBLE) / 1e12
+              - CAST(n_g AS DOUBLE)
+                * (((CAST(s_g AS DOUBLE) / 1e6) / CAST(n_g AS DOUBLE))
+                   * ((CAST(s_g AS DOUBLE) / 1e6)
+                      / CAST(n_g AS DOUBLE))))
+             / CAST(n_g - 1 AS DOUBLE) AS v_g
+      FROM grp
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN g = 0 THEN n_g END) AS n_a,
+             MAX(CASE WHEN g = 1 THEN n_g END) AS n_b,
+             MAX(CASE WHEN g = 0 THEN m_g END) AS m_a,
+             MAX(CASE WHEN g = 1 THEN m_g END) AS m_b,
+             MAX(CASE WHEN g = 0 THEN v_g END) AS v_a,
+             MAX(CASE WHEN g = 1 THEN v_g END) AS v_b
+      FROM stats
+    )
+    SELECT n_a, n_b,
+           round(m_a, 6) AS mean_a,
+           round(m_b, 6) AS mean_b,
+           round(v_a, 6) AS var_a,
+           round(v_b, 6) AS var_b,
+           round((m_a - m_b)
+                 / sqrt(v_a / CAST(n_a AS DOUBLE)
+                        + v_b / CAST(n_b AS DOUBLE)), 6) + 0.0
+             AS t_stat,
+           round(((v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))
+                  * (v_a / CAST(n_a AS DOUBLE)
+                     + v_b / CAST(n_b AS DOUBLE)))
+                 / ((v_a / CAST(n_a AS DOUBLE))
+                    * (v_a / CAST(n_a AS DOUBLE))
+                    / CAST(n_a - 1 AS DOUBLE)
+                    + (v_b / CAST(n_b AS DOUBLE))
+                      * (v_b / CAST(n_b AS DOUBLE))
+                      / CAST(n_b - 1 AS DOUBLE)), 6) AS dof
+    FROM wide
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic + Welch–Satterthwaite dof
+    between 'view' and 'purchase' event values — the pairwise
+    follow-up to anova_oneway
+    (``operators/profiling.py::welch_ttest``)."""
+    from institutional_fx_etl_spark.operators.profiling import welch_ttest
+
+    ev = load_table(spark, sf_dir, "events")
+    return welch_ttest(ev, "value", "event_type", "view", "purchase")
+
+
 # ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
@@ -14789,7 +14855,7 @@ _HEAD = [
     # implemented this round; until then the slots smooth the r15
     # cohort with the stalest staleness-4 rows (policy rule (c)).
     "asof_join_nearest_tolerance",
-    "cross_source_overlap",
+    "welch_ttest",
     "curriculum_order",
     "dedup_minhash_error",
     "dedup_nearest_text",

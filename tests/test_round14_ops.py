@@ -113,3 +113,47 @@ def test_asof_tolerance_rejects_bad_direction(asof_frames):
     left, right = asof_frames
     with pytest.raises(ValueError, match="direction"):
         _run(left, right, direction="sideways")
+
+
+# --- welch_ttest ------------------------------------------------------
+
+
+def test_welch_ttest_matches_brute_force(spark):
+    import numpy as np
+
+    from institutional_fx_etl_spark.operators.profiling import welch_ttest
+
+    rng = np.random.RandomState(42)
+    a = np.round(rng.normal(10.0, 2.0, 400), 6)
+    b = np.round(rng.normal(10.5, 4.0, 300), 6)
+    rows = [("a", float(x)) for x in a] + [("b", float(x)) for x in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = welch_ttest(df, "v", "g", "a", "b").collect()[0]
+
+    # brute force on the SAME micro-quantized values the operator uses
+    qa = np.floor(a * 1e6 + 0.5) / 1e6
+    qb = np.floor(b * 1e6 + 0.5) / 1e6
+    va, vb = qa.var(ddof=1), qb.var(ddof=1)
+    na, nb = len(qa), len(qb)
+    t = (qa.mean() - qb.mean()) / np.sqrt(va / na + vb / nb)
+    dof = (va / na + vb / nb) ** 2 / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert got["mean_a"] == pytest.approx(qa.mean(), abs=1e-5)
+    assert got["var_a"] == pytest.approx(va, abs=1e-5)
+    assert got["t_stat"] == pytest.approx(t, abs=1e-5)
+    assert got["dof"] == pytest.approx(dof, abs=1e-3)
+
+
+def test_welch_ttest_equal_means_near_zero_t(spark):
+    from institutional_fx_etl_spark.operators.profiling import welch_ttest
+
+    rows = [("a", float(i % 7)) for i in range(70)] + [
+        ("b", float(i % 7)) for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = welch_ttest(df, "v", "g", "a", "b").collect()[0]
+    assert got["t_stat"] == 0.0
+    # identical samples -> pooled dof = n_a + n_b - 2
+    assert got["dof"] == pytest.approx(138.0, abs=1e-6)
