@@ -1562,3 +1562,62 @@ def temperature_resample(
         "round(__q_raw / __qt, 6) AS temp_share",
         "round((__q_raw / __qt) / __p, 6) AS weight_mult",
     )
+
+
+def pareto_skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    maximize: tuple[bool, bool] = (False, False),
+    keep_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Exact 2-D Pareto skyline (Börzsönyi et al., ICDE 2001 — the
+    SKYLINE operator): the rows no other row dominates, where q
+    dominates p iff q is at-least-as-good on both dimensions and
+    strictly better on at least one (per-dimension sense from
+    ``maximize``). Identical points do not dominate each other, so
+    every duplicate of a frontier point is returned — multi-objective
+    selection's "no row is strictly worse" cut.
+
+    Plan shape (the reason 2-D skyline needs no pairwise join): with
+    both dims canonicalized to MINIMIZE, p is on the skyline iff
+    p.y == min y at p.x AND min y over all STRICTLY smaller x is
+    > p.y. So: one hash aggregate to the per-x minima (bounded by the
+    x DOMAIN, not the row count), one strict-prefix running min over
+    that relation (a ROWS frame ending 1 PRECEDING — exact because
+    the per-x relation holds each x once), and one broadcast semi-join back
+    to the full table. No O(n²) dominance pairs, no global sort of the
+    data — the only window runs over the distinct-x relation. At
+    100 TB the frontier relation is kilobytes; everything row-scaled
+    is a scan or a hash aggregate.
+
+    ``x_col`` must be numeric-orderable (cast timestamps first).
+    Output: ``keep_cols`` (default all input columns) of the skyline
+    rows.
+    """
+    if keep_cols is None:
+        keep_cols = tuple(df.columns)
+    from pyspark.sql import Window
+
+    sx = f"(CAST({bq(x_col)} AS DOUBLE) * {-1.0 if maximize[0] else 1.0})"
+    sy = f"(CAST({bq(y_col)} AS DOUBLE) * {-1.0 if maximize[1] else 1.0})"
+    pts = df.selectExpr(f"{sx} AS __x", f"{sy} AS __y", *map(bq, keep_cols))
+    per_x = pts.groupBy("__x").agg(F.expr("min(__y) AS __ymin"))
+    w = (
+        Window.orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_x.withColumn("__pm", F.min("__ymin").over(w))
+        .filter("__pm IS NULL OR __pm > __ymin")
+        .select("__x", "__ymin")
+    )
+    return (
+        pts.join(
+            F.broadcast(frontier),
+            (pts["__x"] == frontier["__x"])
+            & (pts["__y"] == frontier["__ymin"]),
+            "left_semi",
+        )
+        .select(*[bq(c) for c in keep_cols])
+    )

@@ -146,6 +146,72 @@ def test_welch_ttest_matches_brute_force(spark):
     assert got["dof"] == pytest.approx(dof, abs=1e-3)
 
 
+# --- pareto_skyline_2d ------------------------------------------------
+
+
+def _brute_skyline(points, maximize):
+    sx = -1.0 if maximize[0] else 1.0
+    sy = -1.0 if maximize[1] else 1.0
+    canon = [(sx * x, sy * y, i) for i, (x, y) in enumerate(points)]
+    keep = []
+    for (x, y, i) in canon:
+        dominated = any(
+            (qx <= x and qy <= y and (qx < x or qy < y))
+            for (qx, qy, j) in canon
+            if j != i
+        )
+        if not dominated:
+            keep.append(i)
+    return sorted(keep)
+
+
+@pytest.mark.parametrize("maximize", [(False, False), (False, True),
+                                      (True, False), (True, True)])
+def test_skyline_matches_brute_force(spark, maximize):
+    import random
+
+    from institutional_fx_etl_spark.operators.selection import (
+        pareto_skyline_2d,
+    )
+
+    rng = random.Random(maximize[0] * 2 + maximize[1])
+    pts = [
+        (float(rng.randint(0, 20)), float(rng.randint(0, 20)))
+        for _ in range(300)
+    ]
+    # force duplicates (identical points never dominate each other)
+    pts += pts[:10]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)],
+        "pid long, x double, y double",
+    )
+    got = sorted(
+        r["pid"]
+        for r in pareto_skyline_2d(
+            df, "x", "y", maximize=maximize, keep_cols=("pid",)
+        ).collect()
+    )
+    assert got == _brute_skyline(pts, maximize)
+
+
+def test_skyline_single_partition_window_is_domain_bounded(spark):
+    """The only window in the plan runs over the per-x relation —
+    row count == distinct x, not input rows."""
+    from institutional_fx_etl_spark.operators.selection import (
+        pareto_skyline_2d,
+    )
+
+    df = spark.range(10000).selectExpr(
+        "id AS pid",
+        "CAST(id % 5 AS DOUBLE) AS x",
+        "CAST(id % 7 AS DOUBLE) AS y",
+    )
+    out = pareto_skyline_2d(df, "x", "y", keep_cols=("pid",))
+    # x in {0..4}, y min always 0 -> frontier is x==0, y==0 only
+    pids = {r["pid"] for r in out.collect()}
+    assert pids == {i for i in range(10000) if i % 5 == 0 and i % 7 == 0}
+
+
 def test_welch_ttest_equal_means_near_zero_t(spark):
     from institutional_fx_etl_spark.operators.profiling import welch_ttest
 
