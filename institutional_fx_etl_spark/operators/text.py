@@ -851,6 +851,82 @@ def bigram_lm_score(
     )
 
 
+def kneser_ney_bigram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    top_k: int = 200,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram model table (Kneser & Ney,
+    ICASSP 1995; Chen & Goodman 1998 eq. 4.26 — THE standard n-gram
+    smoothing):
+
+        P_KN(w2|w1) = max(c(w1 w2) − D, 0) / c(w1 ·)
+                      + (D · N1+(w1 ·) / c(w1 ·)) · P_cont(w2)
+        P_cont(w2)  = N1+(· w2) / N1+(· ·)
+
+    with fixed discount ``D`` — the continuation probability ranks a
+    word by how many DISTINCT contexts it follows, not how often (the
+    "San Francisco" correction: "Francisco" is frequent but occurs in
+    one context, so its continuation mass is tiny).
+
+    Everything derives from ONE vocabulary-bounded bigram count table
+    (the :func:`bigram_lm_score` discipline): c(w1 ·) and the forward
+    type count N1+(w1 ·) roll up per w1, the backward type count
+    N1+(· w2) per w2, N1+(· ·) is the table's row count — no second
+    pass over the corpus stream, no window. The released table is the
+    ``top_k`` bigrams by count (total-ordered: count desc, bigram
+    asc), i.e. a sort over the COUNT table, never the stream.
+
+    Probabilities are pinned-association doubles over exact integer
+    counts, rounded to 6. Output: bg, cb, p_mle, p_kn.
+    """
+    d = float(discount)
+    toks = tokens(text_col)
+    bi = (
+        df.withColumn("__toks", toks)
+        .filter("size(__toks) >= 2")
+        .selectExpr(f"explode({shingles_expr('__toks', 2)}) AS bg")
+        .selectExpr(
+            "bg",
+            "substring_index(bg, ' ', 1) AS w1",
+            "substring_index(bg, ' ', -1) AS w2",
+        )
+    )
+    cb = bi.groupBy("bg").agg(
+        F.expr("max(w1) AS w1"),
+        F.expr("max(w2) AS w2"),
+        F.expr("CAST(count(*) AS BIGINT) AS cb"),
+    )
+    cu = cb.groupBy("w1").agg(
+        F.expr("CAST(SUM(cb) AS BIGINT) AS cu"),
+        F.expr("CAST(count(*) AS BIGINT) AS n1f"),
+    )
+    bwd = cb.groupBy("w2").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n1b")
+    )
+    tot = cb.agg(F.expr("CAST(count(*) AS BIGINT) AS n_types"))
+    return (
+        cb.join(cu, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "bg",
+            "cb",
+            "round(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE), 6)"
+            " AS p_mle",
+            f"round(greatest(CAST(cb AS DOUBLE) - {d!r}D,"
+            " CAST(0 AS DOUBLE)) / CAST(cu AS DOUBLE)"
+            f" + (({d!r}D * CAST(n1f AS DOUBLE)) / CAST(cu AS DOUBLE))"
+            "   * (CAST(n1b AS DOUBLE) / CAST(n_types AS DOUBLE)), 6)"
+            " AS p_kn",
+        )
+        .orderBy(F.desc("cb"), F.asc("bg"))
+        .limit(int(top_k))
+    )
+
+
 def stupid_backoff_lm(
     train: DataFrame,
     score: DataFrame,

@@ -14738,6 +14738,58 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kneser_ney_bigram",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ),
+    bi AS (
+      SELECT concat_ws(' ', toks[i], toks[i+1]) AS bg,
+             toks[i] AS w1, toks[i+1] AS w2
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    cb AS (
+      SELECT bg, max(w1) AS w1, max(w2) AS w2,
+             CAST(count(*) AS BIGINT) AS cb
+      FROM bi GROUP BY bg
+    ),
+    cu AS (
+      SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu,
+             CAST(count(*) AS BIGINT) AS n1f
+      FROM cb GROUP BY w1
+    ),
+    bwd AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM cb GROUP BY w2
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM cb)
+    SELECT bg, cb,
+           round(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE), 6) AS p_mle,
+           round(greatest(CAST(cb AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                          CAST(0 AS DOUBLE)) / CAST(cu AS DOUBLE)
+                 + ((CAST(0.75 AS DOUBLE) * CAST(n1f AS DOUBLE))
+                    / CAST(cu AS DOUBLE))
+                   * (CAST(n1b AS DOUBLE) / CAST(n_types AS DOUBLE)),
+                 6) AS p_kn
+    FROM cb JOIN cu USING (w1) JOIN bwd USING (w2), tot
+    ORDER BY cb DESC, bg LIMIT 200
+    """,
+)
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram table (D = 0.75) over the
+    document corpus — top-200 bigrams with MLE vs KN-smoothed
+    probability; all counts from one vocabulary-bounded bigram table
+    (``operators/text.py::kneser_ney_bigram``)."""
+    from institutional_fx_etl_spark.operators.text import (
+        kneser_ney_bigram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kneser_ney_bigram(docs, discount=0.75, top_k=200)
+
+
+@register(
     "skyline_pareto",
     """
     WITH p AS (
@@ -14906,7 +14958,7 @@ _HEAD = [
     "asof_join_nearest_tolerance",
     "welch_ttest",
     "skyline_pareto",
-    "dedup_minhash_error",
+    "kneser_ney_bigram",
     "dedup_nearest_text",
     "dup_span_coverage",
 ]

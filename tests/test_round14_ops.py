@@ -212,6 +212,78 @@ def test_skyline_single_partition_window_is_domain_bounded(spark):
     assert pids == {i for i in range(10000) if i % 5 == 0 and i % 7 == 0}
 
 
+# --- kneser_ney_bigram ------------------------------------------------
+
+
+def test_kneser_ney_matches_reference(spark):
+    from collections import Counter
+
+    from institutional_fx_etl_spark.operators.text import kneser_ney_bigram
+
+    corpus = [
+        "san francisco is foggy",
+        "new york is big",
+        "san francisco is big",
+        "francisco is not a common word",
+        "the fog of san francisco",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {
+        r["bg"]: (r["cb"], r["p_mle"], r["p_kn"])
+        for r in kneser_ney_bigram(df, top_k=1000).collect()
+    }
+
+    # reference KN on the same whitespace-lowercase tokenization
+    bigrams = []
+    for t in corpus:
+        toks = t.lower().split()
+        bigrams += [
+            (toks[i], toks[i + 1]) for i in range(len(toks) - 1)
+        ]
+    cb = Counter(bigrams)
+    cu = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (w1, w2), c in cb.items():
+        cu[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    n_types = len(cb)
+    D = 0.75
+    for (w1, w2), c in cb.items():
+        p_mle = c / cu[w1]
+        p_kn = max(c - D, 0.0) / cu[w1] + (D * n1f[w1] / cu[w1]) * (
+            n1b[w2] / n_types
+        )
+        g = got[f"{w1} {w2}"]
+        assert g[0] == c
+        assert g[1] == pytest.approx(p_mle, abs=1e-6)
+        assert g[2] == pytest.approx(p_kn, abs=1e-6)
+
+    # the KN property: "francisco" is frequent but single-context, so
+    # its continuation mass is low; "is" follows many contexts
+    assert n1b["francisco"] < n1b["is"]
+
+
+def test_kneser_ney_probabilities_sum_close_to_one(spark):
+    """For each context w1, sum over SEEN w2 of P_KN <= 1 (the
+    discounted mass held back funds unseen continuations)."""
+    from institutional_fx_etl_spark.operators.text import kneser_ney_bigram
+
+    docs = [(i, f"a b a c a b d {i % 3} b a") for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = kneser_ney_bigram(df, top_k=10000).collect()
+    from collections import defaultdict
+
+    per_ctx = defaultdict(float)
+    for r in rows:
+        per_ctx[r["bg"].split(" ")[0]] += r["p_kn"]
+    for w1, s in per_ctx.items():
+        assert s <= 1.0 + 1e-4, (w1, s)
+
+
 def test_welch_ttest_equal_means_near_zero_t(spark):
     from institutional_fx_etl_spark.operators.profiling import welch_ttest
 
