@@ -326,6 +326,79 @@ def decontaminate_against(
     )
 
 
+def ngram_overlap_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    suspect_ratio: float = 0.1,
+    dirty_ratio: float = 0.5,
+) -> DataFrame:
+    """GRADED benchmark contamination: where
+    :func:`decontaminate_against` flags any shared n-gram (the binary
+    scrub rule), this reports the contamination FRACTION — the share
+    of each corpus document's distinct word n-grams that appear in
+    the benchmark set — and classifies clean / suspect / dirty by
+    ratio thresholds (the Llama-style graded contamination audit:
+    a stray idiom is noise, a majority-overlap doc is an eval leak).
+
+    Same 100 TB plan as the binary scrub: the benchmark's distinct
+    n-gram set broadcasts, the corpus explodes scan-side once, one
+    partial/final hash aggregate — no corpus-sized shuffle, strings
+    joined exactly (zero false positives). Documents with fewer than
+    ``n`` tokens have no n-grams: ratio 0, verdict 'clean'.
+
+    The verdict compares the ROUNDED ratio (6dp) against the
+    thresholds so the classification is bit-stable cross-engine.
+    Output: <id_col>, n_ngrams, n_hit, overlap_ratio, verdict.
+    """
+    grams = (
+        f"array_distinct(CASE WHEN size(__toks) >= {n}"
+        f" THEN {shingles_expr('__toks', n)} ELSE array() END)"
+    )
+    c = (
+        corpus.withColumn("__toks", tokens(text_col))
+        .selectExpr(f"`{id_col}`", f"explode_outer({grams}) AS g")
+    )
+    b = (
+        benchmark.withColumn("__toks", tokens(text_col))
+        .selectExpr(f"explode({grams}) AS g")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    sus = float(suspect_ratio)
+    dirty = float(dirty_ratio)
+    return (
+        c.join(F.broadcast(b), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.expr("CAST(count(g) AS BIGINT) AS n_ngrams"),
+            F.expr(
+                "CAST(SUM(CASE WHEN __hit IS NOT NULL THEN 1 ELSE 0"
+                " END) AS BIGINT) AS n_hit"
+            ),
+        )
+        .selectExpr(
+            f"`{id_col}`",
+            "n_ngrams",
+            "n_hit",
+            "CASE WHEN n_ngrams > 0 THEN round(CAST(n_hit AS DOUBLE)"
+            " / CAST(n_ngrams AS DOUBLE), 6)"
+            " ELSE CAST(0 AS DOUBLE) END AS overlap_ratio",
+        )
+        .selectExpr(
+            f"`{id_col}`",
+            "n_ngrams",
+            "n_hit",
+            "overlap_ratio",
+            f"CASE WHEN overlap_ratio >= {dirty!r}D THEN 'dirty'"
+            f" WHEN overlap_ratio >= {sus!r}D THEN 'suspect'"
+            " ELSE 'clean' END AS verdict",
+        )
+    )
+
+
 def decontaminate_eval_broadcast(
     eval_docs: DataFrame,
     corpus: DataFrame,

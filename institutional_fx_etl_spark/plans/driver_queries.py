@@ -14738,6 +14738,70 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_overlap_contamination",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ),
+    eval_g AS (
+      SELECT DISTINCT concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS g
+      FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+      WHERE doc_id % 20 = 0 AND len(toks) >= 3
+    ),
+    train AS (SELECT doc_id, toks FROM t WHERE doc_id % 20 <> 0),
+    tg AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS g
+      FROM train, unnest(range(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 3
+    ),
+    per AS (
+      SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+             CAST(SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM tg LEFT JOIN eval_g e USING (g) GROUP BY tg.doc_id
+    ),
+    alld AS (
+      SELECT d.doc_id,
+             CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+             CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit
+      FROM (SELECT doc_id FROM train) d LEFT JOIN per p USING (doc_id)
+    ),
+    r AS (
+      SELECT doc_id, n_ngrams, n_hit,
+             CASE WHEN n_ngrams > 0
+                  THEN round(CAST(n_hit AS DOUBLE)
+                             / CAST(n_ngrams AS DOUBLE), 6)
+                  ELSE CAST(0 AS DOUBLE) END AS overlap_ratio
+      FROM alld
+    )
+    SELECT doc_id, n_ngrams, n_hit, overlap_ratio,
+           CASE WHEN overlap_ratio >= CAST(0.5 AS DOUBLE) THEN 'dirty'
+                WHEN overlap_ratio >= CAST(0.1 AS DOUBLE)
+                  THEN 'suspect'
+                ELSE 'clean' END AS verdict
+    FROM r
+    """,
+)
+def q_ngram_overlap_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Graded eval-contamination audit: fraction of each training
+    doc's distinct word 3-grams present in the held-out split
+    (doc_id % 20 == 0), classified clean/suspect/dirty at 0.1/0.5
+    (``operators/text.py::ngram_overlap_contamination``)."""
+    from institutional_fx_etl_spark.operators.text import (
+        ngram_overlap_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter("doc_id % 20 <> 0")
+    bench = docs.filter("doc_id % 20 = 0")
+    return ngram_overlap_contamination(train, bench, n=3)
+
+
+@register(
     "kneser_ney_bigram",
     r"""
     WITH t AS (
@@ -14959,7 +15023,7 @@ _HEAD = [
     "welch_ttest",
     "skyline_pareto",
     "kneser_ney_bigram",
-    "dedup_nearest_text",
+    "ngram_overlap_contamination",
     "dup_span_coverage",
 ]
 _TAIL = [

@@ -212,6 +212,43 @@ def test_skyline_single_partition_window_is_domain_bounded(spark):
     assert pids == {i for i in range(10000) if i % 5 == 0 and i % 7 == 0}
 
 
+# --- ngram_overlap_contamination --------------------------------------
+
+
+def test_ngram_overlap_contamination_grades(spark):
+    from institutional_fx_etl_spark.operators.text import (
+        ngram_overlap_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # verbatim copy -> every 3-gram hits -> dirty
+            (1, "the quick brown fox jumps over the lazy dog"),
+            # one shared trigram ("the quick brown") out of 4 -> 0.25
+            (2, "see the quick brown cat sleep"),
+            # disjoint -> clean
+            (3, "completely different words entirely here now"),
+            # too short for a 3-gram -> 0 grams, clean
+            (4, "hi there"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in ngram_overlap_contamination(train, bench, n=3).collect()
+    }
+    assert got[1]["verdict"] == "dirty" and got[1]["overlap_ratio"] == 1.0
+    assert got[2]["n_ngrams"] == 4 and got[2]["n_hit"] == 1
+    assert got[2]["verdict"] == "suspect"
+    assert got[3]["verdict"] == "clean" and got[3]["n_hit"] == 0
+    assert got[4]["n_ngrams"] == 0 and got[4]["overlap_ratio"] == 0.0
+    assert got[4]["verdict"] == "clean"
+
+
 # --- kneser_ney_bigram ------------------------------------------------
 
 
