@@ -137,3 +137,140 @@ def contamination_audit(
             " AS contaminated",
         )
     )
+
+
+def corpus_flagship(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_pred: str = "doc_id % 20 = 0",
+    ngram_n: int = 3,
+    dirty_ratio: float = 0.5,
+    min_tokens: int = 5,
+    max_tokens: int = 10_000,
+    max_mean_token_len: float = 12.0,
+    seq_len: int = 256,
+    bucket_docs: int = 1024,
+) -> DataFrame:
+    """Round-14 flagship chain — the four stages every pretraining
+    corpus release runs, in order, with a five-row AUDIT LEDGER as
+    the output (the hybrid pipeline's never-a-silent-drop
+    discipline):
+
+      1. DECONTAMINATE: drop training docs whose word-``ngram_n``-gram
+         overlap ratio against the held-out split reaches
+         ``dirty_ratio`` (:func:`~institutional_fx_etl_spark.operators
+         .text.ngram_overlap_contamination` — the graded rule, so a
+         stray idiom survives but an eval leak does not);
+      2. EXACT DEDUP: keep the min-id doc per md5(text);
+      3. QUALITY GATE: token count in [min_tokens, max_tokens] and
+         mean token length ≤ ``max_mean_token_len`` (the cheap
+         Gopher-style length cuts);
+      4. PACK: concat-and-chunk sequence packing — docs in id order,
+         pack = cum_tokens_before div ``seq_len`` (what an LLM
+         dataloader consumes).
+
+    Scale shapes: stage 1 broadcasts the eval-sized gram set; stages
+    2-3 are hash aggregates/filters; stage 4's global prefix sum is
+    TWO-LEVEL (per-bucket subtotals + a bucket-count-sized offset
+    window + a within-bucket window partitioned by bucket — the
+    ks_two_sample discipline), so no full-data single-partition sort
+    exists anywhere in the chain. Integer token counts make the
+    decomposition exact on any partitioning.
+
+    The ledger is 5 rows by construction, so the survivor relations
+    persist only within this call: the rows materialize eagerly and
+    every cache handle is released before returning (the
+    prefix_filter_cap_report ownership pattern).
+
+    Output: stage, n_rows, n_tokens, max_unit — where max_unit is
+    the max per-doc token count for doc stages and the max per-pack
+    token total for the packed row.
+    """
+    from pyspark import StorageLevel
+
+    from institutional_fx_etl_spark.operators.text import (
+        ngram_overlap_contamination,
+        tokens,
+    )
+
+    train = docs.filter(f"NOT ({eval_pred})")
+    bench = docs.filter(eval_pred)
+    base = train.select(
+        F.col(id_col).alias("__id"),
+        F.size(tokens(text_col)).alias("__nt"),
+        F.length(F.col(text_col)).alias("__nc"),
+        F.md5(F.col(text_col)).alias("__h"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    contam = ngram_overlap_contamination(
+        train, bench, text_col=text_col, id_col=id_col, n=ngram_n,
+        dirty_ratio=dirty_ratio,
+    ).selectExpr(f"`{id_col}` AS __id", "overlap_ratio")
+    s1 = (
+        base.join(contam, "__id")
+        .filter(f"overlap_ratio < {float(dirty_ratio)!r}D")
+        .drop("overlap_ratio")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    keep = s1.groupBy("__h").agg(F.expr("min(__id) AS __id"))
+    s2 = s1.join(keep.select("__id"), "__id", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    s3 = s2.filter(
+        f"__nt BETWEEN {int(min_tokens)} AND {int(max_tokens)}"
+        f" AND CAST(__nc AS DOUBLE) / __nt <= {float(max_mean_token_len)!r}D"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # stage 4: two-level exact prefix sum -> pack assignment
+    bucketed = s3.selectExpr(
+        "__id", "__nt", f"__id div {int(bucket_docs)} AS __b"
+    )
+    bsub = bucketed.groupBy("__b").agg(F.expr("SUM(__nt) AS __bt"))
+    off_w = (
+        Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bsub.withColumn(
+        "__off", F.coalesce(F.sum("__bt").over(off_w), F.lit(0))
+    ).select("__b", "__off")
+    in_w = (
+        Window.partitionBy("__b")
+        .orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        bucketed.withColumn("__w", F.sum("__nt").over(in_w))
+        .join(F.broadcast(offsets), "__b")
+        .selectExpr("__id", "__nt", "__off + __w - __nt AS __cb")
+    )
+    packs = cum.selectExpr(
+        f"__cb div {int(seq_len)} AS __pack", "__nt"
+    ).groupBy("__pack").agg(F.expr("SUM(__nt) AS __ptok"))
+
+    def _stage_row(name, rel):
+        r = rel.agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_rows"),
+            F.expr("CAST(coalesce(SUM(__nt), 0) AS BIGINT) AS n_tokens"),
+            F.expr("CAST(coalesce(MAX(__nt), 0) AS BIGINT) AS max_unit"),
+        ).collect()[0]
+        return (name, r["n_rows"], r["n_tokens"], r["max_unit"])
+
+    rows = [
+        _stage_row("00_input", base),
+        _stage_row("01_decontaminated", s1),
+        _stage_row("02_deduped", s2),
+        _stage_row("03_quality", s3),
+    ]
+    pr = packs.agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_rows"),
+        F.expr("CAST(coalesce(SUM(__ptok), 0) AS BIGINT) AS n_tokens"),
+        F.expr("CAST(coalesce(MAX(__ptok), 0) AS BIGINT) AS max_unit"),
+    ).collect()[0]
+    rows.append(("04_packed", pr["n_rows"], pr["n_tokens"], pr["max_unit"]))
+    for h in (base, s1, s2, s3):
+        h.unpersist()
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "stage string, n_rows bigint, n_tokens bigint, max_unit bigint",
+    )

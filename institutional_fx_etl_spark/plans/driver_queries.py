@@ -14738,6 +14738,101 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_flagship",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ),
+    tr AS (
+      SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS nt,
+             length(text) AS nc, toks
+      FROM t WHERE NOT (doc_id % 20 = 0)
+    ),
+    eval_g AS (
+      SELECT DISTINCT concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS g
+      FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+      WHERE doc_id % 20 = 0 AND len(toks) >= 3
+    ),
+    tg AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS g
+      FROM tr, unnest(range(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 3
+    ),
+    per AS (
+      SELECT tg.doc_id, count(*) AS n_ngrams,
+             SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM tg LEFT JOIN eval_g e USING (g) GROUP BY tg.doc_id
+    ),
+    ratio AS (
+      SELECT tr.doc_id,
+             CASE WHEN coalesce(per.n_ngrams, 0) > 0
+                  THEN round(CAST(coalesce(per.n_hit, 0) AS DOUBLE)
+                             / coalesce(per.n_ngrams, 0), 6)
+                  ELSE CAST(0 AS DOUBLE) END AS r
+      FROM tr LEFT JOIN per USING (doc_id)
+    ),
+    s1 AS (
+      SELECT tr.* FROM tr JOIN ratio USING (doc_id)
+      WHERE r < CAST(0.5 AS DOUBLE)
+    ),
+    keep AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+    s2 AS (SELECT s1.* FROM s1 JOIN keep USING (doc_id)),
+    s3 AS (
+      SELECT * FROM s2
+      WHERE nt BETWEEN 5 AND 10000
+        AND CAST(nc AS DOUBLE) / nt <= CAST(12.0 AS DOUBLE)
+    ),
+    cum AS (
+      SELECT doc_id, nt,
+             SUM(nt) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) - nt AS cb
+      FROM s3
+    ),
+    packs AS (
+      SELECT cb // 256 AS pack_id, SUM(nt) AS ptok
+      FROM cum GROUP BY 1
+    )
+    SELECT '00_input' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(coalesce(SUM(nt), 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(MAX(nt), 0) AS BIGINT) AS max_unit
+    FROM tr
+    UNION ALL
+    SELECT '01_decontaminated', CAST(count(*) AS BIGINT),
+           CAST(coalesce(SUM(nt), 0) AS BIGINT),
+           CAST(coalesce(MAX(nt), 0) AS BIGINT)
+    FROM s1
+    UNION ALL
+    SELECT '02_deduped', CAST(count(*) AS BIGINT),
+           CAST(coalesce(SUM(nt), 0) AS BIGINT),
+           CAST(coalesce(MAX(nt), 0) AS BIGINT)
+    FROM s2
+    UNION ALL
+    SELECT '03_quality', CAST(count(*) AS BIGINT),
+           CAST(coalesce(SUM(nt), 0) AS BIGINT),
+           CAST(coalesce(MAX(nt), 0) AS BIGINT)
+    FROM s3
+    UNION ALL
+    SELECT '04_packed', CAST(count(*) AS BIGINT),
+           CAST(coalesce(SUM(ptok), 0) AS BIGINT),
+           CAST(coalesce(MAX(ptok), 0) AS BIGINT)
+    FROM packs
+    """,
+)
+def q_corpus_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-14 flagship chain: graded 3-gram decontamination (drop
+    overlap ≥ 0.5 vs the doc_id%20 held-out split) → exact md5 dedup
+    → token-count/mean-length quality gate → concat-and-chunk packing
+    at 256 tokens, released as a five-row audit ledger
+    (``plans/corpus.py::corpus_flagship``)."""
+    from institutional_fx_etl_spark.plans.corpus import corpus_flagship
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_flagship(docs)
+
+
+@register(
     "ngram_overlap_contamination",
     r"""
     WITH t AS (
@@ -15024,7 +15119,7 @@ _HEAD = [
     "skyline_pareto",
     "kneser_ney_bigram",
     "ngram_overlap_contamination",
-    "dup_span_coverage",
+    "corpus_flagship",
 ]
 _TAIL = [
     # r13-green — the freshest driver rows on the board (demotion

@@ -249,6 +249,73 @@ def test_ngram_overlap_contamination_grades(spark):
     assert got[4]["verdict"] == "clean"
 
 
+# --- corpus_flagship --------------------------------------------------
+
+
+def test_corpus_flagship_ledger_stages(spark):
+    from institutional_fx_etl_spark.plans.corpus import corpus_flagship
+
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        # doc_id 0 -> eval split (doc_id % 20 == 0)
+        (0, eval_text),
+        # 1: verbatim eval copy -> decontaminated away
+        (1, eval_text),
+        # 2 & 3: exact duplicates -> one survives dedup
+        (2, "one two three four five six seven"),
+        (3, "one two three four five six seven"),
+        # 4: too short for the quality gate (< 5 tokens)
+        (4, "tiny doc here"),
+        # 5: mean token length over 12 -> quality-dropped
+        (5, " ".join(["x" * 20] * 6)),
+        # 6-9: clean survivors
+        (6, "the quick brown fox jumps over the lazy dog today"),
+        (7, "pack these tokens into fixed length sequences now ok"),
+        (8, "another perfectly ordinary training document goes here"),
+        (9, "final clean document with enough plain words inside"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    led = {
+        r["stage"]: (r["n_rows"], r["n_tokens"], r["max_unit"])
+        for r in corpus_flagship(df, seq_len=16).collect()
+    }
+    assert led["00_input"][0] == 9           # doc 0 is eval
+    assert led["01_decontaminated"][0] == 8  # doc 1 dropped
+    assert led["02_deduped"][0] == 7         # one of 2/3 dropped
+    assert led["03_quality"][0] == 5         # 4 and 5 dropped
+    # survivors: 3 or 2 (7 tokens) + four 10/9/8-token docs
+    total = led["03_quality"][1]
+    assert total == led["04_packed"][1]      # packing conserves tokens
+    import math
+
+    assert led["04_packed"][0] == math.ceil(total / 16) or led[
+        "04_packed"
+    ][0] == (total // 16) + (1 if total % 16 else 0)
+    assert led["04_packed"][2] <= 16 + led["03_quality"][2]
+
+
+def test_corpus_flagship_packing_is_chunk_exact(spark):
+    """Every pack except possibly the last holds >= seq_len tokens'
+    START offsets — i.e. pack_id = floor(cum_before/seq_len) yields
+    contiguous ids 0..n_packs-1."""
+    from institutional_fx_etl_spark.plans.corpus import corpus_flagship
+
+    rows = [
+        (i + 1, " ".join(f"w{i}x{j}" for j in range(11)))
+        for i in range(50)
+    ]  # 11 distinct tokens each, disjoint across docs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    led = {
+        r["stage"]: (r["n_rows"], r["n_tokens"], r["max_unit"])
+        for r in corpus_flagship(df, seq_len=64).collect()
+    }
+    n_docs, total = led["03_quality"][0], led["03_quality"][1]
+    assert n_docs == 48  # ids 20 and 40 go to the eval split
+    assert total == 48 * 11
+    # start offsets 0,11,...,517 -> floor(x/64) covers 0..8
+    assert led["04_packed"][0] == 9
+
+
 # --- kneser_ney_bigram ------------------------------------------------
 
 
