@@ -15022,7 +15022,7 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tail gate, so reference parity can never go stale as the LLM
 #: surface grows around it.
 CORE_TIER = [
-    "scan_project",
+    "scan_project",  # (ROTATION_RETIRED mirrors this list — see below)
     "tumbling_ohlc",
     "candle_resample",
     "global_median",
@@ -15055,6 +15055,24 @@ CORE_TIER = [
     "streaming_gap_bridge",
     "multimodal_decode",
 ]
+
+#: Window-capacity policy, option (b) — ROTATION RETIREMENT (round 14,
+#: r13 verdict ask #6). The 50-slot/MAX_STALE=5 rotation supports 300
+#: driver-rotated queries at steady state; the registry reached 293
+#: this round, and the r8/r7 full-window cohorts were projecting ZERO
+#: debut slots for r16-r18 under option (a)'s hard freeze. The flip:
+#: CORE_TIER queries RETIRE from forced rotation. Their certification
+#: of record becomes the pytest core-tier gate
+#: (tests/test_core_tier.py — every out-of-window core query
+#: oracle-checked at sf0.01 on EVERY pytest run, strictly more
+#: frequent than a driver row every ≤5 rounds), so the staleness
+#: invariant, the 300 ceiling and the one-round-early feasibility
+#: projection all count ONLY non-retired queries. Retired queries stay
+#: registered (the driver can still sample them if composed into a
+#: window — nothing breaks); they are simply never FORCED into one.
+#: tools/cert_history.py tags them `retired`;
+#: tests/test_cert_freshness.py filters on the tag.
+ROTATION_RETIRED = tuple(CORE_TIER)
 
 _HEAD = [
     # --- round-14 window (50) -----------------------------------------

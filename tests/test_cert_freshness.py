@@ -24,6 +24,14 @@ would have to come from shrinking the registry, which would delete
 coverage). The window-exemption term is what makes the invariant
 plannable: the test is evaluated against the committed _HEAD for the
 round about to run.
+
+ROTATION RETIREMENT (round 14 — capacity option (b)): queries in
+``driver_queries.ROTATION_RETIRED`` (== CORE_TIER) are exempt from
+every staleness/capacity count here, because their certification of
+record is the pytest core-tier gate (tests/test_core_tier.py:
+out-of-window core queries oracle-check at sf0.01 on EVERY pytest
+run — more frequent than a driver row every ≤5 rounds). The rotation
+invariants below therefore range over NON-RETIRED queries only.
 """
 
 from __future__ import annotations
@@ -51,6 +59,7 @@ def test_every_query_fresh_or_in_window():
         # them out of the demotion tail until their first window slot)
         if row["last_round"] is not None
         and not row["in_window"]
+        and not row["retired"]
         and row["staleness"] > MAX_STALE
     }
     assert not stale, (
@@ -99,9 +108,11 @@ def test_window_prioritizes_the_stalest():
     never start with last round's window still in place."""
     led, _ = ledger()
     in_w = [r["staleness"] for r in led.values()
-            if r["in_window"] and r["last_round"] is not None]
+            if r["in_window"] and r["last_round"] is not None
+            and not r["retired"]]
     out_w = [r["staleness"] for r in led.values()
-             if not r["in_window"] and r["last_round"] is not None]
+             if not r["in_window"] and r["last_round"] is not None
+             and not r["retired"]]
     if in_w and out_w:
         assert max(out_w) <= max(in_w) + 0, (
             "an out-of-window query is staler than everything in the "
@@ -125,11 +136,28 @@ def test_window_prioritizes_the_stalest():
 def test_registry_fits_rotation_capacity():
     led, _ = ledger()
     cap = WINDOW * (MAX_STALE + 1)
-    assert len(led) <= cap, (
-        f"registry has {len(led)} queries; the {WINDOW}-slot/"
+    rotated = sum(1 for r in led.values() if not r["retired"])
+    assert rotated <= cap, (
+        f"registry rotates {rotated} queries; the {WINDOW}-slot/"
         f"MAX_STALE={MAX_STALE} rotation supports at most {cap} — "
-        "retire queries into a pytest-certified tier or re-prove the "
-        "rotation arithmetic before growing further"
+        "retire queries into the pytest-certified core tier or "
+        "re-prove the rotation arithmetic before growing further"
+    )
+
+
+def test_retired_queries_are_pytest_certified():
+    """Option (b)'s soundness condition: every rotation-retired query
+    must be a CORE_TIER member (the pytest sf0.01 gate in
+    tests/test_core_tier.py is exactly the CORE_TIER surface)."""
+    from institutional_fx_etl_spark.plans.driver_queries import (
+        CORE_TIER,
+        ROTATION_RETIRED,
+    )
+
+    not_gated = [n for n in ROTATION_RETIRED if n not in CORE_TIER]
+    assert not not_gated, (
+        f"rotation-retired queries without a pytest certification "
+        f"gate: {not_gated}"
     )
 
 
@@ -146,6 +174,7 @@ def test_next_round_demand_fits_window():
         n
         for n, r in led.items()
         if not r["in_window"]
+        and not r["retired"]
         and (
             r["last_round"] is None
             or r["staleness"] == MAX_STALE - 1

@@ -67,6 +67,7 @@ def ledger(repo: str = REPO) -> tuple[dict[str, dict], int]:
     hist, latest = history(repo)
     names = list(dq.REGISTRY)
     window = set(names[:WINDOW])
+    retired = set(getattr(dq, "ROTATION_RETIRED", ()))
     out = {}
     for n in names:
         rounds = hist.get(n, [])
@@ -76,6 +77,9 @@ def ledger(repo: str = REPO) -> tuple[dict[str, dict], int]:
             "rounds": rounds,
             "staleness": (latest - last) if last is not None else latest,
             "in_window": n in window,
+            # retired from FORCED rotation (capacity option (b)):
+            # certification of record is the pytest core-tier gate
+            "retired": n in retired,
         }
     return out, latest
 
