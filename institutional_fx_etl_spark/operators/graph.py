@@ -500,6 +500,14 @@ def graph_modularity(
     # unpersisted plan re-derives it per consumer — measured 18.3 s
     # vs 5.6 s at sf0.1. Caller owns the cache lifetime (the
     # dedup_clusters discipline).
+    #
+    # Round-14 note: a variant that persisted the labeled-edge
+    # relation and derived d_c from endpoint-label incidences (saving
+    # the per-node degree aggregate + the |V| label join) measured
+    # SLOWER at sf0.1 (4.5 s vs 2.4 s warm): the per-node groupBy is
+    # a cheap map-side-combined bigint rollup, while the variant pays
+    # an |E|-sized cache write plus two extra |E| scans. Keeping this
+    # shape — the |V|-sized work is not the bottleneck.
     la = labels.selectExpr(f"{node_col} AS n", f"{label_col} AS l").persist(
         StorageLevel.MEMORY_AND_DISK
     )
