@@ -1,4 +1,8 @@
-from institutional_fx_etl_spark.operators.asof import asof_join
+from institutional_fx_etl_spark.operators.asof import (
+    asof_join,
+    asof_join_nearest,
+    asof_join_tolerance,
+)
 from institutional_fx_etl_spark.operators.clean import validate_and_clean
 from institutional_fx_etl_spark.operators.consensus import consensus_filter
 from institutional_fx_etl_spark.operators.dedup import (
@@ -34,12 +38,20 @@ from institutional_fx_etl_spark.operators.spread import (
 from institutional_fx_etl_spark.operators.text import (
     fingerprint,
     inverted_index,
+    kneser_ney_bigram,
     lang_id,
+    ngram_overlap_contamination,
     quality_score,
     segment_dedup,
     with_text_stats,
 )
-from institutional_fx_etl_spark.operators.profiling import profile_columns
+from institutional_fx_etl_spark.operators.profiling import (
+    profile_columns,
+    welch_ttest,
+)
+from institutional_fx_etl_spark.operators.selection import (
+    pareto_skyline_2d,
+)
 from institutional_fx_etl_spark.operators.timeseries import (
     autocorr_exact,
     mad_robust,
@@ -54,6 +66,12 @@ from institutional_fx_etl_spark.operators.timeseries import (
 
 __all__ = [
     "asof_join",
+    "asof_join_nearest",
+    "asof_join_tolerance",
+    "kneser_ney_bigram",
+    "ngram_overlap_contamination",
+    "pareto_skyline_2d",
+    "welch_ttest",
     "validate_and_clean",
     "consensus_filter",
     "dedup_clusters",
