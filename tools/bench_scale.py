@@ -878,8 +878,15 @@ def main() -> None:
     for f in (1, factor):
         corpus = emb[f].persist()
         n = corpus.count()
-        old = corpus.filter("vec_id % 9 <> 8 OR vec_id < 64").persist()
-        new = corpus.filter("vec_id % 9 = 8 AND vec_id >= 64").persist()
+        # append-only batch cut (the operator CONTRACT since the
+        # validation landed: max(old id) < min(new id)) — the last
+        # ~10% of the id range is the delivered batch, the rest the
+        # standing corpus; the old modulo split violated append-only
+        # and the probe crashed on the contract check
+        mx = corpus.agg(F.expr("max(vec_id)")).collect()[0][0]
+        cut = (int(mx) * 9) // 10
+        old = corpus.filter(f"vec_id < {cut}").persist()
+        new = corpus.filter(f"vec_id >= {cut}").persist()
         cells = _auto_cells(n)
         t0 = time.perf_counter()
         semdedup(old.unionByName(new), min_cosine=0.9, num_centroids=cells).count()
