@@ -1313,3 +1313,85 @@ def dp_count_laplace(
             f" -{b!r} * ln(2 - 2 * __u) END), 6) + 0.0D AS dp_count",
         )
     )
+
+
+def survival_km(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Kaplan–Meier product-limit survival estimator per group
+    (Kaplan & Meier, JASA 1958 — THE nonparametric survival curve
+    under right-censoring): at each distinct duration t_i,
+    ``S(t_i) = Π_{j≤i} (1 − d_j / n_j)`` with d_j events at t_j and
+    n_j subjects still at risk; censored subjects leave the risk set
+    without dropping the curve.
+
+    Plan shape: durations micro-quantize scan-side (grouping floats
+    is engine-hazardous), ONE hash aggregate to the per-(group, t)
+    event/censor counts — bounded by the DISTINCT-duration domain,
+    not the subject count — then the at-risk prefix and the running
+    Σln(1−d/n) ride one window over that bounded relation,
+    partitioned by group. The survival product materializes as
+    ``exp`` of the running log-sum (each engine accumulates the same
+    ordered term sequence); a zero factor (everyone at risk dies)
+    poisons the tail to exactly 0 via a prefix-max flag instead of
+    feeding ln(0).
+
+    Output per (group, t): n_at_risk, n_events, n_censored,
+    survival (6dp).
+    """
+    base = df.filter(f"{duration_col} IS NOT NULL").selectExpr(
+        f"{group_col} AS g",
+        f"CAST(floor({duration_col} * 1e6 + 0.5) AS BIGINT) AS tq",
+        f"CASE WHEN {observed_col} THEN 1 ELSE 0 END AS obs",
+    )
+    per_t = base.groupBy("g", "tq").agg(
+        F.expr("CAST(SUM(obs) AS BIGINT) AS d"),
+        F.expr("CAST(SUM(1 - obs) AS BIGINT) AS c"),
+    )
+    tot = base.groupBy("g").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_tot")
+    )
+    w_prev = (
+        "(PARTITION BY g ORDER BY tq"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    w_cur = (
+        "(PARTITION BY g ORDER BY tq"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    risk = per_t.join(tot, "g").selectExpr(
+        "g",
+        "tq",
+        "d",
+        "c",
+        f"n_tot - coalesce(SUM(d + c) OVER {w_prev}, 0) AS n",
+    ).selectExpr(
+        "g",
+        "tq",
+        "d",
+        "c",
+        "n",
+        "CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / n AS __f",
+    )
+    return risk.selectExpr(
+        "g",
+        "tq",
+        "d",
+        "c",
+        "n",
+        f"max(CASE WHEN __f <= 0 THEN 1 ELSE 0 END) OVER {w_cur}"
+        " AS __dead",
+        f"SUM(CASE WHEN __f > 0 THEN ln(__f) END) OVER {w_cur} AS __ls",
+    ).selectExpr(
+        "g AS " + group_col,
+        "CAST(tq AS DOUBLE) / 1e6 AS t",
+        "n AS n_at_risk",
+        "d AS n_events",
+        "c AS n_censored",
+        "CASE WHEN __dead = 1 THEN CAST(0 AS DOUBLE)"
+        " ELSE round(exp(coalesce(__ls, CAST(0 AS DOUBLE))), 6)"
+        " END AS survival",
+    )

@@ -2512,3 +2512,82 @@ def matryoshka_recall(
             " AS recall",
         )
     )
+
+
+def ndcg_eval(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """nDCG@k of the brute-cosine ranking against label-match
+    relevance (Järvelin & Kekäläinen, TOIS 2002) — the GRADED
+    retrieval-quality metric next to ``ann_recall_eval``'s set
+    recall: rel_i = 1 when the i-th retrieved vector shares the
+    query's label, DCG = Σ rel_i / log2(i+1) over rank positions,
+    normalized by the ideal ordering's IDCG.
+
+    The query itself is excluded from its own ranking (it is always
+    rank 1 at cosine 1.0 and would award free gain); surviving
+    positions renumber densely. Per-position gain terms micro-
+    quantize to DECIMAL before the per-query sum — a float hash
+    aggregate's accumulation order is partition-dependent, integer
+    sums are not (the repo-wide discipline). Cost: one
+    :func:`cosine_topk` (queries-bounded) + two broadcast label
+    joins + one query-bounded aggregate.
+
+    Output per query: q_id, n_rel, dcg, idcg, ndcg (6dp).
+    """
+    topk = cosine_topk(
+        df, queries, k=k, vec_col=vec_col, id_col=id_col
+    ).filter("vec_id <> q_id")
+    lab = df.selectExpr(
+        f"{bq(id_col)} AS vec_id", f"{bq(label_col)} AS __ld"
+    )
+    qlab = df.selectExpr(
+        f"{bq(id_col)} AS q_id", f"{bq(label_col)} AS __lq"
+    )
+    rel = (
+        topk.join(F.broadcast(lab), "vec_id")
+        .join(F.broadcast(qlab), "q_id")
+        .selectExpr(
+            "q_id",
+            "rank",
+            "CASE WHEN __ld = __lq THEN 1 ELSE 0 END AS rel",
+        )
+    )
+    pos = rel.selectExpr(
+        "q_id",
+        "rel",
+        "row_number() OVER (PARTITION BY q_id ORDER BY rank) AS pos",
+        "row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, rank)"
+        " AS ipos",
+    )
+    # gain terms quantized to micro-units; the ideal ordering reuses
+    # the SAME terms at the rel-sorted positions
+    g = pos.selectExpr(
+        "q_id",
+        "rel",
+        "CAST(floor(CAST(rel AS DOUBLE) / log2(pos + 1) * 1e6 + 0.5)"
+        " AS DECIMAL(18,0)) AS gq",
+        "CAST(floor(CAST(rel AS DOUBLE) / log2(ipos + 1) * 1e6 + 0.5)"
+        " AS DECIMAL(18,0)) AS iq",
+    )
+    return (
+        g.groupBy("q_id")
+        .agg(
+            F.expr("CAST(SUM(rel) AS BIGINT) AS n_rel"),
+            F.expr("CAST(SUM(gq) AS DOUBLE) / 1e6 AS __dcg"),
+            F.expr("CAST(SUM(iq) AS DOUBLE) / 1e6 AS __idcg"),
+        )
+        .selectExpr(
+            "q_id",
+            "n_rel",
+            "round(__dcg, 6) AS dcg",
+            "round(__idcg, 6) AS idcg",
+            "CASE WHEN __idcg > 0 THEN round(__dcg / __idcg, 6)"
+            " ELSE CAST(0 AS DOUBLE) END AS ndcg",
+        )
+    )

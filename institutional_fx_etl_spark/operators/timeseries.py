@@ -1228,3 +1228,210 @@ def kendall_tau(
             " END AS tau_b",
         )
     )
+
+
+def seasonal_decompose_exprs(
+    value_col: str,
+    part_cols: str,
+    order_cols: str,
+    period: int = 7,
+) -> tuple[str, str, str]:
+    """Shared SQL text for classical additive seasonal decomposition
+    (the three-layer macd_signal_exprs discipline): returns the
+    ``(idx_and_quantized, trend, detrended)`` layer expressions both
+    engines consume VERBATIM so every intermediate is the same IEEE
+    double.
+
+    value = trend + seasonal + residual, with
+    - trend: centered moving average of width ``period`` (odd), NULL
+      where the window is incomplete (the classical edge rule);
+    - seasonal: per-phase (idx mod period) mean of the detrended
+      series, centered to sum ~0 across phases;
+    - residual: the rest.
+
+    Exactness: the value micro-quantizes scan-side and the sliding
+    trend sum accumulates as DECIMAL — sliding-window float
+    aggregation is the one place engines legally disagree (Spark
+    rescans the frame, DuckDB slides a segment tree), and integer
+    frame sums are decomposition-invariant. Phase means quantize the
+    detrended value the same way before their hash aggregate.
+    """
+    h = period // 2
+    over = f"(PARTITION BY {part_cols} ORDER BY {order_cols})"
+    frame = (
+        f"(PARTITION BY {part_cols} ORDER BY {order_cols}"
+        f" ROWS BETWEEN {h} PRECEDING AND {h} FOLLOWING)"
+    )
+    quant = (
+        f"CAST(floor({value_col} * 1e6 + 0.5) AS DECIMAL(18,0))"
+    )
+    idx = f"row_number() OVER {over} - 1"
+    trend = (
+        f"CASE WHEN count(*) OVER {frame} = {period}"
+        f" THEN (CAST(SUM(vq) OVER {frame} AS DOUBLE) / 1e6)"
+        f"      / CAST({period} AS DOUBLE)"
+        " END"
+    )
+    return quant, idx, trend
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    value_col: str,
+    part_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    period: int = 7,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Classical additive decomposition per series — see
+    :func:`seasonal_decompose_exprs` for the shared-text exactness
+    contract. Plan: one partitioned window sort feeds the index, the
+    centered-MA frame and the full-series phase aggregate keys; the
+    phase means are a (series × period)-bounded hash aggregate
+    broadcast-joined back; the phase-mean centering is a
+    period-bounded window over that tiny relation. No global sort,
+    no UDF.
+
+    Output: part/order/keep cols, value, trend, seasonal, resid
+    (trend/resid NULL at the ``period//2`` series edges).
+    """
+    if period % 2 != 1 or period < 3:
+        raise ValueError(f"period must be odd and >= 3, got {period}")
+    pc = ", ".join(part_cols)
+    oc = ", ".join(order_cols)
+    quant, idx, trend = seasonal_decompose_exprs(
+        value_col, pc, oc, period
+    )
+    base = df.filter(f"{value_col} IS NOT NULL").selectExpr(
+        *part_cols,
+        *order_cols,
+        *keep_cols,
+        f"{value_col} AS __v",
+        f"{quant} AS vq",
+    )
+    with_trend = base.selectExpr(
+        "*",
+        f"CAST(({idx}) % {period} AS INT) AS __phase",
+        f"{trend} AS __trend",
+    ).selectExpr(
+        "*",
+        "CAST(vq AS DOUBLE) / 1e6 - __trend AS __detr",
+    )
+    from pyspark import StorageLevel
+
+    with_trend = with_trend.persist(StorageLevel.MEMORY_AND_DISK)
+    phase = (
+        with_trend.filter("__detr IS NOT NULL")
+        .selectExpr(
+            *part_cols,
+            "__phase",
+            "CAST(floor(__detr * 1e6 + 0.5) AS DECIMAL(18,0)) AS dq",
+        )
+        .groupBy(*part_cols, "__phase")
+        .agg(
+            F.expr(
+                "CAST(SUM(dq) AS DOUBLE) / count(*) / 1e6 AS __s_raw"
+            )
+        )
+    )
+    # center the p seasonal values per series (tiny relation)
+    wp = f"(PARTITION BY {pc})"
+    phase_c = phase.selectExpr(
+        *part_cols,
+        "__phase",
+        "round(__s_raw"
+        " - CAST(SUM(CAST(floor(__s_raw * 1e6 + 0.5) AS DECIMAL(18,0)))"
+        f"   OVER {wp} AS DOUBLE)"
+        f"   / (count(*) OVER {wp}) / 1e6, 6) AS seasonal",
+    )
+    return (
+        with_trend.join(F.broadcast(phase_c), [*part_cols, "__phase"])
+        .selectExpr(
+            *part_cols,
+            *order_cols,
+            *keep_cols,
+            "CAST(vq AS DOUBLE) / 1e6 AS value_q",
+            "round(__trend, 6) AS trend",
+            "seasonal",
+            "round(CAST(vq AS DOUBLE) / 1e6 - __trend - seasonal, 6)"
+            " AS resid",
+        )
+    )
+
+
+def macd_signal_exprs(
+    value_col: str,
+    over_sql: str,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    k: int = 32,
+    k_signal: int = 16,
+) -> tuple[str, str, str, str]:
+    """Shared SQL text for MACD + signal line + histogram + crossover
+    — each layer reuses :func:`ewma_exprs`' truncated-horizon EWMA
+    (the serial EMA recurrence's distributable form, same
+    re-normalized weights): α_fast = 2/(fast+1), α_slow = 2/(slow+1),
+    α_sig = 2/(signal+1). The signal line is an EWMA OF the macd
+    column, so consumers project layer by layer (nested window
+    expressions are illegal in both engines). Returns
+    ``(macd, signal_line, histogram, crossover)`` layer texts.
+    """
+    ema_f = ewma_exprs(value_col, over_sql, alpha=2.0 / (fast + 1), k=k)
+    ema_s = ewma_exprs(value_col, over_sql, alpha=2.0 / (slow + 1), k=k)
+    macd = (
+        f"round(({ema_f}) - ({ema_s}), 6) + CAST(0 AS DOUBLE)"
+    )
+    sig = ewma_exprs("macd", over_sql, alpha=2.0 / (signal + 1), k=k_signal)
+    hist = "round(macd - signal_line, 6) + CAST(0 AS DOUBLE)"
+    cross = (
+        f"CASE WHEN histogram > 0 AND lag(histogram) OVER {over_sql} <= 0"
+        " THEN 1"
+        f" WHEN histogram < 0 AND lag(histogram) OVER {over_sql} >= 0"
+        " THEN -1 ELSE 0 END"
+    )
+    return macd, sig, hist, cross
+
+
+def macd_signal(
+    df: DataFrame,
+    value_col: str,
+    part_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """MACD(fast, slow) + signal(signal) + histogram + crossover flag
+    per series (Appel's moving-average-convergence-divergence — the
+    trend-following complement to the bollinger/rsi indicator
+    family). See :func:`macd_signal_exprs` for the shared-text layer
+    contract; all three EWMA horizons ride the SAME partitioned
+    window sort, so the whole indicator is one exchange + one sort
+    regardless of series count.
+
+    Output: part/order/keep cols, value, macd, signal_line,
+    histogram, crossover (+1 bullish zero-cross, −1 bearish, 0).
+    """
+    pc = ", ".join(part_cols)
+    oc = ", ".join(order_cols)
+    over = f"(PARTITION BY {pc} ORDER BY {oc})"
+    macd, sig, hist, cross = macd_signal_exprs(
+        value_col, over, fast=fast, slow=slow, signal=signal
+    )
+    l1 = df.filter(f"{value_col} IS NOT NULL").selectExpr(
+        *part_cols,
+        *order_cols,
+        *keep_cols,
+        f"{value_col} AS value",
+        f"{macd} AS macd",
+    )
+    l2 = l1.selectExpr("*", f"{sig} AS signal_line")
+    return l2.selectExpr(
+        "*",
+        f"{hist} AS histogram",
+    ).selectExpr(
+        "*",
+        f"{cross} AS crossover",
+    )

@@ -14998,6 +14998,246 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Round-15 early debuts (the round-10 overflow precedent: registered,
+# pytest-gated at sf0.001 via the tail gate and judge-checkable at
+# sf0.01, they head the r15 window — the capacity projection counts
+# them in test_next_round_demand_fits_window)
+# ---------------------------------------------------------------------
+
+
+def _register_seasonal_decompose() -> None:
+    from institutional_fx_etl_spark.operators.timeseries import (
+        seasonal_decompose_exprs,
+    )
+
+    quant, idx, trend = seasonal_decompose_exprs(
+        "value", "event_type", "ts, event_id", 7
+    )
+    oracle = f"""
+    WITH base AS (
+      SELECT event_type, ts, event_id, {quant} AS vq
+      FROM events WHERE value IS NOT NULL
+    ),
+    wt AS (
+      SELECT *, CAST(({idx}) % 7 AS INT) AS __phase,
+             {trend} AS __trend
+      FROM base
+    ),
+    wd AS (
+      SELECT *, CAST(vq AS DOUBLE) / 1e6 - __trend AS __detr FROM wt
+    ),
+    ph AS (
+      SELECT event_type, __phase,
+             CAST(SUM(CAST(floor(__detr * 1e6 + 0.5) AS DECIMAL(18,0)))
+                  AS DOUBLE) / count(*) / 1e6 AS __s_raw
+      FROM wd WHERE __detr IS NOT NULL GROUP BY 1, 2
+    ),
+    phc AS (
+      SELECT event_type, __phase,
+             round(__s_raw
+              - CAST(SUM(CAST(floor(__s_raw * 1e6 + 0.5)
+                              AS DECIMAL(18,0)))
+                 OVER (PARTITION BY event_type) AS DOUBLE)
+                 / (count(*) OVER (PARTITION BY event_type)) / 1e6, 6)
+               AS seasonal
+      FROM ph
+    )
+    SELECT wd.event_type, wd.ts, wd.event_id,
+           CAST(vq AS DOUBLE) / 1e6 AS value_q,
+           round(__trend, 6) AS trend,
+           seasonal,
+           round(CAST(vq AS DOUBLE) / 1e6 - __trend - seasonal, 6)
+             AS resid
+    FROM wd JOIN phc ON wd.event_type = phc.event_type
+                    AND wd.__phase = phc.__phase
+    """
+
+    @register("seasonal_decompose", oracle)
+    def q_seasonal_decompose(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Classical additive seasonal decomposition (period 7) of
+        each event-type series: centered-MA trend (DECIMAL frame
+        sums — sliding float aggregation is engine-hazardous),
+        phase-mean seasonal centered per series, residual
+        (``operators/timeseries.py::seasonal_decompose``)."""
+        from institutional_fx_etl_spark.operators.timeseries import (
+            seasonal_decompose,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        return seasonal_decompose(
+            ev, "value", ("event_type",), ("ts", "event_id"), period=7
+        )
+
+
+_register_seasonal_decompose()
+
+
+def _register_macd_signal() -> None:
+    from institutional_fx_etl_spark.operators.timeseries import (
+        macd_signal_exprs,
+    )
+
+    over = "(PARTITION BY event_type ORDER BY ts, event_id)"
+    macd, sig, hist, cross = macd_signal_exprs("value", over)
+    oracle = f"""
+    SELECT *, {cross} AS crossover FROM (
+      SELECT *, {hist} AS histogram FROM (
+        SELECT *, {sig} AS signal_line FROM (
+          SELECT event_type, ts, event_id, value, {macd} AS macd
+          FROM events WHERE value IS NOT NULL
+        )
+      )
+    )
+    """
+
+    @register("macd_signal", oracle)
+    def q_macd_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MACD(12,26) + signal(9) + histogram + zero-cross flag per
+        event-type series, all truncated-horizon EWMAs over ONE
+        partitioned window sort; every layer's SQL text is shared
+        verbatim with the oracle
+        (``operators/timeseries.py::macd_signal``)."""
+        from institutional_fx_etl_spark.operators.timeseries import (
+            macd_signal,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        return macd_signal(
+            ev, "value", ("event_type",), ("ts", "event_id")
+        )
+
+
+_register_macd_signal()
+
+
+@register(
+    "survival_km",
+    """
+    WITH base AS (
+      SELECT event_type AS g,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS tq,
+             CASE WHEN event_id % 5 <> 0 THEN 1 ELSE 0 END AS obs
+      FROM events WHERE value IS NOT NULL
+    ),
+    per_t AS (
+      SELECT g, tq, CAST(SUM(obs) AS BIGINT) AS d,
+             CAST(SUM(1 - obs) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2
+    ),
+    tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n_tot
+            FROM base GROUP BY 1),
+    risk AS (
+      SELECT per_t.g, tq, d, c,
+             CAST(n_tot - coalesce(SUM(d + c) OVER
+               (PARTITION BY per_t.g ORDER BY tq ROWS BETWEEN UNBOUNDED
+                PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n
+      FROM per_t JOIN tot USING (g)
+    ),
+    f AS (
+      SELECT *, CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / n AS ff
+      FROM risk
+    ),
+    s AS (
+      SELECT *,
+             max(CASE WHEN ff <= 0 THEN 1 ELSE 0 END) OVER w AS dead,
+             SUM(CASE WHEN ff > 0 THEN ln(ff) END) OVER w AS ls
+      FROM f
+      WINDOW w AS (PARTITION BY g ORDER BY tq ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW)
+    )
+    SELECT g AS event_type, CAST(tq AS DOUBLE) / 1e6 AS t,
+           n AS n_at_risk, d AS n_events, c AS n_censored,
+           CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
+                ELSE round(exp(coalesce(ls, CAST(0 AS DOUBLE))), 6)
+           END AS survival
+    FROM s
+    """,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve per event type over the value
+    column as a duration, with a deterministic 20% right-censoring
+    split (event_id % 5 = 0): micro-quantized duration grouping, the
+    at-risk prefix and the running log-product over the
+    distinct-duration-bounded relation
+    (``operators/profiling.py::survival_km``)."""
+    from institutional_fx_etl_spark.operators.profiling import survival_km
+
+    ev = load_table(spark, sf_dir, "events")
+    return survival_km(ev, "value", "event_id % 5 <> 0", "event_type")
+
+
+@register(
+    "ndcg_eval",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+               FROM embeddings),
+    n AS (SELECT vec_id, vv, sqrt(list_dot_product(vv, vv)) AS nv
+          FROM v),
+    q AS (SELECT vec_id AS q_id, vv AS qv, nv AS nq FROM n
+          WHERE vec_id < 8),
+    sc AS (
+      SELECT q_id, n.vec_id,
+             round(list_dot_product(vv, qv) / (nv * nq), 6) AS cosine
+      FROM n CROSS JOIN q
+    ),
+    r AS (
+      SELECT *, CAST(row_number() OVER
+               (PARTITION BY q_id ORDER BY cosine DESC, vec_id)
+               AS INTEGER) AS rank
+      FROM sc
+    ),
+    tk AS (SELECT q_id, vec_id, rank FROM r
+           WHERE rank <= 10 AND vec_id <> q_id),
+    rel AS (
+      SELECT t.q_id, t.rank,
+             CASE WHEN l1.label = l2.label THEN 1 ELSE 0 END AS rel
+      FROM tk t
+      JOIN embeddings l1 ON t.vec_id = l1.vec_id
+      JOIN embeddings l2 ON t.q_id = l2.vec_id
+    ),
+    pos AS (
+      SELECT q_id, rel,
+             row_number() OVER (PARTITION BY q_id ORDER BY rank)
+               AS pos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY rel DESC, rank) AS ipos
+      FROM rel
+    ),
+    g AS (
+      SELECT q_id, rel,
+             CAST(floor(CAST(rel AS DOUBLE) / log2(pos + 1) * 1e6
+                        + 0.5) AS DECIMAL(18,0)) AS gq,
+             CAST(floor(CAST(rel AS DOUBLE) / log2(ipos + 1) * 1e6
+                        + 0.5) AS DECIMAL(18,0)) AS iq
+      FROM pos
+    ),
+    a AS (
+      SELECT q_id, CAST(SUM(rel) AS BIGINT) AS n_rel,
+             CAST(SUM(gq) AS DOUBLE) / 1e6 AS dcg0,
+             CAST(SUM(iq) AS DOUBLE) / 1e6 AS idcg0
+      FROM g GROUP BY q_id
+    )
+    SELECT q_id, n_rel, round(dcg0, 6) AS dcg, round(idcg0, 6) AS idcg,
+           CASE WHEN idcg0 > 0 THEN round(dcg0 / idcg0, 6)
+                ELSE CAST(0 AS DOUBLE) END AS ndcg
+    FROM a
+    """,
+)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the brute-cosine ranking with label-match relevance
+    for 8 query vectors (self excluded, positions renumbered, gain
+    terms micro-quantized before the per-query sum) — the graded
+    retrieval-eval next to ann_recall_eval's set recall
+    (``operators/similarity.py::ndcg_eval``)."""
+    from institutional_fx_etl_spark.operators.similarity import ndcg_eval
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ndcg_eval(emb, emb.filter("vec_id < 8"), k=10)
+
+
+# ---------------------------------------------------------------------
 # Registry ordering — the driver's correctness gate checks the FIRST 50
 # entries each round. ROTATION POLICY (round 2 verdict ask #4): the
 # window is recomposed every round so that

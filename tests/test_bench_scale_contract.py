@@ -84,3 +84,38 @@ def test_skewed_100x_probes_sublinear():
             name,
             w,
         )
+
+
+def test_ivfpq_capped_skew_ledger_complete():
+    """r13 verdict ask #2: the IVF-PQ capped skew section must carry
+    the full probe ledger (probed fraction, hot-cell/cap-skip
+    counters) AND the capped-vs-uncapped recall at every recorded
+    factor, with the consistency the trade implies: a cap that skips
+    nothing must report recall 1.0, and the capped scan must never be
+    meaningfully slower than the uncapped one (skipping work is
+    allowed to save wall, not to add it)."""
+    art = _load()
+    if "skew_results" not in art:
+        pytest.skip("skewed probes not generated yet")
+    w = art["skew_results"].get("ivfpq_topk_skew")
+    assert w is not None, "ivfpq capped skew section missing"
+    assert w["cap"]["max_cell"] > 0
+    for f in (1, art["skew_factor"]):
+        rep = w[f"report_x{f}"]
+        for field in (
+            "probed_fraction",
+            "max_probed_cell",
+            "n_probed_over_cap",
+            "rows_skipped_by_cap",
+            "capped_recall_vs_uncapped",
+        ):
+            assert field in rep, f"report_x{f} missing {field}"
+        assert 0.0 <= rep["capped_recall_vs_uncapped"] <= 1.0
+        if rep["rows_skipped_by_cap"] == 0:
+            assert rep["capped_recall_vs_uncapped"] == 1.0, (
+                "cap skipped nothing yet recall dropped — the ledger"
+                " is inconsistent with the scan"
+            )
+        assert w[f"capped_x{f}"] <= w[f"x{f}"] * 1.25 + 1.0, (
+            f"capped scan slower than uncapped at x{f}: {w}"
+        )

@@ -388,6 +388,129 @@ def test_kneser_ney_probabilities_sum_close_to_one(spark):
         assert s <= 1.0 + 1e-4, (w1, s)
 
 
+# --- r15 early debuts -------------------------------------------------
+
+
+def test_seasonal_decompose_recovers_planted_seasonality(spark):
+    import math
+
+    from institutional_fx_etl_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    # value = linear trend + period-7 sawtooth, no noise
+    period, n = 7, 140
+    rows = [
+        ("s", i, float(10 + 0.5 * i + [3, -1, 2, -4, 0, 1, -1][i % 7]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "g string, idx long, v double")
+    out = seasonal_decompose(
+        df, "v", ("g",), ("idx",), period=period
+    ).orderBy("idx").collect()
+    assert len(out) == n
+    # edges: first/last period//2 rows have NULL trend and resid
+    assert out[0]["trend"] is None and out[-1]["resid"] is None
+    # interior: trend ~ the linear part (MA of linear = linear;
+    # sawtooth mean = 0), residual ~ 0
+    mid = [r for r in out if r["trend"] is not None]
+    for r in mid[5:20]:
+        expected_trend = 10 + 0.5 * r["idx"]
+        assert math.isclose(r["trend"], expected_trend, abs_tol=1e-4)
+        assert abs(r["resid"]) < 1e-4
+    # seasonal repeats with period 7 and sums to ~0
+    season = {r["idx"] % 7: r["seasonal"] for r in out}
+    assert abs(sum(season.values())) < 1e-4
+    for r in out:
+        assert math.isclose(
+            r["seasonal"], season[r["idx"] % 7], abs_tol=1e-9
+        )
+
+
+def test_seasonal_decompose_rejects_even_period(spark):
+    from institutional_fx_etl_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    df = spark.createDataFrame([("s", 1, 1.0)], "g string, i long, v double")
+    with pytest.raises(ValueError, match="odd"):
+        seasonal_decompose(df, "v", ("g",), ("i",), period=4)
+
+
+def test_macd_signal_constant_series_is_flat(spark):
+    from institutional_fx_etl_spark.operators.timeseries import macd_signal
+
+    rows = [("s", i, 5.0) for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    out = macd_signal(df, "v", ("g",), ("i",)).collect()
+    for r in out:
+        # EWMA of a constant is the constant -> macd == 0 everywhere
+        assert r["macd"] == 0.0 and r["histogram"] == 0.0
+        assert r["crossover"] == 0
+
+
+def test_macd_signal_step_crosses_zero(spark):
+    from institutional_fx_etl_spark.operators.timeseries import macd_signal
+
+    rows = [("s", i, 1.0 if i < 40 else 10.0) for i in range(80)]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    out = macd_signal(df, "v", ("g",), ("i",)).orderBy("i").collect()
+    # after the step the fast EMA leads: macd turns positive
+    post = [r for r in out if 45 <= r["i"] <= 60]
+    assert all(r["macd"] > 0 for r in post)
+    # exactly one bullish histogram zero-cross after the step
+    crosses = [r["i"] for r in out if r["crossover"] == 1]
+    assert len(crosses) >= 1 and all(i >= 40 for i in crosses)
+
+
+def test_survival_km_matches_hand_computation(spark):
+    from institutional_fx_etl_spark.operators.profiling import survival_km
+
+    # classic textbook set: events at 1,2,4; censored at 3
+    rows = [
+        ("g", 1.0, True),
+        ("g", 2.0, True),
+        ("g", 3.0, False),
+        ("g", 4.0, True),
+        ("g", 4.0, True),
+    ]
+    df = spark.createDataFrame(rows, "grp string, dur double, obs boolean")
+    out = {
+        r["t"]: r
+        for r in survival_km(df, "dur", "obs", "grp").collect()
+    }
+    # t=1: n=5, d=1 -> S=0.8 ; t=2: n=4, d=1 -> 0.6
+    # t=3: censored only -> S stays 0.6 ; t=4: n=2, d=2 -> 0.0
+    assert out[1.0]["n_at_risk"] == 5 and out[1.0]["survival"] == 0.8
+    assert out[2.0]["survival"] == 0.6
+    assert out[3.0]["n_events"] == 0 and out[3.0]["survival"] == 0.6
+    assert out[4.0]["n_at_risk"] == 2 and out[4.0]["survival"] == 0.0
+
+
+def test_ndcg_eval_perfect_and_zero_rankings(spark):
+    from institutional_fx_etl_spark.operators.similarity import ndcg_eval
+
+    # 1-D embeddings: cosine of positive scalars is always 1, so the
+    # ranking tiebreaks by id; labels decide relevance.
+    # q0 (label 0): every other even id matches -> some gain;
+    # q1 (label 1): no other vector has label 1 -> idcg 0 -> ndcg 0.
+    rows = [(0, [1.0], 0), (1, [1.0], 1)] + [
+        (i, [1.0], 0 if i % 2 == 0 else 2) for i in range(2, 14)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["q_id"]: r
+        for r in ndcg_eval(df, df.filter("vec_id < 2"), k=10).collect()
+    }
+    assert out[1]["n_rel"] == 0 and out[1]["ndcg"] == 0.0
+    assert out[0]["n_rel"] > 0
+    # q0's relevant ids are the even ones; with cosine ties the rank
+    # order is id order, which interleaves rel/non-rel -> 0 < ndcg < 1
+    assert 0.0 < out[0]["ndcg"] <= 1.0
+
+
 def test_welch_ttest_equal_means_near_zero_t(spark):
     from institutional_fx_etl_spark.operators.profiling import welch_ttest
 
