@@ -92,3 +92,26 @@ def salted_agg(
             for name, (agg, _col) in aggs.items()
         ]
     )
+
+
+def spread_if_narrow(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin re-spread of an input whose PHYSICAL parallelism is
+    below the session's default parallelism — the optimization guide's
+    "input skew" remedy (§2.5): one huge unsplittable file, or a
+    single-row-group parquet (a row group cannot be split, so the scan
+    is ONE task no matter what ``maxPartitionBytes`` says), serializes
+    every pre-shuffle CPU-bound derivation (tokenize / hash / shingle
+    / edge-gen) on one core until the first exchange.
+
+    Strictly a narrow-input rescue: when the scan already carries at
+    least ``target`` partitions (a properly laid-out table at scale),
+    this is an exact no-op — no exchange is added, so it can never
+    become a constant tax on well-partitioned inputs. The repartition
+    is keyless round-robin (deterministic under retries via Spark's
+    sort-before-repartition default, SPARK-23207).
+    """
+    sc = df.sparkSession.sparkContext
+    n = int(target) if target else sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)

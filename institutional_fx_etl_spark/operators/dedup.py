@@ -1684,6 +1684,14 @@ def prefix_filter_pairs(
         "round(CAST(size(array_intersect(ta, tb)) AS DOUBLE)"
         " / (na + nb - size(array_intersect(ta, tb))), 6)"
     )
+    # explicit key-spread before the verify joins (r14, guide §2.5):
+    # the candidate relation is skinny id pairs, so AQE coalesces the
+    # verify join to 1-3 tasks — but each verify ROW pays an
+    # array_intersect over full token sets, so the exact-Jaccard CPU
+    # serialized (profiled: the whole verify stage on 3 tasks at
+    # sf0.1). A user hash-repartition is exempt from AQE coalescing
+    # and moves only the id pairs.
+    candidates = candidates.repartition(_shuffle_partitions(df), "id_a")
     verified = (
         candidates.join(
             sets.selectExpr(

@@ -32,6 +32,7 @@ def pagerank_fixed(
     iterations: int = 3,
     scale: int = 1_000_000,
     damping_pct: int = 85,
+    broadcast_max_nodes: int = 5_000_000,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list.
 
@@ -45,44 +46,63 @@ def pagerank_fixed(
     standard simplification, deterministic here.
 
     Plan shape: ``iterations`` rounds of (hash join on src →
-    re-aggregate on dst), all shuffles on the node key — the scale
-    path is the same edge-partitioned propagation as the CC loop,
-    with a static unrolled DAG instead of a convergence loop.
+    re-aggregate on dst). The out-degree is folded into the edge
+    relation ONCE up front, so every round is a single join against
+    the static ``(src, dst, deg)`` relation instead of two. The node
+    set is MEASURED (the ``triangle_count`` materialized-count
+    policy): at or under ``broadcast_max_nodes`` the per-round rank
+    relation (O(V) ids+longs, ~16 B/row — 5M nodes ≈ 80 MB built)
+    BROADCASTS, so the edge relation is probed map-side and never
+    re-shuffles or re-sorts across rounds (guide §3.1; the former
+    always-sort-merge shape re-sorted the edge list every round).
+    Above the cap every shuffle keys on the node id — the same
+    edge-partitioned propagation as the CC loop, with a static
+    unrolled DAG instead of a convergence loop.
 
     Output: ``node``, ``pr_scaled`` (exact BIGINT, ``scale`` = 1.0).
     """
     from pyspark.storagelevel import StorageLevel
 
-    # Each unrolled round re-consumes the edge list, the out-degrees
-    # and the node set; persisting them (ids-only rows, MEMORY_AND_DISK)
-    # keeps the caller's upstream DAG from being re-derived
-    # ``iterations`` times (the dedup_clusters pairs lesson).
-    e = edges.selectExpr(
-        f"{src_col} AS src", f"{dst_col} AS dst"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    deg = (
-        e.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # ONE persisted (src, dst, deg) propagation relation serves every
+    # unrolled round — the degree is attached up front, so each round
+    # is a single join against a static cached relation instead of
+    # the former two re-planned (and re-sorted) joins. Inside this
+    # relation's one materialization job the edge subtree appears
+    # twice (the degree leg and the join leg), but both exchanges
+    # hash-partition on src, so ReuseExchange evaluates the caller's
+    # fixture ONCE — no eager barrier jobs are needed before it
+    # (checkpoint-based variants that pre-materialized the fixture
+    # measured 0.7-1.6 s slower per pass at sf0.1: localCheckpoint is
+    # instance-keyed, so every pass re-pays the write, while persist
+    # is plan-keyed).
+    e0 = edges.selectExpr(f"{src_col} AS src", f"{dst_col} AS dst")
+    deg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e0.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    # node set from ONE scan of the cached relation (explode instead
+    # of a two-branch union — the union's second branch would race
+    # the still-cold cache and re-derive the fixture)
     nodes = (
-        e.selectExpr("src AS node")
-        .union(e.selectExpr("dst AS node"))
+        ed.selectExpr("explode(array(src, dst)) AS node")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # one materialized count serves triple duty: the broadcast gate
+    # must not ride Catalyst's lazy estimate, the count materializes
+    # the node cache, and — because nodes scans ed exactly once — the
+    # same job materializes the propagation relation with no race
+    small = nodes.count() <= int(broadcast_max_nodes)
     teleport = ((100 - damping_pct) * scale) // 100
     ranks = nodes.withColumn("pr", F.lit(scale).cast("long"))
     for _ in range(iterations):
+        rsrc = ranks.selectExpr("node AS src", "pr")
         contrib = (
-            e.join(ranks.selectExpr("node AS src", "pr"), "src")
-            .join(deg, "src")
+            ed.join(F.broadcast(rsrc) if small else rsrc, "src")
             .selectExpr("dst AS node", "pr div deg AS c")
             .groupBy("node")
             .agg(F.sum("c").alias("__in"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(F.broadcast(contrib) if small else contrib, "node", "left")
             .selectExpr(
                 "node",
                 f"{teleport}L + ({damping_pct}L * coalesce(__in, 0L))"
@@ -162,9 +182,16 @@ def triangle_count(
     # Ids-only rows, so caching is cheap at any scale (spills on
     # memory pressure).
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize the REAL edge count (also warms the persisted set);
+    # the broadcast decision must not ride Catalyst's lazy estimate
+    # (the dedup_clusters OOM lesson, commit 13d1e37)
+    n_edges_val = e.count()
+    # single-scan degree derivation (r14): explode(array(a, b))
+    # replaces the two-branch union — half the scan tasks over the
+    # cached edge set, and every task carries the serialized plan
+    # closure, so fewer tasks is a real constant win on wide clusters
     deg = (
-        e.selectExpr("a AS node")
-        .union(e.selectExpr("b AS node"))
+        e.selectExpr("explode(array(a, b)) AS node")
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -172,11 +199,13 @@ def triangle_count(
     wedges = deg.agg(
         F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
     )
-    # materialize the REAL edge count (also warms the persisted set);
-    # the broadcast decision must not ride Catalyst's lazy estimate
-    # (the dedup_clusters OOM lesson, commit 13d1e37)
-    n_edges_val = e.count()
-    # degree-ordered orientation: lower (d, id) endpoint → higher
+    # degree-ordered orientation: lower (d, id) endpoint → higher.
+    # NOTE (r14): count barriers on deg/oriented were tried to stop
+    # the concurrent-stage double-compute of the orientation join and
+    # measured SLOWER per pass (3.64 s vs 3.07 s bench): this census
+    # releases its caches at the end, so every pass re-pays the
+    # materializations, and the racing duplicates overlap on idle
+    # cores while barriers serialize. Keeping the lazy persists.
     oriented = (
         e.join(deg.selectExpr("node AS a", "d AS da"), "a")
         .join(deg.selectExpr("node AS b", "d AS db"), "b")
@@ -584,6 +613,15 @@ def adamic_adar(
     """
     from pyspark.storagelevel import StorageLevel
 
+    # PERSIST + count barrier (r14): the canonical edge set is
+    # consumed by both branches of the neighbor union and by the
+    # final anti-join; those stages are submitted concurrently and
+    # race a LAZY persist, each re-deriving the caller's edge fixture
+    # (profiled ~3× duplicate evaluation at sf0.1 — the pagerank
+    # lesson). The count's plan holds the edge subtree exactly once,
+    # so it materializes the cache race-free; persist (plan-keyed)
+    # beats localCheckpoint (instance-keyed) because warm re-built
+    # plans re-match the cache instead of re-paying the write.
     e0 = (
         edges.selectExpr(
             f"least({src_col}, {dst_col}) AS a",
@@ -593,6 +631,7 @@ def adamic_adar(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    e0.count()
     nbr = e0.unionByName(e0.selectExpr("b AS a", "a AS b")).selectExpr(
         "a AS z", "b AS x"
     )
@@ -605,12 +644,20 @@ def adamic_adar(
     # Lineage-truncated (the kcore/clustering lesson): both sides of
     # the wedge self-join and the candidate anti/degree joins nest
     # this relation, and each nesting re-plans the edge + degree tree
+    # PERSIST + count barrier (r14): both sides of the wedge
+    # self-join below consume this relation from concurrently
+    # submitted shuffle-map stages — a lazy boundary is raced and the
+    # (union + degree join) subtree runs twice; an instance-keyed
+    # localCheckpoint re-pays the write per re-built plan. e0 is
+    # already cached, so the count re-derives only the cheap
+    # union/degree layer once.
     mid = mid.selectExpr(
         "z",
         "x",
         "CAST(floor(1e6 / ln(CAST(d AS DOUBLE)) + 0.5)"
         " AS DECIMAL(38,0)) AS aa_m",
-    ).localCheckpoint(eager=False)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    mid.count()
     wedges = (
         mid.join(
             mid.selectExpr("z", "x AS y"),
@@ -688,31 +735,49 @@ def kcore_decomposition(
         .distinct()
         .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
+    small = None
     for _ in range(int(rounds)):
+        # single-scan degree derivation (r14): explode(array(a, b))
+        # replaces the two-branch union, so the still-cold lazy
+        # checkpoint below is materialized by exactly ONE consumer
+        # scan — no concurrent-branch race anywhere in the loop.
+        # (A persist-chain variant measured faster warm but printed a
+        # 45k-line physical plan at rounds=3 — nested InMemoryRelation
+        # children multiply per round — so rounds keep checkpoint
+        # truncation; plans stay constant-size per round.)
         deg = (
-            e.selectExpr("a AS n")
-            .unionByName(e.selectExpr("b AS n"))
+            e.selectExpr("explode(array(a, b)) AS n")
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
         )
+        # LAZY checkpoint + count: the count job both materializes the
+        # cached survivor list (same lineage truncation) and feeds the
+        # broadcast gate — one job where the former eager-checkpoint-
+        # then-count shape ran two sequential jobs per round
         keep = deg.filter(f"d >= {int(k)}").select("n").localCheckpoint(
-            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
         )
-        kj = (
-            F.broadcast(keep)
-            if keep.count() <= int(broadcast_max_nodes)
-            else keep
-        )
+        if small is None or small:
+            # survivor sets only SHRINK round over round, so a
+            # round-1 under-cap verdict holds for every later round;
+            # the count still runs each round (it materializes the
+            # cache) but only gates once
+            small = keep.count() <= int(broadcast_max_nodes)
+        else:
+            keep.count()
+        kj = F.broadcast(keep) if small else keep
+        # lazy checkpoint: materialized by the single scan inside the
+        # NEXT round's count job (or the final degree aggregate) —
+        # sheds the former per-round eager barrier job
         e = (
             e.join(kj.selectExpr("n AS a"), "a", "left_semi")
             .join(kj.selectExpr("n AS b"), "b", "left_semi")
             .localCheckpoint(
-                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+                eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
             )
         )
     return (
-        e.selectExpr("a AS node")
-        .unionByName(e.selectExpr("b AS node"))
+        e.selectExpr("explode(array(a, b)) AS node")
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
         .filter(f"degree >= {int(k)}")
@@ -740,6 +805,14 @@ def clustering_coefficient(
     """
     from pyspark.storagelevel import StorageLevel
 
+    # PERSIST + count barriers (r14): the degree union's two branches
+    # and the two orientation joins race a LAZY persist from
+    # concurrently submitted stages, re-deriving the caller's edge
+    # fixture per branch; instance-keyed localCheckpoints fixed the
+    # race but re-paid the materialization on every re-built plan
+    # (profiled 1.40 s → 2.22 s warm). Each count's plan holds its
+    # subtree exactly once over already-cached parents, so the
+    # barriers are race-free and near-free on warm passes.
     e0 = (
         edges.selectExpr(
             f"least({src_col}, {dst_col}) AS a",
@@ -749,13 +822,16 @@ def clustering_coefficient(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    e0.count()
     deg = (
-        e0.selectExpr("a AS n")
-        .unionByName(e0.selectExpr("b AS n"))
+        e0.selectExpr("explode(array(a, b)) AS n")
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # both orientation-join legs consume the degree relation from
+    # concurrently submitted stages — materialize it once first
+    deg.count()
     # orient each edge from its lower-(degree, id) endpoint so every
     # triangle is enumerated exactly once at its lowest-degree corner
     # (the node-iterator bound — hubs don't explode)
@@ -772,10 +848,15 @@ def clustering_coefficient(
             "CASE WHEN (da, a) < (db, b) THEN a ELSE b END AS x",
             "CASE WHEN (da, a) < (db, b) THEN b ELSE a END AS y",
         )
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    adj = oe.groupBy(F.col("x").alias("n")).agg(
-        F.expr("array_sort(collect_list(y)) AS ns")
+    oe.count()
+    # the adjacency feeds BOTH probe legs of the closing join — a
+    # bare relation would run the collect_list aggregate twice
+    adj = (
+        oe.groupBy(F.col("x").alias("n"))
+        .agg(F.expr("array_sort(collect_list(y)) AS ns"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tri = (
         oe.join(adj.selectExpr("n AS x", "ns AS nx"), "x", "left")
@@ -787,10 +868,14 @@ def clustering_coefficient(
             " coalesce(ny, array()))) AS z",
         )
     )
+    # ONE corner emission per triangle row (r14): the former 3-branch
+    # union re-evaluated the probe-join + intersect relation once per
+    # corner (and the unpersisted adjacency twice per evaluation —
+    # six collect_list aggregates for one census). explode(array(...))
+    # feeds the identical (corner, count) aggregate from a single
+    # evaluation. Guide §2.4 (remove repeated subtree evaluation).
     corners = (
-        tri.selectExpr("x AS n")
-        .unionByName(tri.selectExpr("y AS n"))
-        .unionByName(tri.selectExpr("z AS n"))
+        tri.selectExpr("explode(array(x, y, z)) AS n")
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )

@@ -7183,9 +7183,14 @@ def q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.selectExpr("c * 2 AS src", "s * 2 + 1 AS dst").union(
-        pairs.selectExpr("s * 2 + 1 AS src", "c * 2 AS dst")
-    )
+    # both directions emitted scan-side from ONE pass over the distinct
+    # trade pairs (r14): the former union of two selects duplicated the
+    # orders⋈lineitem+distinct subtree — Catalyst plans each union arm
+    # independently (guide §2.4, remove repeated subtree evaluation)
+    edges = pairs.selectExpr(
+        "explode(array(struct(c * 2 AS src, s * 2 + 1 AS dst),"
+        " struct(s * 2 + 1 AS src, c * 2 AS dst))) AS e"
+    ).select("e.*")
     return pagerank_fixed(edges, iterations=3)
 
 
@@ -7741,6 +7746,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/graph.py::triangle_count``)."""
     from institutional_fx_etl_spark.operators.graph import triangle_count
 
+    # r14 note: a basket-aggregate pair emission (collect_set +
+    # in-array C(k,2) emit) was measured against this self-join form
+    # feeding the full census and lost (4.18 s vs 3.33 s warm at
+    # sf0.1): the emission's nested-lambda Generate is interpreted
+    # per-pair CPU that exchange reuse cannot dedup, while the
+    # self-join's duplicate subtrees dedup at their exchanges.
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select(
@@ -9217,9 +9228,15 @@ def _register_dedup_recall_eval() -> None:
         # deterministic eval-corpus bound: the brute-force truth is n²
         # BY DESIGN, so the harness fixes the sample (doc_id < 500 — a
         # no-op at sf≤0.01, a 10% sample at sf0.1) instead of letting
-        # the eval cost grow quadratically with the corpus
-        docs = load_table(spark, sf_dir, "documents").filter(
-            "doc_id < 500"
+        # the eval cost grow quadratically with the corpus.
+        # round-robin spread BEFORE the signature build: the sample is
+        # one parquet split, so the n² nested-loop truth join would
+        # otherwise stream on a SINGLE task (profiled 2.3 s of 1-core
+        # CPU at sf0.1, guide §2.5 input skew)
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter("doc_id < 500")
+            .repartition(spark.sparkContext.defaultParallelism)
         )
         sets = minhash_signatures(docs).select("doc_id", "shingle_hashes")
         a = sets.selectExpr("doc_id AS id_a", "shingle_hashes AS sh_a")
@@ -9238,14 +9255,24 @@ def _register_dedup_recall_eval() -> None:
         found = minhash_lsh_pairs(docs, jaccard_threshold=0.5).select(
             "id_a", "id_b"
         )
-        tp = found.join(truth, ["id_a", "id_b"]).agg(
-            F.count(F.lit(1)).cast("bigint").alias("tp")
-        )
-        nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
-        nf = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+        # one full-outer pass computes all three counters: the former
+        # three separate aggregates (tp join + two counts) evaluated
+        # the n² truth subtree TWICE and the LSH subtree twice
+        # (profiled: two identical 2.3 s single-task stages per run)
         return (
-            nt.crossJoin(F.broadcast(nf))
-            .crossJoin(F.broadcast(tp))
+            truth.withColumn("__t", F.lit(1))
+            .join(
+                found.withColumn("__f", F.lit(1)),
+                ["id_a", "id_b"],
+                "full_outer",
+            )
+            .agg(
+                F.count("__t").cast("bigint").alias("n_truth"),
+                F.count("__f").cast("bigint").alias("n_found"),
+                F.count(F.when(F.col("__t").isNotNull(), F.col("__f")))
+                .cast("bigint")
+                .alias("tp"),
+            )
             .selectExpr(
                 "n_truth",
                 "n_found",
@@ -13078,6 +13105,13 @@ def _register_label_prop() -> None:
             label_prop_communities,
         )
 
+        # r14 note: the basket-aggregate emission used by
+        # q_triangle_count was tried here and measured SLOWER — this
+        # query consumes the raw edge relation four times (node set
+        # ×2, both-direction build ×2), and the C(k,2) array emission
+        # is post-exchange CPU that exchange reuse cannot dedup,
+        # while the self-join form's duplicate subtrees ARE deduped
+        # at their exchanges. Kept as-is deliberately.
         items = (
             load_table(spark, sf_dir, "lineitem")
             .selectExpr("l_orderkey AS o", "l_partkey AS p")
@@ -13464,15 +13498,18 @@ def _register_graph_modularity() -> None:
 
         from pyspark import StorageLevel
 
+        # r14 note: the basket-aggregate emission was tried here and
+        # measured SLOWER (see q_label_prop_communities) — kept on
+        # the self-join form whose duplicate subtrees dedup at their
+        # exchanges. ONE materialized edge relation feeds both the
+        # detector and the scorer (each persists its own derived
+        # view; without this the lineitem self-join scan runs twice).
         items = (
             load_table(spark, sf_dir, "lineitem")
             .selectExpr("l_orderkey AS o", "l_partkey AS p")
             .distinct()
         )
         i2 = items.selectExpr("o", "p AS p2")
-        # ONE materialized edge relation feeds both the detector and
-        # the scorer (each persists its own derived view; without
-        # this the lineitem self-join scan runs twice)
         edges = (
             items.join(i2, "o")
             .filter("p < p2")
@@ -13721,21 +13758,26 @@ def _small_basket_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts per order): each order contributes ≤3 edges, so wedge
     fan-out stays structurally bounded (1.3M wedges at sf0.1 vs 148M
     unrestricted) — the right fixture for the quadratic-in-degree
-    link-prediction/clustering ops."""
-    items = (
+    link-prediction/clustering ops.
+
+    Plan shape (r14, guide §2.4): ONE basket aggregate
+    (``collect_set`` dedups parts per order map-side) replaces the
+    former items-distinct + size pre-pass + self-join — the items
+    relation was consumed three times and re-derived per consumer;
+    pair emission is in-array over the ≤3-element sorted basket, so
+    no join and no second wide exchange exists. Same edge set."""
+    return (
         load_table(spark, sf_dir, "lineitem")
         .selectExpr("l_orderkey AS o", "l_partkey AS p")
-        .distinct()
-    )
-    small = items.groupBy("o").agg(F.count(F.lit(1)).alias("__k")).filter(
-        "__k <= 3"
-    )
-    i2 = items.selectExpr("o", "p AS p2")
-    return (
-        items.join(small.select("o"), "o", "left_semi")
-        .join(i2, "o")
-        .filter("p < p2")
-        .selectExpr("p AS src", "p2 AS dst")
+        .groupBy("o")
+        .agg(F.expr("array_sort(collect_set(p)) AS ps"))
+        .filter("size(ps) BETWEEN 2 AND 3")
+        .selectExpr(
+            "explode(flatten(transform(ps, (x, i) ->"
+            " transform(slice(ps, i + 2, size(ps) - i - 1), y ->"
+            " struct(x AS src, y AS dst))))) AS e"
+        )
+        .select("e.*")
         .distinct()
     )
 

@@ -53,7 +53,12 @@ MAX_PLAN_LINES = 1000
 #: modularity 2318, clustering_coefficient 1499 — constant per round
 #: count, NOT multiplicative; the gate still bounds them)
 PLAN_LINES_ALLOWANCE = {
-    "graph_modularity": 3000,
+    # r14: +600 — the shared co-purchase edge relation is now
+    # materialized ONCE at the query level (persist + count barrier;
+    # kills the 4× re-evaluation of the basket pair emission), which
+    # adds one InMemoryRelation nesting level whose cached child
+    # prints inline under both the detector and scorer subtrees
+    "graph_modularity": 3600,
     "clustering_coefficient": 2000,
 }
 
