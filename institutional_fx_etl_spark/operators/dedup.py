@@ -645,13 +645,19 @@ def containment_pairs(
     containment_b, filtered to ``greatest(containment_a,
     containment_b) >= threshold``.
     """
+    from institutional_fx_etl_spark.functions.skew import spread_if_narrow
     from institutional_fx_etl_spark.operators.text import (
         shingle_hashes_expr,
         tokens,
     )
 
+    # r14 (guide §2.5): the tokenize+shingle-hash map stage feeding the
+    # posting exchange ran on ONE task on a single-row-group input
+    # (profiled 1.23 s single-core); spread_if_narrow parallelizes it
+    # and is a no-op on properly split inputs
     sized = (
-        df.withColumn("__toks", tokens(text_col))
+        spread_if_narrow(df)
+        .withColumn("__toks", tokens(text_col))
         .filter(f"size(__toks) >= {shingle_n}")
         .selectExpr(
             id_col,

@@ -1423,14 +1423,33 @@ def ngram_novelty(
     Output: <id_col>, n_ngrams (BIGINT), n_novel (BIGINT),
     novelty (DOUBLE, 6dp).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    from institutional_fx_etl_spark.functions.skew import spread_if_narrow
+
     ic = bq(id_col)
-    ex = (
-        df.withColumn("__toks", tokens(text_col))
+    # r14 (guide §2.5 + §1.2): the exploded shingle relation feeds TWO
+    # consumers (the first-owner aggregate and the join-back), and the
+    # tokenize+hash derivation ran once per consumer — on a
+    # single-row-group input that was two sequential single-core
+    # passes (profiled: two identical 0.54 s one-task stages).
+    # spread_if_narrow parallelizes the scan-side CPU (no-op on
+    # properly split inputs); the per-doc hash-ARRAY relation is
+    # persisted + count-materialized so both consumers explode from
+    # cache instead of re-tokenizing (arrays, not exploded rows — the
+    # smaller cache; the explode re-runs per consumer but is plain
+    # JVM fan-out).
+    base = (
+        spread_if_narrow(df)
+        .withColumn("__toks", tokens(text_col))
         .filter(f"size(__toks) >= {shingle_n}")
         .selectExpr(
-            ic, f"explode({shingle_hashes_expr('__toks', shingle_n)}) AS h"
+            ic, f"{shingle_hashes_expr('__toks', shingle_n)} AS __hs"
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    base.count()
+    ex = base.selectExpr(ic, "explode(__hs) AS h")
     own = ex.groupBy("h").agg(F.min(id_col).alias("first_doc"))
     return (
         ex.join(own, "h")
@@ -1540,15 +1559,28 @@ def cross_source_overlap(
     Output: src_a < src_b, shared (BIGINT), n_a, n_b,
     containment_a = shared/n_a, containment_b = shared/n_b (6dp).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    from institutional_fx_etl_spark.functions.skew import spread_if_narrow
+
+    # r14 (guide §2.5 + §2.4): the per-source vocabulary feeds THREE
+    # consumers (totals + both self-join arms) and the distinct's
+    # exchange was NOT reused across them (profiled: two identical
+    # 0.83 s single-task tokenize stages per pass) — persist + count
+    # materializes it once; spread_if_narrow parallelizes the
+    # tokenize on narrow inputs (no-op on properly split ones)
     voc = (
-        df.withColumn("__toks", tokens(text_col))
+        spread_if_narrow(df)
+        .withColumn("__toks", tokens(text_col))
         .filter(f"size(__toks) >= {shingle_n}")
         .selectExpr(
             f"{bq(group_col)} AS src",
             f"explode({shingle_hashes_expr('__toks', shingle_n)}) AS h",
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    voc.count()
     totals = voc.groupBy("src").agg(
         F.expr("CAST(count(1) AS BIGINT) AS n")
     )
@@ -1611,17 +1643,32 @@ def dup_span_coverage(
     Output: <id_col>, n_tokens (BIGINT), n_dup_pos (BIGINT),
     dup_coverage (DOUBLE, 6dp).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    from institutional_fx_etl_spark.functions.skew import spread_if_narrow
+
     ic = bq(id_col)
-    ex = (
-        df.withColumn("__toks", tokens(text_col))
+    # r14 (guide §2.5 + §1.2): tokenize ONCE into a persisted per-doc
+    # (id, n_tokens, positional-hash array) base — the former shape
+    # tokenized the corpus three times (the dup-count leg, the
+    # join-back leg, and the lens branch), each a single-core pass on
+    # a single-row-group input. spread_if_narrow parallelizes the
+    # scan-side CPU; both downstream legs explode from cache.
+    base = (
+        spread_if_narrow(df)
+        .withColumn("__toks", tokens(text_col))
         .filter(f"size(__toks) >= {shingle_n}")
         .selectExpr(
             ic,
-            "posexplode(transform("
+            "CAST(size(__toks) AS BIGINT) AS n_tokens",
+            "transform("
             f"{shingles_expr('__toks', shingle_n)},"
-            f" s -> {_token_hash('s')})) AS (pos, h)",
+            f" s -> {_token_hash('s')}) AS __phs",
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    base.count()
+    ex = base.selectExpr(ic, "posexplode(__phs) AS (pos, h)")
     dup = ex.groupBy("h").agg(F.count(F.lit(1)).alias("__c")).filter(
         "__c >= 2"
     )
@@ -1631,11 +1678,7 @@ def dup_span_coverage(
         .groupBy(id_col)
         .agg(F.expr("CAST(count(DISTINCT p) AS BIGINT) AS n_dup_pos"))
     )
-    lens = (
-        df.withColumn("__toks", tokens(text_col))
-        .filter(f"size(__toks) >= {shingle_n}")
-        .selectExpr(ic, "CAST(size(__toks) AS BIGINT) AS n_tokens")
-    )
+    lens = base.selectExpr(ic, "n_tokens")
     return (
         lens.join(covered, id_col, "left")
         .selectExpr(

@@ -36,6 +36,26 @@ from institutional_fx_etl_spark.functions.windows import (
 from institutional_fx_etl_spark.operators.ohlc import ticks_to_candles
 from institutional_fx_etl_spark.sources.readers import load_table
 
+
+def _stream_tmpdir(prefix: str) -> str:
+    """Fresh scratch dir for a streaming query's checkpoint/source
+    files (one per invocation — never reused across runs, so nothing
+    is cached between bench passes). Placement is a pure harness
+    knob: checkpoint METADATA fsyncs dominated the micro-batch wall on
+    the bench box (9-query streaming family 14.1 s -> 12.4 s measured
+    with tmpfs), so prefer $SPARK_GRAFT_STREAM_TMPDIR, then /dev/shm
+    when present, then the system default — a cluster run can point
+    this at fast local disk (or durable storage for real jobs).
+    """
+    import os
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_STREAM_TMPDIR")
+    if base is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        base = "/dev/shm"
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
 
 
@@ -2356,7 +2376,7 @@ def q_streaming_gap_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spread", F.round("spread", 6)
     ).withColumn("symbol", F.lit("X"))
 
-    src = tempfile.mkdtemp(prefix="stream_candles_")
+    src = _stream_tmpdir(prefix="stream_candles_")
     candles.write.mode("overwrite").parquet(src)
 
     schema = (
@@ -2426,7 +2446,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("memory")
         .queryName(name)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="stream_dedup_ck_")
+            "checkpointLocation", _stream_tmpdir(prefix="stream_dedup_ck_")
         )
         .start()
     )
@@ -3895,7 +3915,7 @@ def q_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("memory")
         .queryName(name)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="stream_slide_ck_")
+            "checkpointLocation", _stream_tmpdir(prefix="stream_slide_ck_")
         )
         .start()
     )
@@ -3980,7 +4000,7 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("memory")
         .queryName(name)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="stream_ssj_ck_")
+            "checkpointLocation", _stream_tmpdir(prefix="stream_ssj_ck_")
         )
         .start()
     )
@@ -7046,7 +7066,7 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .option(
             "checkpointLocation",
-            tempfile.mkdtemp(prefix="stream_session_ck_"),
+            _stream_tmpdir(prefix="stream_session_ck_"),
         )
         .start()
     )
@@ -9156,7 +9176,7 @@ def _register_streaming_cusum() -> None:
             .queryName(name)
             .option(
                 "checkpointLocation",
-                tempfile.mkdtemp(prefix="stream_cusum_ck_"),
+                _stream_tmpdir(prefix="stream_cusum_ck_"),
             )
             .start()
         )
@@ -9931,7 +9951,7 @@ def _register_streaming_hll() -> None:
             .queryName(name)
             .option(
                 "checkpointLocation",
-                tempfile.mkdtemp(prefix="stream_hll_ck_"),
+                _stream_tmpdir(prefix="stream_hll_ck_"),
             )
             .start()
         )
@@ -10042,7 +10062,7 @@ def _register_streaming_quantile_sketch() -> None:
             .queryName(name)
             .option(
                 "checkpointLocation",
-                tempfile.mkdtemp(prefix="stream_qsk_ck_"),
+                _stream_tmpdir(prefix="stream_qsk_ck_"),
             )
             .start()
         )
@@ -10202,7 +10222,7 @@ def q_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .option(
             "checkpointLocation",
-            tempfile.mkdtemp(prefix="stream_cms_ck_"),
+            _stream_tmpdir(prefix="stream_cms_ck_"),
         )
         .start()
     )
@@ -11435,7 +11455,7 @@ def _register_streaming_mixture() -> None:
             .queryName(name)
             .option(
                 "checkpointLocation",
-                tempfile.mkdtemp(prefix="stream_mix_ck_"),
+                _stream_tmpdir(prefix="stream_mix_ck_"),
             )
             .start()
         )
@@ -11500,7 +11520,7 @@ def _register_streaming_dedup() -> None:
             .queryName(name)
             .option(
                 "checkpointLocation",
-                tempfile.mkdtemp(prefix="stream_dedup_ck_"),
+                _stream_tmpdir(prefix="stream_dedup_ck_"),
             )
             .start()
         )
@@ -12553,7 +12573,7 @@ def _register_streaming_ivf() -> None:
             .queryName(name)
             .option(
                 "checkpointLocation",
-                tempfile.mkdtemp(prefix="stream_ivf_ck_"),
+                _stream_tmpdir(prefix="stream_ivf_ck_"),
             )
             .start()
         )
@@ -12821,7 +12841,7 @@ def _register_streaming_lm_score() -> None:
             .queryName(name)
             .option(
                 "checkpointLocation",
-                tempfile.mkdtemp(prefix="stream_lm_ck_"),
+                _stream_tmpdir(prefix="stream_lm_ck_"),
             )
             .start()
         )
@@ -13314,7 +13334,7 @@ def _register_streaming_decontaminate() -> None:
             .queryName(name)
             .option(
                 "checkpointLocation",
-                tempfile.mkdtemp(prefix="stream_decon_ck_"),
+                _stream_tmpdir(prefix="stream_decon_ck_"),
             )
             .start()
         )
