@@ -49,9 +49,18 @@ def basket_assoc_rules(
     broadcast. All counts integer; the three ratios divide exact
     BIGINTs once at the end, mirrored verbatim in the oracle.
     """
+    from pyspark.storagelevel import StorageLevel
+
     basket = df.selectExpr(
         f"{txn_col} AS txn", f"{item_col} AS item"
     ).distinct()
+    # r14: the distinct basket relation feeds THREE consumers (the
+    # basket grouping, the item supports, the transaction total) and
+    # exchange reuse did NOT dedup the distinct across them under AQE
+    # (profiled: two identical 6.2 MB map stages per pass) — persist +
+    # count barrier materializes it once; key-only rows, cheap cache.
+    basket = basket.persist(StorageLevel.MEMORY_AND_DISK)
+    basket.count()
     # distinct() already shuffles on (txn, item); the basket grouping
     # re-shuffles on txn only — both narrow key-only rows.
     groups = (

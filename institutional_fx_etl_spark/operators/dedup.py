@@ -21,6 +21,7 @@ oracle reproduces every value bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from institutional_fx_etl_spark.functions.localrel import local_rows_df
 from pyspark.sql import functions as F
 
 from institutional_fx_etl_spark.functions.identifiers import bq
@@ -361,7 +362,8 @@ def dedup_clusters(
         id_type = ids.schema[id_col].dataType
         from pyspark.sql.types import StructField, StructType
 
-        mapping = ids.sparkSession.createDataFrame(
+        mapping = local_rows_df(
+            ids.sparkSession,
             [(n, find(n)) for n in sorted(nodes)],
             StructType(
                 [
@@ -1562,7 +1564,7 @@ def prefix_filter_cap_report(
     rows = report.collect()  # bounded: one row by construction
     for handle in owned:
         handle.unpersist()
-    return df.sparkSession.createDataFrame(rows, schema=report.schema)
+    return local_rows_df(df.sparkSession, rows, report.schema)
 
 
 def prefix_filter_pairs(

@@ -22,6 +22,7 @@ comparison anywhere.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from institutional_fx_etl_spark.functions.localrel import local_rows_df
 from pyspark.sql import functions as F
 
 
@@ -264,8 +265,9 @@ def triangle_count(
     spark = edges.sparkSession
     for cached in (nbrs, oriented, deg, e):
         cached.unpersist()  # unpersist on a non-persisted DF is a no-op
-    return spark.createDataFrame(
-        [out],
+    return local_rows_df(
+        spark,
+        [tuple(out)],
         "n_edges long, n_wedges long, n_triangles long,"
         " global_clustering double",
     )

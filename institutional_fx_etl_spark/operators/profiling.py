@@ -716,8 +716,13 @@ def referential_integrity(
     orphans = per_key.join(
         parent.selectExpr(f"{parent_key} AS k").distinct(), "k", "left_anti"
     )
-    totals = keyed.agg(
-        F.count(F.lit(1)).cast("bigint").alias("child_rows")
+    # r14 (guide §1.2): child_rows == Σ c over the per-key relation,
+    # so the total rides the SAME aggregate instead of a second full
+    # child scan — one pass over the fact table per edge, not two
+    # (the per-key exchange is shared with the anti-join leg via
+    # exchange reuse)
+    totals = per_key.agg(
+        F.expr("CAST(COALESCE(SUM(c), 0) AS BIGINT) AS child_rows")
     )
     orph = orphans.agg(
         F.expr("CAST(COALESCE(SUM(c), 0) AS BIGINT) AS orphan_rows"),

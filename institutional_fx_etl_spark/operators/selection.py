@@ -15,6 +15,7 @@ commission names as first-class.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from institutional_fx_etl_spark.functions.localrel import local_rows_df
 from pyspark.sql import functions as F
 
 from institutional_fx_etl_spark.functions.identifiers import bq
@@ -621,8 +622,8 @@ def linear_probe_gd(
             ).collect()
         ]
         w = _mask_gd_weights(stats, buckets, lr_shift, steps)
-        return df.sparkSession.createDataFrame(
-            sorted(w.items()), "b bigint, w_micro bigint"
+        return local_rows_df(
+            df.sparkSession, sorted(w.items()), "b bigint, w_micro bigint"
         )
     feats, docs = _probe_feats(df, text_col, id_col, buckets, salt)
     return _probe_gd_weights(
@@ -678,7 +679,7 @@ def _probe_gd_weights(
         # fresh local relation — keeps each step ONE pass over feats
         # instead of re-running every earlier step per reference
         rows = [(r2["b"], r2["w"]) for r2 in stepped.collect()]
-        w = spark.createDataFrame(rows, "b bigint, w bigint")
+        w = local_rows_df(spark, rows, "b bigint, w bigint")
     return w
 
 
@@ -749,8 +750,8 @@ def linear_probe_score(
             (m, sum(wv for b, wv in wd.items() if m >> b & 1))
             for m, _, _ in stats
         ]
-        lookup = df.sparkSession.createDataFrame(
-            mask_scores, "mask bigint, score_micro bigint"
+        lookup = local_rows_df(
+            df.sparkSession, mask_scores, "mask bigint, score_micro bigint"
         )
         scored = masks.join(F.broadcast(lookup), "mask").select(
             "__id", "score_micro"
@@ -1370,7 +1371,8 @@ def mmr_select(
         StructType,
     )
 
-    picks = spark.createDataFrame(
+    picks = local_rows_df(
+        spark,
         selected,
         StructType(
             [
@@ -1491,7 +1493,8 @@ def kcenter_select(
 
     # id type follows the input's id column (r11 ADVICE: hardcoded
     # bigint broke non-default id columns)
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         picked,
         StructType(
             [

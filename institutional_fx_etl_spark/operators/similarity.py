@@ -23,6 +23,7 @@ oracle); ranking ties break on vec_id.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+from institutional_fx_etl_spark.functions.localrel import local_rows_df
 from pyspark.sql import functions as F
 
 from institutional_fx_etl_spark.functions.identifiers import bq, let1
@@ -450,8 +451,8 @@ def kmeans_centroids(
     centers = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    return corpus.sparkSession.createDataFrame(
-        centers, "cid int, cv array<double>"
+    return local_rows_df(
+        corpus.sparkSession, centers, "cid int, cv array<double>"
     )
 
 

@@ -879,6 +879,8 @@ def bigram_lm_score(
 
     Output: doc_id, n_bigrams, avg_log2_prob, perplexity.
     """
+    from pyspark import StorageLevel
+
     toks = tokens(text_col)
     doc_bi = (
         df.withColumn("__toks", toks)
@@ -891,9 +893,12 @@ def bigram_lm_score(
         )
         .selectExpr(id_col, "bg", "substring_index(bg, ' ', 1) AS w1")
     )
-    from pyspark import StorageLevel
-
     doc_bi = doc_bi.persist(StorageLevel.MEMORY_AND_DISK)
+    # count barrier (r14, the pagerank race lesson): the bigram-table
+    # build and the score join consume this relation from concurrently
+    # submitted stages — a cold lazy persist is raced and the
+    # tokenize+explode pass runs twice
+    doc_bi.count()
     # w1 is functional on bg (the bigram's first token), so max(w1) is
     # a constant pick, and the unigram count is the bigram-table
     # rollup — both aggregates after the first are vocabulary-sized
@@ -1425,23 +1430,22 @@ def ngram_novelty(
     """
     from pyspark.storagelevel import StorageLevel
 
-    from institutional_fx_etl_spark.functions.skew import spread_if_narrow
 
     ic = bq(id_col)
-    # r14 (guide §2.5 + §1.2): the exploded shingle relation feeds TWO
+    # r14 (guide §1.2 + §2.4): the exploded shingle relation feeds TWO
     # consumers (the first-owner aggregate and the join-back), and the
     # tokenize+hash derivation ran once per consumer — on a
     # single-row-group input that was two sequential single-core
-    # passes (profiled: two identical 0.54 s one-task stages).
-    # spread_if_narrow parallelizes the scan-side CPU (no-op on
-    # properly split inputs); the per-doc hash-ARRAY relation is
-    # persisted + count-materialized so both consumers explode from
-    # cache instead of re-tokenizing (arrays, not exploded rows — the
-    # smaller cache; the explode re-runs per consumer but is plain
-    # JVM fan-out).
+    # passes (profiled: two identical 0.54 s one-task stages). The
+    # per-doc hash-ARRAY relation is persisted + count-materialized so
+    # both consumers explode from cache instead of re-tokenizing
+    # (arrays, not exploded rows — the smaller cache; the explode
+    # re-runs per consumer but is plain JVM fan-out). A scan-spread
+    # variant was measured and REJECTED: with the base persisted, the
+    # tokenize runs once per session, so the repartition only taxed
+    # every warm cached scan with 32-task overhead.
     base = (
-        spread_if_narrow(df)
-        .withColumn("__toks", tokens(text_col))
+        df.withColumn("__toks", tokens(text_col))
         .filter(f"size(__toks) >= {shingle_n}")
         .selectExpr(
             ic, f"{shingle_hashes_expr('__toks', shingle_n)} AS __hs"
@@ -1561,17 +1565,14 @@ def cross_source_overlap(
     """
     from pyspark.storagelevel import StorageLevel
 
-    from institutional_fx_etl_spark.functions.skew import spread_if_narrow
 
-    # r14 (guide §2.5 + §2.4): the per-source vocabulary feeds THREE
+    # r14 (guide §2.4): the per-source vocabulary feeds THREE
     # consumers (totals + both self-join arms) and the distinct's
     # exchange was NOT reused across them (profiled: two identical
     # 0.83 s single-task tokenize stages per pass) — persist + count
-    # materializes it once; spread_if_narrow parallelizes the
-    # tokenize on narrow inputs (no-op on properly split ones)
+    # materializes it once
     voc = (
-        spread_if_narrow(df)
-        .withColumn("__toks", tokens(text_col))
+        df.withColumn("__toks", tokens(text_col))
         .filter(f"size(__toks) >= {shingle_n}")
         .selectExpr(
             f"{bq(group_col)} AS src",
@@ -1645,18 +1646,16 @@ def dup_span_coverage(
     """
     from pyspark.storagelevel import StorageLevel
 
-    from institutional_fx_etl_spark.functions.skew import spread_if_narrow
 
     ic = bq(id_col)
-    # r14 (guide §2.5 + §1.2): tokenize ONCE into a persisted per-doc
+    # r14 (guide §1.2): tokenize ONCE into a persisted per-doc
     # (id, n_tokens, positional-hash array) base — the former shape
     # tokenized the corpus three times (the dup-count leg, the
     # join-back leg, and the lens branch), each a single-core pass on
-    # a single-row-group input. spread_if_narrow parallelizes the
-    # scan-side CPU; both downstream legs explode from cache.
+    # a single-row-group input; both downstream legs explode from
+    # cache.
     base = (
-        spread_if_narrow(df)
-        .withColumn("__toks", tokens(text_col))
+        df.withColumn("__toks", tokens(text_col))
         .filter(f"size(__toks) >= {shingle_n}")
         .selectExpr(
             ic,
@@ -2105,9 +2104,13 @@ def boilerplate_purge_incremental(
 
     # old_rows feeds the df table, the affected-doc probe and the redo
     # slice; new_rows feeds its df table and the redo union — persist
-    # so each corpus explodes once
+    # + count barriers (r14): concurrently submitted consumer stages
+    # race a cold lazy persist and re-ran the tokenize+segment explode
+    # ~3× per pass (profiled: four near-identical 1.2 MB map stages)
     old_rows = seg_rows(old_docs).persist(StorageLevel.MEMORY_AND_DISK)
+    old_rows.count()
     new_rows = seg_rows(new_docs).persist(StorageLevel.MEMORY_AND_DISK)
+    new_rows.count()
     df_old = (
         old_rows.select("__h", id_col)
         .distinct()
@@ -2474,7 +2477,18 @@ def ccnet_perplexity_bucket(
     exclusion (documented there). Output: id, n_bigrams, perplexity,
     ppl_bucket ('head' < cut1 ≤ 'middle' ≤ cut2 < 'tail').
     """
-    scored = bigram_lm_score(df, text_col, id_col)
+    from pyspark import StorageLevel
+
+    # r14: the scored relation (a multi-join LM subtree) feeds the
+    # distribution aggregate AND the final assignment — persist +
+    # count barrier so the LM runs once (profiled: six duplicate
+    # map stages per pass without it); the corpus total derives from
+    # the value-distinct distribution (Σ __c == count(scored)), which
+    # drops the third scored consumer outright (guide §1.2, §2.4)
+    scored = bigram_lm_score(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    scored.count()
     dist = scored.groupBy("perplexity").agg(
         F.count(F.lit(1)).alias("__c")
     )
@@ -2483,7 +2497,7 @@ def ccnet_perplexity_bucket(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = dist.withColumn("__cum", F.sum("__c").over(wc))
-    tot = scored.agg(F.expr("CAST(count(1) AS BIGINT) AS __n"))
+    tot = dist.agg(F.expr("CAST(coalesce(SUM(__c), 0) AS BIGINT) AS __n"))
     cuts = (
         cum.crossJoin(F.broadcast(tot))
         .agg(

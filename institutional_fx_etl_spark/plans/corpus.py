@@ -18,6 +18,7 @@ only materialization point):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+from institutional_fx_etl_spark.functions.localrel import local_rows_df
 from pyspark.sql import functions as F
 
 from institutional_fx_etl_spark.operators.dedup import (
@@ -270,7 +271,8 @@ def corpus_flagship(
     rows.append(("04_packed", pr["n_rows"], pr["n_tokens"], pr["max_unit"]))
     for h in (base, s1, s2, s3):
         h.unpersist()
-    return docs.sparkSession.createDataFrame(
+    return local_rows_df(
+        docs.sparkSession,
         rows,
         "stage string, n_rows bigint, n_tokens bigint, max_unit bigint",
     )

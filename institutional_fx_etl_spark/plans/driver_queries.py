@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
+from institutional_fx_etl_spark.functions.localrel import local_rows_df
 from pyspark.sql import functions as F
 
 from institutional_fx_etl_spark.functions.chunked import epoch_seconds
@@ -1606,8 +1607,8 @@ def q_ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the kmeans path in tests/test_extensions.py."""
     from institutional_fx_etl_spark.operators.similarity import ivf_topk
 
-    cents = spark.createDataFrame(
-        _IVF_KMEANS_CENTROIDS, "cid int, cv array<double>"
+    cents = local_rows_df(
+        spark, _IVF_KMEANS_CENTROIDS, "cid int, cv array<double>"
     )
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, query_ids=[0, 1, 2], k=5, nprobe=3, centroids=cents)

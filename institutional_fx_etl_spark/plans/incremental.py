@@ -98,6 +98,7 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from institutional_fx_etl_spark.functions.localrel import local_rows_df
 from pyspark.sql import functions as F
 
 from institutional_fx_etl_spark.plans.pipeline import (
@@ -306,8 +307,8 @@ class IncrementalHybridPipeline:
         schema = StructType(
             list(template.select(*self.partition_cols).schema)
         )
-        return self.spark.createDataFrame(
-            [tuple(s) for s in keys], schema
+        return local_rows_df(
+            self.spark, [tuple(s) for s in keys], schema
         )
 
     def _path(self, name: str) -> str:
@@ -812,7 +813,8 @@ class IncrementalHybridPipeline:
                         StructField("__fc", TimestampType()),
                     ]
                 )
-                bdf = spark.createDataFrame(
+                bdf = local_rows_df(
+                    spark,
                     [
                         (*s, lo_by_key[s], first_changed[s])
                         for s in changed_keys
@@ -883,7 +885,8 @@ class IncrementalHybridPipeline:
                         StructField("__need", IntegerType()),
                     ]
                 )
-                nbdf = spark.createDataFrame(
+                nbdf = local_rows_df(
+                    spark,
                     [
                         (*s, lo_by_key[s], need)
                         for s, need in sorted(need_by_key.items())
