@@ -485,12 +485,12 @@ def label_prop_communities(
     # the final labeling feeds BOTH the size rollup and the output
     # join — unpersisted, the whole k-round chain re-derives once per
     # consumer (measured 2× at sf0.1); caller owns the cache lifetime.
-    # count barrier (r14): the two consumers' stages are submitted
-    # concurrently and raced the COLD cache, which still re-derived
-    # the k-round chain twice on the first pass — the count's plan
-    # holds the chain exactly once, so it materializes race-free
+    # (r14 note: a count barrier here was measured and REVERTED — the
+    # cold-cache race it prevents overlaps on idle cores, while the
+    # barrier serialized an extra job per pass AND a construction-time
+    # materialized cache prints its cached child's final AQE plan
+    # inline, ~4× the lazy print, tripping the plan-size lint.)
     labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
     sizes = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
@@ -535,9 +535,6 @@ def graph_modularity(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # count barrier (r14): the degree scan and both internal-edge
-    # join legs race the cold cache from concurrent stages
-    e0.count()
     # la is consumed FOUR times (both sides of the internal-edge
     # join, the degree rollup, the node count); when the caller hands
     # in an expensive labeling (e.g. the 3-round label_prop DAG) an
@@ -555,13 +552,10 @@ def graph_modularity(
     la = labels.selectExpr(f"{node_col} AS n", f"{label_col} AS l").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # count barrier (r14): la's four consumers race the cold cache
-    # from concurrently submitted stages — when the caller hands in
-    # the 3-round label_prop DAG, each racer re-derives that whole
-    # chain (profiled: a 64-task double-evaluation stage)
-    la.count()
     # single-scan degree derivation (r14): explode replaces the
     # two-branch union — half the scan tasks, no branch race
+    # (count barriers on la/e0 were measured and REVERTED — see the
+    # label_prop note: slower in-suite and a plan-print blowup)
     deg = (
         e0.selectExpr("explode(array(a, b)) AS n")
         .groupBy("n")

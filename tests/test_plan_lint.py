@@ -67,15 +67,18 @@ _BATCH_QUERIES = [
 ]
 
 
-@pytest.fixture(scope="module", autouse=True)
+@pytest.fixture(autouse=True)
 def _clean_cache_baseline(spark):
     """Plan STRINGS are cache-state-dependent: an InMemoryRelation
-    left by an earlier test file prints its entire cached child plan
-    inline, inflating a 467-line sssp plan to 5k+ lines in a full-
-    suite session. Clear the cache once so the size gate always
-    measures from the same baseline as a standalone run (within-
-    module cache accumulation is deterministic REGISTRY order, the
-    same state the thresholds were measured in)."""
+    left by an earlier test (or test file) prints its entire cached
+    child plan inline, inflating a 467-line sssp plan to 5k+ lines in
+    a full-suite session. Clear the cache before EVERY query (r14:
+    module-scope clearing stopped being enough once operators gained
+    construction-time count barriers — those MATERIALIZE caches
+    mid-module, and a materialized relation left by one query's
+    construction inflated a later query's print ~10×, e.g.
+    graph_modularity 3.5k → 31k lines). Per-test clearing makes each
+    size a clean-room, order-independent measurement."""
     spark.catalog.clearCache()
     yield
 
