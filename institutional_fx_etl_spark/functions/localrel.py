@@ -55,7 +55,13 @@ def _lit(v: Any) -> str:
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, int):
-        return f"{v}L" if -(2**63) <= v < 2**63 else str(v)
+        # out-of-int64 ints MUST take the createDataFrame fallback: a
+        # decimal literal under the outer CAST(... AS BIGINT) would
+        # become a silent NULL in non-ANSI mode where createDataFrame
+        # raises (r14 ADVICE)
+        if -(2**63) <= v < 2**63:
+            return f"{v}L"
+        raise _Unrenderable("int out of BIGINT range")
     if isinstance(v, float):
         if _math.isnan(v):
             return "CAST('NaN' AS DOUBLE)"
@@ -63,6 +69,11 @@ def _lit(v: Any) -> str:
             return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
         return f"CAST('{v!r}' AS DOUBLE)"
     if isinstance(v, str):
+        # backslash escaping below assumes the default parser mode
+        # (spark.sql.parser.escapedStringLiterals=false); callers run
+        # under session.get_spark which never flips it, and
+        # local_rows_df additionally falls back to createDataFrame
+        # when the Hive-compat mode is detected (r14 ADVICE)
         esc = v.replace("\\", "\\\\").replace("'", "\\'")
         return f"'{esc}'"
     if isinstance(v, _decimal.Decimal):
@@ -95,6 +106,18 @@ def local_rows_df(
         else StructType.fromDDL(schema)
     )
     if not rows or len(rows) > max_literal_rows:
+        return spark.createDataFrame(rows, st)
+    # under Hive-compat string parsing (escapedStringLiterals=true)
+    # backslash-escaped quotes in data strings would produce malformed
+    # SQL — take the always-correct fallback when any string value
+    # needs escaping (r14 ADVICE; the conf is session-static)
+    if spark.conf.get(
+        "spark.sql.parser.escapedStringLiterals", "false"
+    ).lower() == "true" and any(
+        isinstance(v, str) and ("\\" in v or "'" in v)
+        for r in rows
+        for v in r
+    ):
         return spark.createDataFrame(rows, st)
     try:
         body = ", ".join(

@@ -109,6 +109,13 @@ def spread_if_narrow(df: DataFrame, target: int | None = None) -> DataFrame:
     become a constant tax on well-partitioned inputs. The repartition
     is keyless round-robin (deterministic under retries via Spark's
     sort-before-repartition default, SPARK-23207).
+
+    CALLER CONTRACT (r14 ADVICE): only wrap SCAN-LEVEL inputs. The
+    partition-count probe touches ``df.rdd``, which under AQE
+    finalizes the plan — on a DataFrame containing exchanges that can
+    eagerly execute upstream shuffle stages in a throwaway job the
+    real query then re-pays. Every call site in this repo wraps a raw
+    parquet scan (exchange-free plan), where ``.rdd`` only plans.
     """
     sc = df.sparkSession.sparkContext
     n = int(target) if target else sc.defaultParallelism

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from institutional_fx_etl_spark.functions.cachereg import cached, cached_deser, cached_disk
 
 
 def basket_assoc_rules(
@@ -59,7 +60,7 @@ def basket_assoc_rules(
     # exchange reuse did NOT dedup the distinct across them under AQE
     # (profiled: two identical 6.2 MB map stages per pass) — persist +
     # count barrier materializes it once; key-only rows, cheap cache.
-    basket = basket.persist(StorageLevel.MEMORY_AND_DISK)
+    basket = basket.transform(cached)
     basket.count()
     # distinct() already shuffles on (txn, item); the basket grouping
     # re-shuffles on txn only — both narrow key-only rows.

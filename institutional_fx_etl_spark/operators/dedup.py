@@ -24,6 +24,11 @@ from pyspark.sql import DataFrame
 from institutional_fx_etl_spark.functions.localrel import local_rows_df
 from pyspark.sql import functions as F
 
+from institutional_fx_etl_spark.functions.cachereg import (
+    cached,
+    cached_deser,
+    cached_disk,
+)
 from institutional_fx_etl_spark.functions.identifiers import bq
 from institutional_fx_etl_spark.operators.text import (
     _token_hash,
@@ -158,7 +163,7 @@ def minhash_lsh_pairs(
     # verify joins); persist it so the md5 shingle/minhash compute runs
     # once instead of once per consumer (lazy plans duplicate shared
     # subtrees — explicit reuse is the idiomatic fix)
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n).persist()
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n).transform(cached_deser)
 
     # banding rows carry ONLY (id, band_idx, band_sig): the bucket
     # grouping shuffles narrow rows, not the wide shingle-hash arrays.
@@ -330,7 +335,7 @@ def dedup_clusters(
 
     _pairs_persisted_here = False
     if pairs.storageLevel == StorageLevel.NONE:
-        pairs = pairs.persist(StorageLevel.DISK_ONLY)
+        pairs = pairs.transform(cached_disk)
         _pairs_persisted_here = True
 
     eligible = (
@@ -388,7 +393,7 @@ def dedup_clusters(
     edges = (
         pairs.selectExpr("id_a AS src", "id_b AS dst")
         .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
-        .persist()
+        .transform(cached_deser)
     )
 
     # ACTIVE SUBGRAPH: only edge-incident nodes can ever leave their
@@ -404,7 +409,7 @@ def dedup_clusters(
         ids.select(F.col(id_col).alias("id"))
         .join(edges.select("src").distinct(), F.col("id") == F.col("src"), "semi")
         .select("id", F.col("id").alias("comp"))
-        .persist()
+        .transform(cached_deser)
     )
 
     # near-dup graphs are SPARSE (edges ≪ docs): when the edge list is
@@ -450,7 +455,7 @@ def dedup_clusters(
         if (rnd + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
-            new_labels = new_labels.persist()
+            new_labels = new_labels.transform(cached_deser)
         if sum_convergence:
             total = new_labels.agg(
                 F.sum(F.col("comp").cast("decimal(38,0)"))
@@ -890,7 +895,7 @@ def sorted_neighborhood_pairs(
             f"{shingle_hashes_expr('__toks', shingle_n)} AS sh",
         )
         .selectExpr("id", "nc", "sh", f"nc DIV {bucket_width} AS bkt")
-        .persist()
+        .transform(cached_deser)
     )
     offsets = (
         keyed.groupBy("bkt")
@@ -1254,7 +1259,7 @@ def record_linkage_fs(
         f"{bq(id_col)} AS __id",
         f"({block_expr}) AS __blk",
         *[f"({expr}) AS __f{i}" for i, (_, expr, _) in enumerate(fields)],
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(cached)
     # one 1-row weight relation: n and per-field Σc² cross-joined, the
     # micro-int agree/disagree weights computed from exact rationals
     stats = e.agg(F.count(F.lit(1)).alias("__n"))
@@ -1376,7 +1381,7 @@ def _prefix_docs(
             .filter("__t <> ''")
             .selectExpr(bq(id_col), "__t")
             .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .transform(cached)
         )
     else:
         dt = (
@@ -1388,7 +1393,7 @@ def _prefix_docs(
                 f"explode({shingle_hashes_expr('__toks', int(shingle_n))})"
                 " AS __t",
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .transform(cached)
         )
     if owned is not None:
         owned.append(dt)
@@ -1413,7 +1418,7 @@ def _prefix_docs(
             f" - CAST(ceil(size(toks) * {tau_ppm} / 1000000.0) AS INT)"
             " + 1) AS prefix",
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     if owned is not None:
         owned.append(docs)
@@ -1463,11 +1468,11 @@ def _collapse_overcap(
         docs.join(over_ids, id_col, "left_semi")
         .groupBy("toks")
         .agg(F.expr(f"array_sort(collect_list({bq(id_col)})) AS ids"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     cm = cohorts.filter("size(ids) >= 2").selectExpr(
         "ids[0] AS __rep", "explode(ids) AS __member"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(cached)
     if owned is not None:
         owned.extend((cohorts, cm))
     # member -> representative over ALL escalated docs (singleton

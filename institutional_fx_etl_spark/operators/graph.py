@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from institutional_fx_etl_spark.functions.localrel import local_rows_df
 from pyspark.sql import functions as F
+from institutional_fx_etl_spark.functions.cachereg import cached, cached_deser, cached_disk
 
 
 def pagerank_fixed(
@@ -33,7 +34,7 @@ def pagerank_fixed(
     iterations: int = 3,
     scale: int = 1_000_000,
     damping_pct: int = 85,
-    broadcast_max_nodes: int = 5_000_000,
+    broadcast_max_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list.
 
@@ -52,10 +53,14 @@ def pagerank_fixed(
     the static ``(src, dst, deg)`` relation instead of two. The node
     set is MEASURED (the ``triangle_count`` materialized-count
     policy): at or under ``broadcast_max_nodes`` the per-round rank
-    relation (O(V) ids+longs, ~16 B/row — 5M nodes ≈ 80 MB built)
-    BROADCASTS, so the edge relation is probed map-side and never
-    re-shuffles or re-sorts across rounds (guide §3.1; the former
-    always-sort-merge shape re-sorted the edge list every round).
+    relation BROADCASTS, so the edge relation is probed map-side and
+    never re-shuffles or re-sorts across rounds (guide §3.1; the
+    former always-sort-merge shape re-sorted the edge list every
+    round). Memory budget for the default 1M-node cap: ~16 B/row
+    serialized for long ids, but the executor-side built hash
+    relation is typically 3-5x that (and wider still for string
+    ids), so budget ~100-300 MB of driver AND per-executor memory
+    per in-flight broadcast before raising the cap (r14 ADVICE).
     Above the cap every shuffle keys on the node id — the same
     edge-partitioned propagation as the CC loop, with a static
     unrolled DAG instead of a convergence loop.
@@ -78,14 +83,14 @@ def pagerank_fixed(
     # is plan-keyed).
     e0 = edges.selectExpr(f"{src_col} AS src", f"{dst_col} AS dst")
     deg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = e0.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    ed = e0.join(deg, "src").transform(cached)
     # node set from ONE scan of the cached relation (explode instead
     # of a two-branch union — the union's second branch would race
     # the still-cold cache and re-derive the fixture)
     nodes = (
         ed.selectExpr("explode(array(src, dst)) AS node")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     # one materialized count serves triple duty: the broadcast gate
     # must not ride Catalyst's lazy estimate, the count materializes
@@ -182,7 +187,7 @@ def triangle_count(
     # for each leg (the dedup_clusters pairs lesson, ROADMAP §23).
     # Ids-only rows, so caching is cheap at any scale (spills on
     # memory pressure).
-    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    e = e.transform(cached)
     # materialize the REAL edge count (also warms the persisted set);
     # the broadcast decision must not ride Catalyst's lazy estimate
     # (the dedup_clusters OOM lesson, commit 13d1e37)
@@ -195,7 +200,7 @@ def triangle_count(
         e.selectExpr("explode(array(a, b)) AS node")
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     wedges = deg.agg(
         F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
@@ -216,7 +221,7 @@ def triangle_count(
             "CASE WHEN da < db OR (da = db AND a < b)"
             " THEN b ELSE a END AS y",
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     # edge-iterator in BOTH regimes — only the adjacency join's
     # strategy switches at the cap. The old above-cap fallback
@@ -232,7 +237,7 @@ def triangle_count(
         probe_x = F.broadcast(nbrs.selectExpr("x", "ys AS ysx"))
         probe_y = F.broadcast(nbrs.selectExpr("x AS y", "ys AS ysy"))
     else:
-        nbrs = nbrs.persist(StorageLevel.MEMORY_AND_DISK)
+        nbrs = nbrs.transform(cached)
         probe_x = nbrs.selectExpr("x", "ys AS ysx")
         probe_y = nbrs.selectExpr("x AS y", "ys AS ysy")
     tri = (
@@ -311,10 +316,10 @@ def bfs_hops(
         edges.selectExpr(f"{src_col} AS s", f"{dst_col} AS d")
         .union(edges.selectExpr(f"{dst_col} AS s", f"{src_col} AS d"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
-    frontier = seeds.selectExpr(f"{node_col} AS node").distinct().persist(
-        StorageLevel.MEMORY_AND_DISK
+    frontier = seeds.selectExpr(f"{node_col} AS node").distinct().transform(
+        cached
     )
     visited = frontier.withColumn("hops", F.lit(0))
     levels = [visited]
@@ -324,7 +329,7 @@ def bfs_hops(
             .select(F.col("d").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .transform(cached)
         )
         lvl = nxt.withColumn("hops", F.lit(k))
         levels.append(lvl)
@@ -382,13 +387,13 @@ def sssp_weighted(
         )
         .groupBy("s", "d")
         .agg(F.expr("CAST(MIN(w) AS BIGINT) AS w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     dist = (
         seeds.selectExpr(f"{node_col} AS node")
         .distinct()
         .withColumn("dist", F.lit(0).cast("bigint"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     for _ in range(rounds):
         relaxed = dist.join(e2, dist.node == e2.s).selectExpr(
@@ -398,7 +403,7 @@ def sssp_weighted(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.expr("CAST(MIN(dist) AS BIGINT) AS dist"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .transform(cached)
         )
     return dist
 
@@ -450,7 +455,7 @@ def label_prop_communities(
     e = (
         und.unionByName(und.selectExpr("b AS a", "a AS b"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     labels = e.selectExpr("a AS node").distinct().selectExpr(
         "node", "node AS lbl"
@@ -490,7 +495,7 @@ def label_prop_communities(
     # barrier serialized an extra job per pass AND a construction-time
     # materialized cache prints its cached child's final AQE plan
     # inline, ~4× the lazy print, tripping the plan-size lint.)
-    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = labels.transform(cached)
     sizes = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
@@ -533,7 +538,7 @@ def graph_modularity(
         )
         .filter("a <> b")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     # la is consumed FOUR times (both sides of the internal-edge
     # join, the degree rollup, the node count); when the caller hands
@@ -549,8 +554,8 @@ def graph_modularity(
     # a cheap map-side-combined bigint rollup, while the variant pays
     # an |E|-sized cache write plus two extra |E| scans. Keeping this
     # shape — the |V|-sized work is not the bottleneck.
-    la = labels.selectExpr(f"{node_col} AS n", f"{label_col} AS l").persist(
-        StorageLevel.MEMORY_AND_DISK
+    la = labels.selectExpr(f"{node_col} AS n", f"{label_col} AS l").transform(
+        cached
     )
     # single-scan degree derivation (r14): explode replaces the
     # two-branch union — half the scan tasks, no branch race
@@ -644,7 +649,7 @@ def adamic_adar(
         )
         .filter("a <> b")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     e0.count()
     nbr = e0.unionByName(e0.selectExpr("b AS a", "a AS b")).selectExpr(
@@ -671,7 +676,7 @@ def adamic_adar(
         "x",
         "CAST(floor(1e6 / ln(CAST(d AS DOUBLE)) + 0.5)"
         " AS DECIMAL(38,0)) AS aa_m",
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(cached)
     mid.count()
     wedges = (
         mid.join(
@@ -709,7 +714,7 @@ def kcore_decomposition(
     dst_col: str = "dst",
     k: int = 2,
     rounds: int = 3,
-    broadcast_max_nodes: int = 5_000_000,
+    broadcast_max_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Fixed-iteration k-core peel (Seidman 1983; the degeneracy
     pre-filter a graph pipeline runs before community/centrality
@@ -736,7 +741,9 @@ def kcore_decomposition(
     policy): at or under ``broadcast_max_nodes`` it BROADCASTS, so
     both semi-joins probe the edge set map-side and the edge
     relation never re-shuffles; above the cap the joins shuffle on
-    the node id and edges only ever shrink. Output: node, degree
+    the node id and edges only ever shrink. The default 1M-id cap
+    budgets ~100-300 MB built per broadcast (ids-only rows; hash
+    relation overhead is 3-5x serialized size — r14 ADVICE). Output: node, degree
     (within the final core subgraph).
     """
     from pyspark.storagelevel import StorageLevel
@@ -835,14 +842,14 @@ def clustering_coefficient(
         )
         .filter("a <> b")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     e0.count()
     deg = (
         e0.selectExpr("explode(array(a, b)) AS n")
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     # both orientation-join legs consume the degree relation from
     # concurrently submitted stages — materialize it once first
@@ -863,7 +870,7 @@ def clustering_coefficient(
             "CASE WHEN (da, a) < (db, b) THEN a ELSE b END AS x",
             "CASE WHEN (da, a) < (db, b) THEN b ELSE a END AS y",
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     oe.count()
     # the adjacency feeds BOTH probe legs of the closing join — a
@@ -871,7 +878,7 @@ def clustering_coefficient(
     adj = (
         oe.groupBy(F.col("x").alias("n"))
         .agg(F.expr("array_sort(collect_list(y)) AS ns"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     tri = (
         oe.join(adj.selectExpr("n AS x", "ns AS nx"), "x", "left")

@@ -20,6 +20,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from institutional_fx_etl_spark.functions.cachereg import cached, cached_deser, cached_disk
 
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """Per-column profile: (column, n_rows, n_nulls, n_distinct,
@@ -435,7 +436,7 @@ def ks_two_sample(
         .selectExpr(
             "*", f"CAST(floor(v / {bucket_width!r}) AS BIGINT) AS bkt"
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     offsets = (
         per_v.groupBy("bkt")

@@ -19,6 +19,7 @@ from institutional_fx_etl_spark.functions.localrel import local_rows_df
 from pyspark.sql import functions as F
 
 from institutional_fx_etl_spark.functions.identifiers import bq
+from institutional_fx_etl_spark.functions.cachereg import cached, cached_deser, cached_disk
 
 #: 2^60 — md5's leading 15 hex chars as a uniform draw denominator
 _U60 = 1 << 60
@@ -1312,7 +1313,7 @@ def mmr_select(
     )
     from pyspark import StorageLevel
 
-    short = short.persist(StorageLevel.MEMORY_AND_DISK)
+    short = short.transform(cached)
 
     sv = (
         with_norm(emb, vec_col)
@@ -1442,7 +1443,7 @@ def kcenter_select(
     )
     from pyspark import StorageLevel
 
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    base = base.transform(cached)
 
     spark = emb.sparkSession
     picked: list[tuple] = [(1, seed_id, 0)]

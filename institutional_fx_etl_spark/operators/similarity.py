@@ -27,6 +27,7 @@ from institutional_fx_etl_spark.functions.localrel import local_rows_df
 from pyspark.sql import functions as F
 
 from institutional_fx_etl_spark.functions.identifiers import bq, let1
+from institutional_fx_etl_spark.functions.cachereg import cached, cached_deser, cached_disk
 
 #: deterministic ±1 hyperplane component for (plane j, dimension i):
 #: parity of a md5-derived bit — reproducible in any engine with md5.
@@ -1184,8 +1185,8 @@ def knn_join(
     # both self-join branches consume the assigned+normalized vectors;
     # persist so centroid scoring + normalization run once, not twice
     # (n×(d+2) doubles — bounded by the corpus, never pairs)
-    normed = assigned.selectExpr("vid", "cid", f"{_UNIT} AS vn").persist(
-        StorageLevel.MEMORY_AND_DISK
+    normed = assigned.selectExpr("vid", "cid", f"{_UNIT} AS vn").transform(
+        cached
     )
     # pair stage — two regimes with identical results (round 7; the
     # 10× heavy-family bench showed the Σ|cell|²·d interpreted-HOF
@@ -2062,7 +2063,7 @@ def bitext_margin(
             "cosine",
             "CAST(round(cosine * 1e6, 0) AS BIGINT) AS __cm",
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     wf = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("tgt"))
     fwd = pairs.withColumn("__fr", F.row_number().over(wf)).filter(
@@ -2218,7 +2219,7 @@ def hard_negatives(
     normed = (
         assigned.join(labels, "vid")
         .selectExpr("vid", "cid", "__lbl", f"{_UNIT} AS vn")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     # pair stage — the knn_join two-regime discipline: the Arrow
     # kernel computes the per-cell (m, m) cosine block vectorized and
@@ -2399,14 +2400,12 @@ def semdedup_incremental(
     from pyspark import StorageLevel
 
     a_old = _assign_to(old, centroids, vec_col, id_col)
-    a_new = _assign_to(new, centroids, vec_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    a_new = _assign_to(new, centroids, vec_col, id_col).transform(cached)
     new_cells = a_new.select("cid").distinct()
     # only the batch's cells ever need old rows again — one semi-join
     # prunes the standing corpus to the affected slice
-    old_aff = a_old.join(F.broadcast(new_cells), "cid", "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
+    old_aff = a_old.join(F.broadcast(new_cells), "cid", "left_semi").transform(
+        cached
     )
     if max_cell is not None:
         n_old = old_aff.groupBy("cid").agg(F.count(F.lit(1)).alias("__no"))

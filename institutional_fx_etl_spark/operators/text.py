@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from institutional_fx_etl_spark.functions.identifiers import bq
+from institutional_fx_etl_spark.functions.cachereg import cached, cached_deser, cached_disk
 
 #: deterministic 32-bit token hash: first 8 hex chars of md5 → bigint.
 #: DuckDB twin: CAST(concat('0x', substr(md5(t),1,8)) AS BIGINT)
@@ -893,7 +894,7 @@ def bigram_lm_score(
         )
         .selectExpr(id_col, "bg", "substring_index(bg, ' ', 1) AS w1")
     )
-    doc_bi = doc_bi.persist(StorageLevel.MEMORY_AND_DISK)
+    doc_bi = doc_bi.transform(cached)
     # count barrier (r14, the pagerank race lesson): the bigram-table
     # build and the score join consume this relation from concurrently
     # submitted stages — a cold lazy persist is raced and the
@@ -1053,7 +1054,7 @@ def stupid_backoff_lm(
     toked = (
         train.withColumn("__toks", tokens(text_col))
         .selectExpr("__toks")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     t3 = (
         toked.filter("size(__toks) >= 3")
@@ -1226,7 +1227,7 @@ def cooccurrence_lift(
             f"slice(array_sort(array_distinct(split(lower({text_col}),"
             f" '\\\\s+'))), 1, {max_tokens})"
         ).alias("ts"),
-    ).persist()
+    ).transform(cached_deser)
     n_docs = toked.count()
     tok = toked.select(F.explode("ts").alias("t")).filter("t <> ''")
     df_counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
@@ -1450,7 +1451,7 @@ def ngram_novelty(
         .selectExpr(
             ic, f"{shingle_hashes_expr('__toks', shingle_n)} AS __hs"
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     base.count()
     ex = base.selectExpr(ic, "explode(__hs) AS h")
@@ -1579,7 +1580,7 @@ def cross_source_overlap(
             f"explode({shingle_hashes_expr('__toks', shingle_n)}) AS h",
         )
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     voc.count()
     totals = voc.groupBy("src").agg(
@@ -1664,7 +1665,7 @@ def dup_span_coverage(
             f"{shingles_expr('__toks', shingle_n)},"
             f" s -> {_token_hash('s')}) AS __phs",
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     base.count()
     ex = base.selectExpr(ic, "posexplode(__phs) AS (pos, h)")
@@ -1760,7 +1761,7 @@ def boilerplate_purge(
             "md5(__s.seg) AS __h",
         )
         .where("trim(seg) <> ''")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(cached)
     dfreq = (
         seg_rows.select("__h", id_col)
         .distinct()
@@ -1833,7 +1834,7 @@ def perplexity_buckets(
     # model fit runs once, not twice
     j = scored.join(
         df.selectExpr(bq(id_col), f"({lang_expr}) AS lang"), id_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(cached)
     g = j.groupBy("lang", "avg_log2_prob").agg(
         F.count(F.lit(1)).alias("__c")
     )
@@ -1938,7 +1939,7 @@ def corpus_diversity(
     )
     from pyspark import StorageLevel
 
-    sampled = sampled.persist(StorageLevel.MEMORY_AND_DISK)
+    sampled = sampled.transform(cached)
     ids = sampled.select("grp", "__id", "n_sh")
     skel = (
         ids.selectExpr("grp", "__id AS id_a", "n_sh AS n_a")
@@ -2107,9 +2108,9 @@ def boilerplate_purge_incremental(
     # + count barriers (r14): concurrently submitted consumer stages
     # race a cold lazy persist and re-ran the tokenize+segment explode
     # ~3× per pass (profiled: four near-identical 1.2 MB map stages)
-    old_rows = seg_rows(old_docs).persist(StorageLevel.MEMORY_AND_DISK)
+    old_rows = seg_rows(old_docs).transform(cached)
     old_rows.count()
-    new_rows = seg_rows(new_docs).persist(StorageLevel.MEMORY_AND_DISK)
+    new_rows = seg_rows(new_docs).transform(cached)
     new_rows.count()
     df_old = (
         old_rows.select("__h", id_col)
@@ -2267,7 +2268,7 @@ def heaps_law_fit(
             " AS INT) + 1 AS c",
             "__t",
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     per_c = stream.groupBy("c").agg(F.count(F.lit(1)).alias("__nt"))
     news = (
@@ -2354,7 +2355,7 @@ def ngram_kl_divergence(
         .filter("w <> ''")
         .groupBy("s", "w")
         .agg(F.count(F.lit(1)).alias("cs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     g = sw.groupBy("w").agg(F.sum("cs").alias("cg"))
     gs = g.agg(
@@ -2485,9 +2486,7 @@ def ccnet_perplexity_bucket(
     # map stages per pass without it); the corpus total derives from
     # the value-distinct distribution (Σ __c == count(scored)), which
     # drops the third scored consumer outright (guide §1.2, §2.4)
-    scored = bigram_lm_score(df, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    scored = bigram_lm_score(df, text_col, id_col).transform(cached)
     scored.count()
     dist = scored.groupBy("perplexity").agg(
         F.count(F.lit(1)).alias("__c")

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from institutional_fx_etl_spark.functions.cachereg import cached, cached_deser, cached_disk
 
 
 def vwap(
@@ -725,7 +726,7 @@ def cusum_changepoint(
             "m", F.expr(f"CAST(MIN(p) OVER {in_bucket_w} AS BIGINT)")
         )
         .select("grp", "id", "bkt", "d", "p", "m")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     # bucket rollup: one tiny row per (group, bucket). t is the
     # bucket's TOTAL delta (sum of d — not max(p): with negative
@@ -1319,7 +1320,7 @@ def seasonal_decompose(
     )
     from pyspark import StorageLevel
 
-    with_trend = with_trend.persist(StorageLevel.MEMORY_AND_DISK)
+    with_trend = with_trend.transform(cached)
     phase = (
         with_trend.filter("__detr IS NOT NULL")
         .selectExpr(

@@ -26,6 +26,7 @@ from institutional_fx_etl_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 from institutional_fx_etl_spark.operators.text import quality_score, tokens
+from institutional_fx_etl_spark.functions.cachereg import cached, cached_deser, cached_disk
 
 
 def build_training_corpus(
@@ -202,7 +203,7 @@ def corpus_flagship(
         F.size(tokens(text_col)).alias("__nt"),
         F.length(F.col(text_col)).alias("__nc"),
         F.md5(F.col(text_col)).alias("__h"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(cached)
 
     contam = ngram_overlap_contamination(
         train, bench, text_col=text_col, id_col=id_col, n=ngram_n,
@@ -212,16 +213,14 @@ def corpus_flagship(
         base.join(contam, "__id")
         .filter(f"overlap_ratio < {float(dirty_ratio)!r}D")
         .drop("overlap_ratio")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(cached)
     )
     keep = s1.groupBy("__h").agg(F.expr("min(__id) AS __id"))
-    s2 = s1.join(keep.select("__id"), "__id", "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    s2 = s1.join(keep.select("__id"), "__id", "left_semi").transform(cached)
     s3 = s2.filter(
         f"__nt BETWEEN {int(min_tokens)} AND {int(max_tokens)}"
         f" AND CAST(__nc AS DOUBLE) / __nt <= {float(max_mean_token_len)!r}D"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(cached)
 
     # stage 4: two-level exact prefix sum -> pack assignment
     bucketed = s3.selectExpr(

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from institutional_fx_etl_spark.functions.localrel import local_rows_df
 from pyspark.sql import functions as F
 
+from institutional_fx_etl_spark.functions.cachereg import cached
 from institutional_fx_etl_spark.functions.chunked import epoch_seconds
 from institutional_fx_etl_spark.functions.merge import combine_first
 from institutional_fx_etl_spark.functions.nullsafe import drop_where, is_true
@@ -13581,7 +13582,7 @@ def _register_graph_modularity() -> None:
             .filter("p < p2")
             .selectExpr("p AS src", "p2 AS dst")
             .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .transform(cached)
         )
         labels = label_prop_communities(edges).select("node", "label")
         return graph_modularity(edges, labels)
