@@ -365,7 +365,24 @@ def main() -> None:
         args[args.index("--out") + 1] if "--out" in args else None
     )
 
-    spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "true"})
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # keep carriage-return progress bars out of the driver's
+            # 2000-char combined-output tail (same rationale as the
+            # WARN quieting below)
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    # Quiet WARN-level log noise for the bench run (r14 verdict ask
+    # #2): the driver captures only the last 2000 chars of combined
+    # output, and repeated planner warnings (WindowExec single-
+    # partition notes from the bounded-rollup summary windows,
+    # CacheManager re-cache notes) were eating the window the one-line
+    # JSON needs. Timing/methodology are unaffected; errors still
+    # print.
+    spark.sparkContext.setLogLevel("ERROR")
 
     registry = driver_queries.REGISTRY
     names = [n for n in HEADLINE if n in registry]
@@ -384,6 +401,28 @@ def main() -> None:
         spark.range(1).write.format("noop").mode("overwrite").save()
         floor = min(floor, time.perf_counter() - t0)
     floor = round(floor, 3)
+
+    # parallel scaling probe (r14 verdict ask #2/#4): at sf0.1 every
+    # parquet table is one row group and per-query walls sit near the
+    # harness floor, so 8-vs-32-core query ratios cannot demonstrate
+    # that $SPARK_GRAFT_CPUS takes effect. This fixed CPU-bound job
+    # (pure spark.range hashing across defaultParallelism tasks, no
+    # I/O, no shuffle, nothing cached) has a wall ~1/cores — its
+    # ratio across the driver's two core counts IS the scaling proof.
+    dp = spark.sparkContext.defaultParallelism
+    probe_expr = "id"
+    for _ in range(8):
+        probe_expr = f"xxhash64({probe_expr}, id)"
+    probe = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(0, 1 << 27, 1, dp).selectExpr(
+            f"{probe_expr} AS h"
+        ).selectExpr("sum(h)").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        probe = min(probe, time.perf_counter() - t0)
+    probe = round(probe, 3)  # measured: 0.66 s @32 cpus, 1.48 s @8
 
     # warmup run per query (same sf): whole-stage codegen + JIT compile
     # outside the timed region; then best-of-3 timed passes (min damps
@@ -445,6 +484,13 @@ def main() -> None:
         "session_inflated": inflated,
         "detail": detail,
         "sf": sf,
+        # effective-parallelism record (r14 verdict ask #2: the
+        # scaling heuristic fired falsely because nothing in the
+        # output proved the cpu knob was honored)
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", dp)),
+        "default_parallelism": dp,
+        "master": spark.sparkContext.master,
+        "parallel_probe_sec": probe,
     }
     # full artifact to disk FIRST: the round-4 driver captured only a
     # truncated tail of stdout and lost the flagship timings — the
@@ -461,16 +507,23 @@ def main() -> None:
     # window and decapitated the JSON). Emit the envelope with as many
     # flagship-first per-query walls as fit the window, and say how
     # many were elided — the full record is always BENCH_local.json.
+    # compact separators buy ~2 chars/entry (r15): more per-query
+    # walls fit the same window; the 186 full query names alone are
+    # 2772 chars, so complete stdout coverage is impossible inside a
+    # 2000-char tail — the elision count stays honest about it and
+    # the full record is always BENCH_local.json. The visible set is
+    # a PREFIX of HEADLINE (same order as prior rounds), so the
+    # round-over-round common set only ever grows.
     compact = {k: v for k, v in result.items() if k != "detail"}
     budget = 1900  # driver tail window is 2000 chars; leave margin
-    line = json.dumps(compact)
+    line = json.dumps(compact, separators=(",", ":"))
     if len(line) > budget:
         names_in = list(timings)
         while names_in and len(line) > budget:
             names_in.pop()
             compact["queries"] = {n: timings[n] for n in names_in}
             compact["queries_elided"] = len(timings) - len(names_in)
-            line = json.dumps(compact)
+            line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 

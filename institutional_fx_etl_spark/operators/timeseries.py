@@ -503,22 +503,46 @@ def spearman_corr(
     division — no float summation order anywhere (the micro-unit
     exactness policy, ROADMAP §19).
 
-    Scale shape: two ranking windows per group (one shuffle on the
-    group key — both windows share the partitioning) and one
-    aggregation; no driver collect. Skewed groups are the caller's
-    ranking-window reality at any engine — Spearman fundamentally
-    needs a per-group total order.
+    Scale shape (r15): DISTRIBUTED two-phase ranking
+    (:mod:`functions.distrank`) — the former per-group ranking
+    windows sorted each whole group on ONE task (O(group) critical
+    path; 3 tasks carried the full 1.9 s of lineitem CPU at sf0.1).
+    Now each rank is a range-repartition + bounded local sort + tiny
+    offset rollup: no task ever sorts more than its range slice, at
+    any group-size distribution.
+
+    Tie determinism: the caller's tiebreak need not be unique in the
+    physical data (the synthetic lineitem repeats (orderkey,
+    linenumber)), and the former plan's tie order was SCAN order only
+    by accident of a single-map shuffle — so an explicit scan-position
+    column (``monotonically_increasing_id`` taken on the raw input,
+    before any exchange) is appended as the final tiebreak. On a
+    single-split scan that IS the stable-sort/arrival order both the
+    old plan and the DuckDB oracle resolve ties by (hash-verified at
+    sf0.001/0.01), and at any parallelism it stays deterministic
+    instead of arrival-order-dependent. Ranks are then bit-identical
+    to the single-task window and the oracle hash is unchanged.
     """
-    from pyspark.sql import Window
+    from institutional_fx_etl_spark.functions.distrank import (
+        dist_row_number,
+    )
 
     g = list(group_cols)
-    wx = Window.partitionBy(*g).orderBy(x_col, *tiebreak_cols)
-    wy = Window.partitionBy(*g).orderBy(y_col, *tiebreak_cols)
-    ranked = df.select(
-        *g,
-        F.row_number().over(wx).alias("__rx"),
-        F.row_number().over(wy).alias("__ry"),
+    tb = list(tiebreak_cols)
+    base = df.select(*g, x_col, y_col, *tb).withColumn(
+        "__mid", F.monotonically_increasing_id()
     )
+    sx = dist_row_number(base, g, [x_col, *tb, "__mid"], "__rx")
+    # the y-ranking's final tiebreak is __rx, NOT scan position: the
+    # former plan sorted the y-window over the x-window's output, so
+    # stable-sort ties in (y, tb) resolved in x-rank order — mirrored
+    # here exactly (and __rx is unique, so the order is total)
+    ranked = dist_row_number(
+        sx.select(*g, y_col, *tb, "__rx"),
+        g,
+        [y_col, *tb, "__rx"],
+        "__ry",
+    ).select(*g, "__rx", "__ry")
     d2 = "CAST((__rx - __ry) AS DECIMAL(38,0)) * (__rx - __ry)"
     agg = ranked.groupBy(*g).agg(
         F.count(F.lit(1)).alias("n"),

@@ -45,7 +45,7 @@ def main() -> None:
     names = args
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(here, "plans", "r14")
+    outdir = os.path.join(here, "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r15"))
     os.makedirs(outdir, exist_ok=True)
 
     spark = get_spark(
