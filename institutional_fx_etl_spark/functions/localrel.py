@@ -89,6 +89,27 @@ def _lit(v: Any) -> str:
     raise _Unrenderable(type(v).__name__)
 
 
+def localized_if_small(
+    df: DataFrame,
+    max_rows: int = MAX_LITERAL_ROWS,
+) -> DataFrame:
+    """Materialize a KNOWN-BOUNDED relation once and rebuild it as a
+    ``VALUES`` LocalRelation, so every downstream bounded collect
+    (broadcast builds, the ``_assign_to`` centroid probe) is a
+    driver-local read with NO Spark job (guide §5 job overhead — the
+    incremental kNN/SemDeDup paths re-collected the same centroid
+    table 3x, each an executeTake over the corpus scan). Returns
+    ``df`` unchanged when it exceeds ``max_rows`` (checked with a
+    ``take(max_rows + 1)`` guard), so unbounded inputs never collect.
+    """
+    rows = df.take(max_rows + 1)
+    if len(rows) > max_rows:
+        return df
+    return local_rows_df(
+        df.sparkSession, rows, df.schema, max_literal_rows=max_rows
+    )
+
+
 def local_rows_df(
     spark: SparkSession,
     rows: Iterable[tuple],

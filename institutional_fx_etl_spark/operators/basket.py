@@ -49,6 +49,12 @@ def basket_assoc_rules(
     (items are a bounded dimension — broadcast); N is a one-row scalar
     broadcast. All counts integer; the three ratios divide exact
     BIGINTs once at the end, mirrored verbatim in the oracle.
+    
+
+    Eager note: BUILDING this plan launches Spark jobs — internal
+    persist + count() barriers materialize shared subtrees race-free
+    at construction time (r14 ADVICE; the caches are plan-keyed and
+    ledger-bounded, functions/cachereg.py).
     """
     from pyspark.storagelevel import StorageLevel
 

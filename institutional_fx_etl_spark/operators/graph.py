@@ -557,15 +557,6 @@ def graph_modularity(
     la = labels.selectExpr(f"{node_col} AS n", f"{label_col} AS l").transform(
         cached
     )
-    # single-scan degree derivation (r14): explode replaces the
-    # two-branch union — half the scan tasks, no branch race
-    # (count barriers on la/e0 were measured and REVERTED — see the
-    # label_prop note: slower in-suite and a plan-print blowup)
-    deg = (
-        e0.selectExpr("explode(array(a, b)) AS n")
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
     mc = (
         e0.join(la.selectExpr("n AS a", "l AS la"), "a")
         .join(la.selectExpr("n AS b", "l AS lb"), "b")
@@ -573,10 +564,20 @@ def graph_modularity(
         .groupBy(F.col("la").alias("l"))
         .agg(F.count(F.lit(1)).alias("__mc"))
     )
+    # d_c directly as the per-label count of edge-endpoint INCIDENCES
+    # (r15): Σ_n deg(n)·[label(n)=l] ≡ Σ_{(edge, endpoint)}
+    # [label(endpoint)=l] — exact same BIGINT, but the former
+    # per-node degree aggregate (its own 2|E|-row exchange) and the
+    # |V|-row degree⋈label join are gone; the incidence stream probes
+    # the label relation once and partial-aggregates straight to the
+    # ≤|labels| rollup (guide §2.4). (This is NOT the r14-rejected
+    # variant, which additionally persisted an |E|-sized labeled-edge
+    # relation — nothing is materialized here.)
     dc = (
-        deg.join(la, "n")
+        e0.selectExpr("explode(array(a, b)) AS n")
+        .join(la, "n")
         .groupBy("l")
-        .agg(F.sum("d").alias("__dc"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__dc"))
     )
     per_l = dc.join(mc, "l", "left").selectExpr(
         "l",
@@ -630,6 +631,12 @@ def adamic_adar(
     DECIMAL(38,0)); deg(z) ≥ 2 always (z has both x and y), so
     ln(deg) > 0. Output: id_a < id_b, common_neighbors,
     adamic_adar (6 dp), jaccard_nbr (6 dp).
+    
+
+    Eager note: BUILDING this plan launches Spark jobs — internal
+    persist + count() barriers materialize shared subtrees race-free
+    at construction time (r14 ADVICE; the caches are plan-keyed and
+    ledger-bounded, functions/cachereg.py).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -824,6 +831,12 @@ def clustering_coefficient(
     division, so the output is cross-engine exact. Only nodes with
     deg ≥ 2 appear (C(deg,2) = 0 otherwise). Output: node, degree,
     triangles, lcc (6 dp).
+    
+
+    Eager note: BUILDING this plan launches Spark jobs — internal
+    persist + count() barriers materialize shared subtrees race-free
+    at construction time (r14 ADVICE; the caches are plan-keyed and
+    ledger-bounded, functions/cachereg.py).
     """
     from pyspark.storagelevel import StorageLevel
 

@@ -2387,6 +2387,17 @@ def semdedup_incremental(
             .limit(int(num_centroids))
             .selectExpr("vid AS cid", "vv AS cv")
         )
+    # one driver-local materialization serves the THREE downstream
+    # assignment passes (old, new, and the old_result rebuild) — each
+    # _assign_to call re-collected the centroid probe, an executeTake
+    # over the corpus scan per call (guide §5 job overhead); a VALUES
+    # LocalRelation makes those probes job-free. Bounded: falls back
+    # to the distributed relation above 1000 rows.
+    from institutional_fx_etl_spark.functions.localrel import (
+        localized_if_small,
+    )
+
+    centroids = localized_if_small(centroids)
     if old_result is None:
         old_result = semdedup(
             old,

@@ -879,6 +879,12 @@ def bigram_lm_score(
     the rounded mean so both engines exponentiate the same value.
 
     Output: doc_id, n_bigrams, avg_log2_prob, perplexity.
+    
+
+    Eager note: BUILDING this plan launches Spark jobs — internal
+    persist + count() barriers materialize shared subtrees race-free
+    at construction time (r14 ADVICE; the caches are plan-keyed and
+    ledger-bounded, functions/cachereg.py).
     """
     from pyspark import StorageLevel
 
@@ -1428,6 +1434,12 @@ def ngram_novelty(
 
     Output: <id_col>, n_ngrams (BIGINT), n_novel (BIGINT),
     novelty (DOUBLE, 6dp).
+    
+
+    Eager note: BUILDING this plan launches Spark jobs — internal
+    persist + count() barriers materialize shared subtrees race-free
+    at construction time (r14 ADVICE; the caches are plan-keyed and
+    ledger-bounded, functions/cachereg.py).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -1563,6 +1575,12 @@ def cross_source_overlap(
 
     Output: src_a < src_b, shared (BIGINT), n_a, n_b,
     containment_a = shared/n_a, containment_b = shared/n_b (6dp).
+    
+
+    Eager note: BUILDING this plan launches Spark jobs — internal
+    persist + count() barriers materialize shared subtrees race-free
+    at construction time (r14 ADVICE; the caches are plan-keyed and
+    ledger-bounded, functions/cachereg.py).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -1644,6 +1662,12 @@ def dup_span_coverage(
 
     Output: <id_col>, n_tokens (BIGINT), n_dup_pos (BIGINT),
     dup_coverage (DOUBLE, 6dp).
+    
+
+    Eager note: BUILDING this plan launches Spark jobs — internal
+    persist + count() barriers materialize shared subtrees race-free
+    at construction time (r14 ADVICE; the caches are plan-keyed and
+    ledger-bounded, functions/cachereg.py).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -2072,6 +2096,12 @@ def boilerplate_purge_incremental(
     is bit-identical to the full recompute over old ∪ new (the
     ``ivf_incremental`` / ``knn_incremental`` proof discipline —
     the registered oracle IS the full-run SQL).
+    
+
+    Eager note: BUILDING this plan launches Spark jobs — internal
+    persist + count() barriers materialize shared subtrees race-free
+    at construction time (r14 ADVICE; the caches are plan-keyed and
+    ledger-bounded, functions/cachereg.py).
     """
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2, got {min_df}")
@@ -2477,6 +2507,12 @@ def ccnet_perplexity_bucket(
     Documents with <2 tokens have no bigram and inherit the LM's
     exclusion (documented there). Output: id, n_bigrams, perplexity,
     ppl_bucket ('head' < cut1 ≤ 'middle' ≤ cut2 < 'tail').
+    
+
+    Eager note: BUILDING this plan launches Spark jobs — internal
+    persist + count() barriers materialize shared subtrees race-free
+    at construction time (r14 ADVICE; the caches are plan-keyed and
+    ledger-bounded, functions/cachereg.py).
     """
     from pyspark import StorageLevel
 

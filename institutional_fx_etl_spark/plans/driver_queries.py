@@ -10660,6 +10660,15 @@ def q_knn_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id AS cid",
         "transform(embedding, x -> cast(x as double)) AS cv",
     )
+    # the centroid table is consumed by THREE assignment passes (the
+    # standing-table build + both incremental sides), each of which
+    # re-collected its probe from the corpus scan — one driver-local
+    # VALUES materialization makes those probes job-free (guide §5)
+    from institutional_fx_etl_spark.functions.localrel import (
+        localized_if_small,
+    )
+
+    centroids = localized_if_small(centroids)
     old_topk = knn_join(old, k=3, centroids=centroids)
     return knn_join_incremental(old, new, old_topk, centroids, k=3)
 
@@ -13439,8 +13448,12 @@ def _register_semdedup_incremental() -> None:
         )
 
         emb = load_table(spark, sf_dir, "embeddings")
-        n = emb.count()
-        mx = emb.agg(F.max("vec_id")).collect()[0][0]
+        # one column-pruned aggregate serves both split parameters
+        # (was a count job + a max job — guide §5 job overhead)
+        st = emb.agg(
+            F.count(F.lit(1)).alias("n"), F.max("vec_id").alias("mx")
+        ).collect()[0]
+        n, mx = st["n"], st["mx"]
         cut = mx - max(1, n // 9)
         out = semdedup_incremental(
             emb.filter(f"vec_id <= {cut}"),
