@@ -402,28 +402,6 @@ def main() -> None:
         floor = min(floor, time.perf_counter() - t0)
     floor = round(floor, 3)
 
-    # parallel scaling probe (r14 verdict ask #2/#4): at sf0.1 every
-    # parquet table is one row group and per-query walls sit near the
-    # harness floor, so 8-vs-32-core query ratios cannot demonstrate
-    # that $SPARK_GRAFT_CPUS takes effect. This fixed CPU-bound job
-    # (pure spark.range hashing across defaultParallelism tasks, no
-    # I/O, no shuffle, nothing cached) has a wall ~1/cores — its
-    # ratio across the driver's two core counts IS the scaling proof.
-    dp = spark.sparkContext.defaultParallelism
-    probe_expr = "id"
-    for _ in range(8):
-        probe_expr = f"xxhash64({probe_expr}, id)"
-    probe = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        spark.range(0, 1 << 27, 1, dp).selectExpr(
-            f"{probe_expr} AS h"
-        ).selectExpr("sum(h)").write.format("noop").mode(
-            "overwrite"
-        ).save()
-        probe = min(probe, time.perf_counter() - t0)
-    probe = round(probe, 3)  # measured: 0.66 s @32 cpus, 1.48 s @8
-
     # warmup run per query (same sf): whole-stage codegen + JIT compile
     # outside the timed region; then best-of-3 timed passes (min damps
     # scheduler jitter — round-3 showed single-pass pairs flagging ±20%
@@ -457,6 +435,28 @@ def main() -> None:
             "shuffle_mb": round(shuffle / 1e6, 2),
             "engine_sec": round(max(0.0, best - floor), 3),
         }
+
+    # parallel scaling probe (r14 verdict ask #2/#4): at sf0.1 every
+    # parquet table is one row group and per-query walls sit near the
+    # harness floor, so 8-vs-32-core query ratios cannot demonstrate
+    # that $SPARK_GRAFT_CPUS takes effect. This fixed CPU-bound job
+    # (pure spark.range hashing across defaultParallelism tasks, no
+    # I/O, no shuffle, nothing cached) has a wall ~1/cores — its
+    # ratio across the driver's two core counts IS the scaling proof.
+    dp = spark.sparkContext.defaultParallelism
+    probe_expr = "id"
+    for _ in range(8):
+        probe_expr = f"xxhash64({probe_expr}, id)"
+    probe = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(0, 1 << 27, 1, dp).selectExpr(
+            f"{probe_expr} AS h"
+        ).selectExpr("sum(h)").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        probe = min(probe, time.perf_counter() - t0)
+    probe = round(probe, 3)  # measured: 0.66 s @32 cpus, 1.48 s @8
 
     # session-inflation annotation (r11 verdict ask #2): any query
     # whose in-suite wall exceeds its latest fresh-session warm wall
