@@ -714,6 +714,16 @@ def referential_integrity(
     per_key = keyed.groupBy(
         F.col(child_key).alias("k")
     ).agg(F.count(F.lit(1)).alias("c"))
+    return _fk_edge_report(per_key, parent, parent_key, fk_name)
+
+
+def _fk_edge_report(
+    per_key: DataFrame,
+    parent: DataFrame,
+    parent_key: str,
+    fk_name: str,
+) -> DataFrame:
+    """Shared audit tail over a ``(k, c)`` per-child-key relation."""
     orphans = per_key.join(
         parent.selectExpr(f"{parent_key} AS k").distinct(), "k", "left_anti"
     )
@@ -732,6 +742,49 @@ def referential_integrity(
     return totals.crossJoin(orph).selectExpr(
         f"'{fk_name}' AS fk", "child_rows", "orphan_rows", "orphan_keys"
     )
+
+
+def referential_integrity_multi(
+    child: DataFrame,
+    edges: list[tuple[str, DataFrame, str, str]],
+) -> DataFrame:
+    """All FK edges of ONE child table from ONE scan (r15, guide §1.2
+    / §6): a fact table with e foreign keys was scanned e times (once
+    per :func:`referential_integrity` call); here a single
+    ``stack(e, ...)`` pass emits every (edge-index, key) incidence and
+    one aggregate produces all per-edge per-key counts, which the
+    shared audit tail consumes per edge. ``edges`` is a list of
+    ``(child_key, parent_df, parent_key, fk_name)``; results are
+    row-identical to e independent single-edge audits, in ``edges``
+    order. Child keys must share a comparable type (stack coerces to
+    a common type; only counts leave the aggregate, so a widening
+    coercion cannot change any output).
+
+    The shared per-key relation is NOT persisted: all 2e consumers
+    (totals + anti-join per edge) contain the identical scan → stack →
+    partial-aggregate exchange subtree, so ReuseExchange evaluates the
+    fact-table scan ONCE and each consumer only re-runs the tiny
+    post-shuffle final aggregate (a persist variant was measured and
+    rejected: the cached relation pins the full un-coalesced shuffle
+    partitioning — cached plans bypass AQE coalescing — turning every
+    consumer into a 32-task near-empty cache read).
+    """
+    n = len(edges)
+    stack_args = ", ".join(
+        f"{i}, {ck}" for i, (ck, _, _, _) in enumerate(edges)
+    )
+    keyed = child.selectExpr(
+        f"stack({n}, {stack_args}) AS (__fkx, k)"
+    ).filter("k IS NOT NULL")
+    per_key_all = keyed.groupBy("__fkx", "k").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    out = None
+    for i, (_ck, parent, pk, fk_name) in enumerate(edges):
+        per_key = per_key_all.filter(F.col("__fkx") == i).select("k", "c")
+        rep = _fk_edge_report(per_key, parent, pk, fk_name)
+        out = rep if out is None else out.unionByName(rep)
+    return out
 
 
 def proportion_ztest(

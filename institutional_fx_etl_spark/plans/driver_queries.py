@@ -9452,17 +9452,46 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic torn batch."""
     from institutional_fx_etl_spark.operators.profiling import (
         referential_integrity,
+        referential_integrity_multi,
     )
 
-    out = None
+    # group consecutive edges by child table: a fact table with e FK
+    # edges is scanned ONCE via the stacked multi-edge audit instead
+    # of e times (r15, guide §1.2/§6 — lineitem carried 3 of the 7
+    # edges and therefore 3 of the scans); single-edge children keep
+    # the per-edge operator. Union order == _FK_EDGES order, so the
+    # output rows are identical.
+    by_child: list[tuple[str, list[tuple[str, str, str]]]] = []
     for ct, ck, pt, pk in _FK_EDGES:
-        audit = referential_integrity(
-            load_table(spark, sf_dir, ct),
-            ck,
-            load_table(spark, sf_dir, pt),
-            pk,
-            f"{ct}.{ck}->{pt}.{pk}",
-        )
+        if by_child and by_child[-1][0] == ct:
+            by_child[-1][1].append((ck, pt, pk))
+        else:
+            by_child.append((ct, [(ck, pt, pk)]))
+    out = None
+    for ct, group in by_child:
+        child = load_table(spark, sf_dir, ct)
+        if len(group) == 1:
+            ck, pt, pk = group[0]
+            audit = referential_integrity(
+                child,
+                ck,
+                load_table(spark, sf_dir, pt),
+                pk,
+                f"{ct}.{ck}->{pt}.{pk}",
+            )
+        else:
+            audit = referential_integrity_multi(
+                child,
+                [
+                    (
+                        ck,
+                        load_table(spark, sf_dir, pt),
+                        pk,
+                        f"{ct}.{ck}->{pt}.{pk}",
+                    )
+                    for ck, pt, pk in group
+                ],
+            )
         out = audit if out is None else out.unionByName(audit)
     return out
 
