@@ -15481,21 +15481,80 @@ CORE_TIER = [
 ROTATION_RETIRED = tuple(CORE_TIER)
 
 _HEAD = [
-    # --- round-14 window (50) -----------------------------------------
-    # Composed per the r13 verdict's ask #1: the forced cohort is the
-    # 44 staleness-5 rows (the whole r8 block, per
-    # tools/cert_history.py), then the round's 6 slack slots go to
-    # NEW round-14 ops per the capacity policy (new ops ONLY debut
-    # in-window, and only as many as the round has slack — see
-    # ROADMAP "window capacity" and the feasibility gates in
-    # tests/test_cert_freshness.py).
-    # tests/test_cert_freshness.py machine-enforces the composition.
-    # staleness-5 (r8) block — all 44
+    # --- round-15 window (50) -----------------------------------------
+    # Composed per the capacity policy (ROADMAP "window capacity",
+    # machine-enforced by tests/test_cert_freshness.py): the forced
+    # cohort is the 35 staleness-5 rows (the whole r9 block per
+    # tools/cert_history.py), then the 4 never-certified round-14
+    # debuts (new ops only debut IN-WINDOW), then the 11 stalest
+    # staleness-4 rows smooth the r16 cohort (policy rule (c)).
+    "rolling_stats",
+    "array_agg_functions",
+    "stats_agg",
+    "latest_record_dedup",
+    "train_test_split",
+    "session_window_agg",
+    "lsh_ann_pairs_scaled",
+    "semdedup",
+    "knn_join",
+    "tpch_q8",
+    "knn_incremental",
+    "shuffle_shards",
+    "random_projection",
+    "curriculum_order",
+    "token_budget_fit",
+    "token_quota_take",
+    "ngram_novelty",
+    "emb_pca_power",
+    "dedup_nearest_text",
+    "dedup_minhash_error",
+    "ngram_novelty_incremental",
+    "lsh_multiprobe_pairs",
+    "emb_pca_project",
+    "cross_source_overlap",
+    "lsh_tuning_report",
+    "ivfpq_topk",
+    "emb_pca_incremental",
+    "streaming_mixture",
+    "streaming_dedup_table",
+    "linear_probe_gd",
+    "dup_span_coverage",
+    "kmeans_inertia",
+    "quota_sample_exact",
+    "embedding_decontaminate",
+    "linear_probe_score",
+    "seasonal_decompose",
+    "macd_signal",
+    "survival_km",
+    "ndcg_eval",
+    "dedup_exact",
+    "text_lang_id",
+    "multimodal_frames",
+    "range_join_banded",
+    "skew_salted_agg",
+    "exact_quantiles",
+    "text_repetition",
+    "tfidf_topterms",
+    "range_frame_window",
+    "asof_join_tolerance",
+    "rank_distributions",
+]
+_TAIL = [
+    # r14-green — the freshest driver rows on the board (demotion
+    # tail per policy rule 4: only entries with a green row from the
+    # immediately previous round may hold the tail, so the union of
+    # any two consecutive windows covers the whole registry). The
+    # r10-r13 remainder is NOT listed, so _reorder_registry places it
+    # between _HEAD and _TAIL — top of the pytest tail gate, first
+    # in line for the r16 window (oldest first; see
+    # tools/cert_history.py for the machine-readable ledger).
     "ann_recall_eval",
     "anova_oneway",
+    "asof_join_nearest_tolerance",
     "assoc_rules",
     "bloom_membership",
     "bm25_rank",
+    "corpus_flagship",
     "countmin_estimate",
     "cramers_v",
     "crosscorr_lags",
@@ -15515,16 +15574,19 @@ _HEAD = [
     "hll_estimate",
     "interarrival_stats",
     "key_skew_profile",
+    "kneser_ney_bigram",
     "ks_two_sample",
     "lsh_ann_pairs",
     "mannwhitney_u",
     "mixture_sampling",
+    "ngram_overlap_contamination",
     "pareto_topshare",
     "profile_table",
     "proportion_ztest",
     "psi_drift",
     "quantile_sketch",
     "referential_integrity",
+    "skyline_pareto",
     "streaming_countmin",
     "streaming_cusum",
     "streaming_hll",
@@ -15534,76 +15596,8 @@ _HEAD = [
     "tpch_q9",
     "triangle_count",
     "weighted_median",
-    "zorder_layout",
-    # round-14 slack (6 slots): debuts land here as they are
-    # implemented this round; until then the slots smooth the r15
-    # cohort with the stalest staleness-4 rows (policy rule (c)).
-    "asof_join_nearest_tolerance",
     "welch_ttest",
-    "skyline_pareto",
-    "kneser_ney_bigram",
-    "ngram_overlap_contamination",
-    "corpus_flagship",
-]
-_TAIL = [
-    # r13-green — the freshest driver rows on the board (demotion
-    # tail per policy rule 4: only entries with a green row from the
-    # immediately previous round may hold the tail, so the union of
-    # any two consecutive windows covers the whole registry). The
-    # r9-r12 remainder is NOT listed, so _reorder_registry places it
-    # between _HEAD and _TAIL — top of the pytest tail gate, first
-    # in line for the r15 window (oldest first; see
-    # tools/cert_history.py for the machine-readable ledger).
-    "benford_profile",
-    "bigram_lm_score",
-    "bootstrap_ci_mean",
-    "bot_rate_profile",
-    "bpe_merge_candidates",
-    "candle_patterns",
-    "ccnet_perplexity_bucket",
-    "cdc_snapshot",
-    "chisq_independence",
-    "cooccurrence_lift",
-    "dedup_editdistance",
-    "dedup_incremental",
-    "dp_count_laplace",
-    "event_transitions",
-    "ewma",
-    "garman_klass_vol",
-    "graph_bfs_hops",
-    "herfindahl_concentration",
-    "hybrid_pipeline_chunked",
-    "ivfpq_probe_report",
-    "k_anonymity",
-    "kendall_tau",
-    "leakage_safe_split",
-    "linreg_per_group",
-    "lsh_ann_pairs_multitable",
-    "mad_robust",
-    "matryoshka_recall",
-    "pagerank_fixed",
-    "pq_adc_topk",
-    "quality_gopher",
-    "rolling_distinct_users",
-    "scd2_apply",
-    "source_rollup",
-    "spearman_corr",
-    "streaming_session_window",
-    "tokenizer_coverage",
-    "tpch_q1",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "tpch_q4",
-    "tpch_q6",
-    "twap_events",
-    "var_cvar",
-    "winsorize",
+    "zorder_layout",
 ]
 
 
